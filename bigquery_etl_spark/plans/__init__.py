@@ -1,0 +1,10 @@
+"""Declared-query builders (SURVEY.md §2).
+
+Importing this package registers every declared query into
+``bigquery_etl_spark.registry.REGISTRY``.
+"""
+
+from bigquery_etl_spark.plans import (  # noqa: F401
+    aggregates,
+    relational,
+)

@@ -1,0 +1,60 @@
+"""SparkSession builder with scale-appropriate defaults.
+
+Defaults follow the engine charter: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), shuffle partitions sized to cores for
+local mode (a 1000-executor cluster would size this to 2-3x total cores),
+UTC session timezone so results are comparable with the DuckDB oracle,
+Arrow enabled for the pandas-UDF fast path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bigquery-etl-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. In local mode the
+    driver JVM is the whole cluster, so ``driver_memory`` is the only
+    memory knob that matters.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8 if cpus in ("*", None) else int(cpus)
+        shuffle_partitions = max(4, int(n))
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    if driver_memory or os.environ.get("SPARK_DRIVER_MEMORY"):
+        builder = builder.config(
+            "spark.driver.memory", driver_memory or os.environ["SPARK_DRIVER_MEMORY"]
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

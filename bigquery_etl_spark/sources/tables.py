@@ -1,0 +1,47 @@
+"""Parquet table loaders for the driver-provided fixtures (TESTDATA.md).
+
+Columnar scan via ``spark.read.parquet`` — Catalyst pushes filters and
+prunes columns into the scan (verify with ``df.explain``: ``PushedFilters``
+/ ``ReadSchema``), which is the 100 TB-scale behavior we rely on: a query
+touching 2 of 11 lineitem columns reads ~18% of the bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one fixture table. No ``.cache()`` — at 100 TB you stream it."""
+    if table not in TABLES:
+        raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
+    if table == "events":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read it as long ns-since-epoch and convert. The fixture
+        # is µs-aligned (verified), so the conversion is lossless.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        # integer div — ns values exceed 2^53, double division would drift
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for ``spark.sql`` queries."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,27 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from bigquery_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bigquery-etl-spark-tests",
+        cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"),
+        shuffle_partitions=4,
+    )
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

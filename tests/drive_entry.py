@@ -1,0 +1,59 @@
+"""Emulate the driver: fresh process, plain SparkSession (driver-like
+defaults, NOT our session builder), import __spark_entry__, run the
+t1 smoke + full t2 oracle comparison.
+
+Usage: python tests/drive_entry.py   [env SPARK_GRAFT_DRIVE_SF=/root/testdata/sf0.01]
+Exits nonzero on any oracle mismatch.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver-emulation")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E  # noqa: E402
+
+# t1 smoke
+df = E.entry(spark)
+rows = df.collect()
+print(f"t1 entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+
+# t2: every query vs oracle
+from bigquery_etl_spark.oracle import compare, run_duckdb  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_DRIVE_SF", "/root/testdata/sf0.01")
+qs, oracles = E.queries(), E.oracle_sql()
+assert set(oracles) <= set(qs), "oracle keys must be subset of query keys"
+fails = []
+for name, fn in sorted(qs.items()):
+    t0 = time.perf_counter()
+    try:
+        pdf = fn(spark, SF).toPandas()
+    except Exception as exc:  # noqa: BLE001
+        fails.append((name, [f"raised {exc!r}"]))
+        print(f"FAIL {name}: raised {exc!r}")
+        continue
+    dt = time.perf_counter() - t0
+    if name in oracles:
+        errs = compare(pdf, run_duckdb(oracles[name], SF))
+        if errs:
+            fails.append((name, errs))
+        print(f"{'FAIL' if errs else 'OK  '} {name}: {len(pdf)} rows vs oracle ({dt:.2f}s)")
+    else:
+        print(f"ROWS {name}: {len(pdf)} rows ({dt:.2f}s)")
+for name, errs in fails:
+    print("FAILURE", name, errs)
+print("RESULT:", "FAIL" if fails else "PASS", f"({len(qs)} queries, {len(oracles)} with oracle)")
+sys.exit(1 if fails else 0)
