@@ -1,0 +1,3 @@
+from bigquery_etl_spark.operators.asof import asof_join
+
+__all__ = ["asof_join"]

@@ -1,0 +1,92 @@
+"""As-of join (SURVEY.md §2 B18) — nearest-earlier-event join.
+
+Spark has no native ASOF JOIN (DuckDB/BigQuery express it as a window
+over a union / LATERAL). This implements the scalable rewrite:
+
+  1. tag left rows (is_left=1) and right rows (is_left=0),
+  2. union them on (key, ts) with each side's payload null-padded,
+  3. one window per key ordered by (ts, is_left, tiebreak):
+     ``last(right_payload, ignorenulls=True)`` carries the most recent
+     right row forward onto each left row,
+  4. keep left rows.
+
+Semantics match DuckDB ``ASOF LEFT JOIN ... ON l.key = r.key AND
+l.ts >= r.ts``: each left row gets the right row with the greatest
+``r.ts <= l.ts`` (equal timestamps DO match, because right rows sort
+before left rows at the same ts); unmatched left rows keep NULLs.
+
+Scale: ONE hash shuffle on the join key + a per-partition sort —
+same cost as a sort-merge join, no range explosion, no driver
+collection. Skewed keys are handled by AQE skew-join splitting since
+the heavy op is a window over the shuffled partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right row with ``right_ts <= left_ts`` per key.
+
+    ``tiebreak``: right-side column ordering rows that share ``right_ts``
+    (the largest wins), making the match deterministic when the right side
+    has duplicate timestamps per key.
+    """
+    l_payload = [c for c in left.columns if c not in (left_on, left_ts)]
+    r_payload = [c for c in right.columns if c not in (right_on, right_ts)]
+    overlap = set(l_payload) & set(r_payload)
+    if overlap:
+        raise ValueError(f"ambiguous columns (rename first): {sorted(overlap)}")
+
+    lu = left.select(
+        F.col(left_on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in l_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in r_payload],
+    )
+    ru = right.select(
+        F.col(right_on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
+        *[F.col(c) for c in r_payload],
+    )
+
+    # (ts, is_left) puts right rows (0) before left rows (1) at equal ts, so
+    # equal timestamps match; tiebreak last orders right rows sharing a ts so
+    # the largest-tiebreak row is the one carried forward (left rows have a
+    # NULL tiebreak, which only reorders them among themselves — harmless).
+    order = [F.col("__ts"), F.col("__is_left")]
+    if tiebreak is not None:
+        order.append(F.when(F.col("__is_left") == 0, F.col(tiebreak)))
+    w = (
+        W.partitionBy("__key")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+
+    filled = lu.unionByName(ru).select(
+        "__key",
+        "__ts",
+        "__is_left",
+        *[F.col(c) for c in l_payload],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in r_payload],
+    )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+        .withColumnRenamed("__key", left_on)
+        .withColumnRenamed("__ts", left_ts)
+    )

@@ -8,6 +8,7 @@ column names, and order-insensitive values.
 
 from __future__ import annotations
 
+import datetime
 import math
 from typing import Any
 
@@ -44,6 +45,11 @@ def _canon_cell(v: Any) -> Any:
         return _canon_cell(v.item())
     if isinstance(v, pd.Timestamp):
         return str(v.tz_localize(None) if v.tzinfo else v)
+    if isinstance(v, datetime.datetime):
+        return str(pd.Timestamp(v))
+    if isinstance(v, datetime.date):
+        # Spark DATE -> datetime.date, DuckDB DATE -> midnight Timestamp
+        return str(pd.Timestamp(v))
     return v
 
 

@@ -6,5 +6,8 @@ Importing this package registers every declared query into
 
 from bigquery_etl_spark.plans import (  # noqa: F401
     aggregates,
+    functions_pack,
+    joins,
     relational,
+    windows,
 )
