@@ -1,0 +1,252 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2
+Tier C; charter BASELINE.json north star).
+
+All DataFrame-native — no driver-side loops, no ml-lib dependency — so
+every stage is a shuffle-bounded relational op that scales to 100 TB:
+
+- exact_dedup:      hash-groupBy, one shuffle on a 64-bit content hash.
+- minhash_signatures / minhash_lsh_candidates: shingle → 64 minhashes →
+  band → bucket-join. Shuffles are bounded by (docs × bands), never by
+  doc-pair count; only same-bucket pairs are materialized.
+- simhash_64:       64-bit simhash via per-bit votes; near-dup candidates
+  by banded equality (Hamming ≤ bands-1 guaranteed recall per band).
+- ngram_jaccard_pairs: exact Jaccard verification on candidate pairs
+  (token n-grams), the rerank step after LSH.
+
+Deterministic throughout: hash seeds are constant column salts, survivor
+selection is min-id, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def content_hash(*cols: str | Column) -> Column:
+    """64-bit content fingerprint of one or more columns (xxhash64 —
+    Spark's FARM_FINGERPRINT analogue, ref schema had no content hash
+    which is why the reference can't dedup replays)."""
+    return F.xxhash64(*cols)
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id row per content hash.
+
+    One shuffle on the hash; map-side partial min keeps the exchange at
+    one row per (partition, hash)."""
+    h = content_hash(*content_cols).alias("__h")
+    w = W.partitionBy("__h").orderBy(id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def char_shingles(text: str | Column, k: int = 8) -> Column:
+    """Distinct character k-shingles of a string, as an array column.
+
+    Built-ins only (sequence + transform + substring) — stays in codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, k)))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_k: int = 8
+) -> DataFrame:
+    """(id, signature: array<bigint>[n_hashes]) per document.
+
+    MinHash_i(doc) = min over shingles of hash_i(shingle); hash_i is
+    xxhash64 salted with the hash index. Computed by exploding shingles
+    once and taking n_hashes mins in ONE hash aggregate — a single
+    shuffle keyed by doc id, carrying n_hashes longs per doc."""
+    shingled = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__m{i}") for i in range(n_hashes)
+    ]
+    agg = shingled.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_shared_bands) via banding.
+
+    A pair collides if ANY band of `rows_per_band` consecutive minhashes
+    matches — P(collide) = 1-(1-j^r)^b, the classic LSH S-curve. The
+    band bucket-join shuffles docs × bands rows keyed by (band, hash of
+    band slice); pairs are enumerated only within buckets."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.band") == F.col(f"b.band"))
+        & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 8,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Fuzzy dedup: drop every doc that LSH-collides with a lower-id doc.
+
+    Connected-component-free formulation (single pass): a doc survives
+    unless some candidate pair names it as the higher id. Conservative —
+    chains A~B~C keep only A — which is the usual policy for training
+    data dedup."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes // n_bands)
+    losers = cands.filter(F.col("n_shared_bands") >= min_shared_bands).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint): 64-bit SimHash over whitespace tokens.
+
+    Bit b of the simhash = majority vote of bit b across token hashes.
+    Implemented as 64 conditional sums in one aggregate — same single-
+    shuffle profile as minhash_signatures."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("__t"),
+    ).withColumn("__h", F.xxhash64("__t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"__v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_candidates(
+    hashes: DataFrame, id_col: str, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup candidate pairs by banded simhash equality.
+
+    Splitting 64 bits into n_bands blocks guarantees recall of every pair
+    with Hamming distance < n_bands (pigeonhole: some block is equal)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.block")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for candidate pairs (the verify/rerank
+    stage after LSH). Joins each side's distinct n-gram set; |A∩B| from a
+    join on (pair, gram), |A∪B| = |A|+|B|−|A∩B|. Work is bounded by
+    candidate-pair grams, never all-pairs."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(F.split(F.col(text_col), r"\s+")) - (n - 1), F.lit(1)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split(F.col(text_col), r"\s+"), i, n)
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+
+    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("id_b_g"), F.col("gram").alias("gram_b"))
+    inter = (
+        candidates.join(ga, "id_a")
+        .join(gb, (F.col("id_b") == F.col("id_b_g")) & (F.col("gram") == F.col("gram_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )

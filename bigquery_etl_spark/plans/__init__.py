@@ -8,6 +8,9 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     aggregates,
     functions_pack,
     joins,
+    pipeline_queries,
     relational,
+    tierc,
+    udfs,
     windows,
 )

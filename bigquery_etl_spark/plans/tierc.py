@@ -1,0 +1,249 @@
+"""Tier C declared queries: LLM training-data pipeline operators over
+the documents/embeddings fixtures (SURVEY.md §2 C1-C6 + charter).
+
+SQL-expressible ops carry DuckDB oracles; LSH/similarity ops are
+rows-only (float-hash unstable / no DuckDB twin) and their semantics are
+pinned by unit tests in tests/test_dedup.py and tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.functions.text import (
+    bpe_ish_tokens,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    ws_tokens,
+)
+from bigquery_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_64,
+    simhash_candidates,
+)
+from bigquery_etl_spark.operators.similarity import cosine_topk_bruteforce, lsh_topk
+from bigquery_etl_spark.registry import query
+from bigquery_etl_spark.sources import load
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup on content hash.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    sql="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("tierc", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup, min-doc_id survivor (oracle twin uses md5 as the
+    content key; the operator uses xxhash64 — same row set)."""
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_doc_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))), '|')) AS fp,
+           COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))), '|'))) AS n_same
+    FROM documents
+    """,
+    tags=("tierc", "dedup"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint + how many docs share it (near-dup key
+    insensitive to token order)."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    fp = doc_fingerprint("text")
+    return d.select("doc_id", fp.alias("fp")).withColumn(
+        "n_same", F.count(F.lit(1)).over(W.partitionBy("fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — text analysis: token counting (whitespace + BPE-ish regex).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_tokens",
+    sql="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("tierc", "text"),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language: whitespace tokens and
+    BPE-ish regex tokens — the 'how many training tokens do we have'
+    query, one scan + tiny hash agg."""
+    d = load(spark, sf_dir, "documents")
+    from bigquery_etl_spark.plans._util import dec
+
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws_tokens("text"))).cast("bigint").alias("total_ws_tokens"),
+        F.sum(F.size(bpe_ish_tokens("text"))).cast("bigint").alias("total_bpe_tokens"),
+        (F.sum(dec("n_chars")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 — corpus slice stats.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_stats",
+    sql="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS sum_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("tierc", "text"),
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) slice statistics — the data-mix dashboard query."""
+    d = load(spark, sf_dir, "documents")
+    from bigquery_etl_spark.plans._util import dec
+
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(dec("n_chars")).cast("double").alias("sum_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality + language-ID (heuristic, oracle-checkable pieces).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quality_score",
+    sql="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars,
+           CAST(LEN(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) /
+                 CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS digit_ratio,
+           ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g'))) /
+                 CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS upper_ratio
+    FROM documents
+    """,
+    tags=("tierc", "text"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter features per doc (length, token count, digit/upper
+    ratios) — the scan-speed pre-training filter."""
+    d = load(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(feats["upper_ratio"], 6).alias("upper_ratio"),
+    )
+
+
+@query("q_lang_id", sql=None, tags=("tierc", "text"))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker argmax) vs the labeled lang
+    column — returns the confusion counts (rows-only; the heuristic is
+    pinned by tests/test_text.py)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id("text").alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — fuzzy dedup: MinHash LSH + SimHash + exact-Jaccard rerank
+# (rows-only: LSH bucket ids are engine-specific).
+# ---------------------------------------------------------------------------
+
+
+@query("q_dedup_minhash", sql=None, tags=("tierc", "dedup", "lsh"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of MinHash-LSH fuzzy dedup (64 hashes, 16 bands)."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_dedup(d, "doc_id", "text").select("doc_id", "lang", "n_chars")
+
+
+@query("q_dedup_minhash_pairs", sql=None, tags=("tierc", "dedup", "lsh"))
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with exact n-gram Jaccard rerank ≥ 0.5."""
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cands = minhash_lsh_candidates(sigs, "doc_id")
+    return ngram_jaccard_pairs(d, cands.select("id_a", "id_b"), "doc_id", "text")
+
+
+@query("q_dedup_simhash", sql=None, tags=("tierc", "dedup", "lsh"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (banded 64-bit, Hamming<4 recall)."""
+    d = load(spark, sf_dir, "documents")
+    hashes = simhash_64(d, "doc_id", "text")
+    return simhash_candidates(hashes, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C5/C6 — similarity search over embeddings.
+# ---------------------------------------------------------------------------
+
+
+def _queries_from_corpus(emb: DataFrame, n: int = 5) -> DataFrame:
+    """Deterministic query set: the n lowest vec_ids."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+
+
+@query("q_embed_topk", sql=None, tags=("tierc", "similarity"))
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, _queries_from_corpus(emb), k=10).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+@query("q_embed_ann_lsh", sql=None, tags=("tierc", "similarity"))
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH + exact rerank."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _queries_from_corpus(emb), dim=64, k=10).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )

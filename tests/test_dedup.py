@@ -1,0 +1,74 @@
+"""Semantics tests for operators/dedup.py on tiny controlled corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_64,
+    simhash_candidates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun of a quiet autumn day"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("autumn", "spring")),  # near dup of 1
+        (4, "completely different text about spark query engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_corpus(spark), ["text"], "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4]  # 2 dropped (exact dup of 1)
+
+
+def test_minhash_identical_signatures(spark):
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(_corpus(spark), "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    # near-dup shares most minhashes; disjoint text shares almost none
+    share_13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / len(sigs[1])
+    share_14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / len(sigs[1])
+    assert share_13 > 0.5 > share_14
+
+
+def test_minhash_dedup_drops_near_dups(spark):
+    out = minhash_dedup(_corpus(spark), "doc_id", "text")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 4]  # 2 (exact) and 3 (near) both collapse onto 1
+
+
+def test_lsh_candidates_no_false_negatives_for_exact(spark):
+    sigs = minhash_signatures(_corpus(spark), "doc_id", "text")
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(sigs, "doc_id").collect()}
+    assert (1, 2) in pairs  # exact dups always collide in every band
+
+
+def test_ngram_jaccard_values(spark):
+    df = _corpus(spark)
+    cands = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(df, cands, "doc_id", "text", min_jaccard=0.0).collect()}
+    assert out[(1, 2)] == 1.0  # identical text
+    assert (1, 4) not in out or out[(1, 4)] < 0.1  # no common 3-grams
+
+
+def test_simhash_near_dup_candidates(spark):
+    hashes = simhash_64(_corpus(spark), "doc_id", "text")
+    vals = {r.doc_id: r.simhash for r in hashes.collect()}
+    assert vals[1] == vals[2]
+    pairs = {(r.id_a, r.id_b) for r in simhash_candidates(hashes, "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs  # one-token change: Hamming distance small
