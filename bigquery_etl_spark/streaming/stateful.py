@@ -1,0 +1,49 @@
+"""Arbitrary stateful streaming operator (SURVEY.md §2 B54).
+
+Per-key cursor semantics beyond what watermarks express — the streaming
+generalization of the reference's etl_cursor (ref main.py:239-243): for
+each key, track the running high-watermark and event count across
+micro-batches with ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, max_event_id long"
+STATE_SCHEMA = "n_events long, max_event_id long"
+
+
+def _track_cursor(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, max_id = state.get if state.exists else (0, -1)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            max_id = max(max_id, int(pdf["event_id"].max()))
+    state.update((n, max_id))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "max_event_id": [max_id]})
+
+
+def per_key_cursor(events: DataFrame) -> DataFrame:
+    """Running (count, high-watermark) per user across micro-batches.
+
+    State is one tuple per key — O(|keys|) memory regardless of event
+    volume; exactly the cursor-table profile at cluster scale."""
+    return (
+        events.select("user_id", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track_cursor,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,219 @@
+"""Streaming tests (SURVEY.md §5.2): memory-sink + processAllAvailable
+(never sleep); file source driven by writing parquet files between
+processAllAvailable calls so micro-batch boundaries are deterministic.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.pipeline.fixtures import START_BLOCK, make_ipfs_docs, make_raw_logs
+from bigquery_etl_spark.streaming.dedup import watermarked_dedup
+from bigquery_etl_spark.streaming.pipeline_stream import start_stream_pipeline
+from bigquery_etl_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+EVENTS_DDL = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _write_events(spark, path: str, rows: list[tuple], fname: str) -> None:
+    _write_flat_parquet(spark.createDataFrame(rows, EVENTS_DDL), path, fname)
+
+
+def _write_flat_parquet(df, path: str, fname: str) -> None:
+    """The file streaming source lists only top-level files — flatten the
+    part file Spark writes into ``path/fname``."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/out")
+        (part,) = glob.glob(f"{tmp}/out/part-*.parquet")
+        shutil.copy(part, f"{path}/{fname}")
+
+
+def _read_stream(spark, path: str):
+    from pyspark.sql import types as T
+
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+
+def _run_to_memory(df, name: str, mode: str):
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    return q
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path):
+    rows = [
+        (1, _ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        (2, _ts("2024-01-01 00:55:00"), 1, "click", 2.0),
+        (3, _ts("2024-01-01 01:05:00"), 2, "view", 3.0),
+    ]
+    src = str(tmp_path / "src")
+    _write_events(spark, src, rows, "f1.parquet")
+    stream = tumbling_window_agg(_read_stream(spark, src), watermark_delay="10 minutes")
+    q = _run_to_memory(stream, "tumbling_out", "complete")
+    try:
+        got = {
+            (r.ws, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+        batch = {
+            (r.ws, r.event_type): (r.n, r.sum_value)
+            for r in tumbling_window_agg(spark.createDataFrame(rows, EVENTS_DDL)).collect()
+        }
+        assert got == batch
+        assert got[(_ts("2024-01-01 00:00:00"), "click")] == (2, 3.0)
+    finally:
+        q.stop()
+
+
+def test_sliding_and_session_windows_batch_form(spark):
+    rows = [
+        (1, _ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        (2, _ts("2024-01-01 00:20:00"), 1, "click", 1.0),
+        (3, _ts("2024-01-01 02:00:00"), 1, "click", 1.0),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_DDL)
+    sliding = sliding_window_agg(df, duration="1 hour", slide="30 minutes").collect()
+    # event at 00:05 falls in 2 hopping windows (23:30-00:30, 00:00-01:00)
+    n_windows_for_e1 = sum(1 for r in sliding if r.ws <= _ts("2024-01-01 00:05:00") < r.we)
+    assert n_windows_for_e1 == 2
+    sessions = session_window_agg(df, gap="30 minutes").collect()
+    # events 1+2 chain into one session (gap 15m), event 3 opens another
+    assert sorted((r.n for r in sessions)) == [1, 2]
+    s2 = next(r for r in sessions if r.n == 2)
+    assert s2.ws == _ts("2024-01-01 00:05:00") and s2.we == _ts("2024-01-01 00:50:00")
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1: advance watermark to 01:00 - 10min = 00:50
+    _write_events(
+        spark,
+        src,
+        [(1, _ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+         (2, _ts("2024-01-01 01:00:00"), 1, "click", 1.0)],
+        "f1.parquet",
+    )
+    stream = tumbling_window_agg(
+        _read_stream(spark, src), duration="30 minutes", watermark_delay="10 minutes"
+    )
+    q = _run_to_memory(stream, "late_out", "append")
+    try:
+        # batch 2: a late event for the already-finalized 00:00 window...
+        _write_events(spark, src, [(3, _ts("2024-01-01 00:06:00"), 1, "click", 9.0)], "f2.parquet")
+        # ...and batch 3: advance event time so windows finalize
+        _write_events(spark, src, [(4, _ts("2024-01-01 02:00:00"), 1, "click", 1.0)], "f3.parquet")
+        q.processAllAvailable()
+        out = {r.ws: (r.n, r.sum_value) for r in spark.sql("SELECT * FROM late_out").collect()}
+        # the 00:00-00:30 window finalized with ONLY event 1 — late event 3 dropped
+        assert out[_ts("2024-01-01 00:00:00")] == (1, 1.0)
+    finally:
+        q.stop()
+
+
+def test_watermarked_dedup_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(
+        spark,
+        src,
+        [(1, _ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+         (1, _ts("2024-01-01 00:00:30"), 1, "click", 1.0)],  # dup key within watermark
+        "f1.parquet",
+    )
+    deduped = watermarked_dedup(_read_stream(spark, src), keys=["event_id"], delay="10 minutes")
+    q = _run_to_memory(deduped.select("event_id", "user_id"), "dedup_out", "append")
+    try:
+        _write_events(spark, src, [(1, _ts("2024-01-01 00:01:00"), 1, "click", 1.0)], "f2.parquet")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+        assert len(rows) == 1 and rows[0].event_id == 1
+    finally:
+        q.stop()
+
+
+def test_stream_static_join(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [(1, _ts("2024-01-01 00:00:00"), 7, "click", 1.0)], "f1.parquet")
+    dim = spark.createDataFrame([(7, "GOLD")], "user_id long, tier string")
+    joined = _read_stream(spark, src).join(F.broadcast(dim), "user_id", "left")
+    q = _run_to_memory(joined.select("event_id", "tier"), "ssj_out", "append")
+    try:
+        rows = spark.sql("SELECT * FROM ssj_out").collect()
+        assert rows[0].tier == "GOLD"
+    finally:
+        q.stop()
+
+
+def test_stream_pipeline_exactly_once_replay(spark, tmp_path):
+    raw = make_raw_logs(spark, START_BLOCK, START_BLOCK + 4)
+    docs = make_ipfs_docs(spark, raw)
+    src = str(tmp_path / "raw")
+    _write_flat_parquet(raw, src, "batch1.parquet")
+
+    def run(checkpoint: str):
+        q = start_stream_pipeline(
+            spark,
+            raw_logs_dir=src,
+            ipfs_docs=docs,
+            warehouse_dir=str(tmp_path / "warehouse"),
+            staging_dir=str(tmp_path / "staging"),
+            checkpoint_dir=str(tmp_path / checkpoint),
+        )
+        q.awaitTermination()  # availableNow terminates when caught up
+
+    run("cp1")
+    mk = spark.read.parquet(str(tmp_path / "warehouse/marketplace_listings"))
+    n1 = mk.count()
+    assert n1 == 10  # 2 events x 5 blocks
+
+    # fresh checkpoint = full replay (the crash-before-commit scenario);
+    # idempotent merge must keep the warehouse unchanged
+    run("cp2")
+    mk2 = spark.read.parquet(str(tmp_path / "warehouse/marketplace_listings"))
+    assert mk2.count() == n1
+    assert mk2.select("block_number", "log_index").distinct().count() == n1
+
+
+def test_stateful_per_key_cursor(spark, tmp_path):
+    pytest.importorskip("pyspark.sql.streaming.state")
+    from bigquery_etl_spark.streaming.stateful import per_key_cursor
+
+    src = str(tmp_path / "src")
+    _write_events(
+        spark,
+        src,
+        [(10, _ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+         (11, _ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+         (20, _ts("2024-01-01 00:02:00"), 2, "view", 1.0)],
+        "f1.parquet",
+    )
+    q = _run_to_memory(per_key_cursor(_read_stream(spark, src)), "cursor_out", "update")
+    try:
+        _write_events(spark, src, [(12, _ts("2024-01-01 00:03:00"), 1, "click", 1.0)], "f2.parquet")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) AS n, max(max_event_id) AS hw "
+            "FROM cursor_out GROUP BY user_id"
+        ).collect()
+        got = {r.user_id: (r.n, r.hw) for r in rows}
+        assert got[1] == (3, 12)  # state carried across micro-batches
+        assert got[2] == (1, 20)
+    finally:
+        q.stop()
