@@ -1,0 +1,181 @@
+"""Extra declared queries: bucketized range joins (B17/B19 scale path),
+partition-local sort (B36), pivot, distributed block-range source (A3),
+and multimodal operators (charter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.operators.multimodal import (
+    extract_features,
+    make_fake_media,
+    media_stats,
+    sample_frames,
+)
+from bigquery_etl_spark.operators.range_join import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+from bigquery_etl_spark.plans._util import dec
+from bigquery_etl_spark.registry import query
+from bigquery_etl_spark.sources import load
+
+# ---------------------------------------------------------------------------
+# B17/B19 — the bucketized rewrites, oracle-checked against the plain
+# non-equi semantics (same SQL as a nested-loop would compute).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_range_bucket_join",
+    sql="""
+    SELECT s_suppkey, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM supplier JOIN part
+      ON p_retailprice BETWEEN s_acctbal - 500 AND s_acctbal + 500
+    GROUP BY s_suppkey
+    """,
+    tags=("join", "range"),
+)
+def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_join_range, computed via the bucketized
+    equi-join rewrite (operators/range_join.py) — one hash shuffle on
+    bucket id instead of a nested-loop; this is the plan that survives
+    two large sides at 100 TB."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 500).alias("lo"),
+        (F.col("s_acctbal") + 500).alias("hi"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    joined = point_in_interval_join(p, s, "p_retailprice", "lo", "hi", bucket_width=500.0)
+    return joined.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(dec("p_retailprice")).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "q_interval_overlap",
+    sql="""
+    SELECT s_suppkey, COUNT(*) AS n_overlap
+    FROM (SELECT s_suppkey, s_acctbal AS slo, s_acctbal + 200 AS shi FROM supplier) s
+    JOIN (SELECT p_partkey, p_retailprice AS plo, p_retailprice + 200 AS phi FROM part) p
+      ON slo <= phi AND plo <= shi
+    GROUP BY s_suppkey
+    """,
+    tags=("join", "range"),
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via bucketing, oracle-checked vs the plain
+    overlap predicate."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal").alias("slo"), (F.col("s_acctbal") + 200).alias("shi")
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").alias("plo"), (F.col("p_retailprice") + 200).alias("phi")
+    )
+    joined = interval_overlap_join(s, p, "slo", "shi", "plo", "phi", bucket_width=200.0)
+    return joined.groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n_overlap"))
+
+
+# ---------------------------------------------------------------------------
+# B36 — partition-local sort (row-preserving; oracle checks the row set).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sort_within_partitions",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+    """,
+    tags=("sort",),
+)
+def q_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions: no exchange (check .explain — Sort with
+    global=false, no Exchange). Used before writes to get clustered
+    files; the oracle verifies rows pass through unchanged."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_shipdate").sortWithinPartitions(
+        "l_shipdate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (BigQuery PIVOT; planned as a single-pass pivot aggregate).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit value list (always list values at scale —
+    letting Spark discover them costs an extra distinct pass)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — distributed block-range source (rows-only; fetcher is synthetic).
+# ---------------------------------------------------------------------------
+
+
+@query("q_block_range_source", sql=None, tags=("pipeline", "source"))
+def q_block_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.range → mapInPandas fetch: the A3 scan distributed across
+    executors with the provider's 1000-block cap per call."""
+    from bigquery_etl_spark.pipeline.schemas import RAW_LOGS_SCHEMA
+    from bigquery_etl_spark.sources.incremental import block_range_source
+
+    def fetcher(lo: int, hi: int) -> list[dict]:
+        return [
+            {
+                "block_number": b,
+                "log_index": 0,
+                "address": "0x_origin_marketplace",
+                "event_name": "ListingCreated",
+                "listing_id": f"l-{b}",
+                "ipfs_hash": f"Qm{b}",
+            }
+            for b in range(lo, hi + 1)
+        ]
+
+    return block_range_source(spark, 10_014_455, 10_014_954, fetcher, RAW_LOGS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (charter; deterministic fake media, real Spark plumbing).
+# ---------------------------------------------------------------------------
+
+
+@query("q_media_features", sql=None, tags=("multimodal",))
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(make_fake_media(spark, n=32))
+
+
+@query("q_media_frames", sql=None, tags=("multimodal",))
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(make_fake_media(spark, n=32))
+
+
+@query("q_media_stats", sql=None, tags=("multimodal",))
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_stats(make_fake_media(spark, n=32))

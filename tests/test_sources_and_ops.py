@@ -1,0 +1,119 @@
+"""Tests: file sources (B2/B3/B5), block-range source (A1+A3),
+bucketized range joins, and multimodal operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigquery_etl_spark.operators.multimodal import (
+    extract_features,
+    make_fake_media,
+    media_stats,
+    resize_images,
+    sample_frames,
+)
+from bigquery_etl_spark.operators.range_join import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+from bigquery_etl_spark.pipeline.schemas import RAW_LOGS_SCHEMA
+from bigquery_etl_spark.sources.files import read_csv, read_ndjson, write_partitioned
+from bigquery_etl_spark.sources.incremental import block_range_source
+
+
+def test_ndjson_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.write.mode("overwrite").json(str(tmp_path / "nd"))
+    back = read_ndjson(spark, str(tmp_path / "nd"), df.schema)
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b,c")], "id long, v string")
+    df.write.mode("overwrite").option("header", True).csv(str(tmp_path / "csv"))
+    back = read_csv(spark, str(tmp_path / "csv"), df.schema)
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b,c")]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "2024-01-0%d" % (i % 3 + 1)) for i in range(30)], "id long, dt string"
+    )
+    out = str(tmp_path / "part")
+    write_partitioned(df, out, ["dt"])
+    back = spark.read.parquet(out).filter(F.col("dt") == "2024-01-01")
+    assert back.count() == 10
+    # partition pruning visible in the plan: only one dt directory read
+    plan = back.queryExecution().toString() if hasattr(back, "queryExecution") else back._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_block_range_source_chunks_and_rows(spark):
+    calls: list[tuple[int, int]] = []
+
+    def fetcher(lo: int, hi: int) -> list[dict]:
+        calls.append((lo, hi))
+        return [
+            {
+                "block_number": b,
+                "log_index": 0,
+                "address": "0x_origin_marketplace",
+                "event_name": "ListingCreated",
+                "listing_id": f"l-{b}",
+                "ipfs_hash": f"Qm{b}",
+            }
+            for b in range(lo, hi + 1)
+        ]
+
+    df = block_range_source(
+        spark, 100, 199, fetcher, RAW_LOGS_SCHEMA, fetch_parallelism=4, max_blocks_per_call=30
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    assert sorted(r.block_number for r in rows) == list(range(100, 200))
+    # provider cap respected in every call
+    assert all(hi - lo + 1 <= 30 for lo, hi in calls)
+
+
+def test_point_in_interval_join_matches_nested_loop(spark):
+    points = spark.createDataFrame([(i, float(i)) for i in range(50)], "pid long, x double")
+    intervals = spark.createDataFrame(
+        [(1, 5.0, 9.0), (2, 8.0, 30.0), (3, 45.0, 60.0)], "iid long, lo double, hi double"
+    )
+    fast = point_in_interval_join(points, intervals, "x", "lo", "hi", bucket_width=10.0)
+    slow = points.join(
+        intervals, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi"))
+    )
+    assert sorted((r.pid, r.iid) for r in fast.collect()) == sorted(
+        (r.pid, r.iid) for r in slow.collect()
+    )
+
+
+def test_interval_overlap_join(spark):
+    a = spark.createDataFrame([(1, 0.0, 10.0), (2, 20.0, 25.0)], "aid long, alo double, ahi double")
+    b = spark.createDataFrame([(10, 9.0, 12.0), (20, 13.0, 19.0)], "bid long, blo double, bhi double")
+    out = interval_overlap_join(a, b, "alo", "ahi", "blo", "bhi", bucket_width=5.0)
+    assert sorted((r.aid, r.bid) for r in out.collect()) == [(1, 10)]
+
+
+def test_multimodal_plumbing(spark):
+    media = make_fake_media(spark, n=12)
+    feats = extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(f.n_bytes == 256 + f.media_id for f in feats)
+    assert all(0.0 <= f.entropy <= 8.0 for f in feats)
+
+    thumbs = resize_images(media).collect()
+    assert all(len(t.thumb) == 16 * 16 for t in thumbs)
+    assert {t.media_id for t in thumbs} == {r.media_id for r in media.filter(F.col("kind") == "image").collect()}
+
+    frames = sample_frames(media, every_ms=500).collect()
+    vids = {r.media_id: r.meta.duration_ms for r in media.filter(F.col("kind") == "video").collect()}
+    for mid, dur in vids.items():
+        got = [f for f in frames if f.media_id == mid]
+        assert len(got) == len(range(0, dur, 500))
+        assert all(len(f.frame) == 16 for f in got)
+
+    stats = {r.kind: r.n for r in media_stats(media).collect()}
+    assert stats == {"image": 4, "audio": 4, "video": 4}
