@@ -60,15 +60,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature: array<bigint>[n_hashes]) per document.
 
-    MinHash_i(doc) = min over shingles of hash_i(shingle); hash_i is
-    xxhash64 salted with the hash index. Computed by exploding shingles
-    once and taking n_hashes mins in ONE hash aggregate — a single
-    shuffle keyed by doc id, carrying n_hashes longs per doc."""
-    shingled = df.select(
+    MinHash_i(doc) = min over shingles of hash_i(shingle). Each shingle
+    is string-hashed ONCE (xxhash64), mixed down to 31 bits; the
+    n_hashes variants come from an affine family h_i = a_i*h31 + b_i
+    with 31-bit constants — products stay < 2^63, so the arithmetic is
+    exact under ANSI mode (no overflow wrap needed).
+
+    Plan shape: explode shingles → project the base hash (ONE xxhash64
+    per shingle) → hash-aggregate per doc with n_hashes ``min(a_i*h+b_i)``
+    expressions. Everything stays in whole-stage codegen (higher-order-
+    function formulations evaluate interpreted per element — measured
+    3-4x slower); the aggregate is map-side partial, so the shuffle
+    carries one 64-column row per (partition, doc)."""
+    mask31 = (1 << 31) - 1
+    consts = [
+        ((2654435761 * (i + 1)) % (1 << 31) | 1, (40503 * (i + 7) ** 2 + i) % (1 << 31))
+        for i in range(n_hashes)
+    ]
+    h = F.xxhash64("__sh")
+    base = h.bitwiseXOR(F.shiftrightunsigned(h, 33)).bitwiseAND(F.lit(mask31))
+    # spread docs across the cluster BEFORE the ~n_chars-per-doc explode:
+    # a small single-file input otherwise pins the whole fan-out + agg on
+    # one task. Explicit numPartitions — AQE would coalesce a bare
+    # repartition(col) back to one partition (it sizes by bytes, and the
+    # bytes here are tiny relative to the compute each row fans into).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    shingled = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__sh")
-    )
+    ).select(id_col, base.alias("__h"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__m{i}") for i in range(n_hashes)
+        F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(consts)
     ]
     agg = shingled.groupBy(id_col).agg(*mins)
     return agg.select(
@@ -76,16 +98,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def lsh_bands(
     sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b, n_shared_bands) via banding.
+    """(id, band, bucket) rows: one bucket id per signature band.
 
-    A pair collides if ANY band of `rows_per_band` consecutive minhashes
-    matches — P(collide) = 1-(1-j^r)^b, the classic LSH S-curve. The
-    band bucket-join shuffles docs × bands rows keyed by (band, hash of
-    band slice); pairs are enumerated only within buckets."""
-    banded = sigs.select(
+    Two docs collide in a band iff that band of `rows_per_band`
+    consecutive minhashes is identical — P(any collision) =
+    1-(1-j^r)^b, the classic LSH S-curve."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -100,6 +121,18 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_shared_bands) via banding.
+
+    The band bucket-join shuffles docs × bands rows keyed by
+    (band, bucket); pairs are enumerated only within buckets. Use this
+    when downstream needs the PAIRS (e.g. exact-Jaccard rerank);
+    for dedup-by-min-id use minhash_dedup, which never materializes
+    pairs."""
+    banded = lsh_bands(sigs, id_col, n_bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = a.join(
@@ -121,19 +154,24 @@ def minhash_dedup(
     n_hashes: int = 64,
     n_bands: int = 16,
     shingle_k: int = 8,
-    min_shared_bands: int = 1,
 ) -> DataFrame:
     """Fuzzy dedup: drop every doc that LSH-collides with a lower-id doc.
 
-    Connected-component-free formulation (single pass): a doc survives
-    unless some candidate pair names it as the higher id. Conservative —
-    chains A~B~C keep only A — which is the usual policy for training
-    data dedup."""
+    Pair-free formulation: per (band, bucket) compute min(id); a doc is
+    a loser iff some bucket it occupies has a smaller min. Work is
+    LINEAR in docs × bands — candidate pairs are never materialized, so
+    dup-heavy corpora (where hot buckets make the pair join quadratic)
+    cost the same as clean ones. Conservative survivor policy: chains
+    A~B~C keep only A — the usual choice for training-data dedup."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    cands = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes // n_bands)
-    losers = cands.filter(F.col("n_shared_bands") >= min_shared_bands).select(
-        F.col("id_b").alias(id_col)
-    ).distinct()
+    banded = lsh_bands(sigs, id_col, n_bands, n_hashes // n_bands)
+    bucket_min = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("__rep"))
+    losers = (
+        banded.join(bucket_min, ["band", "bucket"])
+        .filter(F.col(id_col) > F.col("__rep"))
+        .select(id_col)
+        .distinct()
+    )
     return df.join(losers, id_col, "left_anti")
 
 
@@ -141,25 +179,39 @@ def simhash_64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: bigint): 64-bit SimHash over whitespace tokens.
 
     Bit b of the simhash = majority vote of bit b across token hashes.
-    Implemented as 64 conditional sums in one aggregate — same single-
-    shuffle profile as minhash_signatures."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("__t"),
-    ).withColumn("__h", F.xxhash64("__t"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__v{b}")
-        for b in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    Map-only: per row, fold the token-hash array into a 64-slot vote
+    array (aggregate + zip_with), then assemble the sign bits — zero
+    shuffle, same profile as minhash_signatures."""
+    # parallelize single-file inputs; explicit n so AQE keeps it
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    tok_hashes = F.transform(
+        F.array_distinct(F.split(F.col(text_col), r"\s+")), lambda t: F.xxhash64(t)
+    )
+    bit_votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .cast("long")
+                    for b in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    votes = df.select(F.col(id_col), bit_votes.alias("__votes"))
     sim = None
     for b in range(64):
-        bit = F.when(F.col(f"__v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.element_at("__votes", b + 1) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
-    return agg.select(id_col, sim.alias("simhash"))
+    return votes.select(id_col, sim.alias("simhash"))
 
 
 def simhash_candidates(
