@@ -1,0 +1,68 @@
+"""Differential fuzzing (SURVEY.md §5.2 property-based): seeded random
+filters and aggregations run on Spark and DuckDB over the same parquet;
+results must match. Deterministic (seed=42) so failures reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from bigquery_etl_spark.oracle import compare, run_duckdb
+from bigquery_etl_spark.sources import load
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+GROUP_COLS = ["l_returnflag", "l_linestatus"]
+OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+rng = random.Random(42)
+
+
+def _rand_pred() -> str:
+    def atom() -> str:
+        if rng.random() < 0.7:
+            col = rng.choice(NUM_COLS)
+            lo, hi = {"l_quantity": (1, 50), "l_extendedprice": (1000, 100000),
+                      "l_discount": (0, 0.1), "l_tax": (0, 0.08)}[col]
+            v = round(rng.uniform(lo, hi), 3)
+            return f"{col} {rng.choice(OPS)} {v}"
+        col = rng.choice(KEY_COLS)
+        return f"{col} % {rng.randint(2, 13)} = {rng.randint(0, 1)}"
+
+    n = rng.randint(1, 3)
+    parts = [atom() for _ in range(n)]
+    joiner = rng.choice([" AND ", " OR "])
+    pred = joiner.join(parts)
+    if rng.random() < 0.3:
+        pred = f"NOT ({pred})"
+    return pred
+
+
+CASES = []
+for i in range(20):
+    pred = _rand_pred()
+    if rng.random() < 0.5:
+        CASES.append((f"filter_{i}", f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE {pred}"))
+    else:
+        g = rng.choice(GROUP_COLS)
+        c = rng.choice(NUM_COLS)
+        CASES.append(
+            (
+                f"agg_{i}",
+                f"SELECT {g}, COUNT(*) AS n, "
+                f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s "
+                f"FROM lineitem WHERE {pred} GROUP BY {g}",
+            )
+        )
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_random_query_parity(spark, sf_dir, case):
+    _, sql = case
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark_pdf = spark.sql(sql).toPandas()
+    oracle_pdf = run_duckdb(sql, sf_dir)
+    errs = compare(spark_pdf, oracle_pdf)
+    assert not errs, f"{sql}: " + "; ".join(errs)
