@@ -11,7 +11,9 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     joins,
     pipeline_queries,
     relational,
+    subqueries,
     tierc,
+    tpch,
     udfs,
     windows,
 )

@@ -14,10 +14,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from bigquery_etl_spark.session import get_spark
 
+    import tempfile
+
     spark = get_spark(
         app_name="bigquery-etl-spark-tests",
         cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"),
         shuffle_partitions=4,
+        extra_conf={
+            # saveAsTable targets (bucketing tests) go to tmp, not the repo
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")
+        },
     )
     yield spark
 
