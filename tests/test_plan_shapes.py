@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions (the 'would this survive 100x scale'
+checks from the charter, automated): pushdown reaches the scan, small
+dims broadcast, top-k pushes below the shuffle, map-only operators stay
+exchange-free, the as-of join shuffles exactly once.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from bigquery_etl_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_count(plan: str, node: str) -> int:
+    return len(re.findall(rf"\b{node}\b", plan))
+
+
+def test_scan_project_pushes_filter_and_prunes(spark, sf_dir):
+    df = QUERIES["q_scan_project"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey",
+        "l_extendedprice",
+        "l_shipdate",
+    }
+
+
+def test_broadcast_join_uses_broadcast(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q_join_broadcast"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sort_limit_is_top_k(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q_sort_limit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort materialized
+
+
+def test_topk_per_group_pushes_window_limit(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q_topk_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # per-partition top-k below the shuffle
+
+
+def test_sort_within_partitions_has_no_exchange(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q_sort_within_partitions"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_asof_join_shuffles_once(spark, sf_dir):
+    """The as-of rewrite must cost ONE hash exchange (on the join key) —
+    plus at most AQE-inserted reads — not a join explosion."""
+    plan = _executed_plan(QUERIES["q_join_asof"].fn(spark, sf_dir))
+    n_exchanges = _optimized_count(plan, "Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_signatures_partial_agg(spark, sf_dir):
+    """Signature aggregation must be partial+final (map-side combine)."""
+    from bigquery_etl_spark.operators.dedup import minhash_signatures
+    from bigquery_etl_spark.sources import load
+
+    sigs = minhash_signatures(load(spark, sf_dir, "documents"), "doc_id", "text")
+    plan = _executed_plan(sigs)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Python" not in plan  # fully JVM-side
+
+
+def test_agg_hash_partial_final(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q_agg_hash"].fn(spark, sf_dir))
+    assert "partial_sum" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_embed_topk_broadcasts_queries(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q_embed_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
+    assert "Python" not in plan  # dot product stays JVM-side
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """No per-row subquery execution: the correlated scalar subquery
+    becomes an aggregate + join."""
+    df = QUERIES["q_subquery_correlated"].fn(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "scalar-subquery" not in optimized.lower()
+    assert "Join" in optimized
