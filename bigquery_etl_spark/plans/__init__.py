@@ -8,6 +8,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     aggregates,
     extras,
     functions_pack,
+    functions_pack2,
     joins,
     pipeline_queries,
     relational,
