@@ -34,6 +34,12 @@ HEADLINE = [
     "q_text_tokens",
     "q_dedup_minhash",
     "q_embed_topk",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_subquery_correlated",
+    "q_sessionize",
 ]
 
 

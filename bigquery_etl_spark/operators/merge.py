@@ -1,0 +1,103 @@
+"""CDC / upsert / SCD2 primitives (guide 'CDC / SCD2': MERGE INTO
+emulated with anti-join + union on plain parquet — no Delta/Iceberg
+jars in this build; swap these for MERGE INTO when a lakehouse catalog
+is on the classpath).
+
+All pure DataFrame transforms plus one atomic directory swap for the
+storage form; single-writer assumption (the same one the reference
+deploys with, ref app.yaml:14-15).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_dataframe(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics, relational form: rows in `updates` replace
+    same-key rows in `target`; unmatched target rows pass through.
+
+    One anti-join shuffle on the keys. Updates must be unique per key."""
+    return target.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
+
+
+def merge_upsert(
+    spark: SparkSession, updates: DataFrame, path: str, keys: list[str]
+) -> int:
+    """Storage upsert on a parquet directory: rewrite = anti-join +
+    union, staged to a temp dir then atomically swapped in. Returns the
+    new row count.
+
+    Scale note: plain-parquet upsert rewrites the table — correct but
+    O(table). At 100 TB you partition the table (write_partitioned) and
+    rewrite only partitions containing updated keys, or use a format
+    with row-level deletes; the relational core (upsert_dataframe) is
+    identical in all three."""
+    if os.path.isdir(path):
+        merged = upsert_dataframe(spark.read.parquet(path), updates, keys)
+    else:
+        merged = updates
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close the open version of each
+    changed key and append the new version.
+
+    ``current`` schema = keys + tracked_cols + valid_from + valid_to
+    (valid_to NULL = open row). ``updates`` schema = keys + tracked_cols
+    + ts_col. Emits the full new history table. Changed = any tracked
+    column differs (null-safe)."""
+    upd = updates.select(
+        *keys, *tracked_cols, F.col(ts_col).alias("valid_from")
+    ).withColumn("valid_to", F.lit(None).cast(updates.schema[ts_col].dataType))
+
+    open_rows = current.filter(F.col("valid_to").isNull())
+    closed_rows = current.filter(F.col("valid_to").isNotNull())
+
+    cmp = upd.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in tracked_cols],
+        F.col("valid_from").alias("__u_from"),
+    )
+    cond = [F.col(k) == F.col(f"__k_{k}") for k in keys]
+    joined = open_rows.join(cmp, cond, "left")
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    has_update = F.col("__u_from").isNotNull()
+
+    # open rows: close them if a differing update arrived, else keep open
+    still_open = joined.filter(~(has_update & changed)).select(*current.columns)
+    newly_closed = (
+        joined.filter(has_update & changed)
+        .withColumn("valid_to", F.col("__u_from"))
+        .select(*current.columns)
+    )
+
+    # new versions: updates whose key is new OR whose values changed
+    unchanged_keys = joined.filter(has_update & ~changed).select(
+        *[F.col(f"__k_{k}").alias(k) for k in keys]
+    )
+    new_versions = upd.join(unchanged_keys, keys, "left_anti")
+
+    return closed_rows.unionByName(still_open).unionByName(newly_closed).unionByName(
+        new_versions
+    )

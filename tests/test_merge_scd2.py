@@ -1,0 +1,58 @@
+"""Tests for operators/merge.py: upsert + SCD2 semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+from bigquery_etl_spark.operators.merge import merge_upsert, scd2_apply, upsert_dataframe
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_upsert_dataframe(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    out = sorted(map(tuple, upsert_dataframe(target, updates, ["k"]).collect()))
+    assert out == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_merge_upsert_storage(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert merge_upsert(spark, first, path, ["k"]) == 2
+    second = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    assert merge_upsert(spark, second, path, ["k"]) == 3
+    out = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert out == [(1, "a"), (2, "B"), (3, "c")]
+    # replay the same updates: idempotent
+    assert merge_upsert(spark, second, path, ["k"]) == 3
+
+
+def test_scd2_apply(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "x", _ts("2024-01-01"), None),     # open, will change
+            (2, "y", _ts("2024-01-01"), None),     # open, update equal -> stays open
+            (3, "z", _ts("2023-01-01"), _ts("2024-01-01")),  # already closed
+        ],
+        "k long, v string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "x2", _ts("2024-06-01")),  # changed value
+            (2, "y", _ts("2024-06-01")),   # unchanged value -> no-op
+            (4, "new", _ts("2024-06-01")),  # brand-new key
+        ],
+        "k long, v string, ts timestamp",
+    )
+    out = scd2_apply(current, updates, ["k"], "ts", ["v"])
+    rows = {(r.k, r.v): (r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows[(1, "x")] == (_ts("2024-01-01"), _ts("2024-06-01"))  # closed
+    assert rows[(1, "x2")] == (_ts("2024-06-01"), None)  # new open version
+    assert rows[(2, "y")] == (_ts("2024-01-01"), None)  # untouched open
+    assert rows[(3, "z")][1] == _ts("2024-01-01")  # history preserved
+    assert rows[(4, "new")] == (_ts("2024-06-01"), None)
+    assert out.count() == 5
