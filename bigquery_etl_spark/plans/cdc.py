@@ -1,0 +1,63 @@
+"""CDC declared queries (rows-only): upsert and SCD2 over fixture-derived
+current/update frames — deterministic inputs built from orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.operators.merge import scd2_apply, upsert_dataframe
+from bigquery_etl_spark.registry import query
+from bigquery_etl_spark.sources import load
+
+
+def _current_and_updates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load(spark, sf_dir, "orders")
+    current = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    return current, updates
+
+
+@query(
+    "q_upsert",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    """,
+    tags=("cdc",),
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (update-or-insert) as a declarative
+    anti-join + union — oracle expresses the same set algebraically."""
+    current, updates = _current_and_updates(spark, sf_dir)
+    return upsert_dataframe(current, updates, ["o_orderkey"])
+
+
+@query("q_scd2", sql=None, tags=("cdc",))
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version-history maintenance over fixture-derived frames."""
+    o = load(spark, sf_dir, "orders")
+    current = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.lit("2024-06-01").cast("timestamp").alias("ts"),
+    )
+    return scd2_apply(current, updates, ["o_orderkey"], "ts", ["o_orderstatus"])

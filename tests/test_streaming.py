@@ -148,6 +148,34 @@ def test_watermarked_dedup_stream(spark, tmp_path):
         q.stop()
 
 
+def test_session_window_streaming_mode(spark, tmp_path):
+    """Session windows on an actual stream: sessions merge as events
+    arrive across micro-batches; append mode emits after the watermark
+    closes them."""
+    src = str(tmp_path / "src")
+    _write_events(
+        spark,
+        src,
+        [(1, _ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+         (2, _ts("2024-01-01 00:10:00"), 1, "click", 2.0)],  # same session (gap 10m < 30m)
+        "f1.parquet",
+    )
+    stream = session_window_agg(
+        _read_stream(spark, src), gap="30 minutes", watermark_delay="10 minutes"
+    )
+    q = _run_to_memory(stream, "session_out", "append")
+    try:
+        # a later event closes the first session once the watermark passes
+        _write_events(spark, src, [(3, _ts("2024-01-01 05:00:00"), 1, "click", 1.0)], "f2.parquet")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM session_out").collect()
+        finalized = {(r.ws, r.we): (r.n, r.sum_value) for r in rows}
+        # events 1+2 merged into one session [00:00, 00:40) = last ts + gap
+        assert finalized[(_ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:40:00"))] == (2, 3.0)
+    finally:
+        q.stop()
+
+
 def test_stream_static_join(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_events(spark, src, [(1, _ts("2024-01-01 00:00:00"), 7, "click", 1.0)], "f1.parquet")
