@@ -8,6 +8,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     aggregates,
     cdc,
     coverage3,
+    coverage4,
     extras,
     functions_pack,
     functions_pack2,
