@@ -79,15 +79,29 @@ def minhash_signatures(
     ]
     h = F.xxhash64("__sh")
     base = h.bitwiseXOR(F.shiftrightunsigned(h, 33)).bitwiseAND(F.lit(mask31))
-    # spread docs across the cluster BEFORE the ~n_chars-per-doc explode:
-    # a small single-file input otherwise pins the whole fan-out + agg on
-    # one task. Explicit numPartitions — AQE would coalesce a bare
-    # repartition(col) back to one partition (it sizes by bytes, and the
-    # bytes here are tiny relative to the compute each row fans into).
+    # Shingling as explode(position-range) + substring so everything but
+    # the generator stays in whole-stage codegen (char_shingles' HOF
+    # transform/array_distinct evaluates interpreted — measured slower;
+    # distinct is unnecessary anyway: min over a multiset == min over
+    # its set). Spread docs across the cluster BEFORE the fan-out: a
+    # small single-file input otherwise pins everything on one task, and
+    # the explicit numPartitions stops AQE coalescing the byte-small
+    # shuffle back to one partition.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    shingled = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col), F.explode(char_shingles(text_col, shingle_k)).alias("__sh")
-    ).select(id_col, base.alias("__h"))
+    shingled = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("__t"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(text_col) - (shingle_k - 1), F.lit(1))
+                )
+            ).alias("__p"),
+        )
+        .select(id_col, F.expr(f"substring(__t, __p, {shingle_k})").alias("__sh"))
+        .select(id_col, base.alias("__h"))
+    )
     mins = [
         F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
         for i, (a, b) in enumerate(consts)
