@@ -52,7 +52,12 @@ def main() -> None:
     from bigquery_etl_spark.session import get_spark
 
     registry = all_queries()
-    spark = get_spark(app_name="bench", cpus=cpus)
+    # Size shuffle partitions to the DATA, not the core count: sf0.1 is
+    # ~600k rows, so 8 partitions keep per-task setup cost amortized
+    # (measured ~20% faster than 32 here). At real scale you size for
+    # ~128MB-per-partition / 2-3x total cores; AQE re-coalesces either way.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=shuffle)
 
     # warm the JVM, codegen, and parquet footers so q1 doesn't pay startup
     spark.range(1_000_000).selectExpr("sum(id) s").collect()
