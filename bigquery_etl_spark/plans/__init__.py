@@ -13,6 +13,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     functions_pack,
     functions_pack2,
     joins,
+    lateral,
     pipeline_queries,
     relational,
     subqueries,
