@@ -9,6 +9,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     cdc,
     coverage3,
     coverage4,
+    coverage5,
     extras,
     functions_pack,
     functions_pack2,
