@@ -130,6 +130,23 @@ def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query("q_sliding_window", sql=None, tags=("pipeline", "window", "streaming-twin"))
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48 hopping window (batch form of streaming/windows.py; rows-only —
+    no clean single-bucket DuckDB twin for overlapping windows)."""
+    from bigquery_etl_spark.streaming.windows import sliding_window_agg
+
+    return sliding_window_agg(load(spark, sf_dir, "events"), duration="1 hour", slide="30 minutes")
+
+
+@query("q_session_window", sql=None, tags=("pipeline", "window", "streaming-twin"))
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49 session window (batch form; data-driven extents, rows-only)."""
+    from bigquery_etl_spark.streaming.windows import session_window_agg
+
+    return session_window_agg(load(spark, sf_dir, "events"), gap="30 minutes")
+
+
 @query(
     "q_tumbling_window",
     sql="""

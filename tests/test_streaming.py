@@ -148,6 +148,26 @@ def test_watermarked_dedup_stream(spark, tmp_path):
         q.stop()
 
 
+def test_sliding_window_streaming_mode(spark, tmp_path):
+    """Hopping windows on an actual stream: one event lands in two
+    overlapping windows; both finalize once the watermark passes."""
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [(1, _ts("2024-01-01 00:45:00"), 1, "click", 2.0)], "f1.parquet")
+    stream = sliding_window_agg(
+        _read_stream(spark, src), duration="1 hour", slide="30 minutes",
+        watermark_delay="10 minutes",
+    )
+    q = _run_to_memory(stream, "sliding_out", "append")
+    try:
+        _write_events(spark, src, [(2, _ts("2024-01-01 06:00:00"), 1, "click", 1.0)], "f2.parquet")
+        q.processAllAvailable()
+        got = {(r.ws, r.we): (r.n, r.sum_value) for r in spark.sql("SELECT * FROM sliding_out").collect()}
+        assert got[(_ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))] == (1, 2.0)
+        assert got[(_ts("2024-01-01 00:30:00"), _ts("2024-01-01 01:30:00"))] == (1, 2.0)
+    finally:
+        q.stop()
+
+
 def test_session_window_streaming_mode(spark, tmp_path):
     """Session windows on an actual stream: sessions merge as events
     arrive across micro-batches; append mode emits after the watermark
