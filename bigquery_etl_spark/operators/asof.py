@@ -36,13 +36,21 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with ``right_ts <= left_ts`` per key.
+    """Left as-of join: nearest right row per key.
+
+    ``direction='backward'`` (default): latest right_ts <= left_ts —
+    DuckDB ``ASOF LEFT JOIN ... ON l.ts >= r.ts``. ``'forward'``:
+    earliest right_ts >= left_ts (implemented by running the same
+    window over negated epoch ordering).
 
     ``tiebreak``: right-side column ordering rows that share ``right_ts``
     (the largest wins), making the match deterministic when the right side
     has duplicate timestamps per key.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_payload = [c for c in left.columns if c not in (left_on, left_ts)]
     r_payload = [c for c in right.columns if c not in (right_on, right_ts)]
     overlap = set(l_payload) & set(r_payload)
@@ -68,7 +76,19 @@ def asof_join(
     # equal timestamps match; tiebreak last orders right rows sharing a ts so
     # the largest-tiebreak row is the one carried forward (left rows have a
     # NULL tiebreak, which only reorders them among themselves — harmless).
-    order = [F.col("__ts"), F.col("__is_left")]
+    # Forward direction: same machinery over descending time (negated
+    # exact epoch-micros — NOT double seconds, which drops µs at current
+    # epoch magnitudes), so "last right row at-or-before" becomes
+    # "first right row at-or-after".
+    from pyspark.sql import types as T
+
+    ldt = left.schema[left_ts].dataType
+    if isinstance(ldt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        base_key = F.unix_micros(F.col("__ts").cast("timestamp"))
+    else:
+        base_key = F.col("__ts")
+    ts_key = base_key if direction == "backward" else -base_key
+    order = [ts_key, F.col("__is_left")]
     if tiebreak is not None:
         order.append(F.when(F.col("__is_left") == 0, F.col(tiebreak)))
     w = (

@@ -15,6 +15,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     functions_pack2,
     joins,
     lateral,
+    pipeline_e2e,
     pipeline_queries,
     relational,
     subqueries,

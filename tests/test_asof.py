@@ -41,6 +41,26 @@ def test_asof_basic_and_ties(spark):
     assert out.count() == 4  # left-join cardinality preserved
 
 
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "e1"),  # next right at 12:00
+            (1, _ts("2024-01-01 12:00:00"), "e2"),  # equal ts matches
+            (1, _ts("2024-01-01 13:00:00"), "e3"),  # nothing after -> null
+        ],
+        "key long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30:00"), 100), (1, _ts("2024-01-01 12:00:00"), 200)],
+        "key long, rts timestamp, rid long",
+    )
+    out = asof_join(
+        left, right, "key", "key", "ts", "rts", tiebreak="rid", direction="forward"
+    )
+    rows = {r["tag"]: r["rid"] for r in out.collect()}
+    assert rows == {"e1": 200, "e2": 200, "e3": None}
+
+
 def test_asof_rejects_ambiguous_columns(spark):
     left = spark.createDataFrame([(1, _ts("2024-01-01"), "x")], "key long, ts timestamp, v string")
     right = spark.createDataFrame([(1, _ts("2024-01-01"), "y")], "key long, rts timestamp, v string")
