@@ -1,0 +1,51 @@
+"""Incremental aggregate maintenance equals full recompute, and the
+multimodal binary column is skipped by metadata-only scans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.operators.incremental_agg import merge_agg_state, partial_agg
+
+MEASURES = {
+    "total": ("sum", "v"),
+    "n": ("count", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def test_incremental_equals_full_recompute(spark):
+    b1 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double")
+    b2 = spark.createDataFrame([("a", 10.0), ("c", 7.0)], "k string, v double")
+    b3 = spark.createDataFrame([("b", -1.0)], "k string, v double")
+
+    state = None
+    for b in (b1, b2, b3):
+        state = merge_agg_state(state, partial_agg(b, ["k"], MEASURES), ["k"], MEASURES)
+
+    full = partial_agg(b1.unionAll(b2).unionAll(b3), ["k"], MEASURES)
+    got = sorted(map(tuple, state.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+    # derived avg at read time
+    avg = {r.k: r.total / r.n for r in state.collect()}
+    assert avg["a"] == (1 + 2 + 10) / 3
+
+
+def test_media_metadata_scan_skips_binary(spark, tmp_path):
+    from bigquery_etl_spark.operators.multimodal import make_fake_media, media_stats
+
+    path = str(tmp_path / "media")
+    make_fake_media(spark, n=24).write.mode("overwrite").parquet(path)
+    media = spark.read.parquet(path)
+    # media_stats aggregates avg content length, which needs the binary
+    # column — use a metadata-only projection instead for the prune check
+    meta_only = media.groupBy("kind").agg(F.avg("meta.duration_ms").alias("d"))
+    plan = meta_only._jdf.queryExecution().toString()
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and "content" not in m.group(1), plan
+    # and the full stats query still works when it does need the bytes
+    assert {r.kind for r in media_stats(media).collect()} == {"image", "audio", "video"}
