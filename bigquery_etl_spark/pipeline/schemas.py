@@ -133,8 +133,8 @@ def schema_to_json(schema: T.StructType) -> list[dict]:
     """Export a StructType in the reference's schema/*.json shape
     (name/type/mode triples) for parity checking."""
     spark_to_bq = {
-        "long": "INTEGER",
-        "integer": "INTEGER",
+        "bigint": "INTEGER",  # BigQuery INTEGER is INT64 (ref main.py:52)
+        "int": "INTEGER",
         "string": "STRING",
         "double": "FLOAT64",
         "timestamp": "DATETIME",
