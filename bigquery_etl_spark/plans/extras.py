@@ -179,3 +179,44 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_media_stats", sql=None, tags=("multimodal",))
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(make_fake_media(spark, n=32))
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join + incremental aggregate maintenance (rows-only).
+# ---------------------------------------------------------------------------
+
+
+@query("q_join_asof_forward", sql=None, tags=("join", "asof"))
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the customer's NEXT order at-or-after event time
+    (forward as-of; same single-shuffle rewrite over reversed time)."""
+    from bigquery_etl_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        tiebreak="o_orderkey", direction="forward",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@query("q_incremental_agg", sql=None, tags=("agg", "incremental"))
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: fold three event micro-batches into
+    mergeable per-type state; equals the full recompute (pinned by
+    tests/test_incremental_agg.py)."""
+    from bigquery_etl_spark.operators.incremental_agg import merge_agg_state, partial_agg
+
+    e = load(spark, sf_dir, "events")
+    measures = {"total_value": ("sum", "value"), "n": ("count", "value"),
+                "min_value": ("min", "value"), "max_value": ("max", "value")}
+    state = None
+    for i in range(3):
+        batch = e.filter(F.col("event_id") % 3 == i)
+        state = merge_agg_state(state, partial_agg(batch, ["event_type"], measures),
+                                ["event_type"], measures)
+    return state
