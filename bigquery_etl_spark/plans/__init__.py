@@ -21,6 +21,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     subqueries,
     tierc,
     tpch,
+    tpch2,
     udfs,
     windows,
 )
