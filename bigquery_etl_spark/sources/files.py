@@ -51,6 +51,26 @@ def read_jdbc(
     return reader.load()
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batch_size: int = 10_000,
+    **options: str,
+) -> None:
+    """B4 (write side): bulk-insert a DataFrame over JDBC — the analogue
+    of the reference's cursor/state writes to Postgres (ref main.py:132-142).
+    One connection per partition; `batchsize` controls rows per executeBatch.
+    JDBC sinks are for small state/dimension tables — warehouse-scale data
+    belongs in parquet, not a row store."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batch_size))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:
