@@ -81,6 +81,141 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer for IVF (Lloyd's iterations as
+    DataFrame aggregations).
+
+    Each iteration: assign every vector to its max-dot centroid (JVM-side
+    argmax over broadcast centroid literals), then recompute centroids as
+    per-(cluster, dim) means via posexplode + groupBy. Only k×dim floats
+    ever reach the driver per iteration — the training data never does,
+    so this trains on a 100 TB corpus as a handful of scans. Init is the
+    k lowest-id vectors (deterministic, no RNG)."""
+    k = n_centroids
+    normed = corpus.select(
+        id_col, _unit(F.col(vec_col).cast("array<double>")).alias("__v")
+    )
+    cents = [
+        r["__v"]
+        for r in normed.orderBy(id_col).limit(k).collect()
+    ]
+    for _ in range(n_iters):
+        assigned = normed.select("__v", _argmax_centroid(F.col("__v"), cents).alias("__c"))
+        stats = (
+            assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__c", "__d")
+            .agg(F.sum("__x").alias("__s"), F.count("__x").alias("__n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_c.setdefault(r["__c"], {})[r["__d"]] = r["__s"] / r["__n"]
+        new = []
+        for c in range(k):
+            if c in by_c:
+                mean = [by_c[c][d] for d in range(len(cents[0]))]
+                nrm = sum(x * x for x in mean) ** 0.5 or 1.0
+                new.append([x / nrm for x in mean])
+            else:  # empty cluster: keep the old centroid
+                new.append(cents[c])
+        cents = new
+    return cents
+
+
+def _unit(vec: Column) -> Column:
+    """L2-normalize (spherical k-means works on the unit sphere, where
+    max dot == max cosine)."""
+    n = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.transform(vec, lambda x: x / n)
+
+
+def _argmax_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the centroid with the largest dot product (int).
+
+    Built as array ops (dots → zip with index → array_min on
+    struct(-dot, idx)) so the expression tree is LINEAR in k. A
+    chained when(best_d < d) formulation embeds the previous best into
+    both branches — 2^k nodes; at k=16 the plan alone OOMed the JVM."""
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dots = F.transform(cent_arr, lambda c: dot(vec, c))
+    pairs = F.zip_with(
+        dots,
+        F.expr(f"sequence(0, {len(centroids) - 1})"),
+        lambda d, i: F.struct((-d).alias("negd"), i.alias("idx")),
+    )
+    return F.array_min(pairs)["idx"].cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into inverted
+    lists, search only the nprobe closest lists per query, exact-rerank
+    inside them.
+
+    The scale path next to lsh_topk: corpus cost is ONE assignment scan
+    (+ the equi-join on cluster id); per-query cost is nprobe/n_centroids
+    of the corpus instead of all of it. recall@k is tunable via nprobe
+    (nprobe == n_centroids degenerates to exact brute force). At
+    warehouse scale, persist the assigned corpus partitioned by __c so
+    repeated query batches prune inverted lists at the file level."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col=vec_col, n_centroids=n_centroids, id_col=id_col
+        )
+    assigned = corpus.select(
+        id_col, vec_col, _argmax_centroid(_unit(F.col(vec_col).cast("array<double>")), centroids).alias("__c")
+    )
+    # nprobe cluster ids per query: rank all centroid dots, keep the top n.
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    qprobe = (
+        queries.select(query_id_col, query_vec_col)
+        .withColumn(
+            "__dots",
+            F.transform(
+                cent_arr, lambda c: dot(_unit(F.col(query_vec_col).cast("array<double>")), c)
+            ),
+        )
+        .withColumn(
+            "__probe",
+            F.slice(
+                F.expr(
+                    "array_sort(zip_with(__dots, sequence(0, size(__dots)-1),"
+                    " (d, i) -> struct(-d as negd, i as idx)))"
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select(query_id_col, query_vec_col, F.explode(F.col("__probe.idx")).alias("__c"))
+    )
+    cands = assigned.join(F.broadcast(qprobe), "__c").select(
+        query_id_col, id_col, vec_col, query_vec_col
+    )
+    scored = cands.select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

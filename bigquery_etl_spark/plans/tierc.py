@@ -240,6 +240,18 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_embed_ann_ivf", sql=None, tags=("tierc", "similarity"))
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF (spherical k-means inverted lists,
+    nprobe=4 of 16) + exact rerank inside the probed lists."""
+    from bigquery_etl_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _queries_from_corpus(emb), k=10, n_centroids=16, nprobe=4).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 @query("q_embed_ann_lsh", sql=None, tags=("tierc", "similarity"))
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH + exact rerank."""

@@ -4,7 +4,13 @@ from __future__ import annotations
 
 import math
 
-from bigquery_etl_spark.operators.similarity import cosine_topk_bruteforce, lsh_topk
+from bigquery_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+)
+from bigquery_etl_spark.sources import load
 
 
 def _frames(spark):
@@ -35,6 +41,42 @@ def test_bruteforce_ranking_and_scores(spark):
 def test_bruteforce_k_bounds_output(spark):
     corpus, queries = _frames(spark)
     assert cosine_topk_bruteforce(corpus, queries, k=2).count() == 2
+
+
+def test_ivf_exact_when_probing_all_lists(spark):
+    """nprobe == n_centroids degenerates to exact brute force — same
+    result set as cosine_topk_bruteforce on known geometry."""
+    corpus, queries = _frames(spark)
+    out = ivf_topk(corpus, queries, k=3, n_centroids=2, nprobe=2).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 5, 2]
+
+
+def test_ivf_centroids_are_unit_norm_and_deterministic(spark):
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = train_ivf_centroids(emb, n_centroids=4, n_iters=2)
+    c2 = train_ivf_centroids(emb, n_centroids=4, n_iters=2)
+    assert c1 == c2  # no RNG anywhere
+    for c in c1:
+        assert math.isclose(sum(x * x for x in c) ** 0.5, 1.0, rel_tol=1e-9)
+
+
+def test_ivf_recall_vs_bruteforce_on_fixture(spark):
+    """recall@10 ≥ 0.5 with nprobe=4/16 on the embeddings fixture (and
+    the candidate set is genuinely pruned, not a full scan)."""
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = (
+        emb.orderBy("vec_id").limit(3)
+        .select(emb.vec_id.alias("query_id"), emb.embedding.alias("query_vec"))
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4).collect()
+    exact_ids = {(r.query_id, r.vec_id) for r in exact}
+    approx_ids = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.5
+    # the probed lists must rank the query's own vector first (cos=1)
+    own = [r for r in approx if r.vec_id == r.query_id]
+    assert len(own) == 3 and all(r.rank == 1 for r in own)
 
 
 def test_lsh_finds_identical_vectors(spark):
