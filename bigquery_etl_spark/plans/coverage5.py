@@ -119,3 +119,37 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(uniq).alias("n_uniq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide → long; inverse of q_pivot in plans/extras.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot",
+    sql="""
+    SELECT o_orderkey, 'o_totalprice' AS measure, o_totalprice AS val
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey_as_val' AS measure, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("reshape",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via DataFrame.unpivot (BigQuery UNPIVOT; melt).
+    The oracle twin is the dialect-safe UNION ALL expansion — same rows.
+    Unpivot is a zero-shuffle projection (each input row fans to
+    n_measures output rows map-side)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey_as_val"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey_as_val"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

@@ -31,6 +31,53 @@ def _track_cursor(
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "max_event_id": [max_id]})
 
 
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover — older Spark
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class CursorProcessor(StatefulProcessor):
+    """transformWithState processor: same per-key cursor semantics as
+    ``per_key_cursor`` on the Spark 4 ``transformWithStateInPandas`` API
+    (typed state handles, timers, TTL — the successor of
+    applyInPandasWithState; requires the RocksDB state store)."""
+
+    def init(self, handle) -> None:
+        self._cursor = handle.getValueState("cursor", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n, max_id = self._cursor.get() if self._cursor.exists() else (0, -1)
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                max_id = max(max_id, int(pdf["event_id"].max()))
+        self._cursor.update((n, max_id))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "max_event_id": [max_id]})
+
+    def close(self) -> None:
+        pass
+
+
+def per_key_cursor_tws(events: DataFrame) -> DataFrame:
+    """``per_key_cursor`` on transformWithStateInPandas. State lives in
+    the RocksDB state store (changelog-checkpointed at scale), so state
+    size is bounded by disk, not executor memory — the right substrate
+    for billions of keys."""
+    proc = CursorProcessor()
+    return (
+        events.select("user_id", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            proc,
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def per_key_cursor(events: DataFrame) -> DataFrame:
     """Running (count, high-watermark) per user across micro-batches.
 

@@ -265,3 +265,47 @@ def test_stateful_per_key_cursor(spark, tmp_path):
         assert got[2] == (1, 20)
     finally:
         q.stop()
+
+
+def test_stateful_per_key_cursor_tws(spark, tmp_path):
+    """Same cursor semantics on the Spark 4 transformWithStateInPandas
+    API (RocksDB state store)."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    # TWS speaks protobuf between the JVM and the Python state worker;
+    # without a working google.protobuf the driver worker crashes.
+    pytest.importorskip("google.protobuf.descriptor")
+    from bigquery_etl_spark.streaming.stateful import per_key_cursor_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "src")
+    _write_events(
+        spark,
+        src,
+        [(10, _ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+         (11, _ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+         (20, _ts("2024-01-01 00:02:00"), 2, "view", 1.0)],
+        "f1.parquet",
+    )
+    try:
+        q = _run_to_memory(per_key_cursor_tws(_read_stream(spark, src)), "cursor_tws_out", "update")
+        try:
+            _write_events(spark, src, [(12, _ts("2024-01-01 00:03:00"), 1, "click", 1.0)], "f2.parquet")
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, max(n_events) AS n, max(max_event_id) AS hw "
+                "FROM cursor_tws_out GROUP BY user_id"
+            ).collect()
+            got = {r.user_id: (r.n, r.hw) for r in rows}
+            assert got[1] == (3, 12)
+            assert got[2] == (1, 20)
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
