@@ -12,10 +12,6 @@ with the network boundary actually crossed.
 
 from __future__ import annotations
 
-import json
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
 import pytest
 
 from bigquery_etl_spark.pipeline.cursor import CursorStore
@@ -25,67 +21,13 @@ from bigquery_etl_spark.pipeline.schemas import RAW_LOGS_SCHEMA
 from bigquery_etl_spark.sources.incremental import block_range_source
 from bigquery_etl_spark.sources.rpc import http_head_fn, http_range_fetcher
 
-from bigquery_etl_spark.pipeline.extract import MARKETPLACE_ADDRESS
-
-COLS = [f.name for f in RAW_LOGS_SCHEMA.fields]
-
-
-def _logs_for_range(lo: int, hi: int) -> list[dict]:
-    """Mirror of fixtures._events_for_block, dict-shaped for JSON."""
-    out = []
-    for block in range(lo, hi + 1):
-        for li in range(2):
-            out.append(
-                dict(zip(COLS, (block, li, MARKETPLACE_ADDRESS, "ListingCreated",
-                                f"listing-{block}-{li}", f"Qm{block}x{li}")))
-            )
-        out.append(
-            dict(zip(COLS, (block, 2, "0x_other_contract", "Transfer",
-                            f"foreign-{block}", f"Qmfff{block}")))
-        )
-    return out
-
-
-class _RpcStub(BaseHTTPRequestHandler):
-    head = START_BLOCK  # class-level mutable state, set by the test
-    fail = False
-    n_getlogs = 0
-
-    def do_POST(self):  # noqa: N802
-        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
-        cls = _RpcStub
-        if cls.fail:
-            self.send_error(500, "provider meltdown")
-            return
-        if body["method"] == "eth_blockNumber":
-            result = cls.head
-        elif body["method"] == "eth_getLogs":
-            p = body["params"][0]
-            cls.n_getlogs += 1
-            result = _logs_for_range(int(p["fromBlock"]), int(p["toBlock"]))
-        else:
-            self.send_error(404, "unknown method")
-            return
-        payload = json.dumps({"jsonrpc": "2.0", "id": body["id"], "result": result}).encode()
-        self.send_response(200)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(payload)))
-        self.end_headers()
-        self.wfile.write(payload)
-
-    def log_message(self, *args):  # silence
-        pass
+from tests.rpc_stub import RpcStub as _RpcStub, start_stub
 
 
 @pytest.fixture()
 def rpc_url():
-    server = ThreadingHTTPServer(("127.0.0.1", 0), _RpcStub)
-    t = threading.Thread(target=server.serve_forever, daemon=True)
-    t.start()
-    _RpcStub.head = START_BLOCK
-    _RpcStub.fail = False
-    _RpcStub.n_getlogs = 0
-    yield f"http://127.0.0.1:{server.server_address[1]}/"
+    server, url = start_stub()
+    yield url
     server.shutdown()
 
 
