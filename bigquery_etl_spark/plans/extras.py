@@ -220,3 +220,22 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = merge_agg_state(state, partial_agg(batch, ["event_type"], measures),
                                 ["event_type"], measures)
     return state
+
+
+@query("q_hll_distinct", sql=None, tags=("agg", "sketch"))
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery HLL_COUNT.INIT/MERGE/EXTRACT analogue: per-type daily
+    sketches merged up to per-type totals (rows-only: sketch estimates
+    are engine-specific). The scale path for distinct counts over
+    arbitrary date ranges — merge persisted sketches, never rescan."""
+    from bigquery_etl_spark.operators.sketches import (
+        distinct_sketch,
+        estimate,
+        merge_sketches,
+    )
+
+    e = load(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
+    daily = distinct_sketch(e, ["event_type", "dt"], "user_id")
+    return estimate(merge_sketches(daily, ["event_type"]), "distinct_users").orderBy(
+        "event_type"
+    )
