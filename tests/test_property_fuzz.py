@@ -58,10 +58,53 @@ for i in range(20):
         )
 
 
+# Join / subquery / window shapes (SQL shared verbatim by both dialects:
+# semi/anti spelled as EXISTS / NOT EXISTS, which both engines plan as
+# semi/anti joins).
+for i in range(12):
+    pred = _rand_pred()
+    shape = i % 4
+    if shape == 0:
+        CASES.append(
+            (
+                f"join_{i}",
+                "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+                f"JOIN lineitem ON o_orderkey = l_orderkey WHERE {pred} "
+                "GROUP BY o_orderpriority",
+            )
+        )
+    elif shape == 1:
+        CASES.append(
+            (
+                f"exists_{i}",
+                "SELECT o_orderkey FROM orders WHERE EXISTS "
+                f"(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND {pred})",
+            )
+        )
+    elif shape == 2:
+        CASES.append(
+            (
+                f"notexists_{i}",
+                "SELECT o_orderkey FROM orders WHERE NOT EXISTS "
+                f"(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND {pred})",
+            )
+        )
+    else:
+        CASES.append(
+            (
+                f"window_{i}",
+                "SELECT l_orderkey, l_linenumber, "
+                "ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn "
+                f"FROM lineitem WHERE {pred}",
+            )
+        )
+
+
 @pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
 def test_random_query_parity(spark, sf_dir, case):
     _, sql = case
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     spark_pdf = spark.sql(sql).toPandas()
     oracle_pdf = run_duckdb(sql, sf_dir)
     errs = compare(spark_pdf, oracle_pdf)
