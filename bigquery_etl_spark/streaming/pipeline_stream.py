@@ -36,12 +36,60 @@ def start_stream_pipeline(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
 ) -> StreamingQuery:
-    """Start the streaming ETL; drive with processAllAvailable() in tests."""
+    """Start the streaming ETL over a raw-log DIRECTORY source; drive
+    with processAllAvailable() in tests."""
     raw_stream = (
         spark.readStream.schema(RAW_LOGS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(raw_logs_dir)
     )
+    return start_stream_pipeline_from(
+        spark, raw_stream, ipfs_docs, warehouse_dir, staging_dir, checkpoint_dir
+    )
+
+
+def start_stream_pipeline_rpc(
+    spark: SparkSession,
+    url: str,
+    start_block: int,
+    ipfs_docs: DataFrame,
+    warehouse_dir: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+    lag: int = 4,
+) -> StreamingQuery:
+    """Start the streaming ETL over the live `blockrange` RPC source —
+    the reference's whole service (poll → extract → enrich → dual sink →
+    cursor) as ONE streaming query: offsets ride Spark's commit log, the
+    confirmation lag is the source's late-data bound, and the idempotent
+    merges make replay-after-crash exactly-once."""
+    from bigquery_etl_spark.sources.blockrange_ds import BlockRangeDataSource
+
+    spark.dataSource.register(BlockRangeDataSource)
+    raw_stream = (
+        spark.readStream.format("blockrange")
+        .option("url", url)
+        .option("start_block", start_block)
+        .option("lag", lag)
+        .load()
+    )
+    return start_stream_pipeline_from(
+        spark, raw_stream, ipfs_docs, warehouse_dir, staging_dir, checkpoint_dir,
+        available_now=False,
+    )
+
+
+def start_stream_pipeline_from(
+    spark: SparkSession,
+    raw_stream: DataFrame,
+    ipfs_docs: DataFrame,
+    warehouse_dir: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Attach decode → enrich → flatten/explode → dual-sink foreachBatch
+    to any streaming raw-log DataFrame."""
     events = decode_events(raw_stream)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -65,9 +113,9 @@ def start_stream_pipeline(
             keys=["block_number", "log_index", "product_id"],
         )
 
-    return (
-        events.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = events.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

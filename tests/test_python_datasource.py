@@ -97,3 +97,48 @@ def test_stream_offsets_follow_head_with_lag(spark, rpc_url, tmp_path):
         assert spark.sql("SELECT count(*) c FROM br_stream").collect()[0].c == 17 * 3
     finally:
         q.stop()
+
+
+def test_rpc_stream_drives_full_etl_pipeline(spark, rpc_url, tmp_path):
+    """Capstone integration: the reference's ENTIRE service as one
+    streaming query — blockrange source (poll + lag) → decode → enrich →
+    flatten/explode → NDJSON staging + idempotent warehouse merges, with
+    offsets in Spark's commit log. Head advances mid-flight; a query
+    restart from the same checkpoint replays without duplicates."""
+    from bigquery_etl_spark.pipeline.fixtures import make_ipfs_docs, make_raw_logs
+    from bigquery_etl_spark.streaming.pipeline_stream import start_stream_pipeline_rpc
+
+    docs = make_ipfs_docs(spark, make_raw_logs(spark, START_BLOCK, START_BLOCK + 60))
+    wh = str(tmp_path / "wh")
+    args = dict(
+        ipfs_docs=docs,
+        warehouse_dir=wh,
+        staging_dir=str(tmp_path / "stage"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lag=4,
+    )
+    RpcStub.head = START_BLOCK + 13  # window: START..START+9
+
+    q = start_stream_pipeline_rpc(spark, rpc_url, START_BLOCK, **args)
+    try:
+        q.processAllAvailable()
+        mk = spark.read.parquet(f"{wh}/marketplace_listings")
+        assert mk.count() == 10 * 2  # 2 marketplace events/block, A4-filtered
+
+        RpcStub.head = START_BLOCK + 20  # window grows to START+16
+        q.processAllAvailable()
+        mk = spark.read.parquet(f"{wh}/marketplace_listings")
+        assert mk.count() == 17 * 2
+    finally:
+        q.stop()
+
+    # Restart from the same checkpoint: committed offsets replay nothing;
+    # idempotent merges keep (block_number, log_index) unique either way.
+    q2 = start_stream_pipeline_rpc(spark, rpc_url, START_BLOCK, **args)
+    try:
+        q2.processAllAvailable()
+        mk = spark.read.parquet(f"{wh}/marketplace_listings")
+        assert mk.count() == 17 * 2
+        assert mk.select("block_number", "log_index").distinct().count() == 17 * 2
+    finally:
+        q2.stop()
