@@ -10,6 +10,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage3,
     coverage4,
     coverage5,
+    coverage6,
     extras,
     functions_pack,
     functions_pack2,
