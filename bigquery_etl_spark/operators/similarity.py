@@ -263,3 +263,71 @@ def lsh_topk(
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: drop every vector whose
+    cosine to some LOWER-id vector is ≥ threshold (SURVEY.md Tier C —
+    the embedding analogue of minhash_dedup).
+
+    Candidates come from sign-bit LSH self-collisions — per table,
+    vectors sharing a bucket pair up (a.id < b.id). Unlike the MinHash
+    path, a collision alone never drops a doc: every candidate pair is
+    re-scored with the EXACT cosine, so precision is 1 by construction
+    and only recall depends on the LSH parameters (miss probability per
+    true pair = (1 - (1 - θ/π)^n_planes)^n_tables, negligible for the
+    near-identical vectors dedup targets). Pairs materialize only
+    within buckets, deduped on (id_a, id_b) before scoring; at 100 TB
+    the quadratic all-pairs product never forms — cost is corpus ×
+    n_tables bucketing + |candidates| rerank. Chains A~B~C keep only A
+    (conservative survivor policy, matching minhash_dedup)."""
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    vecs = corpus.select(id_col, vec_col)
+    banded = vecs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col(vec_col), tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "tb.table", "tb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    losers = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(losers, id_col, "left_anti")

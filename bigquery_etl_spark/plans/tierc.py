@@ -259,3 +259,122 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, _queries_from_corpus(emb), dim=64, k=10).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Charter — embedding-cosine near-dup. The fixture has no natural
+# near-dups (max off-diagonal cosine ≈ 0.48 at sf0.001), so the query
+# plants one deterministic perturbed copy per even vec_id (alternate
+# dims scaled ±2% → cosine ≈ 0.9998 to the original) and dedups the
+# union: every planted copy must collide with, verify against, and lose
+# to its lower-id original; every original must survive.
+# ---------------------------------------------------------------------------
+
+PLANT_OFFSET = 1_000_000
+
+
+def _with_planted_dups(emb: DataFrame) -> DataFrame:
+    planted = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.02 * ((i % 2) * 2 - 1)),
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    return emb.unionByName(planted)
+
+
+@query("q_dedup_embed", sql=None, tags=("tierc", "dedup", "similarity"))
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup removal (LSH candidates + exact-cosine verify,
+    drop-the-larger-id): survivors of the fixture ∪ planted-perturbed
+    copies. Correct output = exactly the original corpus."""
+    from bigquery_etl_spark.operators.similarity import embedding_near_dup
+
+    emb = load(spark, sf_dir, "embeddings")
+    survivors = embedding_near_dup(_with_planted_dups(emb), dim=64, threshold=0.95)
+    return survivors.select("vec_id", "label").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# C3 continued — TF-IDF top terms per document. Cross-engine ranking
+# trap: idf uses ln(), whose last-ulp differs between libm and the JVM,
+# so ranking by the ln-based score could flip near-ties across engines.
+# The rank key is instead the exact rational inverse-frequency score
+# tf·(N+1)/(df+1) — integer products < 2^53 and one IEEE division are
+# bit-identical everywhere — and the ln-based tfidf is emitted as a
+# rounded display column only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tfidf",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+        WHERE doc_id % 50 = 0 GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY term
+    )
+    SELECT doc_id, term, tf, df,
+           ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf,
+           rk
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (n.n_docs + 1.0) / (dfreq.df + 1.0) DESC,
+                            tf.term) AS rk
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ) WHERE rk <= 3
+    """,
+    tags=("tierc", "text"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per sampled doc. Document frequency is
+    computed over the WHOLE corpus (one explode + two hash aggs —
+    linear, shuffle keyed on term); term frequency only for the output
+    subset. The df side is term-cardinality-sized — broadcast-joined
+    back to the tf rows."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    n_docs = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    tf = (
+        tok.filter(F.col("doc_id") % 50 == 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        tok.dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n_docs))
+    rank_key = F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    w = W.partitionBy("doc_id").orderBy(rank_key.desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+            ).alias("tfidf"),
+            "rk",
+        )
+    )

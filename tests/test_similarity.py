@@ -86,3 +86,30 @@ def test_lsh_finds_identical_vectors(spark):
     # identical vectors hash to the query's bucket in every table -> always found
     assert 1 in ids and 5 in ids
     assert ids == sorted(ids, key=lambda i: -next(r.cos_sim for r in out if r.vec_id == i))
+
+
+def test_embedding_near_dup_drops_planted_keeps_originals(spark):
+    """q_dedup_embed: every planted perturbed copy (cos ≈ 0.9998 to its
+    lower-id original) is dropped; every original survives (no natural
+    near-dups at threshold 0.95 in the fixture)."""
+    from bigquery_etl_spark.plans.tierc import PLANT_OFFSET, q_dedup_embed
+    from bigquery_etl_spark.sources import load
+
+    from tests.conftest import SF_DIR
+
+    survivors = {r.vec_id for r in q_dedup_embed(spark, SF_DIR).collect()}
+    originals = {r.vec_id for r in load(spark, SF_DIR, "embeddings").select("vec_id").collect()}
+    assert survivors == originals
+    assert not any(v >= PLANT_OFFSET for v in survivors)
+
+
+def test_embedding_near_dup_noop_on_clean_corpus(spark):
+    """Precision guard: with no pair above threshold, nothing is dropped
+    even though LSH buckets collide all over."""
+    from bigquery_etl_spark.operators.similarity import embedding_near_dup
+    from bigquery_etl_spark.sources import load
+
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    assert embedding_near_dup(emb, dim=64, threshold=0.95).count() == emb.count()
