@@ -11,6 +11,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage4,
     coverage5,
     coverage6,
+    coverage7,
     extras,
     functions_pack,
     functions_pack2,

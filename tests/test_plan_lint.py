@@ -1,0 +1,62 @@
+"""Fleet-wide physical-plan lint over EVERY registered query.
+
+tests/test_plan_shapes.py asserts specific optimizations on specific
+queries; this file is the safety net for the rest: no declared query may
+silently plan a Cartesian product or an un-asked-for nested-loop join —
+the two shapes that are fine at sf0.001 and fatal at 100 TB. Queries
+whose SEMANTICS are a cross/theta join are whitelisted explicitly, so a
+regression elsewhere (e.g. a lost equi-key turning a hash join into
+BNLJ) fails loudly.
+
+Plan text is matched on physical node names only (toString truncates
+long argument lists — never match full arg strings).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigquery_etl_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+# Queries whose semantics genuinely require a non-equi or cross join.
+NON_EQUI_OK = {
+    "q_join_cross",       # B16: explicit CROSS JOIN
+    "q_join_range",       # B17: theta join is the operator under test
+    "q_interval_overlap", # B19 unoptimized twin (optimized = q_range_bucket_join)
+    "q_tpch_q22",         # scalar-subquery threshold -> BNLJ on 1-row side
+    "q_tpch_q11",         # same single-row threshold shape
+    "q_tpch_q17",         # correlated avg decorrelates; tiny side may BNLJ
+    "q_subquery_scalar",  # scalar subquery broadcast
+    "q_values_inline",    # inline VALUES cross with 1-row aggregates
+    "q_tfidf",            # 1-row n_docs crossJoin (explicit broadcast)
+    "q_quality_score",    # corpus-constant quantile thresholds (1-row cross)
+    "q_doc_fingerprint",  # corpus-constant join
+    "q_embed_topk",       # brute-force topk: query side broadcast NLJ by design
+    "q_embed_ann_ivf",    # centroid assignment crosses the tiny centroid set
+    "q_embed_ann_lsh",
+    "q_incremental_agg",  # 1-row high-watermark threshold
+    "q_sample",           # TABLESAMPLE percentage literal
+}
+
+# Streaming / source / pipeline queries that cannot build a pure batch
+# plan from (spark, sf_dir) without side effects are still linted — they
+# return DataFrames — but a few need live services; none currently skip.
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_cartesian(spark, sf_dir, name):
+    df = QUERIES[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        node
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        if node in plan
+    ]
+    if name in NON_EQUI_OK:
+        return  # shape is the query's semantics; nothing to assert
+    assert not bad, (
+        f"{name}: unexpected {bad} in physical plan — an equi-key was "
+        f"probably lost (fine at test SF, quadratic at scale)"
+    )

@@ -309,3 +309,62 @@ def test_stateful_per_key_cursor_tws(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner interval join: right events within
+    [l_ts, l_ts + 5m] on the same user match; result equals the batch
+    twin of the same inputs."""
+    from bigquery_etl_spark.streaming.joins import interval_join
+
+    left_rows = [
+        (1, _ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        (2, _ts("2024-01-01 00:20:00"), 2, "click", 2.0),
+    ]
+    right_rows = [
+        (101, _ts("2024-01-01 00:03:00"), 1, "view", 10.0),  # within 5m of event 1
+        (102, _ts("2024-01-01 00:10:00"), 1, "view", 11.0),  # outside the gap
+        (103, _ts("2024-01-01 00:21:00"), 2, "view", 12.0),  # within 5m of event 2
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_events(spark, lsrc, left_rows, "f1.parquet")
+    _write_events(spark, rsrc, right_rows, "f1.parquet")
+    joined = interval_join(_read_stream(spark, lsrc), _read_stream(spark, rsrc))
+    q = _run_to_memory(joined, "ssj_out", "append")
+    try:
+        got = {
+            (r.l_event_id, r.r_event_id)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+        assert got == {(1, 101), (2, 103)}
+        batch = interval_join(
+            spark.createDataFrame(left_rows, EVENTS_DDL),
+            spark.createDataFrame(right_rows, EVENTS_DDL),
+        )
+        assert got == {(r.l_event_id, r.r_event_id) for r in batch.collect()}
+    finally:
+        q.stop()
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left event is held in
+    state until BOTH watermarks pass its join interval, then emitted
+    with a NULL right side."""
+    from bigquery_etl_spark.streaming.joins import interval_join
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_events(spark, lsrc, [(1, _ts("2024-01-01 00:00:00"), 1, "click", 1.0)], "f1.parquet")
+    _write_events(spark, rsrc, [(101, _ts("2024-01-01 00:30:00"), 9, "view", 1.0)], "f1.parquet")
+    joined = interval_join(
+        _read_stream(spark, lsrc), _read_stream(spark, rsrc), how="left_outer"
+    )
+    q = _run_to_memory(joined, "ssj_outer_out", "append")
+    try:
+        # push both watermarks far past 00:00 + 5m gap + 10m delay
+        _write_events(spark, lsrc, [(2, _ts("2024-01-01 02:00:00"), 8, "click", 1.0)], "f2.parquet")
+        _write_events(spark, rsrc, [(102, _ts("2024-01-01 02:00:00"), 9, "view", 1.0)], "f2.parquet")
+        q.processAllAvailable()
+        rows = {r.l_event_id: r for r in spark.sql("SELECT * FROM ssj_outer_out").collect()}
+        assert rows[1].r_event_id is None  # unmatched left emitted with null right
+    finally:
+        q.stop()
