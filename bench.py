@@ -40,6 +40,10 @@ HEADLINE = [
     "q_tpch_q10",
     "q_subquery_correlated",
     "q_sessionize",
+    "q_quality_gopher",
+    "q_gap_fill",
+    "q_fuzzy_match",
+    "q_pii_redact",
 ]
 
 

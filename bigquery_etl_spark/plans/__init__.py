@@ -12,6 +12,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage5,
     coverage6,
     coverage7,
+    coverage8,
     extras,
     functions_pack,
     functions_pack2,

@@ -1,0 +1,297 @@
+"""Eighth coverage pack: Spark 4 SQL-surface parity features that
+BigQuery also ships — pipe syntax (`|>`), SQL UDFs (CREATE TEMPORARY
+FUNCTION ... RETURN expr), GROUP BY ALL — plus two pipeline staples:
+time-series gap-fill (calendar spine + LOCF) and inverted-index term
+search (BigQuery SEARCH() analogue).
+
+Reference parity: all Tier B (the reference delegates SQL to BigQuery,
+main.py:21, 160-185); gap-fill/search are the reporting idioms its
+consumers would run over the loaded tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from bigquery_etl_spark.plans._util import dec
+from bigquery_etl_spark.registry import query
+from bigquery_etl_spark.sources import load, register_views
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 / BigQuery 2024 pipe syntax). The pipe form
+# parses to the SAME logical plan as the classic form — the oracle twin
+# is the classic spelling, so parity proves the equivalence.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pipe_syntax",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "pipe"),
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 core written in Spark 4 pipe syntax; Catalyst sees the
+    identical aggregate plan as the classic form."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDF — BigQuery CREATE TEMP FUNCTION analogue. The function body is
+# a pure SQL expression, so Catalyst INLINES it at plan time: it runs
+# codegen'd like any built-in, with none of the Python-UDF serialization
+# tax (contrast q_udf_scalar). The oracle twin inlines the same
+# expression by hand.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_udf",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS charged
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sql", "udf"),
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TEMPORARY FUNCTION charge(...) RETURN <expr>; the call
+    site inlines — EXPLAIN shows no PythonUDF node."""
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DECIMAL(18,6)
+        RETURN CAST(price * (1 - disc) * (1 + tax) AS DECIMAL(18,6))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(charge(l_extendedprice, l_discount, l_tax)) AS DOUBLE)
+                   AS charged
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL — supported by Spark 4, DuckDB, and
+# BigQuery alike; the twin uses the same sugar on both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_group_by_all",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY ALL
+    """,
+    tags=("sql", "agg"),
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL: every non-aggregate select item becomes a key."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders GROUP BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill: per-user hourly calendar spine (sequence /
+# generate_series between that user's first and last hour), left-joined
+# observations, missing hours filled by LOCF (last_value IGNORE NULLS).
+# Scale: the spine explodes from ONE row per user (no shuffle to build),
+# the join and the LOCF window share the user_id shuffle key, and state
+# per user is bounded by its own time span — the idiom survives 100 TB
+# because nothing is keyed on the global calendar.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gap_fill",
+    sql="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr, COUNT(*) AS n_obs,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(value) AS avg_value
+        FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(min(hr), max(hr),
+                                               INTERVAL 1 HOUR)) AS hr
+        FROM obs GROUP BY user_id
+    )
+    SELECT s.user_id, s.hr,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           ROUND(last_value(o.avg_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS locf_value
+    FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.hr = o.hr
+    """,
+    tags=("timeseries", "gapfill", "tierc"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LOCF for every 10th user: spine from
+    F.sequence (one array per user, exploded), observation join and
+    fill window both keyed on user_id — a single shuffle key end to
+    end."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count("*").alias("n_obs"),
+        (F.sum(dec("value")).cast("double") / F.count("value")).alias("avg_value"),
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(
+            F.sequence(
+                F.min("hr"), F.max("hr"), F.expr("INTERVAL 1 HOUR")
+            ).alias("hrs")
+        )
+        .select("user_id", F.explode("hrs").alias("hr"))
+    )
+    w = W.partitionBy("user_id").orderBy("hr").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(obs, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.round(F.last("avg_value", ignorenulls=True).over(w), 4).alias(
+                "locf_value"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index term search (BigQuery SEARCH() analogue): docs matching
+# ALL query terms, via posting-list intersection spelled as
+# count-distinct-terms == |query|. One explode + one aggregate — never a
+# per-term self-join (which would be |query| shuffles). At 100 TB the
+# posting build is the classic inverted-index map-reduce; the AND match
+# is a HAVING on the grouped doc.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_search_terms",
+    sql="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, u.t AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(toks) AS u(t)
+        WHERE u.t IN ('spark', 'merge', 'window')
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM (
+        SELECT doc_id FROM tok GROUP BY doc_id HAVING COUNT(*) = 3
+    ) m JOIN documents d ON m.doc_id = d.doc_id
+    """,
+    tags=("tierc", "text", "search"),
+)
+def q_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-search for {spark, merge, window}: explode -> filter to query
+    terms (pushed before the distinct) -> per-doc distinct-term count
+    == 3 -> semi-join back for doc metadata."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin("spark", "merge", "window"))
+        .dropDuplicates(["doc_id", "term"])
+    )
+    matched = tok.groupBy("doc_id").agg(F.count("*").alias("nt")).filter(
+        F.col("nt") == 3
+    )
+    return docs.join(matched, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality report (BigQuery ASSERT analogue, expectation-suite
+# form): uniqueness, referential integrity, null-rate, and range checks
+# over the fixture star schema, all folded into single-pass aggregates
+# (operators/dq.py). The orphan check anti-joins lineitem against the
+# column-pruned orders key set.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dq_report",
+    sql="""
+    WITH dup AS (
+        SELECT COUNT(*) AS dup_li_keys FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY 1, 2 HAVING COUNT(*) > 1
+        )
+    ),
+    orphans AS (
+        SELECT COUNT(*) AS orphan_lineitems
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ),
+    checks AS (
+        SELECT
+            SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END)
+                AS bad_quantity,
+            SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                AS bad_discount,
+            SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+        FROM lineitem
+    )
+    SELECT dup.dup_li_keys, orphans.orphan_lineitems,
+           checks.bad_quantity, checks.bad_discount, checks.null_shipdate
+    FROM dup, orphans, checks
+    """,
+    tags=("dq", "tierb"),
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-quality report: duplicate PKs, FK orphans, and
+    row-level constraint violations — the load-time validation the
+    reference delegates to BigQuery (main.py:169-177), as explicit
+    Spark aggregates."""
+    from bigquery_etl_spark.operators.dq import duplicate_keys, orphan_rows, violations
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    dup = duplicate_keys(li, ["l_orderkey", "l_linenumber"]).agg(
+        F.count("*").alias("dup_li_keys")
+    )
+    orph = orphan_rows(li, orders, [("l_orderkey", "o_orderkey")]).agg(
+        F.count("*").alias("orphan_lineitems")
+    )
+    checks = violations(
+        li,
+        {
+            "bad_quantity": F.col("l_quantity") > 0,
+            "bad_discount": F.col("l_discount").between(0, 1),
+            "null_shipdate": F.col("l_shipdate").isNotNull(),
+        },
+    )
+    return dup.crossJoin(orph).crossJoin(checks)

@@ -1,0 +1,37 @@
+"""Unit tests for operators/dq.py (expectation suite semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.operators.dq import (
+    assert_that,
+    duplicate_keys,
+    orphan_rows,
+    violations,
+)
+
+
+def test_violations_counts_nulls_as_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, v double"
+    )
+    row = violations(df, {"v_positive": F.col("v") > 0}).collect()[0]
+    assert row.v_positive == 2  # NULL and -5 both violate
+
+
+def test_assert_that_raises_with_message(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    assert_that(df, F.col("id") > 0, "ids positive")  # passes
+    with pytest.raises(AssertionError, match="ids unique-ish"):
+        assert_that(df, F.col("id") > 1, "ids unique-ish")
+
+
+def test_duplicate_and_orphan_helpers(spark):
+    child = spark.createDataFrame([(1, 1), (2, 1), (2, 2), (9, 3)], "k long, sub long")
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    dups = duplicate_keys(child, ["k"]).collect()
+    assert [(r.k, r.n) for r in dups] == [(2, 2)]
+    orphans = orphan_rows(child, parent, [("k", "k")]).collect()
+    assert {r.k for r in orphans} == {9}

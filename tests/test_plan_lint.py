@@ -38,6 +38,7 @@ NON_EQUI_OK = {
     "q_embed_ann_lsh",
     "q_incremental_agg",  # 1-row high-watermark threshold
     "q_sample",           # TABLESAMPLE percentage literal
+    "q_dq_report",        # three 1-row check summaries cross-joined
 }
 
 # Streaming / source / pipeline queries that cannot build a pure batch

@@ -143,3 +143,38 @@ def test_tpch_q22_anti_join_and_scalar_threshold(spark, sf_dir):
     plan = _executed_plan(QUERIES["q_tpch_q22"].fn(spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime filtering (Spark's bloom-filter join pruning): a
+    selective dim filter materializes as a bloom filter applied to the
+    fact side BEFORE the join shuffle — at scale this cuts the shuffled
+    fact bytes by the dim's selectivity. Thresholds are tuned here
+    because the fixture is byte-small; at 100 TB the defaults fire."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from bigquery_etl_spark.sources import load
+
+        big = load(spark, sf_dir, "lineitem")
+        dim = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = big.join(dim, big.l_orderkey == dim.o_orderkey).groupBy().count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in opt.lower()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

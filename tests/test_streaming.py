@@ -368,3 +368,35 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
         assert rows[1].r_event_id is None  # unmatched left emitted with null right
     finally:
         q.stop()
+
+
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Exactly-once across restarts: a file-source -> parquet-sink query
+    stopped and restarted from the same checkpoint neither loses nor
+    reprocesses data (the reference's at-least-once cursor gap, §3.1,
+    closed by Spark's checkpoint+WAL commit protocol)."""
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+
+    def start():
+        return (
+            _read_stream(spark, src)
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    _write_events(spark, src, [(1, _ts("2024-01-01 00:00:00"), 1, "click", 1.0)], "f1.parquet")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    _write_events(spark, src, [(2, _ts("2024-01-01 00:01:00"), 2, "view", 2.0)], "f2.parquet")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2]  # f1 not reprocessed after restart, f2 not lost
