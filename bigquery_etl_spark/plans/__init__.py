@@ -13,6 +13,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage6,
     coverage7,
     coverage8,
+    coverage9,
     extras,
     functions_pack,
     functions_pack2,

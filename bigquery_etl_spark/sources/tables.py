@@ -36,6 +36,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if not df.schema["ts"].dataType.typeName().startswith("long"):
+            # already a real timestamp (e.g. a re-materialized copy of the
+            # fixture, which Spark wrote as TIMESTAMP(MICROS))
+            return df
         # integer div — ns values exceed 2^53, double division would drift
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")

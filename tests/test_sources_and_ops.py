@@ -117,3 +117,35 @@ def test_multimodal_plumbing(spark):
 
     stats = {r.kind: r.n for r in media_stats(media).collect()}
     assert stats == {"image": 4, "audio": 4, "video": 4}
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC source/sink (BigQuery EXPORT/LOAD format family): write,
+    read back, and verify predicate pushdown reaches the ORC scan."""
+    from bigquery_etl_spark.sources import load
+
+    out = str(tmp_path / "orders.orc")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == orders.count()
+    q = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+    assert q.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_avro_roundtrip_if_available(spark, sf_dir, tmp_path):
+    """Avro needs the external spark-avro module; run when present,
+    skip (recorded) when the container lacks it."""
+    import pytest
+
+    from bigquery_etl_spark.sources import load
+
+    out = str(tmp_path / "nation.avro")
+    nation = load(spark, sf_dir, "nation")
+    try:
+        nation.write.mode("overwrite").format("avro").save(out)
+    except Exception as e:
+        pytest.skip(f"spark-avro not bundled: {str(e)[:80]}")
+    assert spark.read.format("avro").load(out).count() == nation.count()

@@ -108,7 +108,13 @@ def main() -> None:
     from bigquery_etl_spark.registry import all_queries
     from bigquery_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="scale_bench", shuffle_partitions=32)
+    # local-mode JVM defaults to 1g heap — size it like a real executor
+    # (the container has 128 GiB; 16g covers the widest shuffle here)
+    spark = get_spark(
+        app_name="scale_bench",
+        shuffle_partitions=32,
+        driver_memory=os.environ.get("SPARK_GRAFT_SCALE_MEM", "16g"),
+    )
     marker = os.path.join(args.out, f"_built_{args.copies}")
     if args.rebuild or not os.path.exists(marker):
         t0 = time.perf_counter()
@@ -128,7 +134,11 @@ def main() -> None:
         if spec is None:
             continue
         t0 = time.perf_counter()
-        spec.fn(spark, args.out).write.format("noop").mode("overwrite").save()
+        try:
+            spec.fn(spark, args.out).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # record and continue — one failure must not hide the rest
+            print(json.dumps({"query": name, "error": str(e)[:200]}))
+            continue
         sec = round(time.perf_counter() - t0, 2)
         total += sec
         results[name] = sec
