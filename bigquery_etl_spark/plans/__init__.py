@@ -14,6 +14,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage7,
     coverage8,
     coverage9,
+    coverage10,
     extras,
     functions_pack,
     functions_pack2,

@@ -32,15 +32,18 @@ from bigquery_etl_spark.sources import load
     tags=("window", "range"),
 )
 def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event trailing-hour stats: RANGE frame keyed on epoch seconds
-    (Spark numeric rangeBetween == DuckDB INTERVAL range on the same
-    instants). Value-based frames are peer-insensitive — deterministic
-    without a tiebreak."""
+    """Per-event trailing-hour stats: RANGE frame keyed on epoch
+    MICROseconds (`unix_micros`) — the full precision of the stored
+    timestamps. Keying on whole seconds looked equivalent until sf0.1,
+    where two same-user events landed in the same second: second-level
+    peers pulled a LATER event into the trailing frame while DuckDB's
+    µs-precision INTERVAL range excluded it. Value-based frames are
+    peer-insensitive only if the range key carries full precision."""
     e = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-3600, W.currentRow)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, W.currentRow)
     )
     return e.select(
         "event_id",
