@@ -190,3 +190,72 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("host", "q_param").agg(
         F.count("*").alias("n"), F.min("doc_id").alias("min_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (dedup-cluster assembly): near-dup detectors emit
+# PAIRS; clustering them into components picks one survivor per group.
+# Spark side: iterative min-label propagation (operators/components.py —
+# O(diameter) keyed shuffles, lineage cut per sweep). Oracle: recursive
+# CTE transitive closure + min-reachable aggregation — tractable only at
+# fixture scale, which is the point: the oracle brute-forces what the
+# operator does scalably. Edges derive deterministically from doc_ids
+# (intra-decade chains + one long-range merge per century).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_connected_components",
+    sql="""
+    WITH RECURSIVE edges AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        WHERE d1.doc_id % 10 < 3
+        UNION ALL
+        SELECT d1.doc_id, d2.doc_id
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 40
+        WHERE d1.doc_id % 100 = 0
+    ),
+    und AS (
+        SELECT a, b FROM edges WHERE a <> b
+        UNION
+        SELECT b, a FROM edges WHERE a <> b
+    ),
+    reach AS (
+        SELECT a AS n, b AS m FROM und
+        UNION
+        SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+        WHERE r.n <> u.b
+    ),
+    comp AS (
+        SELECT n AS node, LEAST(n, MIN(m)) AS component
+        FROM reach GROUP BY n
+    )
+    SELECT component, COUNT(*) AS n_nodes,
+           MIN(node) AS min_doc, MAX(node) AS max_doc
+    FROM comp GROUP BY component
+    """,
+    tags=("tierc", "graph", "dedup"),
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster summary: component id (min doc in cluster),
+    size, and id range, from iterative min-label propagation."""
+    from bigquery_etl_spark.operators.components import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d1, d2 = docs.alias("d1"), docs.alias("d2")
+    chain = d1.join(
+        d2, F.col("d2.doc_id") == F.col("d1.doc_id") + 1
+    ).filter(F.col("d1.doc_id") % 10 < 3)
+    merge = d1.join(
+        d2, F.col("d2.doc_id") == F.col("d1.doc_id") + 40
+    ).filter(F.col("d1.doc_id") % 100 == 0)
+    edges = chain.union(merge).select(
+        F.col("d1.doc_id").alias("src"), F.col("d2.doc_id").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_doc"),
+        F.max("node").alias("max_doc"),
+    )
