@@ -15,6 +15,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage8,
     coverage9,
     coverage10,
+    coverage11,
     extras,
     functions_pack,
     functions_pack2,

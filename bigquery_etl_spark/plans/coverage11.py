@@ -1,0 +1,270 @@
+"""Eleventh coverage pack: remaining scalar-function families from the
+delegated SQL surface (SURVEY.md Tier B — BigQuery Standard SQL classes
+the reference hands to BigQuery, main.py:21, 160-185).
+
+- Array set algebra (ARRAY_INTERSECT/UNION/EXCEPT-style; BigQuery spells
+  these as ARRAY(SELECT ... INTERSECT ...) subqueries).
+- Higher-order array functions (transform/aggregate/exists/forall/
+  zip_with — BigQuery's ARRAY subquery idioms). Oracle twins use closed
+  forms: the oracle verifies VALUES, not mechanism. NOTE: Spark HOFs run
+  interpreted (no codegen) — fine for coverage, kept off hot paths.
+- Timestamp construction + fixed-offset timezone shift + next_day
+  (BigQuery TIMESTAMP(), DATETIME(), TIMESTAMP_ADD, NEXT-weekday idiom).
+- Bitmap-aggregate distinct counts (bitmap_construct_agg/bitmap_count —
+  the exact-bitmap cousin of HLL; oracle = COUNT(DISTINCT)).
+- String pack 3: overlay/left/right/repeat/reverse/ascii/char/
+  octet_length/startswith.
+- Math pack 2: factorial/hypot/degrees/radians/cbrt/log2/atan2/pmod.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.registry import query
+from bigquery_etl_spark.sources import load
+
+
+@query(
+    "q_array_set_ops",
+    sql="""
+    WITH t AS (
+        SELECT p_partkey,
+               string_split(lower(p_name), ' ') AS a,
+               list_concat(string_split(lower(p_name), ' ')[1:2],
+                           string_split(lower(p_type), ' ')) AS b
+        FROM part
+        WHERE p_partkey % 50 = 0
+    )
+    SELECT p_partkey,
+           len(list_intersect(a, b)) AS n_common,
+           len(list_distinct(list_concat(a, b))) AS n_union,
+           coalesce(array_to_string(
+               list_sort(list_intersect(a, b)), ','), '') AS common_str,
+           coalesce(array_to_string(
+               list_sort(list_filter(list_distinct(a),
+                                     x -> NOT list_contains(b, x))), ','),
+               '') AS except_str
+    FROM t
+    """,
+    tags=("tierb", "array"),
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_intersect / array_union / array_except over word arrays
+    split from part name/comment. Narrow projection, no shuffle at all
+    (pure map) — scales embarrassingly."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    a = F.split(F.lower("p_name"), " ")
+    t = part.select(
+        "p_partkey",
+        a.alias("a"),
+        F.concat(F.slice(a, 1, 2), F.split(F.lower("p_type"), " ")).alias("b"),
+    )
+    return t.select(
+        "p_partkey",
+        F.size(F.array_intersect("a", "b")).alias("n_common"),
+        F.size(F.array_union("a", "b")).alias("n_union"),
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias("common_str"),
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("except_str"),
+    )
+
+
+@query(
+    "q_hof_funcs",
+    sql="""
+    -- Oracle verifies the VALUES via closed forms:
+    --   sum of squares 1..n           = n(n+1)(2n+1)/6
+    --   sum of i*(n+1-i) for i=1..n   = (n+1)*n(n+1)/2 - n(n+1)(2n+1)/6
+    SELECT n, COUNT(*) AS cnt,
+           CAST(n*(n+1)*(2*n+1)/6 AS BIGINT) AS sum_sq,
+           CAST((n+1)*n*(n+1)/2 - n*(n+1)*(2*n+1)/6 AS BIGINT) AS zip_sum,
+           n >= 2 AS has_even,
+           TRUE AS all_pos
+    FROM (SELECT (o_orderkey % 10) + 1 AS n FROM orders)
+    GROUP BY n
+    """,
+    tags=("tierb", "array", "hof"),
+)
+def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / aggregate / exists / forall / zip_with over
+    per-row sequences (length derived from o_orderkey). HOFs are
+    interpreted in Spark — this is coverage, not a hot path; per-element
+    hot loops elsewhere use explode + codegen'd aggregation."""
+    orders = load(spark, sf_dir, "orders")
+    t = orders.select(((F.col("o_orderkey") % 10) + 1).alias("n")).withColumn(
+        "seq", F.sequence(F.lit(1), F.col("n"))
+    )
+    t = t.select(
+        "n",
+        F.aggregate(
+            F.transform("seq", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_sq"),
+        F.aggregate(
+            F.zip_with("seq", F.reverse("seq"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("zip_sum"),
+        F.exists("seq", lambda x: x % 2 == 0).alias("has_even"),
+        F.forall("seq", lambda x: x > 0).alias("all_pos"),
+    )
+    return t.groupBy("n", "sum_sq", "zip_sum", "has_even", "all_pos").agg(
+        F.count("*").alias("cnt")
+    ).select("n", "cnt", "sum_sq", "zip_sum", "has_even", "all_pos")
+
+
+@query(
+    "q_tz_funcs",
+    sql="""
+    -- next Monday strictly after d: isodow Monday=1..Sunday=7
+    SELECT o_orderkey,
+           make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                          CAST(month(o_orderdate) AS BIGINT),
+                          CAST(day(o_orderdate) AS BIGINT),
+                          CAST(o_orderkey % 24 AS BIGINT),
+                          CAST(o_orderkey % 60 AS BIGINT), 0.0) AS ts_utc,
+           make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                          CAST(month(o_orderdate) AS BIGINT),
+                          CAST(day(o_orderdate) AS BIGINT),
+                          CAST(o_orderkey % 24 AS BIGINT),
+                          CAST(o_orderkey % 60 AS BIGINT), 0.0)
+               + INTERVAL 9 HOUR AS ts_tokyo,
+           CAST(o_orderdate AS DATE)
+               + CAST(((7 - isodow(o_orderdate)) % 7) + 1 AS INTEGER)
+               AS next_monday
+    FROM orders
+    WHERE o_orderkey % 500 = 0
+    """,
+    tags=("tierb", "datetime"),
+)
+def q_tz_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_timestamp from date parts, fixed-offset timezone shift
+    (from_utc_timestamp with an offset zone — DST-free so the oracle's
+    + INTERVAL 9 HOUR is exact), and next_day. Pure map-side."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    d = F.col("o_orderdate")
+    ts = F.make_timestamp(
+        F.year(d), F.month(d), F.dayofmonth(d),
+        (F.col("o_orderkey") % 24).cast("int"),
+        (F.col("o_orderkey") % 60).cast("int"),
+        F.lit(0).cast("int"),
+    )
+    return orders.select(
+        "o_orderkey",
+        ts.alias("ts_utc"),
+        F.from_utc_timestamp(ts, "+09:00").alias("ts_tokyo"),
+        F.next_day(d, "Mon").alias("next_monday"),
+    )
+
+
+@query(
+    "q_bitmap_distinct",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(DISTINCT CAST(l_quantity AS INTEGER)) AS n_qty,
+           COUNT(DISTINCT CAST(l_linenumber AS INTEGER)) AS n_line
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tierb", "agg", "bitmap"),
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts via bitmap aggregates
+    (bitmap_count(bitmap_construct_agg(bitmap_bit_position(v)))) — the
+    BigQuery BIT_COUNT/bitmap idiom and the exact cousin of HLL
+    sketches (operators/sketches.py). Values are bounded (quantity
+    1..50, linenumber 1..7) so a single 4 KB bitmap segment per group
+    suffices; partial aggregation ORs fixed-size bitmaps map-side, so
+    shuffle volume is O(groups * 4KB) regardless of row count — the
+    same reason HLL scales. Oracle: COUNT(DISTINCT). Quantities are
+    integral doubles, so Spark's truncating cast and DuckDB's rounding
+    cast agree."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg("
+                "bitmap_bit_position(CAST(l_quantity AS INT))))"
+            ).alias("n_qty"),
+            F.expr(
+                "bitmap_count(bitmap_construct_agg("
+                "bitmap_bit_position(CAST(l_linenumber AS INT))))"
+            ).alias("n_line"),
+        )
+    )
+
+
+@query(
+    "q_str_funcs3",
+    sql="""
+    SELECT c_custkey,
+           substr(c_name, 1, 3) || 'XX' || substr(c_name, 6) AS ov,
+           reverse(c_name) AS rev,
+           repeat(substr(c_name, 1, 2), 3) AS rep,
+           left(c_name, 3) AS l3,
+           right(c_name, 3) AS r3,
+           strlen(c_name) AS octets,
+           ascii(c_name) AS first_cp,
+           chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS bucket_ch,
+           starts_with(c_name, 'Customer') AS is_cust
+    FROM customer
+    WHERE c_custkey % 100 = 0
+    """,
+    tags=("tierb", "string"),
+)
+def q_str_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack 3: overlay, reverse, repeat, left/right, octet_length,
+    ascii, char, startswith. DuckDB has no OVERLAY — its twin is the
+    substr composition (same semantics for in-bounds replace)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    return cust.select(
+        "c_custkey",
+        F.overlay(F.col("c_name"), F.lit("XX"), F.lit(4)).alias("ov"),
+        F.reverse("c_name").alias("rev"),
+        F.repeat(F.substring("c_name", 1, 2), 3).alias("rep"),
+        F.expr("left(c_name, 3)").alias("l3"),
+        F.expr("right(c_name, 3)").alias("r3"),
+        F.octet_length("c_name").cast("long").alias("octets"),
+        F.ascii("c_name").cast("long").alias("first_cp"),
+        F.char(F.lit(65) + F.col("c_custkey") % 26).alias("bucket_ch"),
+        F.col("c_name").startswith("Customer").alias("is_cust"),
+    )
+
+
+@query(
+    "q_math_funcs2",
+    sql="""
+    SELECT p_partkey,
+           CAST(factorial(CAST(p_partkey % 7 + 1 AS INTEGER)) AS BIGINT) AS fact_k,
+           round(sqrt((p_retailprice/100) * (p_retailprice/100)
+                      + p_size * p_size), 4) AS hyp,
+           round(degrees(p_retailprice / 10000), 4) AS deg,
+           round(radians(CAST(p_size AS DOUBLE)), 4) AS rad,
+           round(cbrt(p_retailprice), 4) AS cuberoot,
+           round(log2(p_retailprice), 4) AS lg2,
+           round(atan2(CAST(p_size AS DOUBLE), p_retailprice / 100), 4) AS at2,
+           ((p_partkey % -7) + 7) % 7 AS pm
+    FROM part
+    WHERE p_partkey % 100 = 0
+    """,
+    tags=("tierb", "math"),
+)
+def q_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack 2: factorial, hypot, degrees/radians, cbrt, log2,
+    atan2, pmod. hypot's oracle twin is sqrt(x²+y²) — agreement to 4dp
+    (hypot differs only in overflow-safe scaling, irrelevant at these
+    magnitudes)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 100 == 0)
+    x = F.col("p_retailprice") / 100
+    return part.select(
+        "p_partkey",
+        F.factorial((F.col("p_partkey") % 7 + 1).cast("int")).alias("fact_k"),
+        F.round(F.hypot(x, F.col("p_size").cast("double")), 4).alias("hyp"),
+        F.round(F.degrees(F.col("p_retailprice") / 10000), 4).alias("deg"),
+        F.round(F.radians(F.col("p_size").cast("double")), 4).alias("rad"),
+        F.round(F.cbrt("p_retailprice"), 4).alias("cuberoot"),
+        F.round(F.log2("p_retailprice"), 4).alias("lg2"),
+        F.round(F.atan2(F.col("p_size").cast("double"), x), 4).alias("at2"),
+        F.pmod(F.col("p_partkey") % -7, F.lit(7)).alias("pm"),
+    )
