@@ -268,3 +268,58 @@ def q_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.atan2(F.col("p_size").cast("double"), x), 4).alias("at2"),
         F.pmod(F.col("p_partkey") % -7, F.lit(7)).alias("pm"),
     )
+
+
+@query(
+    "q_time_travel",
+    sql="""
+    -- closed-form recomputation of each snapshot's aggregate
+    SELECT 1 AS version,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'U') AS n_upd
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2, COUNT(*), COUNT(*) FILTER (WHERE o_orderstatus = 'U')
+    FROM orders
+    UNION ALL
+    SELECT 3, COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderkey % 3 = 0)
+    FROM orders
+    """,
+    tags=("lakehouse", "versioned"),
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot/time-travel read over the versioned-table layer
+    (sources/versioned.py — manifest commits, Delta/Iceberg-style):
+    v1 = even orderkeys, v2 = append odds, v3 = MERGE marking every
+    o_orderkey % 3 = 0 as status 'U'. The query reads all THREE
+    snapshots of the same table and aggregates each — the oracle
+    recomputes each snapshot's numbers from the base table. Proves
+    commits are additive and history stays readable."""
+    import tempfile
+
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tbl = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="vtbl_q_"), stat_cols=("o_orderkey",)
+    )
+    tbl.create(o.filter(F.col("o_orderkey") % 2 == 0))
+    tbl.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    tbl.upsert(
+        o.filter(F.col("o_orderkey") % 3 == 0).withColumn("o_orderstatus", F.lit("U")),
+        ["o_orderkey"],
+    )
+    snaps = [
+        tbl.read(version=v)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("o_orderstatus") == "U", 1)).alias("n_upd"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "n_rows", "n_upd")
+        for v in (1, 2, 3)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out

@@ -1,0 +1,265 @@
+"""Versioned parquet tables: manifest-based commits with snapshot
+isolation, time travel, optimistic concurrency, and stats-based file
+skipping — the Delta/Iceberg transaction core re-expressed over plain
+parquet + atomic manifest files (no connector jars in this container;
+the protocol itself is the deliverable).
+
+Reference parity: the reference checkpoints progress in a Postgres
+cursor row and bulk-loads into BigQuery with no dedup (main.py:132-142,
+160-185 — its §3.1 at-least-once bug). A versioned table gives the
+missing piece: an atomic commit that makes "load + advance cursor" one
+visible step, and lets a failed batch be retried against an unchanged
+snapshot.
+
+Layout:
+    <root>/data/<commit-uuid>/part-*.parquet    immutable data files
+    <root>/_manifests/v%08d.json                one manifest per version
+
+Scale design (100 TB):
+- Readers resolve ONE manifest, then hand Spark an explicit file list:
+  no O(files) object-store listing on the read path.
+- Each manifest records per-file min/max stats for declared stat
+  columns, read from parquet FOOTERS at commit time (metadata-only —
+  no data scan). `read(prune=...)` drops whole files before Spark even
+  plans the scan; row-group pruning inside surviving files still
+  applies on top.
+- Data files are immutable; commits only add files + one manifest, so
+  concurrent readers never see a torn table, and old snapshots stay
+  readable until `vacuum`.
+- Commit atomicity: manifest written to a temp name, then hard-linked
+  into place (`os.link` fails with EEXIST if a racing writer took the
+  version — optimistic concurrency, the Delta protocol's put-if-absent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_STATS_TYPES = (int, float, str, bool)
+
+
+class CommitConflict(Exception):
+    """A racing writer committed the same version first; retry on top
+    of the new snapshot."""
+
+
+class VersionNotFound(Exception):
+    pass
+
+
+def _file_stats(path: str, stat_cols: tuple[str, ...]) -> dict:
+    """Row count + per-column min/max from the parquet footer only."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for col in stat_cols:
+        i = names.get(col)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if not isinstance(mn, _STATS_TYPES) or not isinstance(mx, _STATS_TYPES):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            stats[col] = [lo, hi]
+    return {"rows": md.num_rows, "bytes": os.path.getsize(path), "stats": stats}
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str, stat_cols: tuple[str, ...] = ()):
+        self.spark = spark
+        self.root = root
+        self.stat_cols = tuple(stat_cols)
+        self._manifest_dir = os.path.join(root, "_manifests")
+        self._data_dir = os.path.join(root, "data")
+
+    # -- version resolution --------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{version:08d}.json")
+
+    def latest_version(self) -> int | None:
+        if not os.path.isdir(self._manifest_dir):
+            return None
+        versions = [
+            int(f[1:9])
+            for f in os.listdir(self._manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def _load_manifest(self, version: int) -> dict:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise VersionNotFound(f"{self.root}: no version {version}")
+        with open(path) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first (version, kind, n files, rows, ts)."""
+        out = []
+        latest = self.latest_version()
+        for v in range(1, (latest or 0) + 1):
+            m = self._load_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "kind": m["kind"],
+                    "n_files": len(m["files"]),
+                    "rows": sum(f["rows"] for f in m["files"]),
+                    "ts": m["ts"],
+                }
+            )
+        return out
+
+    # -- commit protocol -----------------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> list[dict]:
+        commit_id = uuid.uuid4().hex
+        out_dir = os.path.join(self._data_dir, commit_id)
+        df.write.parquet(out_dir)
+        entries = []
+        for name in sorted(os.listdir(out_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(out_dir, name)
+            entry = _file_stats(full, self.stat_cols)
+            entry["path"] = os.path.join("data", commit_id, name)
+            entries.append(entry)
+        return entries
+
+    def _commit(self, kind: str, new_files: list[dict], schema_json: str) -> int:
+        base = self.latest_version()
+        if kind == "create" and base is not None:
+            raise CommitConflict(f"{self.root}: already exists at v{base}")
+        carried = [] if kind in ("create", "overwrite") else self._load_manifest(base)["files"]
+        version = (base or 0) + 1
+        manifest = {
+            "version": version,
+            "parent": base,
+            "kind": kind,
+            "schema": schema_json,
+            "ts": time.time(),
+            "files": carried + new_files,
+        }
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = self._manifest_path(version)
+        try:
+            os.link(tmp, final)  # put-if-absent: atomic + conflict-detecting
+        except FileExistsError as e:
+            raise CommitConflict(f"{self.root}: v{version} taken by racing writer") from e
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def create(self, df: DataFrame) -> int:
+        return self._commit("create", self._write_data(df), df.schema.json())
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit("append", self._write_data(df), df.schema.json())
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit("overwrite", self._write_data(df), df.schema.json())
+
+    def upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        """MERGE: same-key rows replaced, others carried over. Current
+        form rewrites the full snapshot (one anti-join shuffle);
+        file-level rewrite of only key-overlapping files (via manifest
+        stats) is the scale refinement, same commit protocol."""
+        from bigquery_etl_spark.operators.merge import upsert_dataframe
+
+        merged = upsert_dataframe(self.read(), updates, keys)
+        return self._commit("overwrite", self._write_data(merged), merged.schema.json())
+
+    # -- read path -----------------------------------------------------------
+
+    def files(
+        self, version: int | None = None, prune: tuple[str, float, float] | None = None
+    ) -> list[dict]:
+        """Live file entries at `version`, optionally min/max-pruned by
+        `(col, lo, hi)` — a file survives only if [min,max] ∩ [lo,hi]."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        entries = self._load_manifest(v)["files"]
+        if prune is not None:
+            col, lo, hi = prune
+            kept = []
+            for e in entries:
+                st = e["stats"].get(col)
+                if st is not None and (st[0] > hi or st[1] < lo):
+                    continue  # provably disjoint — skip the whole file
+                kept.append(e)
+            entries = kept
+        return entries
+
+    def read(
+        self, version: int | None = None, prune: tuple[str, float, float] | None = None
+    ) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        manifest = self._load_manifest(v)
+        entries = self.files(v, prune)
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        # Explicit schema: skips Spark's footer-merge inference pass.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Drop manifests older than the last `retain_last` versions and
+        delete data files no retained manifest references. Returns the
+        deleted file paths. Single-maintainer operation (like Delta's
+        VACUUM, which also assumes no reader is pinned past retention)."""
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        cutoff = max(1, latest - retain_last + 1)
+        keep: set[str] = set()
+        for v in range(cutoff, latest + 1):
+            keep.update(e["path"] for e in self._load_manifest(v)["files"])
+        deleted = []
+        for root, _, names in os.walk(self._data_dir):
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.root)
+                if name.endswith(".parquet") and rel not in keep:
+                    os.remove(full)
+                    deleted.append(rel)
+        for v in range(1, cutoff):
+            path = self._manifest_path(v)
+            if os.path.exists(path):
+                os.remove(path)
+        # clear out empty commit dirs
+        for name in os.listdir(self._data_dir) if os.path.isdir(self._data_dir) else []:
+            d = os.path.join(self._data_dir, name)
+            if os.path.isdir(d) and not os.listdir(d):
+                shutil.rmtree(d)
+        return deleted
