@@ -59,6 +59,37 @@ def walk(node, depth: int = 0, lines: list[str] | None = None) -> list[str]:
     return lines
 
 
+def metrics_summary(plan) -> dict[str, int]:
+    """Whole-plan rollup of the metrics that matter for memory sizing:
+    total spill (bytes hitting disk), max per-operator peak memory
+    (the number that must fit an executor), total shuffle write."""
+    agg = {"spill_bytes": 0, "peak_mem_bytes": 0, "shuffle_write_bytes": 0}
+
+    def visit(node):
+        name = node.nodeName()
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            k, v = kv._1(), kv._2().value()
+            if k == "spillSize":
+                agg["spill_bytes"] += max(v, 0)
+            elif k == "peakMemory":
+                agg["peak_mem_bytes"] = max(agg["peak_mem_bytes"], v)
+            elif k == "shuffleBytesWritten":
+                agg["shuffle_write_bytes"] += max(v, 0)
+        if name == "AdaptiveSparkPlan":
+            visit(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            visit(node.plan())
+            return
+        for i in range(node.children().length()):
+            visit(node.children().apply(i))
+
+    visit(plan)
+    return agg
+
+
 def profile(name: str, sf_dir: str) -> None:
     from bigquery_etl_spark.registry import all_queries
     from bigquery_etl_spark.session import get_spark

@@ -103,6 +103,12 @@ def main() -> None:
     ap.add_argument("--src", type=str, default="/root/testdata/sf0.1")
     ap.add_argument("--out", type=str, default="/tmp/spark_graft_scale")
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument(
+        "--profile",
+        action="store_true",
+        help="also report per-query spill / peak-memory / shuffle-write "
+        "(executes via the plan instance so metrics are readable)",
+    )
     args = ap.parse_args()
 
     from bigquery_etl_spark.registry import all_queries
@@ -135,14 +141,25 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         try:
-            spec.fn(spark, args.out).write.format("noop").mode("overwrite").save()
+            if args.profile:
+                from tools.profile_query import metrics_summary
+
+                plan = spec.fn(spark, args.out)._jdf.queryExecution().executedPlan()
+                plan.execute().count()
+                extra = {
+                    k: round(v / 1e6, 1) for k, v in metrics_summary(plan).items()
+                }
+                extra = {k.replace("_bytes", "_mb"): v for k, v in extra.items()}
+            else:
+                spec.fn(spark, args.out).write.format("noop").mode("overwrite").save()
+                extra = {}
         except Exception as e:  # record and continue — one failure must not hide the rest
             print(json.dumps({"query": name, "error": str(e)[:200]}))
             continue
         sec = round(time.perf_counter() - t0, 2)
         total += sec
         results[name] = sec
-        print(json.dumps({"query": name, "sec": sec}))
+        print(json.dumps({"query": name, "sec": sec, **extra}))
     print(
         json.dumps(
             {"phase": "total", "copies": args.copies, "sec": round(total, 2), "queries": results}
