@@ -271,6 +271,40 @@ def q_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_xml_roundtrip",
+    sql="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("tierb", "source", "xml"),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (Spark 4 native XML): a subset of
+    orders goes out as XML and comes back through the StAX reader with
+    an explicit schema, then aggregates. The oracle computes the same
+    aggregate from the base table — parity proves the round-trip is
+    lossless (keys, strings, doubles)."""
+    import tempfile
+
+    from bigquery_etl_spark.plans._util import dsum
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="xml_q_") + "/orders_xml"
+    o.write.format("xml").option("rowTag", "order").mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml").option("rowTag", "order").schema(o.schema).load(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@query(
     "q_time_travel",
     sql="""
     -- closed-form recomputation of each snapshot's aggregate

@@ -149,3 +149,19 @@ def test_avro_roundtrip_if_available(spark, sf_dir, tmp_path):
     except Exception as e:
         pytest.skip(f"spark-avro not bundled: {str(e)[:80]}")
     assert spark.read.format("avro").load(out).count() == nation.count()
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Spark 4 native XML source/sink (BigQuery has no XML load, but
+    feeds often arrive as XML upstream of ETL): write with rowTag,
+    read back with explicit schema — row-for-row identical."""
+    from bigquery_etl_spark.sources import load
+
+    out = str(tmp_path / "nation.xml")
+    nation = load(spark, sf_dir, "nation")
+    nation.write.format("xml").option("rowTag", "nation").mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "nation").schema(nation.schema).load(out)
+    assert back.count() == nation.count()
+    a = {tuple(r) for r in nation.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
