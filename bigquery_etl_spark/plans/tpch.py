@@ -77,7 +77,16 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier-volume shape: 6-table join with a same-nation
-    constraint. Catalyst/CBO orders the joins; region/nation broadcast."""
+    constraint. Fact-first join order: lineitem streams against
+    broadcast dims (supplier → nation → region-filtered), which prunes
+    it to the target region's suppliers BEFORE the orderkey join — a
+    semi-join reduction that cuts the big join's input ~5x. The fact
+    table is never a build side: parquet file-size estimates once led
+    the planner to broadcast 600k-row lineitem instead of the 24k-row
+    assembled order side (profiled at sf0.1); with lineitem as the
+    left spine, AQE's runtime sizes pick the genuinely smaller side
+    here, and at 100 TB the same plan degrades to sort-merge on the
+    orderkey — correct at both scales."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -85,12 +94,17 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    li_side = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    order_side = o.join(c, o.o_custkey == c.c_custkey)
+    return (
+        li_side.join(
+            order_side,
+            (li.l_orderkey == o.o_orderkey) & (c.c_nationkey == s.s_nationkey),
+        )
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
