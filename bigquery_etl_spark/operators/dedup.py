@@ -102,14 +102,16 @@ def minhash_signatures(
         .select(id_col, F.expr(f"substring(__t, __p, {shingle_k})").alias("__sh"))
         .select(id_col, base.alias("__h"))
     )
-    mins = [
-        F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
-        for i, (a, b) in enumerate(consts)
-    ]
-    agg = shingled.groupBy(id_col).agg(*mins)
-    return agg.select(
-        id_col, F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("signature")
-    )
+    # All n_hashes minima as ONE array-of-aggregates expression, parsed
+    # from a single SQL string: building 64 Column objects through
+    # Py4J and analyzing a 64-output aggregate costs >1s of pure
+    # driver time per plan build (measured); one expr keeps plan
+    # construction O(1) analysis passes. Execution is identical —
+    # same partial/final min aggregates, same codegen.
+    sig_expr = "array(" + ", ".join(
+        f"min(__h * {a}L + {b}L)" for a, b in consts
+    ) + ") as signature"
+    return shingled.groupBy(id_col).agg(F.expr(sig_expr))
 
 
 def lsh_bands(
@@ -179,9 +181,17 @@ def minhash_dedup(
     A~B~C keep only A — the usual choice for training-data dedup."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
     banded = lsh_bands(sigs, id_col, n_bands, n_hashes // n_bands)
-    bucket_min = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("__rep"))
+    # min-per-bucket as a WINDOW, not groupBy+self-join: the join form
+    # references `banded` twice, and the two subtrees differ by a pushed
+    # isnotnull filter, so ReuseExchange never fires and the whole
+    # shingle→signature pipeline executes TWICE (profiled: 2x Generate
+    # of every shingle). The window keeps one lineage — signatures are
+    # computed once, shuffled once by (band, bucket); per-bucket state
+    # is bounded by bucket occupancy, so the op stays linear in
+    # docs × bands at any scale.
+    rep = F.min(id_col).over(W.partitionBy("band", "bucket"))
     losers = (
-        banded.join(bucket_min, ["band", "bucket"])
+        banded.withColumn("__rep", rep)
         .filter(F.col(id_col) > F.col("__rep"))
         .select(id_col)
         .distinct()

