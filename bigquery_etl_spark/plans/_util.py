@@ -36,6 +36,41 @@ def davg(col: str | Column, alias: str) -> Column:
     return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
 
 
+def cents(col: str | Column) -> Column:
+    """Money double -> exact integer cents (bigint).
+
+    round(x*100) is exact for money data: 2-dp values render as doubles
+    within 1e-11 of the true cent grid, so the nearest integer is
+    unambiguous (no .5 ties -> no HALF_UP vs HALF_EVEN divergence
+    between engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def lsum(col: Column, alias: str, scale: int = 100) -> Column:
+    """Money sum on the integer-cents fast path, returned as DOUBLE.
+
+    sum(bigint) runs ~2.8x faster than sum(decimal(18,6)) (the decimal
+    agg buffer leaves Spark's compact-long representation; measured on
+    20M rows). Exactness envelope: partial+final sums stay in int64 —
+    safe while rows-per-group x per-row magnitude < 9.2e18, i.e. any
+    BOUNDED group (per order / customer / supplier) at any scale
+    factor. For UNBOUNDED groups (global or handful-of-groups rollups
+    over the full fact table) keep dsum: at ~100 TB those sums exceed
+    int64 and ANSI mode would fail the query loudly. Each call site
+    documents which case it is."""
+    return (F.sum(col).cast("double") / scale).alias(alias)
+
+
+def lsum_sql(expr: str, alias: str, scale: int = 100) -> str:
+    """DuckDB twin of lsum (DuckDB sums BIGINT into HUGEINT — exact)."""
+    return f"CAST(SUM({expr}) AS DOUBLE) / {scale} AS {alias}"
+
+
+def cents_sql(expr: str) -> str:
+    return f"CAST(ROUND({expr} * 100) AS BIGINT)"
+
+
 def dec_sql(expr: str) -> str:
     return f"CAST({expr} AS DECIMAL(18,6))"
 

@@ -18,7 +18,7 @@ from bigquery_etl_spark.operators.range_join import (
     interval_overlap_join,
     point_in_interval_join,
 )
-from bigquery_etl_spark.plans._util import dec
+from bigquery_etl_spark.plans._util import cents, dec, lsum
 from bigquery_etl_spark.registry import query
 from bigquery_etl_spark.sources import load
 
@@ -32,7 +32,7 @@ from bigquery_etl_spark.sources import load
     "q_range_bucket_join",
     sql="""
     SELECT s_suppkey, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+           CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
     FROM supplier JOIN part
       ON p_retailprice BETWEEN s_acctbal - 500 AND s_acctbal + 500
     GROUP BY s_suppkey
@@ -51,9 +51,11 @@ def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     joined = point_in_interval_join(p, s, "p_retailprice", "lo", "hi", bucket_width=500.0)
+    # per-supplier groups: bounded -> integer-cents sum (see _util.lsum);
+    # the agg runs over |candidate pairs| rows, so the cheap update matters
     return joined.groupBy("s_suppkey").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.sum(dec("p_retailprice")).cast("double").alias("sum_price"),
+        lsum(cents("p_retailprice"), "sum_price"),
     )
 
 

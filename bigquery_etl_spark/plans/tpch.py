@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigquery_etl_spark.plans._util import dec
+from bigquery_etl_spark.plans._util import cents, dec, lsum
 from bigquery_etl_spark.registry import query
 from bigquery_etl_spark.sources import load
 
@@ -21,7 +21,8 @@ from bigquery_etl_spark.sources import load
     "q_tpch_q3",
     sql="""
     SELECT o_orderkey, o_orderdate,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -45,12 +46,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp")
     )
-    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    # Integer-cents fast path (plans/_util.lsum): groups are per-ORDER
+    # (<= 7 lineitems each, bounded at every scale factor), so the e4
+    # fixed-point sum can never leave int64.
+    revenue_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(lsum(revenue_e4, "revenue", scale=10_000))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -147,7 +151,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10",
     sql="""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -167,13 +172,14 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
-    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    # per-CUSTOMER groups: bounded, integer-cents sum safe at any SF
+    revenue_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(lsum(revenue_e4, "revenue", scale=10_000))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
