@@ -49,10 +49,18 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer-cents fast path (plans/_util.lsum): groups are per-ORDER
     # (<= 7 lineitems each, bounded at every scale factor), so the e4
     # fixed-point sum can never leave int64.
+    #
+    # Join order: broadcast the segment-filtered customer DIM into
+    # orders, then stream lineitem against the assembled order side.
+    # Written customer-first, the static planner picked lineitem as the
+    # orderkey join's build side (a 34MB broadcast of the filtered FACT
+    # at sf0.1 — unbounded at scale). The order side is proportional to
+    # SF too, so it gets no hint either: sort-merge on orderkey is the
+    # 100 TB plan, and AQE flips it to broadcast at small scale.
     revenue_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    order_side = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(order_side, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(lsum(revenue_e4, "revenue", scale=10_000))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -98,8 +106,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    # nation/region are constant-size dims -> hinted broadcasts. supplier
+    # SCALES with SF, so it gets no hint: the size estimator broadcasts
+    # it while it fits and falls back to shuffle join when it doesn't.
     li_side = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
