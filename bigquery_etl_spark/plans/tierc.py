@@ -361,7 +361,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
-    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n_docs))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
     rank_key = F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
     w = W.partitionBy("doc_id").orderBy(rank_key.desc(), F.col("term"))
     return (

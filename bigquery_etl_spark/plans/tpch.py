@@ -50,15 +50,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (<= 7 lineitems each, bounded at every scale factor), so the e4
     # fixed-point sum can never leave int64.
     #
-    # Join order: broadcast the segment-filtered customer DIM into
-    # orders, then stream lineitem against the assembled order side.
-    # Written customer-first, the static planner picked lineitem as the
-    # orderkey join's build side (a 34MB broadcast of the filtered FACT
-    # at sf0.1 — unbounded at scale). The order side is proportional to
-    # SF too, so it gets no hint either: sort-merge on orderkey is the
-    # 100 TB plan, and AQE flips it to broadcast at small scale.
+    # Join order: join the segment-filtered customer into orders, then
+    # stream lineitem against the assembled order side. Written
+    # customer-first, the static planner picked lineitem as the orderkey
+    # join's build side (a 34MB broadcast of the filtered FACT at sf0.1 —
+    # unbounded at scale). No broadcast hints anywhere: every input here
+    # is SF-proportional, so the size estimator broadcasts while small
+    # and sort-merge is the 100 TB plan.
     revenue_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
-    order_side = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    order_side = o.join(c, o.o_custkey == c.c_custkey)
     return (
         li.join(order_side, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")

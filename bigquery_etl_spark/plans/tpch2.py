@@ -82,7 +82,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
     )
     eligible = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("l_partkey", "l_extendedprice", "s_name", "s_acctbal", "n_name")
@@ -96,7 +96,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (eligible.l_partkey == F.col("mp_key"))
             & (eligible.l_extendedprice == F.col("mp_min")),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
             F.col("l_extendedprice").alias("min_price"),
@@ -188,8 +188,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -237,7 +237,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_7", "NATION_8"))
     revenue = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     part_value = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(revenue).cast("double").alias("value"))
@@ -378,7 +378,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -422,8 +422,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").like("%000000009%")
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(blacklist), li.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(blacklist, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -461,7 +461,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("aq_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("aq_key"))
         .filter(F.col("l_quantity") < F.col("aq_threshold"))
         .agg((F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
@@ -500,7 +500,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
@@ -547,7 +547,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     heavy_shippers = (
-        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(red_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
         .filter(F.col("_qty") > 100)
@@ -618,7 +618,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l3, (F.col("l_orderkey") == F.col("y_okey")) & (F.col("l_suppkey") != F.col("y_skey")), "left_anti")
     )
     return (
-        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
