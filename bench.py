@@ -123,15 +123,28 @@ def main() -> None:
     # the engine's execution, which is what scales with data.
     spark.range(1_000_000).selectExpr("sum(id) s").collect()
     warm_dir = "/root/testdata/sf0.001"
+    # Per-query error isolation everywhere below: one broken query must
+    # never zero the whole round's bench (round 1: q_sessionize threw in
+    # this warm-up and BENCH_r01.json recorded nothing). Errors are
+    # reported per-query in the JSON line instead.
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = registry.get(name)
-        if spec is not None:
+        if spec is None:
+            continue
+        try:
             spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"warmup: {type(exc).__name__}: {exc}"[:500]
 
     ingest_sec = 0.0
     query_dir = sf_dir
     if not raw_mode:
-        query_dir, ingest_sec = ingest(spark, sf_dir)
+        try:
+            query_dir, ingest_sec = ingest(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — fall back to raw fixtures
+            errors["__ingest__"] = f"{type(exc).__name__}: {exc}"[:500]
+            query_dir, ingest_sec = sf_dir, 0.0
 
     # Best-of-N timing (default 3), same protocol for both engines below:
     # single-run numbers swing +-15% from GC/scheduler noise at sub-second
@@ -141,13 +154,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)
-        if spec is None:
+        if spec is None or name in errors:
             continue
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            spec.fn(spark, query_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                spec.fn(spark, query_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"timing: {type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(best, 3)
 
     # single-node columnar baseline (DuckDB over the same parquet) for the
@@ -158,13 +175,17 @@ def main() -> None:
 
         for name in HEADLINE:
             spec = registry.get(name)
-            if spec is None or spec.sql is None:
+            if spec is None or spec.sql is None or name not in timings:
                 continue
             best = float("inf")
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                run_duckdb(spec.sql, sf_dir)
-                best = min(best, time.perf_counter() - t0)
+            try:
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    run_duckdb(spec.sql, sf_dir)
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+                errors[name] = f"baseline: {type(exc).__name__}: {exc}"[:500]
+                continue
             baseline[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -179,6 +200,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if errors:
+        out["errors"] = errors
     if not raw_mode:
         out["ingest_sec"] = ingest_sec
         out["layout"] = "managed"

@@ -69,6 +69,34 @@ def canon_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+# pandas dtype.kind -> comparison kind. The driver's value hash is
+# dtype-strict (round-1 q_dq_report: Spark bigint 0 vs DuckDB HUGEINT->
+# float64 0.0 hashed differently despite equal values), so the local
+# harness must reject int-vs-float/bool-vs-int column pairs too.
+_DTYPE_KIND = {"i": "int", "u": "int", "b": "bool", "f": "float"}
+
+
+def _dtype_errs(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    for c in spark_pdf.columns:
+        sk = _DTYPE_KIND.get(spark_pdf[c].dtype.kind)
+        ok = _DTYPE_KIND.get(oracle_pdf[c].dtype.kind)
+        if sk == ok or sk is None or ok is None:
+            continue  # object/datetime columns are canonicalized per-cell
+        if {sk, ok} == {"int", "float"} and (
+            spark_pdf[c].isna().any() or oracle_pdf[c].isna().any()
+        ):
+            # pandas forces nullable int columns to float64; both engines
+            # hit the same coercion at the driver, so NULLs excuse it
+            continue
+        errs.append(
+            f"column {c!r}: dtype kind differs spark={spark_pdf[c].dtype} "
+            f"oracle={oracle_pdf[c].dtype} (driver hash is dtype-strict — "
+            f"CAST the twin or the Spark column)"
+        )
+    return errs
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     errs: list[str] = []
@@ -77,6 +105,7 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
             f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
         )
         return errs
+    errs.extend(_dtype_errs(spark_pdf, oracle_pdf))
     if len(spark_pdf) != len(oracle_pdf):
         errs.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     s_rows, o_rows = canon_rows(spark_pdf), canon_rows(oracle_pdf)

@@ -257,12 +257,15 @@ def q_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
     ),
     checks AS (
+        -- CAST: DuckDB SUM(int) returns HUGEINT which pandas renders as
+        -- float64; the driver's value hash is dtype-strict, so an uncast
+        -- twin hash-mismatches Spark's bigint (round-1 q_dq_report FAIL)
         SELECT
-            SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END)
-                AS bad_quantity,
-            SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
-                AS bad_discount,
-            SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+            CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS bad_quantity,
+            CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS bad_discount,
+            CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
         FROM lineitem
     )
     SELECT dup.dup_li_keys, orphans.orphan_lineitems,

@@ -166,8 +166,9 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -185,9 +186,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id shared by both windows and the final groupBy."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ok = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    ) <= 30 * 60
+    # interval comparison is valid on TIMESTAMP and TIMESTAMP_NTZ alike —
+    # epoch casts (`cast(ts as long)`) are LTZ-only and crashed round 1
+    # when a fixture regeneration flipped the column to NTZ
+    gap_ok = (F.col("ts") - F.lag("ts").over(w)) <= F.expr("INTERVAL 30 MINUTE")
     flagged = e.select(
         "user_id",
         "ts",

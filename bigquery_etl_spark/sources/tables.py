@@ -51,19 +51,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read it as long ns-since-epoch and convert. The fixture
-        # is µs-aligned (verified), so the conversion is lossless.
+        # events.ts has shipped in three encodings across driver fixture
+        # generations; normalize ALL of them to TIMESTAMP (LTZ, UTC session)
+        # so every downstream query sees one stable type:
+        #   1. INT64 TIMESTAMP(NANOS)  — Spark rejects; read as long + convert
+        #   2. timestamp[us] with tz   — Spark reads TIMESTAMP, pass through
+        #   3. timestamp[us] no tz     — Spark 4 reads TIMESTAMP_NTZ; cast to
+        #      TIMESTAMP (under the UTC session tz the wall-clock IS the
+        #      instant, so this matches DuckDB's naive reading bit-for-bit)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        if not df.schema["ts"].dataType.typeName().startswith("long"):
-            # already a real timestamp (e.g. a re-materialized copy of the
-            # fixture, which Spark wrote as TIMESTAMP(MICROS))
-            return df
-        # integer div — ns values exceed 2^53, double division would drift
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        t = df.schema["ts"].dataType.typeName()
+        if t == "long":
+            # integer div — ns values exceed 2^53, double division would drift
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if t == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
