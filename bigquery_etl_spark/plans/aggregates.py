@@ -100,24 +100,65 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_approx_distinct", sql=None, tags=("agg", "approx"))
+@query(
+    "q_approx_distinct",
+    sql="""
+    SELECT l_returnflag, TRUE AS orders_within_5pct, TRUE AS parts_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_COUNT_DISTINCT (HLL++). Sketches merge associatively, so the
-    shuffle carries fixed-size sketches, not values — the 100 TB path."""
+    shuffle carries fixed-size sketches, not values — the 100 TB path.
+
+    Driver-checkable bound form: the sketch estimate can't hash-match an
+    exact count, so the query asserts |approx - exact| <= 5% (rsd=0.02,
+    so 5% is ~2.5 sigma) and emits booleans; the twin emits TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_o"),
+        F.countDistinct("l_orderkey").alias("e_o"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_p"),
+        F.countDistinct("l_partkey").alias("e_p"),
+    )
+    within = lambda a, e, name: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e)
+    ).alias(name)
+    return agg.select(
+        "l_returnflag",
+        within("a_o", "e_o", "orders_within_5pct"),
+        within("a_p", "e_p", "parts_within_5pct"),
     )
 
 
-@query("q_approx_quantile", sql=None, tags=("agg", "approx"))
+@query(
+    "q_approx_quantile",
+    sql="""
+    SELECT l_linestatus, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "approx"),
+)
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPROX_QUANTILES via percentile_approx (GK sketch, mergeable)."""
+    """APPROX_QUANTILES via percentile_approx (GK sketch, mergeable).
+
+    Driver-checkable bound form: a sketch result can't hash-match an
+    exact oracle, so the query itself asserts |approx - exact| <= 5%
+    per quartile and emits the booleans; the twin emits TRUE. (Arrays
+    also crash the driver's pandas hasher — round-1 lesson: every
+    driver-visible column must be scalar.)"""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles")
+    agg = li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("a"),
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("e"),
     )
+
+    def ok(i: int, name: str):
+        a, e = F.col("a")[i], F.col("e")[i]
+        return (F.abs(a - e) <= 0.05 * F.abs(e)).alias(name)
+
+    return agg.select("l_linestatus", ok(0, "q25_ok"), ok(1, "q50_ok"), ok(2, "q75_ok"))
 
 
 # ---------------------------------------------------------------------------

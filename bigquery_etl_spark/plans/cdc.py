@@ -45,9 +45,28 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_dataframe(current, updates, ["o_orderkey"])
 
 
-@query("q_scd2", sql=None, tags=("cdc",))
+@query(
+    "q_scd2",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           TIMESTAMP '2024-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           TIMESTAMP '2024-01-01', TIMESTAMP '2024-06-01'
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, 'X', TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP)
+    FROM orders WHERE o_orderkey % 4 = 0
+    """,
+    tags=("cdc",),
+)
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 version-history maintenance over fixture-derived frames."""
+    """SCD2 version-history maintenance over fixture-derived frames.
+
+    Deterministic, so the oracle spells out the three result legs
+    algebraically: untouched open rows (%2 keys not updated), closed
+    prior versions of changed keys (%4), and their new open versions."""
     o = load(spark, sf_dir, "orders")
     current = o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey",

@@ -212,6 +212,18 @@ def q_unnest_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_freq_items", sql=None, tags=("agg", "approx"))
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate frequent items per column (Karp et al. single-pass)."""
+    """Approximate frequent items per column (Karp et al. single-pass).
+
+    Output arrays are sorted + CSV-serialized: the driver's pandas
+    hasher factorizes every cell and raises on lists (round-1 ERR)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.freqItems(["l_returnflag", "l_quantity"], support=0.2)
+    fi = li.freqItems(["l_returnflag", "l_quantity"], support=0.2)
+    return fi.select(
+        F.array_join(F.array_sort("l_returnflag_freqItems"), ",").alias(
+            "l_returnflag_freqItems"
+        ),
+        F.array_join(
+            F.transform(F.array_sort("l_quantity_freqItems"), lambda x: x.cast("string")),
+            ",",
+        ).alias("l_quantity_freqItems"),
+    )

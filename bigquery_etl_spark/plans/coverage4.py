@@ -40,13 +40,29 @@ def q_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_sample", sql=None, tags=("scan", "approx"))
+@query("q_sample", sql="SELECT TRUE AS sample_within_bounds", tags=("scan", "approx"))
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample: deterministic within Spark (seed fixed),
-    not comparable across engines. At scale sampling happens AT THE SCAN
-    (per row-group) — free data reduction for estimation queries."""
+    """Seeded Bernoulli sample. At scale sampling happens AT THE SCAN
+    (per row-group) — free data reduction for estimation queries.
+
+    Driver-checkable bound form: the sampled row set is engine- and
+    layout-specific, so the query asserts |n_sampled - 0.1*N| is within
+    max(5% of expectation, 5*sigma) for Binomial(N, 0.1) — the sigma
+    floor keeps the bound meaningful at tiny SFs where 5% of the
+    expectation is under 2 sigma — and emits the boolean; the twin
+    emits TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    n_samp = (
+        li.sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n_samp"))
+    )
+    n_total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    expect = 0.1 * F.col("n_total")
+    bound = F.greatest(0.05 * expect, 5 * F.sqrt(expect * 0.9))
+    return n_samp.crossJoin(n_total).select(
+        (F.abs(F.col("n_samp") - expect) <= bound).alias("sample_within_bounds")
+    )
 
 
 # ---------------------------------------------------------------------------

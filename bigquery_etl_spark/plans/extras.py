@@ -188,10 +188,26 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_join_asof_forward", sql=None, tags=("join", "asof"))
+@query(
+    "q_join_asof_forward",
+    sql="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                           ORDER BY o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+    ) o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
 def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each event, the customer's NEXT order at-or-after event time
-    (forward as-of; same single-shuffle rewrite over reversed time)."""
+    (forward as-of; same single-shuffle rewrite over reversed time).
+    Oracle: DuckDB ASOF with <= plus max-orderkey dedup per (custkey,
+    orderdate), mirroring the operator's largest-tiebreak-wins rule."""
     from bigquery_etl_spark.operators.asof import asof_join
 
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -206,14 +222,27 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
 
 
-@query("q_incremental_agg", sql=None, tags=("agg", "incremental"))
+@query(
+    "q_incremental_agg",
+    sql="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(value) AS n,
+           CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "incremental"),
+)
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance: fold three event micro-batches into
     mergeable per-type state; equals the full recompute (pinned by
-    tests/test_incremental_agg.py)."""
+    tests/test_incremental_agg.py — the oracle IS the full recompute).
+    value is decimal-cast so the three-batch fold sums exactly and
+    matches the oracle's single-pass sum bit-for-bit."""
     from bigquery_etl_spark.operators.incremental_agg import merge_agg_state, partial_agg
 
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").withColumn("value", dec("value"))
     measures = {"total_value": ("sum", "value"), "n": ("count", "value"),
                 "min_value": ("min", "value"), "max_value": ("max", "value")}
     state = None
@@ -221,15 +250,32 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = e.filter(F.col("event_id") % 3 == i)
         state = merge_agg_state(state, partial_agg(batch, ["event_type"], measures),
                                 ["event_type"], measures)
-    return state
+    return state.select(
+        "event_type",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n",
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
 
 
-@query("q_hll_distinct", sql=None, tags=("agg", "sketch"))
+@query(
+    "q_hll_distinct",
+    sql="""
+    SELECT event_type, TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BigQuery HLL_COUNT.INIT/MERGE/EXTRACT analogue: per-type daily
-    sketches merged up to per-type totals (rows-only: sketch estimates
-    are engine-specific). The scale path for distinct counts over
-    arbitrary date ranges — merge persisted sketches, never rescan."""
+    sketches merged up to per-type totals. The scale path for distinct
+    counts over arbitrary date ranges — merge persisted sketches, never
+    rescan.
+
+    Driver-checkable bound form: sketch estimates are engine-specific,
+    so the query asserts |estimate - exact| <= 5% (lg_k=12 → ~1.6% rse,
+    5% is ~3 sigma) and emits the boolean; the twin emits TRUE."""
     from bigquery_etl_spark.operators.sketches import (
         distinct_sketch,
         estimate,
@@ -238,6 +284,14 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
     daily = distinct_sketch(e, ["event_type", "dt"], "user_id")
-    return estimate(merge_sketches(daily, ["event_type"]), "distinct_users").orderBy(
-        "event_type"
+    est = estimate(merge_sketches(daily, ["event_type"]), "distinct_users")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("distinct_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
     )

@@ -259,17 +259,38 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_map_funcs", sql=None, tags=("functions", "map"))
+@query(
+    "q_map_funcs",
+    sql="""
+    SELECT c_custkey,
+           c_acctbal AS bal_val,
+           'bal,nk' AS keys_csv,
+           printf('%.2f,%.2f', c_acctbal, CAST(c_nationkey AS DOUBLE)) AS vals_csv,
+           '{"k":' || c_custkey || '}' AS m2_json
+    FROM customer
+    """,
+    tags=("functions", "map"),
+)
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map build/access/keys/values (rows-only: no stable DuckDB twin)."""
+    """Map build/access/keys/values. Map-typed outputs are serialized at
+    the query boundary (CSV / JSON) — scalar columns are the only shape
+    the driver's hasher accepts, and serializing also unlocks an exact
+    DuckDB twin (printf is C-style in both engines, so double formatting
+    is deterministic)."""
     c = load(spark, sf_dir, "customer")
     m = F.create_map(F.lit("bal"), F.col("c_acctbal"), F.lit("nk"), F.col("c_nationkey").cast("double"))
     return c.select(
         "c_custkey",
         F.element_at(m, "bal").alias("bal_val"),
-        F.map_keys(m).alias("keys"),
-        F.map_values(m).alias("vals"),
-        F.map_from_entries(F.array(F.struct(F.lit("k").alias("k"), F.col("c_custkey").alias("v")))).alias("m2"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.array_join(
+            F.transform(F.map_values(m), lambda x: F.format_string("%.2f", x)), ","
+        ).alias("vals_csv"),
+        F.to_json(
+            F.map_from_entries(
+                F.array(F.struct(F.lit("k").alias("k"), F.col("c_custkey").alias("v")))
+            )
+        ).alias("m2_json"),
     )
 
 

@@ -130,21 +130,73 @@ def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_sliding_window", sql=None, tags=("pipeline", "window", "streaming-twin"))
+@query(
+    "q_sliding_window",
+    sql="""
+    SELECT ws, ws + INTERVAL '1 hour' AS we, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS ws,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1]) AS o) hops
+    )
+    GROUP BY ws, event_type
+    """,
+    tags=("pipeline", "window", "streaming-twin"),
+)
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B48 hopping window (batch form of streaming/windows.py; rows-only —
-    no clean single-bucket DuckDB twin for overlapping windows)."""
-    from bigquery_etl_spark.streaming.windows import sliding_window_agg
+    """B48 hopping window, batch form (streaming form:
+    streaming/windows.py:sliding_window_agg, exercised in
+    tests/test_streaming.py). Each row lands in duration/slide = 2
+    windows; the oracle materializes both hops per row and buckets.
+    Decimal-cast sum so the hash is summation-order independent."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+    return g.agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    ).select(
+        F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+        "event_type", "n", "sum_value",
+    )
 
-    return sliding_window_agg(load(spark, sf_dir, "events"), duration="1 hour", slide="30 minutes")
 
-
-@query("q_session_window", sql=None, tags=("pipeline", "window", "streaming-twin"))
+@query(
+    "q_session_window",
+    sql="""
+    SELECT user_id, MIN(ts) AS ws, MAX(ts) + INTERVAL '30 minutes' AS we,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+    tags=("pipeline", "window", "streaming-twin"),
+)
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B49 session window (batch form; data-driven extents, rows-only)."""
-    from bigquery_etl_spark.streaming.windows import session_window_agg
-
-    return session_window_agg(load(spark, sf_dir, "events"), gap="30 minutes")
+    """B49 session window, batch form (streaming form:
+    streaming/windows.py:session_window_agg). Data-driven extents:
+    session end = last event + gap. The oracle re-derives sessions via
+    lag/cumsum — NB Spark's session_window merges on STRICT overlap, so
+    a gap of exactly 30min starts a new session (`<`, not `<=` — that's
+    the q_sessionize convention, which is a different operator)."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+    return g.agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    ).select(
+        F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+        "user_id", "n", "sum_value",
+    )
 
 
 @query(

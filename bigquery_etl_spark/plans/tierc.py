@@ -174,11 +174,40 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_lang_id", sql=None, tags=("tierc", "text"))
+def _lang_id_oracle_sql() -> str:
+    """DuckDB twin of functions.text.lang_id, generated from the same
+    LANG_MARKERS table: per-language stopword-hit fraction, argmax with
+    last-language-wins tie order (mirroring the when-chain fold), 'und'
+    when no marker hits. Scores are int/int divisions of identical
+    values, so float equality against GREATEST is engine-stable."""
+    from bigquery_etl_spark.functions.text import LANG_MARKERS
+
+    toks = "string_split_regex(trim(text), '\\s+')"
+    scores = ", ".join(
+        f"len(list_filter({toks}, t -> list_contains("
+        f"{[m for m in LANG_MARKERS[lang]]}, lower(t)))) "
+        f"/ greatest(len({toks}), 1) AS s_{lang}"
+        for lang in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    # reversed: the Spark fold wraps later langs outermost, so they win ties
+    case = " ".join(
+        f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in reversed(list(LANG_MARKERS))
+    )
+    return f"""
+    SELECT lang, pred, COUNT(*) AS n FROM (
+        SELECT lang, CASE {case} ELSE 'und' END AS pred
+        FROM (SELECT lang, {scores} FROM documents)
+    ) GROUP BY lang, pred
+    """
+
+
+@query("q_lang_id", sql=_lang_id_oracle_sql(), tags=("tierc", "text"))
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-marker argmax) vs the labeled lang
-    column — returns the confusion counts (rows-only; the heuristic is
-    pinned by tests/test_text.py)."""
+    column — returns the confusion counts. Oracle re-derives the same
+    heuristic in DuckDB from the shared LANG_MARKERS table."""
     d = load(spark, sf_dir, "documents")
     return (
         d.select("lang", lang_id("text").alias("pred"))
@@ -231,10 +260,37 @@ def _queries_from_corpus(emb: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
-@query("q_embed_topk", sql=None, tags=("tierc", "similarity"))
+@query(
+    "q_embed_topk",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings ORDER BY vec_id LIMIT 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS cs
+        FROM q, embeddings e
+    )
+    SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+    tags=("tierc", "similarity"),
+)
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-10 for 5 query vectors."""
-    emb = load(spark, sf_dir, "embeddings")
+    """Exact brute-force cosine top-10 for 5 query vectors. Oracle:
+    DuckDB list_cosine_similarity + same (cs DESC, vec_id) ranking;
+    cos_sim rounded to 6 (different fold orders drift last float bits;
+    top-10 similarity gaps are >>1e-12, so ranks are stable). Both
+    sides compute in float64 — the stored vectors are float32, and
+    float32 products carry ~1e-7 noise that flips the 6th decimal."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     return cosine_topk_bruteforce(emb, _queries_from_corpus(emb), k=10).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )

@@ -82,17 +82,32 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_grouped_map", sql=None, tags=("udf",))
+@query(
+    "q_grouped_map",
+    sql="""
+    SELECT event_id, user_id, value,
+           ROUND(CASE WHEN STDDEV_POP(value) OVER w = 0 THEN 0.0
+                      ELSE (value - AVG(value) OVER w) / STDDEV_POP(value) OVER w
+                 END, 4) AS value_z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    tags=("udf",),
+)
 def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas: z-score of event value within each user's history.
     Each group must fit in one worker's memory — at 100 TB that means
-    grouping by a high-cardinality key (user), never a global op."""
+    grouping by a high-cardinality key (user), never a global op.
+    z rounded to 4 both sides (pandas two-pass vs DuckDB streaming
+    stddev differ in the last float bits)."""
     e = load(spark, sf_dir, "events")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf["value"].std(ddof=0)
         mean = pdf["value"].mean()
-        pdf["value_z"] = 0.0 if std == 0 else (pdf["value"] - mean) / std
+        z = 0.0 if std == 0 else (pdf["value"] - mean) / std
+        pdf["value_z"] = z
+        pdf["value_z"] = pdf["value_z"].round(4)
         return pdf[["event_id", "user_id", "value", "value_z"]]
 
     return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
@@ -105,10 +120,20 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_udtf_expand", sql=None, tags=("udf",))
+@query(
+    "q_udtf_expand",
+    sql="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+    tags=("udf",),
+)
 def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas as a UDTF: emit one row per token with its offset.
-    Arrow-batch iterator — no per-row Python overhead, arbitrary fan-out."""
+    Arrow-batch iterator — no per-row Python overhead, arbitrary fan-out.
+    Oracle: DuckDB unnest zipped with generate_subscripts."""
     d = load(spark, sf_dir, "documents")
 
     def expand(batches):
@@ -142,8 +167,21 @@ def _geo_mean(v: pd.Series) -> float:
     return float(np.exp(np.log(pos).mean()))
 
 
-@query("q_udaf_geomean", sql=None, tags=("udf",))
+@query(
+    "q_udaf_geomean",
+    sql="""
+    SELECT o_orderstatus,
+           ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geo_price
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("udf",),
+)
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom aggregate (geometric mean) as a GROUPED_AGG pandas UDF."""
+    """Custom aggregate (geometric mean) as a GROUPED_AGG pandas UDF.
+    Rounded to 4 both sides (np mean-of-logs vs DuckDB AVG(LN) differ
+    in the last float bits from summation order)."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(_geo_mean("o_totalprice").alias("geo_price"))
+    return o.groupBy("o_orderstatus").agg(
+        F.round(_geo_mean("o_totalprice"), 4).alias("geo_price")
+    )

@@ -46,6 +46,20 @@ for name, fn in sorted(qs.items()):
         print(f"FAIL {name}: raised {exc!r}")
         continue
     dt = time.perf_counter() - t0
+    # The driver canonicalizes EVERY query's output (sort_values +
+    # factorize over all columns) — list/ndarray/dict cells raise
+    # "unhashable type" there even for rows-only queries (round-1
+    # q_approx_quantile/q_freq_items). Mirror that constraint here.
+    bad_cols = [
+        c
+        for c in pdf.columns
+        if pdf[c].head(50).map(lambda v: isinstance(v, (list, dict, set))
+                               or type(v).__name__ == "ndarray").any()
+    ]
+    if bad_cols:
+        fails.append((name, [f"unhashable (array/map) output columns: {bad_cols}"]))
+        print(f"FAIL {name}: unhashable output columns {bad_cols}")
+        continue
     if name in oracles:
         errs = compare(pdf, run_duckdb(oracles[name], SF))
         if errs:
