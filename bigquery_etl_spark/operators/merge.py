@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,28 +25,70 @@ def upsert_dataframe(target: DataFrame, updates: DataFrame, keys: list[str]) -> 
     return target.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
 
 
+def recover_upsert(path: str) -> str:
+    """Finish or roll back an interrupted ``merge_upsert`` swap.
+
+    The swap protocol uses two deterministic sibling dirs (single-writer
+    assumption, same as the reference's deployment — ref app.yaml:14-15):
+    ``<path>.staging`` (new snapshot, complete iff Spark's _SUCCESS
+    marker exists) and ``<path>.gc`` (prior snapshot awaiting delete).
+    Every crash window leaves a state this function maps back to exactly
+    one consistent snapshot — the merge is all-or-nothing:
+
+    - table dir present        -> done; drop leftovers     ('clean')
+    - staging complete, no dir -> roll FORWARD: staging is the committed
+                                  result                   ('completed')
+    - gc present, no dir       -> roll BACK: pre-merge snapshot
+                                  ('rolled_back')
+    """
+    staging, gc = f"{path}.staging", f"{path}.gc"
+    if os.path.isdir(path):
+        for d in (staging, gc):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return "clean"
+    if os.path.isdir(staging) and os.path.exists(os.path.join(staging, "_SUCCESS")):
+        os.rename(staging, path)
+        if os.path.isdir(gc):
+            shutil.rmtree(gc)
+        return "completed"
+    if os.path.isdir(gc):
+        os.rename(gc, path)
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        return "rolled_back"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # incomplete write, nothing to preserve
+    return "empty"
+
+
 def merge_upsert(
     spark: SparkSession, updates: DataFrame, path: str, keys: list[str]
 ) -> int:
     """Storage upsert on a parquet directory: rewrite = anti-join +
-    union, staged to a temp dir then atomically swapped in. Returns the
-    new row count.
+    union, staged to a sibling dir then swapped in with a crash-
+    recoverable two-rename protocol (see ``recover_upsert``; a kill at
+    any point leaves either the old or the new snapshot, never neither).
+    Returns the new row count.
 
     Scale note: plain-parquet upsert rewrites the table — correct but
     O(table). At 100 TB you partition the table (write_partitioned) and
     rewrite only partitions containing updated keys, or use a format
     with row-level deletes; the relational core (upsert_dataframe) is
     identical in all three."""
+    recover_upsert(path)
     if os.path.isdir(path):
         merged = upsert_dataframe(spark.read.parquet(path), updates, keys)
     else:
         merged = updates
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    staging, gc = f"{path}.staging", f"{path}.gc"
+    merged.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
     if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+        os.rename(path, gc)
+    os.rename(staging, path)
+    if os.path.isdir(gc):
+        shutil.rmtree(gc)
     return n
 
 

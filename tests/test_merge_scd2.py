@@ -31,6 +31,62 @@ def test_merge_upsert_storage(spark, tmp_path):
     assert merge_upsert(spark, second, path, ["k"]) == 3
 
 
+def _snapshot(spark, path):
+    return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+
+def test_merge_upsert_crash_recovery(spark, tmp_path):
+    """A kill at ANY point of the staged swap must leave either the
+    pre-merge or the post-merge snapshot — never a missing/torn table
+    (the reference's at-least-once cursor bug class, ref main.py:132-142)."""
+    import os
+    import shutil
+
+    from bigquery_etl_spark.operators.merge import recover_upsert
+
+    path = str(tmp_path / "tbl")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge_upsert(spark, first, path, ["k"])
+    pre = _snapshot(spark, path)
+    second = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    staging, gc = f"{path}.staging", f"{path}.gc"
+
+    # window 1: crash after staging written, before any rename —
+    # recovery rolls back (table dir untouched, staging dropped)
+    upsert_dataframe(spark.read.parquet(path), second, ["k"]).write.parquet(staging)
+    assert recover_upsert(path) == "clean"
+    assert not os.path.isdir(staging)
+    assert _snapshot(spark, path) == pre
+
+    # window 2: crash between rename(path, gc) and rename(staging, path)
+    # — recovery rolls FORWARD (staging is complete)
+    upsert_dataframe(spark.read.parquet(path), second, ["k"]).write.parquet(staging)
+    os.rename(path, gc)
+    assert recover_upsert(path) == "completed"
+    post = [(1, "a"), (2, "B"), (3, "c")]
+    assert _snapshot(spark, path) == post
+    assert not os.path.isdir(gc) and not os.path.isdir(staging)
+
+    # window 3: crash after rename(staging, path), before rmtree(gc)
+    # — recovery just drops the stale snapshot
+    shutil.copytree(path, gc)
+    assert recover_upsert(path) == "clean"
+    assert _snapshot(spark, path) == post
+
+    # window 4: crash mid-write of staging (no _SUCCESS marker) with the
+    # table renamed away — recovery rolls BACK to the gc snapshot
+    shutil.copytree(path, staging)
+    os.remove(os.path.join(staging, "_SUCCESS"))
+    os.rename(path, gc)
+    assert recover_upsert(path) == "rolled_back"
+    assert _snapshot(spark, path) == post
+    assert not os.path.isdir(gc) and not os.path.isdir(staging)
+
+    # a fresh merge after each recovery is business as usual
+    third = spark.createDataFrame([(4, "d")], "k long, v string")
+    assert merge_upsert(spark, third, path, ["k"]) == 4
+
+
 def test_scd2_apply(spark):
     current = spark.createDataFrame(
         [
