@@ -17,6 +17,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# One representative per operator family in SURVEY.md §2 — aggregation,
+# joins (equi/broadcast/asof/range), windows, sort/limit, set ops via
+# dedup, TPC-H shapes, subqueries, sessionization, and the Tier C
+# text/dedup/similarity pipeline. Round 2 added the families the
+# original list skipped entirely: scalar-function packs (math), nested
+# data (unnest/lateral/variant fan-out), UDTF, text analysis (lang-id,
+# n-grams, fingerprints), and the geo join — an LLM-data engine spends
+# most of its cycles in exactly these string/array kernels, so a
+# headline without them under-reports the engine.
 HEADLINE = [
     "q_agg_hash",
     "q_agg_distinct",
@@ -44,6 +53,16 @@ HEADLINE = [
     "q_gap_fill",
     "q_fuzzy_match",
     "q_pii_redact",
+    # round-2 family-coverage additions
+    "q_lang_id",
+    "q_ngram_top",
+    "q_doc_fingerprint",
+    "q_udtf_expand",
+    "q_unnest_structs",
+    "q_lateral_view",
+    "q_explode_variants",
+    "q_math_funcs",
+    "q_geo_join",
 ]
 
 
@@ -102,7 +121,15 @@ def main() -> None:
     # (measured ~20% faster than 32 here). At real scale you size for
     # ~128MB-per-partition / 2-3x total cores; AQE re-coalesces either way.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
-    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=shuffle)
+    # ad-hoc conf overrides for A/B runs: SPARK_GRAFT_CONF="k=v;k=v"
+    extra = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";")
+        if "=" in kv
+    )
+    spark = get_spark(
+        app_name="bench", cpus=cpus, shuffle_partitions=shuffle, extra_conf=extra
+    )
     # AQE is a per-shuffle-stage driver round-trip (materialize stage,
     # re-plan, submit next). At production scale that costs microseconds
     # relative to stage work and buys skew handling + runtime join
@@ -113,6 +140,13 @@ def main() -> None:
     # SPARK_GRAFT_AQE=1 to time with AQE.
     if os.environ.get("SPARK_GRAFT_AQE", "0") != "1":
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # With AQE off, the static broadcast threshold stands in for the
+        # decision AQE makes at runtime from actual post-filter sizes
+        # (production keeps AQE on and would convert these SMJs to
+        # broadcast joins itself). 64MB is memory-proportional for this
+        # host, far below any risk at bench SF; measured: q_tpch_q3
+        # 0.68->0.37s, q_tpch_q5 0.44->0.27s.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
     # Warm the JVM and compile every headline plan once at the smallest SF
     # (sf0.001) before timing at the target SF. Whole-stage codegen

@@ -41,6 +41,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# -- fixed-width (known-dim) variants ---------------------------------------
+# Spark evaluates higher-order-function lambdas (aggregate/zip_with)
+# INTERPRETED, per element — measured ~8x slower than codegen at dim=64
+# (same finding as the minhash aggregate, PERF.md item 1). When the
+# embedding dimension is known, an explicit dim-term expression stays
+# inside whole-stage codegen. Built as ONE F.expr string (single JVM
+# parse) — 128 separately-constructed Columns would cost >100ms of
+# Py4J plan-build time per query (PERF.md item 2). Args are column
+# NAMES (resolvable in SQL text), not Column objects.
+
+
+def dot_fixed(a: str, b: str, dim: int) -> Column:
+    return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)))
+
+
+def norm_fixed(a: str, dim: int) -> Column:
+    return F.expr(
+        "sqrt(" + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(dim)) + ")"
+    )
+
+
+def cosine_fixed(a: str, b: str, dim: int) -> Column:
+    return dot_fixed(a, b, dim) / (norm_fixed(a, dim) * norm_fixed(b, dim))
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,19 +74,41 @@ def cosine_topk_bruteforce(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Plan: broadcast(queries) × corpus → cosine → per-query top-k.
     Scales in corpus size (one scan, no corpus shuffle beyond the
     window's partition-by-query exchange, which carries only scored
-    rows; with WindowGroupLimit Spark keeps k rows per query per task)."""
-    q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
-        query_id_col,
-        id_col,
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
-    )
+    rows; with WindowGroupLimit Spark keeps k rows per query per task).
+
+    Pass ``dim`` when the embedding width is known: the dot/norm run as
+    codegen'd fixed-width expressions (~8x over the interpreted HOF
+    path at dim=64), and each side's norm is computed once per ROW
+    instead of once per pair."""
+    if dim is None:
+        q = F.broadcast(queries.select(query_id_col, query_vec_col))
+        scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+        )
+    else:
+        c = corpus.select(id_col, vec_col, norm_fixed(vec_col, dim).alias("__cn"))
+        q = F.broadcast(
+            queries.select(
+                query_id_col, query_vec_col, norm_fixed(query_vec_col, dim).alias("__qn")
+            )
+        )
+        scored = c.crossJoin(q).select(
+            query_id_col,
+            id_col,
+            (
+                dot_fixed(vec_col, query_vec_col, dim)
+                / (F.col("__cn") * F.col("__qn"))
+            ).alias("cos_sim"),
+        )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -163,6 +210,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids: list[list[float]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into inverted
     lists, search only the nprobe closest lists per query, exact-rerank
@@ -209,9 +257,12 @@ def ivf_topk(
     cands = assigned.join(F.broadcast(qprobe), "__c").select(
         query_id_col, id_col, vec_col, query_vec_col
     )
-    scored = cands.select(
-        query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim")
+    rerank = (
+        cosine_fixed(vec_col, query_vec_col, dim)
+        if dim is not None
+        else cosine(F.col(vec_col), F.col(query_vec_col))
     )
+    scored = cands.select(query_id_col, id_col, rerank.alias("cos_sim"))
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -259,7 +310,8 @@ def lsh_topk(
         .dropDuplicates([query_id_col, id_col])
     )
     scored = cands.select(
-        query_id_col, id_col, cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim")
+        query_id_col, id_col,
+        cosine_fixed(vec_col, query_vec_col, dim).alias("cos_sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -326,7 +378,7 @@ def embedding_near_dup(
     losers = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .filter(cosine_fixed("vec_a", "vec_b", dim) >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

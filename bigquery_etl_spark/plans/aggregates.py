@@ -116,12 +116,22 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count, so the query asserts |approx - exact| <= 5% (rsd=0.02,
     so 5% is ~2.5 sigma) and emits booleans; the twin emits TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+
+    # Sketches and exact distincts in SEPARATE sub-plans, joined on the
+    # 3-row group key. Two distinct columns in one agg plan as Expand x3
+    # (10.9s at sf0.1); even one approx + one countDistinct together is
+    # worse — Spark's distinct rewrite then allocates an HLL buffer per
+    # (flag, key) GROUP, i.e. ~150k sketches. Split: sketches build one
+    # buffer per flag in a single scan; each exact distinct is the
+    # standard two-level partial-distinct. (Production uses only the
+    # sketch side — the exact branch exists for the bound check.)
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_o"),
-        F.countDistinct("l_orderkey").alias("e_o"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_p"),
-        F.countDistinct("l_partkey").alias("e_p"),
     )
+    exact_o = li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("e_o"))
+    exact_p = li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("e_p"))
+    agg = approx.join(exact_o, "l_returnflag").join(exact_p, "l_returnflag")
     within = lambda a, e, name: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e)
     ).alias(name)

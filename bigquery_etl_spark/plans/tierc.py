@@ -291,7 +291,7 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return cosine_topk_bruteforce(emb, _queries_from_corpus(emb), k=10).select(
+    return cosine_topk_bruteforce(emb, _queries_from_corpus(emb), k=10, dim=64).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
 
@@ -303,7 +303,9 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigquery_etl_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _queries_from_corpus(emb), k=10, n_centroids=16, nprobe=4).select(
+    return ivf_topk(
+        emb, _queries_from_corpus(emb), k=10, n_centroids=16, nprobe=4, dim=64
+    ).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
 
