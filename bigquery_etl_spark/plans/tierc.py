@@ -238,6 +238,30 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, cands.select("id_a", "id_b"), "doc_id", "text")
 
 
+@query(
+    "q_dedup_minhash_check",
+    sql="SELECT TRUE AS no_exact_dup_pairs, TRUE AS some_survivors",
+    tags=("tierc", "dedup", "lsh"),
+)
+def q_dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable MinHash-dedup invariant: identical-text docs can
+    never BOTH survive (identical shingles -> identical signatures ->
+    shared buckets in every band -> the higher id loses the bucket-min),
+    and the survivor set is non-empty. The survivor ROWS are exercised
+    by q_dedup_minhash (rows-only; engine-specific hash space)."""
+    d = load(spark, sf_dir, "documents")
+    s = minhash_dedup(d, "doc_id", "text").select("doc_id", "text")
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("text").alias("t"))
+    dup_pairs = a.join(b, "t").filter(F.col("id_a") < F.col("id_b"))
+    return dup_pairs.agg(F.count(F.lit(1)).alias("n_dup")).crossJoin(
+        s.agg(F.count(F.lit(1)).alias("n_surv"))
+    ).select(
+        (F.col("n_dup") == 0).alias("no_exact_dup_pairs"),
+        (F.col("n_surv") > 0).alias("some_survivors"),
+    )
+
+
 @query("q_dedup_simhash", sql=None, tags=("tierc", "dedup", "lsh"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs (banded 64-bit, Hamming<4 recall)."""
@@ -296,27 +320,59 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embed_ann_ivf", sql=None, tags=("tierc", "similarity"))
+def _ann_recall_check(ann: DataFrame, exact: DataFrame, bound: float) -> DataFrame:
+    """Per-query recall@k of an ANN result vs the exact top-k, emitted
+    as a driver-checkable boolean (the ANN row set itself is parameter-
+    and engine-specific; recall against exact is the semantic contract)."""
+    hits = ann.join(exact, ["query_id", "vec_id"], "left_semi")
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return n_exact.join(n_hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact") >= bound).alias(
+            "recall_ok"
+        ),
+    )
+
+
+_ANN_TWIN_SQL = """
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings ORDER BY vec_id LIMIT 5
+    """
+
+
+@query("q_embed_ann_ivf", sql=_ANN_TWIN_SQL, tags=("tierc", "similarity"))
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF (spherical k-means inverted lists,
-    nprobe=4 of 16) + exact rerank inside the probed lists."""
+    nprobe=4 of 16) + exact rerank inside the probed lists.
+
+    Driver-checkable bound form: asserts recall@10 >= 0.5 per query vs
+    the exact brute force (measured 0.8-1.0 across sf0.001-0.1); the
+    twin emits TRUE per query id."""
     from bigquery_etl_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, _queries_from_corpus(emb), k=10, n_centroids=16, nprobe=4, dim=64
-    ).select(
-        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
-    )
+    q = _queries_from_corpus(emb)
+    ann = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4, dim=64)
+    exact = cosine_topk_bruteforce(emb, q, k=10, dim=64)
+    return _ann_recall_check(ann, exact, 0.5)
 
 
-@query("q_embed_ann_lsh", sql=None, tags=("tierc", "similarity"))
+@query("q_embed_ann_lsh", sql=_ANN_TWIN_SQL, tags=("tierc", "similarity"))
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH + exact rerank."""
+    """Approximate top-10 via random-hyperplane LSH (8 tables x 4
+    planes) + exact rerank.
+
+    Driver-checkable bound form: asserts recall@10 >= 0.3 per query
+    (measured 0.5-0.9 across SFs at 8x4; the fixture's random
+    embeddings are near-orthogonal — neighbors at theta~60 deg — so
+    recall is bucket-collision-bound; more tables / fewer planes is
+    the recall-vs-candidate-volume dial, documented in similarity.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, _queries_from_corpus(emb), dim=64, k=10).select(
-        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
-    )
+    q = _queries_from_corpus(emb)
+    ann = lsh_topk(emb, q, dim=64, k=10, n_tables=8, n_planes=4)
+    exact = cosine_topk_bruteforce(emb, q, k=10, dim=64)
+    return _ann_recall_check(ann, exact, 0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -343,11 +399,19 @@ def _with_planted_dups(emb: DataFrame) -> DataFrame:
     return emb.unionByName(planted)
 
 
-@query("q_dedup_embed", sql=None, tags=("tierc", "dedup", "similarity"))
+@query(
+    "q_dedup_embed",
+    sql="SELECT vec_id, label FROM embeddings",
+    tags=("tierc", "dedup", "similarity"),
+)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup removal (LSH candidates + exact-cosine verify,
     drop-the-larger-id): survivors of the fixture ∪ planted-perturbed
-    copies. Correct output = exactly the original corpus."""
+    copies. Correct output = exactly the original corpus — which IS the
+    oracle (planted-copy miss probability ~6e-10 per pair at 8 tables x
+    12 planes and cosine 0.9998; false drops impossible: the exact
+    verify at 0.95 rejects every non-planted pair, fixture max
+    off-diagonal cosine ~0.48)."""
     from bigquery_etl_spark.operators.similarity import embedding_near_dup
 
     emb = load(spark, sf_dir, "embeddings")

@@ -39,6 +39,7 @@ NON_EQUI_OK = {
     "q_incremental_agg",  # 1-row high-watermark threshold
     "q_sample",           # TABLESAMPLE percentage literal
     "q_dq_report",        # three 1-row check summaries cross-joined
+    "q_dedup_minhash_check",  # two 1-row invariant summaries cross-joined
 }
 
 # Streaming / source / pipeline queries that cannot build a pure batch
