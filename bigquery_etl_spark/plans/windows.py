@@ -166,6 +166,46 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_win_range_prefix",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_near,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_near
+    FROM orders
+    """,
+    tags=("window",),
+)
+def q_win_range_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as q_win_range_frame via the SCALABLE rewrite
+    (operators/range_frame.py): Spark's bounded sliding frames rebuild
+    the aggregate buffer per row — O(rows x frame width) — while this
+    prefix-sum + as-of-boundary form is O(rows log rows) with key-local
+    shuffles only (4.2s -> ~0.6s at sf0.1, and the gap grows with frame
+    width). The oracle is the ORIGINAL window SQL, so the driver checks
+    the rewrite's equivalence, not just its stability."""
+    from bigquery_etl_spark.operators.range_frame import bounded_range_sum
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", dec("o_totalprice").alias("__d")
+    )
+    out = bounded_range_sum(
+        o, ["o_orderstatus"], "o_totalprice", 10000, "__d",
+        sum_alias="__sum", cnt_alias="n_near",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "n_near",
+        F.col("__sum").cast("double").alias("sum_near"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B33 — top-k per group: the rank-then-filter idiom.
 # ---------------------------------------------------------------------------
