@@ -111,6 +111,61 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Charter — benchmark decontamination: flag training docs sharing word
+# 5-grams with a held-out eval set (the standard pre-training hygiene
+# pass). The eval set is tiny BY DEFINITION, so the right 100 TB plan
+# is: broadcast the eval shingle set, one corpus scan, shuffle only
+# (doc, matched-shingle) pairs for the per-doc count.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_decontaminate",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    cand AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+    SELECT c.doc_id, COUNT(*) AS n_shared
+    FROM cand c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+    """,
+    tags=("tierc", "text", "dedup"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing >= 1 word-5-gram with the eval slice (doc_id%50==0),
+    with the distinct-shingle overlap count. Shingles built array-side
+    (transform over sequence — one pass, no self-join); eval set
+    broadcast; only matched pairs reach the shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # guard: sequence(0, n) errors when n < 0, so short docs emit no
+    # shingles explicitly (same as the oracle's empty range())
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(grams).alias("shingle"))
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    cand = sh.filter(F.col("doc_id") % 50 != 0).dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4 — corpus slice stats.
 # ---------------------------------------------------------------------------
 
