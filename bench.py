@@ -127,8 +127,15 @@ def main() -> None:
         for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";")
         if "=" in kv
     )
+    # Size the local-mode JVM to the host: the default 1g heap is a
+    # whole-cluster budget here (32 task threads share it), and spill
+    # read-ahead buffers alone can OOM it (PERF.md sf~1 probe finding).
     spark = get_spark(
-        app_name="bench", cpus=cpus, shuffle_partitions=shuffle, extra_conf=extra
+        app_name="bench",
+        cpus=cpus,
+        shuffle_partitions=shuffle,
+        driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        extra_conf=extra,
     )
     # AQE is a per-shuffle-stage driver round-trip (materialize stage,
     # re-plan, submit next). At production scale that costs microseconds

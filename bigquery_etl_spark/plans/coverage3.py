@@ -210,20 +210,29 @@ def q_unnest_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_freq_items", sql=None, tags=("agg", "approx"))
+@query(
+    "q_freq_items",
+    sql="SELECT TRUE AS returnflag_complete, TRUE AS qty_within_capacity",
+    tags=("agg", "approx"),
+)
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate frequent items per column (Karp et al. single-pass).
 
-    Output arrays are sorted + CSV-serialized: the driver's pandas
-    hasher factorizes every cell and raises on lists (round-1 ERR)."""
+    Driver-checkable invariant form (the raw item arrays are engine-
+    specific AND crash the driver's hasher): with support=0.2 the
+    candidate buffer holds 1/0.2 = 5 slots, so (a) l_returnflag's 3
+    distinct values can never be evicted — A/N/R must ALL be returned
+    (Misra-Gries guarantees items with freq > support survive; with
+    fewer distincts than slots, eviction never fires at all) — and (b)
+    the l_quantity candidate list is capped at the 5-slot capacity."""
     li = load(spark, sf_dir, "lineitem")
     fi = li.freqItems(["l_returnflag", "l_quantity"], support=0.2)
+    flags = F.array_sort(F.col("l_returnflag_freqItems"))
     return fi.select(
-        F.array_join(F.array_sort("l_returnflag_freqItems"), ",").alias(
-            "l_returnflag_freqItems"
-        ),
-        F.array_join(
-            F.transform(F.array_sort("l_quantity_freqItems"), lambda x: x.cast("string")),
-            ",",
-        ).alias("l_quantity_freqItems"),
+        (
+            F.array_contains(flags, "A")
+            & F.array_contains(flags, "N")
+            & F.array_contains(flags, "R")
+        ).alias("returnflag_complete"),
+        (F.size("l_quantity_freqItems") <= 5).alias("qty_within_capacity"),
     )

@@ -63,6 +63,30 @@ def test_single_row_partitions_and_negative_values(spark):
     _cmp(df, 2.0)
 
 
+def test_multi_key_partitions(spark):
+    # two partition columns exercise the composite-key as-of path
+    df = spark.createDataFrame(
+        [(1, "a", "x", 1.0, 1), (2, "a", "x", 2.0, 2), (3, "a", "y", 1.5, 4),
+         (4, "b", "x", 1.0, 8), (5, "b", "x", 3.0, 16), (6, "b", "y", 3.0, 32)],
+        "id long, g string, h string, v double, x long",
+    )
+    frame = "RANGE BETWEEN 1.0 PRECEDING AND CURRENT ROW"
+    over = f"OVER (PARTITION BY g, h ORDER BY v {frame})"
+    a = {
+        r.id: (r.range_sum, r.range_cnt)
+        for r in df.selectExpr(
+            "id", f"sum(x) {over} AS range_sum", f"count(x) {over} AS range_cnt"
+        ).collect()
+    }
+    b = {
+        r.id: (r.range_sum, r.range_cnt)
+        for r in bounded_range_sum(df, ["g", "h"], "v", 1.0, "x")
+        .select("id", "range_sum", "range_cnt")
+        .collect()
+    }
+    assert a == b
+
+
 def test_matches_direct_on_fixture(spark, sf_dir):
     from bigquery_etl_spark.registry import all_queries
 
