@@ -57,19 +57,28 @@ def asof_join(
     if overlap:
         raise ValueError(f"ambiguous columns (rename first): {sorted(overlap)}")
 
+    # The right payload travels as ONE struct, not per-column: the
+    # carry-forward below uses last(..., ignorenulls=True), and with
+    # per-column carries a legitimately-NULL payload value would be
+    # back-filled from an OLDER right row (fuzz-caught via the
+    # range-frame rewrite). A struct is NULL only on left rows, so the
+    # whole matched row is carried or nothing is.
+    from pyspark.sql import types as T
+
+    rpay_t = T.StructType([right.schema[c] for c in r_payload])
     lu = left.select(
         F.col(left_on).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in l_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in r_payload],
+        F.lit(None).cast(rpay_t).alias("__rpay"),
     )
     ru = right.select(
         F.col(right_on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
-        *[F.col(c) for c in r_payload],
+        F.struct(*[F.col(c) for c in r_payload]).alias("__rpay"),
     )
 
     # (ts, is_left) puts right rows (0) before left rows (1) at equal ts, so
@@ -80,8 +89,6 @@ def asof_join(
     # exact epoch-micros — NOT double seconds, which drops µs at current
     # epoch magnitudes), so "last right row at-or-before" becomes
     # "first right row at-or-after".
-    from pyspark.sql import types as T
-
     ldt = left.schema[left_ts].dataType
     if isinstance(ldt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         base_key = F.unix_micros(F.col("__ts").cast("timestamp"))
@@ -90,7 +97,7 @@ def asof_join(
     ts_key = base_key if direction == "backward" else -base_key
     order = [ts_key, F.col("__is_left")]
     if tiebreak is not None:
-        order.append(F.when(F.col("__is_left") == 0, F.col(tiebreak)))
+        order.append(F.when(F.col("__is_left") == 0, F.col("__rpay")[tiebreak]))
     w = (
         W.partitionBy("__key")
         .orderBy(*order)
@@ -102,11 +109,16 @@ def asof_join(
         "__ts",
         "__is_left",
         *[F.col(c) for c in l_payload],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in r_payload],
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
     return (
         filled.filter(F.col("__is_left") == 1)
-        .drop("__is_left")
+        .select(
+            "__key",
+            "__ts",
+            *[F.col(c) for c in l_payload],
+            *[F.col("__rpay")[c].alias(c) for c in r_payload],
+        )
         .withColumnRenamed("__key", left_on)
         .withColumnRenamed("__ts", left_ts)
     )

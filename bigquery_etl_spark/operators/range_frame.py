@@ -98,28 +98,30 @@ def bounded_range_sum(
         direction="backward",
     ) if len(part_cols) == 1 else _asof_multi(probe, per_v, part_cols)
 
-    # C_lt(v - delta): exclude v' itself when it sits exactly on the
-    # boundary? NO — the frame INCLUDES v-delta, so the subtrahend is
+    # C_lt(v - delta): the frame INCLUDES v-delta, so the subtrahend is
     # the prefix strictly below the boundary: C(v') - S(v') when
-    # v' == v-delta (peers at the boundary are inside the frame),
-    # else C(v').
+    # v' == v-delta (peers at the boundary are inside the frame), else
+    # C(v'). Every term goes through coalesce: C(v') is NULL when all
+    # agg values up to v' are NULL, S(v') when the boundary value's own
+    # rows are all NULL (fuzz-caught: C - NULL nulled the subtrahend),
+    # and both when no v' <= v-delta exists at all — in every case the
+    # numeric contribution is 0.
     on_boundary = F.col("__rv_val") == F.col("__b")
-    c_lt = F.when(
-        F.col("__Cv").isNull(), F.lit(None)
-    ).otherwise(
-        F.when(on_boundary, F.col("__Cv") - F.col("__Sv")).otherwise(F.col("__Cv"))
-    )
-    cn_lt = F.when(
-        F.col("__Cnv").isNull(), F.lit(0)
-    ).otherwise(
-        F.when(on_boundary, F.col("__Cnv") - F.col("__Snv")).otherwise(F.col("__Cnv"))
-    )
+    c_lt = F.coalesce(F.col("__Cv"), F.lit(0)) - F.when(
+        on_boundary, F.coalesce(F.col("__Sv"), F.lit(0))
+    ).otherwise(F.lit(0))
+    cn_lt = F.coalesce(F.col("__Cnv"), F.lit(0)) - F.when(
+        on_boundary, F.coalesce(F.col("__Snv"), F.lit(0))
+    ).otherwise(F.lit(0))
     out_cols = [c for c in df.columns]
-    return joined.select(
-        *out_cols,
-        (F.col("__C") - F.coalesce(c_lt, F.lit(0))).alias(sum_alias),
-        (F.col("__Cn") - cn_lt).cast("long").alias(cnt_alias),
+    cnt = (F.col("__Cn") - cn_lt).cast("long")
+    # SQL sum over a frame with no non-null values is NULL, not 0 —
+    # and C - C_lt would return 0 whenever the non-null mass sits
+    # entirely below the frame
+    s = F.when(cnt == 0, F.lit(None)).otherwise(
+        F.coalesce(F.col("__C"), F.lit(0)) - c_lt
     )
+    return joined.select(*out_cols, s.alias(sum_alias), cnt.alias(cnt_alias))
 
 
 def _asof_multi(probe: DataFrame, per_v: DataFrame, part_cols: list[str]) -> DataFrame:

@@ -325,6 +325,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(hashes, "doc_id")
 
 
+def _with_planted_copies(d: DataFrame) -> DataFrame:
+    """Corpus ∪ one verbatim copy per doc at doc_id + 1M — identical
+    text means identical signatures/hashes, so every (orig, copy) pair
+    is a GUARANTEED collision for any deterministic LSH scheme."""
+    copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return d.select("doc_id", "text").unionByName(copies)
+
+
+@query(
+    "q_dedup_simhash_check",
+    sql="SELECT TRUE AS all_planted_pairs_found",
+    tags=("tierc", "dedup", "lsh"),
+)
+def q_dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable SimHash recall floor: identical docs have
+    identical 64-bit simhashes (Hamming 0), which collide in EVERY
+    band — so each planted verbatim copy must pair with its original.
+    The raw pair rows stay in q_dedup_simhash (engine hash space)."""
+    d = load(spark, sf_dir, "documents")
+    u = _with_planted_copies(d)
+    cands = simhash_candidates(simhash_64(u, "doc_id", "text"), "doc_id")
+    expected = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    missing = expected.join(cands, ["id_a", "id_b"], "left_anti")
+    return missing.agg(
+        (F.count(F.lit(1)) == 0).alias("all_planted_pairs_found")
+    )
+
+
+@query(
+    "q_dedup_minhash_recall",
+    sql="SELECT TRUE AS all_planted_pairs_found",
+    tags=("tierc", "dedup", "lsh"),
+)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable MinHash-LSH + Jaccard-rerank recall floor:
+    verbatim copies share every shingle → identical 64-hash signatures
+    → same bucket in all 16 bands → candidate; n-gram Jaccard = 1.0
+    passes the 0.5 rerank. Every planted pair must therefore appear in
+    the reranked pair output."""
+    d = load(spark, sf_dir, "documents")
+    u = _with_planted_copies(d)
+    sigs = minhash_signatures(u, "doc_id", "text")
+    cands = minhash_lsh_candidates(sigs, "doc_id")
+    pairs = ngram_jaccard_pairs(u, cands.select("id_a", "id_b"), "doc_id", "text")
+    expected = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    missing = expected.join(pairs, ["id_a", "id_b"], "left_anti")
+    return missing.agg(
+        (F.count(F.lit(1)) == 0).alias("all_planted_pairs_found")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C5/C6 — similarity search over embeddings.
 # ---------------------------------------------------------------------------

@@ -87,6 +87,29 @@ def test_multi_key_partitions(spark):
     assert a == b
 
 
+def test_fuzz_random_frames(spark):
+    """Seeded random corpora (dup-heavy values to stress peers and
+    boundary-exact cases) x random deltas: rewrite == direct window."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(5, 60)
+        rows = [
+            (
+                i,
+                rng.choice(["a", "b", "c"]),
+                # coarse grid => many peers and exact v-delta collisions
+                float(rng.randint(0, 12)),
+                rng.choice([None, rng.randint(-5, 5)]),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double, x int")
+        delta = float(rng.choice([0, 1, 2, 3, 5]))
+        _cmp(df, delta)
+
+
 def test_matches_direct_on_fixture(spark, sf_dir):
     from bigquery_etl_spark.registry import all_queries
 
