@@ -25,6 +25,36 @@ def upsert_dataframe(target: DataFrame, updates: DataFrame, keys: list[str]) -> 
     return target.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
 
 
+def merge_apply(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    delete_cond=None,
+    insert: bool = True,
+) -> DataFrame:
+    """Full MERGE semantics (BigQuery `MERGE ... WHEN MATCHED [AND
+    cond] THEN DELETE / UPDATE, WHEN NOT MATCHED THEN INSERT`,
+    relational form):
+
+    - target rows with no same-key update row pass through;
+    - matched update rows REPLACE the target version — unless
+      ``delete_cond`` (evaluated on the update row) holds, in which
+      case the key is deleted;
+    - unmatched update rows are inserted (``insert=False`` for
+      update/delete-only merges).
+
+    Two anti/semi-join shuffles on the keys, same scale profile as
+    ``upsert_dataframe`` (which is the ``delete_cond=None`` case)."""
+    keep_target = target.join(updates.select(*keys), keys, "left_anti")
+    matched = updates.join(target.select(*keys), keys, "left_semi")
+    if delete_cond is not None:
+        matched = matched.filter(~delete_cond)
+    out = keep_target.unionByName(matched)
+    if insert:
+        out = out.unionByName(updates.join(target.select(*keys), keys, "left_anti"))
+    return out
+
+
 def recover_upsert(path: str) -> str:
     """Finish or roll back an interrupted ``merge_upsert`` swap.
 

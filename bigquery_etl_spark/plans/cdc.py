@@ -46,6 +46,40 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_merge_delete",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+          AND NOT (o_totalprice * 1.1 > 300000)
+        UNION ALL
+        SELECT o_orderkey, 'U', o_totalprice * 1.1
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+    )
+    """,
+    tags=("cdc",),
+)
+def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with a WHEN MATCHED ... THEN DELETE branch: matched
+    updates replace target rows unless the updated price crosses the
+    delete threshold; unmatched updates insert. The oracle spells out
+    the three result legs set-algebraically."""
+    from bigquery_etl_spark.operators.merge import merge_apply
+
+    current, updates = _current_and_updates(spark, sf_dir)
+    return merge_apply(
+        current,
+        updates,
+        ["o_orderkey"],
+        delete_cond=F.col("o_totalprice") > 300000,
+    )
+
+
+@query(
     "q_scd2",
     sql="""
     SELECT o_orderkey, o_orderstatus,

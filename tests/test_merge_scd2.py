@@ -19,6 +19,37 @@ def test_upsert_dataframe(spark):
     assert out == [(1, "a"), (2, "B"), (3, "c")]
 
 
+def test_merge_apply_delete_branch(spark):
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_spark.operators.merge import merge_apply
+
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    updates = spark.createDataFrame(
+        [(2, "DEL"), (3, "C2"), (4, "d")], "k long, v string"
+    )
+    out = sorted(
+        map(
+            tuple,
+            merge_apply(
+                target, updates, ["k"], delete_cond=F.col("v") == "DEL"
+            ).collect(),
+        )
+    )
+    # 1 passes through, 2 deleted, 3 updated, 4 inserted
+    assert out == [(1, "a"), (3, "C2"), (4, "d")]
+    # insert=False: update/delete-only merge
+    out2 = sorted(
+        map(
+            tuple,
+            merge_apply(
+                target, updates, ["k"], delete_cond=F.col("v") == "DEL", insert=False
+            ).collect(),
+        )
+    )
+    assert out2 == [(1, "a"), (3, "C2")]
+
+
 def test_merge_upsert_storage(spark, tmp_path):
     path = str(tmp_path / "tbl")
     first = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
