@@ -100,6 +100,49 @@ for i in range(12):
         )
 
 
+# --- window-spec fuzz: random analytic functions over random specs ------
+# Same SQL text runs on both engines. Order keys always end in the
+# unique (l_orderkey, l_linenumber) pair so every function is
+# deterministic; frame sums use an integer expression so float
+# summation order can't drift.
+
+_WFN = [
+    "ROW_NUMBER()",
+    "RANK()",
+    "DENSE_RANK()",
+    "LAG(l_linenumber, 1, -1)",
+    "LEAD(l_linenumber, 2, -1)",
+    "SUM(l_orderkey % 97)",
+    "MIN(l_quantity)",
+    "COUNT(*)",
+]
+_WFRAME = [
+    "",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+]
+for i in range(6):
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_orderkey % 11"])
+    okey = rng.choice(["l_quantity", "l_extendedprice", "l_shipdate"])
+    fns = rng.sample(_WFN, 3)
+    cols = []
+    for j, fn in enumerate(fns):
+        frame = "" if "(" in fn and fn.endswith(")") and "SUM" not in fn and "MIN" not in fn and "COUNT" not in fn else rng.choice(_WFRAME)
+        expr = f"{fn} OVER (PARTITION BY {part} ORDER BY {okey}, l_orderkey, l_linenumber{frame})"
+        if fn.startswith("SUM"):
+            # DuckDB SUM(int) yields HUGEINT (-> pandas float64); pin
+            # both engines to BIGINT so the dtype-strict compare holds
+            expr = f"CAST({expr} AS BIGINT)"
+        cols.append(f"{expr} AS w{j}")
+    CASES.append(
+        (
+            f"winfuzz_{i}",
+            "SELECT l_orderkey, l_linenumber, " + ", ".join(cols) + " FROM lineitem",
+        )
+    )
+
+
 @pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
 def test_random_query_parity(spark, sf_dir, case):
     _, sql = case
