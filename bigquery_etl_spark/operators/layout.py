@@ -35,17 +35,22 @@ def compact_parquet_dir(
 ) -> tuple[int, int]:
     """Rewrite a parquet dir into ~target-sized files (coalesce — no
     shuffle; row order within files preserved). Returns (files_before,
-    files_after). Staged-swap like merge_upsert, single-writer assumed."""
+    files_after). Uses merge_upsert's crash-recoverable two-rename swap
+    (rmtree-then-rename loses the table if killed between the steps —
+    the bug class recover_upsert exists for); single-writer assumed."""
     import shutil
-    import uuid
 
+    from bigquery_etl_spark.operators.merge import recover_upsert
+
+    recover_upsert(path)
     n_before, total = dir_file_stats(path)
     n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
-    df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    staging, gc = f"{path}.staging", f"{path}.gc"
+    df.coalesce(n_target).write.mode("overwrite").parquet(staging)
+    os.rename(path, gc)
+    os.rename(staging, path)
+    shutil.rmtree(gc)
     return n_before, dir_file_stats(path)[0]
 
 
