@@ -84,8 +84,24 @@ def ingest(spark, sf_dir: str) -> tuple[str, float]:
         "/tmp/spark_graft_managed", os.path.basename(sf_dir.rstrip("/"))
     )
     marker = os.path.join(managed, "_ingested")
+    # Fingerprint the RAW fixtures into the marker: the driver
+    # regenerates /root/testdata between rounds, and a stale managed
+    # copy would silently serve last round's data to every query.
+    fp = json.dumps(
+        {
+            t: (os.path.getsize(p), os.path.getmtime(p))
+            for t in sorted(os.listdir(sf_dir))
+            for p in [os.path.join(sf_dir, t)]
+            if t.endswith(".parquet")
+        },
+        sort_keys=True,
+    )
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read() != fp
     t0 = time.perf_counter()
-    if not os.path.exists(marker):
+    if stale:
         # Files-per-table sized to the cluster: map-stage parallelism for
         # a parquet scan is min(files, cores) when each file is one row
         # group, so the big/explode-amplified tables get one file per
@@ -100,7 +116,8 @@ def ingest(spark, sf_dir: str) -> tuple[str, float]:
             df = load(spark, sf_dir, t)
             n = n_files.get(t, 8)
             df.repartition(n).write.mode("overwrite").parquet(f"{managed}/{t}.parquet")
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(fp)
     return managed, round(time.perf_counter() - t0, 3)
 
 
