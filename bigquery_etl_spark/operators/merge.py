@@ -48,7 +48,12 @@ def merge_apply(
     keep_target = target.join(updates.select(*keys), keys, "left_anti")
     matched = updates.join(target.select(*keys), keys, "left_semi")
     if delete_cond is not None:
-        matched = matched.filter(~delete_cond)
+        # Three-valued logic: BigQuery's `WHEN MATCHED AND cond THEN
+        # DELETE` fires only when cond IS TRUE; a NULL cond falls
+        # through to the UPDATE branch. A bare filter(~cond) would
+        # discard NULL-cond rows (filter drops NULL), silently
+        # deleting them — coalesce NULL to FALSE so they survive.
+        matched = matched.filter(~F.coalesce(delete_cond, F.lit(False)))
     out = keep_target.unionByName(matched)
     if insert:
         out = out.unionByName(updates.join(target.select(*keys), keys, "left_anti"))

@@ -50,7 +50,25 @@ def bounded_range_sum(
     whose ``order_col`` lies in ``[order - delta, order]`` (inclusive,
     peer-inclusive — exactly SQL's RANGE delta PRECEDING frame).
 
-    Returns the input columns plus ``sum_alias``/``cnt_alias``."""
+    Returns the input columns plus ``sum_alias``/``cnt_alias``.
+
+    NULL ``order_col`` rows follow SQL's RANGE-frame rule (verified
+    against Spark's own window engine): a NULL-ordered row's frame is
+    exactly its NULL peer group, and NULL rows are excluded from every
+    non-null row's value frame. The rewrite therefore splits the input:
+    the prefix-sum path runs on non-null order values only (a growing
+    UNBOUNDED PRECEDING frame would otherwise fold the NULL rows —
+    which sort first — into every C(v)), and NULL rows get a direct
+    whole-peer-group aggregate."""
+    nn = df.filter(F.col(order_col).isNotNull())
+    nulls = df.filter(F.col(order_col).isNull())
+    null_peer = W.partitionBy(*part_cols)
+    nulls_out = nulls.select(
+        *df.columns,
+        F.sum(agg_col).over(null_peer).alias(sum_alias),
+        F.count(agg_col).over(null_peer).alias(cnt_alias),
+    )
+    df = nn
     grow = (
         W.partitionBy(*part_cols)
         .orderBy(order_col)
@@ -121,7 +139,9 @@ def bounded_range_sum(
     s = F.when(cnt == 0, F.lit(None)).otherwise(
         F.coalesce(F.col("__C"), F.lit(0)) - c_lt
     )
-    return joined.select(*out_cols, s.alias(sum_alias), cnt.alias(cnt_alias))
+    return joined.select(*out_cols, s.alias(sum_alias), cnt.alias(cnt_alias)).unionByName(
+        nulls_out
+    )
 
 
 def _asof_multi(probe: DataFrame, per_v: DataFrame, part_cols: list[str]) -> DataFrame:

@@ -145,33 +145,42 @@ def train_ivf_centroids(
     so this trains on a 100 TB corpus as a handful of scans. Init is the
     k lowest-id vectors (deterministic, no RNG)."""
     k = n_centroids
+    # Persist the normalized corpus: each Lloyd iteration (and the init
+    # collect) otherwise re-reads and re-normalizes the full corpus —
+    # n_iters+1 scans where one suffices. At 100 TB that is the
+    # difference between 1 read + cached iterations and 5 full reads.
     normed = corpus.select(
         id_col, _unit(F.col(vec_col).cast("array<double>")).alias("__v")
-    )
-    cents = [
-        r["__v"]
-        for r in normed.orderBy(id_col).limit(k).collect()
-    ]
-    for _ in range(n_iters):
-        assigned = normed.select("__v", _argmax_centroid(F.col("__v"), cents).alias("__c"))
-        stats = (
-            assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
-            .groupBy("__c", "__d")
-            .agg(F.sum("__x").alias("__s"), F.count("__x").alias("__n"))
-            .collect()
-        )
-        by_c: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_c.setdefault(r["__c"], {})[r["__d"]] = r["__s"] / r["__n"]
-        new = []
-        for c in range(k):
-            if c in by_c:
-                mean = [by_c[c][d] for d in range(len(cents[0]))]
-                nrm = sum(x * x for x in mean) ** 0.5 or 1.0
-                new.append([x / nrm for x in mean])
-            else:  # empty cluster: keep the old centroid
-                new.append(cents[c])
-        cents = new
+    ).persist()
+    try:
+        cents = [
+            r["__v"]
+            for r in normed.orderBy(id_col).limit(k).collect()
+        ]
+        for _ in range(n_iters):
+            assigned = normed.select(
+                "__v", _argmax_centroid(F.col("__v"), cents).alias("__c")
+            )
+            stats = (
+                assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
+                .groupBy("__c", "__d")
+                .agg(F.sum("__x").alias("__s"), F.count("__x").alias("__n"))
+                .collect()
+            )
+            by_c: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_c.setdefault(r["__c"], {})[r["__d"]] = r["__s"] / r["__n"]
+            new = []
+            for c in range(k):
+                if c in by_c:
+                    mean = [by_c[c][d] for d in range(len(cents[0]))]
+                    nrm = sum(x * x for x in mean) ** 0.5 or 1.0
+                    new.append([x / nrm for x in mean])
+                else:  # empty cluster: keep the old centroid
+                    new.append(cents[c])
+            cents = new
+    finally:
+        normed.unpersist()
     return cents
 
 

@@ -137,17 +137,29 @@ def q_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
 
     def expand(batches):
+        import numpy as np
+
         for pdf in batches:
             toks = pdf["text"].str.split(" ")
-            n = toks.str.len()
-            out = pd.DataFrame(
+            n = toks.str.len().to_numpy()
+            total = int(n.sum()) if len(n) else 0
+            if total == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "pos": pd.Series([], dtype="int32"),
+                     "token": pd.Series([], dtype=object)}
+                )
+                continue
+            # Vectorized fan-out: no per-token Python loop. pos is a
+            # flat arange minus each doc's repeated start offset.
+            offsets = np.repeat(np.cumsum(n) - n, n)
+            yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].repeat(n).values,
-                    "pos": [i for row in toks for i in range(len(row))],
-                    "token": [t for row in toks for t in row],
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n),
+                    "pos": (np.arange(total) - offsets).astype("int32"),
+                    "token": np.concatenate(toks.to_numpy()),
                 }
             )
-            yield out
 
     return d.select("doc_id", "text").mapInPandas(expand, schema="doc_id long, pos int, token string")
 

@@ -1,0 +1,153 @@
+"""Pointer-committed parquet snapshots: concurrent-reader-safe upserts
+without table-format jars.
+
+The staged-swap protocol in ``operators.merge.merge_upsert`` is crash-
+recoverable but NOT safe for concurrent readers: between its two
+renames the table path briefly does not exist, and a reader that
+resolved the old directory listing can observe files vanishing under
+it. This store closes that window — the one piece of the Delta/Iceberg
+story a plain filesystem can express (ref bug class: the reference
+loads + advances its cursor non-atomically, main.py:209-216):
+
+Layout::
+
+    <root>/_current                    pointer file: name of live snapshot
+    <root>/snap-<seq>-<uuid>/part-*.parquet   immutable snapshot dirs
+
+- **Read** resolves the pointer (one small file read), then scans that
+  snapshot dir. Snapshot dirs are immutable, so a read is consistent
+  even if a commit lands mid-scan.
+- **Commit** writes a complete new snapshot dir (Spark ``_SUCCESS``
+  marker = complete), then atomically replaces the pointer
+  (``os.replace`` — readers see the old or the new name, never a torn
+  value, never a missing table).
+- **GC** keeps the ``keep`` most recent snapshots, so a reader that
+  resolved the pointer just before a commit keeps a live directory for
+  ``keep-1`` further commits (lag tolerance; object-store deployments
+  would use time-based retention like Delta's VACUUM).
+- **Crash windows**: a died writer leaves either an incomplete snapshot
+  dir (no ``_SUCCESS``) or a complete-but-unreferenced one; neither is
+  reachable via the pointer, so readers are unaffected. ``recover()``
+  deletes them. A torn pointer write is impossible (tmp + fsync +
+  atomic replace).
+
+Single-writer, like the reference's deployment (ref app.yaml:14-15);
+for multi-writer optimistic concurrency, use ``VersionedTable``'s
+put-if-absent manifest protocol instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class PointerStore:
+    def __init__(self, spark: SparkSession, root: str, keep: int = 4):
+        if keep < 2:
+            raise ValueError("keep must be >= 2 (current + reader lag)")
+        self.spark = spark
+        self.root = root
+        self.keep = keep
+        self._pointer = os.path.join(root, "_current")
+
+    # -- pointer resolution --------------------------------------------------
+
+    def current_snapshot(self) -> str | None:
+        """Name of the live snapshot dir, or None for an empty table."""
+        try:
+            with open(self._pointer) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _seq(self, snap: str) -> int:
+        return int(snap.split("-")[1])
+
+    def _snapshots(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            (n for n in os.listdir(self.root) if n.startswith("snap-")),
+            key=self._seq,
+        )
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"{self.root}: empty table")
+        return self.spark.read.parquet(os.path.join(self.root, snap))
+
+    def exists(self) -> bool:
+        return self.current_snapshot() is not None
+
+    # -- commit protocol -----------------------------------------------------
+
+    def _commit(self, df: DataFrame) -> str:
+        os.makedirs(self.root, exist_ok=True)
+        cur = self.current_snapshot()
+        seq = (self._seq(cur) + 1) if cur else 1
+        snap = f"snap-{seq:08d}-{uuid.uuid4().hex[:8]}"
+        df.write.parquet(os.path.join(self.root, snap))
+        # atomic pointer replace: commit point
+        tmp = os.path.join(self.root, f".ptr-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(snap)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer)
+        self._gc(snap)
+        return snap
+
+    def _gc(self, current: str) -> None:
+        """Delete all but the ``keep`` newest snapshots. The current
+        snapshot is always among the survivors (it is the newest)."""
+        snaps = self._snapshots()
+        for snap in snaps[: max(0, len(snaps) - self.keep)]:
+            if snap != current:
+                shutil.rmtree(os.path.join(self.root, snap), ignore_errors=True)
+
+    def overwrite(self, df: DataFrame) -> str:
+        return self._commit(df)
+
+    def upsert(self, updates: DataFrame, keys: list[str]) -> str:
+        """MERGE: same-key rows replaced, others carried forward; one
+        anti-join shuffle on the keys plus the snapshot write — same
+        scale profile as merge_upsert, plus reader safety."""
+        from bigquery_etl_spark.operators.merge import upsert_dataframe
+
+        if self.exists():
+            merged = upsert_dataframe(self.read(), updates, keys)
+        else:
+            merged = updates
+        return self._commit(merged)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def recover(self) -> list[str]:
+        """Remove crash debris: tmp pointer files, incomplete snapshot
+        dirs (no _SUCCESS), and complete-but-never-committed dirs newer
+        than the pointer. Returns removed names. The pointer itself is
+        never touched — the committed snapshot stays live throughout."""
+        removed = []
+        if not os.path.isdir(self.root):
+            return removed
+        cur = self.current_snapshot()
+        cur_seq = self._seq(cur) if cur else 0
+        for name in os.listdir(self.root):
+            full = os.path.join(self.root, name)
+            if name.startswith(".ptr-"):
+                os.unlink(full)
+                removed.append(name)
+            elif name.startswith("snap-") and name != cur:
+                incomplete = not os.path.exists(os.path.join(full, "_SUCCESS"))
+                orphan = self._seq(name) > cur_seq
+                if incomplete or orphan:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(name)
+        return removed

@@ -50,11 +50,15 @@ for name, fn in sorted(qs.items()):
     # factorize over all columns) — list/ndarray/dict cells raise
     # "unhashable type" there even for rows-only queries (round-1
     # q_approx_quantile/q_freq_items). Mirror that constraint here.
+    # Scan ALL rows of object-dtype columns: a mostly-NULL nested column
+    # whose first array cell appears after row N would pass a prefix
+    # sample but still crash the driver's hasher.
     bad_cols = [
         c
         for c in pdf.columns
-        if pdf[c].head(50).map(lambda v: isinstance(v, (list, dict, set))
-                               or type(v).__name__ == "ndarray").any()
+        if pdf[c].dtype == object
+        and pdf[c].map(lambda v: isinstance(v, (list, dict, set))
+                       or type(v).__name__ == "ndarray").any()
     ]
     if bad_cols:
         fails.append((name, [f"unhashable (array/map) output columns: {bad_cols}"]))

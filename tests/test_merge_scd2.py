@@ -50,6 +50,44 @@ def test_merge_apply_delete_branch(spark):
     assert out2 == [(1, "a"), (3, "C2")]
 
 
+def test_merge_apply_null_delete_cond(spark):
+    """A NULL delete_cond must NOT delete: BigQuery's `WHEN MATCHED AND
+    cond THEN DELETE` fires only on cond IS TRUE; NULL falls through to
+    the UPDATE branch (ref: MERGE three-valued condition semantics)."""
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_spark.operators.merge import merge_apply
+
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    # flag: true -> delete, false -> update, NULL -> update (not delete!)
+    updates = spark.createDataFrame(
+        [(1, "A2", None), (2, "DEL", True), (3, "C2", False)],
+        "k long, v string, flag boolean",
+    )
+    out = sorted(
+        map(
+            tuple,
+            merge_apply(
+                target,
+                updates.select("k", "v"),
+                ["k"],
+                delete_cond=updates_flag_lookup(updates),
+            ).collect(),
+        )
+    )
+    assert out == [(1, "A2"), (3, "C2")]
+
+
+def updates_flag_lookup(updates):
+    """delete_cond expression evaluating to NULL for k=1 on the update
+    rows: CASE WHEN v='DEL' THEN true WHEN v LIKE 'C%' THEN false END."""
+    from pyspark.sql import functions as F
+
+    return F.when(F.col("v") == "DEL", F.lit(True)).when(
+        F.col("v").startswith("C"), F.lit(False)
+    )
+
+
 def test_merge_upsert_storage(spark, tmp_path):
     path = str(tmp_path / "tbl")
     first = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")

@@ -178,3 +178,34 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_training_caches_corpus(spark, sf_dir, monkeypatch):
+    """IVF Lloyd iterations must read the normalized corpus from cache,
+    not re-scan+re-normalize it per iteration (1 read + cached
+    iterations vs n_iters+1 full reads at 100 TB)."""
+    from bigquery_etl_spark.operators.similarity import train_ivf_centroids
+    from bigquery_etl_spark.sources import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    # patch the concrete class (pyspark.sql.classic), not the facade
+    DataFrame = type(emb)
+    persists, unpersist_plans = [], []
+    orig_p, orig_u = DataFrame.persist, DataFrame.unpersist
+
+    def spy_persist(self, *a, **k):
+        persists.append(self)
+        return orig_p(self, *a, **k)
+
+    def spy_unpersist(self, *a, **k):
+        # captured while still cached: the df's own plan must resolve
+        # to the in-memory relation, proving iteration reads hit it
+        unpersist_plans.append(_executed_plan(self))
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_unpersist)
+    cents = train_ivf_centroids(emb, n_centroids=4, n_iters=2)
+    assert len(cents) == 4
+    assert len(persists) == 1 and len(unpersist_plans) == 1
+    assert "InMemory" in unpersist_plans[0]

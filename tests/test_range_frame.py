@@ -87,9 +87,24 @@ def test_multi_key_partitions(spark):
     assert a == b
 
 
+def test_null_order_values(spark):
+    """NULL order rows take their NULL peer group as the frame (SQL
+    RANGE rule) and must not leak into non-null rows' value frames —
+    both directions were wrong before the split fix."""
+    df = spark.createDataFrame(
+        [(1, "a", None, 10), (2, "a", None, 5), (3, "a", 1.0, 1),
+         (4, "a", 2.0, 2), (5, "a", 4.0, 4), (6, "b", None, 7),
+         (7, "b", None, None), (8, "c", 3.0, 9)],
+        "id long, g string, v double, x int",
+    )
+    _cmp(df, 2.0)
+    _cmp(df, 0.0)
+
+
 def test_fuzz_random_frames(spark):
     """Seeded random corpora (dup-heavy values to stress peers and
-    boundary-exact cases) x random deltas: rewrite == direct window."""
+    boundary-exact cases, NULLs in BOTH the order and agg columns) x
+    random deltas: rewrite == direct window."""
     import random
 
     rng = random.Random(42)
@@ -99,8 +114,9 @@ def test_fuzz_random_frames(spark):
             (
                 i,
                 rng.choice(["a", "b", "c"]),
-                # coarse grid => many peers and exact v-delta collisions
-                float(rng.randint(0, 12)),
+                # coarse grid => many peers and exact v-delta collisions;
+                # occasional NULL order value exercises the peer-group path
+                rng.choice([None] + [float(v) for v in range(13)]),
                 rng.choice([None, rng.randint(-5, 5)]),
             )
             for i in range(n)
