@@ -272,6 +272,18 @@ def main() -> None:
         out["matched_total_sec"] = round(
             sum(v for k, v in timings.items() if k in baseline), 3
         )
+        # per-query Spark/DuckDB ratio + the matched aggregate, so a
+        # regression is visible in the JSON itself (tools/bench_gate.py
+        # enforces thresholds against the prior round's file)
+        out["ratios"] = {
+            k: round(timings[k] / baseline[k], 2)
+            for k in baseline
+            if baseline[k] > 0
+        }
+        if out["duckdb_baseline_sec"] > 0:
+            out["matched_ratio"] = round(
+                out["matched_total_sec"] / out["duckdb_baseline_sec"], 3
+            )
     print(json.dumps(out))
 
 

@@ -140,10 +140,24 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_block_range_source", sql=None, tags=("pipeline", "source"))
+@query(
+    "q_block_range_source",
+    sql="""
+    SELECT CAST(b AS BIGINT) AS block_number,
+           CAST(0 AS INTEGER) AS log_index,
+           '0x_origin_marketplace' AS address,
+           'ListingCreated' AS event_name,
+           'l-' || CAST(b AS VARCHAR) AS listing_id,
+           'Qm' || CAST(b AS VARCHAR) AS ipfs_hash
+    FROM range(10014455, 10014955) t(b)
+    """,
+    tags=("pipeline", "source"),
+)
 def q_block_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.range → mapInPandas fetch: the A3 scan distributed across
-    executors with the provider's 1000-block cap per call."""
+    executors with the provider's 1000-block cap per call. The fetcher
+    stub is a closed-form function of the block number, so the oracle
+    regenerates the exact rows with DuckDB's range()."""
     from bigquery_etl_spark.pipeline.schemas import RAW_LOGS_SCHEMA
     from bigquery_etl_spark.sources.incremental import block_range_source
 
@@ -165,21 +179,101 @@ def q_block_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Multimodal (charter; deterministic fake media, real Spark plumbing).
+# The fake generator is a pure function of media_id, so each query's
+# EXACT expected output is re-derived here in plain Python (no Spark,
+# no Arrow) and embedded as a DuckDB VALUES literal — the twins
+# adjudicate the mapInPandas plumbing end-to-end.
 # ---------------------------------------------------------------------------
 
 
-@query("q_media_features", sql=None, tags=("multimodal",))
+def _fake_content(i: int) -> bytes:
+    # mirrors operators.multimodal.make_fake_media exactly
+    return bytes((i * 7 + j * 13) % 256 for j in range(256 + i))
+
+
+def _media_kinds(n: int = 32):
+    return [(i, ["image", "audio", "video"][i % 3]) for i in range(n)]
+
+
+def _media_features_sql(n: int = 32) -> str:
+    from bigquery_etl_spark.operators.multimodal import _byte_stats
+    from bigquery_etl_spark.plans.pipeline_e2e import _values_sql
+
+    rows = []
+    for i, kind in _media_kinds(n):
+        nb, mean, ent = _byte_stats(_fake_content(i))
+        rows.append((i, kind, nb, mean, ent))
+    return _values_sql(
+        rows,
+        [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("n_bytes", "INTEGER"),
+         ("mean_byte", "DOUBLE"), ("entropy", "DOUBLE")],
+    )
+
+
+def _media_frames_sql(n: int = 32, every_ms: int = 500) -> str:
+    from bigquery_etl_spark.plans.pipeline_e2e import _values_sql
+
+    rows = []
+    for i, kind in _media_kinds(n):
+        if kind != "video":
+            continue
+        content = _fake_content(i)
+        duration = 1000 * (i + 1)
+        for idx, ms in enumerate(range(0, duration, every_ms)):
+            lo = (idx * 16) % max(len(content) - 16, 1)
+            rows.append((i, idx, ms, content[lo : lo + 16].hex().upper()))
+    return _values_sql(
+        rows,
+        [("media_id", "BIGINT"), ("frame_idx", "INTEGER"),
+         ("frame_ms", "INTEGER"), ("frame_hex", "VARCHAR")],
+    )
+
+
+def _media_stats_sql(n: int = 32) -> str:
+    from bigquery_etl_spark.plans.pipeline_e2e import _values_sql
+
+    agg: dict[str, list] = {}
+    for i, kind in _media_kinds(n):
+        duration = None if kind == "image" else 1000 * (i + 1)
+        agg.setdefault(kind, []).append((len(_fake_content(i)), duration))
+    rows = []
+    for kind in sorted(agg):
+        vals = agg[kind]
+        durs = [d for _, d in vals if d is not None]
+        rows.append(
+            (kind, len(vals), sum(b for b, _ in vals) / len(vals),
+             sum(durs) / len(durs) if durs else None)
+        )
+    return _values_sql(
+        rows,
+        [("kind", "VARCHAR"), ("n", "BIGINT"), ("avg_bytes", "DOUBLE"),
+         ("avg_duration_ms", "DOUBLE")],
+    )
+
+
+@query("q_media_features", sql=_media_features_sql(), tags=("multimodal",))
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-stat features over the deterministic fake corpus; exact
+    VALUES twin re-derived without Spark."""
     return extract_features(make_fake_media(spark, n=32))
 
 
-@query("q_media_frames", sql=None, tags=("multimodal",))
+@query("q_media_frames", sql=_media_frames_sql(), tags=("multimodal",))
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_frames(make_fake_media(spark, n=32))
+    """Video frame sampling (1→N fan-out). The operator keeps the frame
+    BINARY (the scale-correct type); the query boundary serializes it to
+    hex so the driver's hasher can adjudicate it (same rule as
+    array→json elsewhere)."""
+    frames = sample_frames(make_fake_media(spark, n=32))
+    return frames.select(
+        "media_id", "frame_idx", "frame_ms", F.hex("frame").alias("frame_hex")
+    )
 
 
-@query("q_media_stats", sql=None, tags=("multimodal",))
+@query("q_media_stats", sql=_media_stats_sql(), tags=("multimodal",))
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate (never touches the binary column); exact
+    VALUES twin re-derived without Spark."""
     return media_stats(make_fake_media(spark, n=32))
 
 

@@ -277,20 +277,79 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_dedup_minhash", sql=None, tags=("tierc", "dedup", "lsh"))
+@query(
+    "q_dedup_minhash",
+    sql="""
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_input,
+           TRUE AS no_copy_survives,
+           TRUE AS min_doc_survives
+    FROM documents
+    """,
+    tags=("tierc", "dedup", "lsh"),
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Survivors of MinHash-LSH fuzzy dedup (64 hashes, 16 bands)."""
+    """MinHash-LSH fuzzy dedup (64 hashes, 16 bands) on the corpus plus
+    one planted verbatim copy per doc, reduced to driver-adjudicable
+    invariants (raw survivor rows live in tests; LSH hash space is
+    engine-specific so the row set has no SQL twin):
+
+    - ``n_input``: exact — corpus is doubled by the planted copies;
+    - ``no_copy_survives``: a verbatim copy shares every shingle with
+      its lower-id original, hence every band bucket — the min-id rule
+      must drop it;
+    - ``min_doc_survives``: the globally smallest id can never be
+      dominated."""
     d = load(spark, sf_dir, "documents")
-    return minhash_dedup(d, "doc_id", "text").select("doc_id", "lang", "n_chars")
+    u = _with_planted_copies(d)
+    surv = minhash_dedup(u, "doc_id", "text").select("doc_id")
+    return (
+        surv.agg(
+            F.max(F.col("doc_id") >= 1_000_000).alias("any_copy"),
+            F.min("doc_id").alias("min_surv"),
+        )
+        .crossJoin(u.agg(F.count(F.lit(1)).alias("n_input"), F.min("doc_id").alias("min_in")))
+        .select(
+            F.col("n_input"),
+            (~F.col("any_copy")).alias("no_copy_survives"),
+            (F.col("min_surv") == F.col("min_in")).alias("min_doc_survives"),
+        )
+    )
 
 
-@query("q_dedup_minhash_pairs", sql=None, tags=("tierc", "dedup", "lsh"))
+@query(
+    "q_dedup_minhash_pairs",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS ids_ordered,
+           TRUE AS jaccard_in_bounds
+    FROM documents
+    """,
+    tags=("tierc", "dedup", "lsh"),
+)
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs with exact n-gram Jaccard rerank ≥ 0.5."""
+    """LSH candidate pairs + exact n-gram Jaccard rerank (≥ 0.5),
+    reduced to invariants over the emitted pair set (the pair rows
+    themselves are engine-hash-specific; recall is separately gated by
+    q_dedup_minhash_recall's planted-copy floor):
+
+    - ``ids_ordered``: every pair is canonical (id_a < id_b);
+    - ``jaccard_in_bounds``: the rerank filter held — all emitted
+      similarities lie in [0.5, 1.0] (vacuously true on an empty pair
+      set)."""
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, "doc_id", "text")
     cands = minhash_lsh_candidates(sigs, "doc_id")
-    return ngram_jaccard_pairs(d, cands.select("id_a", "id_b"), "doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, cands.select("id_a", "id_b"), "doc_id", "text")
+    return pairs.agg(
+        F.coalesce(F.min(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
+            "ids_ordered"
+        ),
+        F.coalesce(
+            F.min((F.col("jaccard") >= 0.5) & (F.col("jaccard") <= 1.0)), F.lit(True)
+        ).alias("jaccard_in_bounds"),
+    ).crossJoin(d.agg(F.count(F.lit(1)).alias("n_docs"))).select(
+        "n_docs", "ids_ordered", "jaccard_in_bounds"
+    )
 
 
 @query(
@@ -317,12 +376,42 @@ def q_dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash", sql=None, tags=("tierc", "dedup", "lsh"))
+@query(
+    "q_dedup_simhash",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS ids_ordered,
+           TRUE AS pairs_distinct
+    FROM documents
+    """,
+    tags=("tierc", "dedup", "lsh"),
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs (banded 64-bit, Hamming<4 recall)."""
+    """SimHash near-dup candidates (banded 64-bit, Hamming<4 recall),
+    reduced to invariants over the emitted pair set (pair rows are
+    engine-hash-specific; the planted-copy recall floor is gated by
+    q_dedup_simhash_check):
+
+    - ``ids_ordered``: canonical pairs only (id_a < id_b);
+    - ``pairs_distinct``: band fan-out never emits a pair twice."""
     d = load(spark, sf_dir, "documents")
     hashes = simhash_64(d, "doc_id", "text")
-    return simhash_candidates(hashes, "doc_id")
+    cands = simhash_candidates(hashes, "doc_id")
+    dup = (
+        cands.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.max("n"), F.lit(1)).alias("max_n"))
+    )
+    ordered = cands.agg(
+        F.coalesce(F.min(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
+            "ids_ordered"
+        )
+    )
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(ordered)
+        .crossJoin(dup.select((F.col("max_n") == 1).alias("pairs_distinct")))
+    )
 
 
 def _with_planted_copies(d: DataFrame) -> DataFrame:

@@ -1,0 +1,107 @@
+"""Bench regression gate: compare a fresh bench.py run against the
+prior round's driver-recorded BENCH_r{N}.json and fail loudly on
+regressions — keeps the bench honest as the headline list grows
+(VERDICT r2 item 8).
+
+Gates (builder-local; thresholds from VERDICT r2):
+- matched-total Spark/DuckDB ratio must be <= 1.8x
+- no individual query may regress > 1.5x vs the prior round's seconds
+  (only queries present in both runs are compared; DuckDB-side noise
+  swings +-40% on list/regex kernels, so the per-query gate compares
+  SPARK seconds, not ratios)
+
+Usage:
+    python tools/bench_gate.py                  # runs bench.py, gates vs newest BENCH_r*.json
+    python tools/bench_gate.py out.json         # gate a pre-captured bench JSON line
+Exit 0 = pass, 1 = regression, 2 = couldn't compare (no prior file).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MATCHED_RATIO_MAX = 1.8
+PER_QUERY_REGRESSION_MAX = 1.5
+# ignore regressions below this absolute size: sub-0.1s queries live at
+# the job-scheduling floor where +-50ms of noise trips any ratio
+MIN_REGRESSION_SEC = 0.1
+
+
+def prior_round() -> dict | None:
+    files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    for path in reversed(files):
+        with open(path) as f:
+            rec = json.load(f)
+        parsed = rec.get("parsed")
+        if parsed and parsed.get("queries"):
+            print(f"gate: prior = {os.path.basename(path)}")
+            return parsed
+    return None
+
+
+def current_run(argv: list[str]) -> dict:
+    if len(argv) > 1:
+        with open(argv[1]) as f:
+            text = f.read()
+    else:
+        text = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, check=True,
+        ).stdout
+    # bench prints ONE json line (possibly after spark noise)
+    for line in reversed(text.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise SystemExit("gate: no JSON line in bench output")
+
+
+def main() -> int:
+    prior = prior_round()
+    cur = current_run(sys.argv)
+    fails: list[str] = []
+
+    ratio = cur.get("matched_ratio")
+    if ratio is None and cur.get("duckdb_baseline_sec"):
+        ratio = cur["matched_total_sec"] / cur["duckdb_baseline_sec"]
+    if ratio is not None:
+        print(f"gate: matched ratio {ratio:.3f}x (max {MATCHED_RATIO_MAX}x)")
+        if ratio > MATCHED_RATIO_MAX:
+            fails.append(f"matched-total ratio {ratio:.2f}x > {MATCHED_RATIO_MAX}x")
+    else:
+        print("gate: no baseline in current run — ratio gate skipped")
+
+    if prior is None:
+        print("gate: no prior BENCH_r*.json with parsed queries — exit 2")
+        return 2
+    for name, prev_sec in sorted(prior["queries"].items()):
+        now = cur.get("queries", {}).get(name)
+        if now is None:
+            print(f"gate: {name} missing from current run (renamed/removed?)")
+            continue
+        if (
+            now > prev_sec * PER_QUERY_REGRESSION_MAX
+            and now - prev_sec > MIN_REGRESSION_SEC
+        ):
+            fails.append(f"{name}: {prev_sec:.3f}s -> {now:.3f}s "
+                         f"({now / prev_sec:.2f}x, max {PER_QUERY_REGRESSION_MAX}x)")
+    for err_name, err in (cur.get("errors") or {}).items():
+        fails.append(f"{err_name}: ERROR {err[:120]}")
+
+    if fails:
+        print("gate: FAIL")
+        for f_ in fails:
+            print("  -", f_)
+        return 1
+    print(f"gate: PASS ({len(prior['queries'])} prior queries compared, "
+          f"total {cur.get('value')}s vs prior {prior.get('value')}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

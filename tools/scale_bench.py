@@ -96,6 +96,111 @@ def build(spark, src_dir: str, out_dir: str, copies: int) -> None:
         )
 
 
+ZIPF_QUERIES = [
+    # the shapes where a hot key concentrates one reducer: keyed joins,
+    # keyed aggs, per-key windows, sessionization, dedup hot buckets
+    "q_join_inner",
+    "q_agg_hash",
+    "q_topk_per_group",
+    "q_win_running",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_tpch_q3",
+]
+
+
+def build_zipf(spark, src_dir: str, out_dir: str, copies: int, s: float, seed: int = 7) -> None:
+    """Adversarially-skewed variant of the key-shifted build: join/agg
+    key columns are REDRAWN from a bounded-Pareto (zipf-like, shape s)
+    over the same key domain, so a handful of keys carry a large share
+    of the fact rows — the 100 TB failure mode where one reducer gets
+    the hot key. Documents additionally get a planted hot text (30% of
+    docs share one body) so dedup sees a hot LSH bucket."""
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_spark.sources import load
+
+    def zipf_col(n_keys, seed_off: int):
+        # inverse-CDF of bounded Pareto on [1, n_keys], shape s: heavy
+        # head (rank-1 key gets ~ (1 - 2^(1-s)) of the mass at s>1)
+        u = F.rand(seed + seed_off)
+        a = F.lit(1.0 - s)
+        return F.floor(
+            F.pow(F.lit(1.0) - u * (F.lit(1.0) - F.pow(F.lit(float(n_keys)), a)), F.lit(1.0) / a)
+        ).cast("long")
+
+    build(spark, src_dir, out_dir, copies)
+    # remap fact-side join/window keys to the skewed draw (dimension
+    # sides keep their uniform ids — the hot key must EXIST there, and
+    # it does: draws live in the same [1, max] domain)
+    o_max = load(spark, out_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+    c_max = load(spark, out_dir, "customer").agg(F.max("c_custkey")).collect()[0][0]
+    li = load(spark, out_dir, "lineitem").withColumn("l_orderkey", zipf_col(o_max, 1))
+    li.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/__li_tmp.parquet")
+    _swap(out_dir, "__li_tmp.parquet", "lineitem.parquet")
+    ev = load(spark, out_dir, "events").withColumn("user_id", zipf_col(c_max, 2))
+    ev.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/__ev_tmp.parquet")
+    _swap(out_dir, "__ev_tmp.parquet", "events.parquet")
+    d = load(spark, out_dir, "documents")
+    hot = F.rand(seed + 3) < 0.3
+    d = d.withColumn(
+        "text",
+        F.when(hot, F.lit("the hot duplicate body " * 40)).otherwise(F.col("text")),
+    )
+    d.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/__doc_tmp.parquet")
+    _swap(out_dir, "__doc_tmp.parquet", "documents.parquet")
+
+
+def _swap(out_dir: str, tmp: str, final: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, final))
+    os.rename(os.path.join(out_dir, tmp), os.path.join(out_dir, final))
+
+
+def stage_skew(event_log_dir: str) -> list[dict]:
+    """Parse Spark event logs: per stage, max/median task duration.
+    The '>4x median' gate only fires when the max is also >1s absolute —
+    sub-second stages are scheduling noise, not data skew."""
+    import glob
+    import json as _json
+
+    stages: dict[tuple, list[float]] = {}
+    for path in glob.glob(os.path.join(event_log_dir, "*")):
+        if os.path.isdir(path):
+            continue
+        with open(path, errors="replace") as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = _json.loads(line)
+                except ValueError:
+                    continue
+                info = ev.get("Task Info") or {}
+                dur = (info.get("Finish Time", 0) - info.get("Launch Time", 0)) / 1e3
+                key = (os.path.basename(path), ev.get("Stage ID"))
+                stages.setdefault(key, []).append(dur)
+    out = []
+    for (app, sid), durs in sorted(stages.items()):
+        if len(durs) < 4:
+            continue  # ratio is meaningless on tiny stages
+        durs.sort()
+        med = durs[len(durs) // 2]
+        out.append(
+            {
+                "stage": sid,
+                "n_tasks": len(durs),
+                "median_sec": round(med, 2),
+                "max_sec": round(durs[-1], 2),
+                "ratio": round(durs[-1] / med, 1) if med > 0 else None,
+                "skewed": bool(med > 0 and durs[-1] / med > 4 and durs[-1] > 1.0),
+            }
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -103,6 +208,16 @@ def main() -> None:
     ap.add_argument("--src", type=str, default="/root/testdata/sf0.1")
     ap.add_argument("--out", type=str, default="/tmp/spark_graft_scale")
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument(
+        "--zipf",
+        type=float,
+        default=None,
+        metavar="S",
+        help="adversarial skew probe: redraw fact join/window keys from a "
+        "zipf-like bounded Pareto with shape S (try 1.2), plant a hot "
+        "doc text, run the skew-sensitive headline subset, and report "
+        "per-stage max/median task-time ratios from the event log",
+    )
     ap.add_argument(
         "--profile",
         action="store_true",
@@ -114,17 +229,41 @@ def main() -> None:
     from bigquery_etl_spark.registry import all_queries
     from bigquery_etl_spark.session import get_spark
 
+    event_dir = None
+    extra_conf = {}
+    if args.zipf is not None:
+        args.out = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/tmp/spark_graft_skew")
+        args.queries = ",".join(ZIPF_QUERIES)
+        event_dir = os.path.join(args.out, "_eventlog")
+        import shutil
+
+        shutil.rmtree(event_dir, ignore_errors=True)
+        os.makedirs(event_dir, exist_ok=True)
+        extra_conf = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{event_dir}",
+            # single plain-text file so stage_skew can parse it directly
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        }
+
     # local-mode JVM defaults to 1g heap — size it like a real executor
     # (the container has 128 GiB; 16g covers the widest shuffle here)
     spark = get_spark(
         app_name="scale_bench",
         shuffle_partitions=32,
         driver_memory=os.environ.get("SPARK_GRAFT_SCALE_MEM", "16g"),
+        extra_conf=extra_conf,
     )
-    marker = os.path.join(args.out, f"_built_{args.copies}")
+    marker = os.path.join(
+        args.out, f"_built_{args.copies}" + (f"_zipf{args.zipf}" if args.zipf else "")
+    )
     if args.rebuild or not os.path.exists(marker):
         t0 = time.perf_counter()
-        build(spark, args.src, args.out, args.copies)
+        if args.zipf is not None:
+            build_zipf(spark, args.src, args.out, args.copies, args.zipf)
+        else:
+            build(spark, args.src, args.out, args.copies)
         open(marker, "w").close()
         print(
             json.dumps(
@@ -165,6 +304,19 @@ def main() -> None:
             {"phase": "total", "copies": args.copies, "sec": round(total, 2), "queries": results}
         )
     )
+    if event_dir is not None:
+        spark.stop()  # flush the event log
+        table = stage_skew(event_dir)
+        worst = sorted(
+            (r for r in table if r["ratio"] is not None),
+            key=lambda r: -r["ratio"],
+        )[:10]
+        skewed = [r for r in table if r["skewed"]]
+        print(json.dumps({"phase": "skew", "zipf_s": args.zipf,
+                          "n_stages": len(table), "n_skewed": len(skewed),
+                          "worst": worst}))
+        if skewed:
+            print(json.dumps({"phase": "skew_FAIL", "stages": skewed}))
 
 
 if __name__ == "__main__":
