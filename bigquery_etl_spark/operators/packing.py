@@ -1,0 +1,99 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+shards (charter Tier C — the "write the pre-training data loader's
+shard manifest" operator; ref has no analogue, it delegates storage
+layout to BigQuery, main.py:160-185).
+
+Semantics (deterministic, engine-independent): order documents by id,
+take the running token total, and give each document the shard whose
+budget interval its STARTING offset falls in::
+
+    shard_id = floor(cum_tokens_before_doc / budget)
+
+A document straddling a budget boundary stays in the shard where it
+starts, so a shard can overflow by at most ``max(doc_tokens) - 1`` —
+the standard bounded-overflow contiguous packing used by training data
+loaders (exact bin packing is NP-hard and, worse, order-dependent).
+Because the rule is a closed form over a prefix sum, the result is
+byte-identical to the single-window SQL::
+
+    SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+
+which is what the DuckDB oracle runs — but a single global window is a
+ONE-PARTITION sort at scale. This operator computes the same prefix
+sum distributed, the same way operators/range_frame.py does:
+
+1. range-shuffle rows by id into ascending buckets (RangePartitioner
+   keeps bucket index aligned with id order; AQE may coalesce adjacent
+   buckets — still contiguous, still correct);
+2. per-bucket running totals via a window WITHIN each bucket;
+3. per-bucket grand totals (one tiny row per bucket) get a
+   driver-free exclusive prefix via a window over the bucket ids —
+   bucket count is O(cluster cores), so the single-partition window
+   there is constant-sized — then broadcast back.
+
+One range shuffle + one constant-size broadcast; no global sort, no
+driver collect. The output assignment is invariant to WHERE the bucket
+boundaries land, so AQE/partitioning choices can never change results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str | Column,
+    budget: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Add ``shard_id`` (bigint) assigning each row to a token-budget
+    shard; also returns the row's token count as ``n_tokens``.
+
+    ``tokens_col`` may be a column name or an expression (e.g.
+    ``F.size(ws_tokens("text"))``). Rows are packed in ``id_col``
+    order; ids must be unique (documents' primary key).
+    """
+    toks = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
+        "long"
+    )
+    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+
+    bucketed = base.repartitionByRange(n_buckets, F.col(id_col)).withColumn(
+        "__bkt", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("__cum_local", F.sum("n_tokens").over(w_local))
+
+    # Per-bucket totals: max of the inclusive running sum == bucket sum.
+    totals = local.groupBy("__bkt").agg(F.max("__cum_local").alias("__tot"))
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__cum_before", F.col("__off") + F.col("__cum_local") - F.col("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(F.col("__cum_before") / F.lit(budget)).alias("shard_id"),
+        )
+    )
+
+
+def shard_manifest(packed: DataFrame, budget: int) -> DataFrame:
+    """Roll the per-row assignment up to the shard manifest a data
+    loader consumes: rows, token total, and the bounded-overflow
+    invariant (total < budget + max doc size by construction)."""
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

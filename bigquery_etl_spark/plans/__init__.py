@@ -26,6 +26,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     relational,
     subqueries,
     tierc,
+    tierc2,
     tpch,
     tpch2,
     udfs,

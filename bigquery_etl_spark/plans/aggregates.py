@@ -107,6 +107,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "approx"),
+    twin="invariant",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_COUNT_DISTINCT (HLL++). Sketches merge associatively, so the
@@ -149,6 +150,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_linestatus
     """,
     tags=("agg", "approx"),
+    twin="invariant",
 )
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_QUANTILES via percentile_approx (GK sketch, mergeable).

@@ -214,6 +214,7 @@ def q_unnest_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_freq_items",
     sql="SELECT TRUE AS returnflag_complete, TRUE AS qty_within_capacity",
     tags=("agg", "approx"),
+    twin="invariant",
 )
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate frequent items per column (Karp et al. single-pass).

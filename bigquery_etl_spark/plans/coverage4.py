@@ -40,7 +40,7 @@ def q_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_sample", sql="SELECT TRUE AS sample_within_bounds", tags=("scan", "approx"))
+@query("q_sample", sql="SELECT TRUE AS sample_within_bounds", tags=("scan", "approx"), twin="invariant")
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample. At scale sampling happens AT THE SCAN
     (per row-group) — free data reduction for estimation queries.

@@ -360,6 +360,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     """,
     tags=("agg", "sketch"),
+    twin="invariant",
 )
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BigQuery HLL_COUNT.INIT/MERGE/EXTRACT analogue: per-type daily

@@ -286,6 +286,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("tierc", "dedup", "lsh"),
+    twin="invariant",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH fuzzy dedup (64 hashes, 16 bands) on the corpus plus
@@ -325,6 +326,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("tierc", "dedup", "lsh"),
+    twin="invariant",
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + exact n-gram Jaccard rerank (≥ 0.5),
@@ -356,6 +358,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_minhash_check",
     sql="SELECT TRUE AS no_exact_dup_pairs, TRUE AS some_survivors",
     tags=("tierc", "dedup", "lsh"),
+    twin="invariant",
 )
 def q_dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable MinHash-dedup invariant: identical-text docs can
@@ -385,6 +388,7 @@ def q_dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("tierc", "dedup", "lsh"),
+    twin="invariant",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (banded 64-bit, Hamming<4 recall),
@@ -426,6 +430,7 @@ def _with_planted_copies(d: DataFrame) -> DataFrame:
     "q_dedup_simhash_check",
     sql="SELECT TRUE AS all_planted_pairs_found",
     tags=("tierc", "dedup", "lsh"),
+    twin="invariant",
 )
 def q_dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable SimHash recall floor: identical docs have
@@ -449,6 +454,7 @@ def q_dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_minhash_recall",
     sql="SELECT TRUE AS all_planted_pairs_found",
     tags=("tierc", "dedup", "lsh"),
+    twin="invariant",
 )
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable MinHash-LSH + Jaccard-rerank recall floor:
@@ -542,7 +548,7 @@ _ANN_TWIN_SQL = """
     """
 
 
-@query("q_embed_ann_ivf", sql=_ANN_TWIN_SQL, tags=("tierc", "similarity"))
+@query("q_embed_ann_ivf", sql=_ANN_TWIN_SQL, tags=("tierc", "similarity"), twin="invariant")
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF (spherical k-means inverted lists,
     nprobe=4 of 16) + exact rerank inside the probed lists.
@@ -559,7 +565,7 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(ann, exact, 0.5)
 
 
-@query("q_embed_ann_lsh", sql=_ANN_TWIN_SQL, tags=("tierc", "similarity"))
+@query("q_embed_ann_lsh", sql=_ANN_TWIN_SQL, tags=("tierc", "similarity"), twin="invariant")
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (8 tables x 4
     planes) + exact rerank.

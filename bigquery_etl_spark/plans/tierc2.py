@@ -1,0 +1,382 @@
+"""Tier C extensions, round 3: training-data pipeline operators beyond
+the round-2 surface — unigram-LM perplexity scoring, chunk-level exact
+dedup, token-budget sequence packing, and cluster-balanced diversity
+sampling. (Charter operators; the reference delegates all analytics to
+BigQuery — ref main.py:160-185 — so these have no reference twin.)
+
+All four follow the registry contract: exact DuckDB oracle where the
+semantics are SQL-expressible (perplexity, chunk dedup, packing — all
+integer/fixed-point arithmetic, so byte-identical across engines), and
+a driver-checkable invariant twin where the result depends on
+engine-specific float argmax (diversity sampling over k-means
+clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.functions.text import ws_tokens
+from bigquery_etl_spark.operators.packing import pack_sequences, shard_manifest
+from bigquery_etl_spark.registry import query
+from bigquery_etl_spark.sources import load
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (CCNet-style quality signal, squeezed to
+# a unigram model so it is exactly reproducible in SQL: the per-token
+# log-prob depends only on the integer pair (count, total)).
+#
+# 100 TB shape: one explode + token-keyed partial/final agg for the
+# vocabulary (heavy hitters absorbed map-side); the corpus-total is a
+# 1-row aggregate broadcast into the vocab (constant side); scoring is
+# a token-keyed fact-fact join (both sides hash-partitioned on the
+# token — one exchange each) followed by the per-doc rollup. No
+# driver-side state: the "model" never leaves the cluster.
+#
+# Determinism: ln() is taken per DISTINCT token of an integer ratio and
+# immediately snapped to a 1e-6 grid (ROUND(..*1e6) -> BIGINT), so the
+# per-doc sums are exact integer arithmetic in both engines; the final
+# avg-NLL is a single division of exact operands, rounded to 4dp.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_perplexity",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok),
+    lp AS (
+        SELECT t,
+               CAST(ROUND(LN(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+                   AS micro_lp
+        FROM vocab, tot
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-CAST(SUM(micro_lp) AS DOUBLE) / 1000000 / COUNT(*), 4) AS avg_nll
+    FROM tok JOIN lp ON tok.t = lp.t
+    GROUP BY tok.doc_id
+    """,
+    tags=("tierc", "text", "quality"),
+)
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under a corpus
+    unigram LM — the classic 'is this document gibberish relative to
+    the corpus' quality score (CCNet does this with a 5-gram KenLM; the
+    unigram reduction keeps it exactly SQL-twinnable)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(ws_tokens("text")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1_000_000)
+        .cast("long")
+        .alias("micro_lp"),
+    )
+    return (
+        tok.join(lp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum("micro_lp").cast("double") / 1_000_000 / F.count(F.lit(1)), 4
+            ).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup: split every document into consecutive 4-token
+# chunks and measure, per document, how many of its chunks already occur
+# in a lower-id document — the boilerplate/near-template detector that
+# complements whole-doc exact dedup (C1) and MinHash (C2): a page that is
+# 80% shared boilerplate + 20% fresh text passes both, this catches it.
+#
+# 100 TB shape: chunks are formed ARRAY-side (one transform per doc, no
+# per-token window), then one chunk-keyed shuffle for the min-owner agg
+# and one chunk-keyed join back (both sides partitioned on the chunk
+# string; partial agg absorbs hot boilerplate chunks), then the per-doc
+# rollup. Never pairwise.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_chunks",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    chunk AS (
+        SELECT doc_id,
+               array_to_string(t[i * 4 + 1 : i * 4 + 4], ' ') AS c
+        FROM toks, UNNEST(range(0, CAST(CEIL(LEN(t) / 4.0) AS BIGINT))) AS r(i)
+    ),
+    owner AS (SELECT c, MIN(doc_id) AS own FROM chunk GROUP BY c)
+    SELECT chunk.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN own < chunk.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           ROUND(CAST(SUM(CASE WHEN own < chunk.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_ratio
+    FROM chunk JOIN owner ON chunk.c = owner.c
+    GROUP BY chunk.doc_id
+    """,
+    tags=("tierc", "dedup", "text"),
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shared-chunk ratio vs lower-id documents (chunk =
+    4 consecutive whitespace tokens; last chunk may be shorter)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens("text").alias("t"))
+    chunk_arr = F.expr(
+        "transform(sequence(0, cast(ceil(size(t) / 4.0) as int) - 1),"
+        " i -> array_join(slice(t, i * 4 + 1, 4), ' '))"
+    )
+    chunk = toks.select("doc_id", F.explode(chunk_arr).alias("c"))
+    owner = chunk.groupBy("c").agg(F.min("doc_id").alias("own"))
+    dup = F.when(F.col("own") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        chunk.join(owner, "c")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+            F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 4).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing (shard manifest). The oracle runs the
+# single-global-window formulation; the Spark side runs the distributed
+# two-phase prefix sum from operators/packing.py — identical output by
+# construction, adjudicating the whole distributed rewrite.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 1000
+
+
+@query(
+    "q_pack_sequences",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(LEN(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               SUM(toks) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM t
+    )
+    SELECT CAST(FLOOR(CAST(cum - toks AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+               AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY 1
+    """,
+    tags=("tierc", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~{budget}-token training shards (contiguous
+    by doc_id, bounded overflow) and emit the shard manifest."""
+    d = load(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d, "doc_id", F.size(ws_tokens("text")), budget=_PACK_BUDGET
+    )
+    m = shard_manifest(packed, _PACK_BUDGET)
+    return m.select(
+        "shard_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced diversity sampling: k-means the embedding corpus
+# (similarity.py's DataFrame-native spherical Lloyd's — deterministic
+# lowest-id init, only kxdim floats reach the driver), then keep at most
+# m rows per cluster, lowest vec_id first. The workhorse for "sample a
+# diverse eval slice" / "cap over-represented modes before training".
+#
+# The cluster assignment hinges on float argmax, so the row set has no
+# cross-engine SQL twin; the twin is the invariant set: the per-cluster
+# cap holds, every sampled id exists in the corpus exactly once, and the
+# sample is non-empty. (Row-level determinism within Spark is covered by
+# tests/test_tierc2.py.)
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pre-training corpus build: the flagship composite that
+# chains the charter operators the way a real data pipeline does —
+#
+#   quality filter -> exact dedup -> benchmark decontamination ->
+#   token-budget shard packing -> manifest
+#
+# Every stage is deterministic integer arithmetic, so the WHOLE pipeline
+# has an exact DuckDB twin: one hash mismatch anywhere in the chain
+# fails the round. 100 TB shape: quality is map-only; dedup is one
+# content-keyed shuffle (min-id survivor below partial agg); the eval
+# 5-gram set is tiny by definition and broadcast; packing is the
+# two-phase prefix sum (operators/packing.py). Four keyed shuffles, no
+# pairwise stage, driver never sees a row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pretrain_corpus",
+    sql="""
+    WITH base AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, text, t, CAST(LEN(t) AS BIGINT) AS n
+        FROM base
+        WHERE doc_id % 50 <> 0
+          AND LEN(t) BETWEEN 10 AND 1000
+          AND LEN(list_distinct(t)) * 5 >= LEN(t)
+    ),
+    dedup AS (
+        SELECT doc_id, t, n FROM quality
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
+    ),
+    eval_grams AS (
+        SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+        FROM base, UNNEST(range(1, len(t) - 3)) AS r(i)
+        WHERE doc_id % 50 = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+              FROM dedup, UNNEST(range(1, len(t) - 3)) AS r(i)) s
+        JOIN eval_grams USING (g)
+    ),
+    clean AS (
+        SELECT doc_id, n FROM dedup
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    cum AS (
+        SELECT doc_id, n,
+               SUM(n) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c
+        FROM clean
+    )
+    SELECT CAST(FLOOR(CAST(c - n AS DOUBLE) / 1000) AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY 1
+    """,
+    tags=("tierc", "pipeline", "packing"),
+)
+def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter, dedup, decontaminate, and shard-pack the corpus;
+    emit the training-shard manifest (eval slice = doc_id % 50 == 0)."""
+    from bigquery_etl_spark.operators.dedup import exact_dedup
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", ws_tokens("text").alias("t"))
+
+    n = F.size("t")
+    quality = (
+        base.filter(F.col("doc_id") % 50 != 0)
+        .filter((n >= 10) & (n <= 1000) & (F.size(F.array_distinct("t")) * 5 >= n))
+        .withColumn("n", n.cast("long"))
+    )
+    dedup = exact_dedup(quality, ["text"], "doc_id")
+
+    def grams(df: DataFrame) -> DataFrame:
+        arr = F.when(
+            F.size("t") >= 5,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 5),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 5)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select("doc_id", F.explode(arr).alias("g"))
+
+    eval_grams = (
+        grams(base.filter(F.col("doc_id") % 50 == 0)).select("g").distinct()
+    )
+    contaminated = (
+        grams(dedup).join(F.broadcast(eval_grams), "g").select("doc_id").distinct()
+    )
+    clean = dedup.join(contaminated, "doc_id", "left_anti").select("doc_id", "n")
+
+    packed = pack_sequences(clean, "doc_id", "n", budget=1000)
+    return shard_manifest(packed, 1000).select(
+        "shard_id",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
+    "q_sample_diverse",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           TRUE AS cap_holds,
+           TRUE AS ids_valid,
+           TRUE AS non_empty
+    FROM embeddings
+    """,
+    tags=("tierc", "similarity", "sampling"),
+    twin="invariant",
+)
+def q_sample_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant reduction of cluster-balanced sampling (k=8, cap=20)."""
+    from pyspark.sql import Window
+
+    from bigquery_etl_spark.operators.similarity import (
+        _argmax_centroid,
+        _unit,
+        train_ivf_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(e, "embedding", n_centroids=8, n_iters=2)
+    assigned = e.select(
+        "vec_id",
+        _argmax_centroid(_unit(F.col("embedding").cast("array<double>")), cents).alias(
+            "__c"
+        ),
+    )
+    cap = 20
+    w = Window.partitionBy("__c").orderBy("vec_id")
+    sample = assigned.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= cap
+    )
+    per_cluster = sample.groupBy("__c").agg(F.count(F.lit(1)).alias("n"))
+    cap_ok = per_cluster.agg(
+        F.coalesce(F.max("n") <= cap, F.lit(True)).alias("cap_holds")
+    )
+    # every sampled id joins back to exactly one corpus row
+    joined = sample.join(e.select("vec_id"), "vec_id", "inner")
+    valid = sample.agg(F.count(F.lit(1)).alias("n_s")).crossJoin(
+        joined.agg(F.count(F.lit(1)).alias("n_j"))
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_corpus"))
+        .crossJoin(cap_ok)
+        .crossJoin(valid)
+        .select(
+            "n_corpus",
+            "cap_holds",
+            (F.col("n_s") == F.col("n_j")).alias("ids_valid"),
+            (F.col("n_s") > 0).alias("non_empty"),
+        )
+    )

@@ -30,15 +30,35 @@ class QuerySpec:
     sql: str | None = None  # DuckDB oracle twin; None -> rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # "exact": the twin recomputes the same result (value-hash adjudicates
+    # the computation). "invariant": the twin states checkable properties
+    # (bounds, planted-copy booleans) because the result depends on an
+    # engine-specific hash/float space — it adjudicates correctness but is
+    # NOT comparable work, so bench.py excludes it from the DuckDB
+    # baseline comparison.
+    twin: str = "exact"
 
 
-def query(name: str, sql: str | None = None, tags: tuple[str, ...] = (), doc: str = ""):
+def query(
+    name: str,
+    sql: str | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+    twin: str = "exact",
+):
     """Decorator: register a declared query under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate declared query: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, tags=tags, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            sql=sql,
+            tags=tags,
+            doc=doc or (fn.__doc__ or ""),
+            twin=twin,
+        )
         return fn
 
     return deco

@@ -40,6 +40,13 @@ NON_EQUI_OK = {
     "q_sample",           # TABLESAMPLE percentage literal
     "q_dq_report",        # three 1-row check summaries cross-joined
     "q_dedup_minhash_check",  # two 1-row invariant summaries cross-joined
+    # r3 invariant-twin reductions: each crosses 1-row aggregate
+    # summaries (count/min/max of the whole run) — constant-size sides.
+    "q_dedup_minhash",
+    "q_dedup_minhash_pairs",
+    "q_dedup_simhash",
+    "q_perplexity",       # 1-row corpus-total broadcast into the vocab
+    "q_sample_diverse",   # 1-row invariant summaries cross-joined
 }
 
 # Streaming / source / pipeline queries that cannot build a pure batch

@@ -32,6 +32,15 @@ PER_QUERY_REGRESSION_MAX = 1.5
 # the job-scheduling floor where +-50ms of noise trips any ratio
 MIN_REGRESSION_SEC = 0.1
 
+# Queries whose DEFINITION changed since the prior round's recording —
+# their prior seconds time a different computation, so a cross-round
+# comparison is meaningless. Each entry must say what changed; remove it
+# the round after (the new definition becomes the new baseline).
+REDEFINED: dict[str, str] = {
+    "q_dedup_minhash": "r3: reduced to invariant form — corpus doubled by "
+    "planted copies, plus dup-pair verification joins (3b5e717)",
+}
+
 
 def prior_round() -> dict | None:
     files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
@@ -83,6 +92,10 @@ def main() -> int:
         now = cur.get("queries", {}).get(name)
         if now is None:
             print(f"gate: {name} missing from current run (renamed/removed?)")
+            continue
+        if name in REDEFINED:
+            print(f"gate: {name} redefined, skipping comparison "
+                  f"({REDEFINED[name]})")
             continue
         if (
             now > prev_sec * PER_QUERY_REGRESSION_MAX
