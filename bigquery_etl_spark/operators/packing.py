@@ -89,6 +89,66 @@ def pack_sequences(
     )
 
 
+def segmented_running_sum(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    out_col: str = "running_sum",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-key running (UNBOUNDED PRECEDING) sum that survives a zipf-hot
+    key. Spark executes each window partition as ONE task, so with a
+    skewed key the hot key's entire history serializes through a single
+    reducer — AQE's skew handling splits joins, never windows. This is
+    the window analogue of operators/skew.salted_join: the same
+    two-phase prefix sum as pack_sequences, with a composite
+    (key, bucket) partition key.
+
+    1. range-shuffle on (key, order) — one key's rows land ordered
+       across CONSECUTIVE buckets, so the hot key is spread over many
+       tasks while every bucket still holds a contiguous order range;
+    2. cumsum within (key, bucket) — bounded task size;
+    3. per-(key, bucket) totals get an exclusive per-key prefix via a
+       window PARTITIONED BY KEY over bucket ids — at most n_buckets
+       rows per key, so even the hottest key is a tiny window — then
+       join back on (key, bucket).
+
+    Requires ``order_col`` unique within each key (a running sum over
+    tied orders is tie-order-dependent in ANY engine). Result is
+    byte-identical to
+    ``SUM(val) OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED
+    PRECEDING)``.
+    """
+    base = df.select(key_col, order_col, F.col(val_col).alias("__v"))
+    bucketed = base.repartitionByRange(
+        n_buckets, F.col(key_col), F.col(order_col)
+    ).withColumn("__bkt", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(key_col, "__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("__cum_local", F.sum("__v").over(w_local))
+
+    totals = local.groupBy(key_col, "__bkt").agg(F.sum("__v").alias("__tot"))
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        key_col,
+        "__bkt",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(offsets, [key_col, "__bkt"])
+        .withColumn(out_col, F.col("__off") + F.col("__cum_local"))
+        .select(key_col, order_col, F.col("__v").alias(val_col), out_col)
+    )
+
+
 def shard_manifest(packed: DataFrame, budget: int) -> DataFrame:
     """Roll the per-row assignment up to the shard manifest a data
     loader consumes: rows, token total, and the bounded-overflow

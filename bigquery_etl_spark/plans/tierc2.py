@@ -204,6 +204,49 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-parallel per-key running sum. Spark executes each window
+# partition as ONE task and AQE's skew handling splits only joins, so a
+# zipf-hot key serializes its whole history through a single reducer.
+# operators/packing.segmented_running_sum spreads one key's rows over
+# consecutive range buckets and stitches the prefix back with a
+# per-(key,bucket) offset table (<= n_buckets rows per key). Oracle =
+# the direct window SQL, adjudicating the rewrite end to end.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_win_running_seg",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_sum
+    FROM orders
+    """,
+    tags=("window", "skew"),
+)
+def q_win_running_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total (exact integer cents), computed
+    with the skew-parallel segmented prefix sum instead of a direct
+    per-key window."""
+    from bigquery_etl_spark.operators.packing import segmented_running_sum
+    from bigquery_etl_spark.plans._util import cents
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", cents("o_totalprice").alias("v")
+    )
+    out = segmented_running_sum(o, "o_custkey", "o_orderkey", "v")
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "v",
+        F.col("running_sum").cast("bigint").alias("running_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster-balanced diversity sampling: k-means the embedding corpus
 # (similarity.py's DataFrame-native spherical Lloyd's — deterministic
 # lowest-id init, only kxdim floats reach the driver), then keep at most

@@ -43,6 +43,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Tie the skew-split trigger to the partition-size target instead
+        # of Spark's 256 MB absolute floor. Stock behavior: a partition is
+        # split only when BOTH >5x median AND >256 MB — so a zipf-hot join
+        # key sits un-split until it is 4x the 64 MB advisory target.
+        # Measured on the zipf probe (tools/scale_bench.py --zipf 1.2,
+        # ~sf1): the rank-1 key's partition ran one 9 s straggler task
+        # (80x the stage median) with stock thresholds; with the trigger
+        # at the advisory size the plan shows SortMergeJoin(skew=true)
+        # and the join drops 7.5 s -> 2.5 s. At production scale the 5x
+        # factor still gates, so normal 64-128 MB partitions never split.
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

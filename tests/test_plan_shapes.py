@@ -209,3 +209,27 @@ def test_ivf_training_caches_corpus(spark, sf_dir, monkeypatch):
     assert len(cents) == 4
     assert len(persists) == 1 and len(unpersist_plans) == 1
     assert "InMemory" in unpersist_plans[0]
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The packing prefix sum must stay distributed: the big side is
+    range-shuffled and windowed PER BUCKET; the only single-partition
+    stage is the constant-size per-bucket offset table (one row per
+    bucket), which comes back via broadcast. A 'simplification' to one
+    global ORDER BY window would serialize the whole table through one
+    task at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_spark.functions.text import ws_tokens
+    from bigquery_etl_spark.operators.packing import pack_sequences
+    from bigquery_etl_spark.sources import load
+
+    d = load(spark, sf_dir, "documents")
+    plan = _executed_plan(
+        pack_sequences(d, "doc_id", F.size(ws_tokens("text")), budget=1000)
+    )
+    assert "rangepartitioning" in plan.lower()  # big side: range shuffle
+    assert plan.count("SinglePartition") == 1   # only the bucket totals
+    assert "BroadcastHashJoin" in plan          # offsets come back broadcast
+    # the big-side window is keyed by the bucket, not a global order
+    assert re.search(r"windowspecdefinition\(__bkt", plan)

@@ -88,6 +88,59 @@ def test_dedup_chunks_short_doc(spark):
     assert out[2] == (1, 0)  # short unique chunk "x y"
 
 
+def test_segmented_running_sum_matches_window(spark, sf_dir):
+    """Distributed per-key prefix sum == direct window, row for row —
+    including NEGATIVE values (bucket totals must be sum(v), not
+    max(cumsum): a negative tail makes the running sum non-monotonic)."""
+    from bigquery_etl_spark.operators.packing import segmented_running_sum
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * 100).cast("long") - 200_000).alias("v"),
+    )
+    seg = segmented_running_sum(o, "o_custkey", "o_orderkey", "v", n_buckets=7)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    direct = o.withColumn("running_sum", F.sum("v").over(w))
+    diff = seg.join(
+        direct, ["o_custkey", "o_orderkey", "v", "running_sum"], "full_outer"
+    ).filter(F.col("o_custkey").isNull() | F.col("running_sum").isNull())
+    assert diff.count() == 0
+    assert seg.count() == o.count()
+
+
+def test_segmented_running_sum_spreads_hot_key(spark):
+    """One key owning 90% of rows must span several range buckets (the
+    whole point: no single task holds the hot key's history)."""
+    from bigquery_etl_spark.operators.packing import segmented_running_sum
+
+    rows = [(7 if i % 10 else i, i, 1) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, o long, v long").repartition(8)
+    seg = segmented_running_sum(df, "k", "o", "v", n_buckets=16)
+    # correctness on the hot key: its running sums are a permutation of
+    # 1..n_hot (v=1, unique order) — any stitch error breaks this
+    hot = seg.filter(F.col("k") == 7)
+    n_hot = hot.count()
+    assert (
+        hot.agg(
+            F.min("running_sum"), F.max("running_sum"), F.count_distinct("running_sum")
+        ).first()
+        == (1, n_hot, n_hot)
+    )
+    # and the hot key's rows really were processed in >1 bucket: rebuild
+    # the bucket assignment the operator uses
+    bucketed = (
+        df.repartitionByRange(16, F.col("k"), F.col("o"))
+        .withColumn("b", F.spark_partition_id())
+        .filter(F.col("k") == 7)
+    )
+    assert bucketed.select("b").distinct().count() > 1
+
+
 def test_sample_diverse_deterministic(spark, sf_dir):
     """Same corpus -> same sampled id set on repeated runs (k-means init
     is lowest-id vectors; ranking is (cluster, vec_id) — no RNG)."""
