@@ -189,7 +189,7 @@ _PACK_BUDGET = 1000
     tags=("tierc", "packing"),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents into ~{budget}-token training shards (contiguous
+    """Pack documents into ~1000-token training shards (contiguous
     by doc_id, bounded overflow) and emit the shard manifest."""
     d = load(spark, sf_dir, "documents")
     packed = pack_sequences(
