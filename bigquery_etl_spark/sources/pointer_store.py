@@ -129,6 +129,30 @@ class PointerStore:
 
     # -- maintenance ---------------------------------------------------------
 
+    def compact(self, target_file_mb: int = 128) -> tuple[int, int]:
+        """Reader-safe small-file compaction (the OPTIMIZE analogue):
+        rewrite the live snapshot into ~target-sized files as a NEW
+        snapshot and flip the pointer. Unlike
+        ``operators.layout.compact_parquet_dir`` (bare directories,
+        single writer, brief not-exists window), readers mid-scan keep
+        their immutable old snapshot. Returns (files_before, after).
+
+        Streaming sinks drip micro-batch-sized files; each costs a task
+        + footer read per query. Run this on a maintenance cadence."""
+        import math
+
+        from bigquery_etl_spark.operators.layout import dir_file_stats
+
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"{self.root}: empty table")
+        path = os.path.join(self.root, snap)
+        n_before, total = dir_file_stats(path)
+        n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        # coalesce, not repartition: no shuffle, preserves row order
+        new = self._commit(self.spark.read.parquet(path).coalesce(n_target))
+        return n_before, dir_file_stats(os.path.join(self.root, new))[0]
+
     def recover(self) -> list[str]:
         """Remove crash debris: tmp pointer files, incomplete snapshot
         dirs (no _SUCCESS), and complete-but-never-committed dirs newer

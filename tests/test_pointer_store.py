@@ -103,3 +103,17 @@ def test_concurrent_reader_never_sees_mixed_version(spark, tmp_path):
     assert not errors, errors[:3]
     assert len(seen) >= 5, "reader starved — test proved nothing"
     assert max(seen) > 0
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    """OPTIMIZE analogue: many small files -> few, same rows, committed
+    as a new snapshot (old one stays live for in-flight readers until
+    GC lag expires)."""
+    st = PointerStore(spark, str(tmp_path / "t"))
+    st.overwrite(_stamp_df(spark, 1, 1000).repartition(24))
+    before_snap = st.current_snapshot()
+    n_before, n_after = st.compact(target_file_mb=128)
+    assert n_before >= 24 and n_after < n_before
+    rows = {r.k for r in st.read().collect()}
+    assert rows == set(range(1000))
+    assert st.current_snapshot() != before_snap  # new snapshot, not in-place
