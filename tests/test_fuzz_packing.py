@@ -1,0 +1,80 @@
+"""Seeded differential fuzz for the distributed prefix-sum rewrites
+(operators/packing.py): random key distributions (incl. zipf-hot),
+negative values, random bucket counts — each case compared row-for-row
+against the direct single-window formulation Spark itself computes.
+Same philosophy as the RANGE-frame fuzz (tests/test_range_frame.py):
+the rewrite must be byte-identical to the spec, not plausibly close."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.operators.packing import (
+    pack_sequences,
+    segmented_running_sum,
+)
+
+SEEDS = [11, 23, 37, 58]
+
+
+def _random_rows(seed: int):
+    rng = random.Random(seed)
+    n = rng.randrange(200, 2000)
+    n_keys = rng.choice([1, 3, 17, n])  # incl. all-one-key and all-distinct
+    hot = rng.random() < 0.5
+    rows = []
+    for i in range(n):
+        if hot and rng.random() < 0.6:
+            k = 0  # hot key with 60% of rows
+        else:
+            k = rng.randrange(n_keys)
+        v = rng.randrange(-1000, 1000)
+        rows.append((k, i, v))  # order col globally unique
+    return rows
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_segmented_running_sum(spark, seed):
+    rng = random.Random(seed * 7)
+    rows = _random_rows(seed)
+    df = spark.createDataFrame(rows, "k long, o long, v long").repartition(8)
+    n_buckets = rng.choice([1, 2, 5, 16, 64])
+    seg = segmented_running_sum(df, "k", "o", "v", n_buckets=n_buckets)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    direct = df.withColumn("running_sum", F.sum("v").over(w))
+    diff = seg.join(direct, ["k", "o", "v", "running_sum"], "full_outer").filter(
+        F.col("k").isNull() | F.col("running_sum").isNull()
+    )
+    assert diff.count() == 0, f"seed={seed} n_buckets={n_buckets}"
+    assert seg.count() == len(rows)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_pack_sequences(spark, seed):
+    rng = random.Random(seed * 13)
+    n = rng.randrange(100, 1500)
+    # token counts incl. zero-token and budget-dwarfing docs
+    rows = [
+        (i, rng.choice([0, 1, 7, 40, 150, 5000]) if rng.random() < 0.9 else 0)
+        for i in range(n)
+    ]
+    budget = rng.choice([1, 100, 1000])
+    n_buckets = rng.choice([1, 3, 32])
+    df = spark.createDataFrame(rows, "id long, toks long")
+    packed = pack_sequences(df, "id", "toks", budget=budget, n_buckets=n_buckets)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.withColumn(
+        "shard_id", F.floor((F.sum("toks").over(w) - F.col("toks")) / F.lit(budget))
+    ).withColumnRenamed("toks", "n_tokens")
+    diff = packed.join(naive, ["id", "n_tokens", "shard_id"], "full_outer").filter(
+        F.col("id").isNull() | F.col("shard_id").isNull()
+    )
+    assert diff.count() == 0, f"seed={seed} budget={budget} n_buckets={n_buckets}"

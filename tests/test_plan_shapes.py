@@ -233,3 +233,14 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan          # offsets come back broadcast
     # the big-side window is keyed by the bucket, not a global order
     assert re.search(r"windowspecdefinition\(__bkt", plan)
+
+
+def test_pretrain_corpus_broadcasts_eval_grams(spark, sf_dir):
+    """The decontamination stage must broadcast the eval 5-gram set
+    (tiny by definition) — a shuffle join there would move the whole
+    training corpus's shingles for a constant-size side."""
+    plan = _executed_plan(QUERIES["q_pretrain_corpus"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # and the packing tail stays distributed (same invariant as
+    # test_pack_sequences_no_global_window)
+    assert "rangepartitioning" in plan.lower()
