@@ -82,13 +82,12 @@ def cmd_oracle(args: argparse.Namespace) -> int:
 
 
 def cmd_sql(args: argparse.Namespace) -> int:
-    from bigquery_etl_spark.sources import load
-    from bigquery_etl_spark.sources.tables import TABLES
+    from bigquery_etl_spark.sources.tables import TABLES, register_views
 
     spark = _spark()
     for t in TABLES:
         try:
-            load(spark, args.sf_dir, t).createOrReplaceTempView(t)
+            register_views(spark, args.sf_dir, (t,))
         except Exception:  # noqa: BLE001 — a missing fixture table is fine
             pass
     df = spark.sql(args.statement)

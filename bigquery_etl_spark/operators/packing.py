@@ -149,10 +149,11 @@ def segmented_running_sum(
     )
 
 
-def shard_manifest(packed: DataFrame, budget: int) -> DataFrame:
+def shard_manifest(packed: DataFrame) -> DataFrame:
     """Roll the per-row assignment up to the shard manifest a data
-    loader consumes: rows, token total, and the bounded-overflow
-    invariant (total < budget + max doc size by construction)."""
+    loader consumes: rows and token total per shard (total_tokens <
+    budget + max doc size holds by pack_sequences' construction —
+    asserted in tests/test_tierc2.py, not recomputed here)."""
     return packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

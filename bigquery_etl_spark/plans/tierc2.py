@@ -195,11 +195,63 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(
         d, "doc_id", F.size(ws_tokens("text")), budget=_PACK_BUDGET
     )
-    m = shard_manifest(packed, _PACK_BUDGET)
+    m = shard_manifest(packed)
     return m.select(
         "shard_id",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic content-hash dataset split. Train/val/test membership
+# must be a pure function of CONTENT, not of row position or RNG state:
+# re-runs, re-partitioning, dedup, and incremental appends then never
+# move a document across splits (the leakage class where yesterday's
+# val doc lands in today's train shard). md5 is bit-identical across
+# engines, so the split — unlike seeded Bernoulli sampling (q_sample,
+# invariant twin) — has an EXACT twin. Map-only + tiny agg: scales.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dataset_split",
+    sql="""
+    WITH b AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket,
+               LEN(string_split_regex(trim(text), '\\s+')) AS toks
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM b
+    GROUP BY 1, 2
+    """,
+    tags=("tierc", "sampling"),
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 content-hash split with per-(split, lang) doc and token
+    accounting — the split-manifest query a training pipeline runs
+    before sharding."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", F.size(ws_tokens("text")).alias("toks"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+        )
     )
 
 
@@ -361,7 +413,7 @@ def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = dedup.join(contaminated, "doc_id", "left_anti").select("doc_id", "n")
 
     packed = pack_sequences(clean, "doc_id", "n", budget=1000)
-    return shard_manifest(packed, 1000).select(
+    return shard_manifest(packed).select(
         "shard_id",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("total_tokens").cast("bigint").alias("total_tokens"),

@@ -51,6 +51,10 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate declared query: {name}")
+        if twin not in ("exact", "invariant"):
+            # a typo here would silently drop the query from bench.py's
+            # DuckDB baseline (it checks twin != "exact")
+            raise ValueError(f"{name}: twin must be 'exact' or 'invariant', got {twin!r}")
         REGISTRY[name] = QuerySpec(
             name=name,
             fn=fn,

@@ -49,11 +49,17 @@ def test_fuzz_segmented_running_sum(spark, seed):
         .orderBy("o")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    direct = df.withColumn("running_sum", F.sum("v").over(w))
-    diff = seg.join(direct, ["k", "o", "v", "running_sum"], "full_outer").filter(
-        F.col("k").isNull() | F.col("running_sum").isNull()
+    direct = df.withColumn("ref_rs", F.sum("v").over(w)).withColumnRenamed(
+        "v", "ref_v"
     )
-    assert diff.count() == 0, f"seed={seed} n_buckets={n_buckets}"
+    # key-only join + eqNullSafe value compare: joining on ALL columns
+    # coalesces them (USING semantics) and the isNull mismatch filter
+    # can never fire — the original form of this test was vacuous
+    mism = seg.join(direct, ["k", "o"], "full_outer").filter(
+        ~F.col("running_sum").eqNullSafe(F.col("ref_rs"))
+        | ~F.col("v").eqNullSafe(F.col("ref_v"))
+    )
+    assert mism.count() == 0, f"seed={seed} n_buckets={n_buckets}"
     assert seg.count() == len(rows)
 
 
@@ -72,9 +78,10 @@ def test_fuzz_pack_sequences(spark, seed):
     packed = pack_sequences(df, "id", "toks", budget=budget, n_buckets=n_buckets)
     w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
     naive = df.withColumn(
-        "shard_id", F.floor((F.sum("toks").over(w) - F.col("toks")) / F.lit(budget))
-    ).withColumnRenamed("toks", "n_tokens")
-    diff = packed.join(naive, ["id", "n_tokens", "shard_id"], "full_outer").filter(
-        F.col("id").isNull() | F.col("shard_id").isNull()
+        "ref_shard", F.floor((F.sum("toks").over(w) - F.col("toks")) / F.lit(budget))
+    ).withColumnRenamed("toks", "ref_tokens")
+    mism = packed.join(naive, "id", "full_outer").filter(
+        ~F.col("shard_id").eqNullSafe(F.col("ref_shard"))
+        | ~F.col("n_tokens").eqNullSafe(F.col("ref_tokens"))
     )
-    assert diff.count() == 0, f"seed={seed} budget={budget} n_buckets={n_buckets}"
+    assert mism.count() == 0, f"seed={seed} budget={budget} n_buckets={n_buckets}"

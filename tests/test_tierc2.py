@@ -23,13 +23,20 @@ def test_pack_matches_naive_window(spark, sf_dir):
     base = d.select("doc_id", F.size(ws_tokens("text")).cast("long").alias("n_tokens"))
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     naive = base.withColumn(
-        "shard_id",
+        "ref_shard",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(BUDGET)),
+    ).withColumnRenamed("n_tokens", "ref_tokens")
+    # join on the KEY only and value-compare with eqNullSafe: joining on
+    # all columns coalesces them (USING semantics), making isNull
+    # filters vacuous — a wrong shard_id would silently pass
+    mism = (
+        packed.join(naive, "doc_id", "full_outer")
+        .filter(
+            ~F.col("shard_id").eqNullSafe(F.col("ref_shard"))
+            | ~F.col("n_tokens").eqNullSafe(F.col("ref_tokens"))
+        )
     )
-    diff = packed.join(naive, ["doc_id", "n_tokens", "shard_id"], "full_outer").filter(
-        F.col("doc_id").isNull() | F.col("shard_id").isNull()
-    )
-    assert diff.count() == 0
+    assert mism.count() == 0
     assert packed.count() == d.count()
 
 
@@ -40,7 +47,7 @@ def test_pack_overflow_bound(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     packed = pack_sequences(d, "doc_id", F.size(ws_tokens("text")), budget=BUDGET)
     max_doc = packed.agg(F.max("n_tokens")).first()[0]
-    m = shard_manifest(packed, BUDGET)
+    m = shard_manifest(packed)
     over = m.filter(F.col("total_tokens") >= BUDGET + max_doc).count()
     assert over == 0
     assert m.agg(F.sum("n_docs")).first()[0] == d.count()
@@ -58,7 +65,7 @@ def test_pack_tiny_and_single_row(spark, sf_dir):
 
     rows = [(i, 60) for i in range(10)]
     df = spark.createDataFrame(rows, "id long, toks long")
-    m = shard_manifest(pack_sequences(df, "id", "toks", budget=100), 100)
+    m = shard_manifest(pack_sequences(df, "id", "toks", budget=100))
     got = {r["shard_id"]: r["n_docs"] for r in m.collect()}
     # cum_before = 0,60,120,... -> shard = floor(cum_before/100)
     assert got == {0: 2, 1: 2, 2: 1, 3: 2, 4: 2, 5: 1}
@@ -105,11 +112,16 @@ def test_segmented_running_sum_matches_window(spark, sf_dir):
         .orderBy("o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    direct = o.withColumn("running_sum", F.sum("v").over(w))
-    diff = seg.join(
-        direct, ["o_custkey", "o_orderkey", "v", "running_sum"], "full_outer"
-    ).filter(F.col("o_custkey").isNull() | F.col("running_sum").isNull())
-    assert diff.count() == 0
+    direct = o.withColumn("ref_rs", F.sum("v").over(w)).withColumnRenamed(
+        "v", "ref_v"
+    )
+    # key-only join + eqNullSafe value compare (joining on all columns
+    # coalesces them and can never surface a value mismatch)
+    mism = seg.join(direct, ["o_custkey", "o_orderkey"], "full_outer").filter(
+        ~F.col("running_sum").eqNullSafe(F.col("ref_rs"))
+        | ~F.col("v").eqNullSafe(F.col("ref_v"))
+    )
+    assert mism.count() == 0
     assert seg.count() == o.count()
 
 

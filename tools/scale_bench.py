@@ -129,6 +129,12 @@ def build_zipf(spark, src_dir: str, out_dir: str, copies: int, s: float, seed: i
 
     from bigquery_etl_spark.sources import load
 
+    if abs(s - 1.0) < 1e-9:
+        # a = 1-s = 0 -> 1/a divides by zero, and Spark's non-ANSI double
+        # division returns NULL — every redrawn key would silently become
+        # NULL and the probe would report fast, meaningless results
+        raise ValueError("--zipf 1.0 is a singular shape; use e.g. 1.2 or 0.8")
+
     def zipf_col(n_keys, seed_off: int):
         # inverse-CDF of bounded Pareto on [1, n_keys], shape s: heavy
         # head (rank-1 key gets ~ (1 - 2^(1-s)) of the mass at s>1)
