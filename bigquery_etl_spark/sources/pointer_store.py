@@ -115,6 +115,52 @@ class PointerStore:
     def overwrite(self, df: DataFrame) -> str:
         return self._commit(df)
 
+    def append(self, df: DataFrame) -> str:
+        """O(new data) append: the new snapshot directory hard-links the
+        current snapshot's parquet files (a metadata op per FILE, no
+        data copied or rewritten) and adds freshly written part files
+        for ``df``. This is the filesystem-native version of a
+        table-format ADD-FILES commit — without it, every commit
+        rewrites the whole table, which is absurd at 100 TB for an
+        append-mostly corpus. Old snapshots stay valid (hard links
+        share inodes; GC's rmtree just drops link counts).
+
+        Caller contract: ``df``'s schema must match the stored table
+        (enforced by Spark on the next read otherwise)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return self._commit(df)
+        os.makedirs(self.root, exist_ok=True)
+        staging = os.path.join(self.root, f".append-{uuid.uuid4().hex}")
+        df.write.parquet(staging)  # _SUCCESS marks the write complete
+
+        seq = self._seq(cur) + 1
+        snap = f"snap-{seq:08d}-{uuid.uuid4().hex[:8]}"
+        snap_path = os.path.join(self.root, snap)
+        os.makedirs(snap_path)
+        cur_path = os.path.join(self.root, cur)
+        for name in os.listdir(cur_path):
+            if name.endswith(".parquet"):
+                os.link(os.path.join(cur_path, name), os.path.join(snap_path, name))
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                # seq prefix guarantees no collision with linked names
+                os.link(
+                    os.path.join(staging, name),
+                    os.path.join(snap_path, f"add-{seq:08d}-{name}"),
+                )
+        open(os.path.join(snap_path, "_SUCCESS"), "w").close()
+        # atomic pointer replace: commit point (same protocol as _commit)
+        tmp = os.path.join(self.root, f".ptr-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(snap)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer)
+        shutil.rmtree(staging, ignore_errors=True)
+        self._gc(snap)
+        return snap
+
     def upsert(self, updates: DataFrame, keys: list[str]) -> str:
         """MERGE: same-key rows replaced, others carried forward; one
         anti-join shuffle on the keys plus the snapshot write — same
@@ -167,6 +213,9 @@ class PointerStore:
             full = os.path.join(self.root, name)
             if name.startswith(".ptr-"):
                 os.unlink(full)
+                removed.append(name)
+            elif name.startswith(".append-"):
+                shutil.rmtree(full, ignore_errors=True)
                 removed.append(name)
             elif name.startswith("snap-") and name != cur:
                 incomplete = not os.path.exists(os.path.join(full, "_SUCCESS"))

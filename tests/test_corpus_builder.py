@@ -1,0 +1,81 @@
+"""Incremental corpus builder (pipeline/corpus.py) + PointerStore.append:
+cross-tick dedup, idempotent re-runs, and the O(new-data) hard-link
+append commit (no corpus rewrite)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.pipeline.corpus import CorpusBuilder
+from bigquery_etl_spark.sources.pointer_store import PointerStore
+
+
+def _docs(spark, start, n, prefix="tok"):
+    # 12 distinct tokens of 12 -> passes the length and diversity gates
+    rows = [
+        (i, " ".join(f"{prefix}{i}w{j}" for j in range(12))) for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_append_links_instead_of_rewriting(spark, tmp_path):
+    root = str(tmp_path / "t")
+    st = PointerStore(spark, root)
+    st.overwrite(spark.range(100).selectExpr("id", "id * 2 AS v").repartition(4))
+    snap1 = st.current_snapshot()
+    files1 = {
+        f for f in os.listdir(os.path.join(root, snap1)) if f.endswith(".parquet")
+    }
+    st.append(spark.range(100, 150).selectExpr("id", "id * 2 AS v").repartition(2))
+    snap2 = st.current_snapshot()
+    assert snap2 != snap1
+    files2 = {
+        f for f in os.listdir(os.path.join(root, snap2)) if f.endswith(".parquet")
+    }
+    # every old file is carried as a hard link (same name, same inode)
+    assert files1 < files2
+    for f in files1:
+        a = os.stat(os.path.join(root, snap1, f))
+        b = os.stat(os.path.join(root, snap2, f))
+        assert a.st_ino == b.st_ino and b.st_nlink >= 2
+    assert st.read().count() == 150
+    # old snapshot still fully readable (reader-lag guarantee)
+    assert spark.read.parquet(os.path.join(root, snap1)).count() == 100
+
+
+def test_append_to_empty_store_bootstraps(spark, tmp_path):
+    st = PointerStore(spark, str(tmp_path / "t"))
+    st.append(spark.range(7).selectExpr("id"))
+    assert st.read().count() == 7
+
+
+def test_ingest_dedups_across_ticks_and_is_idempotent(spark, tmp_path):
+    cb = CorpusBuilder(spark, str(tmp_path / "corpus"))
+    a = _docs(spark, 0, 20)
+    s1 = cb.ingest(a)
+    assert s1 == {"input": 20, "passed_quality": 20, "added": 20}
+
+    # tick 2: 10 old docs re-sent (new ids, same text) + 5 new + 1 junk
+    dup = a.limit(10).withColumn("doc_id", F.col("doc_id") + 1000)
+    junk = spark.createDataFrame([(9999, "a a a a a a a a a a a a")],
+                                 "doc_id long, text string")
+    s2 = cb.ingest(dup.unionByName(_docs(spark, 20, 5)).unionByName(junk))
+    assert s2["input"] == 16
+    assert s2["passed_quality"] == 15  # junk fails the diversity gate
+    assert s2["added"] == 5            # re-sent content is dropped
+
+    # re-running the same tick adds nothing (idempotence without cursor)
+    s3 = cb.ingest(dup.unionByName(_docs(spark, 20, 5)))
+    assert s3["added"] == 0
+    assert cb.read().count() == 25
+
+
+def test_manifest_covers_corpus(spark, tmp_path):
+    cb = CorpusBuilder(spark, str(tmp_path / "corpus"))
+    cb.ingest(_docs(spark, 0, 40))
+    m = cb.manifest(budget=50)
+    assert m.agg(F.sum("n_docs")).first()[0] == 40
+    # bounded overflow: every shard < budget + max doc tokens (12)
+    assert m.filter(F.col("total_tokens") >= 50 + 12).count() == 0
