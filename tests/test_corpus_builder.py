@@ -79,3 +79,44 @@ def test_manifest_covers_corpus(spark, tmp_path):
     assert m.agg(F.sum("n_docs")).first()[0] == 40
     # bounded overflow: every shard < budget + max doc tokens (12)
     assert m.filter(F.col("total_tokens") >= 50 + 12).count() == 0
+
+
+def test_streaming_ingest_dedups_and_survives_restart(spark, tmp_path):
+    """Files landing across micro-batches ingest incrementally; a
+    restarted stream (same checkpoint) re-processes nothing, and
+    re-offered content is dropped by the hash anti-join either way."""
+    from bigquery_etl_spark.streaming.corpus_stream import start_corpus_stream
+
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    from tests.test_streaming import _write_flat_parquet
+
+    _write_flat_parquet(_docs(spark, 0, 10), incoming, "batch1.parquet")
+    q = start_corpus_stream(spark, incoming, corpus, ckpt)
+    try:
+        q.processAllAvailable()
+        # second file: 5 repeats (same text, new ids) + 5 new
+        _write_flat_parquet(
+            _docs(spark, 0, 5)
+            .withColumn("doc_id", F.col("doc_id") + 500)
+            .unionByName(_docs(spark, 10, 5)),
+            incoming,
+            "batch2.parquet",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cb = CorpusBuilder(spark, corpus)
+    assert cb.read().count() == 15
+
+    # restart from the same checkpoint: no replay, no duplicates
+    q2 = start_corpus_stream(spark, incoming, corpus, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert cb.read().count() == 15
