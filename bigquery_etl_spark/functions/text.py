@@ -52,6 +52,23 @@ def lang_id(text: str | Column) -> Column:
     return result
 
 
+def quality_gate(
+    text: str | Column = "text", min_tokens: int = 10, max_tokens: int = 100_000
+) -> Column:
+    """Integer-exact corpus quality predicate shared by
+    ``q_pretrain_corpus`` and ``pipeline.corpus.CorpusBuilder`` (one
+    definition, or the two corpora silently diverge): whitespace token
+    count within bounds AND distinct-token ratio >= 1/5 (``distinct*5 >=
+    n`` — exact, no float division)."""
+    t = ws_tokens(text)
+    n = F.size(t)
+    return (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (F.size(F.array_distinct(t)) * 5 >= n)
+    )
+
+
 def quality_features(text: str | Column) -> dict[str, Column]:
     """Quality-scoring features: length, token stats, punct/digit/upper
     ratios, stopword ratio — the usual pre-training filter inputs."""

@@ -4,31 +4,35 @@ batch, transform, idempotently merge, advance cursor).
 
 Each ``ingest`` tick takes a batch of raw documents and
 
-1. quality-filters them (same integer-exact gates as
-   ``q_pretrain_corpus``: token count in [min,max], distinct-token
-   ratio >= 1/5);
-2. exact-dedups WITHIN the batch (min doc_id per content hash wins);
-3. drops docs whose content already exists in the corpus — an anti-join
-   against only the stored hash column, NOT a re-read of stored text;
-4. appends the survivors to a ``PointerStore`` snapshot, so concurrent
-   readers never see a torn corpus and a crashed tick never corrupts it
-   (re-running the same tick is a no-op: every doc it would add is now
-   a stored-hash hit — idempotence without a cursor).
+1. quality-filters them (``functions.text.quality_gate`` — the SAME
+   predicate ``q_pretrain_corpus`` uses, shared so the two corpora
+   cannot silently diverge);
+2. dedups WITHIN the batch, deterministically: unique content first
+   (min doc_id survives per content hash), then unique doc_id (min
+   hash survives) — ``pack_sequences``/``manifest`` require globally
+   unique ids, and tie order must never depend on partitioning;
+3. drops docs whose CONTENT or ID already exists in the corpus — two
+   anti-joins whose build sides are single stored columns, never the
+   stored text. The content key is ``md5`` (128-bit): at 10^10+ docs a
+   64-bit key's birthday collisions would silently discard real
+   documents; at 128 bits the false-drop probability is negligible;
+4. hard-link-appends the survivors to a ``PointerStore`` snapshot
+   (O(new data), never a corpus rewrite), so concurrent readers never
+   see a torn corpus and a crashed tick never corrupts it. Re-running
+   a tick is a no-op — every doc it would add is a stored-hash or
+   stored-id hit — idempotence without a cursor.
 
-100 TB shape: one content-hash shuffle per tick for the batch-side
-dedup, one hash-keyed anti-join whose build side is (hash) only —
-8 bytes per stored doc, broadcastable far longer than full rows.
-``manifest`` packs the CURRENT corpus into token-budget shards with the
-same distributed prefix sum as ``q_pack_sequences``.
+The tick's input and its survivor set are persisted for the tick's
+duration: the stats counts and the append write would otherwise
+re-execute the scan + dedup shuffle lineage up to four times.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigquery_etl_spark.functions.text import ws_tokens
-from bigquery_etl_spark.operators.dedup import content_hash, exact_dedup
+from bigquery_etl_spark.functions.text import quality_gate, ws_tokens
 from bigquery_etl_spark.operators.packing import pack_sequences, shard_manifest
 from bigquery_etl_spark.sources.pointer_store import PointerStore
 
@@ -48,36 +52,46 @@ class CorpusBuilder:
 
     # -- ingest tick ---------------------------------------------------------
 
-    def _quality(self, docs: DataFrame) -> DataFrame:
-        t = ws_tokens("text")
-        n = F.size(t)
-        return docs.filter(
-            (n >= self.min_tokens)
-            & (n <= self.max_tokens)
-            & (F.size(F.array_distinct(t)) * 5 >= n)
-        )
-
     def ingest(self, docs: DataFrame) -> dict[str, int]:
         """One tick. ``docs`` needs (doc_id, text) at minimum; all other
-        columns are carried through. Returns per-stage counts (driver-
-        side scalars only — the reference's stats endpoint analogue,
-        main.py:238-247)."""
-        n_in = docs.count()
-        q = self._quality(docs)
-        n_q = q.count()
-        batch = exact_dedup(q, ["text"], "doc_id").withColumn(
-            "__h", content_hash("text")
-        )
-        if self.store.exists():
-            seen = self.store.read().select("__h")
-            fresh = batch.join(seen, "__h", "left_anti")
-        else:
-            fresh = batch
-        n_new = fresh.count()
-        if n_new:
-            # O(new docs): hard-link append commit, never a corpus rewrite
-            self.store.append(fresh)
-        return {"input": n_in, "passed_quality": n_q, "added": n_new}
+        columns are carried through (they become part of the stored
+        schema — later ticks must match it). Returns per-stage counts
+        (driver-side scalars only — the reference's stats endpoint
+        analogue, main.py:238-247)."""
+        docs = docs.persist()
+        try:
+            n_in = docs.count()
+            q = docs.filter(quality_gate("text", self.min_tokens, self.max_tokens))
+            n_q = q.count()
+
+            batch = q.withColumn("__h", F.md5("text"))
+            w_content = Window.partitionBy("__h").orderBy("doc_id")
+            w_id = Window.partitionBy("doc_id").orderBy("__h")
+            batch = (
+                batch.withColumn("__rc", F.row_number().over(w_content))
+                .filter(F.col("__rc") == 1)
+                .withColumn("__ri", F.row_number().over(w_id))
+                .filter(F.col("__ri") == 1)
+                .drop("__rc", "__ri")
+            )
+            if self.store.exists():
+                seen = self.store.read()
+                fresh = batch.join(
+                    seen.select("__h"), "__h", "left_anti"
+                ).join(seen.select("doc_id"), "doc_id", "left_anti")
+            else:
+                fresh = batch
+            fresh = fresh.persist()
+            try:
+                n_new = fresh.count()
+                if n_new:
+                    # O(new docs): hard-link append, never a corpus rewrite
+                    self.store.append(fresh)
+            finally:
+                fresh.unpersist()
+            return {"input": n_in, "passed_quality": n_q, "added": n_new}
+        finally:
+            docs.unpersist()
 
     # -- serving -------------------------------------------------------------
 
@@ -85,7 +99,9 @@ class CorpusBuilder:
         return self.store.read().drop("__h")
 
     def manifest(self, budget: int = 1000) -> DataFrame:
-        """Token-budget shard manifest over the current corpus snapshot."""
+        """Token-budget shard manifest over the current corpus snapshot
+        (ids are unique by ingest's construction, as pack_sequences
+        requires)."""
         packed = pack_sequences(
             self.store.read(), "doc_id", F.size(ws_tokens("text")), budget=budget
         )

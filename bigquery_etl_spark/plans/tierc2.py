@@ -222,6 +222,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket,
                LEN(string_split_regex(trim(text), '\\s+')) AS toks
         FROM documents
+        WHERE text IS NOT NULL
     )
     SELECT CASE WHEN bucket < 90 THEN 'train'
                 WHEN bucket < 95 THEN 'val'
@@ -237,8 +238,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """90/5/5 content-hash split with per-(split, lang) doc and token
     accounting — the split-manifest query a training pipeline runs
-    before sharding."""
-    d = load(spark, sf_dir, "documents")
+    before sharding. NULL text excluded explicitly in BOTH engines:
+    Spark's legacy size(split(NULL)) = -1 vs DuckDB's NULL-skipping SUM
+    would silently diverge otherwise."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     bucket = (
         F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
     )
@@ -383,14 +386,15 @@ def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit the training-shard manifest (eval slice = doc_id % 50 == 0)."""
     from bigquery_etl_spark.operators.dedup import exact_dedup
 
+    from bigquery_etl_spark.functions.text import quality_gate
+
     d = load(spark, sf_dir, "documents")
     base = d.select("doc_id", "text", ws_tokens("text").alias("t"))
 
-    n = F.size("t")
     quality = (
         base.filter(F.col("doc_id") % 50 != 0)
-        .filter((n >= 10) & (n <= 1000) & (F.size(F.array_distinct("t")) * 5 >= n))
-        .withColumn("n", n.cast("long"))
+        .filter(quality_gate("text", 10, 1000))
+        .withColumn("n", F.size("t").cast("long"))
     )
     dedup = exact_dedup(quality, ["text"], "doc_id")
 

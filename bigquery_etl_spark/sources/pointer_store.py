@@ -94,7 +94,13 @@ class PointerStore:
         seq = (self._seq(cur) + 1) if cur else 1
         snap = f"snap-{seq:08d}-{uuid.uuid4().hex[:8]}"
         df.write.parquet(os.path.join(self.root, snap))
-        # atomic pointer replace: commit point
+        return self._flip_pointer(snap)
+
+    def _flip_pointer(self, snap: str) -> str:
+        """Atomic pointer replace — THE commit point (tmp + fsync +
+        os.replace, so readers see old or new, never torn/missing) —
+        followed by GC. Shared by _commit and append: the commit
+        protocol must exist exactly once."""
         tmp = os.path.join(self.root, f".ptr-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(snap)
@@ -125,11 +131,23 @@ class PointerStore:
         append-mostly corpus. Old snapshots stay valid (hard links
         share inodes; GC's rmtree just drops link counts).
 
-        Caller contract: ``df``'s schema must match the stored table
-        (enforced by Spark on the next read otherwise)."""
+        ``df``'s columns must match the stored table exactly (name +
+        type, order-insensitive). Enforced HERE, loudly: parquet reads
+        sample ONE footer for the schema, so a mixed-schema snapshot
+        silently drops or null-fills columns depending on which file
+        gets sampled — the failure must happen at commit time, not as
+        nondeterministic reads later."""
         cur = self.current_snapshot()
         if cur is None:
             return self._commit(df)
+        stored = self.spark.read.parquet(os.path.join(self.root, cur)).schema
+        ours = {(f.name, f.dataType) for f in df.schema.fields}
+        theirs = {(f.name, f.dataType) for f in stored.fields}
+        if ours != theirs:
+            raise ValueError(
+                f"append schema mismatch: new {sorted(ours - theirs)} "
+                f"vs stored {sorted(theirs - ours)}"
+            )
         os.makedirs(self.root, exist_ok=True)
         staging = os.path.join(self.root, f".append-{uuid.uuid4().hex}")
         df.write.parquet(staging)  # _SUCCESS marks the write complete
@@ -150,15 +168,8 @@ class PointerStore:
                     os.path.join(snap_path, f"add-{seq:08d}-{name}"),
                 )
         open(os.path.join(snap_path, "_SUCCESS"), "w").close()
-        # atomic pointer replace: commit point (same protocol as _commit)
-        tmp = os.path.join(self.root, f".ptr-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(snap)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer)
+        self._flip_pointer(snap)
         shutil.rmtree(staging, ignore_errors=True)
-        self._gc(snap)
         return snap
 
     def upsert(self, updates: DataFrame, keys: list[str]) -> str:

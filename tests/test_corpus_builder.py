@@ -120,3 +120,54 @@ def test_streaming_ingest_dedups_and_survives_restart(spark, tmp_path):
     finally:
         q2.stop()
     assert cb.read().count() == 15
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    """Mixed-schema snapshots would be read with a nondeterministically
+    sampled footer schema — append must fail loudly at commit time."""
+    import pytest
+
+    st = PointerStore(spark, str(tmp_path / "t"))
+    st.overwrite(spark.range(5).selectExpr("id", "id * 2 AS v"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st.append(spark.range(5, 8).selectExpr("id"))  # missing v
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st.append(
+            spark.range(5, 8).selectExpr("id", "CAST(id AS STRING) AS v")
+        )  # type drift
+    assert st.read().count() == 5  # nothing committed
+
+
+def test_ingest_rejects_conflicting_doc_id(spark, tmp_path):
+    """A re-sent doc_id with DIFFERENT content must not enter the
+    corpus: duplicate ids would make manifest() shard assignment
+    tie-order-dependent (pack_sequences requires unique ids)."""
+    cb = CorpusBuilder(spark, str(tmp_path / "corpus"))
+    cb.ingest(_docs(spark, 0, 10))
+    conflict = _docs(spark, 5, 3, prefix="other")  # ids 5-7, new text
+    s = cb.ingest(conflict.unionByName(_docs(spark, 10, 2)))
+    assert s["added"] == 2  # only the genuinely new ids
+    kept = {r.doc_id for r in cb.read().collect()}
+    assert kept == set(range(12))
+    # original content for the conflicted ids is untouched
+    texts = {r.doc_id: r.text for r in cb.read().collect()}
+    assert texts[5].startswith("tok5w0")
+
+
+def test_ingest_in_batch_id_dup_is_deterministic(spark, tmp_path):
+    """Two same-id rows in ONE batch: exactly one survives, chosen by
+    content-hash order (not partition layout) — same result every run."""
+    cb = CorpusBuilder(spark, str(tmp_path / "corpus"))
+    rows = [
+        (1, " ".join(f"a{j}" for j in range(12))),
+        (1, " ".join(f"b{j}" for j in range(12))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = cb.ingest(df.repartition(4))
+    assert s["added"] == 1
+    kept1 = cb.read().collect()[0].text
+
+    cb2 = CorpusBuilder(spark, str(tmp_path / "corpus2"))
+    cb2.ingest(df.repartition(1).sort(F.desc("text")))
+    kept2 = cb2.read().collect()[0].text
+    assert kept1 == kept2
