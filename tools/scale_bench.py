@@ -111,6 +111,7 @@ ZIPF_QUERIES = [
     "q_agg_hash",
     "q_topk_per_group",
     "q_win_running",
+    "q_win_running_seg",  # the skew-parallel rewrite, probed alongside
     "q_sessionize",
     "q_dedup_exact",
     "q_dedup_minhash",
@@ -156,6 +157,12 @@ def build_zipf(spark, src_dir: str, out_dir: str, copies: int, s: float, seed: i
     ev = load(spark, out_dir, "events").withColumn("user_id", zipf_col(c_max, 2))
     ev.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/__ev_tmp.parquet")
     _swap(out_dir, "__ev_tmp.parquet", "events.parquet")
+    # orders: skew the CUSTOMER key (o_orderkey stays unique — it is the
+    # lineitem join key); stresses q_win_running_seg's per-key prefix
+    # sum and the q3 orders x customer join with a hot customer
+    o = load(spark, out_dir, "orders").withColumn("o_custkey", zipf_col(c_max, 4))
+    o.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/__o_tmp.parquet")
+    _swap(out_dir, "__o_tmp.parquet", "orders.parquet")
     d = load(spark, out_dir, "documents")
     hot = F.rand(seed + 3) < 0.3
     d = d.withColumn(
