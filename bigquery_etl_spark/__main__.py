@@ -98,6 +98,25 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    from bigquery_etl_spark.pipeline.corpus import CorpusBuilder
+
+    spark = _spark()
+    cb = CorpusBuilder(spark, args.root)
+    if args.action == "ingest":
+        stats = cb.ingest(spark.read.parquet(args.src))
+        print(json.dumps(stats))
+    elif args.action == "stats":
+        snap = cb.store.current_snapshot()
+        n = cb.read().count() if snap else 0
+        print(json.dumps({"snapshot": snap, "n_docs": n}))
+    elif args.action == "manifest":
+        cb.manifest(budget=args.budget).orderBy("shard_id").show(
+            args.show, truncate=False
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m bigquery_etl_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -126,6 +145,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--wide", action="store_true")
     p.add_argument("--explain", action="store_true")
     p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser("corpus", help="incremental training-corpus builder")
+    p.add_argument("action", choices=["ingest", "stats", "manifest"])
+    p.add_argument("--root", required=True, help="corpus PointerStore root dir")
+    p.add_argument("--src", help="parquet path of incoming docs (ingest)")
+    p.add_argument("--budget", type=int, default=1000)
+    p.add_argument("--show", type=int, default=50)
+    p.set_defaults(fn=cmd_corpus)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -52,16 +52,38 @@ class CorpusBuilder:
 
     # -- ingest tick ---------------------------------------------------------
 
-    def ingest(self, docs: DataFrame) -> dict[str, int]:
+    def ingest(
+        self, docs: DataFrame, eval_grams: DataFrame | None = None
+    ) -> dict[str, int]:
         """One tick. ``docs`` needs (doc_id, text) at minimum; all other
         columns are carried through (they become part of the stored
-        schema — later ticks must match it). Returns per-stage counts
-        (driver-side scalars only — the reference's stats endpoint
-        analogue, main.py:238-247)."""
+        schema — later ticks must match it). ``eval_grams`` (optional,
+        single column ``g`` of word-5-grams) enables benchmark
+        decontamination at the gate: docs sharing any 5-gram with the
+        eval set never enter the corpus — cheaper than scrubbing later,
+        and the eval set is tiny by definition so it broadcasts.
+        Returns per-stage counts (driver-side scalars only — the
+        reference's stats endpoint analogue, main.py:238-247)."""
         docs = docs.persist()
         try:
             n_in = docs.count()
             q = docs.filter(quality_gate("text", self.min_tokens, self.max_tokens))
+            if eval_grams is not None:
+                toks = ws_tokens("text")
+                grams = F.when(
+                    F.size(toks) >= 5,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 5),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+                contaminated = (
+                    q.select("doc_id", F.explode(grams).alias("g"))
+                    .join(F.broadcast(eval_grams), "g")
+                    .select("doc_id")
+                    .distinct()
+                )
+                q = q.join(contaminated, "doc_id", "left_anti")
             n_q = q.count()
 
             batch = q.withColumn("__h", F.md5("text"))

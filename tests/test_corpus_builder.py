@@ -171,3 +171,16 @@ def test_ingest_in_batch_id_dup_is_deterministic(spark, tmp_path):
     cb2.ingest(df.repartition(1).sort(F.desc("text")))
     kept2 = cb2.read().collect()[0].text
     assert kept1 == kept2
+
+
+def test_ingest_decontaminates_against_eval_grams(spark, tmp_path):
+    """A doc sharing any word-5-gram with the eval set never enters the
+    corpus; clean docs are unaffected."""
+    cb = CorpusBuilder(spark, str(tmp_path / "corpus"))
+    docs = _docs(spark, 0, 6)
+    # eval set = the first 5-gram of doc 2
+    leak = " ".join(f"tok2w{j}" for j in range(5))
+    ev = spark.createDataFrame([(leak,)], "g string")
+    s = cb.ingest(docs, eval_grams=ev)
+    assert s["added"] == 5
+    assert {r.doc_id for r in cb.read().collect()} == {0, 1, 3, 4, 5}
