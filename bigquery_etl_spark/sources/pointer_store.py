@@ -81,7 +81,31 @@ class PointerStore:
         snap = self.current_snapshot()
         if snap is None:
             raise FileNotFoundError(f"{self.root}: empty table")
-        return self.spark.read.parquet(os.path.join(self.root, snap))
+        path = os.path.join(self.root, snap)
+        schema = self._snapshot_schema(snap)
+        if schema is not None:
+            # explicit schema: files missing an evolved column null-fill
+            # it; never depends on WHICH footer the reader samples
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _snapshot_schema(self, snap: str):
+        """The snapshot's committed schema (sidecar `_schema.json`), or
+        None for pre-evolution snapshots (single-schema by the append
+        check, so footer inference is safe there)."""
+        from pyspark.sql.types import StructType
+
+        sidecar = os.path.join(self.root, snap, "_schema.json")
+        if os.path.exists(sidecar):
+            import json
+
+            with open(sidecar) as f:
+                return StructType.fromJson(json.load(f))
+        return None
+
+    def _write_schema(self, snap_path: str, schema) -> None:
+        with open(os.path.join(snap_path, "_schema.json"), "w") as f:
+            f.write(schema.json())
 
     def exists(self) -> bool:
         return self.current_snapshot() is not None
@@ -94,6 +118,7 @@ class PointerStore:
         seq = (self._seq(cur) + 1) if cur else 1
         snap = f"snap-{seq:08d}-{uuid.uuid4().hex[:8]}"
         df.write.parquet(os.path.join(self.root, snap))
+        self._write_schema(os.path.join(self.root, snap), df.schema)
         return self._flip_pointer(snap)
 
     def _flip_pointer(self, snap: str) -> str:
@@ -121,7 +146,7 @@ class PointerStore:
     def overwrite(self, df: DataFrame) -> str:
         return self._commit(df)
 
-    def append(self, df: DataFrame) -> str:
+    def append(self, df: DataFrame, evolve: bool = False) -> str:
         """O(new data) append: the new snapshot directory hard-links the
         current snapshot's parquet files (a metadata op per FILE, no
         data copied or rewritten) and adds freshly written part files
@@ -131,22 +156,55 @@ class PointerStore:
         append-mostly corpus. Old snapshots stay valid (hard links
         share inodes; GC's rmtree just drops link counts).
 
-        ``df``'s columns must match the stored table exactly (name +
-        type, order-insensitive). Enforced HERE, loudly: parquet reads
+        ``df``'s columns must match the stored table (name + type,
+        order-insensitive) unless ``evolve=True``, which unions the
+        schemas (added/removed nullable columns OK; TYPE conflicts on a
+        shared name always raise). Enforced HERE, loudly: parquet reads
         sample ONE footer for the schema, so a mixed-schema snapshot
         silently drops or null-fills columns depending on which file
-        gets sampled — the failure must happen at commit time, not as
-        nondeterministic reads later."""
+        gets sampled. Every commit stores its schema as a
+        ``_schema.json`` sidecar and read() applies it explicitly, so
+        evolved snapshots read deterministically (Delta-style schema
+        tracking, filesystem edition); each snapshot keeps ITS schema —
+        time-travel reads of old snapshots are unaffected."""
         cur = self.current_snapshot()
         if cur is None:
             return self._commit(df)
-        stored = self.spark.read.parquet(os.path.join(self.root, cur)).schema
-        ours = {(f.name, f.dataType) for f in df.schema.fields}
-        theirs = {(f.name, f.dataType) for f in stored.fields}
-        if ours != theirs:
+        stored = self._snapshot_schema(cur) or self.spark.read.parquet(
+            os.path.join(self.root, cur)
+        ).schema
+        ours = {f.name: f.dataType for f in df.schema.fields}
+        theirs = {f.name: f.dataType for f in stored.fields}
+        conflicts = sorted(
+            n for n in ours.keys() & theirs.keys() if ours[n] != theirs[n]
+        )
+        if conflicts:
             raise ValueError(
-                f"append schema mismatch: new {sorted(ours - theirs)} "
-                f"vs stored {sorted(theirs - ours)}"
+                f"append type conflict on {conflicts}: "
+                f"new {[(n, str(ours[n])) for n in conflicts]} vs "
+                f"stored {[(n, str(theirs[n])) for n in conflicts]}"
+            )
+        snap_schema = stored
+        if ours.keys() != theirs.keys():
+            if not evolve:
+                raise ValueError(
+                    f"append schema mismatch: new-only "
+                    f"{sorted(ours.keys() - theirs.keys())}, missing "
+                    f"{sorted(theirs.keys() - ours.keys())} "
+                    f"(pass evolve=True to union the schemas)"
+                )
+            # evolved schema = stored order + new-only columns appended;
+            # files on either side null-fill what they lack (read() uses
+            # the sidecar schema explicitly, never a sampled footer)
+            from pyspark.sql.types import StructField, StructType
+
+            snap_schema = StructType(
+                list(stored.fields)
+                + [
+                    StructField(f.name, f.dataType, True)
+                    for f in df.schema.fields
+                    if f.name not in theirs
+                ]
             )
         os.makedirs(self.root, exist_ok=True)
         staging = os.path.join(self.root, f".append-{uuid.uuid4().hex}")
@@ -167,6 +225,7 @@ class PointerStore:
                     os.path.join(staging, name),
                     os.path.join(snap_path, f"add-{seq:08d}-{name}"),
                 )
+        self._write_schema(snap_path, snap_schema)
         open(os.path.join(snap_path, "_SUCCESS"), "w").close()
         self._flip_pointer(snap)
         shutil.rmtree(staging, ignore_errors=True)

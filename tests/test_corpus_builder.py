@@ -131,7 +131,7 @@ def test_append_schema_mismatch_raises(spark, tmp_path):
     st.overwrite(spark.range(5).selectExpr("id", "id * 2 AS v"))
     with pytest.raises(ValueError, match="schema mismatch"):
         st.append(spark.range(5, 8).selectExpr("id"))  # missing v
-    with pytest.raises(ValueError, match="schema mismatch"):
+    with pytest.raises(ValueError, match="type conflict"):
         st.append(
             spark.range(5, 8).selectExpr("id", "CAST(id AS STRING) AS v")
         )  # type drift
@@ -184,3 +184,44 @@ def test_ingest_decontaminates_against_eval_grams(spark, tmp_path):
     s = cb.ingest(docs, eval_grams=ev)
     assert s["added"] == 5
     assert {r.doc_id for r in cb.read().collect()} == {0, 1, 3, 4, 5}
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    """evolve=True unions schemas: old rows null-fill the added column,
+    the committed sidecar schema makes reads deterministic, and type
+    conflicts still raise. Old snapshots keep their own schema."""
+    import pytest
+
+    st = PointerStore(spark, str(tmp_path / "t"))
+    st.overwrite(spark.range(5).selectExpr("id", "id * 2 AS v"))
+    snap1 = st.current_snapshot()
+    st.append(
+        spark.range(5, 8).selectExpr("id", "id * 2 AS v", "'en' AS lang"),
+        evolve=True,
+    )
+    out = st.read()
+    assert set(out.columns) == {"id", "v", "lang"}
+    rows = {r.id: r.lang for r in out.collect()}
+    assert len(rows) == 8
+    assert all(rows[i] is None for i in range(5))      # old rows null-fill
+    assert all(rows[i] == "en" for i in range(5, 8))
+    # a further PLAIN append must now match the evolved schema
+    st.append(spark.range(8, 9).selectExpr("id", "id * 2 AS v", "'de' AS lang"))
+    assert st.read().count() == 9
+    # dropping a column also needs evolve
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st.append(spark.range(9, 10).selectExpr("id", "id * 2 AS v"))
+    st.append(spark.range(9, 10).selectExpr("id", "id * 2 AS v"), evolve=True)
+    assert st.read().filter("id = 9").first().lang is None
+    # type conflicts raise even with evolve
+    with pytest.raises(ValueError, match="type conflict"):
+        st.append(
+            spark.range(10, 11).selectExpr(
+                "id", "CAST(id AS STRING) AS v", "'x' AS lang"
+            ),
+            evolve=True,
+        )
+    # the pre-evolution snapshot still reads with ITS schema
+    if snap1 in os.listdir(str(tmp_path / "t")):
+        old = spark.read.parquet(str(tmp_path / "t" / snap1))
+        assert set(old.columns) == {"id", "v"}
