@@ -326,3 +326,85 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental fuzzy dedup: dedup a NEW batch against a persisted corpus
+# index without ever recomputing the corpus's signatures. At 100 TB you
+# ingest daily batches against a multi-petabyte corpus — re-shingling the
+# corpus per tick is the difference between O(new) and O(corpus) work.
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """The persistable LSH index: (id, band, bucket) rows, one per
+    document-band. docs × n_bands rows of three 8-byte columns — a few
+    hundred bytes per document, independent of document size, so the
+    index is ~1000× smaller than the corpus text it summarizes. Store
+    it partitioned/bucketed by (band, bucket) and the incremental probe
+    below becomes a co-located join with zero index-side shuffle."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    return lsh_bands(sigs, id_col, n_bands, n_hashes // n_bands)
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    new_banded: DataFrame,
+    index: DataFrame,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup ``new_docs`` against an existing corpus's ``minhash_index``
+    AND within the batch itself, touching only O(new × bands) rows.
+
+    ``new_banded`` is the batch's own ``minhash_index(new_docs, ...)``
+    output, passed in (rather than computed here) so the CALLER owns
+    its caching: it feeds three consumers below (corpus probe, intra-
+    batch window, surviving index rows), and without a caller-side
+    ``persist()`` the whole shingle→signature pipeline would execute
+    three times. A hidden persist here could never be unpersisted —
+    both returned frames are lazy views over it.
+
+    Returns ``(survivors, new_index_rows)``: surviving documents and
+    their band rows, ready to append to the stored index (same column
+    layout, so the index stays closed under ingestion).
+
+    Policy matches ``minhash_dedup``: a new doc is dropped iff any of
+    its band buckets already exists in the corpus index, or a lower-id
+    batch sibling shares a bucket — conservative min-id survivorship,
+    and identical texts ALWAYS collide (equal signatures ⟹ equal band
+    buckets), so verbatim re-ingestion is a guaranteed no-op.
+
+    Scale shape: the batch side is signature work linear in new-batch
+    text; the probe join is keyed (band, bucket). A daily batch is
+    typically ≪ the corpus, so the planner (or AQE, from runtime sizes)
+    broadcasts the batch's band rows and the stored index is read in
+    ONE streaming pass with no shuffle — never hint the index side,
+    it's corpus-sized. When the index is bucketed by (band, bucket) on
+    disk, a shuffle join is also exchange-free on the index side."""
+    # corpus collisions: index (big, probe) ⋈ batch bands (small, build)
+    corpus_hits = (
+        index.select("band", "bucket")
+        .join(new_banded, ["band", "bucket"])
+        .select(id_col)
+        .distinct()
+    )
+    # intra-batch collisions: pair-free min-per-bucket window (see
+    # minhash_dedup for why a window, not a self-join)
+    rep = F.min(id_col).over(W.partitionBy("band", "bucket"))
+    batch_losers = (
+        new_banded.withColumn("__rep", rep)
+        .filter(F.col(id_col) > F.col("__rep"))
+        .select(id_col)
+        .distinct()
+    )
+    losers = corpus_hits.unionByName(batch_losers).distinct()
+    survivors = new_docs.join(losers, id_col, "left_anti")
+    new_index_rows = new_banded.join(losers, id_col, "left_anti")
+    return survivors, new_index_rows

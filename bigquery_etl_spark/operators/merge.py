@@ -60,6 +60,56 @@ def merge_apply(
     return out
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Change-data-feed between two snapshots of the same keyed table
+    (Delta's ``table_changes`` analogue, computed relationally so it
+    works on plain parquet snapshots): returns the columns of the
+    table plus ``_change_type`` in
+    ``insert | delete | update_preimage | update_postimage``.
+
+    Semantics match Delta CDF: a key present only in ``new`` is an
+    insert, only in ``old`` a delete; present in both with ANY value
+    column differing (NULL-safe comparison) yields a preimage row (old
+    values) and a postimage row (new values); identical rows emit
+    nothing. Both sides must share a schema; rows must be unique per
+    key (the MERGE invariant upstream commits already enforce).
+
+    Scale: one full-outer hash join shuffled on the keys — both sides
+    are table-sized, so no broadcast; value columns travel packed as a
+    single struct and the changed/unchanged test is one null-safe
+    struct equality, which stays in codegen. At 100 TB this is the
+    minimal plan: you cannot diff two snapshots for less than a co-
+    partition of both on the key."""
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot_diff schema mismatch: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}"
+        )
+    vcols = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*vcols).alias("__o"))
+    n = new.select(*keys, F.struct(*vcols).alias("__n"))
+    j = o.join(n, keys, "full_outer")
+    # a missing join side is a NULL struct; a present row's struct is
+    # never NULL (structs of NULL fields are non-null), so null-ness
+    # distinguishes absent from all-NULL-values
+    ins = j.filter(F.col("__o").isNull()).select(
+        *keys, "__n.*", F.lit("insert").alias("_change_type")
+    )
+    dele = j.filter(F.col("__n").isNull()).select(
+        *keys, "__o.*", F.lit("delete").alias("_change_type")
+    )
+    changed = j.filter(
+        F.col("__o").isNotNull()
+        & F.col("__n").isNotNull()
+        & ~F.col("__o").eqNullSafe(F.col("__n"))
+    )
+    pre = changed.select(*keys, "__o.*", F.lit("update_preimage").alias("_change_type"))
+    post = changed.select(
+        *keys, "__n.*", F.lit("update_postimage").alias("_change_type")
+    )
+    return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
+
 def recover_upsert(path: str) -> str:
     """Finish or roll back an interrupted ``merge_upsert`` swap.
 

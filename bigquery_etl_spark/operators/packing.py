@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigquery_etl_spark.functions.text import ws_tokens
+
 
 def pack_sequences(
     df: DataFrame,
@@ -157,4 +159,52 @@ def shard_manifest(packed: DataFrame) -> DataFrame:
     return packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the RAG /
+    context-window prep step: (id, chunk_id, chunk_text, n_tokens),
+    chunk i covering whitespace tokens [i*stride, i*stride+chunk_tokens)
+    with stride = chunk_tokens - overlap; every document yields at
+    least one chunk (short docs pass through whole).
+
+    Chunk count is the closed form GREATEST(CEIL((n - overlap) /
+    stride), 1) — token counts are far below 2^53, so the double ceil
+    is exact and any engine reproduces the row set bit-identically.
+
+    Plan: explode(sequence) fan-out + slice/concat_ws projection — all
+    whole-stage codegen, no UDF, no shuffle at all (chunking is
+    embarrassingly parallel; the fan-out multiplies rows ~n/stride x,
+    so put any filter BEFORE this operator, not after)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", F.slice("__toks", start + 1, chunk_tokens)).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_tokens), F.col("__n") - start).cast("int").alias(
+            "n_tokens"
+        ),
     )

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigquery_etl_spark.functions.text import quality_gate, ws_tokens
+from bigquery_etl_spark.operators.dedup import minhash_dedup_incremental, minhash_index
 from bigquery_etl_spark.operators.packing import pack_sequences, shard_manifest
 from bigquery_etl_spark.sources.pointer_store import PointerStore
 
@@ -47,13 +48,22 @@ class CorpusBuilder:
     ):
         self.spark = spark
         self.store = PointerStore(spark, root)
+        # LSH index lives INSIDE the corpus root (PointerStore only
+        # manages `snap-*` dirs, so a named subdir is inert to its
+        # GC/recover) — one directory tree = one corpus + its index.
+        import os
+
+        self.index_store = PointerStore(spark, os.path.join(root, "_lsh_index"))
         self.min_tokens = min_tokens
         self.max_tokens = max_tokens
 
     # -- ingest tick ---------------------------------------------------------
 
     def ingest(
-        self, docs: DataFrame, eval_grams: DataFrame | None = None
+        self,
+        docs: DataFrame,
+        eval_grams: DataFrame | None = None,
+        near_dedup: bool = False,
     ) -> dict[str, int]:
         """One tick. ``docs`` needs (doc_id, text) at minimum; all other
         columns are carried through (they become part of the stored
@@ -62,6 +72,16 @@ class CorpusBuilder:
         decontamination at the gate: docs sharing any 5-gram with the
         eval set never enter the corpus — cheaper than scrubbing later,
         and the eval set is tiny by definition so it broadcasts.
+
+        ``near_dedup=True`` additionally drops NEAR-duplicates of
+        already-stored documents via the persisted MinHash-LSH index
+        (``_lsh_index/`` inside the corpus root): the tick shingles only
+        the BATCH and probes the stored (band, bucket) rows — O(new)
+        signature work against a corpus-sized index that is never
+        recomputed. Surviving docs' band rows are appended to the index
+        in the same tick, so the index stays closed under ingestion.
+        (The exact-hash anti-join still runs first: it is cheaper and
+        makes verbatim re-ingestion a no-op even with near_dedup off.)
         Returns per-stage counts (driver-side scalars only — the
         reference's stats endpoint analogue, main.py:238-247)."""
         docs = docs.persist()
@@ -105,15 +125,53 @@ class CorpusBuilder:
                 fresh = batch
             fresh = fresh.persist()
             try:
-                n_new = fresh.count()
-                if n_new:
-                    # O(new docs): hard-link append, never a corpus rewrite
-                    self.store.append(fresh)
+                n_fresh = fresh.count()
+                n_near = 0
+                if near_dedup and n_fresh:
+                    keep, index_rows = self._near_dedup(fresh)
+                    keep = keep.persist()
+                    index_rows = index_rows.persist()
+                    try:
+                        n_new = keep.count()
+                        n_near = n_fresh - n_new
+                        if n_new:
+                            self.store.append(keep)
+                            if self.index_store.exists():
+                                self.index_store.append(index_rows)
+                            else:
+                                self.index_store.overwrite(index_rows)
+                    finally:
+                        keep.unpersist()
+                        index_rows.unpersist()
+                else:
+                    n_new = n_fresh
+                    if n_new:
+                        # O(new docs): hard-link append, never a rewrite
+                        self.store.append(fresh)
             finally:
                 fresh.unpersist()
-            return {"input": n_in, "passed_quality": n_q, "added": n_new}
+            out = {"input": n_in, "passed_quality": n_q, "added": n_new}
+            if near_dedup:
+                out["near_dup_dropped"] = n_near
+            return out
         finally:
             docs.unpersist()
+
+    def _near_dedup(self, fresh: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Batch-banded rows + incremental probe against the stored
+        index (empty-index degenerate case = intra-batch dedup only).
+        ``fresh`` is already persisted by the tick; the banded rows are
+        small (3 numeric cols × bands per doc) and feed three consumers,
+        so lineage re-execution costs two extra batch shingle passes at
+        worst — acceptable within a tick, and nothing leaks."""
+        banded = minhash_index(fresh, "doc_id", "text")
+        if self.index_store.exists():
+            index = self.index_store.read()
+        else:
+            index = self.spark.createDataFrame(
+                [], "doc_id long, band int, bucket long"
+            )
+        return minhash_dedup_incremental(fresh, banded, index, "doc_id")
 
     # -- serving -------------------------------------------------------------
 

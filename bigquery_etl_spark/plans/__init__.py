@@ -6,6 +6,7 @@ Importing this package registers every declared query into
 
 from bigquery_etl_spark.plans import (  # noqa: F401
     aggregates,
+    behavioral,
     cdc,
     coverage3,
     coverage4,

@@ -80,6 +80,62 @@ def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_change_feed",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'insert' AS _change_type
+    FROM base WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+    FROM base WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'update_preimage'
+    FROM base
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+      AND o_orderkey % 7 = 0 AND o_orderstatus <> 'X'
+    UNION ALL
+    SELECT o_orderkey, 'X', o_totalprice, 'update_postimage'
+    FROM base
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+      AND o_orderkey % 7 = 0 AND o_orderstatus <> 'X'
+    """,
+    tags=("cdc", "lakehouse"),
+)
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed table versions (Delta
+    ``table_changes`` analogue over the manifest-versioned store):
+    v1 = even orderkeys; v2 = drop %5 keys, flag %7 keys status 'X',
+    insert odd %3 keys. ``VersionedTable.diff`` recovers exactly the
+    insert/delete/update_pre/postimage rows — the oracle spells each
+    leg out in closed form from the base table. Proves the diff is
+    value-accurate, not just key-accurate (rows whose values didn't
+    change emit nothing)."""
+    import tempfile
+
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = old.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).unionByName(
+        o.filter((F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0))
+    )
+    tbl = VersionedTable(spark, tempfile.mkdtemp(prefix="vtbl_cdf_"))
+    tbl.create(old)
+    tbl.overwrite(new)
+    return tbl.diff(1, 2, ["o_orderkey"])
+
+
+@query(
     "q_scd2",
     sql="""
     SELECT o_orderkey, o_orderstatus,

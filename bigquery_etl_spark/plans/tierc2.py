@@ -479,3 +479,124 @@ def q_sample_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_s") > 0).alias("non_empty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental fuzzy dedup: a new batch probed against a PERSISTED-shape
+# LSH index of the existing corpus (operators/dedup.py
+# minhash_dedup_incremental). The 100 TB pattern: daily ingestion
+# shingles only the batch; the corpus index (docs x bands rows of three
+# 8-byte cols, ~1000x smaller than its text) is probed, never rebuilt.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_incremental",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+           TRUE AS no_copy_survives,
+           TRUE AS index_closed,
+           TRUE AS reingest_noop
+    FROM documents
+    """,
+    tags=("tierc", "dedup", "lsh", "incremental"),
+    twin="invariant",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tick incremental dedup reduced to driver-adjudicable
+    invariants (the survivor row set is engine-hash-specific; exact
+    semantics live in tests/test_dedup.py):
+
+    corpus = even doc_ids (indexed via ``minhash_index``); batch = odd
+    doc_ids plus one verbatim copy of every corpus doc at id+1M.
+
+    - ``n_batch``: odd + planted = COUNT(*) of documents (closed form);
+    - ``no_copy_survives``: a verbatim copy has the corpus doc's exact
+      signature, so every band bucket hits the index — guaranteed drop;
+    - ``index_closed``: the returned index rows are exactly the
+      survivors' rows (set equality on ids);
+    - ``reingest_noop``: re-probing the surviving batch against the
+      UPDATED index (old ∪ new rows) yields zero survivors — verbatim
+      re-ingestion is idempotent."""
+    from bigquery_etl_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            corpus.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        )
+        .persist()
+    )
+    index = minhash_index(corpus, "doc_id", "text").persist()
+    banded = minhash_index(batch, "doc_id", "text").persist()
+    surv, new_rows = minhash_dedup_incremental(batch, banded, index, "doc_id")
+    surv_ids = surv.select("doc_id").persist()
+    new_rows = new_rows.persist()
+
+    no_copy = surv_ids.agg(
+        F.coalesce(~F.max(F.col("doc_id") >= 1_000_000), F.lit(True)).alias("ok")
+    )
+    # set equality survivors == index-row ids, via two anti-join counts
+    rows_ids = new_rows.select("doc_id").distinct()
+    closed = (
+        surv_ids.join(rows_ids, "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .crossJoin(
+            rows_ids.join(surv_ids, "doc_id", "left_anti").agg(
+                F.count(F.lit(1)).alias("b")
+            )
+        )
+        .select(((F.col("a") == 0) & (F.col("b") == 0)).alias("ok"))
+    )
+    # idempotence: survivors re-probed against index ∪ their own rows
+    surv2, _ = minhash_dedup_incremental(
+        surv, banded.join(surv_ids, "doc_id", "left_semi"),
+        index.unionByName(new_rows), "doc_id",
+    )
+    noop = surv2.agg((F.count(F.lit(1)) == 0).alias("ok"))
+
+    out = (
+        batch.agg(F.count(F.lit(1)).alias("n_batch"))
+        .crossJoin(no_copy.select(F.col("ok").alias("no_copy_survives")))
+        .crossJoin(closed.select(F.col("ok").alias("index_closed")))
+        .crossJoin(noop.select(F.col("ok").alias("reingest_noop")))
+    )
+    return out.select("n_batch", "no_copy_survives", "index_closed", "reingest_noop")
+
+
+@query(
+    "q_chunk_docs",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), e AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CAST(GREATEST(CEIL((LEN(toks)-8)/24.0), 1) AS BIGINT) - 1)) AS i
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+           CAST(LEAST(32, LEN(toks) - i*24) AS INT) AS n_tokens
+    FROM e
+    """,
+    tags=("tierc", "rag", "chunking"),
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (RAG / context-window prep):
+    32-token chunks, 8-token overlap, every doc yields >= 1 chunk.
+    Pure codegen fan-out (operators/packing.py chunk_documents) — the
+    oracle reproduces the closed-form chunk grid with DuckDB list
+    slicing, so the full (doc, chunk, text) row set is value-checked,
+    not just counted."""
+    from bigquery_etl_spark.operators.packing import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)

@@ -23,7 +23,10 @@ from bigquery_etl_spark.sources import load
 
 
 @F.udf(T.StringType())
-def _segment_code(segment: str | None) -> str | None:
+def _segment_code(segment):
+    # No type hints: PySpark tries to infer a (pandas) eval type from
+    # annotations and warns when it can't; plain positional args pin the
+    # classic row-at-a-time eval type silently.
     if segment is None:
         return None
     return f"{segment[:3].upper()}-{len(segment)}"

@@ -231,6 +231,17 @@ class VersionedTable:
         # Explicit schema: skips Spark's footer-merge inference pass.
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def diff(self, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
+        """Change feed between two committed versions (Delta
+        ``table_changes`` analogue): table columns plus ``_change_type``
+        in insert/delete/update_preimage/update_postimage. Computed
+        relationally from the two immutable snapshots — see
+        ``operators.merge.snapshot_diff`` for semantics and the 100 TB
+        cost argument (one keyed full-outer co-partition)."""
+        from bigquery_etl_spark.operators.merge import snapshot_diff
+
+        return snapshot_diff(self.read(version=v_from), self.read(version=v_to), keys)
+
     # -- maintenance ---------------------------------------------------------
 
     def vacuum(self, retain_last: int = 1) -> list[str]:

@@ -225,3 +225,38 @@ def test_append_schema_evolution(spark, tmp_path):
     if snap1 in os.listdir(str(tmp_path / "t")):
         old = spark.read.parquet(str(tmp_path / "t" / snap1))
         assert set(old.columns) == {"id", "v"}
+
+
+def test_ingest_near_dedup_drops_near_copies(spark, tmp_path):
+    cb = CorpusBuilder(spark, str(tmp_path / "corpus"))
+    base = (
+        "the quick brown fox jumps over the lazy dog while autumn leaves "
+        "drift slowly across the quiet village square at dusk every single day"
+    )
+    t1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    s1 = cb.ingest(t1, near_dedup=True)
+    assert s1["added"] == 1 and s1["near_dup_dropped"] == 0
+
+    # tick 2: near-copy (one word changed -> most shingles shared),
+    # verbatim copy, and a genuinely new doc
+    t2 = spark.createDataFrame(
+        [
+            (2, base.replace("autumn", "spring")),
+            (3, base),
+            (4, "structured streaming joins watermarks and stateful sessions "
+                "compose into an exactly once pipeline over parquet snapshots"),
+        ],
+        "doc_id long, text string",
+    )
+    s2 = cb.ingest(t2, near_dedup=True)
+    # 3 is an exact-hash drop (never reaches the LSH stage);
+    # 2 is a NEAR dup -> dropped by the index probe; 4 survives
+    assert s2["added"] == 1
+    assert s2["near_dup_dropped"] == 1
+    assert sorted(r.doc_id for r in cb.read().collect()) == [1, 4]
+
+    # index stays closed under ingestion: ids == corpus ids
+    idx_ids = sorted(
+        set(r.doc_id for r in cb.index_store.read().select("doc_id").collect())
+    )
+    assert idx_ids == [1, 4]

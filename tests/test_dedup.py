@@ -72,3 +72,50 @@ def test_simhash_near_dup_candidates(spark):
     pairs = {(r.id_a, r.id_b) for r in simhash_candidates(hashes, "doc_id").collect()}
     assert (1, 2) in pairs
     assert (1, 3) in pairs  # one-token change: Hamming distance small
+
+
+def test_minhash_dedup_incremental(spark):
+    from bigquery_etl_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index,
+    )
+
+    corpus = _corpus(spark)
+    index = minhash_index(corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [
+            (10, BASE),  # verbatim corpus copy -> guaranteed index hit
+            (11, "fresh unrelated prose on watermarks and late arriving events"),
+            (12, "fresh unrelated prose on watermarks and late arriving events"),
+        ],
+        "doc_id long, text string",
+    )
+    banded = minhash_index(batch, "doc_id", "text")
+    surv, new_rows = minhash_dedup_incremental(batch, banded, index, "doc_id")
+    ids = sorted(r.doc_id for r in surv.collect())
+    assert ids == [11]  # 10 hits corpus, 12 loses to batch sibling 11
+    assert sorted(set(r.doc_id for r in new_rows.collect())) == [11]
+
+    # idempotence: re-probe the survivor against the grown index
+    surv2, _ = minhash_dedup_incremental(
+        surv, banded.join(surv.select("doc_id"), "doc_id", "left_semi"),
+        index.unionByName(new_rows), "doc_id",
+    )
+    assert surv2.count() == 0
+
+
+def test_minhash_dedup_incremental_empty_index(spark):
+    from bigquery_etl_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index,
+    )
+
+    batch = _corpus(spark)
+    banded = minhash_index(batch, "doc_id", "text")
+    empty = spark.createDataFrame([], "doc_id long, band int, bucket long")
+    surv, _ = minhash_dedup_incremental(batch, banded, empty, "doc_id")
+    ids = sorted(r.doc_id for r in surv.collect())
+    # degenerates to intra-batch minhash_dedup: min-id per collision set
+    assert ids == sorted(
+        r.doc_id for r in minhash_dedup(batch, "doc_id", "text").collect()
+    )

@@ -85,3 +85,36 @@ def test_fuzz_pack_sequences(spark, seed):
         | ~F.col("n_tokens").eqNullSafe(F.col("ref_tokens"))
     )
     assert mism.count() == 0, f"seed={seed} budget={budget} n_buckets={n_buckets}"
+
+
+def test_chunk_documents_boundaries(spark):
+    from bigquery_etl_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # n == chunk -> 1 chunk
+            (2, " ".join(f"t{i}" for i in range(11))),  # n == chunk+1 -> 2
+            (3, "short"),                               # n < chunk -> whole doc
+            (4, ""),                                    # degenerate -> 1 chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=10, overlap=4)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert sorted(rows) == [(1, 0), (2, 0), (2, 1), (3, 0), (4, 0)]
+    assert rows[(1, 0)].n_tokens == 10
+    # second chunk starts at stride=6: tokens 6..10 -> 5 tokens, and the
+    # first `overlap` tokens of chunk 1 repeat the tail of chunk 0
+    assert rows[(2, 1)].n_tokens == 5
+    assert rows[(2, 1)].chunk_text.split()[:4] == rows[(2, 0)].chunk_text.split()[6:]
+    assert rows[(3, 0)].chunk_text == "short" and rows[(3, 0)].n_tokens == 1
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from bigquery_etl_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=8)

@@ -181,3 +181,72 @@ def test_scd2_apply(spark):
     assert rows[(3, "z")][1] == _ts("2024-01-01")  # history preserved
     assert rows[(4, "new")] == (_ts("2024-06-01"), None)
     assert out.count() == 5
+
+
+def test_snapshot_diff_change_types(spark):
+    from bigquery_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, None, 40.0)],
+        "k long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 value change, 3 NULL->value, 4 deleted, 5 inserted
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k long, v string, x double",
+    )
+    out = sorted(
+        map(tuple, snapshot_diff(old, new, ["k"]).collect()),
+        key=lambda r: (r[0], r[3]),
+    )
+    # sort is (key, _change_type): "update_postimage" < "update_preimage"
+    assert out == [
+        (2, "B", 20.0, "update_postimage"),
+        (2, "b", 20.0, "update_preimage"),
+        (3, "c", 30.0, "update_postimage"),
+        (3, "c", None, "update_preimage"),
+        (4, None, 40.0, "delete"),
+        (5, "e", 50.0, "insert"),
+    ]
+
+
+def test_snapshot_diff_all_null_values_vs_missing(spark):
+    # a row whose value columns are ALL NULL is still "present" — it
+    # must diff as an update against real values, not as insert+delete
+    from bigquery_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "x")], "k long, v string")
+    types = sorted(r["_change_type"] for r in snapshot_diff(old, new, ["k"]).collect())
+    assert types == ["update_postimage", "update_preimage"]
+    # identical all-NULL rows emit nothing (NULL-safe equality)
+    same = spark.createDataFrame([(1, None)], "k long, v string")
+    assert snapshot_diff(old, same, ["k"]).count() == 0
+
+
+def test_snapshot_diff_schema_mismatch(spark):
+    import pytest
+
+    from bigquery_etl_spark.operators.merge import snapshot_diff
+
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    b = spark.createDataFrame([(1, "a", 1.0)], "k long, v string, x double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_diff(a, b, ["k"])
+
+
+def test_versioned_table_diff(spark, tmp_path):
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    tbl = VersionedTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    tbl.overwrite(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"))
+    out = sorted(
+        map(tuple, tbl.diff(1, 2, ["k"]).collect()), key=lambda r: (r[0], r[2])
+    )
+    assert out == [
+        (1, "a", "delete"),
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "insert"),
+    ]
