@@ -55,3 +55,70 @@ def orphan_rows(child: DataFrame, parent: DataFrame, on: list[tuple[str, str]]) 
         clause = child[c] == parent_keys[p]
         cond = clause if cond is None else cond & clause
     return child.join(parent_keys, cond, "left_anti")
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    width: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two slices of the same table,
+    per group: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over equal-width
+    bins of ``value_col`` ([lo, lo+n_bins·width), outliers clamped into
+    the edge bins), with +1 Laplace smoothing so empty bins are defined
+    (p_i = (c_i+1)/(t+n_bins)). The drift monitor every production
+    feature/metrics pipeline runs: PSI < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted.
+
+    Determinism: bin counts are exact integers; each bin's term is
+    snapped to a 1e-6 grid (ROUND(term·1e6) → BIGINT) before the
+    per-group sum, so cross-engine float drift cannot reorder-and-
+    accumulate — the same trick q_perplexity uses.
+
+    Scale: two scans (one per slice) → per-(group, bin) partial+final
+    hash aggs → a join on the tiny (group, bin) grid (≤ groups×n_bins
+    rows). Nothing is table-sized after the first aggregate."""
+    from pyspark.sql import functions as F
+
+    def binned(df: DataFrame, cname: str) -> DataFrame:
+        bin_ = F.least(
+            F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return df.groupBy(*group_cols, bin_.alias("bin")).agg(
+            F.count(F.lit(1)).alias(cname)
+        )
+
+    ca, cb = binned(a, "c_a"), binned(b, "c_b")
+    # full bin grid per group, so smoothed empty bins still contribute
+    groups = (
+        a.select(*group_cols).unionByName(b.select(*group_cols)).distinct()
+    )
+    grid = groups.crossJoin(
+        a.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    j = (
+        grid.join(ca, [*group_cols, "bin"], "left")
+        .join(cb, [*group_cols, "bin"], "left")
+        .fillna(0, subset=["c_a", "c_b"])
+    )
+    tot = j.groupBy(*group_cols).agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    p = (F.col("c_a") + 1.0) / (F.col("t_a") + F.lit(float(n_bins)))
+    q = (F.col("c_b") + 1.0) / (F.col("t_b") + F.lit(float(n_bins)))
+    term = (p - q) * F.log(p / q)
+    snapped = F.round(term * 1e6).cast("bigint")
+    return (
+        j.join(tot, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            (F.sum(snapped) / 1e6).alias("psi"),
+            (F.sum("c_a")).alias("n_a"),
+            (F.sum("c_b")).alias("n_b"),
+        )
+    )

@@ -91,23 +91,41 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     j = o.join(n, keys, "full_outer")
     # a missing join side is a NULL struct; a present row's struct is
     # never NULL (structs of NULL fields are non-null), so null-ness
-    # distinguishes absent from all-NULL-values
-    ins = j.filter(F.col("__o").isNull()).select(
-        *keys, "__n.*", F.lit("insert").alias("_change_type")
+    # distinguishes absent from all-NULL-values.
+    #
+    # Single-pass shape: a UNION of four filtered legs would plan the
+    # full-outer join FOUR times (the pushed filters differ per leg, so
+    # ReuseExchange never fires — measured 8 parquet scans); instead
+    # classify each joined row once and explode updates into their
+    # pre/post pair. One join, one generate, rows never re-read.
+    ct = (
+        F.when(F.col("__o").isNull(), F.lit("insert"))
+        .when(F.col("__n").isNull(), F.lit("delete"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("update"))
     )
-    dele = j.filter(F.col("__n").isNull()).select(
-        *keys, "__o.*", F.lit("delete").alias("_change_type")
+    typed = j.withColumn("__ct", ct).filter(F.col("__ct").isNotNull())
+    legs = F.when(
+        F.col("__ct") == "update",
+        F.array(
+            F.struct(
+                F.lit("update_preimage").alias("t"), F.col("__o").alias("p")
+            ),
+            F.struct(
+                F.lit("update_postimage").alias("t"), F.col("__n").alias("p")
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("__ct").alias("t"),
+                F.coalesce(F.col("__n"), F.col("__o")).alias("p"),
+            )
+        )
     )
-    changed = j.filter(
-        F.col("__o").isNotNull()
-        & F.col("__n").isNotNull()
-        & ~F.col("__o").eqNullSafe(F.col("__n"))
+    return (
+        typed.select(*keys, F.explode(legs).alias("e"))
+        .select(*keys, "e.p.*", F.col("e.t").alias("_change_type"))
     )
-    pre = changed.select(*keys, "__o.*", F.lit("update_preimage").alias("_change_type"))
-    post = changed.select(
-        *keys, "__n.*", F.lit("update_postimage").alias("_change_type")
-    )
-    return ins.unionByName(dele).unionByName(pre).unionByName(post)
 
 
 def recover_upsert(path: str) -> str:

@@ -153,3 +153,60 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q_drift_psi",
+    sql="""
+    WITH a AS (
+        SELECT event_type,
+               CAST(LEAST(GREATEST(FLOOR((value - 0.0)/50.0), 0), 9) AS INT) AS bin
+        FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    ), b AS (
+        SELECT event_type,
+               CAST(LEAST(GREATEST(FLOOR((value - 0.0)/50.0), 0), 9) AS INT) AS bin
+        FROM events WHERE ts >= TIMESTAMP '2024-01-22'
+    ), groups AS (
+        SELECT DISTINCT event_type FROM (
+            SELECT event_type FROM a UNION ALL SELECT event_type FROM b
+        )
+    ), grid AS (
+        SELECT g.event_type, i.bin
+        FROM groups g, (SELECT unnest(generate_series(0, 9)) AS bin) i
+    ), ca AS (
+        SELECT event_type, bin, COUNT(*) AS c_a FROM a GROUP BY 1, 2
+    ), cb AS (
+        SELECT event_type, bin, COUNT(*) AS c_b FROM b GROUP BY 1, 2
+    ), j AS (
+        SELECT grid.event_type, grid.bin,
+               COALESCE(ca.c_a, 0) AS c_a, COALESCE(cb.c_b, 0) AS c_b
+        FROM grid
+        LEFT JOIN ca USING (event_type, bin)
+        LEFT JOIN cb USING (event_type, bin)
+    ), t AS (
+        SELECT event_type, SUM(c_a) AS t_a, SUM(c_b) AS t_b FROM j GROUP BY 1
+    )
+    SELECT j.event_type,
+           SUM(CAST(ROUND(
+               ((c_a + 1.0)/(t_a + 10.0) - (c_b + 1.0)/(t_b + 10.0))
+               * LN(((c_a + 1.0)/(t_a + 10.0)) / ((c_b + 1.0)/(t_b + 10.0)))
+               * 1e6) AS BIGINT)) / 1e6 AS psi,
+           CAST(SUM(c_a) AS BIGINT) AS n_a,
+           CAST(SUM(c_b) AS BIGINT) AS n_b
+    FROM j JOIN t USING (event_type)
+    GROUP BY 1
+    """,
+    tags=("behavioral", "dq", "drift"),
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-event-type Population Stability
+    Index of `value` between the first week and the last ~9 days of
+    the event window (10 equal-width bins over [0, 500), Laplace-
+    smoothed, per-bin terms snapped to a 1e-6 grid for cross-engine
+    determinism — operators/dq.py psi_drift)."""
+    from bigquery_etl_spark.operators.dq import psi_drift
+
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    b = e.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+    return psi_drift(a, b, "value", ["event_type"], lo=0.0, width=50.0)

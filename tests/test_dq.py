@@ -35,3 +35,27 @@ def test_duplicate_and_orphan_helpers(spark):
     assert [(r.k, r.n) for r in dups] == [(2, 2)]
     orphans = orphan_rows(child, parent, [("k", "k")]).collect()
     assert {r.k for r in orphans} == {9}
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_spark.operators.dq import psi_drift
+
+    base = spark.range(1000).select(
+        F.lit("g").alias("grp"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    # identical distributions -> PSI == 0 exactly (terms all snap to 0)
+    out = psi_drift(base, base, "v", ["grp"], lo=0.0, width=10.0).collect()
+    assert len(out) == 1 and out[0].psi == 0.0
+    assert out[0].n_a == 1000 and out[0].n_b == 1000
+
+    # hard shift: all mass moves to the top bin -> large positive PSI
+    shifted = base.withColumn("v", F.lit(99.0))
+    psi = psi_drift(base, shifted, "v", ["grp"], lo=0.0, width=10.0).collect()[0].psi
+    assert psi > 0.25  # "distribution shifted" by the standard rule
+
+    # symmetric: PSI(a,b) == PSI(b,a) (the formula is antisymmetric in
+    # (p-q) AND ln(p/q), so the product is symmetric)
+    psi_rev = psi_drift(shifted, base, "v", ["grp"], lo=0.0, width=10.0).collect()[0].psi
+    assert abs(psi - psi_rev) < 1e-9

@@ -244,3 +244,27 @@ def test_pretrain_corpus_broadcasts_eval_grams(spark, sf_dir):
     # and the packing tail stays distributed (same invariant as
     # test_pack_sequences_no_global_window)
     assert "rangepartitioning" in plan.lower()
+
+
+def test_funnel_single_data_exchange(spark, sf_dir):
+    # the ordered funnel must evaluate all three stage windows AND the
+    # per-user rollup on ONE user_id hash partitioning: exactly two
+    # exchanges total (the data shuffle + the 1-row final aggregate)
+    plan = _executed_plan(QUERIES["q_funnel"].fn(spark, sf_dir))
+    assert _optimized_count(plan, "Exchange") <= 2, plan
+    assert _optimized_count(plan, "Window") == 3, plan
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    # change feed = ONE full-outer join; the four change-type legs are
+    # filters over it, never re-joins
+    from bigquery_etl_spark.operators.merge import snapshot_diff
+    from bigquery_etl_spark.sources import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = o.filter("o_orderkey % 2 = 0")
+    b = o.filter("o_orderkey % 3 = 0")
+    plan = _executed_plan(snapshot_diff(a, b, ["o_orderkey"]))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan  # each side read ONCE
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
