@@ -69,6 +69,10 @@ HEADLINE = [
     "q_dedup_chunks",
     "q_pack_sequences",
     "q_pretrain_corpus",
+    "q_funnel",
+    "q_retention",
+    "q_chunk_docs",
+    "q_drift_psi",
 ]
 
 

@@ -62,9 +62,16 @@ def minhash_signatures(
 
     MinHash_i(doc) = min over shingles of hash_i(shingle). Each shingle
     is string-hashed ONCE (xxhash64), mixed down to 31 bits; the
-    n_hashes variants come from an affine family h_i = a_i*h31 + b_i
-    with 31-bit constants — products stay < 2^63, so the arithmetic is
-    exact under ANSI mode (no overflow wrap needed).
+    n_hashes variants come from the universal family h_i = (a_i*h31 +
+    b_i) mod p, p = 2^31-1 (Mersenne prime): products stay < 2^62, so
+    the arithmetic is exact under ANSI mode. The ``mod p`` is LOAD-
+    BEARING, not hygiene: without it a_i*h+b_i is strictly increasing
+    in h, so every h_i's argmin is the SAME shingle (the one minimizing
+    h31) and the 64 "independent" minhashes collapse to 64 functions of
+    one hash — signatures of near-dup docs then agree on either all 64
+    positions or none, and the banding S-curve degenerates to a single
+    coin flip with P(match) = J instead of 1-(1-J^r)^b. (Caught by a
+    0/64-match signature pair on docs with measured Jaccard 0.80.)
 
     Plan shape: explode shingles → project the base hash (ONE xxhash64
     per shingle) → hash-aggregate per doc with n_hashes ``min(a_i*h+b_i)``
@@ -108,8 +115,9 @@ def minhash_signatures(
     # driver time per plan build (measured); one expr keeps plan
     # construction O(1) analysis passes. Execution is identical —
     # same partial/final min aggregates, same codegen.
+    p = (1 << 31) - 1
     sig_expr = "array(" + ", ".join(
-        f"min(__h * {a}L + {b}L)" for a, b in consts
+        f"min((__h * {a}L + {b}L) % {p}L)" for a, b in consts
     ) + ") as signature"
     return shingled.groupBy(id_col).agg(F.expr(sig_expr))
 

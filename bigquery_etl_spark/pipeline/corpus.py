@@ -173,6 +173,39 @@ class CorpusBuilder:
             )
         return minhash_dedup_incremental(fresh, banded, index, "doc_id")
 
+    def repair_index(self) -> int:
+        """Heal the one near-dedup crash window: corpus append committed
+        but the tick died before the index append. (The orders matter:
+        corpus-first means a replayed batch is exact-hash-dropped and
+        never re-adds index rows — a GAP; index-first would be worse,
+        the replay would see its own rows and near-dup-drop REAL docs.)
+        Recomputes signatures only for corpus docs missing from the
+        index — O(gap), normally zero. Run at ingest-loop startup,
+        like PointerStore.recover()."""
+        if not self.store.exists():
+            return 0
+        corpus = self.store.read().select("doc_id", "text")
+        if self.index_store.exists():
+            missing = corpus.join(
+                self.index_store.read().select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        else:
+            missing = corpus
+        missing = missing.persist()
+        try:
+            n = missing.count()
+            if n:
+                rows = minhash_index(missing, "doc_id", "text")
+                if self.index_store.exists():
+                    self.index_store.append(rows)
+                else:
+                    self.index_store.overwrite(rows)
+            return n
+        finally:
+            missing.unpersist()
+
     # -- serving -------------------------------------------------------------
 
     def read(self) -> DataFrame:

@@ -33,10 +33,20 @@ def start_corpus_stream(
     corpus_root: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    near_dedup: bool = False,
 ) -> StreamingQuery:
     """Ingest parquet files landing in ``incoming_dir`` into the corpus
-    at ``corpus_root``. Drive with processAllAvailable() in tests."""
+    at ``corpus_root``. Drive with processAllAvailable() in tests.
+
+    ``near_dedup=True`` probes each micro-batch against the corpus's
+    persisted LSH index (O(batch) work — see CorpusBuilder.ingest) and
+    first runs ``repair_index()``: a crash between the corpus append
+    and the index append leaves an index gap that a replayed batch
+    cannot heal (its docs are exact-hash-dropped before the LSH
+    stage), so the gap is repaired once at startup instead."""
     builder = CorpusBuilder(spark, corpus_root)
+    if near_dedup:
+        builder.repair_index()
     stream = (
         spark.readStream.schema(INCOMING_DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -44,7 +54,7 @@ def start_corpus_stream(
     )
 
     def tick(batch, _batch_id: int) -> None:
-        builder.ingest(batch)
+        builder.ingest(batch, near_dedup=near_dedup)
 
     return (
         stream.writeStream.foreachBatch(tick)

@@ -260,3 +260,70 @@ def test_ingest_near_dedup_drops_near_copies(spark, tmp_path):
         set(r.doc_id for r in cb.index_store.read().select("doc_id").collect())
     )
     assert idx_ids == [1, 4]
+
+
+def test_repair_index_heals_crash_gap(spark, tmp_path):
+    import shutil
+
+    root = str(tmp_path / "corpus")
+    cb = CorpusBuilder(spark, root)
+    base = (
+        "the quick brown fox jumps over the lazy dog while autumn leaves "
+        "drift slowly across the quiet village square at dusk every single day"
+    )
+    cb.ingest(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        near_dedup=True,
+    )
+    # simulate a crash between corpus append and index append
+    shutil.rmtree(str(tmp_path / "corpus" / "_lsh_index"))
+    cb2 = CorpusBuilder(spark, root)
+    assert cb2.repair_index() == 1
+    assert cb2.repair_index() == 0  # idempotent
+
+    # the healed index catches a NEAR copy (exact-hash can't)
+    s = cb2.ingest(
+        spark.createDataFrame(
+            [(2, base.replace("autumn", "spring"))], "doc_id long, text string"
+        ),
+        near_dedup=True,
+    )
+    assert s["added"] == 0 and s["near_dup_dropped"] == 1
+
+
+def test_streaming_ingest_near_dedup(spark, tmp_path):
+    import os
+
+    from bigquery_etl_spark.streaming.corpus_stream import start_corpus_stream
+    from tests.test_streaming import _write_flat_parquet
+
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    corpus = str(tmp_path / "corpus")
+    base = (
+        "structured streaming joins watermarks and stateful sessions compose "
+        "into an exactly once pipeline over immutable parquet snapshot dirs"
+    )
+    _write_flat_parquet(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        incoming,
+        "b1.parquet",
+    )
+    q = start_corpus_stream(
+        spark, incoming, corpus, str(tmp_path / "ckpt"), near_dedup=True
+    )
+    try:
+        q.processAllAvailable()
+        _write_flat_parquet(
+            spark.createDataFrame(
+                [(2, base.replace("parquet", "iceberg"))],  # near copy
+                "doc_id long, text string",
+            ),
+            incoming,
+            "b2.parquet",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cb = CorpusBuilder(spark, corpus)
+    assert sorted(r.doc_id for r in cb.read().collect()) == [1]
