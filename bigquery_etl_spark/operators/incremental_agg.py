@@ -58,3 +58,44 @@ def merge_agg_state(
         merge = MERGEABLE[fn][1]
         out_cols.append(merge(state[m], F.col(f"__bm_{m}")).alias(m))
     return joined.select(*out_cols)
+
+
+def apply_change_feed(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Retraction-aware materialized-view maintenance: fold a
+    change-data-feed batch (``operators.merge.snapshot_diff`` /
+    ``VersionedTable.diff`` output, ``_change_type`` column) into a
+    keyed aggregate table. insert/update_postimage rows add, delete/
+    update_preimage rows retract — so the maintained view equals a full
+    recompute over the new snapshot, at O(batch + touched groups) cost.
+
+    ``sums``: out_col -> input col, ADDITIVE measures only (SUM, and
+    the row count maintained automatically as ``count_col``; AVG =
+    sum/count at read time). MIN/MAX are deliberately unsupported:
+    deleting the current minimum requires re-scanning the group, which
+    is a recompute, not maintenance — use ``merge_agg_state`` for
+    append-only feeds instead. Sum inputs should be exact types
+    (decimal/int — see plans/_util.dec): float retraction drift
+    accumulates across ticks and never cancels.
+
+    Groups whose maintained row count reaches zero are REMOVED (a group
+    you can no longer derive from the data must not linger with zeroed
+    sums). One shuffle on the keys, sized by the change batch."""
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+    )
+    signed = changes.withColumn("__sign", sign)
+    delta = signed.groupBy(*keys).agg(
+        *[F.sum(F.col(c) * F.col("__sign")).alias(out) for out, c in sums.items()],
+        F.sum("__sign").cast("bigint").alias(count_col),
+    )
+    measures = {out: ("sum", c) for out, c in sums.items()}
+    measures[count_col] = ("sum", count_col)
+    merged = merge_agg_state(state, delta, keys, measures)
+    return merged.filter(F.col(count_col) > 0)

@@ -170,3 +170,64 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-06-01").cast("timestamp").alias("ts"),
     )
     return scd2_apply(current, updates, ["o_orderkey"], "ts", ["o_orderstatus"])
+
+
+@query(
+    "q_incremental_view",
+    sql="""
+    WITH newset AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(c) / 100.0 AS total_price
+    FROM newset GROUP BY 1
+    """,
+    tags=("cdc", "lakehouse", "incremental"),
+)
+def q_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware materialized-view maintenance: the per-status
+    (count, sum) view of snapshot v1 is folded forward with the v1→v2
+    change feed (inserts add, deletes retract, updates move rows
+    between groups — including into the brand-new 'X' group), and the
+    ORACLE recomputes the aggregate from v2 directly, proving
+    maintained == recomputed. Sums ride exact integer cents so
+    retraction can never leave float residue. O(changes) per tick vs
+    O(snapshot) recompute — the materialized-view story for the 15 s
+    ETL tick at 100 TB (ref main.py:209-216 recomputes nothing: it
+    delegates every aggregate to BigQuery at query time)."""
+    from bigquery_etl_spark.operators.incremental_agg import apply_change_feed
+    from bigquery_etl_spark.operators.merge import snapshot_diff
+    from bigquery_etl_spark.plans._util import cents
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", cents("o_totalprice").alias("price_cents")
+    )
+    old = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = old.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).unionByName(
+        o.filter((F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0))
+    )
+    view_v1 = old.groupBy("o_orderstatus").agg(
+        F.sum("price_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    changes = snapshot_diff(old, new, ["o_orderkey"])
+    maintained = apply_change_feed(
+        view_v1, changes, ["o_orderstatus"], {"total_cents": "price_cents"}, "n_orders"
+    )
+    return maintained.select(
+        "o_orderstatus",
+        "n_orders",
+        (F.col("total_cents") / 100.0).alias("total_price"),
+    )

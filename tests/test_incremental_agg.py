@@ -49,3 +49,30 @@ def test_media_metadata_scan_skips_binary(spark, tmp_path):
     assert m and "content" not in m.group(1), plan
     # and the full stats query still works when it does need the bytes
     assert {r.kind for r in media_stats(media).collect()} == {"image", "audio", "video"}
+
+
+def test_apply_change_feed_matches_recompute(spark):
+    from bigquery_etl_spark.operators.incremental_agg import (
+        apply_change_feed,
+        partial_agg,
+    )
+    from bigquery_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "k long, g string, v long",
+    )
+    # v2: delete 1, move 3 from b->a, update 4's value, insert 5 in new group d
+    new = spark.createDataFrame(
+        [(2, "a", 20), (3, "a", 30), (4, "c", 45), (5, "d", 50)],
+        "k long, g string, v long",
+    )
+    state = partial_agg(
+        old, ["g"], {"total": ("sum", "v"), "n_rows": ("count", "v")}
+    )
+    out = apply_change_feed(
+        state, snapshot_diff(old, new, ["k"]), ["g"], {"total": "v"}, "n_rows"
+    )
+    got = sorted(map(tuple, out.select("g", "total", "n_rows").collect()))
+    # recompute from v2: a={2:20,3:30}, b gone (count 0 -> removed), c={4:45}, d={5:50}
+    assert got == [("a", 50, 2), ("c", 45, 1), ("d", 50, 1)]

@@ -47,6 +47,8 @@ NON_EQUI_OK = {
     "q_dedup_simhash",
     "q_perplexity",       # 1-row corpus-total broadcast into the vocab
     "q_sample_diverse",   # 1-row invariant summaries cross-joined
+    "q_dedup_incremental",  # four 1-row invariant summaries cross-joined
+    "q_drift_psi",        # (group × bin) grid: categorical groups × 10 bins
 }
 
 # Streaming / source / pipeline queries that cannot build a pure batch
