@@ -119,3 +119,36 @@ def test_minhash_dedup_incremental_empty_index(spark):
     assert ids == sorted(
         r.doc_id for r in minhash_dedup(batch, "doc_id", "text").collect()
     )
+
+
+def test_minhash_near_dup_recall_after_mod_fix(spark):
+    """Regression for the missing-mod bug: without `mod p` the affine
+    hash family was monotone in the base hash, so near-dup (non-
+    verbatim) pairs collided with probability ~J instead of
+    1-(1-J^4)^16 ~ 1. Plant one-word-edited copies of 20 distinct docs
+    (shingle Jaccard ~0.8 -> collision probability >0.999 each) and
+    require ALL of them to be dropped — deterministic given the fixed
+    seeds, and impossible under the broken family (expected recall
+    there ~0.8, P(all 20) ~ 0.01)."""
+    from bigquery_etl_spark.operators.dedup import minhash_dedup
+
+    import hashlib
+
+    rows = []
+    for d in range(20):
+        # hash-random tokens: cross-doc shingle overlap ~0 (positional
+        # patterns like "q07tok " would otherwise make ALL docs mutual
+        # near-dups now that the hash family actually works)
+        toks = [
+            hashlib.md5(f"{d}-{i}".encode()).hexdigest()[:8] for i in range(30)
+        ]
+        text = " ".join(toks)
+        rows.append((d, text))
+        edited = toks[:]
+        edited[15] = "zzchanged"
+        rows.append((d + 1000, " ".join(edited)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    surv = {r.doc_id for r in minhash_dedup(df, "doc_id", "text").collect()}
+    planted = {d + 1000 for d in range(20)}
+    assert not (surv & planted), f"near copies survived: {sorted(surv & planted)}"
+    assert set(range(20)) <= surv  # originals all survive
