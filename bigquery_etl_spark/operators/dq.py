@@ -79,46 +79,51 @@ def psi_drift(
     per-group sum, so cross-engine float drift cannot reorder-and-
     accumulate — the same trick q_perplexity uses.
 
-    Scale: two scans (one per slice) → per-(group, bin) partial+final
-    hash aggs → a join on the tiny (group, bin) grid (≤ groups×n_bins
-    rows). Nothing is table-sized after the first aggregate."""
+    Scale: the two slices union into ONE aggregation pipeline (one
+    exchange on (group, bin), conditional counts per side), the full
+    bin grid is derived from the TINY aggregate output (≤ groups ×
+    n_bins rows — never a re-scan of the inputs), and totals ride a
+    window over that grid. Nothing is table-sized after the single
+    aggregate; one data-sized exchange total."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    def binned(df: DataFrame, cname: str) -> DataFrame:
-        bin_ = F.least(
-            F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
-            F.lit(n_bins - 1),
-        ).cast("int")
-        return df.groupBy(*group_cols, bin_.alias("bin")).agg(
-            F.count(F.lit(1)).alias(cname)
+    bin_ = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    tagged = a.select(
+        *group_cols, bin_.alias("bin"), F.lit(True).alias("__a")
+    ).unionByName(
+        b.select(*group_cols, bin_.alias("bin"), F.lit(False).alias("__a"))
+    )
+    counts = tagged.groupBy(*group_cols, "bin").agg(
+        F.count(F.when(F.col("__a"), 1)).alias("c_a"),
+        F.count(F.when(~F.col("__a"), 1)).alias("c_b"),
+    )
+    # full bin grid per group (smoothed empty bins still contribute),
+    # derived from the aggregate itself — group universe = groups with
+    # at least one row in either slice, same as before
+    grid = (
+        counts.select(*group_cols)
+        .distinct()
+        .crossJoin(
+            a.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
         )
-
-    ca, cb = binned(a, "c_a"), binned(b, "c_b")
-    # full bin grid per group, so smoothed empty bins still contribute
-    groups = (
-        a.select(*group_cols).unionByName(b.select(*group_cols)).distinct()
     )
-    grid = groups.crossJoin(
-        a.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    j = grid.join(counts, [*group_cols, "bin"], "left").fillna(
+        0, subset=["c_a", "c_b"]
     )
-    j = (
-        grid.join(ca, [*group_cols, "bin"], "left")
-        .join(cb, [*group_cols, "bin"], "left")
-        .fillna(0, subset=["c_a", "c_b"])
-    )
-    tot = j.groupBy(*group_cols).agg(
-        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    w = Window.partitionBy(*group_cols)
+    j = j.withColumn("t_a", F.sum("c_a").over(w)).withColumn(
+        "t_b", F.sum("c_b").over(w)
     )
     p = (F.col("c_a") + 1.0) / (F.col("t_a") + F.lit(float(n_bins)))
     q = (F.col("c_b") + 1.0) / (F.col("t_b") + F.lit(float(n_bins)))
     term = (p - q) * F.log(p / q)
     snapped = F.round(term * 1e6).cast("bigint")
-    return (
-        j.join(tot, group_cols)
-        .groupBy(*group_cols)
-        .agg(
-            (F.sum(snapped) / 1e6).alias("psi"),
-            (F.sum("c_a")).alias("n_a"),
-            (F.sum("c_b")).alias("n_b"),
-        )
+    return j.groupBy(*group_cols).agg(
+        (F.sum(snapped) / 1e6).alias("psi"),
+        (F.sum("c_a")).alias("n_a"),
+        (F.sum("c_b")).alias("n_b"),
     )

@@ -116,6 +116,8 @@ ZIPF_QUERIES = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_tpch_q3",
+    "q_funnel",     # per-user sequential windows: the hot user serializes
+    "q_retention",  # user-keyed agg + cohort join on the same hot key
 ]
 
 
