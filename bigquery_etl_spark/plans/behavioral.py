@@ -210,3 +210,170 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
     b = e.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
     return psi_drift(a, b, "value", ["event_type"], lo=0.0, width=50.0)
+
+
+@query(
+    "q_resample_ohlc",
+    sql="""
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("behavioral", "timeseries"),
+)
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars per event type:
+    open/close via min_by/max_by on the timestamp, high/low plain
+    min/max — one scan, one partial+final hash aggregate, no window.
+    (min_by/arg_min tie-break identically here: the fixture's ts is
+    microsecond-unique within a (type, day).)"""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_anomaly_mad",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type,
+               median(cents) AS med
+        FROM daily GROUP BY 1
+    ), dev AS (
+        SELECT d.event_type, d.day, d.cents, m.med,
+               ABS(d.cents - m.med) AS adev
+        FROM daily d JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type, dev.day, dev.cents,
+           CAST(dev.adev > 3.0 * 1.4826 * mad.mad AS BOOLEAN) AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    """,
+    tags=("behavioral", "timeseries", "dq"),
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on the daily value series per event
+    type: flag days whose deviation from the per-type median exceeds
+    3 × 1.4826 × MAD (median absolute deviation) — the robust z-score
+    that a mean/stddev rule gets wrong when the outliers themselves
+    inflate the baseline. Daily sums ride exact integer cents;
+    medians of bigints are deterministic in both engines. Two tiny
+    aggregates over the (type, day) rollup — the table-sized work is
+    the single daily aggregation."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    med = daily.groupBy("event_type").agg(F.median("cents").alias("med"))
+    dev = daily.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "day",
+        "cents",
+        (F.col("adev") > 3.0 * 1.4826 * F.col("mad")).alias("is_anomaly"),
+    )
+
+
+@query(
+    "q_funnel_windowed",
+    sql="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t, MIN(v.t) AS t1
+        FROM events e
+        JOIN v ON e.user_id = v.user_id
+              AND e.ts > v.t AND e.ts <= v.t + INTERVAL 7 DAY
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e
+        JOIN c ON e.user_id = c.user_id
+              AND e.ts > c.t AND e.ts <= c.t1 + INTERVAL 7 DAY
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM v
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+    ) ORDER BY stage_idx
+    """,
+    tags=("behavioral", "funnel", "window"),
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_funnel with a CONVERSION WINDOW: every later stage must land
+    within 7 days of the user's FIRST view (the anchored-window metric
+    product analytics actually reports). Same one-shuffle cumulative-
+    window machinery — the window bound rides along because the
+    anchor t1 is already on every row; the oracle keeps the 3-join
+    form with the bounds in the join predicates."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bound = F.expr("INTERVAL 7 DAY")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + bound),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + bound),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        s2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("view"),
+        F.count("t2").alias("click"),
+        F.count("t3").alias("purchase"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"), F.col("view").alias("n_users")),
+        F.struct(F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"), F.col("click").alias("n_users")),
+        F.struct(F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage"), F.col("purchase").alias("n_users")),
+    )
+    return (
+        counts.select(F.explode(stages).alias("s"))
+        .select("s.stage_idx", "s.stage", "s.n_users")
+        .orderBy("stage_idx")
+    )
