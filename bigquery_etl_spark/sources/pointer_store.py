@@ -110,15 +110,40 @@ class PointerStore:
     def exists(self) -> bool:
         return self.current_snapshot() is not None
 
+    def current_meta(self) -> dict | None:
+        """Commit metadata of the live snapshot (``meta=`` passed to
+        overwrite/append), or None. Because the meta sidecar is written
+        into the snapshot dir BEFORE the pointer flip, data and meta
+        commit atomically — the epoch-fencing hook for transactional
+        foreachBatch sinks (read the committed batch id, skip replays)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        path = os.path.join(self.root, snap, "_meta.json")
+        if not os.path.exists(path):
+            return None
+        import json
+
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_meta(self, snap_path: str, meta: dict | None) -> None:
+        if meta is not None:
+            import json
+
+            with open(os.path.join(snap_path, "_meta.json"), "w") as f:
+                json.dump(meta, f)
+
     # -- commit protocol -----------------------------------------------------
 
-    def _commit(self, df: DataFrame) -> str:
+    def _commit(self, df: DataFrame, meta: dict | None = None) -> str:
         os.makedirs(self.root, exist_ok=True)
         cur = self.current_snapshot()
         seq = (self._seq(cur) + 1) if cur else 1
         snap = f"snap-{seq:08d}-{uuid.uuid4().hex[:8]}"
         df.write.parquet(os.path.join(self.root, snap))
         self._write_schema(os.path.join(self.root, snap), df.schema)
+        self._write_meta(os.path.join(self.root, snap), meta)
         return self._flip_pointer(snap)
 
     def _flip_pointer(self, snap: str) -> str:
@@ -143,10 +168,12 @@ class PointerStore:
             if snap != current:
                 shutil.rmtree(os.path.join(self.root, snap), ignore_errors=True)
 
-    def overwrite(self, df: DataFrame) -> str:
-        return self._commit(df)
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> str:
+        return self._commit(df, meta)
 
-    def append(self, df: DataFrame, evolve: bool = False) -> str:
+    def append(
+        self, df: DataFrame, evolve: bool = False, meta: dict | None = None
+    ) -> str:
         """O(new data) append: the new snapshot directory hard-links the
         current snapshot's parquet files (a metadata op per FILE, no
         data copied or rewritten) and adds freshly written part files
@@ -169,7 +196,7 @@ class PointerStore:
         time-travel reads of old snapshots are unaffected."""
         cur = self.current_snapshot()
         if cur is None:
-            return self._commit(df)
+            return self._commit(df, meta)
         stored = self._snapshot_schema(cur) or self.spark.read.parquet(
             os.path.join(self.root, cur)
         ).schema
@@ -226,6 +253,7 @@ class PointerStore:
                     os.path.join(snap_path, f"add-{seq:08d}-{name}"),
                 )
         self._write_schema(snap_path, snap_schema)
+        self._write_meta(snap_path, meta)
         open(os.path.join(snap_path, "_SUCCESS"), "w").close()
         self._flip_pointer(snap)
         shutil.rmtree(staging, ignore_errors=True)

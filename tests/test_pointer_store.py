@@ -117,3 +117,19 @@ def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
     rows = {r.k for r in st.read().collect()}
     assert rows == set(range(1000))
     assert st.current_snapshot() != before_snap  # new snapshot, not in-place
+
+
+def test_commit_meta_atomic_with_snapshot(spark, tmp_path):
+    from bigquery_etl_spark.sources.pointer_store import PointerStore
+
+    st = PointerStore(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    st.overwrite(df, meta={"batch_id": 0})
+    assert st.current_meta() == {"batch_id": 0}
+    # append carries its own meta; the PREVIOUS snapshot keeps its own
+    st.append(df.withColumn("k", df.k + 1), meta={"batch_id": 1})
+    assert st.current_meta() == {"batch_id": 1}
+    # a commit without meta yields None (no stale carry-over from the
+    # hard-linked prior snapshot)
+    st.append(df.withColumn("k", df.k + 10))
+    assert st.current_meta() is None

@@ -400,3 +400,67 @@ def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
 
     got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
     assert got == [1, 2]  # f1 not reprocessed after restart, f2 not lost
+
+
+def test_view_maintenance_stream_exactly_once(spark, tmp_path):
+    """CDF stream -> maintained view on a PointerStore, with epoch
+    fencing: replaying EVERY batch (fresh checkpoint, same files) must
+    not change the view — retractions applied twice would corrupt it."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigquery_etl_spark.sources.pointer_store import PointerStore
+    from bigquery_etl_spark.streaming.view_stream import (
+        start_view_maintenance_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("g", StringType()),
+            StructField("v", LongType()),
+            StructField("_change_type", StringType()),
+        ]
+    )
+    changes = str(tmp_path / "changes")
+    os.makedirs(changes)
+    view = str(tmp_path / "view")
+
+    b1 = [("a", 10, "insert"), ("a", 20, "insert"), ("b", 5, "insert")]
+    # b2: retract a=10 (update to 15), delete b entirely, insert c
+    b2 = [
+        ("a", 10, "update_preimage"),
+        ("a", 15, "update_postimage"),
+        ("b", 5, "delete"),
+        ("c", 7, "insert"),
+    ]
+    _write_flat_parquet(spark.createDataFrame(b1, schema), changes, "c1.parquet")
+    _write_flat_parquet(spark.createDataFrame(b2, schema), changes, "c2.parquet")
+
+    def run(ckpt):
+        q = start_view_maintenance_stream(
+            spark, changes, schema, view, ckpt, ["g"], {"total": "v"}
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    store = PointerStore(spark, view)
+    expect = [("a", 35, 2), ("c", 7, 1)]  # b removed at count 0
+    got = sorted(map(tuple, store.read().select("g", "total", "n_rows").collect()))
+    assert got == expect
+    assert store.current_meta() == {"batch_id": 1}
+
+    # full replay with a FRESH checkpoint: every batch id re-delivered,
+    # all fenced off by the committed epoch — view byte-identical
+    run(str(tmp_path / "ckpt2"))
+    got2 = sorted(map(tuple, store.read().select("g", "total", "n_rows").collect()))
+    assert got2 == expect
+    assert store.current_meta() == {"batch_id": 1}
