@@ -707,3 +707,53 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "q_dedup_minhash_recall_near",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           TRUE AS recall_ok
+    FROM documents
+    WHERE LEN(string_split_regex(trim(text), '\\s+')) >= 40
+    """,
+    tags=("tierc", "dedup", "lsh"),
+    twin="invariant",
+)
+def q_dedup_minhash_recall_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate (non-verbatim) recall floor — the S-curve check:
+    for every doc with ≥40 whitespace tokens, plant a copy with ONE
+    token replaced (shingle Jaccard ≥ ~0.85 ⇒ per-band collision
+    probability J^4 ≈ 0.5, P(missed by all 16 bands) ≈ 2e-5). Require
+    ≥90% of planted near-copies to be dropped by minhash_dedup. The
+    pre-fix hash family (no mod ⇒ one effective hash) made each such
+    pair a single J-probability coin flip — expected recall ~0.85 with
+    per-pair independence, far below a 0.9 floor at any scale. The
+    planted count is exact (closed form over token lengths)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    long_docs = d.filter(F.size(toks) >= 40)
+    edited = long_docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.slice(toks, 1, 10),
+                F.array(F.lit("xqzedit")),
+                F.slice(toks, F.lit(12), F.size(toks) - F.lit(11)),
+            ),
+        ).alias("text"),
+    )
+    u = d.unionByName(edited)
+    surv = minhash_dedup(u, "doc_id", "text").select("doc_id")
+    planted_surviving = surv.filter(F.col("doc_id") >= 2_000_000)
+    return (
+        edited.agg(F.count(F.lit(1)).alias("n_planted"))
+        .crossJoin(
+            planted_surviving.agg(F.count(F.lit(1)).alias("n_missed"))
+        )
+        .select(
+            "n_planted",
+            (F.col("n_missed") <= F.col("n_planted") * 0.1).alias("recall_ok"),
+        )
+    )

@@ -92,3 +92,38 @@ def test_stats_server_endpoint(spark, tmp_path):
         assert "uptime_sec" in body
     finally:
         server.stop()
+
+
+def test_incremental_dedup_index_bucketed_probe(spark, sf_dir, tmp_path):
+    """The C16 scale claim, demonstrated: store the corpus LSH index
+    BUCKETED by (band, bucket) and the incremental probe join plans
+    with NO Exchange on the (corpus-sized) index side — only the small
+    batch side shuffles into the index's bucketing."""
+    from bigquery_etl_spark.operators.dedup import minhash_index
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_b")
+    minhash_index(corpus, "doc_id", "text").write.bucketBy(
+        8, "band", "bucket"
+    ).mode("overwrite").saveAsTable("lsh_idx_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = spark.table("lsh_idx_b")
+        probe = idx.select("band", "bucket").join(
+            minhash_index(batch, "doc_id", "text"), ["band", "bucket"]
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the stored index scans in place (bucketed, no Exchange above
+        # it); every Exchange in the plan belongs to the batch side
+        # (its own signature repartition + the recluster into the
+        # index's bucketing). The index scan is the SMJ's left child,
+        # printed before any Exchange.
+        bucketed_scan = plan.index("Bucketed: true")
+        assert "Exchange" not in plan[:bucketed_scan], plan
+        assert plan.count("Exchange") == 2, plan
+        probe.count()  # executes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_b")
