@@ -377,3 +377,47 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.stage_idx", "s.stage", "s.n_users")
         .orderBy("stage_idx")
     )
+
+
+@query(
+    "q_attribution",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, '(none)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM ordered WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("behavioral", "attribution", "window"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRECEDING non-purchase event ('(none)' when the
+    purchase is the user's first event). One user-partitioned window
+    pass — lag(... ignore nulls) carries the last touch forward, so no
+    self-join against the event history; the groupBy on the tiny
+    channel set is the only other exchange."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # Spark's lag() has no IGNORE NULLS; last(ignorenulls) over the
+    # strictly-preceding frame is the same carry-forward
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("(none)")).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
