@@ -12,7 +12,7 @@ how many expectations are attached.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,9 +85,6 @@ def psi_drift(
     n_bins rows — never a re-scan of the inputs), and totals ride a
     window over that grid. Nothing is table-sized after the single
     aggregate; one data-sized exchange total."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     bin_ = F.least(
         F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
         F.lit(n_bins - 1),
@@ -111,8 +108,24 @@ def psi_drift(
             a.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
         )
     )
-    j = grid.join(counts, [*group_cols, "bin"], "left").fillna(
-        0, subset=["c_a", "c_b"]
+    # NULL-safe equality on the group columns: a NULL group is a real
+    # group here (counts/grid both carry it), and a plain `=` join
+    # would silently zero its counts — the same reason
+    # incremental_agg.merge_agg_state joins with eqNullSafe.
+    g, c = grid.alias("__g"), counts.alias("__c")
+    cond = [
+        F.col(f"__g.{k}").eqNullSafe(F.col(f"__c.{k}")) for k in group_cols
+    ]
+    cond.append(F.col("__g.bin") == F.col("__c.bin"))
+    j = (
+        g.join(c, cond, "left")
+        .select(
+            *[F.col(f"__g.{k}").alias(k) for k in group_cols],
+            F.col("__g.bin").alias("bin"),
+            F.col("__c.c_a").alias("c_a"),
+            F.col("__c.c_b").alias("c_b"),
+        )
+        .fillna(0, subset=["c_a", "c_b"])
     )
     w = Window.partitionBy(*group_cols)
     j = j.withColumn("t_a", F.sum("c_a").over(w)).withColumn(

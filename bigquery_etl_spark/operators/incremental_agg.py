@@ -89,6 +89,18 @@ def apply_change_feed(
     sign = (
         F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
         .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+        # any other type (a Debezium-style 'update', a producer typo)
+        # must FAIL the job, not silently drop out of the fold — a
+        # skipped row diverges the view from the recompute with no
+        # signal. raise_error fires lazily, only if such a row exists.
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_change_feed: unknown _change_type "),
+                    F.col("_change_type"),
+                )
+            ).cast("int")
+        )
     )
     signed = changes.withColumn("__sign", sign)
     delta = signed.groupBy(*keys).agg(

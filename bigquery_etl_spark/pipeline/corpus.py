@@ -128,6 +128,12 @@ class CorpusBuilder:
                 n_fresh = fresh.count()
                 n_near = 0
                 if near_dedup and n_fresh:
+                    # close any index gap FIRST: a corpus built with
+                    # near_dedup off (or a crash between the corpus and
+                    # index appends) leaves stored docs missing from the
+                    # index — probing that index would silently admit
+                    # their near-copies. O(missing), normally zero.
+                    self.repair_index()
                     keep, index_rows = self._near_dedup(fresh)
                     keep = keep.persist()
                     index_rows = index_rows.persist()

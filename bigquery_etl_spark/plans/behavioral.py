@@ -69,21 +69,42 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are one tiny final aggregate. Strict ``>`` on the timestamp
     value (not row order) keeps tie semantics identical to the
     oracle's join form."""
-    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    return _funnel(load(spark, sf_dir, "events"), bound=None)
+
+
+def _funnel(e: DataFrame, bound) -> DataFrame:
+    """Shared machinery for both funnel variants: ``bound`` is None
+    (unbounded) or an interval Column — every later stage must then
+    also land within ``t1 + bound`` (conversion window anchored at the
+    user's first view)."""
+    e = e.select("user_id", "ts", "event_type", "event_id")
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+
+    def in_window(col):
+        if bound is None:
+            return F.lit(True)
+        return col <= F.col("t1") + bound
+
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     s1 = e.withColumn("t1", t1)
     t2 = F.min(
-        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & in_window(F.col("ts")),
+            F.col("ts"),
+        )
     ).over(w)
     s2 = s1.withColumn("t2", t2)
     t3 = F.min(
         F.when(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & in_window(F.col("ts")),
             F.col("ts"),
         )
     ).over(w)
@@ -98,9 +119,14 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t3").alias("purchase"),
     )
     stages = F.array(
-        F.struct(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"), F.col("view").alias("n_users")),
-        F.struct(F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"), F.col("click").alias("n_users")),
-        F.struct(F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage"), F.col("purchase").alias("n_users")),
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(name).alias("n_users"),
+            )
+            for i, name in ((1, "view"), (2, "click"), (3, "purchase"))
+        ]
     )
     return (
         counts.select(F.explode(stages).alias("s"))
@@ -331,52 +357,8 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     window machinery — the window bound rides along because the
     anchor t1 is already on every row; the oracle keeps the 3-join
     form with the bounds in the join predicates."""
-    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    bound = F.expr("INTERVAL 7 DAY")
-    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    s1 = e.withColumn("t1", t1)
-    t2 = F.min(
-        F.when(
-            (F.col("event_type") == "click")
-            & (F.col("ts") > F.col("t1"))
-            & (F.col("ts") <= F.col("t1") + bound),
-            F.col("ts"),
-        )
-    ).over(w)
-    s2 = s1.withColumn("t2", t2)
-    t3 = F.min(
-        F.when(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") > F.col("t2"))
-            & (F.col("ts") <= F.col("t1") + bound),
-            F.col("ts"),
-        )
-    ).over(w)
-    per_user = (
-        s2.withColumn("t3", t3)
-        .groupBy("user_id")
-        .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
-    )
-    counts = per_user.agg(
-        F.count("t1").alias("view"),
-        F.count("t2").alias("click"),
-        F.count("t3").alias("purchase"),
-    )
-    stages = F.array(
-        F.struct(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"), F.col("view").alias("n_users")),
-        F.struct(F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"), F.col("click").alias("n_users")),
-        F.struct(F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage"), F.col("purchase").alias("n_users")),
-    )
-    return (
-        counts.select(F.explode(stages).alias("s"))
-        .select("s.stage_idx", "s.stage", "s.n_users")
-        .orderBy("stage_idx")
-    )
+    return _funnel(load(spark, sf_dir, "events"), bound=F.expr("INTERVAL 7 DAY"))
+
 
 
 @query(

@@ -517,7 +517,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       survivors' rows (set equality on ids);
     - ``reingest_noop``: re-probing the surviving batch against the
       UPDATED index (old ∪ new rows) yields zero survivors — verbatim
-      re-ingestion is idempotent."""
+      re-ingestion is idempotent.
+
+    The invariants are evaluated EAGERLY (four scalar aggregates
+    collected inside the function, returned as a 1-row local relation):
+    the shared signature frames feed five consumers, so they must be
+    persisted — and a lazily-returned plan over persisted frames could
+    never unpersist them (the cache would leak across every bench/
+    parity sweep in a long-lived session). Eager + try/finally keeps
+    the cache lifetime tick-shaped, like CorpusBuilder.ingest."""
     from bigquery_etl_spark.operators.dedup import (
         minhash_dedup_incremental,
         minhash_index,
@@ -525,48 +533,41 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 2 == 0)
-    batch = (
-        d.filter(F.col("doc_id") % 2 == 1)
-        .unionByName(
-            corpus.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-        )
-        .persist()
-    )
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        corpus.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ).persist()
     index = minhash_index(corpus, "doc_id", "text").persist()
     banded = minhash_index(batch, "doc_id", "text").persist()
     surv, new_rows = minhash_dedup_incremental(batch, banded, index, "doc_id")
     surv_ids = surv.select("doc_id").persist()
     new_rows = new_rows.persist()
-
-    no_copy = surv_ids.agg(
-        F.coalesce(~F.max(F.col("doc_id") >= 1_000_000), F.lit(True)).alias("ok")
-    )
-    # set equality survivors == index-row ids, via two anti-join counts
-    rows_ids = new_rows.select("doc_id").distinct()
-    closed = (
-        surv_ids.join(rows_ids, "doc_id", "left_anti")
-        .agg(F.count(F.lit(1)).alias("a"))
-        .crossJoin(
-            rows_ids.join(surv_ids, "doc_id", "left_anti").agg(
-                F.count(F.lit(1)).alias("b")
-            )
+    try:
+        n_batch = batch.count()
+        no_copy = (
+            surv_ids.agg(
+                F.coalesce(~F.max(F.col("doc_id") >= 1_000_000), F.lit(True))
+            ).collect()[0][0]
         )
-        .select(((F.col("a") == 0) & (F.col("b") == 0)).alias("ok"))
+        # set equality survivors == index-row ids, via two anti-joins
+        rows_ids = new_rows.select("doc_id").distinct()
+        a = surv_ids.join(rows_ids, "doc_id", "left_anti").count()
+        b = rows_ids.join(surv_ids, "doc_id", "left_anti").count()
+        # idempotence: survivors re-probed against index ∪ their rows
+        surv2, _ = minhash_dedup_incremental(
+            surv,
+            banded.join(surv_ids, "doc_id", "left_semi"),
+            index.unionByName(new_rows),
+            "doc_id",
+        )
+        noop = surv2.count() == 0
+    finally:
+        for f in (batch, index, banded, surv_ids, new_rows):
+            f.unpersist()
+    return spark.createDataFrame(
+        [(n_batch, bool(no_copy), a == 0 and b == 0, noop)],
+        "n_batch long, no_copy_survives boolean, index_closed boolean, "
+        "reingest_noop boolean",
     )
-    # idempotence: survivors re-probed against index ∪ their own rows
-    surv2, _ = minhash_dedup_incremental(
-        surv, banded.join(surv_ids, "doc_id", "left_semi"),
-        index.unionByName(new_rows), "doc_id",
-    )
-    noop = surv2.agg((F.count(F.lit(1)) == 0).alias("ok"))
-
-    out = (
-        batch.agg(F.count(F.lit(1)).alias("n_batch"))
-        .crossJoin(no_copy.select(F.col("ok").alias("no_copy_survives")))
-        .crossJoin(closed.select(F.col("ok").alias("index_closed")))
-        .crossJoin(noop.select(F.col("ok").alias("reingest_noop")))
-    )
-    return out.select("n_batch", "no_copy_survives", "index_closed", "reingest_noop")
 
 
 @query(

@@ -3,15 +3,23 @@
 into a keyed aggregate view stored in a PointerStore, exactly once.
 
 Exactly-once is EPOCH FENCING, not hope: each micro-batch commits the
-new view snapshot WITH its batch id in the snapshot's atomic commit
-metadata (``PointerStore`` writes ``_meta.json`` into the snapshot dir
-before the pointer flip, so data+epoch are one atomic commit). A
-replayed batch — crash after the view commit but before the streaming
-checkpoint advanced, the exact window where the reference double-loads
-(ref main.py:209-216) — sees its own id already committed and becomes a
-no-op, so retractions are never applied twice. This is the same
-txn-version protocol Delta's ``txnAppId``/``txnVersion`` idempotent
-writes use, filesystem edition.
+new view snapshot WITH its (app_id, batch_id) in the snapshot's atomic
+commit metadata (``PointerStore`` writes ``_meta.json`` into the
+snapshot dir before the pointer flip, so data+epoch are one atomic
+commit). A replayed batch — crash after the view commit but before the
+streaming checkpoint advanced, the exact window where the reference
+double-loads (ref main.py:209-216) — sees its own id already committed
+and becomes a no-op, so retractions are never applied twice. This is
+the txn protocol Delta's ``txnAppId``/``txnVersion`` idempotent writes
+use, filesystem edition — and the app identity matters as much as the
+version: batch ids restart at 0 whenever the streaming checkpoint is
+reset, so a bare batch-id fence would silently SKIP every batch of the
+new incarnation (data loss), while blindly applying would double-fold
+the retractions already in the view. Neither is acceptable, so a view
+committed under a different ``app_id`` REFUSES to continue: reset the
+view together with the checkpoint (one logical stream = one app_id =
+one view lifetime), or pass the original app_id to keep fencing
+against it.
 
 Why batch-id fencing and not idempotent data: apply_change_feed is a
 RETRACTING fold — applying a batch twice double-subtracts. Fencing is
@@ -28,6 +36,12 @@ from bigquery_etl_spark.operators.incremental_agg import apply_change_feed
 from bigquery_etl_spark.sources.pointer_store import PointerStore
 
 
+class ViewIncarnationMismatch(Exception):
+    """The stored view was maintained by a different stream incarnation
+    (app_id mismatch): continuing would either skip or double-apply
+    batches. Reset the view with the checkpoint, or reuse the app_id."""
+
+
 def start_view_maintenance_stream(
     spark: SparkSession,
     changes_dir: str,
@@ -38,13 +52,19 @@ def start_view_maintenance_stream(
     sums: dict[str, str],
     count_col: str = "n_rows",
     max_files_per_trigger: int = 1,
+    app_id: str | None = None,
 ) -> StreamingQuery:
     """Maintain ``view_root`` from change-feed parquet files landing in
     ``changes_dir`` (schema must include ``_change_type``). Each tick:
-    read committed epoch → skip if this batch already applied → fold
-    the batch with ``apply_change_feed`` → commit snapshot + epoch
-    atomically."""
+    check the committed (app_id, batch_id) epoch → skip replays of this
+    incarnation, refuse a FOREIGN incarnation's view → fold the batch
+    with ``apply_change_feed`` → commit snapshot + epoch atomically.
+
+    ``app_id`` names the logical stream; it defaults to the checkpoint
+    path, which is exactly as durable as the batch-id sequence it
+    fences (same lifetime, same reset)."""
     store = PointerStore(spark, view_root)
+    app = app_id if app_id is not None else checkpoint_dir
 
     stream = (
         spark.readStream.schema(changes_schema)
@@ -54,15 +74,24 @@ def start_view_maintenance_stream(
 
     def tick(batch, batch_id: int) -> None:
         meta = store.current_meta()
-        if meta is not None and meta.get("batch_id", -1) >= batch_id:
-            return  # replay of an already-committed epoch: fenced off
+        if meta is not None:
+            if meta.get("app_id") != app:
+                raise ViewIncarnationMismatch(
+                    f"view at {view_root} was committed by app_id="
+                    f"{meta.get('app_id')!r}, this stream is {app!r}: "
+                    "batch ids are not comparable across incarnations — "
+                    "reset the view with the checkpoint, or pass the "
+                    "original app_id"
+                )
+            if meta.get("batch_id", -1) >= batch_id:
+                return  # replay of an already-committed epoch: fenced off
         state = (
             store.read()
             if store.exists()
             else _empty_state(batch, keys, sums, count_col)
         )
         new_state = apply_change_feed(state, batch, keys, sums, count_col)
-        store.overwrite(new_state, meta={"batch_id": batch_id})
+        store.overwrite(new_state, meta={"app_id": app, "batch_id": batch_id})
 
     return (
         stream.writeStream.foreachBatch(tick)

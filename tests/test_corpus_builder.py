@@ -327,3 +327,28 @@ def test_streaming_ingest_near_dedup(spark, tmp_path):
         q.stop()
     cb = CorpusBuilder(spark, corpus)
     assert sorted(r.doc_id for r in cb.read().collect()) == [1]
+
+
+def test_near_dedup_enabled_after_plain_ticks_backfills_index(spark, tmp_path):
+    """Enabling near_dedup on a corpus built WITHOUT it must not probe
+    an empty index: ingest backfills the index from the stored corpus
+    first, so near-copies of pre-index docs are caught."""
+    cb = CorpusBuilder(spark, str(tmp_path / "corpus"))
+    base = (
+        "catalyst pushes filters below the exchange while tungsten packs "
+        "rows off heap and the scheduler pipelines whole stage codegen"
+    )
+    cb.ingest(spark.createDataFrame([(1, base)], "doc_id long, text string"))
+    assert not cb.index_store.exists()
+
+    s = cb.ingest(
+        spark.createDataFrame(
+            [(2, base.replace("catalyst", "tungsten2"))],
+            "doc_id long, text string",
+        ),
+        near_dedup=True,
+    )
+    assert s["added"] == 0 and s["near_dup_dropped"] == 1
+    assert sorted(
+        set(r.doc_id for r in cb.index_store.read().select("doc_id").collect())
+    ) == [1]

@@ -59,3 +59,23 @@ def test_psi_drift_identical_and_shifted(spark):
     # (p-q) AND ln(p/q), so the product is symmetric)
     psi_rev = psi_drift(shifted, base, "v", ["grp"], lo=0.0, width=10.0).collect()[0].psi
     assert abs(psi - psi_rev) < 1e-9
+
+
+def test_psi_drift_null_group_not_zeroed(spark):
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_spark.operators.dq import psi_drift
+
+    # NULL-group mass fully shifts bins between slices: must report a
+    # large PSI with the true row counts, not a zeroed phantom row
+    a = spark.range(100).select(
+        F.lit(None).cast("string").alias("grp"), F.lit(5.0).alias("v")
+    )
+    b = spark.range(100).select(
+        F.lit(None).cast("string").alias("grp"), F.lit(95.0).alias("v")
+    )
+    out = psi_drift(a, b, "v", ["grp"], lo=0.0, width=10.0).collect()
+    assert len(out) == 1
+    assert out[0].grp is None
+    assert out[0].n_a == 100 and out[0].n_b == 100
+    assert out[0].psi > 0.25

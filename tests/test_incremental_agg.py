@@ -76,3 +76,18 @@ def test_apply_change_feed_matches_recompute(spark):
     got = sorted(map(tuple, out.select("g", "total", "n_rows").collect()))
     # recompute from v2: a={2:20,3:30}, b gone (count 0 -> removed), c={4:45}, d={5:50}
     assert got == [("a", 50, 2), ("c", 45, 1), ("d", 50, 1)]
+
+
+def test_apply_change_feed_rejects_unknown_change_type(spark):
+    import pytest
+
+    from bigquery_etl_spark.operators.incremental_agg import apply_change_feed
+
+    state = spark.createDataFrame([("a", 10, 1)], "g string, total long, n_rows long")
+    bad = spark.createDataFrame(
+        [("a", 5, "update")],  # Debezium-style single 'update' row
+        "g string, v long, _change_type string",
+    )
+    out = apply_change_feed(state, bad, ["g"], {"total": "v"}, "n_rows")
+    with pytest.raises(Exception, match="unknown _change_type"):
+        out.collect()

@@ -442,25 +442,37 @@ def test_view_maintenance_stream_exactly_once(spark, tmp_path):
     _write_flat_parquet(spark.createDataFrame(b1, schema), changes, "c1.parquet")
     _write_flat_parquet(spark.createDataFrame(b2, schema), changes, "c2.parquet")
 
-    def run(ckpt):
+    def run(ckpt, app_id=None):
         q = start_view_maintenance_stream(
-            spark, changes, schema, view, ckpt, ["g"], {"total": "v"}
+            spark, changes, schema, view, ckpt, ["g"], {"total": "v"},
+            app_id=app_id,
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
 
-    run(str(tmp_path / "ckpt1"))
+    run(str(tmp_path / "ckpt1"), app_id="orders-view")
     store = PointerStore(spark, view)
     expect = [("a", 35, 2), ("c", 7, 1)]  # b removed at count 0
     got = sorted(map(tuple, store.read().select("g", "total", "n_rows").collect()))
     assert got == expect
-    assert store.current_meta() == {"batch_id": 1}
+    assert store.current_meta() == {"app_id": "orders-view", "batch_id": 1}
 
-    # full replay with a FRESH checkpoint: every batch id re-delivered,
-    # all fenced off by the committed epoch — view byte-identical
-    run(str(tmp_path / "ckpt2"))
+    # full replay of the SAME logical stream (fresh checkpoint, same
+    # app_id): every batch id re-delivered, all fenced off by the
+    # committed epoch — view byte-identical
+    run(str(tmp_path / "ckpt2"), app_id="orders-view")
     got2 = sorted(map(tuple, store.read().select("g", "total", "n_rows").collect()))
     assert got2 == expect
-    assert store.current_meta() == {"batch_id": 1}
+    assert store.current_meta() == {"app_id": "orders-view", "batch_id": 1}
+
+    # a DIFFERENT incarnation must be refused, not silently skipped or
+    # double-applied: batch ids are incomparable across app_ids
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="app_id"):
+        run(str(tmp_path / "ckpt3"), app_id="other-stream")
+    got3 = sorted(map(tuple, store.read().select("g", "total", "n_rows").collect()))
+    assert got3 == expect  # view untouched by the refused stream
