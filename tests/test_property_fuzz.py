@@ -152,3 +152,64 @@ def test_random_query_parity(spark, sf_dir, case):
     oracle_pdf = run_duckdb(sql, sf_dir)
     errs = compare(spark_pdf, oracle_pdf)
     assert not errs, f"{sql}: " + "; ".join(errs)
+
+
+@pytest.mark.parametrize("seed", [7, 21, 1337])
+def test_change_feed_roundtrip_fuzz(spark, seed):
+    """CDF algebra, fuzzed: for random keyed snapshots (with NULL keys'
+    values, value collisions, disjoint/overlapping key ranges),
+    (1) applying snapshot_diff(old, new) to old reconstructs new
+        exactly (delete preimages+deletes, add postimages+inserts);
+    (2) folding the diff into the per-group aggregate of old equals
+        the aggregate recomputed from new (apply_change_feed)."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_spark.operators.incremental_agg import (
+        apply_change_feed,
+        partial_agg,
+    )
+    from bigquery_etl_spark.operators.merge import snapshot_diff
+
+    rnd = _r.Random(seed)
+
+    def table():
+        rows = []
+        for k in rnd.sample(range(50), rnd.randint(10, 40)):
+            g = rnd.choice(["a", "b", "c", None])
+            v = rnd.choice([None, rnd.randint(-5, 5)])
+            rows.append((k, g, v))
+        return spark.createDataFrame(rows, "k long, g string, v long")
+
+    old, new = table(), table()
+    diff = snapshot_diff(old, new, ["k"])
+
+    # (1) reconstruct: old - (delete ∪ update_preimage) + (insert ∪ update_postimage)
+    minus = diff.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).drop("_change_type")
+    plus = diff.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    rebuilt = old.exceptAll(minus).unionByName(plus)
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+    # (2) view maintenance == recompute (count-only measures are enough
+    # to catch sign/classification errors; sums need non-null v)
+    nn_old = old.fillna(0, subset=["v"])
+    nn_new = new.fillna(0, subset=["v"])
+    state = partial_agg(
+        nn_old, ["g"], {"total": ("sum", "v"), "n_rows": ("count", "v")}
+    )
+    maintained = apply_change_feed(
+        state, snapshot_diff(nn_old, nn_new, ["k"]), ["g"], {"total": "v"}, "n_rows"
+    )
+    recomputed = partial_agg(
+        nn_new, ["g"], {"total": ("sum", "v"), "n_rows": ("count", "v")}
+    ).filter(F.col("n_rows") > 0)
+    got = sorted(map(tuple, maintained.collect()), key=lambda r: (str(r[0]),))
+    want = sorted(map(tuple, recomputed.collect()), key=lambda r: (str(r[0]),))
+    assert got == want
