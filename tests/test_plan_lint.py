@@ -48,6 +48,7 @@ NON_EQUI_OK = {
     "q_perplexity",       # 1-row corpus-total broadcast into the vocab
     "q_sample_diverse",   # 1-row invariant summaries cross-joined
     "q_dedup_incremental",  # four 1-row invariant summaries cross-joined
+    "q_dedup_minhash_recall_near",  # two 1-row recall summaries cross-joined
     "q_drift_psi",        # (group × bin) grid: categorical groups × 10 bins
 }
 
