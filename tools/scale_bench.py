@@ -62,6 +62,17 @@ DEFAULT_QUERIES = [
     "q_dedup_chunks",
     "q_pack_sequences",
     "q_pretrain_corpus",
+    # r3 session-2 family
+    "q_funnel",
+    "q_funnel_windowed",
+    "q_retention",
+    "q_attribution",
+    "q_chunk_docs",
+    "q_drift_psi",
+    "q_resample_ohlc",
+    "q_anomaly_mad",
+    "q_change_feed",
+    "q_incremental_view",
 ]
 
 
