@@ -190,19 +190,27 @@ class CorpusBuilder:
         like PointerStore.recover()."""
         if not self.store.exists():
             return 0
-        corpus = self.store.read().select("doc_id", "text")
+        # Gap detection on IDS ONLY: this runs every near-dedup tick,
+        # and the common case is "no gap" — it must never scan the
+        # corpus TEXT column (at 100 TB that is the whole corpus).
+        # Two pruned id-column scans + an anti-join; text is touched
+        # only for the (normally empty) missing set.
+        corpus_ids = self.store.read().select("doc_id")
         if self.index_store.exists():
-            missing = corpus.join(
+            missing_ids = corpus_ids.join(
                 self.index_store.read().select("doc_id").distinct(),
                 "doc_id",
                 "left_anti",
             )
         else:
-            missing = corpus
-        missing = missing.persist()
+            missing_ids = corpus_ids
+        missing_ids = missing_ids.persist()
         try:
-            n = missing.count()
+            n = missing_ids.count()
             if n:
+                missing = self.store.read().select("doc_id", "text").join(
+                    missing_ids, "doc_id", "left_semi"
+                )
                 rows = minhash_index(missing, "doc_id", "text")
                 if self.index_store.exists():
                     self.index_store.append(rows)
@@ -210,7 +218,7 @@ class CorpusBuilder:
                     self.index_store.overwrite(rows)
             return n
         finally:
-            missing.unpersist()
+            missing_ids.unpersist()
 
     # -- serving -------------------------------------------------------------
 
