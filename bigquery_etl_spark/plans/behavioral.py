@@ -403,3 +403,66 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("touch"), F.lit("(none)")).alias("channel"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@query(
+    "q_temporal_join",
+    sql="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    dim AS (
+        SELECT user_id, 'bronze' AS segment,
+               TIMESTAMP '2024-01-01' AS valid_from
+        FROM users WHERE user_id % 2 = 0
+        UNION ALL
+        SELECT user_id, 'gold', TIMESTAMP '2024-01-15'
+        FROM users WHERE user_id % 2 = 0
+        UNION ALL
+        SELECT user_id, 'silver', TIMESTAMP '2024-01-01'
+        FROM users WHERE user_id % 2 = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.segment
+    FROM events e
+    ASOF LEFT JOIN dim d
+      ON e.user_id = d.user_id AND e.ts >= d.valid_from
+    """,
+    tags=("behavioral", "temporal", "scd2", "asof"),
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup against an SCD2-style dimension:
+    every event joins the dimension version in effect AT ITS OWN
+    TIMESTAMP — the 'FOR SYSTEM_TIME AS OF row-time' warehouse join.
+    Reuses the as-of operator (one hash shuffle on user_id, no range
+    explosion); the oracle is DuckDB's native ASOF LEFT JOIN, so the
+    two engines' as-of semantics (inclusive boundary, latest-version
+    tie) are cross-checked row-for-row. Dimension = per-user segment
+    history derived deterministically from the user id (even users
+    upgrade bronze→gold on Jan 15; odd users stay silver)."""
+    from bigquery_etl_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    users = e.select("user_id").distinct()
+    even = users.filter(F.col("user_id") % 2 == 0)
+    dim = (
+        even.select(
+            "user_id",
+            F.lit("bronze").alias("segment"),
+            F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        )
+        .unionByName(
+            even.select(
+                "user_id",
+                F.lit("gold").alias("segment"),
+                F.lit("2024-01-15").cast("timestamp").alias("valid_from"),
+            )
+        )
+        .unionByName(
+            users.filter(F.col("user_id") % 2 == 1).select(
+                "user_id",
+                F.lit("silver").alias("segment"),
+                F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+            )
+        )
+    )
+    return asof_join(
+        e, dim, "user_id", "user_id", "ts", "valid_from", direction="backward"
+    ).select("event_id", "user_id", "ts", "segment")

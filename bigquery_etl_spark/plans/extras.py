@@ -390,3 +390,58 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "q_quarantine",
+    sql="""
+    WITH tagged AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS raw
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE json_valid(raw)) AS BIGINT) AS n_ok,
+           CAST(COUNT(*) FILTER (WHERE NOT json_valid(raw)) AS BIGINT)
+               AS n_quarantined,
+           CAST(SUM(CASE WHEN json_valid(raw)
+                         THEN CAST(raw->>'$.k' AS BIGINT) END) AS BIGINT)
+               AS sum_k_ok
+    FROM tagged GROUP BY event_type
+    """,
+    tags=("dq", "ingest", "json"),
+)
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine at ingest (the reference's only validation
+    is its BigQuery load-job schema check, ref main.py:169-177 — rows
+    either load or fail the job; here malformed payloads are ROUTED,
+    not fatal): a deterministic 1-in-7 subset of the JSON payloads is
+    corrupted (prefix garbage — Spark's Jackson tolerates TRAILING
+    garbage after a complete value, DuckDB does not; a leading byte is
+    malformed to both), `from_json` classifies rows in one pass (NULL result =
+    unparseable), and the per-type summary counts both legs plus an
+    aggregate over the clean leg only. The oracle classifies with
+    DuckDB's `json_valid` — two different parsers agreeing on the
+    same routing."""
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    raw = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json returns an all-NULL STRUCT for malformed
+    # input (never a NULL column), so null-checking the struct cannot
+    # classify; the corrupt-record side channel can.
+    parsed = F.from_json(
+        raw,
+        "k BIGINT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    t = e.select(
+        "event_type", parsed.alias("p"), raw.alias("raw")
+    ).withColumn("ok", F.col("p._corrupt_record").isNull())
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
+        F.count(F.when(~F.col("ok"), 1)).alias("n_quarantined"),
+        F.sum(F.when(F.col("ok"), F.col("p.k"))).alias("sum_k_ok"),
+    )
