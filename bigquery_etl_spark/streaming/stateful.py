@@ -94,3 +94,54 @@ def per_key_cursor(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ordered funnel: the batch q_funnel state machine as per-key
+# streaming state. State per user is THREE timestamps — O(|users|)
+# memory regardless of event volume, the same bounded-state argument as
+# the cursor above.
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUT_SCHEMA = "user_id long, stage int"
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"  # epoch micros; -1 = unset
+
+
+def _advance_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Sequential view→click→purchase matcher. Batches are assumed
+    time-ordered across triggers (the streaming contract; within a
+    batch rows are sorted here) — a late row older than the recorded
+    stage times cannot retro-qualify, the standard streaming-funnel
+    tradeoff vs the batch recompute."""
+    (user_id,) = key
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples():
+            ts = int(r.ts.value // 1000)  # pandas Timestamp -> micros
+            if r.event_type == "view" and t1 < 0:
+                t1 = ts
+            elif r.event_type == "click" and t2 < 0 and 0 <= t1 < ts:
+                t2 = ts
+            elif r.event_type == "purchase" and t3 < 0 and 0 <= t2 < ts:
+                t3 = ts
+    state.update((t1, t2, t3))
+    stage = 3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0
+    yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Per-user funnel stage, updated each micro-batch."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _advance_funnel,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

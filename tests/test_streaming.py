@@ -476,3 +476,78 @@ def test_view_maintenance_stream_exactly_once(spark, tmp_path):
         run(str(tmp_path / "ckpt3"), app_id="other-stream")
     got3 = sorted(map(tuple, store.read().select("g", "total", "n_rows").collect()))
     assert got3 == expect  # view untouched by the refused stream
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Per-user streaming funnel state (two time-ordered micro-batches)
+    must agree with the batch 3-join computation over the full data."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigquery_etl_spark.streaming.stateful import streaming_funnel
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    import datetime as dt
+
+    def T(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1 full funnel across the batch split
+        (1, T(1), 1, "view"), (1, T(2), 2, "click"),
+        (1, T(11), 3, "purchase"),
+        # u2: click BEFORE view never qualifies; stage stops at view
+        (2, T(1), 4, "click"), (2, T(2), 5, "view"),
+        (2, T(12), 6, "error"),
+        # u3: purchase without click -> stage 1
+        (3, T(3), 7, "view"), (3, T(13), 8, "purchase"),
+        # u4: no view at all -> stage 0
+        (4, T(4), 9, "click"), (4, T(14), 10, "purchase"),
+    ]
+    b1 = [r for r in rows if r[1] < T(10)]
+    b2 = [r for r in rows if r[1] >= T(10)]
+    incoming = str(tmp_path / "inc")
+    os.makedirs(incoming)
+    _write_flat_parquet(spark.createDataFrame(b1, schema), incoming, "b1.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_flat_parquet(spark.createDataFrame(b2, schema), incoming, "b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emitted stage per user
+    out = spark.sql(
+        "SELECT user_id, stage FROM funnel_state"
+    ).groupBy("user_id").agg(F.max("stage").alias("stage"))
+    got = dict((r.user_id, r.stage) for r in out.collect())
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0}
