@@ -94,6 +94,44 @@ def psi_drift(
     ).unionByName(
         b.select(*group_cols, bin_.alias("bin"), F.lit(False).alias("__a"))
     )
+    return _psi_from_tagged(tagged, group_cols, n_bins)
+
+
+def psi_drift_sliced(
+    df: DataFrame,
+    cond_a: Column,
+    cond_b: Column,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    width: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """``psi_drift`` when both slices come from ONE table (the common
+    drift-monitor case: this week vs last week of the same events):
+    tags each row with its slice in a single scan instead of unioning
+    two scans of the same file — at 100 TB that is one corpus pass for
+    the whole monitor, not two. Rows matching neither condition are
+    dropped; a row matching both counts as slice A (make the conditions
+    disjoint)."""
+    bin_ = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    tagged = (
+        df.select(
+            *group_cols,
+            bin_.alias("bin"),
+            F.when(cond_a, F.lit(True)).when(cond_b, F.lit(False)).alias("__a"),
+        )
+        .filter(F.col("__a").isNotNull())
+    )
+    return _psi_from_tagged(tagged, group_cols, n_bins)
+
+
+def _psi_from_tagged(
+    tagged: DataFrame, group_cols: list[str], n_bins: int
+) -> DataFrame:
     counts = tagged.groupBy(*group_cols, "bin").agg(
         F.count(F.when(F.col("__a"), 1)).alias("c_a"),
         F.count(F.when(~F.col("__a"), 1)).alias("c_b"),
@@ -105,7 +143,9 @@ def psi_drift(
         counts.select(*group_cols)
         .distinct()
         .crossJoin(
-            a.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+            tagged.sparkSession.range(n_bins).select(
+                F.col("id").cast("int").alias("bin")
+            )
         )
     )
     # NULL-safe equality on the group columns: a NULL group is a real

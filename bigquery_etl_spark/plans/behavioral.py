@@ -229,13 +229,20 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Index of `value` between the first week and the last ~9 days of
     the event window (10 equal-width bins over [0, 500), Laplace-
     smoothed, per-bin terms snapped to a 1e-6 grid for cross-engine
-    determinism — operators/dq.py psi_drift)."""
-    from bigquery_etl_spark.operators.dq import psi_drift
+    determinism — operators/dq.py psi_drift_sliced: both slices tagged
+    in ONE scan of the table)."""
+    from bigquery_etl_spark.operators.dq import psi_drift_sliced
 
     e = load(spark, sf_dir, "events")
-    a = e.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
-    b = e.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
-    return psi_drift(a, b, "value", ["event_type"], lo=0.0, width=50.0)
+    return psi_drift_sliced(
+        e,
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp"),
+        F.col("ts") >= F.lit("2024-01-22").cast("timestamp"),
+        "value",
+        ["event_type"],
+        lo=0.0,
+        width=50.0,
+    )
 
 
 @query(

@@ -79,3 +79,25 @@ def test_psi_drift_null_group_not_zeroed(spark):
     assert out[0].grp is None
     assert out[0].n_a == 100 and out[0].n_b == 100
     assert out[0].psi > 0.25
+
+
+def test_psi_drift_sliced_matches_two_frame_form(spark):
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_spark.operators.dq import psi_drift, psi_drift_sliced
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 100).cast("double").alias("v"),
+        (F.col("id") < 1000).alias("early"),
+    )
+    two = psi_drift(
+        df.filter("early"), df.filter("NOT early"), "v", ["grp"], 0.0, 10.0
+    )
+    one = psi_drift_sliced(
+        df, F.col("early"), ~F.col("early"), "v", ["grp"], 0.0, 10.0
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+    # single-scan claim: exactly one file/range scan in the plan
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 2, plan  # range scan + possible reuse
