@@ -49,3 +49,82 @@ def estimate(sketches: DataFrame, alias: str = "distinct_est") -> DataFrame:
     return sketches.withColumn(
         alias, F.hll_sketch_estimate(F.col(SKETCH_COL)).cast("long")
     ).drop(SKETCH_COL)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable FREQUENCY estimation (heavy hitters) —
+# the counterpart to HLL's distinct counting. depth × width integer
+# counters; point estimate = min over rows of the hashed counter.
+# Guarantees: estimate >= true count (always), overestimate <= 2N/width
+# with probability 1-(1/2)^depth (collisions only ever ADD).
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(d, slot, cnt) counter table of a count-min sketch over ``col``.
+
+    One explode (×depth) + one hash aggregate on (d, slot): the sketch
+    is ``depth × width`` rows TOTAL regardless of input size, so it
+    persists as a tiny table and merges with ``cms_merge`` by summing
+    cells — the mergeability that makes it a streaming/incremental
+    structure (fold each batch's sketch into the stored one, never
+    rescan history)."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(i)), F.lit(width)
+                        ).alias("slot"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.slot")
+    return cells.groupBy("d", "slot").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with the same (depth, width,
+    hash family): CMS(A ∪ B) == CMS(A) ⊕ CMS(B) exactly."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_query(
+    cms: DataFrame, values: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Frequency estimates for ``values[col]``: min over the sketch's
+    depth rows of the value's hashed cell. The VALUES side is the small
+    side (a handful of candidates) — broadcast it against the
+    (depth × width)-row sketch; neither side is data-sized."""
+    probes = values.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(i)), F.lit(width)
+                        ).alias("slot"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, "c.d", "c.slot")
+    return (
+        probes.join(cms, ["d", "slot"], "left")
+        .fillna(0, subset=["cnt"])  # an unhit cell means count 0
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -445,3 +445,52 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("ok"), 1)).alias("n_quarantined"),
         F.sum(F.when(F.col("ok"), F.col("p.k"))).alias("sum_k_ok"),
     )
+
+
+@query(
+    "q_heavy_hitters_cms",
+    sql="""
+    WITH ex AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT 5
+    )
+    SELECT user_id, exact_n, TRUE AS ge_exact, TRUE AS within_bound
+    FROM ex
+    """,
+    tags=("sketch", "cms", "tierc"),
+    twin="invariant",
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches.cms_build):
+    estimate the top-5 users' event counts from a depth-4 × width-1024
+    sketch (4096 counters total, any input size) and check the CMS
+    guarantees against the exact counts — ``ge_exact`` (a CMS NEVER
+    underestimates: collisions only add) and ``within_bound``
+    (overestimate ≤ 4N/width — 2× the Markov expectation, deterministic
+    for the fixed hash family on the fixtures). The exact top-5 counts
+    are the SQL-checkable part of the twin."""
+    from bigquery_etl_spark.operators.sketches import cms_build, cms_query
+
+    e = load(spark, sf_dir, "events").select("user_id")
+    n_total = e.count()
+    sketch = cms_build(e, "user_id")
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(5)
+    )
+    est = cms_query(sketch, exact.select("user_id"), "user_id")
+    bound = 4.0 * n_total / 1024
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("ge_exact"),
+            ((F.col("est") - F.col("exact_n")) <= F.lit(bound)).alias(
+                "within_bound"
+            ),
+        )
+    )
