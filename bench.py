@@ -73,6 +73,8 @@ HEADLINE = [
     "q_retention",
     "q_chunk_docs",
     "q_drift_psi",
+    "q_temporal_join",
+    "q_quarantine",
 ]
 
 
