@@ -601,3 +601,131 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical (distinct-token overlap) + vector (cosine)
+# legs fused with Reciprocal Rank Fusion — the standard RAG retrieval
+# stack (BM25+ANN -> RRF), relationally. Per-leg top-K BEFORE fusion
+# keeps the fused set K-bounded per query: the dense (queries x corpus)
+# grid never materializes, which is the whole scale story — at 100 TB
+# each leg is its own pruned retrieval (inverted-index join / ANN), and
+# fusion touches only 2K rows per query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hybrid_search",
+    sql="""
+    WITH q AS (
+        SELECT d.doc_id AS qid, d.text AS qtext, e.embedding AS qv
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ORDER BY d.doc_id LIMIT 3
+    ), qt AS (
+        SELECT qid,
+               unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS tok
+        FROM q
+    ), dt AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+        FROM documents
+    ), lex AS (
+        SELECT qt.qid, dt.doc_id, CAST(COUNT(*) AS BIGINT) AS score
+        FROM qt JOIN dt USING (tok)
+        WHERE dt.doc_id <> qt.qid
+        GROUP BY 1, 2
+    ), lexr AS (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS r
+        FROM lex QUALIFY r <= 20
+    ), vec AS (
+        SELECT q.qid, e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(q.qv, e.embedding), 6) AS score
+        FROM q, embeddings e WHERE e.vec_id <> q.qid
+    ), vecr AS (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS r
+        FROM vec QUALIFY r <= 20
+    ), fused AS (
+        SELECT COALESCE(l.qid, v.qid) AS qid,
+               COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0/(60 + l.r), 0)
+                     + COALESCE(1.0/(60 + v.r), 0), 9) AS rrf
+        FROM lexr l FULL OUTER JOIN vecr v
+          ON l.qid = v.qid AND l.doc_id = v.doc_id
+    )
+    SELECT qid, doc_id, rrf
+    FROM fused
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) <= 5
+    """,
+    tags=("tierc", "rag", "hybrid", "similarity"),
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with RRF fusion: 3 query docs, lexical leg =
+    distinct-token overlap (inverted-index join shape), vector leg =
+    fixed-width codegen'd cosine (rounded to 6dp BEFORE ranking so
+    float last-bit drift can never flip a rank cross-engine), top-20
+    per leg, fused by 1/(60+rank) summed over the legs that retrieved
+    the doc, top-5 per query. Exact twin: the oracle runs the identical
+    retrieval relationally in DuckDB."""
+    from pyspark.sql.window import Window as W
+
+    from bigquery_etl_spark.operators.similarity import cosine_fixed
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = (
+        d.join(emb, d.doc_id == emb.vec_id)
+        .orderBy("doc_id")
+        .limit(3)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.col("text").alias("qtext"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    toks = lambda c: F.array_distinct(F.split(F.trim(F.col(c)), r"\s+"))  # noqa: E731
+    qt = q.select("qid", F.explode(toks("qtext")).alias("tok"))
+    dt = d.select("doc_id", F.explode(toks("text")).alias("tok"))
+    lex = (
+        qt.join(dt, "tok")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    wl = W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    lexr = (
+        lex.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= 20)
+        .select("qid", "doc_id", F.col("r").alias("r_lex"))
+    )
+    vec = q.crossJoin(emb).filter(F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_fixed("qv", "embedding", 64), 6).alias("score"),
+    )
+    vecr = (
+        vec.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= 20)
+        .select("qid", "doc_id", F.col("r").alias("r_vec"))
+    )
+    fused = (
+        lexr.join(vecr, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "doc_id", "rrf")
+    )

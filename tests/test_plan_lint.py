@@ -34,6 +34,7 @@ NON_EQUI_OK = {
     "q_quality_score",    # corpus-constant quantile thresholds (1-row cross)
     "q_doc_fingerprint",  # corpus-constant join
     "q_embed_topk",       # brute-force topk: query side broadcast NLJ by design
+    "q_hybrid_search",    # vector leg: 3-row query side crossed with corpus
     "q_embed_ann_ivf",    # centroid assignment crosses the tiny centroid set
     "q_embed_ann_lsh",
     "q_incremental_agg",  # 1-row high-watermark threshold
