@@ -75,6 +75,8 @@ HEADLINE = [
     "q_drift_psi",
     "q_temporal_join",
     "q_quarantine",
+    "q_heavy_hitters_cms",
+    "q_hybrid_search",
 ]
 
 
