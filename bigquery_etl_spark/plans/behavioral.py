@@ -473,3 +473,101 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         e, dim, "user_id", "user_id", "ts", "valid_from", direction="backward"
     ).select("event_id", "user_id", "ts", "segment")
+
+
+@query(
+    "q_attribution_linear",
+    sql="""
+    WITH counted AS (
+        SELECT user_id, ts, event_id, event_type,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                   OVER w AS c_view,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                   OVER w AS c_click,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                   OVER w AS c_signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                   OVER w AS c_error
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), purchases AS (
+        SELECT c_view, c_click, c_signup, c_error,
+               c_view + c_click + c_signup + c_error AS n
+        FROM counted WHERE event_type = 'purchase'
+    ), micro AS (
+        SELECT
+          CAST(SUM(CASE WHEN n > 0
+               THEN ROUND(1000000.0 * c_view / n) ELSE 0 END) AS BIGINT) AS view,
+          CAST(SUM(CASE WHEN n > 0
+               THEN ROUND(1000000.0 * c_click / n) ELSE 0 END) AS BIGINT) AS click,
+          CAST(SUM(CASE WHEN n > 0
+               THEN ROUND(1000000.0 * c_signup / n) ELSE 0 END) AS BIGINT) AS signup,
+          CAST(SUM(CASE WHEN n > 0
+               THEN ROUND(1000000.0 * c_error / n) ELSE 0 END) AS BIGINT) AS error,
+          CAST(COUNT(CASE WHEN n = 0 THEN 1 END) AS BIGINT) AS n_unattributed
+        FROM purchases
+    )
+    SELECT channel, ROUND(micro_credit / 1000000.0, 4) AS credit
+    FROM (
+        SELECT 'view' AS channel, view AS micro_credit FROM micro
+        UNION ALL SELECT 'click', click FROM micro
+        UNION ALL SELECT 'signup', signup FROM micro
+        UNION ALL SELECT 'error', error FROM micro
+        UNION ALL SELECT '(none)', n_unattributed * 1000000 FROM micro
+    )
+    """,
+    tags=("behavioral", "attribution", "window"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit of
+    credit equally across ALL the user's preceding non-purchase touches
+    (purchases with no prior touch credit '(none)'). Same one-pass
+    user-partitioned cumulative windows as the funnel; per-purchase
+    channel credits snap to a 1e-6 grid before summing (the
+    q_perplexity trick), so cross-engine float accumulation order can
+    never move the 4dp result."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chans = ["view", "click", "signup", "error"]
+    counted = e.select(
+        "event_type",
+        *[
+            F.count(F.when(F.col("event_type") == c, 1)).over(w).alias(f"c_{c}")
+            for c in chans
+        ],
+    ).filter(F.col("event_type") == "purchase")
+    n = sum(F.col(f"c_{c}") for c in chans)
+    counted = counted.withColumn("n", n)
+    micro = counted.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("n") > 0,
+                    F.round(1_000_000.0 * F.col(f"c_{c}") / F.col("n")),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(c)
+            for c in chans
+        ],
+        F.count(F.when(F.col("n") == 0, 1)).cast("bigint").alias("n_unattributed"),
+    )
+    legs = F.array(
+        *[
+            F.struct(F.lit(c).alias("channel"), F.col(c).alias("micro_credit"))
+            for c in chans
+        ],
+        F.struct(
+            F.lit("(none)").alias("channel"),
+            (F.col("n_unattributed") * 1_000_000).alias("micro_credit"),
+        ),
+    )
+    return micro.select(F.explode(legs).alias("l")).select(
+        F.col("l.channel").alias("channel"),
+        F.round(F.col("l.micro_credit") / 1_000_000.0, 4).alias("credit"),
+    )
