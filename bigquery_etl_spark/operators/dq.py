@@ -65,6 +65,7 @@ def psi_drift(
     lo: float,
     width: float,
     n_bins: int = 10,
+    null_bin: bool = False,
 ) -> DataFrame:
     """Population Stability Index between two slices of the same table,
     per group: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over equal-width
@@ -84,17 +85,25 @@ def psi_drift(
     bin grid is derived from the TINY aggregate output (≤ groups ×
     n_bins rows — never a re-scan of the inputs), and totals ride a
     window over that grid. Nothing is table-sized after the single
-    aggregate; one data-sized exchange total."""
-    bin_ = F.least(
-        F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
-        F.lit(n_bins - 1),
-    ).cast("int")
+    aggregate; one data-sized exchange total.
+
+    NULLs (ADVICE r3): with ``null_bin=False`` (default) rows whose
+    ``value_col`` is NULL are EXPLICITLY dropped before binning —
+    n_a/n_b count only binnable rows, and a NULL-rate shift is
+    invisible to the PSI. Set ``null_bin=True`` to route NULLs to a
+    dedicated extra bin (index ``n_bins``) that participates in the
+    smoothed grid, so NULL-rate drift — a common drift mode — moves
+    the PSI like any other bin."""
+    bin_ = _psi_bin(value_col, lo, width, n_bins, null_bin)
+    a, b = _psi_null_filter(a, value_col, null_bin), _psi_null_filter(
+        b, value_col, null_bin
+    )
     tagged = a.select(
         *group_cols, bin_.alias("bin"), F.lit(True).alias("__a")
     ).unionByName(
         b.select(*group_cols, bin_.alias("bin"), F.lit(False).alias("__a"))
     )
-    return _psi_from_tagged(tagged, group_cols, n_bins)
+    return _psi_from_tagged(tagged, group_cols, n_bins + (1 if null_bin else 0))
 
 
 def psi_drift_sliced(
@@ -106,6 +115,7 @@ def psi_drift_sliced(
     lo: float,
     width: float,
     n_bins: int = 10,
+    null_bin: bool = False,
 ) -> DataFrame:
     """``psi_drift`` when both slices come from ONE table (the common
     drift-monitor case: this week vs last week of the same events):
@@ -113,20 +123,40 @@ def psi_drift_sliced(
     two scans of the same file — at 100 TB that is one corpus pass for
     the whole monitor, not two. Rows matching neither condition are
     dropped; a row matching both counts as slice A (make the conditions
-    disjoint)."""
-    bin_ = F.least(
-        F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
-        F.lit(n_bins - 1),
-    ).cast("int")
+    disjoint). NULL ``value_col`` handling as in ``psi_drift``:
+    dropped by default, routed to a dedicated bin with
+    ``null_bin=True``."""
+    bin_ = _psi_bin(value_col, lo, width, n_bins, null_bin)
     tagged = (
-        df.select(
+        _psi_null_filter(df, value_col, null_bin)
+        .select(
             *group_cols,
             bin_.alias("bin"),
             F.when(cond_a, F.lit(True)).when(cond_b, F.lit(False)).alias("__a"),
         )
         .filter(F.col("__a").isNotNull())
     )
-    return _psi_from_tagged(tagged, group_cols, n_bins)
+    return _psi_from_tagged(tagged, group_cols, n_bins + (1 if null_bin else 0))
+
+
+def _psi_bin(
+    value_col: str, lo: float, width: float, n_bins: int, null_bin: bool
+) -> Column:
+    """Equal-width bin index with edge clamping. Note greatest/least
+    SKIP NULL arguments in Spark, so a NULL value would otherwise clamp
+    into bin 0 silently — the explicit NULL branch keeps the semantics
+    declared rather than accidental."""
+    clamped = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    if null_bin:
+        return F.when(F.col(value_col).isNull(), F.lit(n_bins)).otherwise(clamped)
+    return clamped
+
+
+def _psi_null_filter(df: DataFrame, value_col: str, null_bin: bool) -> DataFrame:
+    return df if null_bin else df.filter(F.col(value_col).isNotNull())
 
 
 def _psi_from_tagged(

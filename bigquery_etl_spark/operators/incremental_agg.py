@@ -83,6 +83,15 @@ def apply_change_feed(
     (decimal/int — see plans/_util.dec): float retraction drift
     accumulates across ticks and never cancels.
 
+    NULL exactness: SQL's SUM over a group whose inputs are all NULL is
+    NULL, not 0 — so each sum column carries a hidden companion
+    ``<out>__nn`` (net count of non-NULL contributing rows, itself
+    additive and retractable) in the returned state. When the companion
+    is 0 the sum is surfaced as NULL, so maintained == full recompute
+    holds INCLUDING all-NULL groups (ADVICE r3). The ``__nn`` columns
+    are part of the mergeable state — persist them with it; drop them
+    at presentation time if the consumer only wants the view columns.
+
     Groups whose maintained row count reaches zero are REMOVED (a group
     you can no longer derive from the data must not linger with zeroed
     sums). One shuffle on the keys, sized by the change batch."""
@@ -105,9 +114,48 @@ def apply_change_feed(
     signed = changes.withColumn("__sign", sign)
     delta = signed.groupBy(*keys).agg(
         *[F.sum(F.col(c) * F.col("__sign")).alias(out) for out, c in sums.items()],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNotNull(), F.col("__sign"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"{out}__nn")
+            for out, c in sums.items()
+        ],
         F.sum("__sign").cast("bigint").alias(count_col),
     )
+    # Seed missing __nn companions when the caller's initial state was
+    # built by direct aggregation (no NULL bookkeeping). A non-NULL
+    # stored sum proves ≥1 non-NULL row; count_col is the best available
+    # stand-in for its exact count. This is approximate ONLY for states
+    # whose groups mix NULL and non-NULL measure rows AND later retract
+    # all the non-NULL ones — build the initial state through
+    # apply_change_feed (insert-only feed) or supply __nn (e.g.
+    # F.count(col)) for exact NULL semantics from tick zero.
+    for out in sums:
+        nn = f"{out}__nn"
+        if nn not in state.columns:
+            state = state.withColumn(
+                nn,
+                F.when(F.col(out).isNotNull(), F.col(count_col))
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            )
     measures = {out: ("sum", c) for out, c in sums.items()}
+    measures.update({f"{out}__nn": ("sum", c) for out, c in sums.items()})
     measures[count_col] = ("sum", count_col)
     merged = merge_agg_state(state, delta, keys, measures)
-    return merged.filter(F.col(count_col) > 0)
+    # surface SQL NULL-sum semantics: a group whose surviving rows are
+    # all NULL in the measure has __nn == 0 → its sum is NULL, exactly
+    # as a full recompute would produce. (A NULL stored sum re-enters
+    # the next merge as coalesce(NULL,0)=0, which is the correct raw
+    # value: with __nn==0 every non-NULL contribution was retracted,
+    # so the signed raw sum is 0.)
+    out_cols: list[Column] = list(keys)
+    for out in sums:
+        out_cols.append(
+            F.when(F.col(f"{out}__nn") > 0, F.col(out)).alias(out)
+        )
+        out_cols.append(F.col(f"{out}__nn"))
+    out_cols.append(F.col(count_col))
+    return merged.select(*out_cols).filter(F.col(count_col) > 0)

@@ -287,14 +287,16 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explicit schema, then aggregates. The oracle computes the same
     aggregate from the base table — parity proves the round-trip is
     lossless (keys, strings, doubles)."""
-    import tempfile
-
-    from bigquery_etl_spark.plans._util import dsum
+    from bigquery_etl_spark.plans._util import dsum, scratch_build
 
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="xml_q_") + "/orders_xml"
+    # one atexit-cleaned scratch root per process (ADVICE r3: no mkdtemp
+    # leak per invocation); the XML write itself re-runs every call —
+    # the round-trip IS the query
+    root = scratch_build(f"xml:{sf_dir}", "xml_q_", lambda d: None)
+    out = root + "/orders_xml"
     o.write.format("xml").option("rowTag", "order").mode("overwrite").save(out)
     back = (
         spark.read.format("xml").option("rowTag", "order").schema(o.schema).load(out)
@@ -329,21 +331,27 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey % 3 = 0 as status 'U'. The query reads all THREE
     snapshots of the same table and aggregates each — the oracle
     recomputes each snapshot's numbers from the base table. Proves
-    commits are additive and history stays readable."""
-    import tempfile
-
+    commits are additive and history stays readable. History is built
+    ONCE per process per sf_dir (scratch_build, atexit-cleaned) — the
+    query times the three snapshot reads, not fixture I/O (ADVICE r3)."""
+    from bigquery_etl_spark.plans._util import scratch_build
     from bigquery_etl_spark.sources.versioned import VersionedTable
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    tbl = VersionedTable(
-        spark, tempfile.mkdtemp(prefix="vtbl_q_"), stat_cols=("o_orderkey",)
-    )
-    tbl.create(o.filter(F.col("o_orderkey") % 2 == 0))
-    tbl.append(o.filter(F.col("o_orderkey") % 2 == 1))
-    tbl.upsert(
-        o.filter(F.col("o_orderkey") % 3 == 0).withColumn("o_orderstatus", F.lit("U")),
-        ["o_orderkey"],
-    )
+
+    def _build(path: str) -> None:
+        t = VersionedTable(spark, path, stat_cols=("o_orderkey",))
+        t.create(o.filter(F.col("o_orderkey") % 2 == 0))
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+        t.upsert(
+            o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                "o_orderstatus", F.lit("U")
+            ),
+            ["o_orderkey"],
+        )
+
+    root = scratch_build(f"vtbl_tt:{sf_dir}", "vtbl_q_", _build)
+    tbl = VersionedTable(spark, root, stat_cols=("o_orderkey",))
     snaps = [
         tbl.read(version=v)
         .agg(

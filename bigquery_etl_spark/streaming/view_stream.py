@@ -61,10 +61,16 @@ def start_view_maintenance_stream(
     with ``apply_change_feed`` → commit snapshot + epoch atomically.
 
     ``app_id`` names the logical stream; it defaults to the checkpoint
-    path, which is exactly as durable as the batch-id sequence it
-    fences (same lifetime, same reset)."""
+    path — normalized through ``os.path.realpath`` so the same physical
+    checkpoint referenced via a different spelling (relative vs
+    absolute, trailing slash, symlink) still names the same incarnation
+    (ADVICE r3). The default is exactly as durable as the batch-id
+    sequence it fences (same lifetime, same reset); pass an explicit
+    ``app_id`` if the checkpoint may move between hosts/paths."""
+    import os
+
     store = PointerStore(spark, view_root)
-    app = app_id if app_id is not None else checkpoint_dir
+    app = app_id if app_id is not None else os.path.realpath(checkpoint_dir)
 
     stream = (
         spark.readStream.schema(changes_schema)
@@ -81,7 +87,10 @@ def start_view_maintenance_stream(
                     f"{meta.get('app_id')!r}, this stream is {app!r}: "
                     "batch ids are not comparable across incarnations — "
                     "reset the view with the checkpoint, or pass the "
-                    "original app_id"
+                    "original app_id. (Default app_ids are realpath-"
+                    "normalized checkpoint paths; a view committed by an "
+                    "older build, or a checkpoint that moved hosts/paths, "
+                    "needs the original app_id passed explicitly.)"
                 )
             if meta.get("batch_id", -1) >= batch_id:
                 return  # replay of an already-committed epoch: fenced off
@@ -109,6 +118,10 @@ def _empty_state(batch, keys: list[str], sums: dict[str, str], count_col: str):
         batch.groupBy(*keys)
         .agg(
             *[F.sum(F.col(c)).alias(out) for out, c in sums.items()],
+            *[
+                F.count(F.col(c)).cast("bigint").alias(f"{out}__nn")
+                for out, c in sums.items()
+            ],
             F.count(F.lit(1)).cast("bigint").alias(count_col),
         )
         .limit(0)

@@ -101,3 +101,31 @@ def test_psi_drift_sliced_matches_two_frame_form(spark):
     # single-scan claim: exactly one file/range scan in the plan
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 2, plan  # range scan + possible reuse
+
+
+def test_psi_null_handling(spark):
+    """ADVICE r3: NULL value rows are explicitly dropped by default
+    (documented), and null_bin=True routes them to a dedicated bin so a
+    NULL-rate shift moves the PSI."""
+    from bigquery_etl_spark.operators.dq import psi_drift
+
+    rows_a = [("g", float(i % 10) * 10.0) for i in range(100)]
+    # slice b: same value distribution but 40% of rows went NULL
+    rows_b = [("g", float(i % 10) * 10.0) for i in range(60)] + [
+        ("g", None) for _ in range(40)
+    ]
+    a = spark.createDataFrame(rows_a, "grp string, v double")
+    b = spark.createDataFrame(rows_b, "grp string, v double")
+
+    # default: NULLs dropped -> identical binned distributions -> PSI ~ 0,
+    # and n_b counts only the 60 binnable rows
+    r = psi_drift(a, b, "v", ["grp"], lo=0.0, width=10.0).collect()[0]
+    assert abs(r.psi) < 0.01 and (r.n_a, r.n_b) == (100, 60)
+
+    # null_bin: the 40% NULL-rate shift is visible drift, totals exact
+    r2 = psi_drift(a, b, "v", ["grp"], lo=0.0, width=10.0, null_bin=True).collect()[0]
+    assert r2.psi > 0.25 and (r2.n_a, r2.n_b) == (100, 100)
+
+    # with no NULLs anywhere, null_bin=True only widens smoothing
+    r3 = psi_drift(a, a, "v", ["grp"], lo=0.0, width=10.0, null_bin=True).collect()[0]
+    assert abs(r3.psi) < 1e-9

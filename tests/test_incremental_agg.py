@@ -91,3 +91,56 @@ def test_apply_change_feed_rejects_unknown_change_type(spark):
     out = apply_change_feed(state, bad, ["g"], {"total": "v"}, "n_rows")
     with pytest.raises(Exception, match="unknown _change_type"):
         out.collect()
+
+
+def test_apply_change_feed_null_sum_exact(spark):
+    """ADVICE r3: a group whose surviving measure rows are ALL NULL must
+    be maintained as SUM = NULL (the full-recompute answer), not 0 —
+    the __nn companion tracks net non-NULL contributions."""
+    from bigquery_etl_spark.operators.incremental_agg import apply_change_feed
+    from bigquery_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "b", 30)],
+        "k long, g string, v long",
+    )
+    # v2: delete the only non-NULL 'a' row -> a's recomputed SUM is NULL;
+    # add another all-NULL group d
+    new = spark.createDataFrame(
+        [(2, "a", None), (3, "b", 30), (5, "d", None)],
+        "k long, g string, v long",
+    )
+    state = old.groupBy("g").agg(
+        F.sum("v").alias("total"),
+        F.count("v").cast("bigint").alias("total__nn"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    out = apply_change_feed(
+        state, snapshot_diff(old, new, ["k"]), ["g"], {"total": "v"}, "n_rows"
+    )
+    got = {r.g: (r.total, r.n_rows) for r in out.collect()}
+    # full recompute over new
+    want = {
+        r.g: (r.total, r.n_rows)
+        for r in new.groupBy("g")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
+    assert got["a"] == (None, 1) and got["d"] == (None, 1)
+
+
+def test_apply_change_feed_seeds_missing_nn(spark):
+    """A state built without __nn bookkeeping still folds (approximate
+    seeding documented in apply_change_feed)."""
+    from bigquery_etl_spark.operators.incremental_agg import apply_change_feed
+
+    state = spark.createDataFrame(
+        [("a", 10, 1)], "g string, total long, n_rows long"
+    )
+    batch = spark.createDataFrame(
+        [("a", 5, "insert")], "g string, v long, _change_type string"
+    )
+    out = apply_change_feed(state, batch, ["g"], {"total": "v"}, "n_rows")
+    row = out.collect()[0]
+    assert (row.g, row.total, row.n_rows) == ("a", 15, 2)

@@ -197,19 +197,23 @@ def test_change_feed_roundtrip_fuzz(spark, seed):
         map(tuple, new.collect())
     )
 
-    # (2) view maintenance == recompute (count-only measures are enough
-    # to catch sign/classification errors; sums need non-null v)
-    nn_old = old.fillna(0, subset=["v"])
-    nn_new = new.fillna(0, subset=["v"])
-    state = partial_agg(
-        nn_old, ["g"], {"total": ("sum", "v"), "n_rows": ("count", "v")}
+    # (2) view maintenance == recompute — INCLUDING NULL measure rows
+    # (r4: the __nn companion makes all-NULL groups maintain SUM=NULL
+    # exactly, so the old fillna(0) workaround is gone; n_rows counts
+    # every row via count(1))
+    state = old.groupBy("g").agg(
+        F.sum("v").alias("total"),
+        F.count("v").cast("bigint").alias("total__nn"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
     maintained = apply_change_feed(
-        state, snapshot_diff(nn_old, nn_new, ["k"]), ["g"], {"total": "v"}, "n_rows"
+        state, diff, ["g"], {"total": "v"}, "n_rows"
+    ).select("g", "total", "n_rows")
+    recomputed = (
+        new.groupBy("g")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 0)
     )
-    recomputed = partial_agg(
-        nn_new, ["g"], {"total": ("sum", "v"), "n_rows": ("count", "v")}
-    ).filter(F.col("n_rows") > 0)
     got = sorted(map(tuple, maintained.collect()), key=lambda r: (str(r[0]),))
     want = sorted(map(tuple, recomputed.collect()), key=lambda r: (str(r[0]),))
     assert got == want

@@ -28,14 +28,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MATCHED_RATIO_MAX = 1.8
 PER_QUERY_REGRESSION_MAX = 1.5
-# ignore regressions below this absolute size: small queries live at
-# the job-scheduling floor where noise trips any ratio. Calibrated
-# empirically (r3): three same-code same-day runs measured
-# q_subquery_correlated at 0.155/0.228/0.301 s — a 2x spread with zero
-# code change — so anything under ~0.4 s is floor noise, not signal.
-# Real regressions in queries that small will surface once they grow
-# past the floor or through the matched-total ratio.
-MIN_REGRESSION_SEC = 0.4
+# Per-query noise floor (ADVICE r3: a single global 0.4 s floor —
+# calibrated from ONE query's 3-run spread — hid regressions up to
+# 0.4 s suite-wide). The floor is now per-query: 2x that query's
+# observed cross-round spread (max-min of its seconds over all prior
+# BENCH_r*.json recordings), clamped to [MIN_FLOOR_SEC, MAX_FLOOR_SEC].
+# A query with a stable history gets a tight gate; a query the
+# scheduler jitters keeps a wide one. The matched-total ratio remains
+# the documented backstop for sub-floor drift.
+MIN_FLOOR_SEC = 0.08   # below the local[32] job-scheduling quantum
+MAX_FLOOR_SEC = 0.4    # never looser than the old global floor
 
 # Queries whose DEFINITION changed since the prior round's recording —
 # their prior seconds time a different computation, so a cross-round
@@ -47,15 +49,56 @@ REDEFINED: dict[str, str] = {
 }
 
 
-def prior_round() -> dict | None:
-    files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    for path in reversed(files):
+def _all_rounds() -> list[dict]:
+    """Parsed per-query seconds from every prior BENCH_r*.json (the
+    driver stores the raw bench line under 'tail' when 'parsed' is
+    null)."""
+    out = []
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         with open(path) as f:
             rec = json.load(f)
         parsed = rec.get("parsed")
+        if not parsed and rec.get("tail"):
+            for line in reversed(rec["tail"].strip().splitlines()):
+                i = line.find("{")
+                if i >= 0:
+                    try:
+                        parsed = json.loads(line[i:])
+                    except ValueError:
+                        continue
+                    break
+        if not parsed and rec.get("tail"):
+            # driver tails are front-truncated; recover the per-query
+            # seconds that survived (everything before matched_total_sec
+            # is the queries dict — the ratios dict comes after)
+            head = rec["tail"].split('"matched_total_sec"')[0]
+            pairs = re.findall(r'\\?"(q_\w+)\\?": ([0-9.]+)', head)
+            if pairs:
+                parsed = {"queries": {n: float(s) for n, s in pairs},
+                          "_partial": True}
         if parsed and parsed.get("queries"):
-            print(f"gate: prior = {os.path.basename(path)}")
-            return parsed
+            out.append(parsed)
+    return out
+
+
+def per_query_floor(rounds: list[dict]) -> dict[str, float]:
+    """name -> noise floor = clamp(2 * cross-round spread)."""
+    hist: dict[str, list[float]] = {}
+    for r in rounds:
+        for name, sec in r["queries"].items():
+            hist.setdefault(name, []).append(sec)
+    floors = {}
+    for name, secs in hist.items():
+        spread = (max(secs) - min(secs)) if len(secs) > 1 else MAX_FLOOR_SEC / 2
+        floors[name] = min(MAX_FLOOR_SEC, max(MIN_FLOOR_SEC, 2 * spread))
+    return floors
+
+
+def prior_round() -> dict | None:
+    rounds = _all_rounds()
+    if rounds:
+        print(f"gate: prior = newest of {len(rounds)} BENCH_r*.json rounds")
+        return rounds[-1]
     return None
 
 
@@ -93,6 +136,7 @@ def main() -> int:
     if prior is None:
         print("gate: no prior BENCH_r*.json with parsed queries — exit 2")
         return 2
+    floors = per_query_floor(_all_rounds())
     for name, prev_sec in sorted(prior["queries"].items()):
         now = cur.get("queries", {}).get(name)
         if now is None:
@@ -102,12 +146,14 @@ def main() -> int:
             print(f"gate: {name} redefined, skipping comparison "
                   f"({REDEFINED[name]})")
             continue
+        floor = floors.get(name, MAX_FLOOR_SEC)
         if (
             now > prev_sec * PER_QUERY_REGRESSION_MAX
-            and now - prev_sec > MIN_REGRESSION_SEC
+            and now - prev_sec > floor
         ):
             fails.append(f"{name}: {prev_sec:.3f}s -> {now:.3f}s "
-                         f"({now / prev_sec:.2f}x, max {PER_QUERY_REGRESSION_MAX}x)")
+                         f"({now / prev_sec:.2f}x, max {PER_QUERY_REGRESSION_MAX}x, "
+                         f"floor {floor:.2f}s)")
     for err_name, err in (cur.get("errors") or {}).items():
         fails.append(f"{err_name}: ERROR {err[:120]}")
 
