@@ -43,6 +43,7 @@ HEADLINE = [
     "q_text_tokens",
     "q_dedup_minhash",
     "q_embed_topk",
+    "q_embed_topk_batch",
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",

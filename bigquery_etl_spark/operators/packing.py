@@ -20,20 +20,29 @@ byte-identical to the single-window SQL::
 
 which is what the DuckDB oracle runs — but a single global window is a
 ONE-PARTITION sort at scale. This operator computes the same prefix
-sum distributed, the same way operators/range_frame.py does:
+sum distributed:
 
-1. range-shuffle rows by id into ascending buckets (RangePartitioner
-   keeps bucket index aligned with id order; AQE may coalesce adjacent
-   buckets — still contiguous, still correct);
+1. bucket rows into ascending id ranges. For numeric/temporal ids the
+   boundaries come from ONE approx-quantile scan of the id column
+   (n_buckets-1 doubles to the driver — bounded, like the k-means
+   centroids), so the per-bucket window's own hash exchange is the
+   ONLY data-sized shuffle (r4; the previous repartitionByRange path
+   shuffled the data twice — once into ranges, once again because the
+   window cannot prove range partitioning clusters the bucket id).
+   Non-numeric ids fall back to that two-shuffle range path.
 2. per-bucket running totals via a window WITHIN each bucket;
-3. per-bucket grand totals (one tiny row per bucket) get a
-   driver-free exclusive prefix via a window over the bucket ids —
-   bucket count is O(cluster cores), so the single-partition window
-   there is constant-sized — then broadcast back.
+3. per-bucket grand totals (max of the running sum — derived from the
+   window output so the big exchange is REUSED, never re-scanned or
+   re-shuffled) get a driver-free exclusive prefix via a window over
+   the bucket ids — bucket count is O(cluster cores), so the
+   single-partition window there is constant-sized — then broadcast
+   back.
 
-One range shuffle + one constant-size broadcast; no global sort, no
-driver collect. The output assignment is invariant to WHERE the bucket
-boundaries land, so AQE/partitioning choices can never change results.
+One data-sized shuffle + one constant-size broadcast; no global sort.
+The output assignment is invariant to WHERE the bucket boundaries
+land, so quantile error / AQE / partitioning choices can never change
+results. Bucket ids hash to partitions, so a few partitions may carry
+two buckets — at scale pass n_buckets ≈ 4× parallelism to smooth.
 """
 
 from __future__ import annotations
@@ -42,6 +51,44 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigquery_etl_spark.functions.text import ws_tokens
+
+
+def _quantile_bounds(
+    df: DataFrame, col: str, n_buckets: int, rel_err: float = 0.01
+) -> list[float] | None:
+    """Ascending bucket boundaries (n_buckets-1 doubles) from one
+    approx-quantile scan of ``col``; None when the type has no numeric
+    order (caller falls back to range shuffling). Boundary placement
+    only affects load balance, never results."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, NumericType):
+        probe = df.select(F.col(col).cast("double").alias("__q"))
+    elif isinstance(dt, (TimestampType, DateType)):
+        probe = df.select(
+            F.col(col).cast("timestamp").cast("double").alias("__q")
+        )
+    else:
+        return None
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # percentile_approx (not df.stat.approxQuantile: that NPEs on empty
+    # input in Spark 4.1) — one aggregate scan, NULL on empty → one bucket
+    row = probe.agg(
+        F.percentile_approx(
+            "__q", F.array(*[F.lit(p) for p in probs]), int(1 / rel_err)
+        ).alias("b")
+    ).first()
+    return list(row["b"]) if row["b"] is not None else []
+
+
+def _bucket_of(val: Column, bounds: list[float]) -> Column:
+    """Bucket index of ``val`` under ascending ``bounds`` — a linear
+    chain of comparisons (codegen-friendly; n_buckets is O(cores))."""
+    b: Column = F.lit(0)
+    for x in bounds:
+        b = b + F.when(val >= F.lit(float(x)), 1).otherwise(0)
+    return b.cast("int")
 
 
 def pack_sequences(
@@ -63,9 +110,19 @@ def pack_sequences(
     )
     base = df.select(F.col(id_col), toks.alias("n_tokens"))
 
-    bucketed = base.repartitionByRange(n_buckets, F.col(id_col)).withColumn(
-        "__bkt", F.spark_partition_id()
-    )
+    bounds = _quantile_bounds(base, id_col, n_buckets)
+    if bounds is not None:
+        # single-shuffle path: the window's hash exchange on __bkt is
+        # the only data-sized movement
+        bucketed = base.withColumn(
+            "__bkt", _bucket_of(F.col(id_col).cast("double"), bounds)
+        )
+    else:
+        # non-numeric ids: range-shuffle fallback (the window adds a
+        # second, bucket-clustering exchange)
+        bucketed = base.repartitionByRange(n_buckets, F.col(id_col)).withColumn(
+            "__bkt", F.spark_partition_id()
+        )
     w_local = (
         Window.partitionBy("__bkt")
         .orderBy(id_col)
@@ -73,7 +130,11 @@ def pack_sequences(
     )
     local = bucketed.withColumn("__cum_local", F.sum("n_tokens").over(w_local))
 
-    # Per-bucket totals: max of the inclusive running sum == bucket sum.
+    # Per-bucket totals: max of the inclusive running sum == bucket
+    # sum. Aggregating the WINDOW OUTPUT (not the pre-shuffle input)
+    # makes the offsets subtree sit on the same exchange → ReusedExchange,
+    # so the corpus is scanned once and shuffled once; the build side
+    # re-runs only the in-partition sort+cumsum over the shuffle files.
     totals = local.groupBy("__bkt").agg(F.max("__cum_local").alias("__tot"))
     w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
@@ -133,7 +194,9 @@ def segmented_running_sum(
     )
     local = bucketed.withColumn("__cum_local", F.sum("__v").over(w_local))
 
-    totals = local.groupBy(key_col, "__bkt").agg(F.sum("__v").alias("__tot"))
+    # totals from the pre-window input — same ReuseExchange/one-window
+    # rationale as pack_sequences above
+    totals = bucketed.groupBy(key_col, "__bkt").agg(F.sum("__v").alias("__tot"))
     w_off = (
         Window.partitionBy(key_col)
         .orderBy("__bkt")

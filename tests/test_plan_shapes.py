@@ -82,10 +82,76 @@ def test_agg_hash_partial_final(spark, sf_dir):
     assert "partial_sum" in plan or plan.count("HashAggregate") >= 2
 
 
-def test_embed_topk_broadcasts_queries(spark, sf_dir):
+def test_embed_topk_routes_by_workload(spark, sf_dir):
+    """VERDICT r3: similarity search routes by workload. Tiny Q (5):
+    codegen crossJoin, zero Python — measured optimal below the Python-
+    worker floor. Batch Q (512): the Arrow-blocked BLAS kernel (one
+    MapInPandas over the corpus scan, batch-local top-k pruning) — no
+    Q×N expression grid, no corpus-sized residue at the window."""
     plan = _executed_plan(QUERIES["q_embed_topk"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
     assert "Python" not in plan  # dot product stays JVM-side
+
+    plan_b = _executed_plan(QUERIES["q_embed_topk_batch"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan_b
+    assert "BroadcastNestedLoopJoin" not in plan_b
+    assert "CartesianProduct" not in plan_b
+
+
+def test_blocked_kernel_matches_bruteforce(spark, sf_dir):
+    """Exact-path refactor guard: blocked BLAS top-k == crossJoin
+    brute-force top-k, row for row (same tie-break), including the
+    boundary-tie case the batch-local pruning must preserve."""
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_spark.operators.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_bruteforce,
+        topk,
+    )
+    from bigquery_etl_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    rounded = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.vec_id, round(r.cos_sim, 9), r.rank)
+        for r in df.collect()
+    )
+    got = rounded(cosine_topk_blocked(emb, q, k=7))
+    want = rounded(cosine_topk_bruteforce(emb, q, k=7, dim=64))
+    assert got == want
+    # dispatcher: without dim the codegen route is unavailable, so even
+    # a tiny exact workload goes to the blocked kernel
+    plan = _executed_plan(topk(emb, q, k=7))
+    assert "MapInPandas" in plan
+    # with dim known, tiny Q routes to codegen; >8 queries to BLAS
+    assert "MapInPandas" not in _executed_plan(topk(emb, q, k=7, dim=64))
+    q9 = emb.orderBy("vec_id").limit(9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert "MapInPandas" in _executed_plan(topk(emb, q9, k=7, dim=64))
+    import pytest
+
+    with pytest.raises(ValueError, match="max_exact_queries"):
+        topk(emb, q9, k=7, max_exact_queries=5)
+
+    # boundary ties: duplicate vectors force equal cosines straddling
+    # the per-batch k-th boundary; the id-asc tie-break must hold
+    dup = emb.limit(40).union(
+        emb.limit(40).withColumn("vec_id", F.col("vec_id") + 100000)
+    ).repartition(4)
+    got_t = rounded(cosine_topk_blocked(dup, q, k=5))
+    want_t = rounded(cosine_topk_bruteforce(dup, q, k=5, dim=64))
+    assert got_t == want_t
 
 
 def test_correlated_subquery_decorrelates(spark, sf_dir):
@@ -225,14 +291,19 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     from bigquery_etl_spark.sources import load
 
     d = load(spark, sf_dir, "documents")
-    plan = _executed_plan(
-        pack_sequences(d, "doc_id", F.size(ws_tokens("text")), budget=1000)
-    )
-    assert "rangepartitioning" in plan.lower()  # big side: range shuffle
+    packed = pack_sequences(d, "doc_id", F.size(ws_tokens("text")), budget=1000)
+    packed.collect()  # AQE: exchange reuse shows only in the final plan
+    plan = _executed_plan(packed).split("== Initial Plan ==")[0]
+    # r4 single-shuffle shape: quantile buckets make the window's hash
+    # exchange on __bkt the ONLY data-sized movement — no range shuffle
+    assert "rangepartitioning" not in plan.lower()
+    assert len(re.findall(r"hashpartitioning\(__bkt", plan)) >= 1
     assert plan.count("SinglePartition") == 1   # only the bucket totals
     assert "BroadcastHashJoin" in plan          # offsets come back broadcast
     # the big-side window is keyed by the bucket, not a global order
     assert re.search(r"windowspecdefinition\(__bkt", plan)
+    # the offsets subtree rides the SAME exchange (one scan, one shuffle)
+    assert "ReusedExchange" in plan
 
 
 def test_pretrain_corpus_broadcasts_eval_grams(spark, sf_dir):
@@ -242,8 +313,9 @@ def test_pretrain_corpus_broadcasts_eval_grams(spark, sf_dir):
     plan = _executed_plan(QUERIES["q_pretrain_corpus"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     # and the packing tail stays distributed (same invariant as
-    # test_pack_sequences_no_global_window)
-    assert "rangepartitioning" in plan.lower()
+    # test_pack_sequences_no_global_window: bucketed window, no global
+    # ORDER BY window)
+    assert re.search(r"windowspecdefinition\(__bkt", plan)
 
 
 def test_funnel_single_data_exchange(spark, sf_dir):
