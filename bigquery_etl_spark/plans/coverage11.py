@@ -331,34 +331,42 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey % 3 = 0 as status 'U'. The query reads all THREE
     snapshots of the same table and aggregates each — the oracle
     recomputes each snapshot's numbers from the base table. Proves
-    commits are additive and history stays readable. History is built
-    ONCE per process per sf_dir (scratch_build, atexit-cleaned) — the
-    query times the three snapshot reads, not fixture I/O (ADVICE r3)."""
+    commits are additive and history stays readable. r4: runs through
+    the SQL catalog path (sources/lake_sql.LakeCatalog) — v3 is a real
+    ``MERGE INTO`` statement and each snapshot is read with ``VERSION
+    AS OF`` in SQL, the Delta surface the charter asks for. History is
+    built ONCE per process per sf_dir (scratch_build, atexit-cleaned) —
+    the query times the three snapshot reads, not fixture I/O."""
     from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
     from bigquery_etl_spark.sources.versioned import VersionedTable
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
 
     def _build(path: str) -> None:
+        cat = LakeCatalog(spark)
         t = VersionedTable(spark, path, stat_cols=("o_orderkey",))
         t.create(o.filter(F.col("o_orderkey") % 2 == 0))
         t.append(o.filter(F.col("o_orderkey") % 2 == 1))
-        t.upsert(
-            o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
-                "o_orderstatus", F.lit("U")
-            ),
-            ["o_orderkey"],
-        )
+        cat.register("tt_orders", t)
+        cat.sql("""
+            MERGE INTO tt_orders AS t
+            USING (SELECT o_orderkey, 'U' AS o_orderstatus
+                   FROM tt_orders WHERE o_orderkey % 3 = 0) AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET o_orderstatus = s.o_orderstatus
+        """)
 
     root = scratch_build(f"vtbl_tt:{sf_dir}", "vtbl_q_", _build)
-    tbl = VersionedTable(spark, root, stat_cols=("o_orderkey",))
+    cat = LakeCatalog(spark)
+    cat.register("tt_orders", VersionedTable(spark, root, stat_cols=("o_orderkey",)))
     snaps = [
-        tbl.read(version=v)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.count(F.when(F.col("o_orderstatus") == "U", 1)).alias("n_upd"),
-        )
-        .select(F.lit(v).cast("int").alias("version"), "n_rows", "n_upd")
+        cat.sql(f"""
+            SELECT CAST({v} AS INT) AS version,
+                   COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN o_orderstatus = 'U' THEN 1 END) AS n_upd
+            FROM tt_orders VERSION AS OF {v}
+        """)
         for v in (1, 2, 3)
     ]
     out = snaps[0]
