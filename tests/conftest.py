@@ -16,6 +16,12 @@ def spark():
 
     import tempfile
 
+    # vendored-protobuf shim (TWS tests): must run BEFORE the JVM
+    # launches so Python workers inherit the PYTHONPATH
+    from bigquery_etl_spark._vendor import enable_vendored_protobuf
+
+    enable_vendored_protobuf()
+
     spark = get_spark(
         app_name="bigquery-etl-spark-tests",
         cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"),
@@ -48,6 +54,9 @@ def _env_capabilities() -> dict[str, bool]:
         except Exception:  # noqa: BLE001 — broken installs count as absent
             return False
 
+    from bigquery_etl_spark._vendor import enable_vendored_protobuf
+
+    enable_vendored_protobuf()  # count the vendored copy as present
     caps["protobuf (TWS state server)"] = has("google.protobuf.descriptor")
     caps["pyspark.pandas"] = has("pyspark.pandas")
     caps["PIL (real media decode)"] = has("PIL")
