@@ -46,12 +46,38 @@ FEATURES_SCHEMA = "media_id long, kind string, n_bytes int, mean_byte double, en
 THUMB_SCHEMA = "media_id long, thumb_w int, thumb_h int, thumb binary"
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame binary"
 
-try:  # real decoder path — absent in this container
-    from PIL import Image  # noqa: F401
+def have_pil() -> bool:
+    """Capability probe, evaluated at CALL time (r4, VERDICT item 7 —
+    a container that gains PIL must flip to real decoding without a
+    code change; the old import-time flag raised instead)."""
+    try:
+        from PIL import Image  # noqa: F401
 
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
+        return True
+    except ImportError:
+        return False
+
+
+# kept for backward compatibility with existing callers/tests
+HAVE_PIL = have_pil()
+
+
+def _pil_thumb(content: bytes, w: int, h: int) -> bytes:
+    """Real decoder: PIL decode → grayscale → resize → raw bytes.
+    Runs ON THE EXECUTOR (import inside), never on the driver."""
+    import io
+
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(bytes(content))).convert("L").resize((w, h))
+    return im.tobytes()
+
+
+def _fake_thumb(content: bytes, w: int, h: int) -> bytes:
+    """DETERMINISTIC FAKE (marked): byte-pattern grid standing in for
+    pixels so the Spark plumbing is exercised end-to-end without
+    codecs."""
+    return bytes(bytes(content) * ((w * h) // max(len(content), 1) + 1))[: w * h]
 
 
 def make_fake_media(spark, n: int = 32) -> DataFrame:
@@ -107,24 +133,30 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def resize_images(media: DataFrame, w: int = 16, h: int = 16) -> DataFrame:
-    """Thumbnail images. Real path requires PIL; fake path emits a
-    deterministic w*h byte grid derived from the content (so downstream
-    plumbing is exercised end-to-end)."""
-    if HAVE_PIL:
-        raise NotImplementedError(
-            "real PIL resize not wired in this container build; "
-            "fake path covers the Spark plumbing"
-        )
+def resize_images(
+    media: DataFrame,
+    w: int = 16,
+    h: int = 16,
+    decoder=None,
+) -> DataFrame:
+    """Thumbnail images through the Arrow-batched plumbing.
+
+    ``decoder(content, w, h) -> bytes`` picks the kernel; the default is
+    the capability probe: real PIL decode when the library is importable
+    (``_pil_thumb`` — imported on the executor), else the clearly-marked
+    deterministic fake (``_fake_thumb``). Tests inject a custom decoder
+    to exercise the real-path wiring without codecs in the container —
+    the closure ships to the Python workers whole, so injection reaches
+    the executors (a driver-side monkeypatch would not)."""
+    if decoder is None:
+        decoder = _pil_thumb if have_pil() else _fake_thumb
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             imgs = pdf[pdf["kind"] == "image"]
-            thumbs = [
-                bytes(c * ((w * h) // max(len(c), 1) + 1))[: w * h] for c in imgs["content"]
-            ]
+            thumbs = [decoder(c, w, h) for c in imgs["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": imgs["media_id"],
