@@ -247,16 +247,51 @@ def simhash_64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    hashes: DataFrame, id_col: str, n_bands: int = 4
+    hashes: DataFrame, id_col: str, n_bands: int = 4, max_block: int = 10_000
 ) -> DataFrame:
     """Near-dup candidate pairs by banded simhash equality.
 
-    Splitting 64 bits into n_bands blocks guarantees recall of every pair
-    with Hamming distance < n_bands (pigeonhole: some block is equal)."""
+    Splitting 64 bits into n_bands blocks guarantees recall of every
+    pair with Hamming distance < n_bands (pigeonhole: some block is
+    equal), for pairs whose shared block survives the hot-block cap
+    below.
+
+    r4 scale shape (the sf1 soak measured 94 GB of spill in the naive
+    id-level band self-join on a duplicate-heavy corpus):
+
+    - IDENTICAL hashes pair directly (equality self-join on the full
+      64-bit value — one hash shuffle; every verbatim-copy pair is
+      emitted, which the recall contract requires). Work is Σ C(k,2)
+      over exact-duplicate multiplicities — collapse exact dups
+      upstream (dedup_exact) if a text repeats thousands of times.
+    - The BAND join runs over DISTINCT hash values only, emitting
+      representative (min-id per hash) pairs. A corpus where every doc
+      has ~10 verbatim copies no longer squares the copy count through
+      the join (100× row reduction measured); near-dup CLUSTER
+      connectivity — what dedup consumes — is preserved: every id
+      reaches its group rep via the identity pairs, and reps pair
+      across groups.
+    - Blocks matched by more than ``max_block`` distinct hash values
+      are dropped as non-discriminative (standard LSH hot-bucket
+      practice: a 16-bit block shared by 10k+ distinct fingerprints —
+      here, majority-vote bits over similar token distributions —
+      pairs near-random docs and only manufactures O(bucket²) false
+      candidates)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    banded = hashes.select(
-        F.col(id_col),
+    ha, hb = hashes.alias("ha"), hashes.alias("hb")
+    identical = ha.join(
+        hb,
+        (F.col("ha.simhash") == F.col("hb.simhash"))
+        & (F.col(f"ha.{id_col}") < F.col(f"hb.{id_col}")),
+    ).select(
+        F.col(f"ha.{id_col}").alias("id_a"), F.col(f"hb.{id_col}").alias("id_b")
+    )
+
+    groups = hashes.groupBy("simhash").agg(F.min(id_col).alias("__rep"))
+    banded = groups.select(
+        "simhash",
+        "__rep",
         F.explode(
             F.array(
                 *[
@@ -270,18 +305,22 @@ def simhash_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.block")
+    ).select("simhash", "__rep", "bb.band", "bb.block")
+    w = W.partitionBy("band", "block")
+    banded = banded.withColumn(
+        "__bsz", F.count(F.lit(1)).over(w)
+    ).filter(F.col("__bsz") <= max_block)
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    cross = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.block") == F.col("b.block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.__rep") < F.col("b.__rep")),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        .select(F.col("a.__rep").alias("id_a"), F.col("b.__rep").alias("id_b"))
     )
+    return identical.unionByName(cross).distinct()
 
 
 def ngram_jaccard_pairs(

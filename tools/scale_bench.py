@@ -263,7 +263,22 @@ def main() -> None:
         help="also report per-query spill / peak-memory / shuffle-write "
         "(executes via the plan instance so metrics are readable)",
     )
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="run EVERY registered query (the full-registry sf1 soak, "
+        "VERDICT r3 item 1); implies --profile",
+    )
+    ap.add_argument(
+        "--jsonl",
+        type=str,
+        default=None,
+        help="append one JSON record per query to this file (the input "
+        "to tools/make_scale_md.py)",
+    )
     args = ap.parse_args()
+    if args.all:
+        args.profile = True
 
     from bigquery_etl_spark.registry import all_queries
     from bigquery_etl_spark.session import get_spark
@@ -329,6 +344,8 @@ def main() -> None:
         )
 
     registry = all_queries()
+    if args.all:
+        args.queries = ",".join(sorted(registry))
     if args.zipf is not None:
         # Warm-up pass BEFORE the skew watermark: whole-stage-codegen
         # compilation and JIT warmup land on arbitrary tasks of the first
@@ -348,6 +365,7 @@ def main() -> None:
     queries_start_ms = int(time.time() * 1000)
     total = 0.0
     results = {}
+    jsonl = open(args.jsonl, "a") if args.jsonl else None
     for name in args.queries.split(","):
         spec = registry.get(name)
         if spec is None:
@@ -358,21 +376,32 @@ def main() -> None:
                 from tools.profile_query import metrics_summary
 
                 plan = spec.fn(spark, args.out)._jdf.queryExecution().executedPlan()
-                plan.execute().count()
+                rows = plan.execute().count()
                 extra = {
                     k: round(v / 1e6, 1) for k, v in metrics_summary(plan).items()
                 }
                 extra = {k.replace("_bytes", "_mb"): v for k, v in extra.items()}
+                extra["rows"] = rows
             else:
                 spec.fn(spark, args.out).write.format("noop").mode("overwrite").save()
                 extra = {}
         except Exception as e:  # record and continue — one failure must not hide the rest
-            print(json.dumps({"query": name, "error": str(e)[:200]}))
+            rec = {"query": name, "error": str(e)[:300]}
+            print(json.dumps(rec))
+            if jsonl:
+                jsonl.write(json.dumps({**rec, "copies": args.copies}) + "\n")
+                jsonl.flush()
             continue
         sec = round(time.perf_counter() - t0, 2)
         total += sec
         results[name] = sec
-        print(json.dumps({"query": name, "sec": sec, **extra}))
+        rec = {"query": name, "sec": sec, **extra}
+        print(json.dumps(rec))
+        if jsonl:
+            jsonl.write(json.dumps({**rec, "copies": args.copies}) + "\n")
+            jsonl.flush()
+    if jsonl:
+        jsonl.close()
     print(
         json.dumps(
             {"phase": "total", "copies": args.copies, "sec": round(total, 2), "queries": results}
