@@ -75,7 +75,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     sql="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+               / 10000 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -105,7 +107,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    revenue = dec("l_extendedprice") * (1 - dec("l_discount"))
+    # exact integer-cents product (same pattern as q3), summed as
+    # DECIMAL(38,0): bit-identical to DuckDB's HUGEINT sum under the
+    # final double cast, and — unlike a bigint sum — safe for these
+    # UNBOUNDED per-nation groups at 100 TB (r4: the decimal(18,6)
+    # product pattern rounded at different scales in the two engines
+    # and drifted the strict value hash at the 9th decimal)
+    revenue_e4 = (
+        cents("l_extendedprice") * (100 - cents("l_discount"))
+    ).cast("decimal(38,0)")
     # nation/region are constant-size dims -> hinted broadcasts. supplier
     # SCALES with SF, so it gets no hint: the size estimator broadcasts
     # it while it fits and falls back to shuffle join when it doesn't.
@@ -121,7 +131,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_orderkey == o.o_orderkey) & (c.c_nationkey == s.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg((F.sum(revenue_e4).cast("double") / 10000).alias("revenue"))
     )
 
 
