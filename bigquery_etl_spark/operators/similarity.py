@@ -495,26 +495,54 @@ def embedding_near_dup(
     n_tables: int = 8,
     n_planes: int = 12,
     seed: int = 42,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate removal: drop every vector whose
     cosine to some LOWER-id vector is ≥ threshold (SURVEY.md Tier C —
     the embedding analogue of minhash_dedup).
 
-    Candidates come from sign-bit LSH self-collisions — per table,
-    vectors sharing a bucket pair up (a.id < b.id). Unlike the MinHash
-    path, a collision alone never drops a doc: every candidate pair is
-    re-scored with the EXACT cosine, so precision is 1 by construction
-    and only recall depends on the LSH parameters (miss probability per
-    true pair = (1 - (1 - θ/π)^n_planes)^n_tables, negligible for the
-    near-identical vectors dedup targets). Pairs materialize only
-    within buckets, deduped on (id_a, id_b) before scoring; at 100 TB
-    the quadratic all-pairs product never forms — cost is corpus ×
-    n_tables bucketing + |candidates| rerank. Chains A~B~C keep only A
-    (conservative survivor policy, matching minhash_dedup)."""
+    Semantics are pairwise and non-transitive (chains A~B~C keep only
+    A, matching minhash_dedup), and precision is 1 by construction:
+    an LSH collision alone never drops a vector — every surviving
+    candidate is re-scored with the EXACT cosine. Only recall depends
+    on the LSH parameters (miss probability per true pair =
+    (1 - (1 - θ/π)^n_planes)^n_tables, negligible for the
+    near-identical vectors dedup targets).
+
+    r4 scale shape (same finding as simhash_candidates — the sf1 soak's
+    duplicate-heavy corpus made the id-level bucket self-join square
+    the copy multiplicity):
+
+    - EXACT-duplicate vectors group first (groupBy on the raw array —
+      one exchange). A group's non-minimum ids lose outright (cosine
+      1 ≥ any threshold against the group min). This is exact, not
+      approximate: identical vectors collide in every table anyway.
+    - The LSH bucket self-join runs over group REPRESENTATIVES (one
+      min-id row per distinct vector). A rep loses iff some close
+      group has a smaller rep — together with the within-group rule
+      this reproduces the pairwise semantics exactly: any non-min id
+      already loses to its own group, and a group min's smallest
+      possible external killer is the other group's min.
+    - Buckets holding more than ``max_bucket`` distinct vectors are
+      dropped as non-discriminative (hot-bucket practice; a 12-bit
+      sign pattern shared by 10k+ distinct vectors pairs near-random
+      ones and only inflates the rerank).
+
+    Measured at ~sf1 (600k vectors, 10 verbatim copies each): 58-95 s
+    → see SCALE.md; candidate volume drops ~100× (60k distinct vs
+    600k total through the quadratic join)."""
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     vecs = corpus.select(id_col, vec_col)
-    banded = vecs.select(
-        id_col,
+    groups = vecs.groupBy(vec_col).agg(F.min(id_col).alias("__rep"))
+    within_losers = (
+        vecs.join(groups, vec_col)
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col(id_col))
+    )
+
+    banded = groups.select(
+        F.col("__rep"),
+        F.col(vec_col),
         F.explode(
             F.array(
                 *[
@@ -526,29 +554,30 @@ def embedding_near_dup(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, "tb.table", "tb.bucket")
-
+    ).select("__rep", vec_col, "tb.table", "tb.bucket")
+    w = W.partitionBy("table", "bucket")
+    banded = banded.withColumn("__bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("__bsz") <= max_bucket
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.__rep") < F.col("b.__rep")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__rep").alias("id_a"),
+            F.col(f"a.{vec_col}").alias("vec_a"),
+            F.col("b.__rep").alias("id_b"),
+            F.col(f"b.{vec_col}").alias("vec_b"),
         )
-        .distinct()
+        .dropDuplicates(["id_a", "id_b"])
     )
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    losers = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cosine_fixed("vec_a", "vec_b", dim) >= threshold)
+    rep_losers = (
+        cand.filter(cosine_fixed("vec_a", "vec_b", dim) >= threshold)
         .select(F.col("id_b").alias(id_col))
-        .distinct()
     )
+    losers = within_losers.unionByName(rep_losers).distinct()
     return corpus.join(losers, id_col, "left_anti")

@@ -1,12 +1,16 @@
 """Optimized-plan digest snapshots for the bench headline queries
 (VERDICT r3 item 8): plan regressions — a defeated ReuseExchange, a
-join strategy flip, a lost pushdown — are caught by DIFF at test time
+join-strategy flip, a lost pushdown — are caught by DIFF at test time
 instead of by profiling after the bench moves.
 
-Each headline query's optimizer output is canonicalized (expression
-ids, plan ids, scratch paths, codegen ids stripped) and hashed; the
-digests live in ``tests/plan_snapshots.json``. When a change is
-INTENTIONAL, regenerate with::
+Digests are computed by ``tools/plan_digests.py`` in a SUBPROCESS:
+Catalyst's expression-id counter is process-global and at least one
+rewrite (RewriteDistinctAggregates' gid ordering) is sensitive to it,
+so planning the same query after other tests can reorder the printed
+plan. A fresh interpreter building the headline plans in a fixed order
+is reproducible; the snapshots live in ``tests/plan_snapshots.json``.
+
+When a change is INTENTIONAL, regenerate with::
 
     SPARK_GRAFT_UPDATE_SNAPSHOTS=1 python -m pytest tests/test_plan_snapshots.py
 
@@ -16,77 +20,50 @@ queries' plans moved, so the reviewer sees the blast radius.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-import re
+import subprocess
+import sys
 
 import pytest
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAP_PATH = os.path.join(os.path.dirname(__file__), "plan_snapshots.json")
 UPDATE = os.environ.get("SPARK_GRAFT_UPDATE_SNAPSHOTS") == "1"
 
 
-def _headline() -> list[str]:
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+def _compute(sf_dir: str) -> dict[str, str]:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "plan_digests.py"), sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
     )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.HEADLINE
+    assert proc.returncode == 0, f"plan_digests failed:\n{proc.stderr[-3000:]}"
+    # last JSON blob on stdout (spark logs may precede it)
+    text = proc.stdout
+    start = text.index("{")
+    return json.loads(text[start:])
 
 
-def canonical_plan(df) -> str:
-    text = df._jdf.queryExecution().optimizedPlan().toString()
-    text = re.sub(r"#\d+L?", "#", text)          # expression ids
-    text = re.sub(r"plan_id=\d+", "plan_id=", text)
-    text = re.sub(r"cachedcount=\d+", "cachedcount=", text)
-    # scratch/fixture paths: mkdtemp suffixes, commit uuids, tmp roots
-    text = re.sub(r"/tmp/[^\s,\]\)]+", "/tmp/_", text)
-    text = re.sub(r"[0-9a-f]{32}", "_uuid_", text)
-    # parquet file lists vary in count at different SFs — keep location
-    # kind, drop the enumeration
-    text = re.sub(r"InMemoryFileIndex\([^)]*\)\[[^\]]*\]", "InMemoryFileIndex[_]", text)
-    text = re.sub(r"\[file:[^\]]*\]", "[file:_]", text)
-    return text
-
-
-def digest(df) -> str:
-    return hashlib.sha256(canonical_plan(df).encode()).hexdigest()[:16]
-
-
-def _load() -> dict[str, str]:
-    if os.path.exists(SNAP_PATH):
-        with open(SNAP_PATH) as f:
-            return json.load(f)
-    return {}
-
-
-def test_headline_plan_snapshots(spark, sf_dir):
-    from bigquery_etl_spark.registry import all_queries
-
-    registry = all_queries()
-    names = [n for n in _headline() if n in registry]
-    got = {}
-    for name in names:
-        got[name] = digest(registry[name].fn(spark, sf_dir))
+def test_headline_plan_snapshots(sf_dir):
+    got = _compute(sf_dir)
+    assert got, "no digests produced"
 
     if UPDATE:
         with open(SNAP_PATH, "w") as f:
             json.dump(got, f, indent=1, sort_keys=True)
         pytest.skip(f"snapshots regenerated for {len(got)} queries")
 
-    want = _load()
-    if not want:
+    if not os.path.exists(SNAP_PATH):
         pytest.fail(
             "tests/plan_snapshots.json missing — generate with "
             "SPARK_GRAFT_UPDATE_SNAPSHOTS=1"
         )
-    changed = {
-        n: (want.get(n), got[n]) for n in got if want.get(n) != got[n]
-    }
+    with open(SNAP_PATH) as f:
+        want = json.load(f)
+    changed = {n: (want.get(n), got[n]) for n in got if want.get(n) != got[n]}
     removed = sorted(set(want) - set(got))
     assert not changed and not removed, (
         f"optimized plans changed for {sorted(changed)} (removed: {removed}). "
