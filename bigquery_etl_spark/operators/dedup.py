@@ -247,7 +247,11 @@ def simhash_64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    hashes: DataFrame, id_col: str, n_bands: int = 4, max_block: int = 10_000
+    hashes: DataFrame,
+    id_col: str,
+    n_bands: int = 4,
+    max_block: int = 10_000,
+    max_identical: int = 1_000,
 ) -> DataFrame:
     """Near-dup candidate pairs by banded simhash equality.
 
@@ -262,8 +266,15 @@ def simhash_candidates(
     - IDENTICAL hashes pair directly (equality self-join on the full
       64-bit value — one hash shuffle; every verbatim-copy pair is
       emitted, which the recall contract requires). Work is Σ C(k,2)
-      over exact-duplicate multiplicities — collapse exact dups
-      upstream (dedup_exact) if a text repeats thousands of times.
+      over exact-duplicate multiplicities — bounded: groups larger
+      than ``max_identical`` emit STAR pairs (min-id ↔ member) instead
+      of all pairs, which preserves dedup survivor semantics exactly
+      (every member still pairs with a lower id) while keeping a
+      pathological hot text (the zipf probe plants one body in 30% of
+      600k docs → C(180k,2) ≈ 1.6e10 pairs) linear in the group size.
+      Pair-set completeness holds below the cap; collapse exact dups
+      upstream (dedup_exact) if full pair enumeration of hot texts
+      matters.
     - The BAND join runs over DISTINCT hash values only, emitting
       representative (min-id per hash) pairs. A corpus where every doc
       has ~10 verbatim copies no longer squares the copy count through
@@ -279,14 +290,26 @@ def simhash_candidates(
       candidates)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    ha, hb = hashes.alias("ha"), hashes.alias("hb")
-    identical = ha.join(
+    wg = W.partitionBy("simhash")
+    sized = hashes.withColumn("__gsz", F.count(F.lit(1)).over(wg)).withColumn(
+        "__gmin", F.min(id_col).over(wg)
+    )
+    small = sized.filter(F.col("__gsz") <= max_identical)
+    ha, hb = small.alias("ha"), small.alias("hb")
+    identical_full = ha.join(
         hb,
         (F.col("ha.simhash") == F.col("hb.simhash"))
         & (F.col(f"ha.{id_col}") < F.col(f"hb.{id_col}")),
     ).select(
         F.col(f"ha.{id_col}").alias("id_a"), F.col(f"hb.{id_col}").alias("id_b")
     )
+    identical_star = (
+        sized.filter(
+            (F.col("__gsz") > max_identical) & (F.col(id_col) != F.col("__gmin"))
+        )
+        .select(F.col("__gmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    identical = identical_full.unionByName(identical_star)
 
     groups = hashes.groupBy("simhash").agg(F.min(id_col).alias("__rep"))
     banded = groups.select(

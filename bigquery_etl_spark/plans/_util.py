@@ -117,3 +117,19 @@ def scratch_build(key: str, prefix: str, build) -> str:
         _SCRATCH[key] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return _SCRATCH[key]
+
+
+def spread(df, min_parts: int | None = None):
+    """Repartition ONLY when the source under-parallelizes (single-file
+    single-row-group fixtures scan as ONE task — parquet splits only at
+    row-group boundaries, so a heavy row-wise stage 1 serializes). At
+    warehouse scale inputs arrive in hundreds of splits and this is a
+    no-op — the shuffle exists exactly when it pays for itself.
+    Call AFTER filters you want pushed to the scan: predicates do push
+    through a Repartition node, but keeping the scan-adjacent plan
+    simple costs nothing."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -307,6 +307,46 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_avro_roundtrip",
+    sql="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("tierb", "source", "avro"),
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink round-trip through the pure-Python OCF
+    implementation (sources/avro_py.py — the spark-avro jar is absent
+    from this container, so the format is implemented at spec level:
+    zigzag varints, length-prefixed strings, null unions, sync-
+    delimited blocks; executors encode/decode their own partitions).
+    A subset of orders goes out as .avro part files and comes back
+    through the binaryFile+mapInPandas reader, then aggregates; the
+    oracle computes the same aggregate from the base table — parity
+    proves the round-trip is lossless (keys, strings, doubles)."""
+    from bigquery_etl_spark.plans._util import dsum, scratch_build
+    from bigquery_etl_spark.sources.avro_py import read_avro, write_avro
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = scratch_build(f"avro:{sf_dir}", "avro_q_", lambda d: None)
+    out = root + "/orders_avro"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # re-write each call: the
+    # round-trip IS the query (same policy as q_xml_roundtrip)
+    write_avro(o, out)
+    back = read_avro(spark, out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@query(
     "q_time_travel",
     sql="""
     -- closed-form recomputation of each snapshot's aggregate

@@ -424,7 +424,14 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the clean leg only. The oracle classifies with
     DuckDB's `json_valid` — two different parsers agreeing on the
     same routing."""
-    e = load(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    from bigquery_etl_spark.plans._util import spread
+
+    # from_json over every row is the heavy stage; the single-file
+    # fixture would run it as ONE task (r4 measured 2.5 s single-task →
+    # 0.3 s spread) — spread() no-ops on multi-split inputs at scale
+    e = spread(
+        load(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    )
     raw = F.when(
         F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
     ).otherwise(F.col("props"))

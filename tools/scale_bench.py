@@ -129,6 +129,11 @@ ZIPF_QUERIES = [
     "q_tpch_q3",
     "q_funnel",     # per-user sequential windows: the hot user serializes
     "q_retention",  # user-keyed agg + cohort join on the same hot key
+    # r4 additions: quantile-bucketed packing under zipf ids; the
+    # rewritten rep-banded dedup paths under a 30%-hot-text corpus
+    "q_pack_sequences",
+    "q_dedup_simhash",
+    "q_embed_topk_batch",
 ]
 
 
