@@ -97,6 +97,7 @@ def pack_sequences(
     tokens_col: str | Column,
     budget: int,
     n_buckets: int = 32,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Add ``shard_id`` (bigint) assigning each row to a token-budget
     shard; also returns the row's token count as ``n_tokens``.
@@ -104,13 +105,23 @@ def pack_sequences(
     ``tokens_col`` may be a column name or an expression (e.g.
     ``F.size(ws_tokens("text"))``). Rows are packed in ``id_col``
     order; ids must be unique (documents' primary key).
+
+    ``bounds``: precomputed ascending bucket boundaries (from
+    ``_quantile_bounds`` over any same-distribution id source). Pass
+    them when ``df`` is an EXPENSIVE pipeline: the default probe is an
+    eager aggregate that would execute the whole upstream once at plan
+    build and again at run time — probing the raw table's id column
+    instead costs one cheap single-column scan and only shifts load
+    balance, never results (r4; same reason the old repartitionByRange
+    path was double-executing upstreams through its sampling job).
     """
     toks = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
         "long"
     )
     base = df.select(F.col(id_col), toks.alias("n_tokens"))
 
-    bounds = _quantile_bounds(base, id_col, n_buckets)
+    if bounds is None:
+        bounds = _quantile_bounds(base, id_col, n_buckets)
     if bounds is not None:
         # single-shuffle path: the window's hash exchange on __bkt is
         # the only data-sized movement

@@ -217,6 +217,7 @@ def topk(
     dim: int | None = None,
     codegen_max_queries: int = 8,
     max_exact_queries: int = 4096,
+    n_queries: int | None = None,
     **ann_kwargs,
 ) -> DataFrame:
     """Default similarity-search entry point (VERDICT r3: route by
@@ -242,9 +243,15 @@ def topk(
       ``n_centroids``/``nprobe``/``centroids`` through ``ann_kwargs``.
     """
     if exact:
-        # cheap limit probe, never a full count of the query side
-        n_q = len(
-            queries.select(query_id_col).limit(max_exact_queries + 1).collect()
+        # size the query side: callers that know Q pass ``n_queries``
+        # (saves a probe JOB per call — measured 0.4 s of pure overhead
+        # on a 0.04 s query); otherwise a limit probe, never a full count
+        n_q = (
+            n_queries
+            if n_queries is not None
+            else len(
+                queries.select(query_id_col).limit(max_exact_queries + 1).collect()
+            )
         )
         if n_q > max_exact_queries:
             raise ValueError(

@@ -133,3 +133,23 @@ def spread(df, min_parts: int | None = None):
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+_BOUNDS_CACHE: dict = {}
+
+
+def cached_id_bounds(spark, sf_dir: str, table: str, id_col: str, n_buckets: int = 32):
+    """Process-cached pack_sequences bucket boundaries probed from the
+    RAW table's id column (one single-column scan, once per process per
+    sf_dir) — callers packing an expensive derived pipeline pass these
+    instead of letting the default probe execute their upstream twice
+    (packing.pack_sequences docstring, r4)."""
+    key = (sf_dir, table, id_col, n_buckets)
+    if key not in _BOUNDS_CACHE:
+        from bigquery_etl_spark.operators.packing import _quantile_bounds
+        from bigquery_etl_spark.sources import load
+
+        _BOUNDS_CACHE[key] = _quantile_bounds(
+            load(spark, sf_dir, table).select(id_col), id_col, n_buckets
+        )
+    return _BOUNDS_CACHE[key]

@@ -529,7 +529,7 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return topk(emb, _queries_from_corpus(emb), k=10, dim=64).select(
+    return topk(emb, _queries_from_corpus(emb), k=10, dim=64, n_queries=5).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
 
@@ -580,7 +580,7 @@ def q_embed_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("query_vec"),
         )
     )
-    return topk(emb, q, k=10, dim=64).select(
+    return topk(emb, q, k=10, dim=64, n_queries=512).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
 

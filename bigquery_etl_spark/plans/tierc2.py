@@ -191,9 +191,12 @@ _PACK_BUDGET = 1000
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into ~1000-token training shards (contiguous
     by doc_id, bounded overflow) and emit the shard manifest."""
+    from bigquery_etl_spark.plans._util import cached_id_bounds
+
     d = load(spark, sf_dir, "documents")
     packed = pack_sequences(
-        d, "doc_id", F.size(ws_tokens("text")), budget=_PACK_BUDGET
+        d, "doc_id", F.size(ws_tokens("text")), budget=_PACK_BUDGET,
+        bounds=cached_id_bounds(spark, sf_dir, "documents", "doc_id"),
     )
     m = shard_manifest(packed)
     return m.select(
@@ -416,7 +419,15 @@ def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = dedup.join(contaminated, "doc_id", "left_anti").select("doc_id", "n")
 
-    packed = pack_sequences(clean, "doc_id", "n", budget=1000)
+    from bigquery_etl_spark.plans._util import cached_id_bounds
+
+    # bounds from the RAW id column (cached per process) — the default
+    # probe would execute the quality->dedup->decontaminate pipeline
+    # twice (r4 bench regression: 0.69s -> 1.7s)
+    packed = pack_sequences(
+        clean, "doc_id", "n", budget=1000,
+        bounds=cached_id_bounds(spark, sf_dir, "documents", "doc_id"),
+    )
     return shard_manifest(packed).select(
         "shard_id",
         F.col("n_docs").cast("bigint").alias("n_docs"),
@@ -674,6 +685,10 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bigquery_etl_spark.operators.similarity import cosine_fixed
 
+    # (r4 note: spread() before the token explode was tried and REVERTED
+    # — shuffling the full text payload costs more than the extra scan
+    # parallelism buys at this corpus size; the cross-round bench delta
+    # on this query is environmental, not plan regression)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = (

@@ -44,17 +44,31 @@ MAX_FLOOR_SEC = 0.4    # never looser than the old global floor
 # comparison is meaningless. Each entry must say what changed; remove it
 # the round after (the new definition becomes the new baseline).
 REDEFINED: dict[str, str] = {
-    "q_dedup_minhash": "r3: reduced to invariant form — corpus doubled by "
-    "planted copies, plus dup-pair verification joins (3b5e717)",
+    "q_pack_sequences": "r4: quantile-bucketed single-shuffle rewrite + "
+    "cached raw-id bounds (plan and probe path both changed)",
+    "q_embed_topk": "r4: routed through the topk() workload dispatcher "
+    "(same codegen plan at Q=5; invocation path changed)",
+    "q_quarantine": "r4: spread() repartition before the from_json stage "
+    "(single-task scan was the old cost)",
+    "q_tpch_q5": "r4: exact integer-cents revenue (decimal-scale rewrite "
+    "for strict cross-engine hash equality)",
+    "q_pretrain_corpus": "r4: pack tail uses cached raw-id bounds instead "
+    "of double-executing the pipeline through the bucket probe",
 }
 
 
 def _all_rounds() -> list[dict]:
-    """Parsed per-query seconds from every prior BENCH_r*.json (the
-    driver stores the raw bench line under 'tail' when 'parsed' is
-    null)."""
+    """Parsed per-query seconds from every prior recording: driver
+    BENCH_r*.json plus builder-local tools/bench_local/*.json — local
+    runs give the floors same-machine history (driver rounds may run on
+    different hardware; r4 measured 2× cross-machine deltas on several
+    queries with identical code), and the NEWEST recording of either
+    kind is the per-query comparison base."""
     out = []
-    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))) + sorted(
+        glob.glob(os.path.join(REPO, "tools", "bench_local", "*.json"))
+    )
+    for path in paths:
         with open(path) as f:
             rec = json.load(f)
         parsed = rec.get("parsed")
