@@ -78,6 +78,108 @@ def per_key_cursor_tws(events: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Timer-driven session windows on transformWithStateInPandas (r4 — the
+# protobuf un-gate made the full TWS surface testable, so the timer API
+# gets a real operator, not just the cursor port). Event-time TIMERS are
+# the capability TWS adds over applyInPandasWithState's timeout enum:
+# a session closes exactly when the WATERMARK passes last_event + gap,
+# emitted from handleExpiredTimer — no poll, no per-batch re-scan of
+# idle keys. State per key is one (start, end, n) triple + one timer;
+# RocksDB-backed, so billions of concurrent sessions bound by disk.
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start_ms long, end_ms long, n long"
+
+
+class SessionProcessor(StatefulProcessor):
+    """Gap-based sessionization with event-time timers.
+
+    - input rows extend the open session (or close it inline and start
+      a new one when the incoming batch has already jumped the gap —
+      the timer for the old session may not have fired yet if the
+      watermark lags);
+    - one timer per key at ``end + gap``; re-armed on every extension
+      (old timer deleted — ``listTimers`` is at most one entry here);
+    - ``handleExpiredTimer`` emits the closed session and clears state.
+    Append-mode semantics: a session row is emitted exactly once, when
+    it closes."""
+
+    def __init__(self, gap_ms: int):
+        self._gap = gap_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("session", SESSION_STATE_SCHEMA)
+
+    def _emit(self, user_id, start_ms, end_ms, n) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        start, end, n = (
+            self._sess.get() if self._sess.exists() else (None, None, 0)
+        )
+        for pdf in rows:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).sort_values()
+            for t in ts_ms:
+                t = int(t)
+                if start is None:
+                    start, end, n = t, t, 1
+                elif t <= end + self._gap:
+                    end, n = max(end, t), n + 1
+                else:  # batch jumped the gap before the timer fired
+                    yield self._emit(user_id, start, end, n)
+                    start, end, n = t, t, 1
+        if start is not None:
+            self._sess.update((start, end, n))
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(end + self._gap)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        if self._sess.exists():
+            start, end, n = self._sess.get()
+            # the timer may be stale (session extended after a replayed
+            # timer registration): only close if the expiry really is
+            # this session's end + gap or later
+            if expiredTimerInfo.getExpiryTimeInMs() >= end + self._gap:
+                self._sess.clear()
+                yield self._emit(user_id, start, end, n)
+
+    def close(self) -> None:
+        pass
+
+
+def session_windows_tws(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
+    """Sessionize a watermarked event stream with event-time timers.
+    Input needs ``withWatermark`` on ``ts`` (timeMode EventTime); each
+    closed session emits (user_id, session_start, session_end,
+    n_events) exactly once."""
+    proc = SessionProcessor(gap_ms=gap_seconds * 1000)
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            proc,
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def per_key_cursor(events: DataFrame) -> DataFrame:
     """Running (count, high-watermark) per user across micro-batches.
 

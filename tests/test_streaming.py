@@ -551,3 +551,71 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     ).groupBy("user_id").agg(F.max("stage").alias("stage"))
     got = dict((r.user_id, r.stage) for r in out.collect())
     assert got == {1: 3, 2: 1, 3: 1, 4: 0}
+
+
+def test_tws_session_windows_with_timers(spark, tmp_path):
+    """r4: timer-driven sessionization on transformWithStateInPandas —
+    a session closes exactly when the WATERMARK passes last_event+gap
+    (handleExpiredTimer), and a batch that jumps the gap before the
+    timer fires closes the old session inline. RocksDB state store."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip("google.protobuf.descriptor")
+    from bigquery_etl_spark.streaming.stateful import session_windows_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "src")
+    # batch 1: user 1 has two events 1 min apart (one session);
+    # user 2 one event
+    _write_events(
+        spark, src,
+        [(10, _ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+         (11, _ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+         (20, _ts("2024-01-01 00:02:00"), 2, "view", 1.0)],
+        "f1.parquet",
+    )
+    try:
+        stream = session_windows_tws(
+            _read_stream(spark, src).withWatermark("ts", "1 minute"),
+            gap_seconds=300,
+        )
+        q = _run_to_memory(stream, "tws_sessions", "append")
+        try:
+            # batch 2: user 1 far-future event — advances the watermark
+            # past both sessions' gap AND (being >gap later) would close
+            # user 1's session inline anyway
+            _write_events(
+                spark, src,
+                [(12, _ts("2024-01-01 01:00:00"), 1, "click", 1.0)],
+                "f2.parquet",
+            )
+            q.processAllAvailable()
+            # batch 3: advance watermark further so user 2's and user 1's
+            # second session can also close via timers
+            _write_events(
+                spark, src,
+                [(30, _ts("2024-01-01 02:00:00"), 3, "view", 1.0)],
+                "f3.parquet",
+            )
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, session_start, session_end, n_events "
+                "FROM tws_sessions"
+            ).collect()
+            got = {
+                (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+                for r in rows
+            }
+            assert (1, "2024-01-01 00:00:00", "2024-01-01 00:01:00", 2) in got
+            assert (2, "2024-01-01 00:02:00", "2024-01-01 00:02:00", 1) in got
+            assert (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1) in got
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
