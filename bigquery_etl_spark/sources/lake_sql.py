@@ -442,9 +442,99 @@ class LakeCatalog:
         return text
 
     def sql(self, text: str):
-        """MERGE INTO → executes and commits, returns the new version
-        (int). Anything else → DataFrame via ``spark.sql`` with catalog
-        tables visible and time-travel references resolved."""
+        """Lakehouse statements → execute against the manifest store;
+        anything else → DataFrame via ``spark.sql`` with catalog tables
+        visible and time-travel references resolved.
+
+        Statement surface (r4):
+        - ``MERGE INTO ...``            → commit, returns new version (int)
+        - ``INSERT INTO t <select>``    → append commit, returns version
+        - ``DESCRIBE HISTORY t``        → DataFrame of the commit log
+        - ``VACUUM t [RETAIN n]``       → drops unreferenced data files
+          (keeps the last n versions' files, default 1), returns a
+          DataFrame of removed paths
+        - ``OPTIMIZE t [ZORDER BY (c,...)]`` → rewrites the current
+          snapshot compacted (optionally z-order-clustered via
+          operators/layout.zorder_key so multi-column min/max pruning
+          bites), returns the new version
+        """
+        m = re.match(
+            r"\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$", text, re.IGNORECASE | re.DOTALL
+        )
+        if m and m.group(1) in self.tables:
+            tbl = self.tables[m.group(1)]
+            df = self.spark.sql(self._register_views(m.group(2)))
+            target = tbl.read().schema
+            if len(df.columns) != len(target.fields):
+                raise ValueError(
+                    f"INSERT INTO {m.group(1)}: {len(df.columns)} columns "
+                    f"for a {len(target.fields)}-column table"
+                )
+            # SQL INSERT semantics: align by POSITION, adopt the table's
+            # names and types (a bare `SELECT 4, 'd'` has literal names)
+            df = df.select(
+                *[
+                    F.col(c).cast(f.dataType).alias(f.name)
+                    for c, f in zip(df.columns, target.fields)
+                ]
+            )
+            return tbl.append(df)
+
+        m = re.match(
+            r"\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$", text, re.IGNORECASE
+        )
+        if m and m.group(1) in self.tables:
+            hist = self.tables[m.group(1)].history()
+            return self.spark.createDataFrame(
+                [
+                    (h["version"], h["kind"], h["n_files"], h["rows"], float(h["ts"]))
+                    for h in hist
+                ],
+                "version int, kind string, n_files int, rows long, ts double",
+            )
+
+        m = re.match(
+            r"\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+))?\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(1) in self.tables:
+            removed = self.tables[m.group(1)].vacuum(
+                retain_last=int(m.group(2)) if m.group(2) else 1
+            )
+            return self.spark.createDataFrame(
+                [(p,) for p in removed] or [], "removed_path string"
+            )
+
+        m = re.match(
+            r"\s*OPTIMIZE\s+([\w.]+)"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(1) in self.tables:
+            tbl = self.tables[m.group(1)]
+            df = tbl.read()
+            if m.group(2):
+                from bigquery_etl_spark.operators.layout import zorder_key
+
+                cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+                # per-column bounds: ONE min/max scan, 2×k floats to the
+                # driver (zorder_key rank-normalizes into 16-bit lanes)
+                stats = df.agg(
+                    *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+                    *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+                ).collect()[0]
+                bounds = [
+                    (stats[f"lo_{c}"] or 0.0, stats[f"hi_{c}"] or 0.0)
+                    for c in cols
+                ]
+                df = df.sort(zorder_key(cols, bounds))
+            # compaction target: a handful of files per current core
+            # count locally; at scale pass through OPTIMIZE repeatedly
+            # or call layout.compact_parquet_dir policies directly
+            return tbl.overwrite(df.coalesce(1))
+
         if re.match(r"\s*MERGE\s+INTO\b", text, re.IGNORECASE):
             spec = parse_merge(text)
             if spec.target not in self.tables:

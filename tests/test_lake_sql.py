@@ -162,3 +162,34 @@ def test_timestamp_as_of(spark, tmp_path):
     assert {r.k for r in rows2} == {1, 2}
     with pytest.raises(ValueError, match="no commit"):
         cat.sql("SELECT k FROM tgt TIMESTAMP AS OF '500'")
+
+
+def test_lake_ddl_surface(spark, tmp_path):
+    """r4: INSERT INTO / DESCRIBE HISTORY / OPTIMIZE [ZORDER BY] /
+    VACUUM complete the SQL lakehouse surface over the manifest store."""
+    import os
+
+    cat = _mk(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+
+    v = cat.sql("INSERT INTO tgt SELECT 3 AS k, 'c' AS v, 30 AS amt")
+    assert v == 2
+    assert cat.sql("SELECT COUNT(*) AS n FROM tgt").collect()[0].n == 3
+
+    hist = {r.version: r.kind for r in cat.sql("DESCRIBE HISTORY tgt").collect()}
+    assert hist == {1: "create", 2: "append"}
+
+    # fragment the table, then OPTIMIZE with a z-order clause
+    cat.sql("INSERT INTO tgt SELECT 4, 'd', 40")
+    v = cat.sql("OPTIMIZE tgt ZORDER BY (k, amt)")
+    assert v == 4
+    rows = {r.k for r in cat.sql("SELECT k FROM tgt").collect()}
+    assert rows == {1, 2, 3, 4}
+    # optimized commit holds ONE data file
+    assert len(cat.tables["tgt"].files()) == 1
+
+    removed = cat.sql("VACUUM tgt RETAIN 1").collect()
+    assert len(removed) > 0  # pre-optimize files dropped
+    for r in removed:
+        assert not os.path.exists(os.path.join(str(tmp_path / "tgt"), r.removed_path))
+    # table still reads after vacuum; history before retention is gone
+    assert cat.sql("SELECT COUNT(*) AS n FROM tgt").collect()[0].n == 4
