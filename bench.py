@@ -78,6 +78,13 @@ HEADLINE = [
     "q_quarantine",
     "q_heavy_hitters_cms",
     "q_hybrid_search",
+    # r4: the lakehouse SQL MERGE path (3-clause MERGE INTO through the
+    # manifest catalog — scratch fixture builds once per process,
+    # min-of-3 times the steady read path). q_time_travel /
+    # q_avro_roundtrip stay OUT of the headline deliberately: their
+    # oracles skip the versioned-read / format-round-trip work, so a
+    # spark/duck ratio there compares I/O against no-I/O.
+    "q_merge_delete",
 ]
 
 
