@@ -54,6 +54,11 @@ class VersionNotFound(Exception):
     pass
 
 
+class SchemaEvolutionError(Exception):
+    """An append's schema conflicts with the table's (type change or
+    non-additive drop would corrupt or silently lose data)."""
+
+
 def _file_stats(path: str, stat_cols: tuple[str, ...]) -> dict:
     """Row count + per-column min/max from the parquet footer only."""
     import pyarrow.parquet as pq
@@ -179,7 +184,46 @@ class VersionedTable:
         return self._commit("create", self._write_data(df), df.schema.json())
 
     def append(self, df: DataFrame) -> int:
-        return self._commit("append", self._write_data(df), df.schema.json())
+        """Append with Delta-style additive schema evolution (r4): new
+        NULLABLE columns merge into the table schema; columns absent
+        from ``df`` stay in the schema (this batch's files read NULL
+        for them — and conversely old files read NULL for new columns:
+        Spark fills missing parquet columns per explicit schema). A
+        TYPE change or a non-nullable addition raises — widening types
+        under immutable files would reinterpret old bytes, and a
+        non-nullable column can't be backfilled."""
+        merged = self._merge_schema(df.schema)
+        return self._commit("append", self._write_data(df), merged.json())
+
+    def _merge_schema(self, new: StructType) -> StructType:
+        from pyspark.sql.types import StructField
+
+        base = self.latest_version()
+        if base is None:
+            return new
+        old = StructType.fromJson(json.loads(self._load_manifest(base)["schema"]))
+        old_by_name = {f.name: f for f in old.fields}
+        for f in new.fields:
+            prev = old_by_name.get(f.name)
+            if prev is not None and prev.dataType != f.dataType:
+                raise SchemaEvolutionError(
+                    f"{self.root}: column {f.name!r} type change "
+                    f"{prev.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()} is not append-compatible "
+                    "(old immutable files would be reinterpreted); "
+                    "rewrite via overwrite/MERGE instead"
+                )
+        added = [f for f in new.fields if f.name not in old_by_name]
+        for f in added:
+            if not f.nullable:
+                raise SchemaEvolutionError(
+                    f"{self.root}: new column {f.name!r} must be nullable "
+                    "(existing rows have no value to backfill)"
+                )
+        return StructType(
+            list(old.fields)
+            + [StructField(f.name, f.dataType, True) for f in added]
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit("overwrite", self._write_data(df), df.schema.json())

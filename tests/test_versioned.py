@@ -100,3 +100,39 @@ def test_vacuum_drops_unreferenced_files(spark, tbl):
 def test_read_empty_table_raises(spark, tbl):
     with pytest.raises(VersionNotFound):
         tbl.read()
+
+
+def test_append_schema_evolution_additive_and_guarded(spark, tmp_path):
+    """r4: appends merge ADDITIVE nullable columns into the table
+    schema (both directions read NULL where a file lacks a column);
+    type changes and non-nullable additions are refused — immutable
+    old files can't be reinterpreted or backfilled."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from bigquery_etl_spark.sources.versioned import (
+        SchemaEvolutionError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "evo"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # additive: new nullable column
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"))
+    got = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # append MISSING an old column: column survives in the schema,
+    # this batch reads NULL for it (no silent drop)
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    got = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5), 3: (None, None)}
+    assert [f.name for f in t.read().schema.fields] == ["k", "v", "score"]
+
+    with pytest.raises(SchemaEvolutionError, match="type change"):
+        t.append(spark.createDataFrame([(4, 5)], "k long, v long"))
+    nn = T.StructType(
+        [T.StructField("k", T.LongType(), True),
+         T.StructField("req", T.LongType(), False)]
+    )
+    with pytest.raises(SchemaEvolutionError, match="nullable"):
+        t.append(spark.createDataFrame([(5, 6)], nn))
