@@ -57,6 +57,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource pushFilters (sources/lake_ds.py file skipping)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

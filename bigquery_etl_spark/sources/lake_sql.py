@@ -378,8 +378,9 @@ class LakeCatalog:
     then call ``sql()`` for MERGE / time travel / plain queries against
     their snapshots."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
         self.spark = spark
+        self.warehouse = warehouse  # default root dir for CTAS tables
         self.tables: dict[str, VersionedTable] = {}
 
     def register(self, name: str, table: VersionedTable) -> None:
@@ -457,7 +458,46 @@ class LakeCatalog:
           snapshot compacted (optionally z-order-clustered via
           operators/layout.zorder_key so multi-column min/max pruning
           bites), returns the new version
+        - ``ALTER TABLE t ADD COLUMN[S] (c type, ...)`` → metadata-only
+          schema commit (no file rewrite), returns the new version
+        - ``CREATE TABLE t [LOCATION '<root>'] AS <select>`` → new
+          versioned table at LOCATION (or ``<warehouse>/<name>``),
+          registered in the catalog, returns version 1
         """
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*"
+            r"(?:\((.*)\)|([^()]+?))\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(1) in self.tables:
+            from pyspark.sql.types import StructType
+
+            ddl = (m.group(2) or m.group(3)).strip()
+            return self.tables[m.group(1)].add_columns(StructType.fromDDL(ddl))
+
+        m = re.match(
+            r"\s*CREATE\s+TABLE\s+([\w.]+)\s+"
+            r"(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.*)$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            import os
+
+            name, loc, select = m.group(1), m.group(2), m.group(3)
+            if name in self.tables:
+                raise ValueError(f"lake table {name!r} already exists")
+            if loc is None:
+                if self.warehouse is None:
+                    raise ValueError(
+                        "CREATE TABLE needs LOCATION '<root>' (catalog "
+                        "has no warehouse directory)"
+                    )
+                loc = os.path.join(self.warehouse, name)
+            df = self.spark.sql(self._register_views(select))
+            self.create_table(name, loc, df)
+            return 1
         m = re.match(
             r"\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$", text, re.IGNORECASE | re.DOTALL
         )
@@ -472,11 +512,11 @@ class LakeCatalog:
                 )
             # SQL INSERT semantics: align by POSITION, adopt the table's
             # names and types (a bare `SELECT 4, 'd'` has literal names)
-            df = df.select(
-                *[
-                    F.col(c).cast(f.dataType).alias(f.name)
-                    for c, f in zip(df.columns, target.fields)
-                ]
+            # positional toDF rename first: literal selects get
+            # auto-names like `9.5` that F.col would mis-parse as a
+            # nested field reference
+            df = df.toDF(*[f.name for f in target.fields]).select(
+                *[F.col(f.name).cast(f.dataType) for f in target.fields]
             )
             return tbl.append(df)
 

@@ -225,6 +225,41 @@ class VersionedTable:
             + [StructField(f.name, f.dataType, True) for f in added]
         )
 
+    def add_columns(self, new_fields) -> int:
+        """``ALTER TABLE ADD COLUMNS``: a METADATA-ONLY commit — the
+        schema widens, zero data files are written or rewritten, and
+        every existing file reads NULL for the new columns (Spark fills
+        missing parquet columns from the explicit read schema). That is
+        the whole point of manifest-tracked schemas at 100 TB: adding a
+        column costs one JSON write, not a table rewrite. New columns
+        must be nullable and must not already exist. (DROP/RENAME are
+        deliberately absent: without field-ID column mapping a dropped
+        name re-added at a new type would reinterpret old file bytes.)
+        """
+        from pyspark.sql.types import StructField
+
+        base = self.latest_version()
+        if base is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        old = StructType.fromJson(json.loads(self._load_manifest(base)["schema"]))
+        names = {f.name for f in old.fields}
+        fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
+        for f in fields:
+            if f.name in names:
+                raise SchemaEvolutionError(
+                    f"{self.root}: column {f.name!r} already exists"
+                )
+            if not f.nullable:
+                raise SchemaEvolutionError(
+                    f"{self.root}: new column {f.name!r} must be nullable "
+                    "(existing rows have no value to backfill)"
+                )
+        merged = StructType(
+            list(old.fields)
+            + [StructField(f.name, f.dataType, True) for f in fields]
+        )
+        return self._commit("alter", [], merged.json())
+
     def overwrite(self, df: DataFrame) -> int:
         return self._commit("overwrite", self._write_data(df), df.schema.json())
 

@@ -193,3 +193,42 @@ def test_lake_ddl_surface(spark, tmp_path):
         assert not os.path.exists(os.path.join(str(tmp_path / "tgt"), r.removed_path))
     # table still reads after vacuum; history before retention is gone
     assert cat.sql("SELECT COUNT(*) AS n FROM tgt").collect()[0].n == 4
+
+
+def test_alter_add_columns_and_ctas(spark, tmp_path):
+    """r4: ALTER TABLE ADD COLUMNS is a metadata-only commit (no data
+    files written; old files read NULL for new columns) and CREATE
+    TABLE ... AS SELECT lands a new versioned table in the catalog."""
+    import os
+
+    from bigquery_etl_spark.sources.versioned import SchemaEvolutionError
+
+    cat = _mk(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+    cat.warehouse = str(tmp_path / "wh")
+
+    files_before = {e["path"] for e in cat.tables["tgt"].files()}
+    v = cat.sql("ALTER TABLE tgt ADD COLUMNS (score double, tag string)")
+    assert v == 2
+    # metadata-only: identical file set, schema widened, NULL-filled
+    assert {e["path"] for e in cat.tables["tgt"].files()} == files_before
+    rows = {r.k: (r.score, r.tag) for r in cat.sql("SELECT * FROM tgt").collect()}
+    assert rows == {1: (None, None), 2: (None, None)}
+    # single-column no-paren form; duplicate add refused
+    assert cat.sql("ALTER TABLE tgt ADD COLUMN note string") == 3
+    with pytest.raises(SchemaEvolutionError, match="already exists"):
+        cat.sql("ALTER TABLE tgt ADD COLUMN note string")
+    # appends may now fill the new column
+    cat.sql("INSERT INTO tgt SELECT 3, 'c', 30, 9.5, 'hot', NULL")
+    got = {r.k: r.score for r in cat.sql("SELECT k, score FROM tgt").collect()}
+    assert got == {1: None, 2: None, 3: 9.5}
+
+    # CTAS into the warehouse dir, then an explicit LOCATION
+    assert cat.sql("CREATE TABLE hot AS SELECT k, v FROM tgt WHERE amt >= 20") == 1
+    assert os.path.isdir(os.path.join(cat.warehouse, "hot"))
+    assert {r.k for r in cat.sql("SELECT k FROM hot").collect()} == {2, 3}
+    loc = str(tmp_path / "elsewhere")
+    cat.sql(f"CREATE TABLE cold LOCATION '{loc}' AS SELECT k FROM tgt WHERE amt < 20")
+    assert os.path.isdir(loc)
+    assert {r.k for r in cat.sql("SELECT k FROM cold").collect()} == {1}
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE hot AS SELECT 1 AS x")
