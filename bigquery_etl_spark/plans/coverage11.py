@@ -413,3 +413,62 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snaps[1:]:
         out = out.unionByName(s)
     return out
+
+
+_PRUNE_MAXK: dict[str, int] = {}
+
+
+@query(
+    "q_lake_prune",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey > (3 * (SELECT MAX(o_orderkey) FROM orders)) // 4
+    """,
+    tags=("lakehouse", "versioned", "source"),
+)
+def q_lake_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-pushdown FILE SKIPPING through the `versioned_lake`
+    Python DataSource (sources/lake_ds.py): orders is committed as four
+    key-range-disjoint files with o_orderkey manifest stats, then read
+    with a plain ``.where(o_orderkey > 3·max/4)`` — Catalyst hands the
+    conjunct to pushFilters and only the top-quartile file becomes an
+    InputPartition (the other three are never opened). The oracle runs
+    the same predicate+aggregate on the raw table, proving skip-reads
+    lose nothing. This is the plan-integrated version of
+    VersionedTable.read(prune=...) — the Delta data-skipping surface a
+    100 TB incremental consumer actually uses."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_ds import VersionedLakeDataSource
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    if sf_dir not in _PRUNE_MAXK:
+        _PRUNE_MAXK[sf_dir] = o.agg(F.max("o_orderkey")).collect()[0][0]
+    maxk = _PRUNE_MAXK[sf_dir]
+    quarters = [(maxk * q) // 4 for q in range(5)]
+
+    def _build(path: str) -> None:
+        t = VersionedTable(spark, path, stat_cols=("o_orderkey",))
+        for i, (lo, hi) in enumerate(zip(quarters, quarters[1:])):
+            part = o.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1)
+            t.create(part) if i == 0 else t.append(part)
+
+    root = scratch_build(f"vtbl_prune:{sf_dir}", "vtbl_pr_", _build)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(VersionedLakeDataSource)
+    return (
+        spark.read.format("versioned_lake")
+        .option("path", root)
+        .load()
+        .where(F.col("o_orderkey") > quarters[3])
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
