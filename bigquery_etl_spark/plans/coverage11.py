@@ -452,9 +452,13 @@ def q_lake_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(path: str) -> None:
         t = VersionedTable(spark, path, stat_cols=("o_orderkey",))
         for i, (lo, hi) in enumerate(zip(quarters, quarters[1:])):
+            # repartitionByRange, not coalesce(1): files WITHIN a commit
+            # also get disjoint key ranges, so writes stay parallel and
+            # pruning still drops whole files — the layout a real
+            # ingest would produce (sort/cluster by the skip key)
             part = o.filter(
                 (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
-            ).coalesce(1)
+            ).repartitionByRange(2, "o_orderkey")
             t.create(part) if i == 0 else t.append(part)
 
     root = scratch_build(f"vtbl_prune:{sf_dir}", "vtbl_pr_", _build)

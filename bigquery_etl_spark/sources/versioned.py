@@ -191,9 +191,25 @@ class VersionedTable:
         Spark fills missing parquet columns per explicit schema). A
         TYPE change or a non-nullable addition raises — widening types
         under immutable files would reinterpret old bytes, and a
-        non-nullable column can't be backfilled."""
+        non-nullable column can't be backfilled.
+
+        Concurrent appends RETRY instead of failing: an append commutes
+        with any other append (it only adds files), so on a version
+        race the loser re-resolves the new head, re-merges schemas, and
+        re-links its already-written data files — no data rewrite, the
+        Delta protocol's blind-append rule. Non-commuting commits
+        (create/overwrite/upsert/alter) still surface CommitConflict to
+        the caller, who must re-read the new snapshot."""
         merged = self._merge_schema(df.schema)
-        return self._commit("append", self._write_data(df), merged.json())
+        files = self._write_data(df)
+        last: CommitConflict | None = None
+        for _ in range(8):
+            try:
+                return self._commit("append", files, merged.json())
+            except CommitConflict as e:
+                last = e
+                merged = self._merge_schema(merged)  # vs the new head
+        raise last
 
     def _merge_schema(self, new: StructType) -> StructType:
         from pyspark.sql.types import StructField

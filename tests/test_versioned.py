@@ -136,3 +136,30 @@ def test_append_schema_evolution_additive_and_guarded(spark, tmp_path):
     )
     with pytest.raises(SchemaEvolutionError, match="nullable"):
         t.append(spark.createDataFrame([(5, 6)], nn))
+
+
+def test_concurrent_append_retries_and_succeeds(spark, tmp_path, monkeypatch):
+    """r4: appends commute, so a version race retries with the
+    already-written files instead of failing (Delta blind-append)."""
+    from bigquery_etl_spark.sources.versioned import CommitConflict, VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "race"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+
+    real = VersionedTable._commit
+    state = {"raced": False}
+
+    def flaky(self, kind, files, schema):
+        if kind == "append" and not state["raced"]:
+            state["raced"] = True
+            # a racing writer lands an append first, then our link fails
+            real(t2, "append", t2._write_data(
+                spark.createDataFrame([(2,)], "k long")), schema)
+            raise CommitConflict("simulated os.link race")
+        return real(self, kind, files, schema)
+
+    t2 = VersionedTable(spark, str(tmp_path / "race"))
+    monkeypatch.setattr(VersionedTable, "_commit", flaky)
+    v = t.append(spark.createDataFrame([(3,)], "k long"))
+    assert v == 3  # landed AFTER the racing writer's v2
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
