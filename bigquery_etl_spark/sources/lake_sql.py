@@ -553,8 +553,24 @@ class LakeCatalog:
             re.IGNORECASE,
         )
         if m and m.group(1) in self.tables:
+            import math
+
             tbl = self.tables[m.group(1)]
             df = tbl.read()
+            # target file count from MANIFEST bytes (no data scan):
+            # one file per ~maxPartitionBytes keeps compaction output
+            # aligned with scan-split and file-skip granularity at any
+            # table size — coalesce(1) would serialize a 100 TB rewrite
+            # through one task and destroy skip parallelism
+            raw = self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            ).lower()
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+            raw = raw.rstrip("b")
+            mult = units.get(raw[-1:], 1)
+            max_bytes = int(raw.rstrip("kmg") or "134217728") * mult
+            total = sum(e["bytes"] for e in tbl.files())
+            target = max(1, math.ceil(total / max_bytes))
             if m.group(2):
                 from bigquery_etl_spark.operators.layout import zorder_key
 
@@ -569,11 +585,13 @@ class LakeCatalog:
                     (stats[f"lo_{c}"] or 0.0, stats[f"hi_{c}"] or 0.0)
                     for c in cols
                 ]
-                df = df.sort(zorder_key(cols, bounds))
-            # compaction target: a handful of files per current core
-            # count locally; at scale pass through OPTIMIZE repeatedly
-            # or call layout.compact_parquet_dir policies directly
-            return tbl.overwrite(df.coalesce(1))
+                zk = zorder_key(cols, bounds)
+                # range-partition on the z-key, sort within: same
+                # clustering as a global sort, file count controlled
+                df = df.repartitionByRange(target, zk).sortWithinPartitions(zk)
+            else:
+                df = df.coalesce(target)  # merge-only, no shuffle
+            return tbl.overwrite(df)
 
         if re.match(r"\s*MERGE\s+INTO\b", text, re.IGNORECASE):
             spec = parse_merge(text)

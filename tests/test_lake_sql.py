@@ -232,3 +232,21 @@ def test_alter_add_columns_and_ctas(spark, tmp_path):
     assert {r.k for r in cat.sql("SELECT k FROM cold").collect()} == {1}
     with pytest.raises(ValueError, match="already exists"):
         cat.sql("CREATE TABLE hot AS SELECT 1 AS x")
+
+
+def test_optimize_sizes_file_count_from_manifest_bytes(spark, tmp_path):
+    """r4: OPTIMIZE targets ~maxPartitionBytes per output file (from
+    manifest byte totals, no data scan) instead of coalesce(1) — at
+    scale a single-task rewrite would serialize the table and destroy
+    skip/scan parallelism."""
+    cat = _mk(spark, tmp_path, [(i, f"v{i:06d}", i * 3) for i in range(20000)])
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32768b")
+    try:
+        cat.sql("OPTIMIZE tgt ZORDER BY (k, amt)")
+        files = cat.tables["tgt"].files()
+        assert len(files) > 1  # sized by bytes/target, not collapsed
+        assert sum(f["rows"] for f in files) == 20000
+        assert cat.sql("SELECT COUNT(DISTINCT k) AS n FROM tgt").collect()[0].n == 20000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
