@@ -124,10 +124,17 @@ def pack_sequences(
         bounds = _quantile_bounds(base, id_col, n_buckets)
     if bounds is not None:
         # single-shuffle path: the window's hash exchange on __bkt is
-        # the only data-sized movement
-        bucketed = base.withColumn(
-            "__bkt", _bucket_of(F.col(id_col).cast("double"), bounds)
+        # the only data-sized movement. Mirror _quantile_bounds'
+        # conversion: DateType has no direct cast to double, so go via
+        # timestamp first (same dtype check as the probe).
+        from pyspark.sql.types import DateType
+
+        id_num = (
+            F.col(id_col).cast("timestamp").cast("double")
+            if isinstance(base.schema[id_col].dataType, DateType)
+            else F.col(id_col).cast("double")
         )
+        bucketed = base.withColumn("__bkt", _bucket_of(id_num, bounds))
     else:
         # non-numeric ids: range-shuffle fallback (the window adds a
         # second, bucket-clustering exchange)

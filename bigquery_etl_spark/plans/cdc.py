@@ -279,3 +279,102 @@ def q_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("total_cents") / 100.0).alias("total_price"),
     )
+
+
+@query(
+    "q_change_feed_stream",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM base WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert', CAST(3 AS BIGINT)
+    FROM base WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete', CAST(3 AS BIGINT)
+    FROM base WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'update_preimage', CAST(3 AS BIGINT)
+    FROM base
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+      AND o_orderkey % 7 = 0 AND o_orderstatus <> 'X'
+    UNION ALL
+    SELECT o_orderkey, 'X', o_totalprice, 'update_postimage', CAST(3 AS BIGINT)
+    FROM base
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+      AND o_orderkey % 7 = 0 AND o_orderstatus <> 'X'
+    """,
+    tags=("cdc", "lakehouse", "streaming"),
+)
+def q_change_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-feed source over the versioned lake (r5):
+    ``readStream.format("versioned_lake").option("readChangeFeed",
+    "true")`` — offsets are TABLE VERSIONS, each micro-batch fans out
+    one task per change file (appends stream their added files as
+    inserts; rewrites stream the diff captured at commit time), so no
+    join and no driver-side data movement at read time. This is the
+    reference's 15-second poll loop (ref main.py:197-216) replaced by a
+    commit-log subscription — Delta's ``readChangeFeed`` pattern on the
+    manifest protocol.
+
+    Fixture (process-cached): v1 create (even orderkeys) →
+    v2 enable_change_feed → v3 overwrite (drop %5 keys, flag %7 keys
+    'X', insert odd %3 keys). The streamed rows are exactly v1's
+    inserts plus v3's captured diff — the oracle spells both out in
+    closed form; checkpoint + memory sink are per-invocation scratch."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_ds import VersionedLakeDataSource
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        old = o.filter(F.col("o_orderkey") % 2 == 0)
+        new = old.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        ).unionByName(
+            o.filter(
+                (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0)
+            )
+        )
+        t = VersionedTable(spark, path)
+        t.create(old)
+        t.enable_change_feed(["o_orderkey"])
+        t.overwrite(new)
+
+    root = scratch_build(f"cdf_stream:{sf_dir}", "vtbl_cdfs_", _build)
+    spark.dataSource.register(VersionedLakeDataSource)
+    name = f"cdf_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="cdfs_ckpt_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    q = (
+        spark.readStream.format("versioned_lake")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "_change_type", "_commit_version",
+    )

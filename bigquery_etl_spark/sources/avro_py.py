@@ -316,17 +316,33 @@ def _base_decoder(dt: T.DataType):
 # -- OCF ---------------------------------------------------------------------
 
 
-def _header(schema_json: str) -> bytes:
+def _header(schema_json: str, codec: str = "null") -> bytes:
     buf = io.BytesIO()
     buf.write(MAGIC)
     _w_long(buf, 2)  # metadata map: one block of 2 entries
     _w_bytes(buf, b"avro.schema")
     _w_bytes(buf, schema_json.encode("utf-8"))
     _w_bytes(buf, b"avro.codec")
-    _w_bytes(buf, b"null")
+    _w_bytes(buf, codec.encode())
     _w_long(buf, 0)  # map terminator
     buf.write(SYNC)
     return buf.getvalue()
+
+
+# Avro `deflate` codec = raw DEFLATE (RFC 1951): no zlib header, no
+# checksum — hence wbits=-15 on both sides (Avro spec §Object Container
+# Files / Required Codecs).
+def _deflate(data: bytes) -> bytes:
+    import zlib
+
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    return c.compress(data) + c.flush()
+
+
+def _inflate(data: bytes) -> bytes:
+    import zlib
+
+    return zlib.decompress(data, -15)
 
 
 def _read_header(mv: memoryview) -> tuple[dict, bytes, int]:
@@ -351,13 +367,26 @@ def _read_header(mv: memoryview) -> tuple[dict, bytes, int]:
     return meta, sync, pos + 16
 
 
-def write_avro(df: DataFrame, path: str, rows_per_block: int = 4096) -> None:
+def write_avro(
+    df: DataFrame,
+    path: str,
+    rows_per_block: int = 4096,
+    codec: str = "null",
+) -> None:
     """Write ``df`` as a directory of Avro OCF part files (one per
-    partition, encoded on the executors)."""
+    partition, encoded on the executors). ``codec``: ``"null"`` or
+    ``"deflate"`` (raw-DEFLATE block compression per the Avro spec)."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(
+            f"avro_py writes codec=null|deflate, not {codec!r}"
+        )
     os.makedirs(path, exist_ok=True)
     schema = df.schema
     schema_json = json.dumps(_record_schema(schema, "spark_row"))
-    encs = [(f.name, _encoder(f.dataType, f.nullable)) for f in schema.fields]
+    encs = [
+        (f.name, _encoder(f.dataType, f.nullable), f.nullable)
+        for f in schema.fields
+    ]
 
     def write_part(batches):
         import uuid
@@ -367,29 +396,46 @@ def write_avro(df: DataFrame, path: str, rows_per_block: int = 4096) -> None:
         out_path = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
         n_rows = 0
         with open(out_path, "wb") as fh:
-            fh.write(_header(schema_json))
+            fh.write(_header(schema_json, codec))
             block = io.BytesIO()
             block_n = 0
 
             def flush():
                 nonlocal block, block_n
                 if block_n:
+                    payload = block.getvalue()
+                    if codec == "deflate":
+                        payload = _deflate(payload)
                     head = io.BytesIO()
                     _w_long(head, block_n)
-                    _w_long(head, block.tell())
+                    _w_long(head, len(payload))
                     fh.write(head.getvalue())
-                    fh.write(block.getvalue())
+                    fh.write(payload)
                     fh.write(SYNC)
                     block, block_n = io.BytesIO(), 0
 
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    for (fname, enc), v in zip(encs, row):
-                        is_null = v is None or (
-                            isinstance(v, float) and v != v
-                        ) or (hasattr(v, "__class__") and v.__class__.__name__ == "NaTType")
-                        if is_null:
+                    for (fname, enc, nullable), v in zip(encs, row):
+                        # Arrow hands Spark NULLs to pandas as None/NaT,
+                        # or NaN for float64 columns — for a NULLABLE
+                        # field all three mean NULL (the NaN case is the
+                        # unavoidable pandas-float ambiguity). For a
+                        # non-nullable field, NaN is a real double value
+                        # and None/NaT is a contract violation worth a
+                        # clear error, not an opaque encoder TypeError.
+                        is_nan = isinstance(v, float) and v != v
+                        is_missing = v is None or (
+                            hasattr(v, "__class__")
+                            and v.__class__.__name__ == "NaTType"
+                        )
+                        if nullable and (is_missing or is_nan):
                             enc(block, None)
+                        elif is_missing:
+                            raise ValueError(
+                                f"NULL value in non-nullable Avro field "
+                                f"{fname!r} (row {n_rows})"
+                            )
                         else:
                             enc(block, v)
                     block_n += 1
@@ -419,11 +465,37 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         meta, _, _ = _read_header(memoryview(fh.read()))
     avro_schema = json.loads(meta["avro.schema"].decode())
     spark_schema, _ = _spark_type(avro_schema)
-    if meta.get("avro.codec", b"null") not in (b"null", b""):
-        raise NotImplementedError("avro_py reads codec=null files only")
+    codec = meta.get("avro.codec", b"null") or b"null"
+    if codec not in (b"null", b"deflate"):
+        raise NotImplementedError(
+            f"avro_py reads codec=null|deflate files only, not {codec!r}"
+        )
     decs = [
         (f.name, _decoder(f.dataType, f.nullable)) for f in spark_schema.fields
     ]
+    # Plain float64 pandas columns lose the NaN-vs-NULL distinction at
+    # the Arrow boundary (from_pandas maps NaN -> null); the masked
+    # Float64/Float32 extension dtypes keep NaN a VALUE and None a null,
+    # so decoded NaNs survive — incl. in non-nullable columns, where a
+    # spurious null would crash the scan.
+    _float_dtype = {
+        f.name: ("float64" if isinstance(f.dataType, T.DoubleType) else "float32")
+        for f in spark_schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    }
+
+    def _masked_float(vals, np_dtype):
+        # pd.array() would coerce NaN inputs to NA too — the explicit
+        # mask constructor is the only way to keep decoded NaN a value
+        # while None stays a null.
+        import numpy as np
+        import pandas as pd
+
+        data = np.array(
+            [float("nan") if v is None else v for v in vals], dtype=np_dtype
+        )
+        mask = np.array([v is None for v in vals], dtype=bool)
+        return pd.arrays.FloatingArray(data, mask)
 
     def decode(batches):
         import pandas as pd
@@ -431,18 +503,33 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for _, file_row in pdf.iterrows():
                 mv = memoryview(bytes(file_row["content"]))
-                _, sync, pos = _read_header(mv)
+                meta_f, sync, pos = _read_header(mv)
+                codec_f = meta_f.get("avro.codec", b"null") or b"null"
                 cols = {name: [] for name, _ in decs}
                 while pos < len(mv):
                     n, pos = _r_long(mv, pos)
-                    _, pos = _r_long(mv, pos)  # block byte size
+                    size, pos = _r_long(mv, pos)  # block byte size
+                    block = mv[pos : pos + size]  # zero-copy slice
+                    pos += size
+                    if codec_f == b"deflate":
+                        block = memoryview(_inflate(bytes(block)))
+                    bpos = 0
                     for _ in range(n):
                         for name, dec in decs:
-                            v, pos = dec(mv, pos)
+                            v, bpos = dec(block, bpos)
                             cols[name].append(v)
                     assert bytes(mv[pos : pos + 16]) == sync, "sync mismatch"
                     pos += 16
-                yield pd.DataFrame(cols)
+                yield pd.DataFrame(
+                    {
+                        name: (
+                            _masked_float(vals, _float_dtype[name])
+                            if name in _float_dtype
+                            else vals
+                        )
+                        for name, vals in cols.items()
+                    }
+                )
 
     binary = spark.read.format("binaryFile").load(files)
     return binary.select("content").mapInPandas(decode, spark_schema)

@@ -42,6 +42,7 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -51,21 +52,25 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def _latest_version(root: str) -> int:
+    mdir = os.path.join(root, "_manifests")
+    versions = [
+        int(f[1:9])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    if not versions:
+        raise FileNotFoundError(f"{root}: empty versioned table")
+    return max(versions)
 
 
 def _load_manifest(root: str, version: int | None) -> dict:
-    mdir = os.path.join(root, "_manifests")
     if version is None:
-        versions = [
-            int(f[1:9])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        if not versions:
-            raise FileNotFoundError(f"{root}: empty versioned table")
-        version = max(versions)
-    with open(os.path.join(mdir, f"v{version:08d}.json")) as f:
+        version = _latest_version(root)
+    with open(os.path.join(root, "_manifests", f"v{version:08d}.json")) as f:
         return json.load(f)
 
 
@@ -144,13 +149,10 @@ class VersionedLakeReader(DataSourceReader):
 
         from pyspark.sql.pandas.types import to_arrow_type
 
+        present = set(pq.read_schema(partition.path).names)
         tbl = pq.read_table(
             partition.path,
-            columns=[
-                f.name
-                for f in self.schema.fields
-                if f.name in pq.read_schema(partition.path).names
-            ],
+            columns=[f.name for f in self.schema.fields if f.name in present],
         )
         cols = []
         for f in self.schema.fields:
@@ -162,19 +164,223 @@ class VersionedLakeReader(DataSourceReader):
         yield from pa.table(cols, names=[f.name for f in self.schema.fields]).to_batches()
 
 
+def _opt(options: dict, name: str, default=None):
+    """Python DataSource options arrive through a case-insensitive map
+    whose exact casing differs by call path — accept both spellings."""
+    v = options.get(name)
+    if v is None:
+        v = options.get(name.lower())
+    return default if v is None else v
+
+
+CHANGE_FIELDS = [
+    StructField("_change_type", StringType(), False),
+    StructField("_commit_version", LongType(), False),
+]
+
+
+def _change_schema(root: str, version: int) -> StructType:
+    m = _load_manifest(root, version)
+    base = StructType.fromJson(json.loads(m["schema"]))
+    return StructType(list(base.fields) + CHANGE_FIELDS)
+
+
+class _ChangePartition(InputPartition):
+    """One CDF parquet file (or one appended data file) of one commit.
+    ``const_type`` is set for append/create files (every row is an
+    insert); None means the file carries its own ``_change_type``
+    column (write-time captured diff)."""
+
+    def __init__(self, path: str | None, version: int, const_type: str | None):
+        self.path = path
+        self.version = version
+        self.const_type = const_type
+
+
+def _change_partitions(root: str, v_lo: int, v_hi: int) -> list[_ChangePartition]:
+    """Plan file partitions for commits v_lo..v_hi inclusive — manifest
+    reads only, no data I/O, no join: appends contribute their added
+    files as inserts, rewrites contribute their captured ``_changes``
+    files, metadata-only commits contribute nothing."""
+    from bigquery_etl_spark.sources.versioned import ChangeFeedUnavailable
+
+    parts: list[_ChangePartition] = []
+    for v in range(v_lo, v_hi + 1):
+        m = _load_manifest(root, v)
+        if m["kind"] in ("create", "append"):
+            parent_paths = (
+                {e["path"] for e in _load_manifest(root, m["parent"])["files"]}
+                if m.get("parent")
+                else set()
+            )
+            parts.extend(
+                _ChangePartition(os.path.join(root, e["path"]), v, "insert")
+                for e in m["files"]
+                if e["path"] not in parent_paths
+            )
+        elif m.get("changes") is not None:
+            parts.extend(
+                _ChangePartition(os.path.join(root, e["path"]), v, None)
+                for e in m["changes"]
+            )
+        elif m["kind"] != "alter":
+            raise ChangeFeedUnavailable(
+                f"{root}: v{v} is a {m['kind']} commit with no captured "
+                "change set (enable_change_feed was off when it committed)"
+            )
+    return parts
+
+
+def _read_change_partition(partition: _ChangePartition, schema: StructType):
+    """Executor-side: stream one change file as Arrow batches padded to
+    the stream schema (older files NULL-fill younger columns, exactly
+    like the snapshot reader)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    if partition.path is None:  # planner sentinel for an empty range
+        return
+    present = set(pq.read_schema(partition.path).names)
+    table_fields = [f for f in schema.fields if f.name not in
+                    ("_change_type", "_commit_version")]
+    tbl = pq.read_table(
+        partition.path,
+        columns=[f.name for f in table_fields if f.name in present]
+        + (["_change_type"] if partition.const_type is None else []),
+    )
+    cols = []
+    for f in table_fields:
+        at = to_arrow_type(f.dataType)
+        if f.name in tbl.schema.names:
+            cols.append(tbl.column(f.name).cast(at))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, type=at))
+    n = tbl.num_rows
+    if partition.const_type is not None:
+        ct = pa.chunked_array([pa.array([partition.const_type] * n)])
+    else:
+        ct = tbl.column("_change_type").cast(pa.string())
+    cols.append(ct)
+    cols.append(pa.chunked_array([pa.array([partition.version] * n, type=pa.int64())]))
+    yield from pa.table(
+        cols, names=[f.name for f in table_fields] + ["_change_type", "_commit_version"]
+    ).to_batches()
+
+
+class VersionedLakeChangesBatchReader(DataSourceReader):
+    """Batch ``readChangeFeed``: options startingVersion (default 1),
+    endingVersion (default latest)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.root = _opt(options, "path")
+        self.schema = schema
+        self.v_lo = int(_opt(options, "startingVersion", 1))
+        self.v_hi = int(_opt(options, "endingVersion", _latest_version(self.root)))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _change_partitions(self.root, self.v_lo, self.v_hi) or [
+            _ChangePartition(None, 0, None)
+        ]
+
+    def read(self, partition: _ChangePartition):
+        yield from _read_change_partition(partition, self.schema)
+
+
+class VersionedLakeStreamReader(DataSourceStreamReader):
+    """Streaming change feed: offsets are TABLE VERSIONS; each
+    micro-batch is the change rows of the commits in (start, end].
+
+    This is the reference's poll loop (ref main.py:197-216) done right:
+    instead of re-querying for "new rows since cursor", consumers
+    subscribe to the commit log itself — restarts replay from the
+    checkpointed version exactly-once (same offsets → same manifests →
+    same immutable files), and each micro-batch fans out as one task
+    per change file, no driver-side data movement.
+
+    options: startingVersion — first version to emit (default: the
+    version AFTER the latest at stream start, i.e. only new commits,
+    Delta's default)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.root = _opt(options, "path")
+        self.schema = schema
+        sv = _opt(options, "startingVersion")
+        if sv is None:
+            try:
+                self.start_after = _latest_version(self.root)
+            except FileNotFoundError:
+                self.start_after = 0
+        else:
+            self.start_after = int(sv) - 1
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_after}
+
+    def latestOffset(self) -> dict:
+        try:
+            head = _latest_version(self.root)
+        except FileNotFoundError:
+            head = self.start_after
+        return {"version": max(head, self.start_after)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return _change_partitions(
+            self.root, int(start["version"]) + 1, int(end["version"])
+        ) or [_ChangePartition(None, 0, None)]
+
+    def read(self, partition: _ChangePartition):
+        yield from _read_change_partition(partition, self.schema)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class VersionedLakeDataSource(DataSource):
-    """format("versioned_lake"): options path (required), version."""
+    """format("versioned_lake"): options path (required), version.
+
+    The version is resolved ONCE per load (here, not in the reader):
+    ``schema()`` and ``reader()`` would otherwise each resolve "latest"
+    independently, and a commit landing between the two calls could pair
+    one version's schema with another version's file list."""
 
     @classmethod
     def name(cls) -> str:
         return "versioned_lake"
 
+    def _pinned_version(self) -> int:
+        if not hasattr(self, "_pinned"):
+            v = self.options.get("version")
+            self._pinned = (
+                int(v) if v is not None else _latest_version(self.options["path"])
+            )
+        return self._pinned
+
+    def _read_changes(self) -> bool:
+        return str(_opt(self.options, "readChangeFeed", "false")).lower() == "true"
+
     def schema(self) -> StructType:
-        m = _load_manifest(
-            self.options["path"],
-            int(self.options["version"]) if "version" in self.options else None,
-        )
+        if self._read_changes():
+            return _change_schema(_opt(self.options, "path"), self._pinned_version())
+        m = _load_manifest(_opt(self.options, "path"), self._pinned_version())
         return StructType.fromJson(json.loads(m["schema"]))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return VersionedLakeReader(self.options, schema)
+        opts = dict(self.options, version=self._pinned_version())
+        if self._read_changes():
+            return VersionedLakeChangesBatchReader(opts, schema)
+        return VersionedLakeReader(opts, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        """readStream.format("versioned_lake"): the change-feed stream.
+        Requires ``option("readChangeFeed", "true")`` (same spelling as
+        Delta) so the planned schema carries the change columns —
+        snapshot streaming is not offered: a stream over a versioned
+        table IS its commit log."""
+        if not self._read_changes():
+            raise ValueError(
+                "versioned_lake streaming requires .option('readChangeFeed', "
+                "'true'): the stream emits per-commit change rows "
+                "(_change_type, _commit_version), not snapshots"
+            )
+        return VersionedLakeStreamReader(self.options, schema)

@@ -59,6 +59,14 @@ class SchemaEvolutionError(Exception):
     non-additive drop would corrupt or silently lose data)."""
 
 
+class ChangeFeedUnavailable(Exception):
+    """A commit in the requested range has no change information: it
+    rewrote data (overwrite/upsert) before ``enable_change_feed`` was
+    turned on for the table — same contract as Delta, where
+    ``readChangeFeed`` errors for versions predating the table
+    property."""
+
+
 def _file_stats(path: str, stat_cols: tuple[str, ...]) -> dict:
     """Row count + per-column min/max from the parquet footer only."""
     import pyarrow.parquet as pq
@@ -119,11 +127,19 @@ class VersionedTable:
             return json.load(f)
 
     def history(self) -> list[dict]:
-        """Commit log, oldest first (version, kind, n files, rows, ts)."""
+        """Commit log, oldest first (version, kind, n files, rows, ts).
+
+        Starts at the oldest SURVIVING manifest — VACUUM may have
+        removed manifests older than the retention cutoff, and DESCRIBE
+        HISTORY / TIMESTAMP AS OF must keep working afterwards (Delta
+        behaves the same way)."""
         out = []
         latest = self.latest_version()
         for v in range(1, (latest or 0) + 1):
-            m = self._load_manifest(v)
+            try:
+                m = self._load_manifest(v)
+            except VersionNotFound:
+                continue  # vacuumed-away prefix
             out.append(
                 {
                     "version": v,
@@ -137,9 +153,9 @@ class VersionedTable:
 
     # -- commit protocol -----------------------------------------------------
 
-    def _write_data(self, df: DataFrame) -> list[dict]:
+    def _write_data(self, df: DataFrame, subdir: str = "data") -> list[dict]:
         commit_id = uuid.uuid4().hex
-        out_dir = os.path.join(self._data_dir, commit_id)
+        out_dir = os.path.join(self.root, subdir, commit_id)
         df.write.parquet(out_dir)
         entries = []
         for name in sorted(os.listdir(out_dir)):
@@ -147,15 +163,24 @@ class VersionedTable:
                 continue
             full = os.path.join(out_dir, name)
             entry = _file_stats(full, self.stat_cols)
-            entry["path"] = os.path.join("data", commit_id, name)
+            entry["path"] = os.path.join(subdir, commit_id, name)
             entries.append(entry)
         return entries
 
-    def _commit(self, kind: str, new_files: list[dict], schema_json: str) -> int:
+    def _commit(
+        self,
+        kind: str,
+        new_files: list[dict],
+        schema_json: str,
+        change_files: list[dict] | None = None,
+        props: dict | None = None,
+    ) -> int:
         base = self.latest_version()
         if kind == "create" and base is not None:
             raise CommitConflict(f"{self.root}: already exists at v{base}")
         carried = [] if kind in ("create", "overwrite") else self._load_manifest(base)["files"]
+        if props is None:
+            props = self._load_manifest(base).get("props", {}) if base else {}
         version = (base or 0) + 1
         manifest = {
             "version": version,
@@ -164,6 +189,12 @@ class VersionedTable:
             "schema": schema_json,
             "ts": time.time(),
             "files": carried + new_files,
+            "props": props,
+            # `changes`: parquet files holding this commit's CDF rows
+            # (table cols + _change_type), written BEFORE the manifest
+            # link so a visible version always has its change set.
+            # null = not captured; [] = captured, commit changed nothing.
+            "changes": change_files,
         }
         os.makedirs(self._manifest_dir, exist_ok=True)
         tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex}")
@@ -277,7 +308,12 @@ class VersionedTable:
         return self._commit("alter", [], merged.json())
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit("overwrite", self._write_data(df), df.schema.json())
+        return self._commit(
+            "overwrite",
+            self._write_data(df),
+            df.schema.json(),
+            change_files=self._capture_changes(df),
+        )
 
     def upsert(self, updates: DataFrame, keys: list[str]) -> int:
         """MERGE: same-key rows replaced, others carried over. Current
@@ -287,7 +323,142 @@ class VersionedTable:
         from bigquery_etl_spark.operators.merge import upsert_dataframe
 
         merged = upsert_dataframe(self.read(), updates, keys)
-        return self._commit("overwrite", self._write_data(merged), merged.schema.json())
+        return self._commit(
+            "overwrite",
+            self._write_data(merged),
+            merged.schema.json(),
+            change_files=self._capture_changes(merged),
+        )
+
+    # -- change data feed ----------------------------------------------------
+
+    def enable_change_feed(self, keys: list[str]) -> int:
+        """Turn on write-time CDF capture (Delta's
+        ``delta.enableChangeDataFeed`` table property, keyed):
+        metadata-only commit recording the diff keys. From the next
+        commit on, every data-rewriting commit (overwrite/upsert) also
+        persists its change rows (table columns + ``_change_type``)
+        under ``_changes/`` inside the same atomic commit, so consumers
+        read changes as plain parquet — no join at read time, the 100 TB
+        path. Appends need no capture: their change set IS the appended
+        files."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        m = self._load_manifest(base)
+        props = dict(m.get("props", {}), cdf_keys=list(keys))
+        return self._commit("alter", [], m["schema"], props=props)
+
+    def _cdf_keys(self) -> list[str] | None:
+        base = self.latest_version()
+        if base is None:
+            return None
+        return self._load_manifest(base).get("props", {}).get("cdf_keys")
+
+    def _capture_changes(self, new_df: DataFrame) -> list[dict] | None:
+        """Diff the incoming snapshot against the current one and spill
+        the change rows as parquet (one keyed full-outer join AT WRITE
+        TIME — the read path then never joins). None when CDF is off or
+        the table is empty. Sides are NULL-padded to the union schema so
+        an overwrite that also widens the schema still captures."""
+        keys = self._cdf_keys()
+        if not keys:
+            return None
+        base = self.latest_version()
+        if base is None:
+            return None
+        from pyspark.sql import functions as F
+
+        from bigquery_etl_spark.operators.merge import snapshot_diff
+
+        old = self.read(version=base)
+        new = new_df
+        for f in new.schema.fields:
+            if f.name not in old.columns:
+                old = old.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        for f in old.schema.fields:
+            if f.name not in new.columns:
+                new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return self._write_data(snapshot_diff(old, new, keys), subdir="_changes")
+
+    def changes_for_version(self, version: int) -> DataFrame:
+        """This commit's change rows: table columns at that version plus
+        ``_change_type`` and ``_commit_version``."""
+        from pyspark.sql import functions as F
+
+        m = self._load_manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+
+        def _tag(df: DataFrame) -> DataFrame:
+            return df.withColumn("_commit_version", F.lit(version).cast("long"))
+
+        if m["kind"] in ("create", "append"):
+            parent_paths = (
+                {e["path"] for e in self._load_manifest(m["parent"])["files"]}
+                if m.get("parent")
+                else set()
+            )
+            added = [e for e in m["files"] if e["path"] not in parent_paths]
+            if not added:
+                base = self.spark.createDataFrame([], schema)
+            else:
+                base = self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.root, e["path"]) for e in added]
+                )
+            return _tag(base.withColumn("_change_type", F.lit("insert")))
+        if m.get("changes") is not None:
+            from pyspark.sql.types import StringType, StructField
+
+            cschema = StructType(
+                list(schema.fields) + [StructField("_change_type", StringType(), False)]
+            )
+            if not m["changes"]:
+                return _tag(self.spark.createDataFrame([], cschema))
+            return _tag(
+                self.spark.read.schema(cschema).parquet(
+                    *[os.path.join(self.root, e["path"]) for e in m["changes"]]
+                )
+            )
+        if m["kind"] == "alter":  # metadata-only: no data changed
+            from pyspark.sql.types import StringType, StructField
+
+            return _tag(
+                self.spark.createDataFrame(
+                    [],
+                    StructType(
+                        list(schema.fields)
+                        + [StructField("_change_type", StringType(), False)]
+                    ),
+                )
+            )
+        raise ChangeFeedUnavailable(
+            f"{self.root}: v{version} is a {m['kind']} commit with no "
+            "captured change set (enable_change_feed was off when it "
+            "committed)"
+        )
+
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change feed across a commit range [v_from, v_to] (inclusive;
+        v_to defaults to latest) — the batch twin of the
+        ``versioned_lake`` streaming reader. Schemas are aligned by
+        name with NULL padding (additive evolution mid-range)."""
+        if v_to is None:
+            v_to = self.latest_version()
+            if v_to is None:
+                raise VersionNotFound(f"{self.root}: empty table")
+        out = None
+        for v in range(v_from, v_to + 1):
+            part = self.changes_for_version(v)
+            out = (
+                part
+                if out is None
+                else out.unionByName(part, allowMissingColumns=True)
+            )
+        if out is None:
+            raise VersionNotFound(f"{self.root}: empty range v{v_from}..v{v_to}")
+        return out
 
     # -- read path -----------------------------------------------------------
 
@@ -350,22 +521,26 @@ class VersionedTable:
         cutoff = max(1, latest - retain_last + 1)
         keep: set[str] = set()
         for v in range(cutoff, latest + 1):
-            keep.update(e["path"] for e in self._load_manifest(v)["files"])
+            m = self._load_manifest(v)
+            keep.update(e["path"] for e in m["files"])
+            keep.update(e["path"] for e in m.get("changes") or [])
         deleted = []
-        for root, _, names in os.walk(self._data_dir):
-            for name in names:
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, self.root)
-                if name.endswith(".parquet") and rel not in keep:
-                    os.remove(full)
-                    deleted.append(rel)
+        for scan_dir in (self._data_dir, os.path.join(self.root, "_changes")):
+            for root, _, names in os.walk(scan_dir):
+                for name in names:
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, self.root)
+                    if name.endswith(".parquet") and rel not in keep:
+                        os.remove(full)
+                        deleted.append(rel)
         for v in range(1, cutoff):
             path = self._manifest_path(v)
             if os.path.exists(path):
                 os.remove(path)
         # clear out empty commit dirs
-        for name in os.listdir(self._data_dir) if os.path.isdir(self._data_dir) else []:
-            d = os.path.join(self._data_dir, name)
-            if os.path.isdir(d) and not os.listdir(d):
-                shutil.rmtree(d)
+        for scan_dir in (self._data_dir, os.path.join(self.root, "_changes")):
+            for name in os.listdir(scan_dir) if os.path.isdir(scan_dir) else []:
+                d = os.path.join(scan_dir, name)
+                if os.path.isdir(d) and not os.listdir(d):
+                    shutil.rmtree(d)
         return deleted

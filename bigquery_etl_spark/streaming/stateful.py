@@ -98,22 +98,28 @@ SESSION_STATE_SCHEMA = "start_ms long, end_ms long, n long"
 class SessionProcessor(StatefulProcessor):
     """Gap-based sessionization with event-time timers.
 
-    - input rows extend the open session (or close it inline and start
-      a new one when the incoming batch has already jumped the gap —
-      the timer for the old session may not have fired yet if the
-      watermark lags);
-    - one timer per key at ``end + gap``; re-armed on every extension
-      (old timer deleted — ``listTimers`` is at most one entry here);
-    - ``handleExpiredTimer`` emits the closed session and clears state.
-    Append-mode semantics: a session row is emitted exactly once, when
-    it closes."""
+    State is a LIST of open sessions ``(start, end, n)`` per key, so
+    out-of-order (but in-watermark) events are handled with the same
+    merge semantics as Spark's built-in ``session_window``:
+
+    - an event within ``gap`` of an open session extends it on BOTH
+      sides (``start = min``, ``end = max``) and neighboring sessions
+      that come within ``gap`` of each other merge;
+    - a session is only emitted once the WATERMARK has passed
+      ``end + gap`` — either inline (when the batch's watermark already
+      cleared it) or from ``handleExpiredTimer``. A gap-jumping batch
+      never force-closes a session early, so a later in-watermark event
+      that lands between two open sessions still merges them;
+    - one timer per open session at ``end + gap`` (stale timers for
+      merged/extended sessions are rebuilt on every input batch).
+    Append-mode semantics: a session row is emitted exactly once."""
 
     def __init__(self, gap_ms: int):
         self._gap = gap_ms
 
     def init(self, handle) -> None:
         self._handle = handle
-        self._sess = handle.getValueState("session", SESSION_STATE_SCHEMA)
+        self._sessions = handle.getListState("sessions", SESSION_STATE_SCHEMA)
 
     def _emit(self, user_id, start_ms, end_ms, n) -> pd.DataFrame:
         return pd.DataFrame(
@@ -125,38 +131,61 @@ class SessionProcessor(StatefulProcessor):
             }
         )
 
+    def _load(self) -> list:
+        if not self._sessions.exists():
+            return []
+        return sorted(tuple(map(int, s)) for s in self._sessions.get())
+
+    def _store(self, sessions: list) -> None:
+        if sessions:
+            self._sessions.put(sessions)
+        else:
+            self._sessions.clear()
+
+    def _flush_closed(self, user_id, sessions, watermark_ms):
+        """Emit every session the watermark has cleared; return the rest."""
+        keep = []
+        for s, e, n in sessions:
+            if e + self._gap <= watermark_ms:
+                yield self._emit(user_id, s, e, n)
+            else:
+                keep.append((s, e, n))
+        sessions[:] = keep
+
     def handleInputRows(self, key, rows, timerValues):
         (user_id,) = key
-        start, end, n = (
-            self._sess.get() if self._sess.exists() else (None, None, 0)
-        )
+        sessions = self._load()
         for pdf in rows:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).sort_values()
-            for t in ts_ms:
+            for t in pdf["ts"].astype("int64") // 1_000_000:
                 t = int(t)
-                if start is None:
-                    start, end, n = t, t, 1
-                elif t <= end + self._gap:
-                    end, n = max(end, t), n + 1
-                else:  # batch jumped the gap before the timer fired
-                    yield self._emit(user_id, start, end, n)
-                    start, end, n = t, t, 1
-        if start is not None:
-            self._sess.update((start, end, n))
-            for t in self._handle.listTimers():
-                self._handle.deleteTimer(t)
-            self._handle.registerTimer(end + self._gap)
+                sessions.append((t, t, 1))
+                sessions.sort()
+                merged = [sessions[0]]
+                for s, e, n in sessions[1:]:
+                    ps, pe, pn = merged[-1]
+                    if s <= pe + self._gap:
+                        merged[-1] = (ps, max(pe, e), pn + n)
+                    else:
+                        merged.append((s, e, n))
+                sessions = merged
+        yield from self._flush_closed(
+            user_id, sessions, timerValues.getCurrentWatermarkInMs()
+        )
+        self._store(sessions)
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        for s, e, n in sessions:
+            self._handle.registerTimer(e + self._gap)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         (user_id,) = key
-        if self._sess.exists():
-            start, end, n = self._sess.get()
-            # the timer may be stale (session extended after a replayed
-            # timer registration): only close if the expiry really is
-            # this session's end + gap or later
-            if expiredTimerInfo.getExpiryTimeInMs() >= end + self._gap:
-                self._sess.clear()
-                yield self._emit(user_id, start, end, n)
+        sessions = self._load()
+        wm = max(
+            expiredTimerInfo.getExpiryTimeInMs(),
+            timerValues.getCurrentWatermarkInMs(),
+        )
+        yield from self._flush_closed(user_id, sessions, wm)
+        self._store(sessions)
 
     def close(self) -> None:
         pass

@@ -67,16 +67,63 @@ def start_view_maintenance_stream(
     (ADVICE r3). The default is exactly as durable as the batch-id
     sequence it fences (same lifetime, same reset); pass an explicit
     ``app_id`` if the checkpoint may move between hosts/paths."""
-    import os
-
-    store = PointerStore(spark, view_root)
-    app = app_id if app_id is not None else os.path.realpath(checkpoint_dir)
-
     stream = (
         spark.readStream.schema(changes_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(changes_dir)
     )
+    return _start_fold(
+        spark, stream, view_root, checkpoint_dir, keys, sums, count_col, app_id
+    )
+
+
+def start_view_maintenance_from_lake(
+    spark: SparkSession,
+    table_root: str,
+    view_root: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str = "n_rows",
+    starting_version: int = 1,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """View maintenance directly off the LAKE's commit log (r5): the
+    change stream is ``readStream.format("versioned_lake")`` with
+    ``readChangeFeed`` — no parquet drop-directory middleman, the view
+    subscribes to the table itself. Offsets are table versions, so a
+    checkpoint restart resumes at the exact commit; the epoch fence
+    below is what makes the non-idempotent retracting fold exactly-once
+    across the commit/checkpoint crash window."""
+    from bigquery_etl_spark.sources.lake_ds import VersionedLakeDataSource
+
+    spark.dataSource.register(VersionedLakeDataSource)
+    stream = (
+        spark.readStream.format("versioned_lake")
+        .option("path", table_root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", starting_version)
+        .load()
+    )
+    return _start_fold(
+        spark, stream, view_root, checkpoint_dir, keys, sums, count_col, app_id
+    )
+
+
+def _start_fold(
+    spark: SparkSession,
+    stream,
+    view_root: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    sums: dict[str, str],
+    count_col: str,
+    app_id: str | None,
+) -> StreamingQuery:
+    import os
+
+    store = PointerStore(spark, view_root)
+    app = app_id if app_id is not None else os.path.realpath(checkpoint_dir)
 
     def tick(batch, batch_id: int) -> None:
         meta = store.current_meta()

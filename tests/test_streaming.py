@@ -619,3 +619,120 @@ def test_tws_session_windows_with_timers(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_session_out_of_order_merge(spark, tmp_path):
+    """r5 (ADVICE): an out-of-order but in-watermark event must (a)
+    LOWER session_start when it lands before the current start, and (b)
+    MERGE two open sessions when it falls in the gap between them —
+    the semantics Spark's built-in session_window has. The old
+    single-session state emitted a too-late start and a split pair."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip("google.protobuf.descriptor")
+    from bigquery_etl_spark.streaming.stateful import session_windows_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "src")
+    # batch 1: user 1 has two events 8 min apart — with gap=5min these
+    # open TWO sessions (neither may be force-closed: the watermark,
+    # 30 min behind, has not passed either end+gap)
+    _write_events(
+        spark, src,
+        [(10, _ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+         (11, _ts("2024-01-01 00:18:00"), 1, "click", 1.0)],
+        "f1.parquet",
+    )
+    try:
+        stream = session_windows_tws(
+            _read_stream(spark, src).withWatermark("ts", "30 minutes"),
+            gap_seconds=300,
+        )
+        q = _run_to_memory(stream, "tws_ooo_sessions", "append")
+        try:
+            # batch 2 (all in-watermark, out of order): 00:14 bridges the
+            # two open sessions -> one merged session; 00:07 lowers its
+            # start below the original first event
+            _write_events(
+                spark, src,
+                [(12, _ts("2024-01-01 00:14:00"), 1, "click", 1.0),
+                 (13, _ts("2024-01-01 00:07:00"), 1, "click", 1.0)],
+                "f2.parquet",
+            )
+            q.processAllAvailable()
+            # batch 3: far-future event advances the watermark past the
+            # merged session's end+gap so its timer fires
+            _write_events(
+                spark, src,
+                [(30, _ts("2024-01-01 02:00:00"), 3, "view", 1.0)],
+                "f3.parquet",
+            )
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, session_start, session_end, n_events "
+                "FROM tws_ooo_sessions WHERE user_id = 1"
+            ).collect()
+            got = {
+                (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+                for r in rows
+            }
+            assert got == {
+                (1, "2024-01-01 00:07:00", "2024-01-01 00:18:00", 4)
+            }
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_view_maintenance_from_lake_commit_log(spark, tmp_path):
+    """r5: the materialized view maintains itself off the versioned
+    lake's OWN commit log (versioned_lake readChangeFeed stream) — no
+    parquet drop dir. After more commits land and the stream ticks
+    again from its checkpoint, the view equals the aggregate of the
+    current snapshot."""
+    from bigquery_etl_spark.sources.pointer_store import PointerStore
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+    from bigquery_etl_spark.streaming.view_stream import (
+        start_view_maintenance_from_lake,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    t.create(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "id long, grp string, amount double"))
+    t.enable_change_feed(["id"])
+
+    view_root = str(tmp_path / "view")
+    q = start_view_maintenance_from_lake(
+        spark, root, view_root, str(tmp_path / "ckpt"),
+        keys=["grp"], sums={"total": "amount"},
+    )
+    try:
+        q.processAllAvailable()
+        # more commits: append + an upsert that MOVES a row across groups
+        t.append(spark.createDataFrame([(4, "b", 7.0)],
+                                       "id long, grp string, amount double"))
+        t.upsert(spark.createDataFrame([(2, "b", 21.0)],
+                                       "id long, grp string, amount double"),
+                 ["id"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.grp: r.total for r in PointerStore(spark, view_root).read().collect()
+    }
+    want = {
+        r.grp: r.total
+        for r in t.read().groupBy("grp").agg(
+            F.sum("amount").alias("total")).collect()
+    }
+    assert got == want == {"a": 10.0, "b": 33.0}

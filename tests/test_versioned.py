@@ -163,3 +163,30 @@ def test_concurrent_append_retries_and_succeeds(spark, tmp_path, monkeypatch):
     v = t.append(spark.createDataFrame([(3,)], "k long"))
     assert v == 3  # landed AFTER the racing writer's v2
     assert {r.k for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_history_and_timestamp_as_of_survive_vacuum(spark, tmp_path):
+    """r5 (ADVICE): DESCRIBE HISTORY / TIMESTAMP AS OF go through
+    history(), which used to load every manifest from v1 and raised
+    VersionNotFound for any table that had been VACUUMed. It must now
+    start at the oldest SURVIVING manifest (Delta behaves the same)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.create(frame(spark, 0, 10, "a"))
+    t.overwrite(frame(spark, 0, 5, "b"))
+    t.append(frame(spark, 100, 103, "c"))
+    t.vacuum(retain_last=2)  # v1 manifest gone
+
+    h = t.history()
+    assert [x["version"] for x in h] == [2, 3]
+
+    cat = LakeCatalog(spark)
+    cat.register("t", t)
+    hist = cat.sql("DESCRIBE HISTORY t").collect()
+    assert {r.version for r in hist} == {2, 3}
+    # TIMESTAMP AS OF far future resolves to the latest surviving commit
+    got = cat.sql(
+        "SELECT count(*) AS n FROM t TIMESTAMP AS OF '2099-01-01'"
+    ).collect()
+    assert got[0].n == 8
