@@ -476,3 +476,82 @@ def q_lake_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "q_lake_update",
+    sql="""
+    -- closed-form result of the UPDATE statement
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 AND o_totalprice < 100000
+                THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 AND o_totalprice < 100000
+                THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+    tags=("lakehouse", "dml"),
+)
+def q_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE t SET ... WHERE ...`` as a first-class lake SQL
+    statement (r5; previously only expressible as MERGE): per-column
+    conditional rewrite where every RHS reads the OLD row, committed as
+    an overwrite through the same manifest protocol (so CDF capture and
+    multi-writer conflict rules apply unchanged). BigQuery — the
+    engine the reference delegates to (ref main.py:21,160-185) —
+    supports UPDATE natively; this closes that statement-surface gap.
+    The oracle is the statement's closed form over the base table."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        cat = LakeCatalog(spark)
+        cat.create_table("upd_orders", path, o)
+        cat.sql("""
+            UPDATE upd_orders
+            SET o_orderstatus = 'U', o_totalprice = o_totalprice * 1.1
+            WHERE o_orderkey % 3 = 0 AND o_totalprice < 100000
+        """)
+
+    root = scratch_build(f"lake_upd:{sf_dir}", "lake_upd_", _build)
+    return VersionedTable(spark, root).read().select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "q_lake_delete",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' OR o_orderkey % 5 = 0)
+    """,
+    tags=("lakehouse", "dml"),
+)
+def q_lake_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DELETE FROM t WHERE ...`` as a first-class lake SQL statement
+    (r5): keeps rows where the predicate is not TRUE (3VL), committed
+    as an overwrite. Oracle = the complement selection over the base
+    table."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        cat = LakeCatalog(spark)
+        cat.create_table("del_orders", path, o)
+        cat.sql(
+            "DELETE FROM del_orders "
+            "WHERE o_orderstatus = 'F' OR o_orderkey % 5 = 0"
+        )
+
+    root = scratch_build(f"lake_del:{sf_dir}", "lake_del_", _build)
+    return VersionedTable(spark, root).read().select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

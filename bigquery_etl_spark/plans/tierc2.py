@@ -625,6 +625,46 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def hybrid_vector_leg(
+    emb: DataFrame, q: DataFrame, n_queries: int, k: int = 20
+) -> DataFrame:
+    """The vector leg of hybrid retrieval, routed through the ``topk``
+    dispatcher (r5; VERDICT r4 item 6: the inlined Q×N codegen
+    crossJoin was fine at the declared Q=3 but a scale-killer if the
+    leg ever carried a real query load — routing inherits the measured
+    Q-crossover: codegen grid for tiny Q, Arrow-blocked BLAS kernel for
+    batch Q). Returns (qid, doc_id, r) with rank over the 6dp-ROUNDED
+    score (ties by doc_id) so float last-bit drift can never flip a
+    rank cross-engine. Self-matches are excluded after retrieval, and
+    the dispatcher over-fetches k+8 so the top-k-by-rounded-score set
+    is stable through the re-rank (a flip would need >8 docs inside one
+    1e-6 rounding bucket at the boundary)."""
+    from pyspark.sql.window import Window as W
+
+    from bigquery_etl_spark.operators.similarity import topk
+
+    scored = topk(
+        emb,
+        q.select(F.col("qid").alias("query_id"), F.col("qv").alias("query_vec")),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=k + 8,  # headroom: self-match + rounded-tie boundary
+        dim=64,
+        n_queries=n_queries,
+    )
+    wl = W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("vec_id").alias("doc_id"),
+            F.round("cos_sim", 6).alias("score"),
+        )
+        .withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= k)
+    )
+
+
 @query(
     "q_hybrid_search",
     sql="""
@@ -676,14 +716,12 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with RRF fusion: 3 query docs, lexical leg =
     distinct-token overlap (inverted-index join shape), vector leg =
-    fixed-width codegen'd cosine (rounded to 6dp BEFORE ranking so
-    float last-bit drift can never flip a rank cross-engine), top-20
+    ``hybrid_vector_leg`` (topk-routed; rounded to 6dp BEFORE ranking
+    so float last-bit drift can never flip a rank cross-engine), top-20
     per leg, fused by 1/(60+rank) summed over the legs that retrieved
     the doc, top-5 per query. Exact twin: the oracle runs the identical
     retrieval relationally in DuckDB."""
     from pyspark.sql.window import Window as W
-
-    from bigquery_etl_spark.operators.similarity import cosine_fixed
 
     # (r4 note: spread() before the token explode was tried and REVERTED
     # — shuffling the full text payload costs more than the extra scan
@@ -716,15 +754,8 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 20)
         .select("qid", "doc_id", F.col("r").alias("r_lex"))
     )
-    vec = q.crossJoin(emb).filter(F.col("vec_id") != F.col("qid")).select(
-        "qid",
-        F.col("vec_id").alias("doc_id"),
-        F.round(cosine_fixed("qv", "embedding", 64), 6).alias("score"),
-    )
-    vecr = (
-        vec.withColumn("r", F.row_number().over(wl))
-        .filter(F.col("r") <= 20)
-        .select("qid", "doc_id", F.col("r").alias("r_vec"))
+    vecr = hybrid_vector_leg(emb, q, n_queries=3, k=20).select(
+        "qid", "doc_id", F.col("r").alias("r_vec")
     )
     fused = (
         lexr.join(vecr, ["qid", "doc_id"], "full_outer")

@@ -447,9 +447,14 @@ class LakeCatalog:
         anything else → DataFrame via ``spark.sql`` with catalog tables
         visible and time-travel references resolved.
 
-        Statement surface (r4):
+        Statement surface (r4; UPDATE/DELETE r5):
         - ``MERGE INTO ...``            → commit, returns new version (int)
         - ``INSERT INTO t <select>``    → append commit, returns version
+        - ``UPDATE t SET c = e, ... [WHERE p]`` → overwrite commit with
+          per-column conditional rewrite (RHSs read the OLD row; NULL
+          predicate keeps the row unchanged, 3VL), returns version
+        - ``DELETE FROM t [WHERE p]``   → overwrite commit keeping rows
+          where p is not TRUE (no WHERE = truncate), returns version
         - ``DESCRIBE HISTORY t``        → DataFrame of the commit log
         - ``VACUUM t [RETAIN n]``       → drops unreferenced data files
           (keeps the last n versions' files, default 1), returns a
@@ -556,7 +561,8 @@ class LakeCatalog:
             import math
 
             tbl = self.tables[m.group(1)]
-            df = tbl.read()
+            v0 = tbl.latest_version()
+            df = tbl.read(version=v0)
             # target file count from MANIFEST bytes (no data scan):
             # one file per ~maxPartitionBytes keeps compaction output
             # aligned with scan-split and file-skip granularity at any
@@ -591,7 +597,70 @@ class LakeCatalog:
                 df = df.repartitionByRange(target, zk).sortWithinPartitions(zk)
             else:
                 df = df.coalesce(target)  # merge-only, no shuffle
-            return tbl.overwrite(df)
+            return tbl.overwrite(df, expected_base=v0)
+
+        m = re.match(
+            r"\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(1) in self.tables:
+            tbl = self.tables[m.group(1)]
+            v0 = tbl.latest_version()
+            snap = tbl.read(version=v0)
+            if m.group(2):
+                # SQL DELETE: drop rows where the predicate is TRUE;
+                # NULL (3VL) keeps the row
+                kept = snap.filter(
+                    ~F.coalesce(F.expr(m.group(2)), F.lit(False))
+                )
+            else:
+                kept = snap.limit(0)
+            return tbl.overwrite(kept, expected_base=v0)
+
+        m = re.match(
+            r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(1) in self.tables:
+            tbl = self.tables[m.group(1)]
+            v0 = tbl.latest_version()
+            snap = tbl.read(version=v0)
+            assigns: dict[str, str] = {}
+            for part in _split_top_level(m.group(2)):
+                em = re.match(r"([\w.]+)\s*=\s*(.*)$", part, re.DOTALL)
+                if not em:
+                    raise MergeParseError(f"bad assignment {part!r}")
+                col = em.group(1).split(".")[-1]
+                if col not in snap.columns:
+                    raise ValueError(
+                        f"UPDATE {m.group(1)}: unknown column {col!r}"
+                    )
+                assigns[col] = em.group(2).strip()
+            # rows where the predicate is TRUE update; NULL/False pass
+            # through — all assignment RHSs read the OLD row (standard
+            # SQL UPDATE), which the per-column when/otherwise gives for
+            # free since every expr is evaluated against the snapshot
+            hit = (
+                F.coalesce(F.expr(m.group(3)), F.lit(False))
+                if m.group(3)
+                else F.lit(True)
+            )
+            updated = snap.select(
+                *[
+                    (
+                        F.when(hit, F.expr(assigns[c]))
+                        .otherwise(F.col(c))
+                        .cast(snap.schema[c].dataType)
+                        .alias(c)
+                        if c in assigns
+                        else F.col(c)
+                    )
+                    for c in snap.columns
+                ]
+            )
+            return tbl.overwrite(updated, expected_base=v0)
 
         if re.match(r"\s*MERGE\s+INTO\b", text, re.IGNORECASE):
             spec = parse_merge(text)
@@ -604,6 +673,7 @@ class LakeCatalog:
                 source = self.tables[spec.source].read()
             else:
                 source = self.spark.table(spec.source)
-            merged = merge_dataframes(tbl.read(), source, spec)
-            return tbl.overwrite(merged)
+            v0 = tbl.latest_version()
+            merged = merge_dataframes(tbl.read(version=v0), source, spec)
+            return tbl.overwrite(merged, expected_base=v0)
         return self.spark.sql(self._register_views(text))

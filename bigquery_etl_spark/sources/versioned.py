@@ -174,10 +174,23 @@ class VersionedTable:
         schema_json: str,
         change_files: list[dict] | None = None,
         props: dict | None = None,
+        expected_base: int | None = None,
     ) -> int:
         base = self.latest_version()
         if kind == "create" and base is not None:
             raise CommitConflict(f"{self.root}: already exists at v{base}")
+        if expected_base is not None and base != expected_base:
+            # OCC read-set validation: this commit's content was DERIVED
+            # from snapshot `expected_base` (overwrite/upsert/UPDATE/
+            # DELETE/OPTIMIZE read it); a commit that landed since would
+            # be silently clobbered if we linked on top — lost update.
+            # Blind appends don't pass this (they derive from nothing
+            # and commute); the os.link put-if-absent below still
+            # catches the residual same-version race after this check.
+            raise CommitConflict(
+                f"{self.root}: snapshot moved v{expected_base} -> v{base} "
+                "since this rewrite was computed; re-read and retry"
+            )
         carried = [] if kind in ("create", "overwrite") else self._load_manifest(base)["files"]
         if props is None:
             props = self._load_manifest(base).get("props", {}) if base else {}
@@ -307,27 +320,37 @@ class VersionedTable:
         )
         return self._commit("alter", [], merged.json())
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, expected_base: int | None = None) -> int:
+        """Replace the snapshot. Pass ``expected_base`` (the version the
+        replacement was COMPUTED from) whenever ``df`` derives from a
+        read of this table — UPDATE/DELETE/MERGE/OPTIMIZE all do — so a
+        commit that landed in between surfaces as CommitConflict instead
+        of being silently clobbered (lost update)."""
         return self._commit(
             "overwrite",
             self._write_data(df),
             df.schema.json(),
             change_files=self._capture_changes(df),
+            expected_base=expected_base,
         )
 
     def upsert(self, updates: DataFrame, keys: list[str]) -> int:
         """MERGE: same-key rows replaced, others carried over. Current
         form rewrites the full snapshot (one anti-join shuffle);
         file-level rewrite of only key-overlapping files (via manifest
-        stats) is the scale refinement, same commit protocol."""
+        stats) is the scale refinement, same commit protocol. The commit
+        is pinned to the snapshot it merged against (expected_base), so
+        a racing commit conflicts instead of being lost."""
         from bigquery_etl_spark.operators.merge import upsert_dataframe
 
-        merged = upsert_dataframe(self.read(), updates, keys)
+        v0 = self.latest_version()
+        merged = upsert_dataframe(self.read(version=v0), updates, keys)
         return self._commit(
             "overwrite",
             self._write_data(merged),
             merged.schema.json(),
             change_files=self._capture_changes(merged),
+            expected_base=v0,
         )
 
     # -- change data feed ----------------------------------------------------
@@ -507,6 +530,66 @@ class VersionedTable:
         from bigquery_etl_spark.operators.merge import snapshot_diff
 
         return snapshot_diff(self.read(version=v_from), self.read(version=v_to), keys)
+
+    # -- interop bridge ------------------------------------------------------
+
+    def export_snapshot(self, out_dir: str, version: int | None = None) -> dict:
+        """Write one committed snapshot as a PLAIN parquet directory any
+        engine can read (DuckDB/Trino/pandas: ``out_dir/*.parquet``)
+        plus ``_export_manifest.json`` (schema, per-file rows/bytes,
+        source version) for engines that want the listing without a
+        directory scan. Files are hard-linked when the filesystem
+        allows (zero copy — snapshots are immutable) and copied
+        otherwise. This de-risks the bespoke manifest format: the data
+        was plain parquet all along, the export just flattens the
+        layout and drops the protocol. Returns the manifest dict."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        m = self._load_manifest(v)
+        os.makedirs(out_dir, exist_ok=True)
+        exported = []
+        for i, e in enumerate(m["files"]):
+            src = os.path.join(self.root, e["path"])
+            dst = os.path.join(out_dir, f"part-{i:05d}.parquet")
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+            exported.append(
+                {"path": os.path.basename(dst), "rows": e["rows"], "bytes": e["bytes"]}
+            )
+        manifest = {
+            "format": "parquet",
+            "source_root": self.root,
+            "source_version": v,
+            "schema": m["schema"],
+            "files": exported,
+            "exported_ts": time.time(),
+        }
+        with open(os.path.join(out_dir, "_export_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        return manifest
+
+    @classmethod
+    def import_snapshot(
+        cls, spark: SparkSession, export_dir: str, root: str,
+        stat_cols: tuple[str, ...] = (),
+    ) -> "VersionedTable":
+        """Create a NEW versioned table (v1) from an exported snapshot
+        directory — the return leg of the bridge. Reads the export's
+        schema from its manifest (falling back to parquet inference),
+        so a round trip preserves types exactly."""
+        mf = os.path.join(export_dir, "_export_manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                schema = StructType.fromJson(json.loads(json.load(f)["schema"]))
+            df = spark.read.schema(schema).parquet(export_dir)
+        else:
+            df = spark.read.parquet(export_dir)
+        tbl = cls(spark, root, stat_cols=stat_cols)
+        tbl.create(df)
+        return tbl
 
     # -- maintenance ---------------------------------------------------------
 

@@ -250,3 +250,93 @@ def test_optimize_sizes_file_count_from_manifest_bytes(spark, tmp_path):
         assert cat.sql("SELECT COUNT(DISTINCT k) AS n FROM tgt").collect()[0].n == 20000
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# ---------------------------------------------------------------------------
+# r5: UPDATE / DELETE FROM statements
+# ---------------------------------------------------------------------------
+
+
+def _dml_cat(spark, tmp_path, name="dml_t"):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, x double",
+    )
+    cat.create_table(name, str(tmp_path / name), df)
+    return cat
+
+
+def test_update_with_where_reads_old_row(spark, tmp_path):
+    cat = _dml_cat(spark, tmp_path)
+    v = cat.sql("UPDATE dml_t SET x = x + k, s = upper(s) WHERE k % 2 = 0")
+    assert v == 2
+    got = {r.k: (r.s, r.x) for r in cat.tables["dml_t"].read().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 22.0), 3: ("c", None), 4: ("D", 44.0)}
+
+
+def test_update_null_predicate_keeps_row(spark, tmp_path):
+    cat = _dml_cat(spark, tmp_path)
+    # x IS NULL for k=3 -> x > 15 is NULL -> row must NOT update (3VL)
+    cat.sql("UPDATE dml_t SET s = 'HIT' WHERE x > 15")
+    got = {r.k: r.s for r in cat.tables["dml_t"].read().collect()}
+    assert got == {1: "a", 2: "HIT", 3: "c", 4: "HIT"}
+
+
+def test_update_unknown_column_raises(spark, tmp_path):
+    cat = _dml_cat(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.sql("UPDATE dml_t SET nope = 1")
+
+
+def test_delete_where_and_truncate(spark, tmp_path):
+    cat = _dml_cat(spark, tmp_path)
+    cat.sql("DELETE FROM dml_t WHERE x >= 20")  # NULL x survives (3VL)
+    assert {r.k for r in cat.tables["dml_t"].read().collect()} == {1, 3}
+    v = cat.sql("DELETE FROM dml_t")
+    assert v == 3
+    assert cat.tables["dml_t"].read().count() == 0
+    # schema preserved through truncate
+    assert [f.name for f in cat.tables["dml_t"].read().schema.fields] == ["k", "s", "x"]
+
+
+def test_update_captures_change_feed(spark, tmp_path):
+    cat = _dml_cat(spark, tmp_path)
+    t = cat.tables["dml_t"]
+    t.enable_change_feed(["k"])
+    cat.sql("UPDATE dml_t SET x = 0 WHERE k = 1")
+    ch = t.changes(t.latest_version(), t.latest_version()).collect()
+    assert sorted((r.k, r._change_type) for r in ch) == [
+        (1, "update_postimage"), (1, "update_preimage"),
+    ]
+
+
+def test_update_racing_blind_append_conflicts(spark, tmp_path, monkeypatch):
+    """Multi-writer rule (versioned.py): an UPDATE is an overwrite — it
+    does NOT commute with concurrent commits, so when a blind append
+    lands first the UPDATE must surface CommitConflict (the caller
+    re-reads and retries), never silently clobber the appended rows."""
+    from bigquery_etl_spark.sources.versioned import CommitConflict, VersionedTable
+
+    cat = _dml_cat(spark, tmp_path)
+    t = cat.tables["dml_t"]
+    racer = VersionedTable(spark, t.root)
+
+    real = VersionedTable._commit
+    state = {"raced": False}
+
+    def flaky(self, kind, files, schema, **kw):
+        if kind == "overwrite" and not state["raced"]:
+            state["raced"] = True
+            real(racer, "append", racer._write_data(
+                spark.createDataFrame([(9, "z", 9.0)], "k long, s string, x double")
+            ), schema)
+        return real(self, kind, files, schema, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_commit", flaky)
+    with pytest.raises(CommitConflict):
+        cat.sql("UPDATE dml_t SET x = 0 WHERE k = 1")
+    # the appended row survives; the failed UPDATE changed nothing
+    assert {r.k for r in racer.read().collect()} == {1, 2, 3, 4, 9}

@@ -182,3 +182,32 @@ def test_sample_diverse_deterministic(spark, sf_dir):
 
     s1, s2 = run(), run()
     assert s1 == s2 and len(s1) > 0
+
+
+def test_hybrid_vector_leg_routes_by_query_load(spark, sf_dir):
+    """r5 (VERDICT r4 item 6): the hybrid-search vector leg goes
+    through the ``topk`` dispatcher. At the declared Q=3 the plan is
+    the codegen crossJoin (no Python eval); at a batch load (Q=512,
+    parameterized — the leg is no longer hard-coded to 3) the plan
+    must show the Arrow-blocked BLAS kernel (MapInPandas), the shape
+    that survives a real query load."""
+    from bigquery_etl_spark.plans.tierc2 import hybrid_vector_leg
+    from bigquery_etl_spark.sources import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q3 = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    plan3 = hybrid_vector_leg(emb, q3, n_queries=3)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan3  # codegen grid for tiny Q
+
+    q512 = emb.orderBy("vec_id").limit(512).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    leg512 = hybrid_vector_leg(emb, q512, n_queries=512)
+    plan512 = leg512._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan512  # BLAS kernel for batch Q
+    # and it actually answers: every query retrieves 20 non-self docs
+    counts = leg512.groupBy("qid").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [20]

@@ -190,3 +190,112 @@ def test_history_and_timestamp_as_of_survive_vacuum(spark, tmp_path):
         "SELECT count(*) AS n FROM t TIMESTAMP AS OF '2099-01-01'"
     ).collect()
     assert got[0].n == 8
+
+
+# ---------------------------------------------------------------------------
+# r5: concurrency matrix — one interleave test per commit pair with the
+# documented outcome (retry, CommitConflict, or reader-unaffected).
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_racing_append_conflicts(spark, tmp_path, monkeypatch):
+    """OPTIMIZE is a rewrite of the snapshot it read: a blind append
+    landing mid-rewrite must surface CommitConflict (retrying OPTIMIZE
+    later loses nothing — compaction is advisory), never drop the
+    appended rows."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark)
+    t = cat.create_table("opt_t", str(tmp_path / "opt"), frame(spark, 0, 10, "a"))
+
+    real = VersionedTable._commit
+    state = {"raced": False}
+
+    def flaky(self, kind, files, schema, **kw):
+        if kind == "overwrite" and not state["raced"]:
+            state["raced"] = True
+            real(t2, "append", t2._write_data(frame(spark, 100, 101, "x")), schema)
+        return real(self, kind, files, schema, **kw)
+
+    t2 = VersionedTable(spark, t.root)
+    monkeypatch.setattr(VersionedTable, "_commit", flaky)
+    with pytest.raises(CommitConflict, match="snapshot moved"):
+        cat.sql("OPTIMIZE opt_t")
+    assert t2.read().count() == 11  # appended row survives
+
+
+def test_alter_racing_append_retries_with_merged_schema(
+    spark, tmp_path, monkeypatch
+):
+    """ALTER ADD COLUMNS landing between an append's schema merge and
+    its commit: the append's blind-append retry loop re-merges against
+    the new head, so it SUCCEEDS and the final schema carries both the
+    altered column and the append's rows."""
+    from pyspark.sql.types import LongType, StructField
+
+    t = VersionedTable(spark, str(tmp_path / "alt"))
+    t.create(frame(spark, 0, 5, "a"))
+    t2 = VersionedTable(spark, t.root)
+
+    real = VersionedTable._commit
+    state = {"raced": False}
+
+    def flaky(self, kind, files, schema, **kw):
+        if kind == "append" and not state["raced"]:
+            state["raced"] = True
+            # the racing ALTER takes this version first
+            t2.add_columns([StructField("extra", LongType(), True)])
+            raise CommitConflict("simulated link race")
+        return real(self, kind, files, schema, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_commit", flaky)
+    v = t.append(frame(spark, 10, 12, "b"))
+    assert v == 3  # landed after the ALTER's v2
+    snap = t2.read()
+    assert "extra" in snap.columns
+    assert snap.count() == 7
+    assert snap.filter("extra IS NULL").count() == 7
+
+
+def test_vacuum_vs_inflight_reader_at_retention_boundary(spark, tmp_path):
+    """Reader pinned INSIDE retention is unaffected by a concurrent
+    VACUUM; a reader pinned PAST retention fails on collect (documented:
+    vacuum, like Delta's, assumes no reader outlives the retention
+    window — the plan was built before the files vanished)."""
+    t = VersionedTable(spark, str(tmp_path / "vac"))
+    t.create(frame(spark, 0, 10, "a"))
+    t.overwrite(frame(spark, 0, 5, "b"))
+    t.append(frame(spark, 50, 55, "c"))
+
+    retained = t.read(version=3)   # plan built pre-vacuum, inside retention
+    doomed = t.read(version=1)     # plan built pre-vacuum, past retention
+    t.vacuum(retain_last=2)        # keeps v2, v3 files
+
+    assert retained.count() == 10  # reader-unaffected
+    with pytest.raises(Exception):  # files removed under the plan
+        doomed.count()
+
+
+def test_export_snapshot_reads_in_duckdb_and_reimports(spark, tmp_path):
+    """r5 interop bridge: an exported snapshot is plain parquet DuckDB
+    can read directly, value-identical to the VERSION AS OF read; the
+    import leg reconstructs a table whose snapshot matches exactly."""
+    import duckdb
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.create(frame(spark, 0, 10, "a").repartition(3))
+    t.overwrite(frame(spark, 0, 6, "b").repartition(2))
+
+    out = str(tmp_path / "export_v1")
+    man = t.export_snapshot(out, version=1)
+    assert man["source_version"] == 1 and len(man["files"]) >= 1
+
+    want = sorted(map(tuple, t.read(version=1).collect()))
+    got = duckdb.connect().execute(
+        f"SELECT id, tag, val FROM read_parquet('{out}/*.parquet') ORDER BY id"
+    ).fetchall()
+    assert sorted(map(tuple, got)) == want
+
+    back = VersionedTable.import_snapshot(spark, out, str(tmp_path / "back"))
+    assert back.read().schema == t.read(version=1).schema
+    assert sorted(map(tuple, back.read().collect())) == want

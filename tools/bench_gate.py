@@ -44,16 +44,10 @@ MAX_FLOOR_SEC = 0.4    # never looser than the old global floor
 # comparison is meaningless. Each entry must say what changed; remove it
 # the round after (the new definition becomes the new baseline).
 REDEFINED: dict[str, str] = {
-    "q_pack_sequences": "r4: quantile-bucketed single-shuffle rewrite + "
-    "cached raw-id bounds (plan and probe path both changed)",
-    "q_embed_topk": "r4: routed through the topk() workload dispatcher "
-    "(same codegen plan at Q=5; invocation path changed)",
-    "q_quarantine": "r4: spread() repartition before the from_json stage "
-    "(single-task scan was the old cost)",
-    "q_tpch_q5": "r4: exact integer-cents revenue (decimal-scale rewrite "
-    "for strict cross-engine hash equality)",
-    "q_pretrain_corpus": "r4: pack tail uses cached raw-id bounds instead "
-    "of double-executing the pipeline through the bucket probe",
+    # (r4 entries retired: their r4 recordings are now the baseline)
+    "q_hybrid_search": "r5: vector leg routed through the topk() "
+    "dispatcher (over-fetch k+8 + rounded re-rank replaces the inline "
+    "Q×N crossJoin; same oracle, different plan)",
 }
 
 
