@@ -106,15 +106,33 @@ def ingest(spark, sf_dir: str) -> tuple[str, float]:
         "/tmp/spark_graft_managed", os.path.basename(sf_dir.rstrip("/"))
     )
     marker = os.path.join(managed, "_ingested")
-    # Fingerprint the RAW fixtures into the marker: the driver
-    # regenerates /root/testdata between rounds, and a stale managed
-    # copy would silently serve last round's data to every query.
+    # r5 re-sweep: file counts sized so each scan TASK carries
+    # enough work to amortize its launch + parquet-reader init
+    # (~10 ms here). Light-work mid-size tables at 8 files beat 16
+    # by ~10% across the events/orders headline set (measured
+    # min-of-3, e.g. q_quarantine 0.46->0.30, q_retention
+    # 0.47->0.32); the CPU-heavy tables (explode-amplified
+    # documents, 600k-row lineitem) keep one file per core. Same
+    # production rule either way: ~128 MB files, never fewer files
+    # than the cores you want busy on the heavy stages.
+    n_files = {
+        "region": 1, "nation": 1, "supplier": 2, "part": 4,
+        "customer": 8, "orders": 8, "events": 8, "embeddings": 8,
+        "lineitem": 32, "documents": 32,
+    }
+    # Fingerprint the RAW fixtures AND the layout policy into the
+    # marker: the driver regenerates /root/testdata between rounds
+    # (a stale managed copy would silently serve last round's data),
+    # and a changed file map must rebuild the layout too.
     fp = json.dumps(
         {
-            t: (os.path.getsize(p), os.path.getmtime(p))
-            for t in sorted(os.listdir(sf_dir))
-            for p in [os.path.join(sf_dir, t)]
-            if t.endswith(".parquet")
+            "files": n_files,
+            "tables": {
+                t: (os.path.getsize(p), os.path.getmtime(p))
+                for t in sorted(os.listdir(sf_dir))
+                for p in [os.path.join(sf_dir, t)]
+                if t.endswith(".parquet")
+            },
         },
         sort_keys=True,
     )
@@ -124,16 +142,6 @@ def ingest(spark, sf_dir: str) -> tuple[str, float]:
             stale = f.read() != fp
     t0 = time.perf_counter()
     if stale:
-        # Files-per-table sized to the cluster: map-stage parallelism for
-        # a parquet scan is min(files, cores) when each file is one row
-        # group, so the big/explode-amplified tables get one file per
-        # core. Same rule as production (target ~128MB files, never fewer
-        # files than cores you want busy).
-        n_files = {
-            "region": 1, "nation": 1, "supplier": 4, "part": 8,
-            "customer": 16, "orders": 16, "events": 16, "embeddings": 16,
-            "lineitem": 32, "documents": 32,
-        }
         for t in TABLES:
             df = load(spark, sf_dir, t)
             n = n_files.get(t, 8)
@@ -156,10 +164,12 @@ def main() -> None:
 
     registry = all_queries()
     # Size shuffle partitions to the DATA, not the core count: sf0.1 is
-    # ~600k rows, so 8 partitions keep per-task setup cost amortized
-    # (measured ~20% faster than 32 here). At real scale you size for
+    # ~600k rows, so single-digit partition counts keep per-task setup
+    # amortized. r5 sweep on this host: 32 -> 8 was ~20% faster, 8 -> 4
+    # another ~4% (14.6 s vs 15.2 s headline total), 4 -> 2 collapses
+    # reduce parallelism (23.4 s). At real scale you size for
     # ~128MB-per-partition / 2-3x total cores; AQE re-coalesces either way.
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4"))
     # ad-hoc conf overrides for A/B runs: SPARK_GRAFT_CONF="k=v;k=v"
     extra = dict(
         kv.split("=", 1)

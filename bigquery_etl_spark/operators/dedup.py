@@ -31,12 +31,41 @@ def content_hash(*cols: str | Column) -> Column:
     return F.xxhash64(*cols)
 
 
-def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    strategy: str = "window",
+) -> DataFrame:
     """Exact dedup: keep the min-id row per content hash.
 
-    One shuffle on the hash; map-side partial min keeps the exchange at
-    one row per (partition, hash)."""
+    Two physical routes (same result set):
+
+    - ``"window"`` (default, the unconditional-scale path): one shuffle
+      of the ROWS on the hash, row_number picks the min-id survivor.
+      Payload-sized exchange, but works at any duplicate ratio and any
+      corpus size.
+    - ``"winners"``: aggregate ``min(id) per hash`` (map-side partial
+      min — the exchange carries one (hash, id) PAIR per map partition
+      per hash, never row payloads), then broadcast-semi-join the
+      winner ids back. The data rows are NEVER shuffled — the survivor
+      filter runs in place over the scan partitioning, which matters
+      when rows carry wide payloads (text + token arrays). Bounded by
+      the winner-id set fitting in a broadcast (~8 bytes/distinct doc:
+      tens of millions of ids per GB); past that, use ``"window"``.
+      Requires ``id_col`` to be unique per row (true for any document
+      corpus keyed by doc_id) — with duplicate ids the semi-join would
+      keep every row carrying a winning id, not one row per hash.
+    """
     h = content_hash(*content_cols).alias("__h")
+    if strategy == "winners":
+        winners = (
+            df.select(F.col(id_col), h)
+            .groupBy("__h")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        return df.join(F.broadcast(winners), id_col, "left_semi")
     w = W.partitionBy("__h").orderBy(id_col)
     return (
         df.withColumn("__h", h)

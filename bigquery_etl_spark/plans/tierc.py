@@ -483,7 +483,12 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _queries_from_corpus(emb: DataFrame, n: int = 5) -> DataFrame:
-    """Deterministic query set: the n lowest vec_ids."""
+    """Deterministic query set: the n lowest vec_ids.
+
+    (r5 A/B note: materializing this into a LocalRelation via collect
+    was measured and REVERTED — the synchronous driver job round-trip
+    costs more than the in-plan TakeOrdered+broadcast it replaces,
+    0.50 s → 0.76 s on q_embed_topk.)"""
     return (
         emb.orderBy("vec_id")
         .limit(n)

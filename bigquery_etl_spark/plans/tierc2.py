@@ -399,7 +399,11 @@ def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(quality_gate("text", 10, 1000))
         .withColumn("n", F.size("t").cast("long"))
     )
-    dedup = exact_dedup(quality, ["text"], "doc_id")
+    # winners route (r5): the window route shuffled every surviving
+    # row's text + token array on the content hash; min-id-per-hash +
+    # broadcast semi-join moves only (hash, id) pairs and leaves the
+    # data on its scan partitioning for the gram explode below
+    dedup = exact_dedup(quality, ["text"], "doc_id", strategy="winners")
 
     def grams(df: DataFrame) -> DataFrame:
         arr = F.when(
@@ -417,7 +421,11 @@ def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (
         grams(dedup).join(F.broadcast(eval_grams), "g").select("doc_id").distinct()
     )
-    clean = dedup.join(contaminated, "doc_id", "left_anti").select("doc_id", "n")
+    # contaminated ids are bounded by the corpus doc count (post-
+    # distinct) — broadcast so the anti-join never shuffles the corpus
+    clean = dedup.join(F.broadcast(contaminated), "doc_id", "left_anti").select(
+        "doc_id", "n"
+    )
 
     from bigquery_etl_spark.plans._util import cached_id_bounds
 
@@ -729,6 +737,10 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on this query is environmental, not plan regression)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # (r5 A/B note: localizing `q` via collect+LocalRelation was
+    # measured and REVERTED — the extra synchronous driver job cost
+    # more than the duplicated in-plan TakeOrdered subtree it saved,
+    # 1.13 s → 1.58 s on this query.)
     q = (
         d.join(emb, d.doc_id == emb.vec_id)
         .orderBy("doc_id")

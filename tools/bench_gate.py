@@ -3,12 +3,19 @@ prior round's driver-recorded BENCH_r{N}.json and fail loudly on
 regressions — keeps the bench honest as the headline list grows
 (VERDICT r2 item 8).
 
-Gates (builder-local; thresholds from VERDICT r2):
+Gates (builder-local; thresholds from VERDICT r2, normalization r5):
 - matched-total Spark/DuckDB ratio must be <= 1.8x
 - no individual query may regress > 1.5x vs the prior round's seconds
-  (only queries present in both runs are compared; DuckDB-side noise
-  swings +-40% on list/regex kernels, so the per-query gate compares
-  SPARK seconds, not ratios)
+  AFTER host-drift normalization (r5: this shared host drifts +-50%
+  within hours — three same-code controlled sweeps measured the SAME
+  query at 0.36/0.47/0.55 s and the whole DuckDB baseline at
+  8.7/10.8/12.3 s. A cross-window comparison of raw seconds therefore
+  false-alarms on slow windows and hides real regressions on fast
+  ones. The gate divides out the MEDIAN per-query cur/prior factor —
+  a global host-speed estimate that a single genuinely-regressed
+  query cannot move — and gates each query against its drift-adjusted
+  prior. DuckDB-side noise swings +-40% on list/regex kernels, so the
+  per-query gate still compares SPARK seconds, not ratios.)
 
 Usage:
     python tools/bench_gate.py                  # runs bench.py, gates vs newest BENCH_r*.json
@@ -65,7 +72,8 @@ def _all_rounds() -> list[dict]:
     for path in paths:
         with open(path) as f:
             rec = json.load(f)
-        parsed = rec.get("parsed")
+        # local controlled sweeps are saved as the raw bench JSON line
+        parsed = rec.get("parsed") or (rec if rec.get("queries") else None)
         if not parsed and rec.get("tail"):
             for line in reversed(rec["tail"].strip().splitlines()):
                 i = line.find("{")
@@ -102,8 +110,12 @@ def per_query_floor(rounds: list[dict]) -> dict[str, float]:
     return floors
 
 
-def prior_round() -> dict | None:
+def prior_round(cur: dict | None = None) -> dict | None:
     rounds = _all_rounds()
+    if cur is not None:
+        # gating a pre-captured file that is already recorded: don't
+        # compare it against itself
+        rounds = [r for r in rounds if r.get("queries") != cur.get("queries")]
     if rounds:
         print(f"gate: prior = newest of {len(rounds)} BENCH_r*.json rounds")
         return rounds[-1]
@@ -127,8 +139,8 @@ def current_run(argv: list[str]) -> dict:
 
 
 def main() -> int:
-    prior = prior_round()
     cur = current_run(sys.argv)
+    prior = prior_round(cur)
     fails: list[str] = []
 
     ratio = cur.get("matched_ratio")
@@ -145,6 +157,18 @@ def main() -> int:
         print("gate: no prior BENCH_r*.json with parsed queries — exit 2")
         return 2
     floors = per_query_floor(_all_rounds())
+    # host-drift normalization: median cur/prior factor over every
+    # comparable query. Robust by construction — one regressed query
+    # is an outlier to the median; a slow host window moves ALL
+    # queries and is divided out.
+    factors = sorted(
+        cur["queries"][n] / s
+        for n, s in prior["queries"].items()
+        if n not in REDEFINED and cur.get("queries", {}).get(n)
+    )
+    host = factors[len(factors) // 2] if factors else 1.0
+    print(f"gate: host-drift factor {host:.2f}x "
+          f"(median cur/prior over {len(factors)} queries)")
     for name, prev_sec in sorted(prior["queries"].items()):
         now = cur.get("queries", {}).get(name)
         if now is None:
@@ -155,13 +179,15 @@ def main() -> int:
                   f"({REDEFINED[name]})")
             continue
         floor = floors.get(name, MAX_FLOOR_SEC)
+        adj_prev = prev_sec * host
         if (
-            now > prev_sec * PER_QUERY_REGRESSION_MAX
-            and now - prev_sec > floor
+            now > adj_prev * PER_QUERY_REGRESSION_MAX
+            and now - adj_prev > floor
         ):
             fails.append(f"{name}: {prev_sec:.3f}s -> {now:.3f}s "
-                         f"({now / prev_sec:.2f}x, max {PER_QUERY_REGRESSION_MAX}x, "
-                         f"floor {floor:.2f}s)")
+                         f"({now / adj_prev:.2f}x drift-adjusted, max "
+                         f"{PER_QUERY_REGRESSION_MAX}x, floor {floor:.2f}s, "
+                         f"host {host:.2f}x)")
     for err_name, err in (cur.get("errors") or {}).items():
         fails.append(f"{err_name}: ERROR {err[:120]}")
 
