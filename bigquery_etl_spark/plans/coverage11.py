@@ -555,3 +555,44 @@ def q_lake_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VersionedTable(spark, root).read().select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query(
+    "q_search_indexed",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, u.t AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(toks) AS u(t)
+        WHERE u.t IN ('merge', 'stream', 'vector')
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(tf_sum AS BIGINT) AS tf_sum
+    FROM (SELECT doc_id, COUNT(*) AS n_terms, SUM(tf) AS tf_sum
+          FROM tok GROUP BY 1)
+    ORDER BY n_terms DESC, tf_sum DESC, doc_id LIMIT 10
+    """,
+    tags=("tierc", "text", "search", "index"),
+)
+def q_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs for {merge, stream, vector} served from the
+    PERSISTED inverted index (operators/text_index.py — BigQuery
+    CREATE SEARCH INDEX analogue; the scan-time twin is
+    q_search_terms): the index is a term-bucketed table built once per
+    process, and the search's IN-filter on the bucket column prunes
+    the physical scan to the 3 query terms' buckets
+    (SelectedBucketsCount in the plan, pinned in test_plan_shapes) —
+    per-query cost is the matched posting lists, independent of corpus
+    size. Oracle recomputes the same retrieval relationally."""
+    from bigquery_etl_spark.operators.text_index import (
+        ensure_text_index,
+        search_text_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    table = ensure_text_index(spark, docs, "doc_id", "text", sf_dir)
+    return search_text_index(
+        spark, table, ["merge", "stream", "vector"], mode="any", k=10
+    )
