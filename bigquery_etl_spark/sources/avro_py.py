@@ -154,7 +154,16 @@ def _encoder(dt: T.DataType, nullable: bool):
         return base
 
     def enc(buf, v):
-        if v is None:
+        # Arrow->pandas represents a null ELEMENT of a numeric array as
+        # NaN (numpy has no missing int), and a null timestamp as NaT —
+        # same rule as the top-level column loop: for a nullable slot
+        # all three mean NULL.
+        is_missing = (
+            v is None
+            or (isinstance(v, float) and v != v)
+            or v.__class__.__name__ == "NaTType"
+        )
+        if is_missing:
             _w_long(buf, 0)
         else:
             _w_long(buf, 1)
@@ -345,6 +354,101 @@ def _inflate(data: bytes) -> bytes:
     return zlib.decompress(data, -15)
 
 
+# Remaining spec codecs (Avro spec §Object Container Files):
+# - snappy: raw-snappy block + 4-byte BIG-ENDIAN CRC32 of the
+#   UNCOMPRESSED bytes (the only codec with a checksum suffix). Arrow
+#   ships snappy, so no new dependency; raw snappy prefixes the
+#   uncompressed length as a varint, which pyarrow's decompress needs
+#   passed explicitly.
+# - bzip2 / xz: plain streams, stdlib bz2 / lzma.
+# - zstandard: plain zstd frames, Arrow codec.
+def _snappy_uncompressed_len(data: bytes) -> int:
+    result = shift = 0
+    for byte in data:
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return result
+        shift += 7
+    raise ValueError("truncated snappy varint header")
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    import pyarrow as pa
+
+    return bytes(pa.Codec("snappy").compress(data)) + struct.pack(
+        ">I", zlib.crc32(data) & 0xFFFFFFFF
+    )
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    import pyarrow as pa
+
+    comp, crc = bytes(data[:-4]), data[-4:]
+    out = bytes(
+        pa.Codec("snappy").decompress(
+            comp, decompressed_size=_snappy_uncompressed_len(comp)
+        )
+    )
+    if zlib.crc32(out) & 0xFFFFFFFF != struct.unpack(">I", crc)[0]:
+        raise OSError("avro snappy block CRC mismatch (corrupt block)")
+    return out
+
+
+def _bzip2_compress(data: bytes) -> bytes:
+    import bz2
+
+    return bz2.compress(data)
+
+
+def _bzip2_decompress(data: bytes) -> bytes:
+    import bz2
+
+    return bz2.decompress(data)
+
+
+def _xz_compress(data: bytes) -> bytes:
+    import lzma
+
+    return lzma.compress(data, format=lzma.FORMAT_XZ)
+
+
+def _xz_decompress(data: bytes) -> bytes:
+    import lzma
+
+    return lzma.decompress(data, format=lzma.FORMAT_XZ)
+
+
+def _zstd_compress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    return bytes(pa.Codec("zstd").compress(data))
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    # Codec.decompress demands an up-front size; the streaming reader
+    # walks the zstd frame itself and needs none.
+    with pa.input_stream(pa.BufferReader(data), compression="zstd") as f:
+        return f.read()
+
+
+CODECS: dict[str, tuple] = {
+    "null": (lambda b: b, lambda b: b),
+    "deflate": (_deflate, _inflate),
+    "snappy": (_snappy_compress, _snappy_decompress),
+    "bzip2": (_bzip2_compress, _bzip2_decompress),
+    "xz": (_xz_compress, _xz_decompress),
+    "zstandard": (_zstd_compress, _zstd_decompress),
+}
+
+
 def _read_header(mv: memoryview) -> tuple[dict, bytes, int]:
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("not an Avro object container file")
@@ -374,11 +478,12 @@ def write_avro(
     codec: str = "null",
 ) -> None:
     """Write ``df`` as a directory of Avro OCF part files (one per
-    partition, encoded on the executors). ``codec``: ``"null"`` or
-    ``"deflate"`` (raw-DEFLATE block compression per the Avro spec)."""
-    if codec not in ("null", "deflate"):
+    partition, encoded on the executors). ``codec``: any spec codec —
+    null, deflate, snappy, bzip2, xz, zstandard (r5 full matrix;
+    snappy/zstandard via Arrow's bundled codecs, bzip2/xz stdlib)."""
+    if codec not in CODECS:
         raise NotImplementedError(
-            f"avro_py writes codec=null|deflate, not {codec!r}"
+            f"avro_py writes {sorted(CODECS)}, not {codec!r}"
         )
     os.makedirs(path, exist_ok=True)
     schema = df.schema
@@ -403,9 +508,7 @@ def write_avro(
             def flush():
                 nonlocal block, block_n
                 if block_n:
-                    payload = block.getvalue()
-                    if codec == "deflate":
-                        payload = _deflate(payload)
+                    payload = CODECS[codec][0](block.getvalue())
                     head = io.BytesIO()
                     _w_long(head, block_n)
                     _w_long(head, len(payload))
@@ -466,9 +569,9 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     avro_schema = json.loads(meta["avro.schema"].decode())
     spark_schema, _ = _spark_type(avro_schema)
     codec = meta.get("avro.codec", b"null") or b"null"
-    if codec not in (b"null", b"deflate"):
+    if codec.decode() not in CODECS:
         raise NotImplementedError(
-            f"avro_py reads codec=null|deflate files only, not {codec!r}"
+            f"avro_py reads {sorted(CODECS)}, not {codec!r}"
         )
     decs = [
         (f.name, _decoder(f.dataType, f.nullable)) for f in spark_schema.fields
@@ -511,8 +614,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                     size, pos = _r_long(mv, pos)  # block byte size
                     block = mv[pos : pos + size]  # zero-copy slice
                     pos += size
-                    if codec_f == b"deflate":
-                        block = memoryview(_inflate(bytes(block)))
+                    if codec_f != b"null":
+                        block = memoryview(CODECS[codec_f.decode()][1](bytes(block)))
                     bpos = 0
                     for _ in range(n):
                         for name, dec in decs:
@@ -520,12 +623,16 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                             cols[name].append(v)
                     assert bytes(mv[pos : pos + 16]) == sync, "sync mismatch"
                     pos += 16
+                # non-float columns go out as OBJECT series: a bare
+                # list of [None, ...] would infer float64 (NaN) and an
+                # all-null date/binary/array column then fails Arrow's
+                # double->target cast at the mapInPandas boundary
                 yield pd.DataFrame(
                     {
                         name: (
                             _masked_float(vals, _float_dtype[name])
                             if name in _float_dtype
-                            else vals
+                            else pd.Series(vals, dtype="object")
                         )
                         for name, vals in cols.items()
                     }
