@@ -588,3 +588,108 @@ def embedding_near_dup(
     )
     losers = within_losers.unionByName(rep_losers).distinct()
     return corpus.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (r5). ivf_topk() trains + assigns per call — right
+# for one-shot batches, wasteful for a standing corpus. This pair is the
+# warehouse form the ivf_topk docstring promises: assignment written
+# ONCE, partitioned by inverted list, so every later query batch prunes
+# non-probed lists at the FILE level (PartitionFilters on __c — zero I/O
+# for unprobed clusters), the same build-once/prune-at-read design as
+# the text index (operators/text_index.py).
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> list[list[float]]:
+    """Train centroids (DataFrame-side Lloyd, only k*dim floats reach
+    the driver per iteration) and persist the assigned corpus
+    partitioned by inverted list, centroids beside it (underscore
+    prefix keeps the JSON invisible to the parquet reader)."""
+    import json
+    import os
+
+    centroids = train_ivf_centroids(
+        corpus, vec_col=vec_col, n_centroids=n_centroids, id_col=id_col
+    )
+    assigned = corpus.select(
+        id_col,
+        vec_col,
+        _argmax_centroid(
+            _unit(F.col(vec_col).cast("array<double>")), centroids
+        ).alias("__c"),
+    )
+    assigned.write.mode("overwrite").partitionBy("__c").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index.
+
+    The query batch is bounded by contract (same rule as every exact
+    kernel here), so probe selection runs driver-side on the collected
+    vectors; the scan then carries a STATIC ``__c IN (probes)``
+    predicate — Spark turns it into PartitionFilters and never opens
+    the unprobed inverted-list files. Per-batch I/O is
+    |union of probed lists|, not the corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        centroids = json.load(f)
+    cents = np.array(centroids, dtype="float64")  # (k, dim), unit rows
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qmat = np.array([list(r[1]) for r in qrows], dtype="float64")
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_pairs = [
+        (r[0], int(c), list(map(float, r[1])))
+        for r, row in zip(qrows, order)
+        for c in row
+    ]
+    probes = sorted({c for _, c, _ in probe_pairs})
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[query_id_col].dataType
+    qprobe = spark.createDataFrame(
+        probe_pairs,
+        T.StructType(
+            [
+                T.StructField(query_id_col, qid_type),
+                T.StructField("__c", T.IntegerType()),
+                T.StructField(query_vec_col, T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    assigned = spark.read.parquet(path).filter(F.col("__c").isin(probes))
+    rerank = (
+        cosine_fixed(vec_col, query_vec_col, dim)
+        if dim is not None
+        else cosine(F.col(vec_col), F.col(query_vec_col))
+    )
+    scored = assigned.join(F.broadcast(qprobe), "__c").select(
+        query_id_col, id_col, rerank.alias("cos_sim")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

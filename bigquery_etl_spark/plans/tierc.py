@@ -628,6 +628,41 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(ann, exact, 0.5)
 
 
+@query(
+    "q_embed_ann_ivf_indexed",
+    sql=_ANN_TWIN_SQL,
+    tags=("tierc", "similarity", "index"),
+    twin="invariant",
+)
+def q_embed_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 against the PERSISTED IVF index (r5,
+    operators/similarity.build_ivf_index): the assigned corpus lives
+    partitioned by inverted list, probe selection runs on the bounded
+    query batch driver-side, and the scan's static ``__c IN`` predicate
+    partition-prunes the unprobed lists at file level (pinned in
+    test_plan_shapes) — the build-once/prune-at-read design shared
+    with the text index. Same recall@10 >= 0.5 bound as the per-call
+    q_embed_ann_ivf (identical centroids algorithm; the index only
+    changes WHERE assignment work happens)."""
+    import hashlib
+    import os
+
+    from bigquery_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_indexes/ivf_{key}_{os.getpid()}"
+    if not os.path.exists(os.path.join(path, "_ivf_centroids.json")):
+        build_ivf_index(emb, path, n_centroids=16)
+    q = _queries_from_corpus(emb)
+    ann = ivf_index_topk(spark, path, q, k=10, nprobe=4, dim=64)
+    exact = cosine_topk_bruteforce(emb, q, k=10, dim=64)
+    return _ann_recall_check(ann, exact, 0.5)
+
+
 @query("q_embed_ann_lsh", sql=_ANN_TWIN_SQL, tags=("tierc", "similarity"), twin="invariant")
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (8 tables x 4

@@ -113,3 +113,69 @@ def test_embedding_near_dup_noop_on_clean_corpus(spark):
 
     emb = load(spark, SF_DIR, "embeddings")
     assert embedding_near_dup(emb, dim=64, threshold=0.95).count() == emb.count()
+
+
+def test_persisted_ivf_index_matches_per_call_ivf(spark, tmp_path):
+    """Index-served search must return EXACTLY what per-call ivf_topk
+    returns with the same centroids (same assignment, same probes,
+    same rerank) — persistence only moves where assignment happens."""
+    from bigquery_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from bigquery_etl_spark.sources import load
+
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.orderBy("vec_id").limit(5).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, path, n_centroids=8)
+
+    def canon(df):
+        # the index path carries float64 query vectors (collected once
+        # driver-side), the per-call path float32 — scores agree to
+        # ~1e-7, so compare on a 5dp grid like the declared queries do
+        return sorted(
+            (r[0], r[1], round(r[2], 5), r[3]) for r in df.collect()
+        )
+
+    a = canon(ivf_index_topk(spark, path, q, k=10, nprobe=3, dim=64))
+    b = canon(ivf_topk(
+        emb, q, k=10, n_centroids=8, nprobe=3, centroids=cents, dim=64
+    ))
+    assert a == b
+
+
+def test_persisted_ivf_scan_partition_prunes(spark, tmp_path):
+    """The probe predicate must reach the scan as PartitionFilters —
+    unprobed inverted lists are never opened (file-level skip, the
+    scale contract of the persisted index)."""
+    import re
+
+    from bigquery_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from bigquery_etl_spark.sources import load
+
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.orderBy("vec_id").limit(1).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    df = ivf_index_topk(spark, path, q, k=5, nprobe=2, dim=64)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__c" in m.group(1), plan[:2000]
+    # exactly nprobe inverted lists survive the prune (IN for small
+    # sets, INSET past the conversion threshold)
+    vals = set(re.findall(r"\b(\d+)\b", re.sub(r"#\d+", "", m.group(1))))
+    assert len(vals) == 2, m.group(1)
