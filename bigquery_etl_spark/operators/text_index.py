@@ -102,8 +102,18 @@ def search_text_index(
             .filter(F.col("tgen").isNull() | (F.col("gen") >= F.col("tgen")))
             .drop("tgen")
         )
-    per_doc = idx.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms"),  # postings are distinct per (term, doc)
+    # newest generation wins per (term, doc): masks nothing in a
+    # freshly-built index, makes a REPLAYED refresh invisible (its
+    # re-appended postings carry a newer gen with the same tf), and
+    # lets an update's new postings shadow anything the tombstone
+    # didn't already hide. This is what makes streaming maintenance
+    # (streaming/index_stream.py) effectively-once at READ time even
+    # though the posting append itself is at-least-once.
+    per_term_doc = idx.groupBy("term", "doc_id").agg(
+        F.max_by("tf", "gen").alias("tf")
+    )
+    per_doc = per_term_doc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
         F.sum("tf").alias("tf_sum"),
     )
     if mode == "all":

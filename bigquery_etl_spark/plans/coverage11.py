@@ -596,3 +596,37 @@ def q_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text_index(
         spark, table, ["merge", "stream", "vector"], mode="any", k=10
     )
+
+
+@query(
+    "q_lake_restore",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 < 7
+    """,
+    tags=("lakehouse", "dml", "time-travel"),
+)
+def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RESTORE TABLE t TO VERSION AS OF n`` (r5): an accidental
+    DELETE is undone by a METADATA-ONLY commit that re-references the
+    pre-mistake version's files (no data rewrite, history preserved —
+    Delta's RESTORE). The oracle is the pre-mistake selection: the
+    restored read must equal it exactly."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 10 < 7
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        cat = LakeCatalog(spark)
+        cat.create_table("restore_orders", path, o)
+        cat.sql("DELETE FROM restore_orders WHERE o_orderkey % 3 = 0")  # oops
+        cat.sql("RESTORE TABLE restore_orders TO VERSION AS OF 1")
+
+    root = scratch_build(f"lake_restore:{sf_dir}", "lake_restore_", _build)
+    return VersionedTable(spark, root).read().select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

@@ -456,6 +456,9 @@ class LakeCatalog:
         - ``DELETE FROM t [WHERE p]``   → overwrite commit keeping rows
           where p is not TRUE (no WHERE = truncate), returns version
         - ``DESCRIBE HISTORY t``        → DataFrame of the commit log
+        - ``RESTORE TABLE t TO VERSION AS OF n`` → metadata-only commit
+          re-referencing v<n>'s files (r5; refuses past VACUUM's
+          retention), returns the new version
         - ``VACUUM t [RETAIN n]``       → drops unreferenced data files
           (keeps the last n versions' files, default 1), returns a
           DataFrame of removed paths
@@ -537,6 +540,15 @@ class LakeCatalog:
                 ],
                 "version int, kind string, n_files int, rows long, ts double",
             )
+
+        m = re.match(
+            r"\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)"
+            r"\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(1) in self.tables:
+            return self.tables[m.group(1)].restore(int(m.group(2)))
 
         m = re.match(
             r"\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+))?\s*;?\s*$",

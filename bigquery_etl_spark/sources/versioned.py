@@ -334,6 +334,40 @@ class VersionedTable:
             expected_base=expected_base,
         )
 
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF`` (r5): commit a
+        new version whose snapshot IS an earlier version's file set and
+        schema — METADATA-ONLY, the old data files are re-referenced,
+        never rewritten (history stays intact: restore is a new commit
+        on top, so DESCRIBE HISTORY shows both the mistake and the
+        recovery). Refuses if VACUUM already dropped any referenced
+        file (the Delta rule: you can only restore inside the retention
+        window). CDF, when enabled, captures the diff current→restored
+        like any overwrite, so downstream subscribers converge."""
+        import os as _os
+
+        head = self.latest_version()
+        if head is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        old = self._load_manifest(version)  # raises VersionNotFound
+        missing = [
+            e["path"]
+            for e in old["files"]
+            if not _os.path.exists(_os.path.join(self.root, e["path"]))
+        ]
+        if missing:
+            raise VersionNotFound(
+                f"{self.root}: cannot restore v{version} — {len(missing)} "
+                f"data file(s) vacuumed (first: {missing[0]})"
+            )
+        return self._commit(
+            "overwrite",
+            old["files"],
+            old["schema"],
+            change_files=self._capture_changes(self.read(version=version)),
+            expected_base=head,
+        )
+
     def upsert(self, updates: DataFrame, keys: list[str]) -> int:
         """MERGE: same-key rows replaced, others carried over. Current
         form rewrites the full snapshot (one anti-join shuffle);

@@ -191,6 +191,69 @@ def test_index_maintained_off_lake_change_feed(spark, tmp_path):
         assert inc == fresh, (terms, mode, inc, fresh)
 
 
+def test_replayed_refresh_is_invisible_to_search(spark):
+    """At-least-once append, effectively-once read: re-applying the
+    SAME refresh (the foreachBatch crash-replay case) must not change
+    any search result — newest generation wins per (term, doc)."""
+    from bigquery_etl_spark.operators.text_index import refresh_text_index
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    build_text_index(docs, "doc_id", "text", "ti_replay", n_buckets=16)
+    ins = spark.createDataFrame([(7, "spark merge")], ["doc_id", "text"])
+    dels = spark.createDataFrame([(3,)], ["doc_id"])
+    refresh_text_index(spark, "ti_replay", ins, dels)
+    before = [tuple(r) for r in search_text_index(
+        spark, "ti_replay", ["spark", "merge"], "any", 20).collect()]
+    refresh_text_index(spark, "ti_replay", ins, dels)  # the replay
+    after = [tuple(r) for r in search_text_index(
+        spark, "ti_replay", ["spark", "merge"], "any", 20).collect()]
+    assert before == after
+
+
+def test_streaming_index_maintenance_from_lake(spark, tmp_path):
+    """The index subscribes to the lake change feed as a STREAM:
+    commits made while the query runs land in the index, and the
+    result equals a from-scratch rebuild of the final snapshot."""
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+    from bigquery_etl_spark.streaming.index_stream import (
+        start_index_maintenance_from_lake,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "docs"))
+    t.create(spark.createDataFrame(DOCS, "doc_id long, text string"))
+    t.enable_change_feed(["doc_id"])
+    # seed index from nothing: the stream replays from version 1, so
+    # start with an EMPTY index table and let the feed build it
+    build_text_index(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "doc_id", "text", "ti_stream", n_buckets=16,
+    )
+    q = start_index_maintenance_from_lake(
+        spark, str(tmp_path / "docs"), "ti_stream",
+        str(tmp_path / "ckpt"), starting_version=1,
+    )
+    try:
+        q.processAllAvailable()
+        t.upsert(
+            spark.createDataFrame(
+                [(1, "window only now"), (9, "merge window")],
+                "doc_id long, text string",
+            ),
+            ["doc_id"],
+        )
+        t.overwrite(t.read().filter(F.col("doc_id") != 3))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    build_text_index(t.read(), "doc_id", "text", "ti_stream_fresh", n_buckets=16)
+    for terms, mode in ([["merge", "window"], "any"], [["spark", "window"], "all"]):
+        inc = [tuple(r) for r in search_text_index(
+            spark, "ti_stream", terms, mode, 20).collect()]
+        fresh = [tuple(r) for r in search_text_index(
+            spark, "ti_stream_fresh", terms, mode, 20).collect()]
+        assert inc == fresh, (terms, mode, inc, fresh)
+
+
 def test_full_rebuild_clears_tombstones(spark):
     from bigquery_etl_spark.operators.text_index import refresh_text_index
 

@@ -299,3 +299,39 @@ def test_export_snapshot_reads_in_duckdb_and_reimports(spark, tmp_path):
     back = VersionedTable.import_snapshot(spark, out, str(tmp_path / "back"))
     assert back.read().schema == t.read(version=1).schema
     assert sorted(map(tuple, back.read().collect())) == want
+
+
+def test_restore_is_metadata_only_and_recovers_snapshot(spark, tbl):
+    """RESTORE re-references v1's files (no rewrite), the restored read
+    equals the original, and history keeps both the mistake and the
+    recovery."""
+    tbl.create(frame(spark, 0, 100, "base"))
+    tbl.overwrite(frame(spark, 0, 3, "oops"))
+    v = tbl.restore(1)
+    assert sorted(r.id for r in tbl.read().collect()) == list(range(100))
+    assert tbl._load_manifest(v)["files"] == tbl._load_manifest(1)["files"]
+    kinds = [h["kind"] for h in tbl.history()]
+    assert kinds.count("overwrite") == 2  # the oops and the restore
+
+
+def test_restore_refused_past_vacuum_retention(spark, tbl):
+    tbl.create(frame(spark, 0, 10, "base"))
+    tbl.overwrite(frame(spark, 0, 3, "b"))
+    tbl.overwrite(frame(spark, 0, 5, "c"))
+    tbl.vacuum(retain_last=1)
+    # refused either way VACUUM got there first: manifest gone
+    # ("no version 1") or data files gone ("vacuumed")
+    with pytest.raises(VersionNotFound, match="vacuumed|no version"):
+        tbl.restore(1)
+
+
+def test_restore_emits_change_feed_diff(spark, tbl):
+    """With CDF on, a restore captures current->restored like any
+    overwrite, so subscribers converge on the restored snapshot."""
+    tbl.create(frame(spark, 0, 5, "base"))
+    tbl.enable_change_feed(["id"])
+    tbl.overwrite(frame(spark, 0, 2, "oops"))
+    v = tbl.restore(1)
+    ch = tbl.changes_for_version(v)
+    inserted = {r.id for r in ch.filter("_change_type = 'insert'").collect()}
+    assert inserted == {2, 3, 4}  # the rows the oops dropped come back
