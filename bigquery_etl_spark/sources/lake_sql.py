@@ -468,6 +468,11 @@ class LakeCatalog:
           bites), returns the new version
         - ``ALTER TABLE t ADD COLUMN[S] (c type, ...)`` → metadata-only
           schema commit (no file rewrite), returns the new version
+        - ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
+          ``DROP CONSTRAINT name`` (r5) → CHECK constraint stored as a
+          table property and enforced on every later data write (the
+          standing snapshot is validated at ADD; NULL satisfies —
+          SQL-standard CHECK), returns the new version
         - ``CREATE TABLE t [LOCATION '<root>'] AS <select>`` → new
           versioned table at LOCATION (or ``<warehouse>/<name>``),
           registered in the catalog, returns version 1
@@ -483,6 +488,23 @@ class LakeCatalog:
 
             ddl = (m.group(2) or m.group(3)).strip()
             return self.tables[m.group(1)].add_columns(StructType.fromDDL(ddl))
+
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+            r"CHECK\s*\((.*)\)\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(1) in self.tables:
+            return self.tables[m.group(1)].add_constraint(m.group(2), m.group(3))
+
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(1) in self.tables:
+            return self.tables[m.group(1)].drop_constraint(m.group(2))
 
         m = re.match(
             r"\s*CREATE\s+TABLE\s+([\w.]+)\s+"

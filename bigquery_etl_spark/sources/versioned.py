@@ -59,6 +59,11 @@ class SchemaEvolutionError(Exception):
     non-additive drop would corrupt or silently lose data)."""
 
 
+class ConstraintViolation(Exception):
+    """Incoming rows violate a table CHECK constraint; the write is
+    refused whole (no partial load)."""
+
+
 class ChangeFeedUnavailable(Exception):
     """A commit in the requested range has no change information: it
     rewrote data (overwrite/upsert) before ``enable_change_feed`` was
@@ -245,6 +250,7 @@ class VersionedTable:
         (create/overwrite/upsert/alter) still surface CommitConflict to
         the caller, who must re-read the new snapshot."""
         merged = self._merge_schema(df.schema)
+        self._enforce(self._constraints(), df)
         files = self._write_data(df)
         last: CommitConflict | None = None
         for _ in range(8):
@@ -326,6 +332,7 @@ class VersionedTable:
         read of this table — UPDATE/DELETE/MERGE/OPTIMIZE all do — so a
         commit that landed in between surfaces as CommitConflict instead
         of being silently clobbered (lost update)."""
+        self._enforce(self._constraints(), df)
         return self._commit(
             "overwrite",
             self._write_data(df),
@@ -333,6 +340,71 @@ class VersionedTable:
             change_files=self._capture_changes(df),
             expected_base=expected_base,
         )
+
+    # -- CHECK constraints ---------------------------------------------------
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Delta-style table CHECK constraint (r5,
+        ``delta.constraints.<name>``): stored as a table property,
+        enforced on every subsequent data write. The EXISTING snapshot
+        is validated first (Delta's rule: you cannot add a constraint
+        the current data already violates). SQL CHECK semantics: NULL
+        satisfies."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        self._enforce({name: expr}, self.read(version=base))
+        m = self._load_manifest(base)
+        props = dict(m.get("props", {}))
+        cons = dict(props.get("constraints", {}))
+        cons[name] = expr
+        props["constraints"] = cons
+        return self._commit("alter", [], m["schema"], props=props)
+
+    def drop_constraint(self, name: str) -> int:
+        base = self.latest_version()
+        if base is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        m = self._load_manifest(base)
+        props = dict(m.get("props", {}))
+        cons = dict(props.get("constraints", {}))
+        if name not in cons:
+            raise KeyError(f"{self.root}: no constraint {name!r}")
+        del cons[name]
+        props["constraints"] = cons
+        return self._commit("alter", [], m["schema"], props=props)
+
+    def _constraints(self) -> dict[str, str]:
+        base = self.latest_version()
+        if base is None:
+            return {}
+        return self._load_manifest(base).get("props", {}).get("constraints", {})
+
+    def _enforce(self, cons: dict[str, str], df: DataFrame) -> None:
+        """ONE aggregate pass over the incoming data counting violations
+        of every constraint (violation = expr IS FALSE; NULL satisfies,
+        the SQL-standard CHECK rule). Raises ConstraintViolation naming
+        each failed constraint and its row count — the load either
+        commits whole or fails loudly, the transactional version of the
+        reference's BigQuery load-job validation (ref main.py:169-177)."""
+        if not cons:
+            return
+        from pyspark.sql import functions as F
+
+        counts = df.agg(
+            *[
+                F.count(F.when(~F.coalesce(F.expr(e), F.lit(True)), 1)).alias(n)
+                for n, e in cons.items()
+            ]
+        ).collect()[0]
+        bad = {n: counts[n] for n in cons if counts[n] > 0}
+        if bad:
+            detail = ", ".join(
+                f"{n!r} ({cons[n]}): {c} row(s)" for n, c in sorted(bad.items())
+            )
+            raise ConstraintViolation(
+                f"{self.root}: CHECK constraint violation — {detail}"
+            )
 
     def restore(self, version: int) -> int:
         """Delta ``RESTORE TABLE ... TO VERSION AS OF`` (r5): commit a
@@ -360,6 +432,10 @@ class VersionedTable:
                 f"{self.root}: cannot restore v{version} — {len(missing)} "
                 f"data file(s) vacuumed (first: {missing[0]})"
             )
+        # a constraint added AFTER the target version must not be
+        # resurrected around: validate the restored snapshot (only
+        # scans when constraints exist — stays metadata-only otherwise)
+        self._enforce(self._constraints(), self.read(version=version))
         return self._commit(
             "overwrite",
             old["files"],
@@ -378,6 +454,10 @@ class VersionedTable:
         from bigquery_etl_spark.operators.merge import upsert_dataframe
 
         v0 = self.latest_version()
+        # old rows already satisfied every constraint at their own
+        # commit (add_constraint validates the standing snapshot), so
+        # checking the incoming updates covers the merged result
+        self._enforce(self._constraints(), updates)
         merged = upsert_dataframe(self.read(version=v0), updates, keys)
         return self._commit(
             "overwrite",

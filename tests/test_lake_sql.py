@@ -363,3 +363,21 @@ def test_restore_statement_roundtrip(spark, tmp_path):
         cat.tables["r_t"]._load_manifest(v)["files"]
         == cat.tables["r_t"]._load_manifest(1)["files"]
     )
+
+
+def test_constraint_statements(spark, tmp_path):
+    from bigquery_etl_spark.sources.versioned import ConstraintViolation
+
+    cat = LakeCatalog(spark)
+    cat.create_table(
+        "c_t", str(tmp_path / "ct"),
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double"),
+    )
+    cat.sql("ALTER TABLE c_t ADD CONSTRAINT x_pos CHECK (x > 0)")
+    with pytest.raises(ConstraintViolation, match="x_pos"):
+        cat.sql("INSERT INTO c_t SELECT 3, -1.0")
+    with pytest.raises(ConstraintViolation):
+        cat.sql("UPDATE c_t SET x = -5.0 WHERE k = 1")
+    cat.sql("ALTER TABLE c_t DROP CONSTRAINT x_pos")
+    cat.sql("INSERT INTO c_t SELECT 3, -1.0")
+    assert {r.k for r in cat.tables["c_t"].read().collect()} == {1, 2, 3}

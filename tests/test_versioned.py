@@ -335,3 +335,46 @@ def test_restore_emits_change_feed_diff(spark, tbl):
     ch = tbl.changes_for_version(v)
     inserted = {r.id for r in ch.filter("_change_type = 'insert'").collect()}
     assert inserted == {2, 3, 4}  # the rows the oops dropped come back
+
+
+def test_check_constraint_enforced_on_every_write_path(spark, tbl):
+    """ADD CONSTRAINT validates the standing snapshot; append/overwrite/
+    upsert refuse violating batches whole; NULL satisfies (SQL CHECK);
+    DROP lifts enforcement."""
+    from bigquery_etl_spark.sources.versioned import ConstraintViolation
+
+    tbl.create(frame(spark, 0, 10, "base"))
+    tbl.add_constraint("val_nonneg", "val >= 0")
+    bad = spark.createDataFrame([(100, "x", -5)], "id long, tag string, val long")
+    with pytest.raises(ConstraintViolation, match="val_nonneg.*1 row"):
+        tbl.append(bad)
+    with pytest.raises(ConstraintViolation):
+        tbl.upsert(bad, ["id"])
+    with pytest.raises(ConstraintViolation):
+        tbl.overwrite(bad)
+    # NULL satisfies
+    tbl.append(
+        spark.createDataFrame([(101, "x", None)], "id long, tag string, val long")
+    )
+    # adding a constraint the standing data violates is refused
+    with pytest.raises(ConstraintViolation):
+        tbl.add_constraint("impossible", "val > 1000000")
+    tbl.drop_constraint("val_nonneg")
+    tbl.append(bad)  # enforcement lifted
+    assert -5 in {r.val for r in tbl.read().collect()}
+
+
+def test_restore_validates_later_constraints(spark, tbl):
+    """RESTORE cannot resurrect rows around a constraint added after
+    the target version."""
+    from bigquery_etl_spark.sources.versioned import ConstraintViolation
+
+    tbl.create(spark.createDataFrame(
+        [(1, "a", -1)], "id long, tag string, val long"
+    ))
+    tbl.overwrite(spark.createDataFrame(
+        [(1, "a", 5)], "id long, tag string, val long"
+    ))
+    tbl.add_constraint("val_nonneg", "val >= 0")
+    with pytest.raises(ConstraintViolation):
+        tbl.restore(1)
