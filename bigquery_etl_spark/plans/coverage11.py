@@ -630,3 +630,67 @@ def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VersionedTable(spark, root).read().select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query(
+    "q_lake_constraint",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 1
+       OR (o_orderkey % 2 = 0 AND o_totalprice > 50000)
+    """,
+    tags=("lakehouse", "dml", "constraints"),
+)
+def q_lake_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK constraints (r5): ``ALTER TABLE t ADD CONSTRAINT n
+    CHECK (expr)`` stores the predicate as a table property; every
+    later data write is validated in ONE aggregate pass and a violating
+    batch is refused WHOLE (no partial load) — the transactional
+    version of the load-job validation the reference leans on BigQuery
+    for (ref main.py:169-177). This query proves both sides: an INSERT
+    carrying negated prices is rejected (and must leave no trace), then
+    a clean INSERT commits. The oracle is the closed form of the
+    surviving content; any leakage from the refused batch (negative
+    prices, or even rows <= 50000) hash-mismatches."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import (
+        ConstraintViolation,
+        VersionedTable,
+    )
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        o.createOrReplaceTempView("lake_con_src")
+        cat = LakeCatalog(spark)
+        cat.create_table(
+            "con_orders", path, o.filter(F.col("o_orderkey") % 2 == 1)
+        )
+        cat.sql(
+            "ALTER TABLE con_orders ADD CONSTRAINT price_pos "
+            "CHECK (o_totalprice > 0)"
+        )
+        try:
+            cat.sql("""
+                INSERT INTO con_orders
+                SELECT o_orderkey, o_orderstatus, -o_totalprice
+                FROM lake_con_src WHERE o_orderkey % 2 = 0
+            """)
+        except ConstraintViolation:
+            pass  # refused whole, as required
+        else:  # pragma: no cover - enforcement regression
+            raise AssertionError("violating INSERT was accepted")
+        cat.sql("""
+            INSERT INTO con_orders
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM lake_con_src
+            WHERE o_orderkey % 2 = 0 AND o_totalprice > 50000
+        """)
+
+    root = scratch_build(f"lake_con:{sf_dir}", "lake_con_", _build)
+    return VersionedTable(spark, root).read().select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
