@@ -135,6 +135,22 @@ def decode_bmp(content: bytes) -> tuple[int, int, bytes]:
     h = abs(h_raw)
     px = bpp // 8
     stride = (w * px + 3) & ~3
+    palette_luma = None
+    if bpp == 8:
+        # ADVICE r5: 8bpp pixels are PALETTE INDICES, not intensities —
+        # map each through the color table's luma (identity-gray ramps
+        # reduce to the old behavior; any other palette decoded wrong).
+        (clr_used,) = struct.unpack_from("<I", b, 46)
+        n_colors = clr_used or 256
+        pal_off = 14 + dib_size
+        if pal_off + 4 * n_colors > data_off or pal_off + 4 * n_colors > len(b):
+            raise ValueError("8bpp BMP with truncated color table")
+        palette_luma = bytes(
+            (299 * b[pal_off + 4 * i + 2]
+             + 587 * b[pal_off + 4 * i + 1]
+             + 114 * b[pal_off + 4 * i]) // 1000
+            for i in range(n_colors)
+        )
     out = bytearray(w * h)
     for row in range(h):
         src_y = row if top_down else (h - 1 - row)
@@ -142,7 +158,10 @@ def decode_bmp(content: bytes) -> tuple[int, int, bytes]:
         for x in range(w):
             i = base + x * px
             if bpp == 8:
-                out[row * w + x] = b[i]
+                idx = b[i]
+                if idx >= len(palette_luma):
+                    raise ValueError("8bpp BMP pixel index outside color table")
+                out[row * w + x] = palette_luma[idx]
             else:  # BGR(A)
                 bb, gg, rr = b[i], b[i + 1], b[i + 2]
                 out[row * w + x] = (299 * rr + 587 * gg + 114 * bb) // 1000

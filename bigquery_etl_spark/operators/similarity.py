@@ -607,20 +607,38 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Train centroids (DataFrame-side Lloyd, only k*dim floats reach
     the driver per iteration) and persist the assigned corpus
     partitioned by inverted list, centroids beside it (underscore
-    prefix keeps the JSON invisible to the parquet reader)."""
+    prefix keeps the JSON invisible to the parquet reader).
+
+    Pass ``centroids`` to reuse an existing map instead of retraining —
+    the refresh-equivalence contract (refreshed index ≡ rebuild) only
+    holds under the SAME centroid map, since assignment decides list
+    membership.
+
+    A full build IS the compaction: tombstones and the generation
+    counter from any previous incarnation at this path reset with it
+    (same rule as build_text_index)."""
     import json
     import os
+    import shutil
 
-    centroids = train_ivf_centroids(
-        corpus, vec_col=vec_col, n_centroids=n_centroids, id_col=id_col
-    )
+    shutil.rmtree(_ivf_tomb_path(path), ignore_errors=True)
+    try:
+        os.remove(path + "_gen")
+    except FileNotFoundError:
+        pass
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col=vec_col, n_centroids=n_centroids, id_col=id_col
+        )
     assigned = corpus.select(
         id_col,
         vec_col,
+        F.lit(0).cast("int").alias("__gen"),
         _argmax_centroid(
             _unit(F.col(vec_col).cast("array<double>")), centroids
         ).alias("__c"),
@@ -629,6 +647,174 @@ def build_ivf_index(
     with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
         json.dump(centroids, f)
     return centroids
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance (r6, VERDICT r5 item 3): the C34 text index's
+# Lucene-style generations+tombstones model transposed to the vector
+# index, closing the one asymmetry left in the index layer. Inserts
+# assign against the SAVED centroids (no retrain) and append one file
+# to each touched list's partition — O(batch) work, PartitionFilters
+# pruning keeps working because the partition layout is untouched.
+# Deletes are generation-tagged tombstones masking strictly OLDER rows,
+# so an update (delete + insert in one refresh) keeps its new vector
+# even when it re-assigns to a different inverted list. The probe path
+# resolves each id to its newest surviving generation, which makes a
+# REPLAYED refresh invisible (at-least-once append, effectively-once
+# read — the streaming-maintenance contract, index_stream.py).
+# Compaction = re-train + rebuild from the live rows: the OPTIMIZE
+# analogue that re-clusters drifted data and physically drops shadowed
+# rows.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_tomb_path(path: str) -> str:
+    return path + "_tombstones"
+
+
+def _ivf_next_gen(path: str) -> int:
+    import os
+
+    gen_path = path + "_gen"
+    gen = 1
+    if os.path.exists(gen_path):
+        with open(gen_path) as f:
+            gen = int(f.read()) + 1
+    with open(gen_path, "w") as f:
+        f.write(str(gen))
+    return gen
+
+
+def _ivf_has_refreshes(path: str) -> bool:
+    import os
+
+    return os.path.exists(path + "_gen")
+
+
+def _load_ivf_centroids(path: str) -> list[list[float]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        return json.load(f)
+
+
+def _ivf_tombstones(spark, path: str, id_col: str):
+    """(id_col, __tgen = newest delete generation) or None."""
+    import os
+
+    tp = _ivf_tomb_path(path)
+    if not os.path.isdir(tp):
+        return None
+    try:
+        return (
+            spark.read.parquet(tp)
+            .groupBy(id_col)
+            .agg(F.max("gen").alias("__tgen"))
+        )
+    except Exception:  # noqa: BLE001 — empty dir between refreshes
+        return None
+
+
+def refresh_ivf_index(
+    spark,
+    path: str,
+    inserted: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental maintenance: O(changed vectors) per refresh.
+
+    ``inserted`` rows are assigned to their nearest SAVED centroid and
+    appended under a fresh generation; ``deleted_ids`` (one id column)
+    become generation-tagged tombstones. Update = pass the id in
+    ``deleted_ids`` AND the new row in ``inserted`` within one refresh.
+    Single-maintainer contract (plain-file generation counter, same as
+    the text index). Composes with the lake change feed: route
+    insert/update_postimage rows here as ``inserted`` and
+    delete/update_preimage ids as ``deleted_ids``. Returns the
+    generation this refresh wrote."""
+    centroids = _load_ivf_centroids(path)
+    gen = _ivf_next_gen(path)
+    if inserted is not None:
+        assigned = inserted.select(
+            id_col,
+            vec_col,
+            F.lit(gen).cast("int").alias("__gen"),
+            _argmax_centroid(
+                _unit(F.col(vec_col).cast("array<double>")), centroids
+            ).alias("__c"),
+        )
+        assigned.write.mode("append").partitionBy("__c").parquet(path)
+    if deleted_ids is not None:
+        ids = deleted_ids.toDF(id_col).select(
+            id_col, F.lit(gen).cast("int").alias("gen")
+        )
+        ids.write.mode("append").parquet(_ivf_tomb_path(path))
+    return gen
+
+
+def ivf_index_live(
+    spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The index's live rows: tombstone-masked, newest generation per
+    id. A fresh build has no maintenance state and returns the scan
+    as-is (no extra exchange)."""
+    rows = spark.read.parquet(path)
+    if not _ivf_has_refreshes(path):
+        return rows.select(id_col, vec_col, "__c")
+    tomb = _ivf_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # tombstones are bounded by deletes-since-last-compaction ->
+        # broadcast; a tombstone hides only STRICTLY OLDER generations
+        rows = (
+            rows.join(F.broadcast(tomb), id_col, "left")
+            .filter(F.col("__tgen").isNull() | (F.col("__gen") >= F.col("__tgen")))
+            .drop("__tgen")
+        )
+    return (
+        rows.groupBy(id_col)
+        .agg(F.max_by(F.struct(vec_col, "__c"), "__gen").alias("__s"))
+        .select(id_col, f"__s.{vec_col}", "__s.__c")
+    )
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    retrain: bool = True,
+) -> list[list[float]]:
+    """OPTIMIZE for the vector index: materialize the live rows, then
+    rebuild — retraining centroids by default so accumulated inserts
+    re-cluster (IVF recall degrades when lists drift from the data
+    distribution). Shadowed generations and tombstones are physically
+    dropped. ``retrain=False`` keeps the existing centroid map (pure
+    garbage collection; assignment — and therefore every probe result
+    — is unchanged by construction)."""
+    import shutil
+
+    old_centroids = _load_ivf_centroids(path)
+    k = n_centroids or len(old_centroids)
+    tmp = path + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # materialize OFF the old files first — Spark cannot overwrite a
+    # path it is lazily reading
+    ivf_index_live(spark, path, id_col, vec_col).select(id_col, vec_col).write.parquet(tmp)
+    snap = spark.read.parquet(tmp)
+    cents = build_ivf_index(
+        snap,
+        path,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=k,
+        centroids=None if retrain else old_centroids,
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return cents
 
 
 def ivf_index_topk(
@@ -651,11 +837,7 @@ def ivf_index_topk(
     predicate — Spark turns it into PartitionFilters and never opens
     the unprobed inverted-list files. Per-batch I/O is
     |union of probed lists|, not the corpus."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        centroids = json.load(f)
+    centroids = _load_ivf_centroids(path)
     cents = np.array(centroids, dtype="float64")  # (k, dim), unit rows
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qmat = np.array([list(r[1]) for r in qrows], dtype="float64")
@@ -681,6 +863,26 @@ def ivf_index_topk(
         ),
     )
     assigned = spark.read.parquet(path).filter(F.col("__c").isin(probes))
+    if _ivf_has_refreshes(path):
+        # maintenance-aware read: tombstone-mask, newest gen per id.
+        # Gated on refresh state so a freshly-built index keeps the
+        # original zero-extra-exchange plan (PartitionFilters prune,
+        # no dedup shuffle). The dedup shuffle here covers only the
+        # PROBED lists' rows, not the corpus.
+        tomb = _ivf_tombstones(spark, path, id_col)
+        if tomb is not None:
+            assigned = (
+                assigned.join(F.broadcast(tomb), id_col, "left")
+                .filter(
+                    F.col("__tgen").isNull() | (F.col("__gen") >= F.col("__tgen"))
+                )
+                .drop("__tgen")
+            )
+        assigned = (
+            assigned.groupBy(id_col)
+            .agg(F.max_by(F.struct(vec_col, "__c"), "__gen").alias("__s"))
+            .select(id_col, f"__s.{vec_col}", "__s.__c")
+        )
     rerank = (
         cosine_fixed(vec_col, query_vec_col, dim)
         if dim is not None

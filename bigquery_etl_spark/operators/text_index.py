@@ -89,7 +89,23 @@ def search_text_index(
     # (SelectedBucketsCount k of n in the physical plan). Within each
     # surviving bucket, sortBy(term) gives row-group min/max skipping on
     # top.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    _AUTO = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(_AUTO, "true")
+    spark.conf.set(_AUTO, "false")
+    try:
+        return _search_plan(spark, table, terms, mode, k)
+    finally:
+        # scope the override: restore the session conf so unrelated
+        # bucketed-table queries keep their default plan selection
+        # (ADVICE r5). _search_plan forces executedPlan inside the
+        # scope, and QueryExecution caches it, so the returned
+        # DataFrame keeps the bucket-pruned shape regardless.
+        spark.conf.set(_AUTO, prior)
+
+
+def _search_plan(
+    spark: SparkSession, table: str, terms: list[str], mode: str, k: int
+) -> DataFrame:
     idx = spark.table(table).filter(F.col("term").isin(terms))
     tomb = _tombstones(spark, table)
     if tomb is not None:
@@ -118,9 +134,13 @@ def search_text_index(
     )
     if mode == "all":
         per_doc = per_doc.filter(F.col("n_terms") == len(terms))
-    return per_doc.orderBy(
+    out = per_doc.orderBy(
         F.col("n_terms").desc(), F.col("tf_sum").desc(), "doc_id"
     ).limit(k)
+    # compile the physical plan NOW, while autoBucketedScan is off —
+    # the cached executedPlan is what every later action runs
+    out._jdf.queryExecution().executedPlan()
+    return out
 
 
 def _postings(docs: DataFrame, id_col: str, text_col: str, gen: int) -> DataFrame:

@@ -361,7 +361,13 @@ class VersionedLakeDataSource(DataSource):
 
     def schema(self) -> StructType:
         if self._read_changes():
-            return _change_schema(_opt(self.options, "path"), self._pinned_version())
+            # ADVICE r5: an explicit endingVersion serves the range under
+            # THAT version's schema (Delta semantics) — pinning to latest
+            # would silently drop columns the schema later narrowed, and
+            # surface later-widened columns as all-NULL on old rows.
+            ev = _opt(self.options, "endingVersion")
+            v = int(ev) if ev is not None else self._pinned_version()
+            return _change_schema(_opt(self.options, "path"), v)
         m = _load_manifest(_opt(self.options, "path"), self._pinned_version())
         return StructType.fromJson(json.loads(m["schema"]))
 

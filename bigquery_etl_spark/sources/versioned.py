@@ -250,7 +250,8 @@ class VersionedTable:
         (create/overwrite/upsert/alter) still surface CommitConflict to
         the caller, who must re-read the new snapshot."""
         merged = self._merge_schema(df.schema)
-        self._enforce(self._constraints(), df)
+        enforced = self._constraints()
+        self._enforce(enforced, df)
         files = self._write_data(df)
         last: CommitConflict | None = None
         for _ in range(8):
@@ -259,6 +260,15 @@ class VersionedTable:
             except CommitConflict as e:
                 last = e
                 merged = self._merge_schema(merged)  # vs the new head
+                # A racing ALTER may have ADDed constraints after our
+                # pre-write check: re-enforce any we haven't yet, so the
+                # retried commit can't land violating rows on top of a
+                # constraint the table now claims is enforced-on-write.
+                head_cons = self._constraints()
+                delta = {n: e2 for n, e2 in head_cons.items() if enforced.get(n) != e2}
+                if delta:
+                    self._enforce(delta, df)
+                    enforced = head_cons
         raise last
 
     def _merge_schema(self, new: StructType) -> StructType:

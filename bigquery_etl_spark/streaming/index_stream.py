@@ -83,3 +83,63 @@ def start_index_maintenance_from_lake(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_ivf_maintenance_from_lake(
+    spark: SparkSession,
+    table_root: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    starting_version: int = 1,
+) -> StreamingQuery:
+    """r6: the text-index maintenance stream transposed to the C35
+    persisted IVF vector index — subscribe the index at ``index_path``
+    to a VersionedTable's change feed. Same delivery contract: the
+    list append is at-least-once, the probe path resolves each id to
+    its newest surviving generation, so a crash-replayed refresh is
+    invisible to every search; a batch-id fence confines replays to
+    the crash window; compaction physically drops shadowed rows."""
+    from bigquery_etl_spark.operators.similarity import refresh_ivf_index
+    from bigquery_etl_spark.sources.lake_ds import VersionedLakeDataSource
+
+    spark.dataSource.register(VersionedLakeDataSource)
+    stream = (
+        spark.readStream.format("versioned_lake")
+        .option("path", table_root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", starting_version)
+        .load()
+    )
+    fence = os.path.join(checkpoint_dir, "_ivf_applied_batch")
+
+    def apply_batch(batch, batch_id: int) -> None:
+        if os.path.exists(fence):
+            with open(fence) as f:
+                if batch_id <= int(f.read()):
+                    return  # clean-restart replay: already applied
+        ins = batch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(id_col, vec_col)
+        dels = batch.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(id_col)
+        refresh_ivf_index(
+            batch.sparkSession,
+            index_path,
+            inserted=ins if not ins.isEmpty() else None,
+            deleted_ids=dels if not dels.isEmpty() else None,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        tmp = fence + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, fence)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -147,6 +147,35 @@ def test_batch_read_change_feed_format(spark, cdf_tbl):
     assert _canon(df.collect()) == EXPECTED_V1_V3
 
 
+def test_batch_cdf_ending_version_pins_that_versions_schema(spark, cdf_tbl):
+    """ADVICE r5: with an explicit endingVersion, the change range is
+    served under THAT version's schema (Delta semantics) — a column
+    added after endingVersion must not appear as all-NULL history."""
+    from pyspark.sql.types import LongType, StructField
+
+    cdf_tbl.add_columns([StructField("extra", LongType(), True)])  # v4
+    spark.dataSource.register(VersionedLakeDataSource)
+
+    def cdf(**opts):
+        r = (
+            spark.read.format("versioned_lake")
+            .option("path", cdf_tbl.root)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 1)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    old = cdf(endingVersion=3)
+    assert "extra" not in old.columns
+    assert _canon(old.collect()) == EXPECTED_V1_V3
+    # no endingVersion -> latest schema (with the widened column, NULL)
+    latest = cdf()
+    assert "extra" in latest.columns
+    assert latest.filter("extra IS NOT NULL").count() == 0
+
+
 def test_change_feed_unavailable_for_precdf_overwrite(spark, tmp_path):
     from bigquery_etl_spark.sources.versioned import ChangeFeedUnavailable
 

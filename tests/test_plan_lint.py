@@ -36,6 +36,9 @@ NON_EQUI_OK = {
     "q_embed_topk",       # brute-force topk: query side broadcast NLJ by design
     "q_hybrid_search",    # vector leg: 3-row query side crossed with corpus
     "q_embed_ann_ivf",    # centroid assignment crosses the tiny centroid set
+    "q_embed_ann_ivf_indexed",  # same bounded Q=5 exact-recall leg as q_embed_ann_ivf;
+                                # the index-side probe join itself is a BroadcastHashJoin
+                                # with PartitionFilters pruning (pinned in test_plan_shapes)
     "q_embed_ann_lsh",
     "q_incremental_agg",  # 1-row high-watermark threshold
     "q_sample",           # TABLESAMPLE percentage literal

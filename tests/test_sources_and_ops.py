@@ -267,3 +267,36 @@ def test_multimodal_real_bmp_decode_in_this_container(spark):
     assert feats[0].n_bytes == len(bmp)
     # non-BMP payload without PIL: byte-stats fallback (documented fake)
     assert feats[2].n_bytes == len(rows[2][2])
+
+
+def test_bmp_8bpp_decodes_through_palette():
+    """ADVICE r5: 8bpp BMP pixels are palette INDICES — an externally
+    produced file with a non-gray palette must decode via the color
+    table, not raw index-as-intensity."""
+    import struct
+
+    from bigquery_etl_spark.operators.multimodal import decode_bmp
+
+    w, h = 4, 2
+    stride = (w + 3) & ~3
+    # palette: index 0 -> pure red (luma 76), 1 -> pure green (luma 149),
+    # 2 -> pure blue (luma 29), rest black. BGRA entries.
+    palette = (
+        bytes((0, 0, 255, 0)) + bytes((0, 255, 0, 0)) + bytes((255, 0, 0, 0))
+        + bytes(4) * 253
+    )
+    data_off = 14 + 40 + len(palette)
+    img = bytearray()
+    # bottom-up rows: file row 0 is image bottom row [2,2,1,0]
+    for row in ((2, 2, 1, 0), (0, 1, 2, 2)):
+        img += bytes(row) + b"\x00" * (stride - w)
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(img), 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(img), 0, 0, 0, 0)
+    bmp = header + dib + palette + bytes(img)
+
+    # top row: indices 0,1,2,2 -> red,green,blue,blue luma; bottom: 2,2,1,0
+    assert decode_bmp(bmp) == (w, h, bytes((76, 149, 29, 29, 29, 29, 149, 76)))
+    # identity-gray ramp still reduces to index-as-intensity
+    gray_pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    bmp2 = header[:10] + struct.pack("<I", 14 + 40 + 1024) + dib + gray_pal + bytes(img)
+    assert decode_bmp(bmp2)[2] == bytes((0, 1, 2, 2, 2, 2, 1, 0))

@@ -75,6 +75,20 @@ def test_scan_prunes_to_query_term_buckets(spark, index_table):
     assert int(m.group(1)) <= 2 < int(m.group(2)) == 16
 
 
+def test_search_restores_session_conf(spark, index_table):
+    """ADVICE r5: the autoBucketedScan override must be scoped to the
+    search — leaking it changes plan selection for every unrelated
+    bucketed-table query on the shared session — while the returned
+    DataFrame still carries the bucket-pruned cached plan."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(key, "true")
+    df = search_text_index(spark, index_table, ["spark"], "any", 5)
+    assert spark.conf.get(key) == prior
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan  # pruning survived the restore
+    assert df.count() > 0
+
+
 def test_ensure_builds_once_per_process(spark, tmp_path):
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     t1 = ensure_text_index(spark, docs, "doc_id", "text", str(tmp_path))

@@ -378,3 +378,39 @@ def test_restore_validates_later_constraints(spark, tbl):
     tbl.add_constraint("val_nonneg", "val >= 0")
     with pytest.raises(ConstraintViolation):
         tbl.restore(1)
+
+
+def test_constraint_added_during_append_retry_is_enforced(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5 (versioned.py append retry): a racing ADD CONSTRAINT
+    landing between an append's pre-write check and its commit must be
+    re-enforced inside the retry loop — otherwise violating rows commit
+    on top of (and inherit) the new constraint, breaking the
+    'enforced on every write path' invariant."""
+    from bigquery_etl_spark.sources.versioned import ConstraintViolation
+
+    t = VersionedTable(spark, str(tmp_path / "racecons"))
+    t.create(frame(spark, 0, 5, "a"))
+    t2 = VersionedTable(spark, t.root)
+
+    real = VersionedTable._commit
+    state = {"raced": False}
+
+    def flaky(self, kind, files, schema, **kw):
+        if kind == "append" and not state["raced"]:
+            state["raced"] = True
+            t2.add_constraint("val_small", "val < 100")  # takes next version
+            raise CommitConflict("simulated link race")
+        return real(self, kind, files, schema, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_commit", flaky)
+    bad = spark.createDataFrame(
+        [(500, "b", 1000)], "id long, tag string, val long"
+    )
+    with pytest.raises(ConstraintViolation, match="val_small"):
+        t.append(bad)
+    # a clean retry path still succeeds (constraint satisfied)
+    state["raced"] = False
+    v = t.append(frame(spark, 10, 12, "b"))
+    assert VersionedTable(spark, t.root).read().count() == 7

@@ -167,8 +167,35 @@ def main() -> int:
         if n not in REDEFINED and cur.get("queries", {}).get(n)
     )
     host = factors[len(factors) // 2] if factors else 1.0
+    # ADVICE r5: clamp the factor so a genuine uniform code regression
+    # (e.g. a bad global conf) can't be fully divided out as "host
+    # drift" — observed real host windows sit in ~[0.7, 1.45]; anything
+    # beyond [0.6, 1.6] is treated as (at least partly) a code change.
+    host_raw = host
+    host = min(max(host, 0.6), 1.6)
     print(f"gate: host-drift factor {host:.2f}x "
-          f"(median cur/prior over {len(factors)} queries)")
+          f"(median cur/prior over {len(factors)} queries"
+          + (f", raw {host_raw:.2f}x clamped" if host != host_raw else "")
+          + ")")
+    # Backstop: gate the drift-adjusted TOTAL too, so many small
+    # sub-floor per-query regressions (or a uniform one at the clamp
+    # edge) still trip. 1.35x headroom over the drift-adjusted prior
+    # total — wider than per-query noise, far tighter than the 1.8x
+    # Spark/DuckDB ratio bound.
+    comparable = [
+        (cur["queries"][n], s) for n, s in prior["queries"].items()
+        if n not in REDEFINED and cur.get("queries", {}).get(n)
+    ]
+    if comparable:
+        cur_total = sum(c for c, _ in comparable)
+        adj_prior_total = sum(p for _, p in comparable) * host
+        print(f"gate: comparable total {cur_total:.2f}s vs drift-adjusted "
+              f"prior {adj_prior_total:.2f}s")
+        if cur_total > adj_prior_total * 1.35 and cur_total - adj_prior_total > 2.0:
+            fails.append(
+                f"drift-adjusted TOTAL regression: {cur_total:.2f}s vs "
+                f"{adj_prior_total:.2f}s prior ({cur_total / adj_prior_total:.2f}x, max 1.35x)"
+            )
     for name, prev_sec in sorted(prior["queries"].items()):
         now = cur.get("queries", {}).get(name)
         if now is None:
