@@ -663,6 +663,86 @@ def q_embed_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(ann, exact, 0.5)
 
 
+@query(
+    "q_embed_ann_ivf_refresh",
+    sql="""
+    SELECT vec_id AS query_id, TRUE AS refresh_ok
+    FROM embeddings ORDER BY vec_id LIMIT 5
+    """,
+    tags=("tierc", "similarity", "index"),
+    twin="invariant",
+)
+def q_embed_ann_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 (VERDICT r5 item 3): IVF index MAINTENANCE invariant — a
+    CDF-style refresh (insert the held-out 20%, delete every
+    vec_id%7==3, update the min id with a perturbed vector) must be
+    indistinguishable from a from-scratch rebuild of the final corpus
+    under the SAME centroid map. Emits TRUE per query when the two
+    indexes' top-k lists agree exactly ((query_id, vec_id, rank)-
+    equal); the refreshed path exercises generation-resolved reads,
+    tombstone masking, and cross-list re-assignment of the update.
+    Both builds run per call (deterministic state, no cross-call
+    coupling); work is O(corpus) build + O(changes) refresh."""
+    import hashlib
+    import os
+
+    from bigquery_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        refresh_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).select("vec_id", "embedding")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base_path = f"/tmp/spark_graft_indexes/ivfr_{key}_{os.getpid()}"
+    fresh_path = base_path + "_fresh"
+
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    cents = build_ivf_index(base, base_path, n_centroids=16)
+    held_out = emb.filter(F.col("vec_id") % 5 == 4)
+    upd = base.orderBy("vec_id").limit(1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * -1.0).alias("embedding"),
+    )
+    del_ids = base.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    refresh_ivf_index(
+        spark,
+        base_path,
+        inserted=held_out.unionByName(upd),
+        deleted_ids=del_ids.unionByName(upd.select("vec_id")),
+    )
+
+    final = (
+        emb.join(del_ids.exceptAll(upd.select("vec_id")), "vec_id", "left_anti")
+        .join(upd.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(upd)
+    )
+    build_ivf_index(final, fresh_path, centroids=cents)
+
+    q = _queries_from_corpus(emb)
+    a = ivf_index_topk(spark, base_path, q, k=10, nprobe=4, dim=64).select(
+        "query_id", "vec_id", "rank"
+    )
+    b = ivf_index_topk(spark, fresh_path, q, k=10, nprobe=4, dim=64).select(
+        "query_id", "vec_id", "rank"
+    )
+    agree = a.join(b, ["query_id", "vec_id", "rank"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_agree")
+    )
+    n_b = b.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        n_b.join(agree, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_agree"), F.lit(0)) == F.col("n_b")).alias(
+                "refresh_ok"
+            ),
+        )
+    )
+
+
 @query("q_embed_ann_lsh", sql=_ANN_TWIN_SQL, tags=("tierc", "similarity"), twin="invariant")
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (8 tables x 4
