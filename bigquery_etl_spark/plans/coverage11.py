@@ -694,3 +694,96 @@ def q_lake_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VersionedTable(spark, root).read().select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query(
+    "q_lake_update_from",
+    sql="""
+    -- closed-form result of the joined UPDATE ... FROM statement
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN 'J'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.c_custkey IS NOT NULL THEN o_totalprice + s.c_acctbal
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_acctbal > 5000) s
+      ON o_custkey = s.c_custkey
+    """,
+    tags=("lakehouse", "dml"),
+)
+def q_lake_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE t SET ... FROM src WHERE <join>`` (r6, VERDICT r5 item
+    5) — BigQuery's joined-update form (the #1 DML idiom after plain
+    UPDATE on the delegated surface), lowered onto the audited MERGE
+    executor: WHERE is the join condition, assignments may read source
+    columns, a target row matching >1 source row refuses (cardinality
+    rule). Oracle = the statement's closed form as a LEFT JOIN rewrite
+    over the base tables."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        ).createOrReplaceTempView("updf_cust")
+        cat = LakeCatalog(spark)
+        cat.create_table("updf_orders", path, o)
+        cat.sql("""
+            UPDATE updf_orders
+            SET o_orderstatus = 'J',
+                o_totalprice = updf_orders.o_totalprice + s.c_acctbal
+            FROM (SELECT c_custkey, c_acctbal FROM updf_cust
+                  WHERE c_acctbal > 5000) AS s
+            WHERE updf_orders.o_custkey = s.c_custkey
+        """)
+
+    root = scratch_build(f"lake_updf:{sf_dir}", "lake_updf_", _build)
+    return VersionedTable(spark, root).read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "q_lake_delete_in",
+    sql="""
+    -- complement of the IN-subquery DELETE
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal < 0)
+    """,
+    tags=("lakehouse", "dml"),
+)
+def q_lake_delete_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DELETE FROM t WHERE k IN (SELECT ...)`` (r6, VERDICT r5 item
+    5): subquery predicates evaluate through spark.sql over the
+    pre-delete snapshot views — one plan, one snapshot. Oracle = the
+    complement selection over the base tables."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        ).createOrReplaceTempView("delin_cust")
+        cat = LakeCatalog(spark)
+        cat.create_table("delin_orders", path, o)
+        cat.sql("""
+            DELETE FROM delin_orders
+            WHERE o_custkey IN (SELECT c_custkey FROM delin_cust
+                                WHERE c_acctbal < 0)
+        """)
+
+    root = scratch_build(f"lake_delin:{sf_dir}", "lake_delin_", _build)
+    return VersionedTable(spark, root).read().select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

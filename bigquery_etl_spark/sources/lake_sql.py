@@ -634,51 +634,146 @@ class LakeCatalog:
             return tbl.overwrite(df, expected_base=v0)
 
         m = re.match(
-            r"\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+            r"\s*DELETE\s+FROM\s+([\w.]+)\b(.*?);?\s*$",
             text,
             re.IGNORECASE | re.DOTALL,
         )
         if m and m.group(1) in self.tables:
-            tbl = self.tables[m.group(1)]
+            name, rest = m.group(1), m.group(2)
+            tbl = self.tables[name]
             v0 = tbl.latest_version()
             snap = tbl.read(version=v0)
-            if m.group(2):
-                # SQL DELETE: drop rows where the predicate is TRUE;
-                # NULL (3VL) keeps the row
-                kept = snap.filter(
-                    ~F.coalesce(F.expr(m.group(2)), F.lit(False))
-                )
-            else:
+            # literal-aware WHERE split (r6, VERDICT r5 #5): a WHERE
+            # inside a string literal must not start the predicate
+            wh = _top_level_find(rest, r"\bWHERE\b")
+            if not wh:
+                if rest.strip():
+                    raise MergeParseError(
+                        f"DELETE FROM {name}: unparsable tail {rest.strip()!r}"
+                    )
                 kept = snap.limit(0)
+                return tbl.overwrite(kept, expected_base=v0)
+            if rest[: wh[0]].strip():
+                raise MergeParseError(
+                    f"DELETE FROM {name}: unexpected text before WHERE: "
+                    f"{rest[: wh[0]].strip()!r}"
+                )
+            pred = rest[wh[0] + 5 :].strip()
+            # evaluate through spark.sql over the registered snapshot
+            # views, not F.expr — this is what makes subquery
+            # predicates (``k IN (SELECT ...)``, EXISTS) work, the #1
+            # DML idiom after plain UPDATE. SQL DELETE drops rows where
+            # the predicate is TRUE; NULL (3VL) keeps the row. All
+            # reads (outer and subquery) see the pre-delete snapshot —
+            # one plan, one snapshot.
+            kept = self.spark.sql(
+                self._register_views(
+                    f"SELECT * FROM {name} WHERE NOT coalesce(({pred}), FALSE)"
+                )
+            )
             return tbl.overwrite(kept, expected_base=v0)
 
         m = re.match(
-            r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+            r"\s*UPDATE\s+([\w.]+)\b(.*?);?\s*$",
             text,
             re.IGNORECASE | re.DOTALL,
         )
         if m and m.group(1) in self.tables:
-            tbl = self.tables[m.group(1)]
+            name, body = m.group(1), m.group(2)
+            tbl = self.tables[name]
             v0 = tbl.latest_version()
             snap = tbl.read(version=v0)
+            # literal-aware keyword splits (r6, VERDICT r5 #5): SET /
+            # FROM / WHERE located at paren depth 0 outside string
+            # literals, so ``SET note = 'a WHERE b'`` parses whole and
+            # subquery FROMs inside assignment parens don't split
+            sets = _top_level_find(body, r"\bSET\b")
+            if not sets or body[: sets[0]].strip():
+                raise MergeParseError(f"UPDATE {name}: expected SET")
+            froms = [i for i in _top_level_find(body, r"\bFROM\b") if i > sets[0]]
+            wheres = [i for i in _top_level_find(body, r"\bWHERE\b") if i > sets[0]]
+            set_end = min(froms + wheres, default=len(body))
+            assigns_text = body[sets[0] + 3 : set_end]
+            where_text = (
+                body[wheres[0] + 5 :].strip() if wheres else None
+            )
+            from_text = (
+                body[froms[0] + 4 : wheres[0] if wheres else len(body)].strip()
+                if froms
+                else None
+            )
             assigns: dict[str, str] = {}
-            for part in _split_top_level(m.group(2)):
-                em = re.match(r"([\w.]+)\s*=\s*(.*)$", part, re.DOTALL)
+            for part in _split_top_level(assigns_text):
+                em = re.match(r"\s*([\w.]+)\s*=\s*(.*)$", part, re.DOTALL)
                 if not em:
                     raise MergeParseError(f"bad assignment {part!r}")
                 col = em.group(1).split(".")[-1]
                 if col not in snap.columns:
                     raise ValueError(
-                        f"UPDATE {m.group(1)}: unknown column {col!r}"
+                        f"UPDATE {name}: unknown column {col!r}"
                     )
                 assigns[col] = em.group(2).strip()
+
+            if from_text is not None:
+                # UPDATE t SET ... FROM src WHERE <join+filter> — the
+                # BigQuery joined-update form, lowered onto the audited
+                # MERGE executor: WHERE is the ON condition, the single
+                # WHEN MATCHED THEN UPDATE carries the assignments.
+                # merge_dataframes' cardinality check supplies the
+                # standard refusal when one target row matches multiple
+                # source rows; unmatched target rows pass through;
+                # source-only rows are dropped (no insert clause).
+                if where_text is None:
+                    raise MergeParseError(
+                        f"UPDATE {name} ... FROM requires a WHERE clause "
+                        "(it is the join condition)"
+                    )
+                sm = re.match(
+                    r"\(\s*(.*)\s*\)\s+(?:AS\s+)?(\w+)\s*$"
+                    r"|([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$",
+                    from_text,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not sm:
+                    raise MergeParseError(
+                        f"UPDATE {name}: unparsable FROM {from_text!r}"
+                    )
+                if sm.group(1) is not None:  # (subquery) alias
+                    source = self.spark.sql(self._register_views(sm.group(1)))
+                    source_alias = sm.group(2)
+                else:
+                    src_name = sm.group(3)
+                    source_alias = sm.group(4) or src_name
+                    if src_name in self.tables:
+                        source = self.tables[src_name].read()
+                    else:
+                        source = self.spark.table(src_name)
+                spec = MergeSpec(
+                    target=name,
+                    target_alias=name,
+                    source=from_text,
+                    source_sql=None,
+                    source_alias=source_alias,
+                    on=where_text,
+                    clauses=[
+                        MergeClause(
+                            kind="matched",
+                            cond=None,
+                            action="update",
+                            assignments=assigns,
+                        )
+                    ],
+                )
+                merged = merge_dataframes(snap, source, spec)
+                return tbl.overwrite(merged, expected_base=v0)
+
             # rows where the predicate is TRUE update; NULL/False pass
             # through — all assignment RHSs read the OLD row (standard
             # SQL UPDATE), which the per-column when/otherwise gives for
             # free since every expr is evaluated against the snapshot
             hit = (
-                F.coalesce(F.expr(m.group(3)), F.lit(False))
-                if m.group(3)
+                F.coalesce(F.expr(where_text), F.lit(False))
+                if where_text
                 else F.lit(True)
             )
             updated = snap.select(

@@ -381,3 +381,117 @@ def test_constraint_statements(spark, tmp_path):
     cat.sql("ALTER TABLE c_t DROP CONSTRAINT x_pos")
     cat.sql("INSERT INTO c_t SELECT 3, -1.0")
     assert {r.k for r in cat.tables["c_t"].read().collect()} == {1, 2, 3}
+
+
+# -- r6 (VERDICT r5 item 5): DML join forms + literal-aware parsing ---------
+
+ROWS = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)]
+
+
+def _duck_dml(stmts):
+    """Run the same DML in DuckDB on a copy of the fixture; return the
+    final table as {k: (s, x)}."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dml_t (k BIGINT, s VARCHAR, x DOUBLE)")
+    con.executemany("INSERT INTO dml_t VALUES (?, ?, ?)", ROWS)
+    con.execute(
+        "CREATE TABLE src (k BIGINT, nv VARCHAR); "
+        "INSERT INTO src VALUES (2, 'ZZ'), (4, 'YY'), (9, 'nope')"
+    )
+    for s in stmts:
+        con.execute(s)
+    return {r[0]: (r[1], r[2]) for r in con.execute(
+        "SELECT k, s, x FROM dml_t").fetchall()}
+
+
+def test_update_from_joined_source_matches_duckdb(spark, tmp_path):
+    """UPDATE t SET ... FROM src WHERE <join> — the BigQuery joined-
+    update form, exact-twinned against DuckDB running the identical
+    statement on a copied table."""
+    cat = _dml_cat(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "ZZ"), (4, "YY"), (9, "nope")], "k long, nv string"
+    )
+    src.createOrReplaceTempView("src")
+    stmt = ("UPDATE dml_t SET s = src.nv, x = dml_t.x + 1 "
+            "FROM src WHERE dml_t.k = src.k")
+    v = cat.sql(stmt)
+    assert v == 2
+    got = {r.k: (r.s, r.x) for r in cat.tables["dml_t"].read().collect()}
+    assert got == _duck_dml([stmt])
+
+
+def test_update_from_subquery_source(spark, tmp_path):
+    cat = _dml_cat(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "ZZ"), (4, "YY"), (9, "nope")], "k long, nv string"
+    )
+    src.createOrReplaceTempView("src")
+    stmt = ("UPDATE dml_t SET s = s2.nv FROM "
+            "(SELECT k, nv FROM src WHERE nv <> 'nope') AS s2 "
+            "WHERE dml_t.k = s2.k")
+    cat.sql(stmt)
+    got = {r.k: r.s for r in cat.tables["dml_t"].read().collect()}
+    assert got == {1: "a", 2: "ZZ", 3: "c", 4: "YY"}
+
+
+def test_update_from_multi_match_refused(spark, tmp_path):
+    """One target row joining two source rows must refuse (the
+    BigQuery/Delta UPDATE-FROM cardinality rule), not apply an
+    arbitrary one."""
+    cat = _dml_cat(spark, tmp_path)
+    spark.createDataFrame(
+        [(2, "A"), (2, "B")], "k long, nv string"
+    ).createOrReplaceTempView("dupsrc")
+    with pytest.raises(Exception, match="cardinality"):
+        cat.sql(
+            "UPDATE dml_t SET s = dupsrc.nv FROM dupsrc "
+            "WHERE dml_t.k = dupsrc.k"
+        )
+
+
+def test_delete_in_subquery_matches_duckdb(spark, tmp_path):
+    """DELETE FROM t WHERE k IN (SELECT ...) — subquery predicates run
+    through spark.sql over the snapshot views, twinned with DuckDB."""
+    cat = _dml_cat(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "ZZ"), (4, "YY"), (9, "nope")], "k long, nv string"
+    )
+    src.createOrReplaceTempView("src")
+    stmt = "DELETE FROM dml_t WHERE k IN (SELECT k FROM src WHERE nv <> 'nope')"
+    cat.sql(stmt)
+    got = {r.k: (r.s, r.x) for r in cat.tables["dml_t"].read().collect()}
+    assert got == _duck_dml([stmt])
+    assert set(got) == {1, 3}
+
+
+def test_delete_not_exists_subquery(spark, tmp_path):
+    cat = _dml_cat(spark, tmp_path)
+    spark.createDataFrame([(1,), (3,)], "k long").createOrReplaceTempView("keepers")
+    cat.sql(
+        "DELETE FROM dml_t WHERE NOT EXISTS "
+        "(SELECT 1 FROM keepers WHERE keepers.k = dml_t.k)"
+    )
+    assert {r.k for r in cat.tables["dml_t"].read().collect()} == {1, 3}
+
+
+def test_update_string_literal_containing_keywords(spark, tmp_path):
+    """Regression (VERDICT r5 What's-wrong 4): a WHERE/FROM inside a
+    string literal must not split the statement."""
+    cat = _dml_cat(spark, tmp_path)
+    cat.sql("UPDATE dml_t SET s = 'a WHERE b' WHERE k = 1")
+    got = {r.k: r.s for r in cat.tables["dml_t"].read().collect()}
+    assert got[1] == "a WHERE b" and got[2] == "b"
+    cat.sql("UPDATE dml_t SET s = 'x FROM y' WHERE k = 2")
+    assert {r.s for r in cat.tables["dml_t"].read().filter("k=2").collect()} == {
+        "x FROM y"
+    }
+
+
+def test_delete_string_literal_containing_where(spark, tmp_path):
+    cat = _dml_cat(spark, tmp_path)
+    cat.sql("UPDATE dml_t SET s = 'del WHERE me' WHERE k = 3")
+    cat.sql("DELETE FROM dml_t WHERE s = 'del WHERE me'")
+    assert {r.k for r in cat.tables["dml_t"].read().collect()} == {1, 2, 4}
