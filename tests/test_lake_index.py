@@ -1,0 +1,135 @@
+"""SQL-declared index lifecycle (r6, VERDICT r5 item 8): CREATE/DROP
+SEARCH|VECTOR INDEX statements on LakeCatalog tables, auto-maintained
+off the table's change feed after every DML commit — BigQuery's
+CREATE SEARCH INDEX / CREATE VECTOR INDEX on the delegated surface
+(ref main.py:21,49-50 hands all search to BigQuery)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+DOCS = [
+    (1, "spark merge window merge"),
+    (2, "spark window"),
+    (3, "merge merge merge"),
+    (4, "window"),
+    (5, "vector stream"),
+]
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = LakeCatalog(spark)
+    c.create_table(
+        "docs",
+        str(tmp_path / "docs"),
+        spark.createDataFrame(DOCS, "doc_id long, text string"),
+    )
+    return c
+
+
+def _vec(seed: int) -> list[float]:
+    return [float(((seed * 37 + i * 11) % 19) - 9) / 9.0 for i in range(8)]
+
+
+def test_create_search_index_and_search(spark, cat):
+    store = cat.sql(
+        "CREATE SEARCH INDEX si ON docs (text) "
+        "OPTIONS(id_column='doc_id', n_buckets=16)"
+    )
+    assert spark.catalog.tableExists(store)
+    got = [tuple(r) for r in cat.search("docs", ["merge", "window"], "any", 10).collect()]
+    assert got[0] == (1, 2, 3)  # doc 1 matches both terms, tf 2+1
+
+
+def test_dml_auto_maintains_search_index(spark, cat):
+    cat.sql("CREATE SEARCH INDEX si ON docs (text) OPTIONS(id_column='doc_id')")
+    cat.sql("DELETE FROM docs WHERE doc_id = 3")
+    cat.sql("INSERT INTO docs SELECT 6 AS doc_id, 'merge merge' AS text")
+    cat.sql("UPDATE docs SET text = 'nothing here' WHERE doc_id = 1")
+    got = {r.doc_id: r.tf_sum for r in cat.search("docs", ["merge"], "any", 10).collect()}
+    assert got == {6: 2}  # 3 deleted, 1 updated away, 6 inserted
+    # index state equals a from-scratch rebuild of the final snapshot
+    from bigquery_etl_spark.operators.text_index import (
+        build_text_index,
+        search_text_index,
+    )
+
+    build_text_index(cat.tables["docs"].read(), "doc_id", "text", "lsi_fresh")
+    fresh = [tuple(r) for r in search_text_index(
+        spark, "lsi_fresh", ["merge", "window", "spark"], "any", 20).collect()]
+    inc = [tuple(r) for r in cat.search(
+        "docs", ["merge", "window", "spark"], "any", 20).collect()]
+    assert inc == fresh
+
+
+def test_merge_statement_maintains_index(spark, cat):
+    cat.sql("CREATE SEARCH INDEX si ON docs (text) OPTIONS(id_column='doc_id')")
+    spark.createDataFrame(
+        [(2, "vector vector"), (7, "stream stream")], "doc_id long, text string"
+    ).createOrReplaceTempView("updates")
+    cat.sql("""
+        MERGE INTO docs t USING updates s ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET text = s.text
+        WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (s.doc_id, s.text)
+    """)
+    got = {r.doc_id for r in cat.search("docs", ["vector", "stream"], "any", 10).collect()}
+    assert got == {2, 5, 7}
+
+
+def test_drop_search_index(spark, cat, tmp_path):
+    store = cat.sql("CREATE SEARCH INDEX si ON docs (text) OPTIONS(id_column='doc_id')")
+    cat.sql("DROP SEARCH INDEX si ON docs")
+    assert not spark.catalog.tableExists(store)
+    with pytest.raises(KeyError):
+        cat.search("docs", ["merge"])
+    # re-creatable after drop
+    cat.sql("CREATE SEARCH INDEX si ON docs (text) OPTIONS(id_column='doc_id')")
+    assert cat.search("docs", ["merge"], "any", 10).count() > 0
+
+
+def test_duplicate_index_name_refused(cat):
+    cat.sql("CREATE SEARCH INDEX si ON docs (text) OPTIONS(id_column='doc_id')")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE SEARCH INDEX si ON docs (text) OPTIONS(id_column='doc_id')")
+
+
+def test_vector_index_lifecycle_and_maintenance(spark, tmp_path):
+    cat = LakeCatalog(spark)
+    cat.create_table(
+        "emb",
+        str(tmp_path / "emb"),
+        spark.createDataFrame(
+            [(i, _vec(i)) for i in range(20)], "vec_id long, embedding array<double>"
+        ),
+    )
+    store = cat.sql(
+        "CREATE VECTOR INDEX vi ON emb (embedding) "
+        "OPTIONS(id_column='vec_id', num_lists=4)"
+    )
+    assert os.path.isdir(store)
+    q = spark.createDataFrame(
+        [(0, _vec(1))], "query_id long, query_vec array<double>"
+    )
+    top = [r.vec_id for r in cat.vector_search("emb", q, k=3, nprobe=4, dim=8).collect()]
+    assert top[0] == 1  # its own vector is the nearest neighbor
+    cat.sql("DELETE FROM emb WHERE vec_id = 1")
+    top2 = [r.vec_id for r in cat.vector_search("emb", q, k=3, nprobe=4, dim=8).collect()]
+    assert 1 not in top2
+    cat.sql("INSERT INTO emb SELECT 99 AS vec_id, "
+            + "array(" + ",".join(f"{x}d" for x in _vec(1)) + ") AS embedding")
+    top3 = [r.vec_id for r in cat.vector_search("emb", q, k=3, nprobe=4, dim=8).collect()]
+    assert top3[0] == 99
+    cat.sql("DROP VECTOR INDEX vi ON emb")
+    assert not os.path.isdir(store)
+
+
+def test_index_creation_enables_cdf_if_absent(spark, cat):
+    assert cat.tables["docs"]._cdf_keys() is None
+    cat.sql("CREATE SEARCH INDEX si ON docs (text) OPTIONS(id_column='doc_id')")
+    assert cat.tables["docs"]._cdf_keys() == ["doc_id"]
