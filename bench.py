@@ -85,7 +85,25 @@ HEADLINE = [
     # oracles skip the versioned-read / format-round-trip work, so a
     # spark/duck ratio there compares I/O against no-I/O.
     "q_merge_delete",
+    # r6: the r5/r6 index + DML + CDF surfaces, trend-guarded by the
+    # drift-normalized gate from this round on. Same scratch-fixture
+    # protocol as q_merge_delete: build once per process, min-of-3
+    # times the steady path (index-served search, closed-form DML
+    # read-back, full change-feed stream replay).
+    "q_search_indexed",
+    "q_lake_update",
+    "q_lake_update_from",
+    "q_change_feed_stream",
 ]
+
+# Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB
+# ratio: their oracle is a closed form that skips the work the query
+# exists to do, so the ratio would compare real machinery to a plain
+# SELECT (the same reason q_time_travel stays out of the headline).
+MATCHED_EXCLUDE = {
+    "q_change_feed_stream": "full streaming CDF replay (micro-batch per "
+    "version) vs a closed-form final-state SELECT",
+}
 
 
 def ingest(spark, sf_dir: str) -> tuple[str, float]:
@@ -266,6 +284,8 @@ def main() -> None:
         for name in HEADLINE:
             spec = registry.get(name)
             if spec is None or spec.sql is None or name not in timings:
+                continue
+            if name in MATCHED_EXCLUDE:
                 continue
             if spec.twin != "exact":
                 # invariant twins (e.g. q_dedup_minhash's planted-copy

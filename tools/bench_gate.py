@@ -51,10 +51,10 @@ MAX_FLOOR_SEC = 0.4    # never looser than the old global floor
 # comparison is meaningless. Each entry must say what changed; remove it
 # the round after (the new definition becomes the new baseline).
 REDEFINED: dict[str, str] = {
-    # (r4 entries retired: their r4 recordings are now the baseline)
-    "q_hybrid_search": "r5: vector leg routed through the topk() "
-    "dispatcher (over-fetch k+8 + rounded re-rank replaces the inline "
-    "Q×N crossJoin; same oracle, different plan)",
+    # (r5 entry retired: its r5 recording is now the baseline)
+    "q_search_indexed": "r6: rewired through the SQL index lifecycle "
+    "(CREATE SEARCH INDEX on a versioned table + CDF-maintained after "
+    "a committed DELETE; oracle is the post-DELETE corpus)",
 }
 
 
