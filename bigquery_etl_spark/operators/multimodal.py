@@ -7,11 +7,14 @@ Media travels as ``binary`` cells with a typed metadata struct — the
 Arrow-batched ``mapInPandas`` operators so bytes move driver-free,
 partition-parallel.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-``decode`` falls back to a clearly-marked deterministic fake (byte-level
-stats standing in for pixel stats) behind an import-try; the Spark-side
-plumbing — schemas, batch iteration, fan-out shapes — is real and
-tested. Swap ``_decode_image_real`` in when PIL is available.
+Two formats decode FOR REAL with only the stdlib — uncompressed BMP
+(struct) and non-interlaced PNG (zlib inflate + scanline unfilter) —
+so the default decode→resize→feature pipeline is genuine end-to-end in
+this container. Codec-library formats (JPEG/video/audio) use PIL when
+importable (probed at call time) and otherwise fall back to a
+clearly-marked deterministic fake (byte-level stats standing in for
+pixel stats); the Spark-side plumbing — schemas, batch iteration,
+fan-out shapes — is identical on every path.
 """
 
 from __future__ import annotations
@@ -168,10 +171,202 @@ def decode_bmp(content: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
-def _bmp_thumb(content: bytes, w: int, h: int) -> bytes:
-    """REAL stdlib decode path: BMP → grayscale → nearest-neighbor
-    resize → raw bytes. No codec libraries involved."""
-    sw, sh, gray = decode_bmp(content)
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (r6, VERDICT r5 item 7): the second REAL media
+# format in this container. PNG is zlib (stdlib) + five per-scanline
+# byte filters — no codec library needed. Supports non-interlaced
+# gray / RGB / palette / gray+alpha / RGBA at 8-bit depth, 1/2/4-bit
+# gray and palette, and 16-bit (high byte). Adam7 interlace raises →
+# callers fall back.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec 9.4): nearest of left/up/upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(w: int, h: int, gray: bytes, filter_type: int = 0) -> bytes:
+    """Encode top-down grayscale pixels as an 8-bit grayscale PNG
+    (color type 0, non-interlaced). ``filter_type`` applies that
+    forward filter to EVERY scanline — the default 0 (None) is what a
+    minimal encoder emits; tests pass 1-4 to exercise each unfilter
+    path in :func:`decode_png` against a spec-true forward transform."""
+    import struct
+    import zlib
+
+    if len(gray) != w * h:
+        raise ValueError(f"need {w * h} pixels, got {len(gray)}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter {filter_type}")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        row = gray[y * w : (y + 1) * w]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row
+        elif filter_type == 1:  # Sub (bpp=1: left neighbor)
+            raw += bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(w))
+        elif filter_type == 2:  # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(w))
+        elif filter_type == 3:  # Average
+            raw += bytes(
+                (row[x] - ((row[x - 1] if x else 0) + prev[x]) // 2) & 0xFF
+                for x in range(w)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (row[x] - _paeth(row[x - 1] if x else 0, prev[x],
+                                 prev[x - 1] if x else 0)) & 0xFF
+                for x in range(w)
+            )
+        prev = row
+    idat = zlib.compress(bytes(raw), 9)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(content: bytes) -> tuple[int, int, bytes]:
+    """Decode a non-interlaced PNG to (w, h, top-down grayscale bytes).
+    Color types 0/2/3/4/6; bit depths 8 and 16 (high byte) everywhere
+    the spec allows, plus 1/2/4-bit gray and palette. Integer luma
+    (299R+587G+114B)//1000 — same deterministic kernel as
+    :func:`decode_bmp`. Raises ValueError for anything else (Adam7
+    interlace, corrupt CRC, truncation) — callers fall back."""
+    import struct
+    import zlib
+
+    b = bytes(content)
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, bytearray(), None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(b):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, fmeth, interlace = struct.unpack(">IIBBBBB", payload)
+            if comp != 0 or fmeth != 0:
+                raise ValueError("nonstandard compression/filter method")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace unsupported")
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and ctype not in (0, 3)) or (
+        depth == 16 and ctype == 3
+    ):
+        raise ValueError(f"bad depth {depth} for color type {ctype}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"IDAT inflate failed: {e}") from e
+
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+
+    # unfilter scanlines (PNG spec 9: each row prefixed by a filter byte)
+    prev = bytes(stride)
+    scanlines = []
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter byte {ftype}")
+        prev = bytes(row)
+        scanlines.append(prev)
+
+    pal_luma = None
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without valid PLTE")
+        pal_luma = bytes(
+            (299 * plte[3 * i] + 587 * plte[3 * i + 1] + 114 * plte[3 * i + 2]) // 1000
+            for i in range(len(plte) // 3)
+        )
+
+    out = bytearray(w * h)
+    scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
+    step = channels * (2 if depth == 16 else 1)
+    for y, row in enumerate(scanlines):
+        if depth < 8:  # 1/2/4-bit gray or palette: MSB-first bit unpack
+            mask = (1 << depth) - 1
+            for x in range(w):
+                bit = x * depth
+                v = (row[bit // 8] >> (8 - depth - bit % 8)) & mask
+                if ctype == 3:
+                    if v >= len(pal_luma):
+                        raise ValueError("palette index out of range")
+                    out[y * w + x] = pal_luma[v]
+                else:
+                    out[y * w + x] = v * scale
+        else:  # 8/16-bit: big-endian, high byte is the significant one
+            for x in range(w):
+                i = x * step
+                if ctype == 3:
+                    if row[i] >= len(pal_luma):
+                        raise ValueError("palette index out of range")
+                    out[y * w + x] = pal_luma[row[i]]
+                elif ctype in (0, 4):
+                    out[y * w + x] = row[i]
+                else:  # RGB(A)
+                    off = 2 if depth == 16 else 1
+                    rr, gg, bb = row[i], row[i + off], row[i + 2 * off]
+                    out[y * w + x] = (299 * rr + 587 * gg + 114 * bb) // 1000
+    return w, h, bytes(out)
+
+
+def _nn_resize(sw: int, sh: int, gray: bytes, w: int, h: int) -> bytes:
+    """Nearest-neighbor resize of top-down grayscale pixels."""
     return bytes(
         gray[(y * sh // h) * sw + (x * sw // w)]
         for y in range(h)
@@ -179,15 +374,38 @@ def _bmp_thumb(content: bytes, w: int, h: int) -> bytes:
     )
 
 
-def _auto_thumb(content: bytes, w: int, h: int) -> bytes:
-    """Default decoder: real stdlib BMP when the payload is one, real
-    PIL for anything else when importable, else the marked fake."""
-    b = bytes(content)
+def _decode_stdlib(b: bytes) -> tuple[int, int, bytes] | None:
+    """(w, h, gray) via a REAL pure-stdlib codec — BMP or PNG — or None
+    when neither signature matches / the payload is an unsupported
+    variant (callers fall back to PIL or the marked fake)."""
     if b[:2] == b"BM":
         try:
-            return _bmp_thumb(b, w, h)
+            return decode_bmp(b)
         except ValueError:
-            pass  # exotic BMP variant: fall through
+            pass
+    if b[:8] == PNG_SIG:
+        try:
+            return decode_png(b)
+        except ValueError:
+            pass
+    return None
+
+
+def _bmp_thumb(content: bytes, w: int, h: int) -> bytes:
+    """REAL stdlib decode path: BMP → grayscale → nearest-neighbor
+    resize → raw bytes. No codec libraries involved."""
+    sw, sh, gray = decode_bmp(content)
+    return _nn_resize(sw, sh, gray, w, h)
+
+
+def _auto_thumb(content: bytes, w: int, h: int) -> bytes:
+    """Default decoder: real stdlib BMP/PNG when the payload is one,
+    real PIL for anything else when importable, else the marked fake."""
+    b = bytes(content)
+    decoded = _decode_stdlib(b)
+    if decoded is not None:
+        sw, sh, gray = decoded
+        return _nn_resize(sw, sh, gray, w, h)
     if have_pil():
         return _pil_thumb(b, w, h)
     return _fake_thumb(b, w, h)
@@ -195,14 +413,12 @@ def _auto_thumb(content: bytes, w: int, h: int) -> bytes:
 
 def _gray_pixels(content: bytes) -> bytes | None:
     """Decoded grayscale pixels when SOME real decoder applies (stdlib
-    BMP always; PIL formats when present); None → caller falls back to
-    byte stats."""
+    BMP/PNG always; PIL formats when present); None → caller falls back
+    to byte stats."""
     b = bytes(content)
-    if b[:2] == b"BM":
-        try:
-            return decode_bmp(b)[2]
-        except ValueError:
-            pass
+    decoded = _decode_stdlib(b)
+    if decoded is not None:
+        return decoded[2]
     if have_pil():
         try:
             import io
