@@ -22,6 +22,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     functions_pack2,
     joins,
     lateral,
+    matviews,
     pipeline_e2e,
     pipeline_queries,
     relational,

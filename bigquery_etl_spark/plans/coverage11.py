@@ -826,3 +826,156 @@ def q_lake_delete_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VersionedTable(spark, root).read().select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+_WILD_CATS: dict = {}
+
+
+def _sharded_orders_catalog(spark: SparkSession, sf_dir: str):
+    """Process-cached: orders split into 4 lake shards ``ordshard_00..
+    03`` by o_orderkey % 4 — the BigQuery date-sharded layout in
+    miniature (suffixes stand in for YYYYMMDD)."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    key = f"wildcard:{sf_dir}"
+    if key not in _WILD_CATS:
+        def _build(path: str) -> None:
+            import os
+
+            o = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+            cat = LakeCatalog(spark, warehouse=path)
+            for i in range(4):
+                cat.create_table(
+                    f"ordshard_{i:02d}",
+                    os.path.join(path, f"ordshard_{i:02d}"),
+                    o.filter(F.col("o_orderkey") % 4 == i),
+                )
+            _WILD_CATS[key] = cat
+
+        scratch_build(key, "lake_wild_", _build)
+        if key not in _WILD_CATS:
+            import os
+
+            root = scratch_build(key, "lake_wild_", lambda p: None)
+            cat = LakeCatalog(spark, warehouse=root)
+            for i in range(4):
+                cat.register(
+                    f"ordshard_{i:02d}",
+                    VersionedTable(spark, os.path.join(root, f"ordshard_{i:02d}")),
+                )
+            _WILD_CATS[key] = cat
+    return _WILD_CATS[key]
+
+
+@query(
+    "q_wildcard",
+    sql="""
+    SELECT shard,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM (
+        SELECT '01' AS shard, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+        UNION ALL
+        SELECT '02' AS shard, o_totalprice FROM orders WHERE o_orderkey % 4 = 2
+    )
+    GROUP BY shard
+    """,
+    tags=("lakehouse", "wildcard"),
+)
+def q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery wildcard (sharded) tables (r6): ``FROM `ordshard_*```
+    unions the 4 shards with a ``_TABLE_SUFFIX`` pseudo-column, and the
+    conjunctive ``BETWEEN`` predicate prunes shards 00 and 03 at PLAN
+    time — their files never enter the scan (pinned via inputFiles in
+    test_wildcard.py). At a date-sharded 100 TB corpus this is the
+    difference between reading one month and reading a decade. Oracle
+    spells the two surviving shards as an explicit UNION ALL."""
+    cat = _sharded_orders_catalog(spark, sf_dir)
+    out = cat.sql(
+        "SELECT _TABLE_SUFFIX AS shard, COUNT(*) AS n_orders, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price "
+        "FROM `ordshard_*` "
+        "WHERE _TABLE_SUFFIX BETWEEN '01' AND '02' GROUP BY _TABLE_SUFFIX"
+    )
+    return out.select(
+        "shard", "n_orders", F.col("sum_price").cast("double").alias("sum_price")
+    )
+
+
+@query(
+    "q_qualify",
+    sql="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+    tags=("lakehouse", "sqlsurface"),
+)
+def q_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery's ``QUALIFY`` clause (r6) — absent from open-source
+    Spark SQL, supplied by the catalog's rewrite: the window predicate
+    becomes a hidden column filtered in an outer query and dropped.
+    Top-3 orders per priority; DuckDB supports QUALIFY natively, so the
+    oracle is the SAME statement — a direct semantics cross-check of
+    the rewrite against a reference implementation."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    cat = LakeCatalog(spark)
+    return cat.sql(
+        "SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+    )
+
+
+@query(
+    "q_export_load",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1)
+    """,
+    tags=("lakehouse", "sqlsurface"),
+)
+def q_export_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXPORT DATA`` + ``LOAD DATA`` round-trip (r6, BigQuery's bulk
+    movement statements): a lake table seeded with the %4=0 slice, the
+    %4=1 slice EXPORTed to CSV (partition-parallel write), then LOADed
+    back INTO the table as an append commit with name-aligned casts
+    (CSV arrives all-string). Final content must equal the plain union
+    — proving the export wrote faithfully and the load's schema
+    alignment restored exact types through the text round-trip."""
+    import os
+
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        o.createOrReplaceTempView("exl_orders")
+        cat = LakeCatalog(spark)
+        cat.create_table(
+            "exl_t", os.path.join(path, "t"), o.filter(F.col("o_orderkey") % 4 == 0)
+        )
+        cat.sql(
+            f"EXPORT DATA OPTIONS(uri='{path}/csv_out', format='CSV', "
+            "header='true') AS SELECT * FROM exl_orders WHERE o_orderkey % 4 = 1"
+        )
+        cat.sql(
+            f"LOAD DATA INTO exl_t FROM FILES(format='csv', "
+            f"uris=['{path}/csv_out'], header='true')"
+        )
+
+    root = scratch_build(f"lake_exl:{sf_dir}", "lake_exl_", _build)
+    return VersionedTable(spark, os.path.join(root, "t")).read().select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

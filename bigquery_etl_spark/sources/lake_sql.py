@@ -404,6 +404,11 @@ class LakeCatalog:
         # (table, index_name) -> _LakeIndex; maintained off the table's
         # change feed after every DML commit through this catalog
         self.indexes: dict[tuple[str, str], "_LakeIndex"] = {}
+        # name -> MaterializedView (r6): CDF-maintained aggregates with
+        # transparent query rewrite; ``last_mv_rewrite`` records which
+        # view (if any) served the most recent sql() SELECT
+        self.matviews: dict[str, object] = {}
+        self.last_mv_rewrite: str | None = None
 
     def register(self, name: str, table: VersionedTable) -> None:
         self.tables[name] = table
@@ -521,7 +526,187 @@ class LakeCatalog:
 
     def _committed(self, table: str, version: int) -> int:
         self._maintain_indexes(table, version)
+        self._maintain_matviews(table)
         return version
+
+    # -- materialized views (r6) --------------------------------------------
+
+    def _create_matview(self, name: str, loc: str | None, select: str):
+        """``CREATE MATERIALIZED VIEW``: parse the restricted aggregate,
+        compute the initial state from the CURRENT snapshot, persist it
+        as its own VersionedTable, and register for change-feed
+        maintenance after every committing statement (BigQuery MVs are
+        likewise engine-refreshed). Returns the state root."""
+        import os
+        import tempfile
+
+        from bigquery_etl_spark.operators.matview import (
+            MaterializedView,
+            full_compute,
+            try_parse_aggregate,
+        )
+
+        if name in self.matviews or name in self.tables:
+            raise ValueError(f"{name!r} already exists in this catalog")
+        spec = try_parse_aggregate(select)
+        if spec is None:
+            raise MergeParseError(
+                "CREATE MATERIALIZED VIEW supports a single-table "
+                "aggregate: SELECT <group cols & SUM/COUNT/AVG/MIN/MAX "
+                "(expr) AS alias> FROM <lake table> [WHERE <row pred>] "
+                f"GROUP BY <cols> — got: {select.strip()[:120]!r}"
+            )
+        if spec.table not in self.tables:
+            raise KeyError(f"unknown lake table {spec.table!r}")
+        tbl = self.tables[spec.table]
+        if not tbl._cdf_keys():
+            # maintenance rides the change feed — same auto-enable rule
+            # as SQL-declared indexes
+            snap_cols = tbl.read().columns
+            tbl.enable_change_feed([snap_cols[0]])
+        v0 = tbl.latest_version()
+        if loc is None:
+            loc = (
+                os.path.join(self.warehouse, f"_mv_{name}")
+                if self.warehouse
+                else tempfile.mkdtemp(prefix=f"lmv_{name}_")
+            )
+        state = VersionedTable(self.spark, loc)
+        state.create(full_compute(tbl.read(version=v0), spec))
+        self.matviews[name] = MaterializedView(
+            name=name, spec=spec, state=state, applied_version=v0
+        )
+        return loc
+
+    def _maintain_matviews(self, table: str) -> None:
+        """Advance every view on ``table`` through the change feed:
+        O(batch + touched groups) per view per statement (additive) or
+        O(touched groups' rows) (MIN/MAX) — never a full recompute."""
+        from bigquery_etl_spark.operators import matview as _mv
+
+        for mv in self.matviews.values():
+            if mv.spec.table == table:
+                _mv.advance(mv, self.tables[table])
+
+    # -- EXPORT DATA / LOAD DATA (r6) ---------------------------------------
+
+    @staticmethod
+    def _parse_options(opts_text: str) -> dict:
+        """OPTIONS(k='v', uris=['a','b'], header=true) → dict. Bracket
+        lists are extracted first (the comma splitter tracks parens and
+        quotes, not brackets)."""
+        lists: dict[str, list[str]] = {}
+
+        def _grab(m: re.Match) -> str:
+            key = m.group(1).lower()
+            lists[key] = [
+                v.strip().strip("'")
+                for v in m.group(2).split(",")
+                if v.strip()
+            ]
+            return f"{key}=__list_{key}"
+
+        cleaned = re.sub(r"(\w+)\s*=\s*\[([^\]]*)\]", _grab, opts_text)
+        opts: dict = {}
+        for part in _split_top_level(cleaned):
+            om = re.match(r"\s*(\w+)\s*=\s*'?(.*?)'?\s*$", part, re.DOTALL)
+            if not om:
+                raise MergeParseError(f"bad OPTIONS entry {part!r}")
+            key, val = om.group(1).lower(), om.group(2)
+            opts[key] = lists[key] if val == f"__list_{key}" else val
+        return opts
+
+    _EXPORT_FMTS = {"parquet": "parquet", "csv": "csv", "json": "json",
+                    "avro": "avro", "orc": "orc"}
+
+    def _export_data(self, opts_text: str, select: str) -> str:
+        """``EXPORT DATA OPTIONS(uri='…', format='…') AS <select>`` —
+        BigQuery's bulk-export statement. The select plans through the
+        catalog (lake tables, time travel, wildcards all visible) and
+        writes partition-parallel: one file per task, so a 100 TB
+        export never serializes through the driver. Returns the uri."""
+        opts = self._parse_options(opts_text)
+        uri = opts.pop("uri", None)
+        if not uri:
+            raise MergeParseError("EXPORT DATA requires OPTIONS(uri='…')")
+        fmt = self._EXPORT_FMTS.get(opts.pop("format", "parquet").lower())
+        if fmt is None:
+            raise MergeParseError(f"EXPORT DATA: unsupported format in {opts_text!r}")
+        mode = "overwrite" if opts.pop("overwrite", "true").lower() == "true" else "error"
+        df = self.spark.sql(self._register_views(select))
+        writer = df.write.mode(mode)
+        for k, v in opts.items():
+            writer = writer.option(k, v)
+        writer.format(fmt).save(uri)
+        return uri
+
+    def _load_data(self, table: str, opts_text: str) -> int:
+        """``LOAD DATA INTO t FROM FILES(format='…', uris=[…])`` —
+        BigQuery's load statement as an append commit: files read
+        splittable-parallel, aligned to the table schema by NAME (with
+        casts), committed through the manifest protocol — so indexes
+        and materialized views on the table refresh off the change feed
+        like any other DML. Returns the new version."""
+        opts = self._parse_options(opts_text)
+        fmt = opts.pop("format", "parquet").lower()
+        uris = opts.pop("uris", None)
+        if uris is None:
+            raise MergeParseError("LOAD DATA requires FILES(uris=[…])")
+        if isinstance(uris, str):
+            uris = [uris]
+        tbl = self.tables[table]
+        target = tbl.read().schema
+        reader = self.spark.read
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        df = reader.format(fmt).load(uris)
+        missing = [f.name for f in target.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(
+                f"LOAD DATA INTO {table}: files lack columns {missing}"
+            )
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in target.fields])
+        return self._committed(table, tbl.append(df))
+
+    # -- QUALIFY (r6) -------------------------------------------------------
+
+    def _try_qualify(self, text: str):
+        """BigQuery's ``QUALIFY`` clause (filter on window functions —
+        absent from open-source Spark SQL): rewritten to the standard
+        subquery form — the predicate is computed as a hidden column in
+        the original select, filtered in an outer query, and dropped
+        from the result. ORDER BY / LIMIT after QUALIFY apply after the
+        filter, as the standard requires. Returns a DataFrame, or None
+        when the text has no top-level QUALIFY."""
+        qs = _top_level_find(text, r"\bQUALIFY\b")
+        if not qs:
+            return None
+        if len(qs) > 1:
+            raise MergeParseError("multiple top-level QUALIFY clauses")
+        head, tail = text[: qs[0]], text[qs[0] + 7 :]
+        tail = tail.rstrip().rstrip(";")
+        cuts = _top_level_find(tail, r"\bORDER\s+BY\b|\bLIMIT\b")
+        pred = tail[: cuts[0]] if cuts else tail
+        rest = tail[cuts[0] :] if cuts else ""
+        if re.match(r"(?is)^\s*SELECT\s+DISTINCT\b", head):
+            raise MergeParseError(
+                "QUALIFY with SELECT DISTINCT is unsupported (the hidden "
+                "predicate column would change the distinct key)"
+            )
+        froms = _top_level_find(head, r"\bFROM\b")
+        if not froms:
+            raise MergeParseError("QUALIFY without a FROM clause")
+        inner = (
+            head[: froms[0]].rstrip()
+            + f", ({pred.strip()}) AS __q "
+            + head[froms[0] :]
+        )
+        out = self.spark.sql(
+            self._register_views(
+                f"SELECT * FROM ({inner}) __qualified WHERE __q {rest}"
+            )
+        )
+        return out.drop("__q")
 
     def search(self, table: str, terms: list[str], mode: str = "any",
                k: int = 10, index: str | None = None) -> DataFrame:
@@ -581,13 +766,123 @@ class LakeCatalog:
             raise ValueError(f"{name}: no commit at or before {ts!r}")
         return best
 
+    # -- wildcard (sharded) tables (r6) -------------------------------------
+
+    _WILDCARD_RX = re.compile(r"`([\w.]*)\*`")
+
+    def _suffix_constraints(self, text: str):
+        """Extract conjunctive ``_TABLE_SUFFIX`` predicates for
+        plan-time shard pruning. Conservative: if the statement contains
+        a top-level-visible OR or NOT (outside string literals), no
+        pruning happens — the row-level predicate still filters
+        correctly, we just scan more shards. Returns a list of
+        (op, value) with op in =/</<=/>/>=/between/in."""
+        no_str = re.sub(r"'[^']*'", "''", text)
+        if re.search(r"(?i)\b(OR|NOT)\b", no_str):
+            return []
+        cons: list[tuple[str, object]] = []
+        for m in re.finditer(
+            r"(?i)_TABLE_SUFFIX\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'", text
+        ):
+            cons.append(("between", (m.group(1), m.group(2))))
+        for m in re.finditer(
+            r"(?i)_TABLE_SUFFIX\s*(=|>=|<=|<|>)\s*'([^']*)'", text
+        ):
+            cons.append((m.group(1), m.group(2)))
+        for m in re.finditer(r"(?i)_TABLE_SUFFIX\s+IN\s*\(([^)]*)\)", text):
+            vals = {
+                v.strip().strip("'")
+                for v in m.group(1).split(",")
+                if v.strip()
+            }
+            cons.append(("in", vals))
+        return cons
+
+    @staticmethod
+    def _suffix_ok(suffix: str, cons) -> bool:
+        for op, v in cons:
+            if op == "between" and not (v[0] <= suffix <= v[1]):
+                return False
+            if op == "in" and suffix not in v:
+                return False
+            if op == "=" and suffix != v:
+                return False
+            if op == ">=" and not suffix >= v:
+                return False
+            if op == "<=" and not suffix <= v:
+                return False
+            if op == ">" and not suffix > v:
+                return False
+            if op == "<" and not suffix < v:
+                return False
+        return True
+
+    def _expand_wildcards(self, text: str) -> str:
+        """BigQuery wildcard (sharded) tables: ``FROM `prefix_*``` scans
+        every cataloged table whose name starts with the prefix, with a
+        ``_TABLE_SUFFIX`` pseudo-column holding each shard's suffix.
+        Conjunctive ``_TABLE_SUFFIX`` predicates prune WHOLE SHARDS at
+        plan time — the scale point: a date-sharded corpus queried for
+        one month reads one month, the predicate never reaches the
+        other shards' files. Shards union BY NAME with missing columns
+        as NULL (additive schema drift across shards is the norm for
+        date-sharded feeds; BigQuery resolves drift against the newest
+        shard's schema — a column dropped from newer shards still
+        surfaces here, NULL-filled, which is the superset behavior)."""
+        from functools import reduce
+
+        for prefix in sorted(set(self._WILDCARD_RX.findall(text))):
+            shards = sorted(
+                (name[len(prefix):], name)
+                for name in self.tables
+                if name.startswith(prefix) and name != prefix
+            )
+            if not shards:
+                raise KeyError(f"wildcard `{prefix}*` matches no lake tables")
+            cons = self._suffix_constraints(text)
+            kept = [
+                (sfx, name) for sfx, name in shards if self._suffix_ok(sfx, cons)
+            ]
+            view = f"__wild_{prefix.replace('.', '_')}".rstrip("_")
+            if not kept:
+                # all shards pruned: empty relation with the newest
+                # shard's schema + the pseudo-column
+                df = (
+                    self.tables[shards[-1][1]]
+                    .read()
+                    .withColumn("_TABLE_SUFFIX", F.lit(shards[-1][0]))
+                    .limit(0)
+                )
+            else:
+                df = reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                    [
+                        self.tables[name]
+                        .read()
+                        .withColumn("_TABLE_SUFFIX", F.lit(sfx))
+                        for sfx, name in kept
+                    ],
+                )
+            df.createOrReplaceTempView(view)
+            text = text.replace(f"`{prefix}*`", view)
+        return text
+
     def _register_views(self, text: str) -> str:
         """Make every cataloged table queryable: current snapshots as
         temp views, plus one view per time-travel reference (the
-        reference is rewritten to the view name)."""
+        reference is rewritten to the view name), plus wildcard
+        (sharded) unions with shard pruning."""
+        text = self._expand_wildcards(text)
         for name, tbl in self.tables.items():
             if re.search(rf"\b{re.escape(name)}\b", text):
                 tbl.read().createOrReplaceTempView(name)
+        for name, mv in self.matviews.items():
+            # views are directly queryable by name (BigQuery MVs are);
+            # present the user-facing columns from the state table
+            if re.search(rf"\b{re.escape(name)}\b", text):
+                from bigquery_etl_spark.operators.matview import present
+
+                present(mv.state.read(), mv.spec).createOrReplaceTempView(name)
 
         def _sub_version(m: re.Match) -> str:
             name, v = m.group(1), int(m.group(2))
@@ -671,6 +966,39 @@ class LakeCatalog:
             return None
 
         m = re.match(
+            r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+"
+            r"(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.*)$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._create_matview(m.group(1), m.group(2), m.group(3))
+
+        m = re.match(
+            r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(1) in self.matviews:
+            from bigquery_etl_spark.operators.matview import advance
+
+            mv = self.matviews[m.group(1)]
+            advance(mv, self.tables[mv.spec.table])
+            return mv.applied_version
+
+        m = re.match(
+            r"\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(1) in self.matviews:
+            import shutil
+
+            mv = self.matviews.pop(m.group(1))
+            shutil.rmtree(mv.state.root, ignore_errors=True)
+            return None
+
+        m = re.match(
             r"\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*"
             r"(?:\((.*)\)|([^()]+?))\s*;?\s*$",
             text,
@@ -721,6 +1049,22 @@ class LakeCatalog:
             df = self.spark.sql(self._register_views(select))
             self.create_table(name, loc, df)
             return 1
+        m = re.match(
+            r"\s*EXPORT\s+DATA\s+OPTIONS\s*\((.*?)\)\s+AS\s+(.*)$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._export_data(m.group(1), m.group(2))
+
+        m = re.match(
+            r"\s*LOAD\s+DATA\s+INTO\s+([\w.]+)\s+FROM\s+FILES\s*\((.*?)\)\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(1) in self.tables:
+            return self._load_data(m.group(1), m.group(2))
+
         m = re.match(
             r"\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$", text, re.IGNORECASE | re.DOTALL
         )
@@ -1012,4 +1356,32 @@ class LakeCatalog:
             return self._committed(
                 spec.target, tbl.overwrite(merged, expected_base=v0)
             )
+        q = self._try_qualify(text)
+        if q is not None:
+            return q
+        hit = self._try_mv_rewrite(text)
+        if hit is not None:
+            return hit
         return self.spark.sql(self._register_views(text))
+
+    def _try_mv_rewrite(self, text: str):
+        """BigQuery smart rewrite: a plain aggregate over a base table
+        is answered from a matching materialized view's state (|groups|
+        rows) instead of scanning the table. Views are brought current
+        first (no-op when every commit came through this catalog), so
+        the rewritten answer is always snapshot-exact."""
+        from bigquery_etl_spark.operators import matview as _mv
+
+        self.last_mv_rewrite = None
+        q = _mv.try_parse_aggregate(text)
+        if q is None or q.table not in self.tables:
+            return None
+        for mv in self.matviews.values():
+            if mv.spec.table != q.table:
+                continue
+            _mv.advance(mv, self.tables[q.table])  # out-of-catalog commits
+            df = _mv.derive_rewrite(mv, q)
+            if df is not None:
+                self.last_mv_rewrite = mv.name
+                return df
+        return None
