@@ -979,3 +979,68 @@ def q_export_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VersionedTable(spark, os.path.join(root, "t")).read().select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query(
+    "q_bq_dialect",
+    sql="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) AS n,
+           CASE WHEN COUNT(*) FILTER (WHERE o_totalprice > 400000) = 0
+                THEN NULL
+                ELSE CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE)
+                     / COUNT(*) FILTER (WHERE o_totalprice > 400000) END
+               AS hot_avg
+    FROM orders GROUP BY mon
+    """,
+    tags=("lakehouse", "dialect"),
+)
+def q_bq_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery Standard SQL executed VERBATIM through the dialect shim
+    (r6, sources/bq_dialect.py): DATE_TRUNC with BigQuery's (expr,
+    PART) argument order, COUNTIF, SAFE_DIVIDE (NULL on the months
+    whose hot-order count is zero — try_divide semantics), NUMERIC and
+    FLOAT64 type names. The oracle is the same query hand-written in
+    ANSI SQL — proving translation preserves semantics, not just
+    syntax. The reference's users write exactly this dialect (its
+    entire query surface is BigQuery, main.py:160-185)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("bqd_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql(
+        "SELECT CAST(DATE_TRUNC(o_orderdate, MONTH) AS DATE) AS mon, "
+        "COUNTIF(o_orderstatus = 'F') AS n_f, "
+        "COUNT(*) AS n, "
+        "SAFE_DIVIDE(CAST(SUM(CAST(o_totalprice AS NUMERIC)) AS FLOAT64), "
+        "COUNTIF(o_totalprice > 400000)) AS hot_avg "
+        "FROM bqd_orders GROUP BY mon"
+    )
+
+
+@query(
+    "q_bq_unnest",
+    sql="""
+    SELECT doc_id, string_split(text, ' ')[i + 1] AS tok, i AS o
+    FROM documents, generate_series(0, 2) AS g(i)
+    WHERE doc_id % 20 = 3 AND i < len(string_split(text, ' '))
+    """,
+    tags=("lakehouse", "dialect"),
+)
+def q_bq_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery's ``, UNNEST(arr) AS x WITH OFFSET`` array fan-out —
+    translated to LATERAL VIEW posexplode (0-based offset matches
+    BigQuery's). First 3 tokens of every 20th document; the oracle
+    reproduces the fan-out with generate_series + array indexing."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("bqu_docs")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql(
+        "SELECT doc_id, tok, o FROM "
+        "(SELECT doc_id, SPLIT(text, ' ') AS toks FROM bqu_docs "
+        "WHERE doc_id % 20 = 3), "
+        "UNNEST(toks) AS tok WITH OFFSET AS o "
+        "WHERE o < 3"
+    )

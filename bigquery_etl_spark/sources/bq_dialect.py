@@ -1,0 +1,290 @@
+"""BigQuery Standard SQL → Spark SQL dialect shim (r6).
+
+The reference delegates every query to BigQuery (main.py:160-185), so
+its users WRITE BigQuery Standard SQL. This module lets those
+statements run on the Spark engine unchanged for the common surface:
+``LakeCatalog.bq_sql(text)`` translates, then executes through the
+normal catalog path (lake statements, materialized-view rewrite,
+wildcard tables, QUALIFY all still apply downstream).
+
+This is a TEXTUAL shim, not a SQL parser: every rewrite is
+literal-aware (single-quoted strings pass through untouched) and
+paren-aware where arguments move. It covers the BigQuery-isms that
+differ mechanically from Spark SQL:
+
+- type names:      FLOAT64/INT64/BOOL/BYTES/NUMERIC → Spark types
+- SAFE_ prefix:    SAFE_CAST/SAFE_DIVIDE/SAFE_ADD/… → TRY_ forms
+- agg renames:     COUNTIF, LOGICAL_AND/OR, ANY_VALUE (kept)
+- fn renames:      ARRAY_LENGTH→SIZE, GENERATE_ARRAY→SEQUENCE,
+                   REGEXP_CONTAINS→REGEXP_LIKE, FORMAT→FORMAT_STRING,
+                   GENERATE_UUID→UUID
+- arg reorders:    TIMESTAMP_DIFF/DATE_DIFF(a, b, part) →
+                   TIMESTAMPDIFF(part, b, a);
+                   TIMESTAMP_TRUNC/DATE_TRUNC(x, part) →
+                   DATE_TRUNC('part', x)
+- interval forms:  DATE_ADD/DATE_SUB/TIMESTAMP_ADD/TIMESTAMP_SUB
+                   (x, INTERVAL n part) → (x ± INTERVAL n part)
+- UNNEST:          ``FROM t, UNNEST(arr) AS x [WITH OFFSET [AS] o]`` →
+                   LATERAL VIEW [pos]explode — the BigQuery array
+                   fan-out idiom
+- backtick paths:  `project.dataset.table` → last path segment (the
+                   catalog's table namespace is flat); wildcard refs
+                   (`prefix_*`) pass through to the catalog's shard
+                   expansion untouched
+
+Unsupported BigQuery-isms raise with a pointer (BIGNUMERIC — exceeds
+DECIMAL(38); correlated UNNEST of struct arrays beyond the simple
+form). Everything else passes through verbatim, so plain ANSI SQL is
+unaffected.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TYPE_MAP = {
+    "FLOAT64": "DOUBLE",
+    "INT64": "BIGINT",
+    "BOOL": "BOOLEAN",
+    "BYTES": "BINARY",
+    "NUMERIC": "DECIMAL(38,9)",
+}
+
+_FN_RENAMES = {
+    "SAFE_CAST": "TRY_CAST",
+    "SAFE_DIVIDE": "TRY_DIVIDE",
+    "SAFE_ADD": "TRY_ADD",
+    "SAFE_SUBTRACT": "TRY_SUBTRACT",
+    "SAFE_MULTIPLY": "TRY_MULTIPLY",
+    "COUNTIF": "COUNT_IF",
+    "LOGICAL_AND": "BOOL_AND",
+    "LOGICAL_OR": "BOOL_OR",
+    "ARRAY_LENGTH": "SIZE",
+    "ARRAY_REVERSE": "REVERSE",
+    "GENERATE_ARRAY": "SEQUENCE",
+    "GENERATE_UUID": "UUID",
+    "REGEXP_CONTAINS": "REGEXP_LIKE",
+    "FORMAT": "FORMAT_STRING",
+}
+
+
+class BQDialectError(ValueError):
+    """A BigQuery construct this shim cannot express on Spark."""
+
+
+def _map_literal_aware(text: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``text`` outside single-quoted
+    string literals, reassembling literals verbatim."""
+    out, i, n = [], 0, len(text)
+    start = 0
+    while i < n:
+        if text[i] == "'":
+            out.append(fn(text[start:i]))
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            start = i
+            continue
+        i += 1
+    out.append(fn(text[start:]))
+    return "".join(out)
+
+
+def _split_args(inner: str) -> list[str]:
+    from bigquery_etl_spark.sources.lake_sql import _split_top_level
+
+    return _split_top_level(inner)
+
+
+def _call_sites(text: str, rx: re.Pattern) -> list[tuple[int, int]]:
+    """(start, open_paren) of each call matching ``rx`` outside string
+    literals, in scan order."""
+    sites, i, n = [], 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        m = rx.match(text, i)
+        if m:
+            sites.append((i, m.end() - 1))
+            i = m.end()
+            continue
+        i += 1
+    return sites
+
+
+def _rewrite_calls(text: str, name: str, rewriter) -> str:
+    """Replace each call ``name(...)`` (outside string literals) with
+    ``rewriter(args)``; a rewriter returning None keeps the call
+    as-is. ONE scan, applied right-to-left: earlier sites' offsets
+    stay valid, each close paren is resolved fresh at apply time (a
+    nested same-name call rewritten first may shift it), and rewritten
+    output is never re-scanned — so a rewriter may legally emit the
+    same function name (DATE_TRUNC's arg swap does)."""
+    from bigquery_etl_spark.sources.lake_sql import _matching_paren
+
+    rx = re.compile(rf"(?i)\b{name}\s*\(")
+    for s, open_idx in reversed(_call_sites(text, rx)):
+        close = _matching_paren(text, open_idx)
+        out = rewriter(_split_args(text[open_idx + 1 : close]))
+        if out is not None:
+            text = text[:s] + out + text[close + 1 :]
+    return text
+
+
+def _diff_rewriter(args: list[str]) -> str:
+    if len(args) != 3:
+        raise BQDialectError(f"expected (a, b, part), got {args}")
+    a, b, part = args
+    return f"TIMESTAMPDIFF({part.strip()}, {b.strip()}, {a.strip()})"
+
+
+_DATE_PARTS = {
+    "YEAR", "ISOYEAR", "QUARTER", "MONTH", "WEEK", "ISOWEEK", "DAY",
+    "HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND", "DATE",
+}
+
+
+def _trunc_rewriter(args: list[str]) -> str | None:
+    if len(args) != 2:
+        raise BQDialectError(f"expected (x, part), got {args}")
+    x, part = args[0].strip(), args[1].strip()
+    if part.upper() not in _DATE_PARTS or x.startswith("'"):
+        # not BigQuery's (expr, PART) arg order — e.g. already
+        # Spark-style DATE_TRUNC('month', ts): keep as-is
+        return None
+    return f"DATE_TRUNC('{part}', {x})"
+
+
+def _interval_rewriter(sign: str):
+    def _rw(args: list[str]) -> str:
+        if len(args) != 2 or not re.match(r"(?i)^\s*INTERVAL\b", args[1]):
+            raise BQDialectError(
+                f"expected (x, INTERVAL n part), got {args}"
+            )
+        return f"({args[0].strip()} {sign} {args[1].strip()})"
+
+    return _rw
+
+
+_UNNEST_RX = re.compile(
+    r"(?i),\s*UNNEST\s*\(",
+)
+
+
+def _rewrite_unnest(text: str) -> str:
+    """``, UNNEST(expr) [AS] alias [WITH OFFSET [AS] off]`` →
+    ``LATERAL VIEW explode(expr) __unnest_k AS alias`` (posexplode when
+    OFFSET is asked — BigQuery's offset is 0-based, as is posexplode's
+    pos). The comma form sits exactly where LATERAL VIEW belongs, so
+    in-place substitution preserves clause order; multiple UNNESTs
+    chain as multiple LATERAL VIEWs (Spark allows any number)."""
+    from bigquery_etl_spark.sources.lake_sql import _matching_paren
+
+    k = 0
+    while True:
+        sites = []
+        i, n = 0, len(text)
+        while i < n:
+            if text[i] == "'":
+                j = i + 1
+                while j < n and text[j] != "'":
+                    j += 1
+                i = j + 1
+                continue
+            m = _UNNEST_RX.match(text, i)
+            if m:
+                sites.append((i, m.end() - 1))
+                i = m.end()
+                continue
+            i += 1
+        if not sites:
+            return text
+        s, open_idx = sites[-1]
+        close = _matching_paren(text, open_idx)
+        expr = text[open_idx + 1 : close]
+        tail = text[close + 1 :]
+        tm = re.match(
+            r"(?i)\s*(?:AS\s+)?(\w+)"
+            r"(?:\s+WITH\s+OFFSET(?:\s+AS)?(?:\s+(\w+))?)?",
+            tail,
+        )
+        reserved = {
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY",
+            "ON", "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+            "UNION", "UNNEST", "AS", "WITH",
+        }
+        if not tm or not tm.group(1) or tm.group(1).upper() in reserved:
+            raise BQDialectError(
+                f"UNNEST needs an alias: …{text[s : close + 1][:60]}"
+            )
+        alias, off, consumed = tm.group(1), tm.group(2), tm.end()
+        has_offset = "OFFSET" in tm.group(0).upper()
+        if off is not None and off.upper() in reserved:
+            # the word after WITH OFFSET was the next clause, not a name
+            off, consumed = None, tm.start(2)
+        if has_offset and off is None:
+            off = "offset"  # BigQuery's default offset column name
+        k += 1
+        lv = (
+            f" LATERAL VIEW posexplode({expr}) __unnest_{k} AS {off}, {alias}"
+            if off
+            else f" LATERAL VIEW explode({expr}) __unnest_{k} AS {alias}"
+        )
+        rest = tail[consumed:]
+        if rest[:1] not in ("", " ", "\t", "\n", ")", ","):
+            rest = " " + rest  # backtracked over the separating space
+        text = text[:s] + lv + rest
+
+
+def translate(sql: str) -> str:
+    """BigQuery Standard SQL → Spark SQL for the shimmed surface."""
+    if re.search(r"(?i)\bBIGNUMERIC\b", sql):
+        raise BQDialectError(
+            "BIGNUMERIC exceeds Spark's DECIMAL(38) — cast to NUMERIC "
+            "or FLOAT64 upstream"
+        )
+
+    def _names(seg: str) -> str:
+        # backticked paths (not wildcard refs, which keep their backticks
+        # for the catalog's shard expansion): flatten to last segment
+        seg = re.sub(
+            r"`([\w.-]*?)([\w-]+)`(?!\*)",
+            lambda m: m.group(2) if "*" not in m.group(0) else m.group(0),
+            seg,
+        )
+        for bq, sp in _TYPE_MAP.items():
+            seg = re.sub(rf"(?i)\b{bq}\b", sp, seg)
+        for bq, sp in _FN_RENAMES.items():
+            seg = re.sub(rf"(?i)\b{bq}\s*\(", f"{sp}(", seg)
+        # GENERATE_UUID() takes no args in BigQuery; UUID() likewise
+        return seg
+
+    # wildcard backticks contain '*' — protect them before the name pass
+    guard: dict[str, str] = {}
+
+    def _protect(m: re.Match) -> str:
+        key = f"\x00W{len(guard)}\x00"
+        guard[key] = m.group(0)
+        return key
+
+    sql = re.sub(r"`[\w.]*\*`", _protect, sql)
+    sql = _map_literal_aware(sql, _names)
+    sql = _rewrite_unnest(sql)
+    sql = _rewrite_calls(sql, "TIMESTAMP_DIFF", _diff_rewriter)
+    sql = _rewrite_calls(sql, "DATE_DIFF", _diff_rewriter)
+    sql = _rewrite_calls(sql, "TIMESTAMP_TRUNC", _trunc_rewriter)
+    sql = _rewrite_calls(sql, "DATETIME_TRUNC", _trunc_rewriter)
+    sql = _rewrite_calls(sql, "DATE_TRUNC", _trunc_rewriter)
+    sql = _rewrite_calls(sql, "DATE_ADD", _interval_rewriter("+"))
+    sql = _rewrite_calls(sql, "TIMESTAMP_ADD", _interval_rewriter("+"))
+    sql = _rewrite_calls(sql, "DATE_SUB", _interval_rewriter("-"))
+    sql = _rewrite_calls(sql, "TIMESTAMP_SUB", _interval_rewriter("-"))
+    for key, orig in guard.items():
+        sql = sql.replace(key, orig)
+    return sql

@@ -905,6 +905,17 @@ class LakeCatalog:
         text = _TS_RX.sub(_sub_ts, text)
         return text
 
+    def bq_sql(self, text: str):
+        """Execute a statement written in BigQuery Standard SQL: the
+        dialect shim (sources/bq_dialect.py) translates the shimmed
+        surface (SAFE_ functions, BigQuery type names, arg-order
+        differences, UNNEST, backtick paths), then the result runs
+        through the normal ``sql()`` path — lake statements, wildcard
+        shards, materialized-view rewrite and QUALIFY all included."""
+        from bigquery_etl_spark.sources.bq_dialect import translate
+
+        return self.sql(translate(text))
+
     def sql(self, text: str):
         """Lakehouse statements → execute against the manifest store;
         anything else → DataFrame via ``spark.sql`` with catalog tables

@@ -1,0 +1,136 @@
+"""BigQuery Standard SQL dialect shim (r6): translation unit cases +
+end-to-end execution through LakeCatalog.bq_sql.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigquery_etl_spark.sources.bq_dialect import BQDialectError, translate
+
+
+@pytest.mark.parametrize(
+    "src,want",
+    [
+        (
+            "SELECT SAFE_CAST(x AS INT64), SAFE_DIVIDE(a, b) FROM t",
+            "SELECT TRY_CAST(x AS BIGINT), TRY_DIVIDE(a, b) FROM t",
+        ),
+        (
+            "SELECT COUNTIF(x > 0), LOGICAL_AND(f), ARRAY_LENGTH(arr) FROM t",
+            "SELECT COUNT_IF(x > 0), BOOL_AND(f), SIZE(arr) FROM t",
+        ),
+        (
+            "SELECT TIMESTAMP_DIFF(t2, t1, HOUR) FROM t",
+            "SELECT TIMESTAMPDIFF(HOUR, t1, t2) FROM t",
+        ),
+        (
+            "SELECT TIMESTAMP_TRUNC(ts, MONTH), DATE_TRUNC(d, WEEK) FROM t",
+            "SELECT DATE_TRUNC('MONTH', ts), DATE_TRUNC('WEEK', d) FROM t",
+        ),
+        (  # already Spark-style: untouched (idempotent translation)
+            "SELECT DATE_TRUNC('month', ts) FROM t",
+            "SELECT DATE_TRUNC('month', ts) FROM t",
+        ),
+        (
+            "SELECT DATE_ADD(d, INTERVAL 3 DAY), TIMESTAMP_SUB(ts, INTERVAL 1 HOUR) FROM t",
+            "SELECT (d + INTERVAL 3 DAY), (ts - INTERVAL 1 HOUR) FROM t",
+        ),
+        (
+            "SELECT x FROM t, UNNEST(arr) AS x",
+            "SELECT x FROM t LATERAL VIEW explode(arr) __unnest_1 AS x",
+        ),
+        (
+            "SELECT x, o FROM t, UNNEST(arr) AS x WITH OFFSET AS o WHERE o < 2",
+            "SELECT x, o FROM t LATERAL VIEW posexplode(arr) __unnest_1 AS o, x WHERE o < 2",
+        ),
+        (  # default offset name; WHERE must not be eaten as the name
+            "SELECT x FROM t, UNNEST(arr) x WITH OFFSET WHERE x > 1",
+            "SELECT x FROM t LATERAL VIEW posexplode(arr) __unnest_1 AS offset, x WHERE x > 1",
+        ),
+        (  # string literals pass through; backtick paths flatten
+            "SELECT * FROM `proj.ds.orders` WHERE s <> 'INT64 SAFE_CAST('",
+            "SELECT * FROM orders WHERE s <> 'INT64 SAFE_CAST('",
+        ),
+        (  # wildcard refs keep their backticks for shard expansion
+            "SELECT COUNT(*) FROM `ev_*` WHERE _TABLE_SUFFIX = '01'",
+            "SELECT COUNT(*) FROM `ev_*` WHERE _TABLE_SUFFIX = '01'",
+        ),
+        (
+            "SELECT GENERATE_ARRAY(1, 5), FORMAT('%d', x) FROM t",
+            "SELECT SEQUENCE(1, 5), FORMAT_STRING('%d', x) FROM t",
+        ),
+        (
+            "SELECT CAST(x AS NUMERIC) FROM t",
+            "SELECT CAST(x AS DECIMAL(38,9)) FROM t",
+        ),
+        (  # DATE_FORMAT must NOT be caught by the FORMAT rename
+            "SELECT DATE_FORMAT(d, 'yyyy') FROM t",
+            "SELECT DATE_FORMAT(d, 'yyyy') FROM t",
+        ),
+    ],
+)
+def test_translate(src, want):
+    assert translate(src) == want
+
+
+def test_translate_refusals():
+    with pytest.raises(BQDialectError, match="BIGNUMERIC"):
+        translate("SELECT CAST(x AS BIGNUMERIC) FROM t")
+    with pytest.raises(BQDialectError, match="alias"):
+        translate("SELECT x FROM t, UNNEST(arr) WHERE x > 1")
+
+
+def test_bq_sql_end_to_end(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "a b c", 10.0, 2), (2, "d e", 0.0, 0), (3, "f", 5.0, 1)],
+        "id long, words string, num double, den long",
+    )
+    cat.create_table("bqd", str(tmp_path / "bqd"), df)
+    out = cat.bq_sql(
+        "SELECT id, SAFE_DIVIDE(num, den) AS ratio, "
+        "ARRAY_LENGTH(SPLIT(words, ' ')) AS n_words "
+        "FROM `proj.ds.bqd` ORDER BY id"
+    )
+    rows = out.collect()
+    assert [r.ratio for r in rows] == [5.0, None, 5.0]
+    assert [r.n_words for r in rows] == [3, 2, 1]
+
+
+def test_bq_sql_unnest_with_offset(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path))
+    df = spark.createDataFrame([(1, "x y z")], "id long, words string")
+    cat.create_table("bqu", str(tmp_path / "bqu"), df)
+    out = cat.bq_sql(
+        "SELECT id, tok, o FROM "
+        "(SELECT id, SPLIT(words, ' ') AS toks FROM bqu), "
+        "UNNEST(toks) AS tok WITH OFFSET AS o "
+        "WHERE o < 2 ORDER BY o"
+    )
+    assert [(r.tok, r.o) for r in out.collect()] == [("x", 0), ("y", 1)]
+
+
+def test_bq_sql_composes_with_matview_rewrite(spark, tmp_path):
+    """Translated statements run through the full sql() path — a
+    BigQuery-flavored aggregate still gets smart-rewritten from a
+    materialized view."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2], float(i)) for i in range(10)],
+        "id long, grp string, val double",
+    )
+    cat.create_table("bqm", str(tmp_path / "bqm"), df)
+    cat.sql(
+        "CREATE MATERIALIZED VIEW bq_mv AS SELECT grp, SUM(val) AS s, "
+        "COUNT(*) AS n FROM bqm GROUP BY grp"
+    )
+    out = cat.bq_sql("SELECT grp, SUM(val) AS s FROM `ds.bqm` GROUP BY grp")
+    assert cat.last_mv_rewrite == "bq_mv"
+    assert {(r.grp, r.s) for r in out.collect()} == {("A", 20.0), ("B", 25.0)}
