@@ -1,0 +1,230 @@
+"""In-warehouse ML (r6) — the BigQuery ML surface the reference's
+delegated engine ships as a flagship feature (``CREATE MODEL`` /
+``ML.PREDICT`` / ``ML.EVALUATE``; the reference hands all analytics to
+BigQuery, ref main.py:21,160-185, and BQML is part of that surface).
+
+Spark-first execution model:
+
+- **linear_reg** trains by the closed-form normal equations: the
+  Gram matrix ``X'X`` and moment vector ``X'y`` are (k+1)(k+2)/2 + 1
+  SUM aggregates computed in ONE distributed pass (map-side partial
+  aggregation, whole-stage codegen — no Python in the scan), then the
+  tiny (k+1)x(k+1) solve happens on the driver with numpy. At 100 TB
+  the data pass is the cost and it is a single scan with a
+  scalar-aggregate reduce; the driver never sees rows, only the k²
+  sums. This is exact least squares — not SGD — so results are
+  deterministic and oracle-checkable.
+- **PREDICT** broadcasts the coefficient vector as literals into a
+  codegen projection (one fused map stage, zero shuffles).
+- **EVALUATE** is one more scalar-aggregate pass (r2 / rmse / mae).
+- **kmeans** reuses the IVF Lloyd trainer (operators/similarity.py):
+  per iteration one assign+groupBy pass; k x dim floats to the driver.
+
+Models are plain dicts (feature names, coefficients, stats) and
+persist as JSON next to the catalog warehouse — metadata, not data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def fit_linear_reg(
+    df: DataFrame,
+    features: list[str],
+    label: str,
+    l2: float = 0.0,
+) -> dict:
+    """Exact least squares via normal equations in ONE aggregate pass.
+
+    Builds SUM(xi*xj) for the upper triangle of the augmented design
+    (intercept column folded in as a constant-1 feature) plus
+    SUM(xi*y) and SUM(y*y), solves (X'X + l2*I) b = X'y on the driver.
+    Numerical note: sums accumulate as doubles; for ill-conditioned
+    inputs callers should standardize features first (BQML does the
+    same internally).
+    """
+    import numpy as np
+
+    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in features]
+    k = len(cols)
+    y = F.col(label).cast("double")
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"__g_{i}_{j}"))
+        aggs.append(F.sum(cols[i] * y).alias(f"__m_{i}"))
+    aggs.append(F.sum(y * y).alias("__yy"))
+    aggs.append(F.sum(y).alias("__sy"))
+    row = df.agg(*aggs).collect()[0]
+
+    g = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            g[i, j] = g[j, i] = row[f"__g_{i}_{j}"]
+    m = np.array([row[f"__m_{i}"] for i in range(k)])
+    if l2:
+        g = g + l2 * np.eye(k)
+        g[0, 0] -= l2  # never regularize the intercept
+    beta = np.linalg.solve(g, m)
+    n = row["__n"]
+    mean_y = row["__sy"] / n
+    # residual sum of squares from the same sufficient statistics:
+    # ||y - Xb||^2 = y'y - 2 b'X'y + b'X'Xb  (no second data pass)
+    rss = float(row["__yy"] - 2 * beta @ m + beta @ g @ beta)
+    if l2:  # g was ridge-shifted; recompute with the raw gram
+        g0 = g - l2 * np.eye(k)
+        g0[0, 0] += l2
+        rss = float(row["__yy"] - 2 * beta @ m + beta @ g0 @ beta)
+    tss = float(row["__yy"] - n * mean_y * mean_y)
+    return {
+        "model_type": "linear_reg",
+        "features": list(features),
+        "label": label,
+        "intercept": float(beta[0]),
+        "coefficients": [float(b) for b in beta[1:]],
+        "n": int(n),
+        "rss": rss,
+        "tss": tss,
+        "r2": 1.0 - rss / tss if tss > 0 else float("nan"),
+    }
+
+
+def predict_linear_reg(
+    df: DataFrame, model: dict, out: str = "predicted_label"
+) -> DataFrame:
+    """Broadcast-coefficients projection: one codegen map stage."""
+    expr = F.lit(model["intercept"])
+    for c, b in zip(model["features"], model["coefficients"]):
+        expr = expr + F.col(c).cast("double") * F.lit(b)
+    return df.withColumn(out, expr)
+
+
+def evaluate_linear_reg(df: DataFrame, model: dict) -> DataFrame:
+    """BQML ML.EVALUATE shape: one scalar-aggregate pass over the
+    eval set (mae, mse, r2)."""
+    pred = predict_linear_reg(df, model, out="__p")
+    err = F.col("__p") - F.col(model["label"]).cast("double")
+    y = F.col(model["label"]).cast("double")
+    # r2 from sufficient statistics so the whole evaluation is ONE
+    # scalar-aggregate pass: tss = sum(y^2) - n * mean(y)^2
+    return pred.agg(
+        F.avg(F.abs(err)).alias("mean_absolute_error"),
+        F.avg(err * err).alias("mean_squared_error"),
+        (
+            F.lit(1.0)
+            - F.sum(err * err)
+            / (F.sum(y * y) - F.count(F.lit(1)) * F.pow(F.avg(y), F.lit(2)))
+        ).alias("r2_score"),
+    )
+
+
+def _argmin_dist(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid in EUCLIDEAN distance (int).
+    argmin ||x-c||^2 == argmax (x . c - ||c||^2 / 2), so the expression
+    reuses the linear-in-k array-ops shape of similarity._argmax_centroid
+    (a chained-when formulation is 2^k plan nodes — see that docstring)."""
+    from bigquery_etl_spark.operators.similarity import dot
+
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    half_sq = F.array(
+        *[F.lit(sum(x * x for x in c) / 2.0) for c in centroids]
+    )
+    scores = F.zip_with(
+        F.transform(cent_arr, lambda c: dot(vec, c)),
+        half_sq,
+        lambda d, h: d - h,
+    )
+    pairs = F.zip_with(
+        scores,
+        F.expr(f"sequence(0, {len(centroids) - 1})"),
+        lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
+    )
+    return F.array_min(pairs)["idx"].cast("int")
+
+
+def fit_kmeans(
+    df: DataFrame,
+    features: list[str],
+    k: int,
+    n_iters: int = 8,
+) -> dict:
+    """BQML kmeans: standard EUCLIDEAN Lloyd's iterations as DataFrame
+    aggregations (the spherical variant in similarity.py is the right
+    quantizer for cosine ANN, but BQML clusters tabular features by
+    euclidean distance, so this trains its own way). Per iteration: one
+    assign pass (broadcast centroid literals, codegen argmin) + one
+    posexplode/groupBy mean; only k x dim floats reach the driver — the
+    data never does, at any corpus size. Init: k rows with the lowest
+    hash of the feature vector (deterministic, seedless, and not
+    order-dependent)."""
+    vec = F.array(*[F.col(c).cast("double") for c in features])
+    src = df.select(vec.alias("__v")).persist()
+    try:
+        cents = [
+            list(r["__v"])
+            for r in src.orderBy(
+                F.xxhash64(F.to_json(F.struct(F.col("__v"))))
+            ).limit(k).collect()
+        ]
+        for _ in range(n_iters):
+            assigned = src.select(
+                "__v", _argmin_dist(F.col("__v"), cents).alias("__c")
+            )
+            stats = (
+                assigned.select(
+                    "__c", F.posexplode("__v").alias("__d", "__x")
+                )
+                .groupBy("__c", "__d")
+                .agg(F.avg("__x").alias("__m"))
+                .collect()
+            )
+            by_c: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_c.setdefault(r["__c"], {})[r["__d"]] = r["__m"]
+            cents = [
+                [by_c[c][d] for d in range(len(cents[0]))]
+                if c in by_c
+                else cents[c]
+                for c in range(k)
+            ]
+    finally:
+        src.unpersist()
+    return {
+        "model_type": "kmeans",
+        "features": list(features),
+        "k": k,
+        "centroids": cents,
+    }
+
+
+def predict_kmeans(
+    df: DataFrame, model: dict, out: str = "centroid_id"
+) -> DataFrame:
+    vec = F.array(*[F.col(c).cast("double") for c in model["features"]])
+    return df.withColumn(out, _argmin_dist(vec, model["centroids"]))
+
+
+# -- model store --------------------------------------------------------------
+
+
+def save_model(root: str, name: str, model: dict) -> str:
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(model, f)
+    return path
+
+
+def load_model(root: str, name: str) -> dict:
+    path = os.path.join(root, f"{name}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"unknown model {name!r}")
+    with open(path) as f:
+        return json.load(f)

@@ -1044,3 +1044,171 @@ def q_bq_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UNNEST(toks) AS tok WITH OFFSET AS o "
         "WHERE o < 3"
     )
+
+
+@query(
+    "q_bq_script",
+    sql="""
+    SELECT (SELECT COUNT(*)
+            FROM orders, generate_series(1, 5) AS g(i)
+            WHERE o_totalprice > i * 100000) AS total_hot,
+           CAST(6 AS BIGINT) AS n_iters
+    """,
+    tags=("lakehouse", "dialect", "script"),
+)
+def q_bq_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery procedural script (r6, sources/bq_script.py): DECLARE'd
+    variables, a WHILE loop folding five scalar-subquery COUNTIFs into
+    an accumulator, and a final SELECT of the variables. Control flow
+    runs driver-side over SCALARS; each COUNTIF is a full distributed
+    job — the loop never iterates per row. The oracle collapses the
+    loop to its closed form (a generate_series cross join), so parity
+    proves the interpreter's variable/loop semantics."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("bqs_orders")
+    cat = LakeCatalog(spark)
+    return cat.script("""
+        DECLARE i INT64 DEFAULT 1;
+        DECLARE total INT64 DEFAULT 0;
+        WHILE i <= 5 DO
+            SET total = total +
+                (SELECT COUNTIF(o_totalprice > i * 100000) FROM bqs_orders);
+            SET i = i + 1;
+        END WHILE;
+        SELECT CAST(total AS INT64) AS total_hot, CAST(i AS INT64) AS n_iters;
+    """)
+
+
+@query(
+    "q_table_clone",
+    sql="""
+    SELECT side, n, price_sum FROM (
+        SELECT 'src' AS side, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS price_sum
+        FROM orders
+        WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT 'clone' AS side, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS price_sum
+        FROM orders
+        WHERE o_orderkey % 4 = 0
+    ) ORDER BY side
+    """,
+    tags=("lakehouse", "clone", "time-travel"),
+)
+def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table clones (r6 — BigQuery ``CREATE TABLE … CLONE``
+    with ``VERSION AS OF`` time travel; Delta SHALLOW CLONE). The
+    fixture commits orders%4=0 (v1), appends %4=1 (v2), clones AT v1 —
+    an O(#files) hard-link commit, zero bytes moved — then DELETEs a
+    third of the SOURCE. The result reads both sides: the source shows
+    v2-minus-delete, the clone must still show exactly v1 (divergence
+    is copy-on-write; the source's delete rewrote its own files only).
+    Oracle is the closed form of both selections; any clone that
+    shares state with the source after divergence hash-mismatches."""
+    from bigquery_etl_spark.plans._util import dsum, scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    def _build(path: str) -> None:
+        import os
+
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        cat = LakeCatalog(spark, warehouse=os.path.join(path, "wh"))
+        cat.create_table(
+            "clone_src",
+            os.path.join(path, "src"),
+            o.filter(F.col("o_orderkey") % 4 == 0),
+        )
+        o.filter(F.col("o_orderkey") % 4 == 1).createOrReplaceTempView(
+            "clone_more"
+        )
+        cat.sql("INSERT INTO clone_src SELECT * FROM clone_more")
+        cat.sql("CREATE TABLE clone_v1 CLONE clone_src VERSION AS OF 1")
+        cat.sql("DELETE FROM clone_src WHERE o_orderkey % 3 = 0")
+
+    root = scratch_build(f"table_clone:{sf_dir}", "table_clone_", _build)
+    import os
+
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    src = VersionedTable(spark, os.path.join(root, "src")).read()
+    clone = VersionedTable(spark, os.path.join(root, "wh", "clone_v1")).read()
+
+    def _agg(df: DataFrame, side: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "price_sum")
+        ).select(F.lit(side).alias("side"), "n", "price_sum")
+
+    return _agg(src, "src").unionAll(_agg(clone, "clone")).orderBy("side")
+
+
+@query(
+    "q_information_schema",
+    sql="""
+    SELECT table_name, table_type, total_rows, n_cols FROM (
+        SELECT 'is_orders' AS table_name, 'BASE TABLE' AS table_type,
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0)
+                   AS total_rows,
+               CAST(3 AS BIGINT) AS n_cols
+        UNION ALL
+        SELECT 'is_snap', 'SNAPSHOT',
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0),
+               CAST(3 AS BIGINT)
+    ) ORDER BY table_name
+    """,
+    tags=("lakehouse", "metadata"),
+)
+def q_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION_SCHEMA over the lake catalog (r6 — BigQuery's
+    dataset.INFORMATION_SCHEMA.{TABLES,COLUMNS}): table inventory with
+    type/row/byte totals computed from MANIFESTS ONLY (zero data scan —
+    at 100 TB the listing costs a few JSON reads), joined to a COLUMNS
+    roll-up. The fixture holds a base table (orders%5=0 slice) and a
+    snapshot clone of it; the oracle recomputes the expected inventory
+    from orders directly, so the manifests' row accounting — through
+    create AND clone — is value-checked, not just shape-checked."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    def _build(path: str) -> None:
+        import os
+
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        cat = LakeCatalog(spark, warehouse=os.path.join(path, "wh"))
+        cat.create_table(
+            "is_orders",
+            os.path.join(path, "is_orders"),
+            o.filter(F.col("o_orderkey") % 5 == 0),
+        )
+        cat.sql("CREATE SNAPSHOT TABLE is_snap CLONE is_orders")
+
+    root = scratch_build(f"info_schema:{sf_dir}", "info_schema_", _build)
+    import os
+
+    cat = LakeCatalog(spark, warehouse=os.path.join(root, "wh"))
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    cat.register(
+        "is_orders", VersionedTable(spark, os.path.join(root, "is_orders"))
+    )
+    cat.register(
+        "is_snap",
+        VersionedTable(spark, os.path.join(root, "wh", "is_snap")),
+    )
+    return cat.sql(
+        """
+        SELECT t.table_name, t.table_type, t.total_rows, c.n_cols
+        FROM INFORMATION_SCHEMA.TABLES t
+        JOIN (SELECT table_name, COUNT(*) AS n_cols
+              FROM INFORMATION_SCHEMA.COLUMNS GROUP BY table_name) c
+          ON t.table_name = c.table_name
+        ORDER BY t.table_name
+        """
+    )

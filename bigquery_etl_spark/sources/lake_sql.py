@@ -371,6 +371,13 @@ _VERSION_RX = re.compile(
 _TS_RX = re.compile(
     r"\b([\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.IGNORECASE
 )
+# BigQuery's time-travel spelling (FOR SYSTEM_TIME AS OF <timestamp>);
+# literal timestamps only — expression operands would need evaluation
+# before version resolution, so they refuse via non-match.
+_SYSTIME_RX = re.compile(
+    r"\b([\w.]+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)'",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -409,6 +416,9 @@ class LakeCatalog:
         # view (if any) served the most recent sql() SELECT
         self.matviews: dict[str, object] = {}
         self.last_mv_rewrite: str | None = None
+        # name -> model dict (r6 BQML surface: CREATE MODEL /
+        # ML.PREDICT / ML.EVALUATE / ML.WEIGHTS; operators/ml.py)
+        self.models: dict[str, dict] = {}
 
     def register(self, name: str, table: VersionedTable) -> None:
         self.tables[name] = table
@@ -867,12 +877,116 @@ class LakeCatalog:
             text = text.replace(f"`{prefix}*`", view)
         return text
 
+    _INFO_SCHEMA_RX = re.compile(
+        r"\b(?:[\w]+\.)?INFORMATION_SCHEMA\.(\w+)\b", re.IGNORECASE
+    )
+
+    def _information_schema_df(self, which: str):
+        """BigQuery INFORMATION_SCHEMA views (r6), computed from the
+        MANIFESTS ONLY — listing a 100 TB catalog costs a few JSON
+        reads, never a data scan (row/byte totals come from the
+        per-file stats the commit protocol already records).
+
+        - ``TABLES``: name, type (BASE TABLE / CLONE / SNAPSHOT /
+          MATERIALIZED VIEW), current version, file/row/byte totals,
+          creation time (oldest surviving manifest).
+        - ``COLUMNS``: one row per column — ordinal, data type,
+          is_nullable — decoded from the schema JSON.
+        - ``TABLE_CONSTRAINTS``: declared CHECK constraints.
+        """
+        which = which.upper()
+        tabs = []  # (name, table, kind)
+        for name, tbl in self.tables.items():
+            props = tbl._load_manifest(tbl.latest_version()).get("props", {})
+            kind = (
+                "SNAPSHOT"
+                if props.get("snapshot")
+                else "CLONE"
+                if props.get("cloned_from")
+                else "BASE TABLE"
+            )
+            tabs.append((name, tbl, kind))
+        for name, mv in self.matviews.items():
+            tabs.append((name, mv.state, "MATERIALIZED VIEW"))
+        if which == "TABLES":
+            rows = []
+            for name, tbl, kind in tabs:
+                v = tbl.latest_version()
+                m = tbl._load_manifest(v)
+                hist = tbl.history()
+                rows.append(
+                    (
+                        name,
+                        kind,
+                        v,
+                        len(m["files"]),
+                        sum(e["rows"] for e in m["files"]),
+                        sum(e["bytes"] for e in m["files"]),
+                        float(hist[0]["ts"]) if hist else float(m["ts"]),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "table_name string, table_type string, version int, "
+                "n_files long, total_rows long, total_bytes long, "
+                "creation_time double",
+            )
+        if which == "COLUMNS":
+            import json as _json
+
+            from pyspark.sql.types import StructType as _ST
+
+            rows = []
+            for name, tbl, _ in tabs:
+                m = tbl._load_manifest(tbl.latest_version())
+                schema = _ST.fromJson(_json.loads(m["schema"]))
+                for i, f in enumerate(schema.fields, start=1):
+                    rows.append(
+                        (
+                            name,
+                            f.name,
+                            i,
+                            f.dataType.simpleString(),
+                            "YES" if f.nullable else "NO",
+                        )
+                    )
+            return self.spark.createDataFrame(
+                rows,
+                "table_name string, column_name string, "
+                "ordinal_position int, data_type string, "
+                "is_nullable string",
+            )
+        if which == "TABLE_CONSTRAINTS":
+            rows = []
+            for name, tbl, _ in tabs:
+                for cname, expr in tbl._constraints().items():
+                    rows.append((name, cname, "CHECK", expr))
+            return self.spark.createDataFrame(
+                rows or [],
+                "table_name string, constraint_name string, "
+                "constraint_type string, expression string",
+            )
+        raise ValueError(
+            f"INFORMATION_SCHEMA.{which} is not implemented "
+            "(have: TABLES, COLUMNS, TABLE_CONSTRAINTS)"
+        )
+
     def _register_views(self, text: str) -> str:
         """Make every cataloged table queryable: current snapshots as
         temp views, plus one view per time-travel reference (the
         reference is rewritten to the view name), plus wildcard
-        (sharded) unions with shard pruning."""
+        (sharded) unions with shard pruning, plus INFORMATION_SCHEMA
+        metadata views (manifest-only, zero data scan)."""
         text = self._expand_wildcards(text)
+        for which in {
+            m.group(1).upper() for m in self._INFO_SCHEMA_RX.finditer(text)
+        }:
+            self._information_schema_df(which).createOrReplaceTempView(
+                f"__info_schema_{which.lower()}"
+            )
+        text = self._INFO_SCHEMA_RX.sub(
+            lambda m: f"__info_schema_{m.group(1).lower()}", text
+        )
         for name, tbl in self.tables.items():
             if re.search(rf"\b{re.escape(name)}\b", text):
                 tbl.read().createOrReplaceTempView(name)
@@ -903,6 +1017,7 @@ class LakeCatalog:
 
         text = _VERSION_RX.sub(_sub_version, text)
         text = _TS_RX.sub(_sub_ts, text)
+        text = _SYSTIME_RX.sub(_sub_ts, text)
         return text
 
     def bq_sql(self, text: str):
@@ -915,6 +1030,15 @@ class LakeCatalog:
         from bigquery_etl_spark.sources.bq_dialect import translate
 
         return self.sql(translate(text))
+
+    def script(self, text: str):
+        """Execute a BigQuery procedural script (DECLARE/SET, IF/WHILE/
+        LOOP, EXECUTE IMMEDIATE — sources/bq_script.py) where every
+        leaf statement runs through ``bq_sql``. Returns the last
+        statement's result, as BigQuery does."""
+        from bigquery_etl_spark.sources.bq_script import run_script
+
+        return run_script(self, text)
 
     def sql(self, text: str):
         """Lakehouse statements → execute against the manifest store;
@@ -1037,6 +1161,62 @@ class LakeCatalog:
         )
         if m and m.group(1) in self.tables:
             return self.tables[m.group(1)].drop_constraint(m.group(2))
+
+        m = re.match(
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+([\w.]+)\s+"
+            r"OPTIONS\s*\(",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            close = _matching_paren(text, m.end() - 1)
+            opts_text = text[m.end() : close]
+            rest = text[close + 1 :].strip()
+            am = re.match(r"(?is)^AS\s+(.*?);?\s*$", rest)
+            if not am:
+                raise ValueError("CREATE MODEL needs AS <select>")
+            return self._create_model(
+                m.group(2), bool(m.group(1)), opts_text, am.group(1)
+            )
+
+        m = re.match(
+            r"\s*DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and (m.group(1) in self.models or "IF EXISTS" in text.upper()):
+            self.models.pop(m.group(1), None)
+            return None
+
+        m = re.match(
+            r"\s*CREATE\s+(SNAPSHOT\s+)?TABLE\s+([\w.]+)\s+"
+            r"(?:LOCATION\s+'([^']+)'\s+)?CLONE\s+([\w.]+)"
+            r"(?:\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)'"
+            r"|\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(4) in self.tables:
+            import os
+
+            snap, name, loc, src, ts, ver = m.groups()
+            if name in self.tables:
+                raise ValueError(f"lake table {name!r} already exists")
+            if loc is None:
+                if self.warehouse is None:
+                    raise ValueError(
+                        "CREATE TABLE … CLONE needs LOCATION '<root>' "
+                        "(catalog has no warehouse directory)"
+                    )
+                loc = os.path.join(self.warehouse, name)
+            v = (
+                int(ver)
+                if ver
+                else (self._resolve_version(src, ts) if ts else None)
+            )
+            dst = self.tables[src].clone_to(loc, version=v, snapshot=bool(snap))
+            self.register(name, dst)
+            return 1
 
         m = re.match(
             r"\s*CREATE\s+TABLE\s+([\w.]+)\s+"
@@ -1367,6 +1547,8 @@ class LakeCatalog:
             return self._committed(
                 spec.target, tbl.overwrite(merged, expected_base=v0)
             )
+        if re.search(r"(?i)\bML\s*\.\s*\w+\s*\(\s*MODEL\b", text):
+            text = self._rewrite_ml(text)
         q = self._try_qualify(text)
         if q is not None:
             return q
@@ -1374,6 +1556,136 @@ class LakeCatalog:
         if hit is not None:
             return hit
         return self.spark.sql(self._register_views(text))
+
+    # -- BQML surface (r6) ---------------------------------------------------
+
+    def _create_model(
+        self, name: str, replace: bool, opts_text: str, select: str
+    ) -> dict:
+        """``CREATE [OR REPLACE] MODEL m OPTIONS(model_type='linear_reg',
+        input_label_cols=['y'] [, l2_reg=x]) AS select`` /
+        ``model_type='kmeans', num_clusters=k`` — BigQuery ML's training
+        DDL (the delegated engine's flagship ML feature). linear_reg
+        trains by exact normal equations in ONE distributed aggregate
+        pass; kmeans by Lloyd's as DataFrame aggs (operators/ml.py).
+        The trained model is a small dict of coefficients — persisted
+        as JSON under the warehouse when one is configured."""
+        from bigquery_etl_spark.operators import ml as _ml
+
+        if name in self.models and not replace:
+            raise ValueError(f"model {name!r} already exists")
+        opts = self._parse_options(opts_text)
+        mtype = opts.get("model_type", "linear_reg").lower()
+        df = self.spark.sql(self._register_views(select))
+        if mtype == "linear_reg":
+            lm = re.search(r"\[\s*'(\w+)'\s*\]", opts_text)
+            label = lm.group(1) if lm else opts.get("input_label_cols", "")
+            if not label:
+                raise ValueError(
+                    "linear_reg needs input_label_cols=['<label>']"
+                )
+            feats = [c for c in df.columns if c != label]
+            model = _ml.fit_linear_reg(
+                df, feats, label, l2=float(opts.get("l2_reg", 0) or 0)
+            )
+        elif mtype == "kmeans":
+            model = _ml.fit_kmeans(
+                df,
+                list(df.columns),
+                k=int(opts.get("num_clusters", 4)),
+                n_iters=int(opts.get("max_iterations", 8)),
+            )
+        else:
+            raise ValueError(
+                f"model_type {mtype!r} not implemented "
+                "(have: linear_reg, kmeans)"
+            )
+        self.models[name] = model
+        if self.warehouse:
+            import os as _os
+
+            _ml.save_model(
+                _os.path.join(self.warehouse, "_models"), name, model
+            )
+        return model
+
+    def _ml_input_df(self, arg: str):
+        tm = re.match(r"(?is)^\s*TABLE\s+([\w.]+)\s*$", arg)
+        if tm:
+            name = tm.group(1)
+            if name in self.tables:
+                return self.tables[name].read()
+            return self.spark.table(name)
+        sm = re.match(r"(?is)^\s*\((.*)\)\s*$", arg.strip())
+        if sm:
+            return self.spark.sql(self._register_views(sm.group(1)))
+        raise ValueError(f"ML function input must be TABLE t or (select): {arg!r}")
+
+    def _rewrite_ml(self, text: str) -> str:
+        """Rewrite ``ML.PREDICT(MODEL m, TABLE t | (select))``,
+        ``ML.EVALUATE(...)``, ``ML.WEIGHTS(MODEL m)`` and
+        ``ML.CENTROIDS(MODEL m)`` table functions into temp views the
+        surrounding query selects from — prediction itself is a
+        broadcast-coefficients codegen projection (no shuffle, no
+        Python), evaluation one scalar-aggregate pass."""
+        from bigquery_etl_spark.operators import ml as _ml
+
+        rx = re.compile(r"(?i)\bML\s*\.\s*(PREDICT|EVALUATE|WEIGHTS|CENTROIDS)\s*\(")
+        n = 0
+        while True:
+            m = rx.search(text)
+            if m is None:
+                return text
+            close = _matching_paren(text, m.end() - 1)
+            inner = text[m.end() : close]
+            fn = m.group(1).upper()
+            mm = re.match(r"(?is)^\s*MODEL\s+([\w.]+)\s*(?:,(.*))?$", inner)
+            if not mm:
+                raise ValueError(f"ML.{fn} needs MODEL <name> first: {inner!r}")
+            mname = mm.group(1)
+            if mname not in self.models:
+                raise ValueError(f"unknown model {mname!r}")
+            model = self.models[mname]
+            if fn in ("PREDICT", "EVALUATE"):
+                if not mm.group(2):
+                    raise ValueError(f"ML.{fn} needs an input table")
+                df = self._ml_input_df(mm.group(2))
+                if fn == "PREDICT":
+                    if model["model_type"] == "kmeans":
+                        df = _ml.predict_kmeans(df, model)
+                    else:
+                        df = _ml.predict_linear_reg(
+                            df, model, out=f"predicted_{model['label']}"
+                        )
+                else:
+                    if model["model_type"] != "linear_reg":
+                        raise ValueError("ML.EVALUATE: linear_reg only")
+                    df = _ml.evaluate_linear_reg(df, model)
+            elif fn == "WEIGHTS":
+                if model["model_type"] != "linear_reg":
+                    raise ValueError("ML.WEIGHTS: linear_reg only")
+                rows = [("__INTERCEPT__", float(model["intercept"]))] + [
+                    (c, float(b))
+                    for c, b in zip(model["features"], model["coefficients"])
+                ]
+                df = self.spark.createDataFrame(
+                    rows, "processed_input string, weight double"
+                )
+            else:  # CENTROIDS
+                if model["model_type"] != "kmeans":
+                    raise ValueError("ML.CENTROIDS: kmeans only")
+                rows = [
+                    (ci, feat, float(val))
+                    for ci, cent in enumerate(model["centroids"])
+                    for feat, val in zip(model["features"], cent)
+                ]
+                df = self.spark.createDataFrame(
+                    rows, "centroid_id int, feature string, numerical_value double"
+                )
+            view = f"__ml_{fn.lower()}_{n}"
+            n += 1
+            df.createOrReplaceTempView(view)
+            text = text[: m.start()] + view + text[close + 1 :]
 
     def _try_mv_rewrite(self, text: str):
         """BigQuery smart rewrite: a plain aggregate over a base table

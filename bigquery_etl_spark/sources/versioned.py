@@ -72,6 +72,13 @@ class ChangeFeedUnavailable(Exception):
     property."""
 
 
+class SnapshotReadOnly(Exception):
+    """Write refused: the table is a snapshot (``CREATE SNAPSHOT TABLE
+    … CLONE``) — immutable by definition, like BigQuery table
+    snapshots. Restore by cloning the snapshot back into a writable
+    table."""
+
+
 def _file_stats(path: str, stat_cols: tuple[str, ...]) -> dict:
     """Row count + per-column min/max from the parquet footer only."""
     import pyarrow.parquet as pq
@@ -184,6 +191,10 @@ class VersionedTable:
         base = self.latest_version()
         if kind == "create" and base is not None:
             raise CommitConflict(f"{self.root}: already exists at v{base}")
+        if base is not None and self._load_manifest(base).get("props", {}).get(
+            "snapshot"
+        ):
+            raise SnapshotReadOnly(f"{self.root}: snapshot tables are read-only")
         if expected_base is not None and base != expected_base:
             # OCC read-set validation: this commit's content was DERIVED
             # from snapshot `expected_base` (overwrite/upsert/UPDATE/
@@ -656,6 +667,51 @@ class VersionedTable:
         return snapshot_diff(self.read(version=v_from), self.read(version=v_to), keys)
 
     # -- interop bridge ------------------------------------------------------
+
+    def clone_to(
+        self,
+        dst_root: str,
+        version: int | None = None,
+        snapshot: bool = False,
+    ) -> "VersionedTable":
+        """Zero-copy clone (BigQuery ``CREATE TABLE … CLONE`` /
+        ``CREATE SNAPSHOT TABLE``; Delta SHALLOW CLONE): the chosen
+        version's data files are HARD-LINKED into ``dst_root`` — same
+        inodes, O(#files) metadata ops, zero bytes moved — and a fresh
+        v1 manifest references them. At 100 TB a clone costs what a
+        directory listing costs. Divergence after the clone is plain
+        copy-on-write: new commits on either side write their own
+        files; VACUUM on either side unlinks only its own directory
+        entries, and shared inodes survive until the last link drops,
+        so a vacuumed source can never corrupt a clone. ``snapshot``
+        marks the clone immutable (BigQuery table snapshots) — every
+        later commit raises :class:`SnapshotReadOnly`. Constraints and
+        table props carry over; history does not (BigQuery clones
+        start fresh), and CDF restarts from the clone's v1."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise VersionNotFound(f"{self.root}: cannot clone an empty table")
+        m = self._load_manifest(v)
+        dst = VersionedTable(self.spark, dst_root, stat_cols=self.stat_cols)
+        if dst.latest_version() is not None:
+            raise CommitConflict(f"{dst_root}: already exists")
+        linked = []
+        for e in m["files"]:
+            src = os.path.join(self.root, e["path"])
+            out = os.path.join(dst_root, e["path"])
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            try:
+                os.link(src, out)
+            except OSError:
+                shutil.copy2(src, out)  # cross-device: degrade to copy
+            linked.append(dict(e))
+        props = dict(m.get("props", {}))
+        props.pop("snapshot", None)  # cloning a snapshot yields a writable table
+        props["cloned_from"] = {"root": self.root, "version": v}
+        if snapshot:
+            props["snapshot"] = True
+        dst._commit("create", linked, m["schema"], props=props)
+        return dst
 
     def export_snapshot(self, out_dir: str, version: int | None = None) -> dict:
         """Write one committed snapshot as a PLAIN parquet directory any

@@ -1,0 +1,148 @@
+"""BigQuery ML surface (r6): CREATE MODEL (linear_reg by exact normal
+equations in one aggregate pass; kmeans by Lloyd's as DataFrame aggs),
+ML.PREDICT / ML.EVALUATE / ML.WEIGHTS / ML.CENTROIDS — operators/ml.py
++ the lake-SQL front-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigquery_etl_spark.operators import ml
+from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    # y = 2*x1 - 3*x2 + 5 exactly — coefficients are recoverable to
+    # machine precision, so assertions are tight, not fuzzy
+    rows = [
+        (float(i % 17), float((i * 7) % 13), 0.0) for i in range(200)
+    ]
+    rows = [(x1, x2, 2 * x1 - 3 * x2 + 5) for x1, x2, _ in rows]
+    c.create_table(
+        "train",
+        str(tmp_path / "train"),
+        spark.createDataFrame(rows, "x1 double, x2 double, y double"),
+    )
+    return c
+
+
+def test_fit_linear_exact(cat):
+    df = cat.tables["train"].read()
+    model = ml.fit_linear_reg(df, ["x1", "x2"], "y")
+    assert model["intercept"] == pytest.approx(5.0, abs=1e-8)
+    assert model["coefficients"][0] == pytest.approx(2.0, abs=1e-8)
+    assert model["coefficients"][1] == pytest.approx(-3.0, abs=1e-8)
+    assert model["r2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_fit_linear_single_pass(cat):
+    """The training job is ONE aggregate over the input — no joins, no
+    shuffles beyond the scalar-aggregate exchange."""
+    df = cat.tables["train"].read()
+    import io
+    from contextlib import redirect_stdout
+
+    # plan of the sufficient-statistics aggregate
+    from pyspark.sql import functions as F
+
+    agg = df.agg(F.sum((F.col("x1") * F.col("y"))).alias("m"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        agg.explain("formatted")
+    assert "Join" not in buf.getvalue()
+
+
+def test_create_model_predict_evaluate_sql(cat):
+    cat.sql(
+        "CREATE MODEL lin OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM train"
+    )
+    got = cat.sql(
+        "SELECT processed_input, ROUND(weight, 6) AS w "
+        "FROM ML.WEIGHTS(MODEL lin) ORDER BY processed_input"
+    ).collect()
+    assert [(r.processed_input, r.w) for r in got] == [
+        ("__INTERCEPT__", 5.0),
+        ("x1", 2.0),
+        ("x2", -3.0),
+    ]
+    pred = cat.sql(
+        "SELECT MAX(ABS(predicted_y - y)) AS worst "
+        "FROM ML.PREDICT(MODEL lin, TABLE train)"
+    ).collect()[0]
+    assert pred.worst < 1e-8
+    ev = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL lin, TABLE train)"
+    ).collect()[0]
+    assert ev.r2_score == pytest.approx(1.0, abs=1e-9)
+    assert ev.mean_absolute_error == pytest.approx(0.0, abs=1e-8)
+
+
+def test_predict_on_subquery_and_replace(cat):
+    cat.sql(
+        "CREATE MODEL lin OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM train"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(
+            "CREATE MODEL lin OPTIONS(model_type='linear_reg', "
+            "input_label_cols=['y']) AS SELECT * FROM train"
+        )
+    got = cat.sql(
+        "SELECT ROUND(predicted_y, 6) AS p FROM ML.PREDICT(MODEL lin, "
+        "(SELECT 1.0 AS x1, 1.0 AS x2, 0.0 AS y))"
+    ).collect()[0]
+    assert got.p == 4.0  # 2 - 3 + 5
+    cat.sql(
+        "CREATE OR REPLACE MODEL lin OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y'], l2_reg=0.0) AS SELECT * FROM train"
+    )
+
+
+def test_kmeans_separates_obvious_clusters(cat, spark):
+    pts = [(0.0 + dx, 0.0 + dy) for dx in (0, 0.1) for dy in (0, 0.1)]
+    pts += [(10.0 + dx, 10.0 + dy) for dx in (0, 0.1) for dy in (0, 0.1)]
+    spark.createDataFrame(pts, "a double, b double").createOrReplaceTempView(
+        "pts"
+    )
+    cat.sql(
+        "CREATE MODEL km OPTIONS(model_type='kmeans', num_clusters=2) "
+        "AS SELECT * FROM pts"
+    )
+    rows = cat.sql(
+        "SELECT a < 5 AS low, centroid_id "
+        "FROM ML.PREDICT(MODEL km, TABLE pts)"
+    ).collect()
+    by_side = {}
+    for r in rows:
+        by_side.setdefault(r.low, set()).add(r.centroid_id)
+    # each side maps to exactly one (distinct) centroid
+    assert all(len(v) == 1 for v in by_side.values())
+    assert by_side[True] != by_side[False]
+    cents = cat.sql(
+        "SELECT COUNT(DISTINCT centroid_id) AS k FROM ML.CENTROIDS(MODEL km)"
+    ).collect()[0]
+    assert cents.k == 2
+
+
+def test_model_persisted_to_warehouse(cat, tmp_path):
+    cat.sql(
+        "CREATE MODEL lin OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM train"
+    )
+    loaded = ml.load_model(str(tmp_path / "wh" / "_models"), "lin")
+    assert loaded["label"] == "y"
+    with pytest.raises(ValueError, match="unknown model"):
+        ml.load_model(str(tmp_path / "wh" / "_models"), "nope")
+
+
+def test_unknown_model_and_type_refuse(cat):
+    with pytest.raises(ValueError, match="unknown model"):
+        cat.sql("SELECT * FROM ML.PREDICT(MODEL ghost, TABLE train)")
+    with pytest.raises(ValueError, match="not implemented"):
+        cat.sql(
+            "CREATE MODEL bad OPTIONS(model_type='dnn_classifier', "
+            "input_label_cols=['y']) AS SELECT * FROM train"
+        )
