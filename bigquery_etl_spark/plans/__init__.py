@@ -23,6 +23,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     joins,
     lateral,
     matviews,
+    ml_queries,
     pipeline_e2e,
     pipeline_queries,
     relational,

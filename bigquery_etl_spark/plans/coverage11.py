@@ -1212,3 +1212,118 @@ def q_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.table_name
         """
     )
+
+
+@query(
+    "q_bq_udf",
+    sql="""
+    SELECT leg, k, v FROM (
+        SELECT 'sum' AS leg, l_returnflag AS k,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'tvf', 'n',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_totalprice > 100000) AS DOUBLE)
+    ) ORDER BY leg, k
+    """,
+    tags=("dialect", "udf", "sql-udf"),
+)
+def q_bq_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery-DIALECT UDF DDL + parameterized table function (r6 —
+    CREATE TEMP FUNCTION with FLOAT64 params / CREATE TABLE FUNCTION,
+    sources/bq_dialect.py _rewrite_create_function; the Spark-native
+    spelling is q_sql_udf in coverage8.py). Like that one,
+    a SQL UDF INLINES into the calling plan at analysis time — the
+    aggregate below compiles to the identical codegen as writing the
+    expression inline (zero runtime cost, no serialization boundary),
+    which is why it is the preferred extension point at 100 TB. The
+    oracle is the inlined expression, so parity proves exactly that
+    equivalence; the TVF leg proves parameterized table functions
+    compose with scalar subqueries."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("udf_lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("udf_orders")
+    cat = LakeCatalog(spark)
+    cat.bq_sql(
+        "CREATE OR REPLACE TEMP FUNCTION disc_price(p FLOAT64, d FLOAT64) "
+        "AS ((p * (1 - d)))"
+    )
+    cat.bq_sql(
+        "CREATE OR REPLACE TABLE FUNCTION hot_orders(lo FLOAT64) AS "
+        "SELECT o_orderkey FROM udf_orders WHERE o_totalprice > lo"
+    )
+    return cat.bq_sql(
+        """
+        SELECT leg, k, v FROM (
+            SELECT 'sum' AS leg, l_returnflag AS k,
+                   CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM udf_lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT 'tvf', 'n',
+                   CAST((SELECT COUNT(*) FROM hot_orders(100000.0))
+                        AS DOUBLE)
+        ) ORDER BY leg, k
+        """
+    )
+
+
+@query(
+    "q_transaction",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 6 = 0 AND o_orderkey % 4 <> 0
+    ORDER BY o_orderkey LIMIT 500
+    """,
+    tags=("lakehouse", "transaction"),
+)
+def q_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement transactions (r6 — BigQuery BEGIN TRANSACTION /
+    COMMIT / ROLLBACK). Staging = zero-copy clones (C41): BEGIN
+    hard-links every table O(#files), statements execute against the
+    shadows with read-your-writes snapshot isolation, COMMIT publishes
+    each touched table's NET snapshot as one OCC commit, ROLLBACK
+    drops the clones (nothing to undo — nothing was written). The
+    fixture runs a committed transaction (delete %4=0 rows + 10%
+    price bump) then a second transaction that deletes EVERYTHING and
+    rolls back; the oracle is the closed form of the committed state
+    only — any rollback leakage or partial commit hash-mismatches."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        import os
+
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 6 == 0
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        cat = LakeCatalog(spark, warehouse=os.path.join(path, "wh"))
+        cat.create_table("txn_orders", os.path.join(path, "t"), o)
+        cat.sql("BEGIN TRANSACTION")
+        cat.sql("DELETE FROM txn_orders WHERE o_orderkey % 4 = 0")
+        cat.sql("UPDATE txn_orders SET o_totalprice = o_totalprice * 1.1")
+        cat.sql("COMMIT")
+        cat.sql("BEGIN TRANSACTION")
+        cat.sql("DELETE FROM txn_orders")
+        cat.sql("ROLLBACK")
+
+    root = scratch_build(f"transaction:{sf_dir}", "transaction_", _build)
+    import os
+
+    return (
+        VersionedTable(spark, os.path.join(root, "t"))
+        .read()
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

@@ -1,0 +1,118 @@
+"""BQML declared queries (r6 — the BigQuery ML surface the reference
+delegates to its engine; ref main.py:21,160-185 hands all analytics to
+BigQuery and BQML is part of that surface). operators/ml.py holds the
+execution model: linear_reg = exact normal equations in ONE distributed
+aggregate pass; kmeans = euclidean Lloyd's as DataFrame aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigquery_etl_spark.registry import query
+from bigquery_etl_spark.sources import load
+
+
+@query(
+    "q_ml_linreg",
+    sql="""
+    SELECT term, w FROM (
+        SELECT '1_intercept' AS term, CAST(5.0 AS DOUBLE) AS w
+        UNION ALL SELECT '2_x1', 2.0
+        UNION ALL SELECT '3_x2', -3.0
+        UNION ALL
+        SELECT '4_slope_real',
+               ROUND(regr_slope(l_extendedprice, l_quantity), 2)
+        FROM lineitem
+        UNION ALL
+        SELECT '5_icpt_real',
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 2)
+        FROM lineitem
+    ) ORDER BY term
+    """,
+    tags=("ml", "bqml", "linear_reg"),
+)
+def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MODEL linear_reg twice over (r6, operators/ml.py):
+
+    1. A PLANTED exact relationship (y = 2*x1 - 3*x2 + 5 built from
+       orders columns) — the normal-equation solve must recover the
+       integer coefficients to machine precision; ROUND(.,6) makes the
+       check exact, any solver/aggregation bug hash-mismatches.
+    2. A REAL single-feature fit (extendedprice ~ quantity on
+       lineitem) — DuckDB's regr_slope/regr_intercept is the oracle,
+       so the sufficient-statistics pass is value-checked against an
+       independent implementation on real data (2 dp: both engines
+       compute the same closed form in double precision; they agree
+       far below a hundredth).
+
+    Training is one aggregate job per model — the driver sees k^2
+    sums, never rows, at any corpus size.
+    """
+    from bigquery_etl_spark.operators import ml
+
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 17).cast("double").alias("x1"),
+        (F.col("o_custkey") % 13).cast("double").alias("x2"),
+    ).withColumn("y", F.lit(2.0) * F.col("x1") - F.lit(3.0) * F.col("x2") + 5)
+    planted = ml.fit_linear_reg(o, ["x1", "x2"], "y")
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    real = ml.fit_linear_reg(li, ["x"], "y")
+
+    rows = [
+        ("1_intercept", round(planted["intercept"], 6)),
+        ("2_x1", round(planted["coefficients"][0], 6)),
+        ("3_x2", round(planted["coefficients"][1], 6)),
+        ("4_slope_real", round(real["coefficients"][0], 2)),
+        ("5_icpt_real", round(real["intercept"], 2)),
+    ]
+    return spark.createDataFrame(rows, "term string, w double").orderBy("term")
+
+
+@query(
+    "q_ml_kmeans",
+    sql="""
+    SELECT COUNT(*) AS n_points,
+           CAST(2 AS BIGINT) AS n_clusters,
+           TRUE AS pure
+    FROM orders
+    """,
+    tags=("ml", "bqml", "kmeans"),
+)
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQML kmeans invariant twin (r6): two planted, well-separated
+    clusters derived from orders (parity bit * 100 + small jitter in
+    both features). Lloyd's must (a) keep every point, (b) use exactly
+    2 clusters, and (c) separate the sides PERFECTLY — `pure` is TRUE
+    only when each planted side maps to exactly one distinct centroid.
+    The oracle is the closed form of those invariants; a collapsed or
+    mixed clustering breaks `pure`/`n_clusters` and hash-mismatches.
+    (Cluster IDs themselves depend on deterministic-but-arbitrary init
+    order, so the twin checks the partition, not the labels — the
+    recall-floor pattern used for the ANN queries.)"""
+    from bigquery_etl_spark.operators import ml
+
+    pts = load(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 2) * 100 + (F.col("o_custkey") % 7))
+        .cast("double")
+        .alias("a"),
+        ((F.col("o_orderkey") % 2) * 100 + (F.col("o_orderkey") % 5))
+        .cast("double")
+        .alias("b"),
+        (F.col("o_orderkey") % 2).alias("side"),
+    )
+    feats = pts.select("a", "b")
+    model = ml.fit_kmeans(feats, ["a", "b"], k=2, n_iters=5)
+    pred = ml.predict_kmeans(pts, model)
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("centroid_id").alias("n_clusters"),
+        (
+            F.countDistinct(F.struct("side", "centroid_id")) == F.lit(2)
+        ).alias("pure"),
+    )

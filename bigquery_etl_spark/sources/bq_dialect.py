@@ -242,6 +242,62 @@ def _rewrite_unnest(text: str) -> str:
         text = text[:s] + lv + rest
 
 
+def _rewrite_create_function(sql: str) -> str:
+    """BigQuery UDF/TVF DDL → Spark's native SQL-bodied functions
+    (r6). ``CREATE [OR REPLACE] TEMP FUNCTION f(x INT64) [RETURNS t]
+    AS ((expr))`` becomes ``CREATE OR REPLACE TEMPORARY FUNCTION f(…)
+    [RETURNS t] RETURN expr`` — Spark inlines the body into the
+    calling plan at analysis time, so a SQL UDF costs NOTHING at
+    runtime (no Python, no serialization; it is macro expansion inside
+    codegen). ``CREATE TABLE FUNCTION f(…) [RETURNS TABLE<…>] AS
+    select`` maps to ``RETURNS TABLE … RETURN select`` the same way.
+    ``LANGUAGE js`` refuses loudly (no V8 here; BigQuery's JS UDF
+    escape hatch has no Spark analogue — rewrite in SQL or a pandas
+    UDF)."""
+    if re.search(r"(?i)\bLANGUAGE\s+js\b", sql):
+        raise BQDialectError(
+            "LANGUAGE js UDFs are not supported — express the body in "
+            "SQL (inlined by Catalyst) or register a pandas UDF"
+        )
+    m = re.match(
+        r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(TABLE\s+)?"
+        r"(?:TEMP(?:ORARY)?\s+)?FUNCTION\s+`?([\w.]+)`?\s*\(",
+        sql,
+    )
+    if not m:
+        return sql
+    from bigquery_etl_spark.sources.lake_sql import _matching_paren
+
+    open_idx = sql.index("(", m.end() - 1)
+    close = _matching_paren(sql, open_idx)
+    params = sql[open_idx + 1 : close]
+    rest = sql[close + 1 :].strip().rstrip(";").strip()
+    name = m.group(2).split(".")[-1]
+    is_tvf = bool(m.group(1))
+    returns = ""
+    rm = re.match(r"(?is)^RETURNS\s+TABLE\s*<(.*?)>\s*(AS\b.*)$", rest)
+    if rm:
+        returns = f"RETURNS TABLE({rm.group(1)})"
+        rest = rm.group(2)
+    else:
+        rm = re.match(r"(?is)^RETURNS\s+([\w<>,()\s]+?)\s+(AS\b.*)$", rest)
+        if rm:
+            returns = f"RETURNS {rm.group(1).strip()}"
+            rest = rm.group(2)
+    am = re.match(r"(?is)^AS\s+(.*)$", rest)
+    if not am:
+        raise BQDialectError(f"CREATE FUNCTION {name}: missing AS <body>")
+    body = am.group(1).strip()
+    if body.startswith("(") and _matching_paren(body, 0) == len(body) - 1:
+        body = body[1:-1].strip()  # BigQuery's mandatory body parens
+    if is_tvf and not returns:
+        returns = "RETURNS TABLE"
+    return (
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+        f"{returns} RETURN {body}"
+    )
+
+
 def translate(sql: str) -> str:
     """BigQuery Standard SQL → Spark SQL for the shimmed surface."""
     if re.search(r"(?i)\bBIGNUMERIC\b", sql):
@@ -249,6 +305,7 @@ def translate(sql: str) -> str:
             "BIGNUMERIC exceeds Spark's DECIMAL(38) — cast to NUMERIC "
             "or FLOAT64 upstream"
         )
+    sql = _rewrite_create_function(sql)
 
     def _names(seg: str) -> str:
         # backticked paths (not wildcard refs, which keep their backticks

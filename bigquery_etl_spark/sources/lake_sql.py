@@ -60,7 +60,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigquery_etl_spark.sources.versioned import VersionedTable
+from bigquery_etl_spark.sources.versioned import CommitConflict, VersionedTable
+
+
+class TransactionConflict(Exception):
+    """COMMIT refused: a concurrent writer advanced a touched table
+    past the version this transaction pinned at BEGIN. Nothing from
+    the transaction is visible (unless the message names tables
+    already published in a mid-publish race — single-writer
+    deployments never see that)."""
 
 
 class MergeParseError(ValueError):
@@ -419,6 +427,9 @@ class LakeCatalog:
         # name -> model dict (r6 BQML surface: CREATE MODEL /
         # ML.PREDICT / ML.EVALUATE / ML.WEIGHTS; operators/ml.py)
         self.models: dict[str, dict] = {}
+        # open multi-statement transaction (r6): shadow-clone staging,
+        # None when not in a transaction
+        self._txn: dict | None = None
 
     def register(self, name: str, table: VersionedTable) -> None:
         self.tables[name] = table
@@ -535,9 +546,109 @@ class LakeCatalog:
             idx.applied_version = new_version
 
     def _committed(self, table: str, version: int) -> int:
+        if self._txn is not None:
+            # inside a transaction the write landed on the SHADOW clone;
+            # index/MV maintenance must only ever see durably-committed
+            # versions of the real table, so defer it to COMMIT (the
+            # CDF-fed refreshers track applied versions and catch up in
+            # one O(net-changes) step) — and never run it on ROLLBACK
+            self._txn["touched"].add(table)
+            return version
         self._maintain_indexes(table, version)
         self._maintain_matviews(table)
         return version
+
+    # -- multi-statement transactions (r6) ----------------------------------
+
+    def _begin_transaction(self) -> None:
+        """``BEGIN TRANSACTION`` (BigQuery multi-statement transactions,
+        snapshot-isolated): every catalog table is ZERO-COPY cloned
+        (hard-link commit, O(#files) metadata — sources/versioned.py
+        clone_to) and the catalog re-points at the clones. Statements
+        inside the transaction read their own writes but see no
+        concurrent commits; the real tables are untouched until COMMIT.
+        ROLLBACK = drop the clones — nothing to undo, because nothing
+        was written. DDL (CREATE/DROP/ALTER/OPTIMIZE/VACUUM/RESTORE)
+        refuses inside a transaction, as in BigQuery."""
+        import tempfile
+
+        if self._txn is not None:
+            raise ValueError("transaction already open (no nesting)")
+        stage = tempfile.mkdtemp(prefix="lake_txn_")
+        txn = {
+            "stage": stage,
+            "orig": dict(self.tables),
+            "pinned": {},
+            "touched": set(),
+        }
+        import os
+
+        for name, tbl in self.tables.items():
+            v = tbl.latest_version()
+            if v is not None and tbl._load_manifest(v).get("props", {}).get(
+                "snapshot"
+            ):
+                continue  # snapshots stay read-only INSIDE the txn too
+            txn["pinned"][name] = v
+            self.tables[name] = tbl.clone_to(
+                os.path.join(stage, name), version=v
+            )
+        self._txn = txn
+
+    def _end_transaction(self, commit: bool):
+        """COMMIT: optimistic-concurrency publish. First validate that
+        NO touched table's head moved past its pinned version (cheap
+        manifest reads), then publish each touched table's net snapshot
+        as ONE overwrite commit carrying ``expected_base`` — concurrent
+        writers that slipped between check and publish still conflict
+        at the manifest link. Atomic visibility per table; cross-table
+        publish is sequential in sorted order, so a conflict mid-publish
+        raises TransactionConflict naming what landed (single-writer
+        deployments — the A16 model — never hit this). Deferred index/
+        matview maintenance then runs once per touched table,
+        O(net changes). ROLLBACK (or any conflict) drops the shadow
+        clones and the real tables never saw anything."""
+        import shutil
+
+        txn = self._txn
+        if txn is None:
+            raise ValueError("no open transaction")
+        clones = dict(self.tables)
+        self.tables = txn["orig"]
+        self._txn = None
+        try:
+            if commit:
+                touched = sorted(
+                    n for n in txn["touched"] if n in txn["pinned"]
+                )
+                for name in touched:  # phase 1: cheap OCC validation
+                    head = self.tables[name].latest_version()
+                    if head != txn["pinned"][name]:
+                        raise TransactionConflict(
+                            f"table {name!r} moved v{txn['pinned'][name]} "
+                            f"-> v{head} during the transaction; nothing "
+                            "was committed"
+                        )
+                published = []
+                for name in touched:  # phase 2: publish net snapshots
+                    try:
+                        self.tables[name].overwrite(
+                            clones[name].read(),
+                            expected_base=txn["pinned"][name],
+                        )
+                    except CommitConflict as e:
+                        raise TransactionConflict(
+                            f"race on {name!r} at publish; already "
+                            f"published: {published}"
+                        ) from e
+                    published.append(name)
+                for name in touched:  # phase 3: deferred maintenance
+                    self._maintain_indexes(
+                        name, self.tables[name].latest_version()
+                    )
+                    self._maintain_matviews(name)
+        finally:
+            shutil.rmtree(txn["stage"], ignore_errors=True)
 
     # -- materialized views (r6) --------------------------------------------
 
@@ -1075,6 +1186,28 @@ class LakeCatalog:
           versioned table at LOCATION (or ``<warehouse>/<name>``),
           registered in the catalog, returns version 1
         """
+        if re.match(r"\s*BEGIN\s+TRANSACTION\s*;?\s*$", text, re.IGNORECASE):
+            self._begin_transaction()
+            return None
+        if re.match(
+            r"\s*COMMIT(\s+TRANSACTION)?\s*;?\s*$", text, re.IGNORECASE
+        ):
+            return self._end_transaction(commit=True)
+        if re.match(
+            r"\s*ROLLBACK(\s+TRANSACTION)?\s*;?\s*$", text, re.IGNORECASE
+        ):
+            return self._end_transaction(commit=False)
+        if self._txn is not None and re.match(
+            r"\s*(CREATE|DROP|ALTER|OPTIMIZE|VACUUM|RESTORE|LOAD|EXPORT)\b",
+            text,
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                "DDL / maintenance statements are not allowed inside a "
+                "transaction (BigQuery refuses these too) — COMMIT or "
+                "ROLLBACK first"
+            )
+
         m = re.match(
             r"\s*CREATE\s+(SEARCH|VECTOR)\s+INDEX\s+(\w+)\s+ON\s+([\w.]+)\s*"
             r"\(\s*([\w.]+)\s*\)\s*(?:OPTIONS\s*\((.*?)\))?\s*;?\s*$",

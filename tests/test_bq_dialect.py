@@ -134,3 +134,80 @@ def test_bq_sql_composes_with_matview_rewrite(spark, tmp_path):
     out = cat.bq_sql("SELECT grp, SUM(val) AS s FROM `ds.bqm` GROUP BY grp")
     assert cat.last_mv_rewrite == "bq_mv"
     assert {(r.grp, r.s) for r in out.collect()} == {("A", 20.0), ("B", 25.0)}
+
+
+# -- CREATE FUNCTION / TABLE FUNCTION (r6) ----------------------------------
+
+
+@pytest.fixture()
+def fcat(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    c = LakeCatalog(spark, warehouse=str(tmp_path))
+    c.create_table(
+        "ft",
+        str(tmp_path / "ft"),
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, amt double"
+        ),
+    )
+    return c
+
+
+def test_create_scalar_sql_udf(fcat):
+    """BigQuery CREATE TEMP FUNCTION maps to Spark's SQL-bodied UDF:
+    the body INLINES into the calling plan at analysis time (macro
+    expansion inside codegen — zero runtime cost, no Python)."""
+    fcat.bq_sql(
+        "CREATE TEMP FUNCTION tax(amount FLOAT64) RETURNS FLOAT64 "
+        "AS ((amount * 1.2));"
+    )
+    rows = fcat.bq_sql(
+        "SELECT id, tax(amt) AS taxed FROM ft ORDER BY id"
+    ).collect()
+    assert [r.taxed for r in rows] == [12.0, 24.0, 36.0]
+
+
+def test_create_function_int64_params_map(fcat):
+    fcat.bq_sql(
+        "CREATE OR REPLACE TEMP FUNCTION addk(x INT64, k INT64) "
+        "AS (x + k);"
+    )
+    assert fcat.bq_sql("SELECT addk(40, 2) AS v").collect()[0].v == 42
+
+
+def test_create_table_function(fcat):
+    fcat.bq_sql(
+        "CREATE TABLE FUNCTION big_amt(lo FLOAT64) AS "
+        "SELECT id, amt FROM ft WHERE amt >= lo;"
+    )
+    rows = fcat.bq_sql("SELECT * FROM big_amt(20.0) ORDER BY id").collect()
+    assert [(r.id, r.amt) for r in rows] == [(2, 20.0), (3, 30.0)]
+
+
+def test_create_table_function_typed_returns(fcat):
+    fcat.bq_sql(
+        "CREATE OR REPLACE TABLE FUNCTION ids(lo INT64) "
+        "RETURNS TABLE<out_id INT64> AS SELECT id FROM ft WHERE id >= lo;"
+    )
+    rows = fcat.bq_sql("SELECT out_id FROM ids(2) ORDER BY out_id").collect()
+    assert [r.out_id for r in rows] == [2, 3]
+
+
+def test_js_udf_refuses(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import BQDialectError
+
+    with pytest.raises(BQDialectError, match="LANGUAGE js"):
+        fcat.bq_sql(
+            'CREATE TEMP FUNCTION j(x INT64) RETURNS INT64 '
+            'LANGUAGE js AS "return x;";'
+        )
+
+
+def test_udf_composes_with_dialect_functions(fcat):
+    """The function body goes through the SAME dialect pass as any
+    statement: BigQuery function names inside bodies translate."""
+    fcat.bq_sql(
+        "CREATE TEMP FUNCTION nz(s STRING) AS (ARRAY_LENGTH(SPLIT(s, ' ')));"
+    )
+    assert fcat.bq_sql("SELECT nz('a b c') AS n").collect()[0].n == 3
