@@ -1131,15 +1131,39 @@ class LakeCatalog:
         text = _SYSTIME_RX.sub(_sub_ts, text)
         return text
 
-    def bq_sql(self, text: str):
+    def bq_sql(self, text: str, params: dict | None = None):
         """Execute a statement written in BigQuery Standard SQL: the
         dialect shim (sources/bq_dialect.py) translates the shimmed
         surface (SAFE_ functions, BigQuery type names, arg-order
         differences, UNNEST, backtick paths), then the result runs
         through the normal ``sql()`` path — lake statements, wildcard
-        shards, materialized-view rewrite and QUALIFY all included."""
+        shards, materialized-view rewrite and QUALIFY all included.
+
+        ``params`` binds BigQuery named query parameters (``@name``):
+        values render as SQL literals, literal-aware (a ``@name``
+        inside a string stays text) — the client-library parameterized
+        query surface. Missing parameters refuse loudly."""
         from bigquery_etl_spark.sources.bq_dialect import translate
 
+        if params:
+            from bigquery_etl_spark.sources.bq_dialect import (
+                _map_literal_aware,
+            )
+            from bigquery_etl_spark.sources.bq_script import _sql_literal
+
+            rx = re.compile(r"(?<!@)@(\w+)")
+
+            def _seg(s: str) -> str:
+                def repl(m: re.Match) -> str:
+                    if m.group(1) not in params:
+                        raise ValueError(
+                            f"missing query parameter @{m.group(1)}"
+                        )
+                    return _sql_literal(params[m.group(1)])
+
+                return rx.sub(repl, s)
+
+            text = _map_literal_aware(text, _seg)
         return self.sql(translate(text))
 
     def script(self, text: str):

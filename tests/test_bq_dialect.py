@@ -211,3 +211,29 @@ def test_udf_composes_with_dialect_functions(fcat):
         "CREATE TEMP FUNCTION nz(s STRING) AS (ARRAY_LENGTH(SPLIT(s, ' ')));"
     )
     assert fcat.bq_sql("SELECT nz('a b c') AS n").collect()[0].n == 3
+
+
+def test_named_query_parameters(fcat):
+    """BigQuery named parameters (@name) bind as SQL literals,
+    literal-aware: a @token inside a string constant stays text."""
+    rows = fcat.bq_sql(
+        "SELECT id, amt FROM ft WHERE amt >= @lo AND id <> @skip "
+        "ORDER BY id",
+        params={"lo": 15.0, "skip": 3},
+    ).collect()
+    assert [r.id for r in rows] == [2]
+    got = fcat.bq_sql(
+        "SELECT '@lo is not a param' AS s, @lo AS v", params={"lo": 7}
+    ).collect()[0]
+    assert got.s == "@lo is not a param" and got.v == 7
+    import pytest as _p
+
+    with _p.raises(ValueError, match="missing query parameter @hi"):
+        fcat.bq_sql("SELECT @hi AS v", params={"lo": 1})
+    # string values quote + escape
+    assert (
+        fcat.bq_sql(
+            "SELECT @s AS v", params={"s": "it's"}
+        ).collect()[0].v
+        == "it's"
+    )
