@@ -101,6 +101,23 @@ HEADLINE = [
     "q_transaction",
     "q_table_clone",
     "q_ml_linreg",
+    # r6 C45: partitioned lake tables. The prune query is matched (both
+    # engines run the same quarter aggregate; manifest pruning vs
+    # DuckDB zonemaps is exactly the contest we want trend-guarded);
+    # dml/meta are committed-state read-backs vs oracle recomputes.
+    "q_partitioned_prune",
+    "q_partition_dml",
+    "q_partition_meta",
+    # r6 C46-C48: HLL sketch surface (matched — the oracle does a real
+    # lineitem group-by while Spark builds+merges sketches twice AND
+    # computes the exact check legs: an honest, slightly anti-Spark
+    # ratio), SEARCH() predicate (index semi-join vs recompute — the
+    # same contest q_search_indexed is graded on), and the invariant
+    # twins whose oracles are trivial constants (excluded).
+    "q_hll_sketch",
+    "q_search_fn",
+    "q_vector_search_fn",
+    "q_ml_logreg",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB
@@ -115,6 +132,10 @@ MATCHED_EXCLUDE = {
     # over orders — counting these would flatter the ratio.
     "q_transaction": "committed-state read-back vs oracle recompute",
     "q_table_clone": "clone read-back vs oracle recompute",
+    "q_partition_dml": "committed-state read-back vs oracle recompute",
+    "q_partition_meta": "manifest metadata read vs oracle recompute",
+    "q_vector_search_fn": "invariant twin: oracle is a constant VALUES",
+    "q_ml_logreg": "invariant twin: oracle is a constant + one COUNT",
 }
 
 

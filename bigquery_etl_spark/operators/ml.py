@@ -123,6 +123,118 @@ def evaluate_linear_reg(df: DataFrame, model: dict) -> DataFrame:
     )
 
 
+def fit_logistic_reg(
+    df: DataFrame,
+    features: list[str],
+    label: str,
+    l2: float = 1e-6,
+    n_iters: int = 12,
+    tol: float = 1e-9,
+) -> dict:
+    """BQML ``model_type='logistic_reg'`` by IRLS / Newton-Raphson.
+
+    Each iteration is ONE distributed aggregate pass: the current β is
+    broadcast as literals into a codegen sigmoid, and the pass sums the
+    Hessian upper triangle ``w·xi·xj`` (w = p(1-p)) plus the gradient
+    ``(y-p)·xi`` — (k+1)(k+2)/2 + (k+1) doubles to the driver, never
+    rows. The k×k Newton solve is numpy on the driver. That is the
+    100 TB shape: iterations × one scan, map-side partial aggregation,
+    no Python in the executor path. A small always-on ridge keeps the
+    solve finite under perfect separation (BQML likewise defaults
+    l2_reg > 0). Deterministic — no SGD, no seeds."""
+    import numpy as np
+
+    feats = [F.lit(1.0)] + [F.col(c).cast("double") for c in features]
+    k = len(feats)
+    y = F.col(label).cast("double")
+    beta = np.zeros(k)
+    for _ in range(n_iters):
+        eta = F.lit(float(beta[0]))
+        for i in range(1, k):
+            eta = eta + feats[i] * F.lit(float(beta[i]))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (F.lit(1.0) - p)
+        aggs: list[Column] = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(
+                    F.sum(w * feats[i] * feats[j]).alias(f"__h_{i}_{j}")
+                )
+            aggs.append(F.sum((y - p) * feats[i]).alias(f"__g_{i}"))
+        row = df.agg(*aggs).collect()[0]
+        hess = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                hess[i, j] = hess[j, i] = row[f"__h_{i}_{j}"]
+        grad = np.array([row[f"__g_{i}"] for i in range(k)])
+        reg = np.full(k, l2)
+        reg[0] = 0.0  # never regularize the intercept
+        grad = grad - reg * beta
+        hess = hess + np.diag(reg + 1e-12)
+        step = np.linalg.solve(hess, grad)
+        beta = beta + step
+        if float(np.max(np.abs(step))) < tol:
+            break
+    return {
+        "model_type": "logistic_reg",
+        "features": list(features),
+        "label": label,
+        "intercept": float(beta[0]),
+        "coefficients": [float(b) for b in beta[1:]],
+    }
+
+
+def predict_logistic_reg(
+    df: DataFrame,
+    model: dict,
+    out: str = "predicted_label",
+    prob_out: str = "predicted_label_prob",
+) -> DataFrame:
+    """Broadcast-coefficients sigmoid: one codegen map stage, emitting
+    BQML's (predicted_label, probability) pair."""
+    eta = F.lit(model["intercept"])
+    for c, b in zip(model["features"], model["coefficients"]):
+        eta = eta + F.col(c).cast("double") * F.lit(b)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    return df.withColumn(prob_out, p).withColumn(
+        out, (F.col(prob_out) >= 0.5).cast("int")
+    )
+
+
+def evaluate_logistic_reg(df: DataFrame, model: dict) -> DataFrame:
+    """ML.EVALUATE for a classifier: ONE scalar-aggregate pass —
+    accuracy, precision, recall, f1, clipped log-loss."""
+    scored = predict_logistic_reg(df, model, out="__yhat", prob_out="__p")
+    yv = F.col(model["label"]).cast("int")
+    tp = F.sum(((F.col("__yhat") == 1) & (yv == 1)).cast("long"))
+    fp = F.sum(((F.col("__yhat") == 1) & (yv == 0)).cast("long"))
+    fn = F.sum(((F.col("__yhat") == 0) & (yv == 1)).cast("long"))
+    eps = F.lit(1e-15)
+    pc = F.greatest(F.least(F.col("__p"), F.lit(1.0) - eps), eps)
+    ll = -F.avg(
+        yv.cast("double") * F.log(pc)
+        + (F.lit(1.0) - yv.cast("double")) * F.log(F.lit(1.0) - pc)
+    )
+    agg = scored.agg(
+        F.avg((F.col("__yhat") == yv).cast("double")).alias("accuracy"),
+        tp.alias("__tp"),
+        fp.alias("__fp"),
+        fn.alias("__fn"),
+        ll.alias("log_loss"),
+    )
+    prec = F.col("__tp") / F.greatest(F.col("__tp") + F.col("__fp"), F.lit(1))
+    rec = F.col("__tp") / F.greatest(F.col("__tp") + F.col("__fn"), F.lit(1))
+    return agg.select(
+        "accuracy",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-300))).alias(
+            "f1_score"
+        ),
+        "log_loss",
+    )
+
+
 def _argmin_dist(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid in EUCLIDEAN distance (int).
     argmin ||x-c||^2 == argmax (x . c - ||c||^2 / 2), so the expression

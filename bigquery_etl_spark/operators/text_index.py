@@ -72,9 +72,11 @@ def search_text_index(
     table: str,
     terms: list[str],
     mode: str = "any",
-    k: int = 10,
+    k: int | None = 10,
 ) -> DataFrame:
-    """Top-k docs for a term set from the persisted index.
+    """Top-k docs for a term set from the persisted index
+    (``k=None``: ALL matching docs, unranked — the SEARCH() predicate
+    form).
 
     Score = (#matched terms, total tf) descending, doc_id ascending as
     the deterministic tiebreak. ``mode="all"`` keeps only docs matching
@@ -134,9 +136,14 @@ def _search_plan(
     )
     if mode == "all":
         per_doc = per_doc.filter(F.col("n_terms") == len(terms))
-    out = per_doc.orderBy(
-        F.col("n_terms").desc(), F.col("tf_sum").desc(), "doc_id"
-    ).limit(k)
+    if k is None:
+        # containment predicate (BigQuery SEARCH()): every matching
+        # doc, no ranking — skips the top-k sort entirely
+        out = per_doc
+    else:
+        out = per_doc.orderBy(
+            F.col("n_terms").desc(), F.col("tf_sum").desc(), "doc_id"
+        ).limit(k)
     # compile the physical plan NOW, while autoBucketedScan is off —
     # the cached executedPlan is what every later action runs
     out._jdf.queryExecution().executedPlan()

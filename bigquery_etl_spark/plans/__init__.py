@@ -24,6 +24,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     lateral,
     matviews,
     ml_queries,
+    partitioned,
     pipeline_e2e,
     pipeline_queries,
     relational,

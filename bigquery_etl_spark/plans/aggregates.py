@@ -144,6 +144,67 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hll_sketch",
+    sql="""
+    SELECT l_returnflag, TRUE AS roundtrip_within_5pct,
+           TRUE AS reagg_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "dialect"),
+    twin="invariant",
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery HLL_COUNT.* sketch surface (r6 C46) lowered onto
+    Spark's Apache DataSketches builtins (sources/bq_dialect.py):
+    INIT → hll_sketch_agg, MERGE_PARTIAL → hll_union_agg,
+    MERGE/EXTRACT → estimate. The property under test is
+    MERGEABILITY — per-(flag, status) sketches built once re-aggregate
+    to per-flag counts without touching raw rows again: at 100 TB you
+    persist fixed-size sketches per partition/day and roll them up
+    later; the shuffle carries KB sketches, never values. Estimates
+    can't hash-match an oracle, so the query asserts the re-aggregated
+    estimate is within 5% of exact (lgConfigK=14 → rsd ~0.8%) and
+    emits booleans; the twin emits TRUE (q_approx_distinct pattern)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("hll_li")
+    cat = LakeCatalog(spark)
+    # all four HLL_COUNT functions, two aggregation levels: INIT at
+    # (flag, status), MERGE_PARTIAL+EXTRACT rolling up to flag, and
+    # the single-level MERGE spelling as a cross-check
+    approx = cat.bq_sql("""
+        SELECT a.l_returnflag, a.n_rollup, b.n_direct FROM (
+            SELECT l_returnflag,
+                   HLL_COUNT.EXTRACT(HLL_COUNT.MERGE_PARTIAL(sketch))
+                       AS n_rollup
+            FROM (SELECT l_returnflag, l_linestatus,
+                         HLL_COUNT.INIT(l_orderkey, 14) AS sketch
+                  FROM hll_li GROUP BY l_returnflag, l_linestatus)
+            GROUP BY l_returnflag
+        ) a JOIN (
+            SELECT l_returnflag, HLL_COUNT.MERGE(sketch2) AS n_direct
+            FROM (SELECT l_returnflag, l_linestatus,
+                         HLL_COUNT.INIT(l_orderkey, 14) AS sketch2
+                  FROM hll_li GROUP BY l_returnflag, l_linestatus)
+            GROUP BY l_returnflag
+        ) b ON a.l_returnflag = b.l_returnflag
+    """)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("e")
+    )
+    j = approx.join(exact, "l_returnflag")
+    within = lambda a: (  # noqa: E731
+        F.abs(F.col(a) - F.col("e")) <= 0.05 * F.col("e")
+    )
+    return j.select(
+        "l_returnflag",
+        within("n_rollup").alias("roundtrip_within_5pct"),
+        within("n_direct").alias("reagg_within_5pct"),
+    )
+
+
+@query(
     "q_approx_quantile",
     sql="""
     SELECT l_linestatus, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok

@@ -638,6 +638,98 @@ def q_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_search_fn",
+    sql="""
+    SELECT doc_id FROM (
+        SELECT doc_id, COUNT(DISTINCT u.t) AS n
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id % 97 <> 13),
+             unnest(toks) AS u(t)
+        WHERE u.t IN ('merge', 'stream')
+        GROUP BY doc_id
+    ) WHERE n = 2 ORDER BY doc_id
+    """,
+    tags=("tierc", "text", "search", "index", "dialect"),
+)
+def q_search_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery's ``SEARCH()`` predicate (r6 C47): ``WHERE
+    SEARCH(idx_docs, 'merge stream')`` rewrites to a semi-join against
+    the bucket-pruned index hit set — the text column is never
+    scanned, and default semantics require EVERY token (BigQuery's
+    rule). Served from the same CDF-maintained SQL-declared index as
+    q_search_indexed; the oracle recomputes the containment
+    relationally over the post-DELETE corpus, so parity proves both
+    the rewrite and the maintained index state."""
+    cat = _indexed_docs_catalog(spark, sf_dir)
+    return cat.sql(
+        "SELECT doc_id FROM idx_docs "
+        "WHERE SEARCH(idx_docs, 'merge stream') ORDER BY doc_id"
+    )
+
+
+_VSEARCH_QIDS = (11, 23, 37, 41, 53)
+
+
+@query(
+    "q_vector_search_fn",
+    sql="""
+    SELECT CAST(q AS BIGINT) AS query_id, TRUE AS top1_perfect
+    FROM (VALUES (11), (23), (37), (41), (53)) t(q) ORDER BY query_id
+    """,
+    tags=("tierc", "similarity", "index", "dialect"),
+    twin="invariant",
+)
+def q_vector_search_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery's ``VECTOR_SEARCH`` TVF (r6 C47): the FROM-clause call
+    becomes a view over the partition-pruned IVF probe of the
+    SQL-declared vector index. Invariant twin (ANN scores can't
+    hash-match an oracle): each of the 5 query vectors IS a corpus
+    vector, so with every list probed the top-1 cosine must be
+    numerically perfect — any indexing/probe/rewrite bug that drops
+    the self-match breaks it. The query batch (5 rows) is the bounded
+    driver-side collect the IVF contract allows."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    key = f"vsearch_sql:{sf_dir}"
+    if key not in _SEARCH_CATS:
+
+        def _build(path: str) -> None:
+            emb = load(spark, sf_dir, "embeddings").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+            )
+            cat = LakeCatalog(spark)
+            cat.create_table("vs_emb", path, emb)
+            cat.sql(
+                "CREATE VECTOR INDEX vs_vi ON vs_emb (embedding) "
+                "OPTIONS(id_column='vec_id', num_lists=16)"
+            )
+            _SEARCH_CATS[key] = cat
+
+        root = scratch_build(key, "lake_vidx_", _build)
+        if key not in _SEARCH_CATS:  # dir cached, catalog object lost
+            cat = LakeCatalog(spark)
+            cat.register("vs_emb", VersionedTable(spark, root))
+            cat.sql(
+                "CREATE VECTOR INDEX vs_vi ON vs_emb (embedding) "
+                "OPTIONS(id_column='vec_id', num_lists=16)"
+            )
+            _SEARCH_CATS[key] = cat
+    cat = _SEARCH_CATS[key]
+    ids = ", ".join(str(i) for i in _VSEARCH_QIDS)
+    res = cat.sql(
+        "SELECT query_id, cos_sim FROM VECTOR_SEARCH("
+        "TABLE vs_emb, 'embedding', "
+        f"(SELECT vec_id, embedding FROM vs_emb WHERE vec_id IN ({ids})), "
+        "top_k => 1, nprobe => 16)"
+    )
+    return res.select(
+        "query_id", (F.col("cos_sim") >= 0.999999).alias("top1_perfect")
+    ).orderBy("query_id")
+
+
+@query(
     "q_lake_restore",
     sql="""
     SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -116,3 +116,57 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.struct("side", "centroid_id")) == F.lit(2)
         ).alias("pure"),
     )
+
+
+@query(
+    "q_ml_logreg",
+    sql="""
+    SELECT (SELECT COUNT(*) FROM orders
+            WHERE 2 * (o_orderkey % 19) - (o_custkey % 23) + 3 <> 0) AS n,
+           TRUE AS acc_perfect, TRUE AS prec_perfect,
+           TRUE AS rec_perfect, TRUE AS logloss_small
+    """,
+    tags=("ml", "bqml", "logistic_reg"),
+    twin="invariant",
+)
+def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQML logistic_reg (r6 C48) through the FULL SQL surface:
+    ``CREATE MODEL ... OPTIONS(model_type='logistic_reg')`` then
+    ``ML.EVALUATE(MODEL ...)``. Training is IRLS — each Newton step is
+    ONE distributed aggregate pass (codegen sigmoid with broadcast β
+    literals; k² Hessian sums to the driver, never rows). Invariant
+    twin (coefficients diverge under separation, so no exact oracle):
+    the planted labels are linearly separable with integer margin ≥ 1,
+    so a correct trainer must classify the training set PERFECTLY —
+    accuracy/precision/recall 1.0 and log-loss < 0.1 — while any
+    gradient/Hessian/sign bug breaks separation and hash-mismatches.
+    Boundary points (margin exactly 0) are excluded: their label is
+    ambiguous under any threshold convention."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    pts = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 19).cast("double").alias("x1"),
+        (F.col("o_custkey") % 23).cast("double").alias("x2"),
+    ).withColumn(
+        "margin", F.lit(2.0) * F.col("x1") - F.col("x2") + F.lit(3.0)
+    ).filter(F.col("margin") != 0).select(
+        "x1", "x2", (F.col("margin") > 0).cast("int").alias("y")
+    )
+    pts.createOrReplaceTempView("logreg_pts")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL logreg_m OPTIONS("
+        "model_type='logistic_reg', input_label_cols=['y'], "
+        "max_iterations=14) AS SELECT * FROM logreg_pts"
+    )
+    ev = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL logreg_m, TABLE logreg_pts)"
+    )
+    n = cat.sql("SELECT COUNT(*) AS n FROM logreg_pts").collect()[0].n
+    return ev.select(
+        F.lit(n).cast("long").alias("n"),
+        (F.col("accuracy") == 1.0).alias("acc_perfect"),
+        (F.col("precision") == 1.0).alias("prec_perfect"),
+        (F.col("recall") == 1.0).alias("rec_perfect"),
+        (F.col("log_loss") < 0.1).alias("logloss_small"),
+    )

@@ -172,6 +172,37 @@ def _interval_rewriter(sign: str):
     return _rw
 
 
+def _hll_init_rewriter(args: list[str]) -> str:
+    """``HLL_COUNT.INIT(x [, precision])`` → ``hll_sketch_agg`` — the
+    Apache DataSketches HLL aggregate Spark ships (3.5+). BigQuery
+    precision IS lgConfigK (both are log2 of the register count);
+    Spark accepts [4, 21], BigQuery [10, 24] — the overlap passes
+    through, outside it refuses rather than silently re-precisioning.
+    The payload is a binary, MERGEABLE sketch: partial sketches
+    re-aggregate across any grouping — the property that makes
+    distinct counts pre-computable per partition/day at 100 TB and
+    rollable-up later without touching raw data."""
+    if len(args) == 1:
+        return f"HLL_SKETCH_AGG({args[0].strip()})"
+    if len(args) == 2:
+        p = int(args[1])
+        if not 4 <= p <= 21:
+            raise BQDialectError(
+                f"HLL precision {p} outside Spark's lgConfigK [4, 21]"
+            )
+        return f"HLL_SKETCH_AGG({args[0].strip()}, {p})"
+    raise BQDialectError(f"HLL_COUNT.INIT expects (x [, precision]), got {args}")
+
+
+def _hll_1arg_rewriter(template: str):
+    def _rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise BQDialectError(f"expected one sketch argument, got {args}")
+        return template.format(args[0].strip())
+
+    return _rw
+
+
 _UNNEST_RX = re.compile(
     r"(?i),\s*UNNEST\s*\(",
 )
@@ -342,6 +373,26 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "TIMESTAMP_ADD", _interval_rewriter("+"))
     sql = _rewrite_calls(sql, "DATE_SUB", _interval_rewriter("-"))
     sql = _rewrite_calls(sql, "TIMESTAMP_SUB", _interval_rewriter("-"))
+    # HLL_COUNT.* sketch surface (r6): mergeable distinct-count
+    # sketches onto Spark's DataSketches builtins. MERGE = union the
+    # sketches AND extract the estimate; MERGE_PARTIAL = union only
+    # (stays a sketch — the re-aggregation building block).
+    sql = _rewrite_calls(sql, r"HLL_COUNT\s*\.\s*INIT", _hll_init_rewriter)
+    sql = _rewrite_calls(
+        sql,
+        r"HLL_COUNT\s*\.\s*MERGE_PARTIAL",
+        _hll_1arg_rewriter("HLL_UNION_AGG({0})"),
+    )
+    sql = _rewrite_calls(
+        sql,
+        r"HLL_COUNT\s*\.\s*MERGE",
+        _hll_1arg_rewriter("HLL_SKETCH_ESTIMATE(HLL_UNION_AGG({0}))"),
+    )
+    sql = _rewrite_calls(
+        sql,
+        r"HLL_COUNT\s*\.\s*EXTRACT",
+        _hll_1arg_rewriter("HLL_SKETCH_ESTIMATE({0})"),
+    )
     for key, orig in guard.items():
         sql = sql.replace(key, orig)
     return sql

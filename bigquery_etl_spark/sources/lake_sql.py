@@ -176,6 +176,212 @@ def _matching_paren(text: str, open_idx: int) -> int:
     raise MergeParseError("unbalanced parentheses")
 
 
+# -- partition pruning (r6, BigQuery PARTITION BY) ---------------------------
+
+
+def _parse_partition_spec(
+    expr: str, cluster_text: str | None, opts: dict
+) -> dict:
+    """Lower BigQuery's three partition flavors onto the lake layout
+    spec stored in table props (sources/versioned.py):
+    ``PARTITION BY c`` (identity), ``PARTITION BY DATE(ts)`` /
+    ``DATE_TRUNC|TIMESTAMP_TRUNC(c, DAY|MONTH|YEAR)`` (time-unit), and
+    ``RANGE_BUCKET(c, GENERATE_ARRAY(lo, hi, step))`` (integer range).
+    """
+    expr = expr.strip()
+    m = re.match(r"(?i)DATE\s*\(\s*([\w.]+)\s*\)$", expr)
+    if m:
+        src, g, rng = m.group(1), "day", None
+    else:
+        m = re.match(
+            r"(?i)(?:DATE|TIMESTAMP)_TRUNC\s*\(\s*([\w.]+)\s*,\s*"
+            r"(DAY|MONTH|YEAR)\s*\)$",
+            expr,
+        )
+        if m:
+            src, g, rng = m.group(1), m.group(2).lower(), None
+        else:
+            m = re.match(
+                r"(?i)RANGE_BUCKET\s*\(\s*([\w.]+)\s*,\s*GENERATE_ARRAY"
+                r"\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*\)$",
+                expr,
+            )
+            if m:
+                src, g = m.group(1), "range"
+                rng = [int(m.group(2)), int(m.group(3)), int(m.group(4))]
+            else:
+                m = re.match(r"([\w.]+)$", expr)
+                if not m:
+                    raise ValueError(
+                        f"unsupported PARTITION BY expression: {expr!r} "
+                        "(have: column, DATE(col), DATE_TRUNC/"
+                        "TIMESTAMP_TRUNC(col, DAY|MONTH|YEAR), "
+                        "RANGE_BUCKET(col, GENERATE_ARRAY(lo, hi, step)))"
+                    )
+                src, g, rng = m.group(1), "identity", None
+    spec: dict = {"source": src, "granularity": g}
+    if rng is not None:
+        spec["range"] = rng
+    if cluster_text:
+        spec["cluster"] = [
+            c.strip() for c in cluster_text.split(",") if c.strip()
+        ]
+    if str(opts.get("require_partition_filter", "")).lower() == "true":
+        spec["require_filter"] = True
+    return spec
+
+
+_PRUNE_GUARD_RX = re.compile(
+    r"(?i)\b(OR|NOT|UNION|EXCEPT|INTERSECT|CASE|WHEN)\b"
+)
+
+
+def _col_constraints(text: str, col: str) -> list[tuple[str, object]]:
+    """Extract conjunctive literal predicates on ``col`` for partition
+    elimination. Deliberately conservative (pruning may only ever be
+    an under-approximation of 'provably disjoint'): only the text
+    after the first top-level WHERE is scanned, only UNQUALIFIED
+    column references count (an aliased ``t2.col`` must not prune a
+    different table sharing the column name), and any OR/NOT/set-op/
+    CASE in the statement disables pruning entirely — the row-level
+    predicate still filters correctly, we just scan more partitions.
+    Returns (op, value) with op in =/</<=/>/>=/in."""
+    no_str = re.sub(r"'[^']*'", "''", text)
+    if _PRUNE_GUARD_RX.search(no_str):
+        return []
+    wh = _top_level_find(text, r"\bWHERE\b")
+    if not wh:
+        return []
+    scan = text[wh[0] :]
+    c = re.escape(col)
+    # unqualified only: no word-char or '.' immediately before; DATE()
+    # wrapping accepted (truncation keeps the comparison conservative)
+    ref = rf"(?:DATE\s*\(\s*(?<![\w.]){c}\s*\)|(?<![\w.]){c})"
+    lit = r"(?:(?:DATE|TIMESTAMP)\s+)?'([^']*)'|(-?\d+(?:\.\d+)?)"
+
+    def _val(m: re.Match, i: int) -> str:
+        return m.group(i) if m.group(i) is not None else m.group(i + 1)
+
+    cons: list[tuple[str, object]] = []
+    for m in re.finditer(
+        rf"(?i){ref}\s+BETWEEN\s+(?:{lit})\s+AND\s+(?:{lit})", scan
+    ):
+        cons.append((">=", _val(m, 1)))
+        cons.append(("<=", _val(m, 3)))
+    for m in re.finditer(rf"(?i){ref}\s*(=|>=|<=|<|>)\s*(?:{lit})", scan):
+        cons.append((m.group(1), _val(m, 2)))
+    for m in re.finditer(rf"(?i){ref}\s+IN\s*\(([^)]*)\)", scan):
+        body = m.group(1)
+        if re.match(r"(?i)\s*SELECT\b", body):
+            continue  # subquery IN — values unknown at plan time
+        vals = set()
+        ok = True
+        for part in body.split(","):
+            part = re.sub(r"(?i)^\s*(?:DATE|TIMESTAMP)\s+", "", part.strip())
+            if re.match(r"^'[^']*'$", part):
+                vals.add(part[1:-1])
+            elif re.match(r"^-?\d+(\.\d+)?$", part):
+                vals.add(part)
+            else:
+                ok = False  # non-literal element — can't prune on this
+                break
+        if ok and vals:
+            cons.append(("in", vals))
+    return cons
+
+
+def _trunc_to_grain(v: str, g: str) -> str:
+    if g == "day":
+        return v[:10]
+    if g == "month":
+        return v[:7]
+    if g == "year":
+        return v[:4]
+    return v
+
+
+_ZERO_TIME_RX = re.compile(r"^(?:[T ]00:00(?::00(?:\.0+)?)?)?$")
+
+
+def _is_grain_floor(v: str, g: str) -> bool:
+    """Is ``v`` exactly the lower bound of its grain bucket? Then
+    ``col < v`` provably excludes the bucket itself — the canonical
+    half-open range ``d >= '2024-03-01' AND d < '2024-05-01'`` prunes
+    exactly [March, April] instead of keeping May conservatively."""
+    if g == "day":
+        return bool(_ZERO_TIME_RX.match(v[10:]))
+    if g == "month":
+        return v[7:10] == "-01" and bool(_ZERO_TIME_RX.match(v[10:]))
+    if g == "year":
+        return v[4:10] == "-01-01" and bool(_ZERO_TIME_RX.match(v[10:]))
+    return True
+
+
+def _pcmp(p: str, v: str) -> int:
+    """Compare a partition value against a constraint value: numeric
+    when both parse (identity int partitions — '9' > '10' as strings),
+    else lexicographic (ISO date renderings order correctly)."""
+    try:
+        a, b = float(p), float(v)
+    except ValueError:
+        a, b = p, v  # type: ignore[assignment]
+    return (a > b) - (a < b)
+
+
+def _part_possible(p: str | None, cons, spec: dict) -> bool:
+    """May partition ``p`` hold a row satisfying every constraint?
+    Errs on keeping (pruning must be an under-approximation)."""
+    if not cons:
+        return True
+    from bigquery_etl_spark.sources.versioned import NULL_PART
+
+    g = spec.get("granularity", "identity")
+    if p is None or p == NULL_PART:
+        # NULL keys can't satisfy a comparison (3VL) — prunable. The
+        # range flavor also parks OUT-OF-RANGE rows here (BigQuery's
+        # __UNPARTITIONED__), and those are real values: keep.
+        return g == "range"
+    if g == "range":
+        lo = float(p)
+        hi = lo + float(spec["range"][2])
+        for op, v in cons:
+            if op == "in":
+                if not any(lo <= float(y) < hi for y in v):
+                    return False
+                continue
+            x = float(v)
+            if op == "=" and not (lo <= x < hi):
+                return False
+            if op in (">=", ">") and not (hi > x):
+                return False
+            if op == "<=" and not (lo <= x):
+                return False
+            if op == "<" and not (lo < x):
+                return False
+        return True
+    strict = g == "identity"  # time grains truncate: half-open rules
+    for op, v in cons:
+        if op == "in":
+            if p not in {_trunc_to_grain(str(y), g) for y in v}:
+                return False
+            continue
+        t = _trunc_to_grain(str(v), g)
+        d = _pcmp(p, t)
+        if op == "=" and d != 0:
+            return False
+        if op == ">" and not (d > 0 if strict else d >= 0):
+            return False
+        if op == ">=" and d < 0:
+            return False
+        if op == "<" and not (
+            d < 0 if strict or _is_grain_floor(str(v), g) else d <= 0
+        ):
+            return False
+        if op == "<=" and d > 0:
+            return False
+    return True
+
+
 # -- parser ------------------------------------------------------------------
 
 _WHEN_RX = r"WHEN\s+(?:NOT\s+)?MATCHED\b"
@@ -830,7 +1036,7 @@ class LakeCatalog:
         return out.drop("__q")
 
     def search(self, table: str, terms: list[str], mode: str = "any",
-               k: int = 10, index: str | None = None) -> DataFrame:
+               k: int | None = 10, index: str | None = None) -> DataFrame:
         """Serve a term search from ``table``'s SQL-declared search
         index (BigQuery's SEARCH() over an indexed table)."""
         idx = self._find_index(table, "search", index)
@@ -850,6 +1056,100 @@ class LakeCatalog:
             self.spark, idx.store, queries, k=k, nprobe=nprobe,
             id_col=idx.id_col, vec_col=idx.col, dim=dim,
         )
+
+    def _rewrite_index_fns(self, text: str) -> str:
+        """BigQuery's index-serving SQL functions (r6), rewritten onto
+        the SQL-declared indexes:
+
+        - ``WHERE SEARCH(t[.col], 'terms' [, mode => 'any'])`` — the
+          containment predicate becomes ``id IN (<bucket-pruned index
+          probe>)``: a semi-join against the hit set, never a scan of
+          the corpus text. BigQuery's default semantics (every token
+          must match) is ``mode => 'all'``, the default here too.
+        - ``FROM VECTOR_SEARCH(TABLE t, 'vec_col', (<query subquery>)
+          [, top_k => k] [, nprobe => n])`` — the TVF becomes a view of
+          the partition-pruned IVF probe: columns (query_id, <id>,
+          cos_sim, rank). The query subquery must yield (id, vector)
+          by position.
+
+        Calls naming tables without the matching index refuse loudly
+        (BigQuery requires the index too). Non-table first arguments
+        are left untouched — Spark then reports the unknown function,
+        the right error for a genuinely different SEARCH()."""
+        from bigquery_etl_spark.sources.bq_dialect import _call_sites
+
+        rx = re.compile(r"(?i)\bVECTOR_SEARCH\s*\(")
+        for n, (s, open_idx) in enumerate(
+            reversed(_call_sites(text, rx))
+        ):
+            close = _matching_paren(text, open_idx)
+            args = _split_top_level(text[open_idx + 1 : close])
+            tm = re.match(r"(?i)\s*TABLE\s+([\w.]+)\s*$", args[0] or "")
+            if not tm or tm.group(1) not in self.tables or len(args) < 3:
+                continue
+            table = tm.group(1)
+            cm = re.match(r"\s*'(\w+)'\s*$", args[1])
+            if not cm:
+                raise ValueError(
+                    f"VECTOR_SEARCH: second argument must be the "
+                    f"indexed column name as a string, got {args[1]!r}"
+                )
+            kw = {"top_k": 10, "nprobe": 4}
+            for extra in args[3:]:
+                km = re.match(r"(?i)\s*(top_k|nprobe)\s*=>\s*(\d+)\s*$", extra)
+                if not km:
+                    raise ValueError(
+                        f"VECTOR_SEARCH: unsupported argument {extra!r}"
+                    )
+                kw[km.group(1).lower()] = int(km.group(2))
+            sub = args[2].strip()
+            if sub.startswith("(") and sub.endswith(")"):
+                sub = sub[1:-1]
+            qdf = self.spark.sql(self._register_views(sub))
+            if len(qdf.columns) != 2:
+                raise ValueError(
+                    "VECTOR_SEARCH: the query subquery must yield "
+                    f"(id, vector), got {len(qdf.columns)} columns"
+                )
+            qdf = qdf.toDF("query_id", "query_vec")
+            view = f"__vector_search_{n}"
+            self.vector_search(
+                table, qdf, k=kw["top_k"], nprobe=kw["nprobe"]
+            ).createOrReplaceTempView(view)
+            text = text[:s] + view + text[close + 1 :]
+
+        rx = re.compile(r"(?i)\bSEARCH\s*\(")
+        for n, (s, open_idx) in enumerate(
+            reversed(_call_sites(text, rx))
+        ):
+            close = _matching_paren(text, open_idx)
+            args = _split_top_level(text[open_idx + 1 : close])
+            tm = re.match(r"\s*(\w+)(?:\.\w+)?\s*$", args[0] or "")
+            if not tm or tm.group(1) not in self.tables or len(args) < 2:
+                continue  # not our SEARCH — leave for Spark to resolve
+            table = tm.group(1)
+            qm = re.match(r"\s*'([^']*)'\s*$", args[1])
+            if not qm:
+                raise ValueError(
+                    f"SEARCH: the query must be a string literal, "
+                    f"got {args[1]!r}"
+                )
+            mode = "all"  # BigQuery: every token must appear
+            for extra in args[2:]:
+                km = re.match(r"(?i)\s*mode\s*=>\s*'(any|all)'\s*$", extra)
+                if not km:
+                    raise ValueError(f"SEARCH: unsupported argument {extra!r}")
+                mode = km.group(1).lower()
+            idx = self._find_index(table, "search", None)
+            hits = self.search(table, qm.group(1).split(), mode=mode, k=None)
+            view = f"__search_hits_{n}"
+            hits.select("doc_id").createOrReplaceTempView(view)
+            text = (
+                text[:s]
+                + f"({idx.id_col} IN (SELECT doc_id FROM {view}))"
+                + text[close + 1 :]
+            )
+        return text
 
     def _find_index(self, table: str, kind: str, name: str | None):
         if name is not None:
@@ -1077,10 +1377,95 @@ class LakeCatalog:
                 "table_name string, constraint_name string, "
                 "constraint_type string, expression string",
             )
+        if which == "PARTITIONS":
+            # BigQuery INFORMATION_SCHEMA.PARTITIONS: per-partition
+            # row/byte accounting, manifest-only (r6). partition_id is
+            # the dashless BigQuery form; NULL keys surface as
+            # __NULL__ (BigQuery's spelling).
+            from bigquery_etl_spark.sources.versioned import NULL_PART
+
+            rows = []
+            for name, tbl, _ in tabs:
+                if tbl._partition_spec() is None:
+                    continue
+                for p in tbl.partitions():
+                    pid = (
+                        "__NULL__"
+                        if p["partition"] in (None, NULL_PART)
+                        else str(p["partition"]).replace("-", "")
+                    )
+                    rows.append(
+                        (name, pid, p["n_files"], p["rows"], p["bytes"])
+                    )
+            return self.spark.createDataFrame(
+                rows or [],
+                "table_name string, partition_id string, "
+                "file_count long, total_rows long, "
+                "total_logical_bytes long",
+            )
         raise ValueError(
             f"INFORMATION_SCHEMA.{which} is not implemented "
-            "(have: TABLES, COLUMNS, TABLE_CONSTRAINTS)"
+            "(have: TABLES, COLUMNS, TABLE_CONSTRAINTS, PARTITIONS)"
         )
+
+    def _read_pruned(self, name: str, tbl: VersionedTable, text: str):
+        """Snapshot read for a view registration, partition-pruned when
+        the table is partitioned and the statement carries conjunctive
+        literal predicates on the partition source column (r6). The
+        pruning is MANIFEST-side: eliminated partitions' files never
+        reach Spark's planner — at 100 TB the catalog hands the scan
+        one day's file list, not ten years'. ``require_partition_filter
+        = true`` (BigQuery OPTIONS) refuses statements with no
+        elimination-usable predicate — same refusal BigQuery gives for
+        OR-ed or computed filters."""
+        spec = tbl._partition_spec()
+        if spec is None:
+            return tbl.read()
+        cons = _col_constraints(text, spec["source"])
+        if not cons:
+            if spec.get("require_filter"):
+                raise ValueError(
+                    f"table {name!r} has require_partition_filter=true: "
+                    f"the query needs a conjunctive literal filter on "
+                    f"{spec['source']!r} usable for partition elimination"
+                )
+            return tbl.read()
+        return tbl.read(part_pred=lambda p: _part_possible(p, cons, spec))
+
+    _DECOR_RX = re.compile(r"\b(\w+)\$(\w+)\b")
+
+    def _sub_partition_decorators(self, text: str) -> str:
+        """BigQuery partition decorators: ``FROM t$20240315`` reads ONE
+        partition — resolved manifest-side, literal-aware (a ``$``
+        inside a string constant stays text). Decorator values are the
+        dashless partition id (YYYYMMDD / YYYYMM / YYYY / identity /
+        range lower bound)."""
+        if "$" not in text:
+            return text
+        from bigquery_etl_spark.sources.bq_dialect import _map_literal_aware
+
+        def _seg(seg: str) -> str:
+            def repl(m: re.Match) -> str:
+                name, suffix = m.group(1), m.group(2)
+                tbl = self.tables.get(name)
+                if tbl is None:
+                    return m.group(0)
+                spec = tbl._partition_spec()
+                if spec is None:
+                    raise ValueError(
+                        f"table {name!r} is not partitioned — "
+                        f"${suffix} decorator invalid"
+                    )
+                view = f"{name}__part_{suffix}"
+                tbl.read(
+                    part_pred=lambda p: p is not None
+                    and p.replace("-", "") == suffix
+                ).createOrReplaceTempView(view)
+                return view
+
+            return self._DECOR_RX.sub(repl, seg)
+
+        return _map_literal_aware(text, _seg)
 
     def _register_views(self, text: str) -> str:
         """Make every cataloged table queryable: current snapshots as
@@ -1098,9 +1483,12 @@ class LakeCatalog:
         text = self._INFO_SCHEMA_RX.sub(
             lambda m: f"__info_schema_{m.group(1).lower()}", text
         )
+        text = self._sub_partition_decorators(text)
         for name, tbl in self.tables.items():
             if re.search(rf"\b{re.escape(name)}\b", text):
-                tbl.read().createOrReplaceTempView(name)
+                self._read_pruned(name, tbl, text).createOrReplaceTempView(
+                    name
+                )
         for name, mv in self.matviews.items():
             # views are directly queryable by name (BigQuery MVs are);
             # present the user-facing columns from the state table
@@ -1377,14 +1765,17 @@ class LakeCatalog:
 
         m = re.match(
             r"\s*CREATE\s+TABLE\s+([\w.]+)\s+"
-            r"(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.*)$",
+            r"(?:LOCATION\s+'([^']+)'\s+)?"
+            r"(?:PARTITION\s+BY\s+(.+?)\s+)?"
+            r"(?:CLUSTER\s+BY\s+(.+?)\s+)?"
+            r"(?:OPTIONS\s*\(([^)]*)\)\s*)?AS\s+(.*)$",
             text,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
             import os
 
-            name, loc, select = m.group(1), m.group(2), m.group(3)
+            name, loc, pexpr, cluster, opts_text, select = m.groups()
             if name in self.tables:
                 raise ValueError(f"lake table {name!r} already exists")
             if loc is None:
@@ -1394,8 +1785,19 @@ class LakeCatalog:
                         "has no warehouse directory)"
                     )
                 loc = os.path.join(self.warehouse, name)
+            spec = None
+            if pexpr or cluster or opts_text:
+                opts = self._parse_options(opts_text) if opts_text else {}
+                if pexpr is None:
+                    raise ValueError(
+                        "CLUSTER BY / OPTIONS on CREATE TABLE need a "
+                        "PARTITION BY clause"
+                    )
+                spec = _parse_partition_spec(pexpr, cluster, opts)
             df = self.spark.sql(self._register_views(select))
-            self.create_table(name, loc, df)
+            tbl = VersionedTable(self.spark, loc)
+            tbl.create(df, partition=spec)
+            self.register(name, tbl)
             return 1
         m = re.match(
             r"\s*EXPORT\s+DATA\s+OPTIONS\s*\((.*?)\)\s+AS\s+(.*)$",
@@ -1414,11 +1816,13 @@ class LakeCatalog:
             return self._load_data(m.group(1), m.group(2))
 
         m = re.match(
-            r"\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$", text, re.IGNORECASE | re.DOTALL
+            r"\s*INSERT\s+INTO\s+([\w.]+)(?:\$(\w+))?\s+(.*)$",
+            text,
+            re.IGNORECASE | re.DOTALL,
         )
         if m and m.group(1) in self.tables:
             tbl = self.tables[m.group(1)]
-            df = self.spark.sql(self._register_views(m.group(2)))
+            df = self.spark.sql(self._register_views(m.group(3)))
             target = tbl.read().schema
             if len(df.columns) != len(target.fields):
                 raise ValueError(
@@ -1433,6 +1837,29 @@ class LakeCatalog:
             df = df.toDF(*[f.name for f in target.fields]).select(
                 *[F.col(f.name).cast(f.dataType) for f in target.fields]
             )
+            if m.group(2):
+                # INSERT INTO t$<partition_id> (BigQuery): every row
+                # must belong to that partition — checked in ONE
+                # aggregate pass before the append commits.
+                from bigquery_etl_spark.sources.versioned import (
+                    _part_column,
+                )
+
+                spec = tbl._partition_spec()
+                if spec is None:
+                    raise ValueError(
+                        f"table {m.group(1)!r} is not partitioned — "
+                        f"${m.group(2)} decorator invalid"
+                    )
+                pid = F.translate(_part_column(spec), "-", "")
+                stray = df.agg(
+                    F.count(F.when(pid != F.lit(m.group(2)), 1)).alias("n")
+                ).collect()[0]["n"]
+                if stray:
+                    raise ValueError(
+                        f"INSERT INTO {m.group(1)}${m.group(2)}: {stray} "
+                        f"row(s) fall outside partition {m.group(2)!r}"
+                    )
             return self._committed(m.group(1), tbl.append(df))
 
         m = re.match(
@@ -1550,6 +1977,40 @@ class LakeCatalog:
                     f"{rest[: wh[0]].strip()!r}"
                 )
             pred = rest[wh[0] + 5 :].strip()
+            # Partition-scoped DML (r6): when the predicate pins
+            # partitions, rewrite ONLY those — untouched partitions'
+            # files are carried by reference. A one-day DELETE on a
+            # 10-year table is an O(day) job, not O(table): BigQuery's
+            # own DML execution model.
+            spec = tbl._partition_spec()
+            if spec is not None:
+                cons = _col_constraints(" WHERE " + pred, spec["source"])
+                if cons:
+                    parts_now = {
+                        e.get("part") for e in tbl.files(version=v0)
+                    }
+                    touched = {
+                        p
+                        for p in parts_now
+                        if _part_possible(p, cons, spec)
+                    }
+                    if len(touched) < len(parts_now):
+                        tview = f"__dml_touched_{name}"
+                        tbl.read(
+                            version=v0, part_pred=lambda p: p in touched
+                        ).createOrReplaceTempView(tview)
+                        kept = self.spark.sql(
+                            self._register_views(
+                                f"SELECT * FROM {tview} WHERE NOT "
+                                f"coalesce(({pred}), FALSE)"
+                            )
+                        )
+                        return self._committed(
+                            name,
+                            tbl.replace_partitions(
+                                kept, touched, expected_base=v0
+                            ),
+                        )
             # evaluate through spark.sql over the registered snapshot
             # views, not F.expr — this is what makes subquery
             # predicates (``k IN (SELECT ...)``, EXISTS) work, the #1
@@ -1671,19 +2132,58 @@ class LakeCatalog:
                 if where_text
                 else F.lit(True)
             )
-            updated = snap.select(
-                *[
-                    (
-                        F.when(hit, F.expr(assigns[c]))
-                        .otherwise(F.col(c))
-                        .cast(snap.schema[c].dataType)
-                        .alias(c)
-                        if c in assigns
-                        else F.col(c)
-                    )
-                    for c in snap.columns
-                ]
-            )
+
+            def _apply_assigns(src_df: DataFrame) -> DataFrame:
+                return src_df.select(
+                    *[
+                        (
+                            F.when(hit, F.expr(assigns[c]))
+                            .otherwise(F.col(c))
+                            .cast(snap.schema[c].dataType)
+                            .alias(c)
+                            if c in assigns
+                            else F.col(c)
+                        )
+                        for c in src_df.columns
+                    ]
+                )
+
+            # Partition-scoped UPDATE (r6, same model as DELETE above).
+            # Assigning the partition source column could MOVE rows to
+            # a partition outside the touched set — fall back to the
+            # full rewrite for that (rare) shape.
+            spec = tbl._partition_spec()
+            if (
+                spec is not None
+                and where_text
+                and spec["source"] not in assigns
+            ):
+                cons = _col_constraints(
+                    " WHERE " + where_text, spec["source"]
+                )
+                if cons:
+                    parts_now = {
+                        e.get("part") for e in tbl.files(version=v0)
+                    }
+                    touched = {
+                        p
+                        for p in parts_now
+                        if _part_possible(p, cons, spec)
+                    }
+                    if len(touched) < len(parts_now):
+                        updated = _apply_assigns(
+                            tbl.read(
+                                version=v0,
+                                part_pred=lambda p: p in touched,
+                            )
+                        )
+                        return self._committed(
+                            name,
+                            tbl.replace_partitions(
+                                updated, touched, expected_base=v0
+                            ),
+                        )
+            updated = _apply_assigns(snap)
             return self._committed(
                 name, tbl.overwrite(updated, expected_base=v0)
             )
@@ -1706,6 +2206,8 @@ class LakeCatalog:
             )
         if re.search(r"(?i)\bML\s*\.\s*\w+\s*\(\s*MODEL\b", text):
             text = self._rewrite_ml(text)
+        if re.search(r"(?i)\b(?:VECTOR_)?SEARCH\s*\(", text):
+            text = self._rewrite_index_fns(text)
         q = self._try_qualify(text)
         if q is not None:
             return q
@@ -1745,6 +2247,21 @@ class LakeCatalog:
             model = _ml.fit_linear_reg(
                 df, feats, label, l2=float(opts.get("l2_reg", 0) or 0)
             )
+        elif mtype == "logistic_reg":
+            lm = re.search(r"\[\s*'(\w+)'\s*\]", opts_text)
+            label = lm.group(1) if lm else opts.get("input_label_cols", "")
+            if not label:
+                raise ValueError(
+                    "logistic_reg needs input_label_cols=['<label>']"
+                )
+            feats = [c for c in df.columns if c != label]
+            model = _ml.fit_logistic_reg(
+                df,
+                feats,
+                label,
+                l2=float(opts.get("l2_reg", 1e-6) or 1e-6),
+                n_iters=int(opts.get("max_iterations", 12)),
+            )
         elif mtype == "kmeans":
             model = _ml.fit_kmeans(
                 df,
@@ -1755,7 +2272,7 @@ class LakeCatalog:
         else:
             raise ValueError(
                 f"model_type {mtype!r} not implemented "
-                "(have: linear_reg, kmeans)"
+                "(have: linear_reg, logistic_reg, kmeans)"
             )
         self.models[name] = model
         if self.warehouse:
@@ -1810,17 +2327,31 @@ class LakeCatalog:
                 if fn == "PREDICT":
                     if model["model_type"] == "kmeans":
                         df = _ml.predict_kmeans(df, model)
+                    elif model["model_type"] == "logistic_reg":
+                        df = _ml.predict_logistic_reg(
+                            df,
+                            model,
+                            out=f"predicted_{model['label']}",
+                            prob_out=f"predicted_{model['label']}_prob",
+                        )
                     else:
                         df = _ml.predict_linear_reg(
                             df, model, out=f"predicted_{model['label']}"
                         )
                 else:
-                    if model["model_type"] != "linear_reg":
-                        raise ValueError("ML.EVALUATE: linear_reg only")
-                    df = _ml.evaluate_linear_reg(df, model)
+                    if model["model_type"] == "logistic_reg":
+                        df = _ml.evaluate_logistic_reg(df, model)
+                    elif model["model_type"] == "linear_reg":
+                        df = _ml.evaluate_linear_reg(df, model)
+                    else:
+                        raise ValueError(
+                            "ML.EVALUATE: linear_reg or logistic_reg"
+                        )
             elif fn == "WEIGHTS":
-                if model["model_type"] != "linear_reg":
-                    raise ValueError("ML.WEIGHTS: linear_reg only")
+                if model["model_type"] not in ("linear_reg", "logistic_reg"):
+                    raise ValueError(
+                        "ML.WEIGHTS: linear_reg or logistic_reg"
+                    )
                 rows = [("__INTERCEPT__", float(model["intercept"]))] + [
                     (c, float(b))
                     for c, b in zip(model["features"], model["coefficients"])

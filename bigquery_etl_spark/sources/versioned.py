@@ -108,6 +108,46 @@ def _file_stats(path: str, stat_cols: tuple[str, ...]) -> dict:
     return {"rows": md.num_rows, "bytes": os.path.getsize(path), "stats": stats}
 
 
+NULL_PART = "__null__"  # partition-dir value for NULL partition keys
+
+
+def _part_column(spec: dict):
+    """STRING column rendering each row's partition value under
+    ``spec`` — the directory name the row's file lands in. Renderings
+    are chosen so that lexicographic order on the string matches the
+    source order inside one granularity (ISO dates), which is what
+    lets the catalog prune with plain string comparisons.
+
+    granularity: 'identity' (the column itself), 'day'/'month'/'year'
+    (BigQuery time-unit column partitioning), 'range' (BigQuery
+    RANGE_BUCKET integer partitioning — value is the bucket's lower
+    bound; out-of-range rows join the NULL partition, BigQuery's
+    __UNPARTITIONED__)."""
+    from pyspark.sql import functions as F
+
+    src, g = spec["source"], spec.get("granularity", "identity")
+    if g == "identity":
+        c = F.col(src).cast("string")
+    elif g == "day":
+        c = F.date_format(src, "yyyy-MM-dd")
+    elif g == "month":
+        c = F.date_format(src, "yyyy-MM")
+    elif g == "year":
+        c = F.date_format(src, "yyyy")
+    elif g == "range":
+        lo, hi, step = spec["range"]
+        bucket = F.lit(lo) + F.floor(
+            (F.col(src).cast("double") - F.lit(lo)) / F.lit(step)
+        ).cast("long") * F.lit(step)
+        c = F.when(
+            (F.col(src) >= F.lit(lo)) & (F.col(src) < F.lit(hi)),
+            bucket.cast("long").cast("string"),
+        )
+    else:
+        raise ValueError(f"unknown partition granularity {g!r}")
+    return F.coalesce(c, F.lit(NULL_PART))
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str, stat_cols: tuple[str, ...] = ()):
         self.spark = spark
@@ -165,9 +205,53 @@ class VersionedTable:
 
     # -- commit protocol -----------------------------------------------------
 
-    def _write_data(self, df: DataFrame, subdir: str = "data") -> list[dict]:
+    def _write_data(
+        self, df: DataFrame, subdir: str = "data", partition: dict | None = None
+    ) -> list[dict]:
+        """Spill ``df`` as immutable parquet under a fresh commit dir.
+
+        Data writes on a PARTITIONED table (r6, BigQuery PARTITION BY)
+        lay files out Hive-style under ``__p=<value>/`` and record each
+        file's partition value in its manifest entry — pruning then
+        happens on the MANIFEST (a JSON read), never a directory
+        listing. ``__p`` is derived (dropped by partitionBy), so the
+        files themselves keep every user column at its declared type:
+        the read path stays an explicit-schema parquet read with zero
+        partition-column type re-inference. CLUSTER BY columns sort
+        within each written partition so footer min/max stats prune
+        inside a partition too (BigQuery clustering)."""
+        if partition is None and subdir == "data":
+            partition = self._partition_spec()
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.root, subdir, commit_id)
+        if partition and subdir == "data":
+            from urllib.parse import unquote
+
+            pdf = df.withColumn("__p", _part_column(partition))
+            cluster = partition.get("cluster") or []
+            if cluster:
+                from pyspark.sql import functions as F
+
+                pdf = pdf.repartition(F.col("__p")).sortWithinPartitions(
+                    *cluster
+                )
+            pdf.write.partitionBy("__p").parquet(out_dir)
+            entries = []
+            for pdir in sorted(os.listdir(out_dir)):
+                if not pdir.startswith("__p="):
+                    continue
+                value = unquote(pdir[len("__p="):])
+                if value == "__HIVE_DEFAULT_PARTITION__":
+                    value = NULL_PART
+                for name in sorted(os.listdir(os.path.join(out_dir, pdir))):
+                    if not name.endswith(".parquet"):
+                        continue
+                    full = os.path.join(out_dir, pdir, name)
+                    entry = _file_stats(full, self.stat_cols)
+                    entry["path"] = os.path.join(subdir, commit_id, pdir, name)
+                    entry["part"] = value
+                    entries.append(entry)
+            return entries
         df.write.parquet(out_dir)
         entries = []
         for name in sorted(os.listdir(out_dir)):
@@ -178,6 +262,12 @@ class VersionedTable:
             entry["path"] = os.path.join(subdir, commit_id, name)
             entries.append(entry)
         return entries
+
+    def _partition_spec(self) -> dict | None:
+        base = self.latest_version()
+        if base is None:
+            return None
+        return self._load_manifest(base).get("props", {}).get("partition")
 
     def _commit(
         self,
@@ -240,8 +330,27 @@ class VersionedTable:
             os.unlink(tmp)
         return version
 
-    def create(self, df: DataFrame) -> int:
-        return self._commit("create", self._write_data(df), df.schema.json())
+    def create(self, df: DataFrame, partition: dict | None = None) -> int:
+        """Create v1. ``partition`` (r6) declares the table's layout:
+        ``{"source": col, "granularity": identity|day|month|year|range,
+        "cluster": [cols], "require_filter": bool, "range": [lo,hi,step]}``
+        — stored as a table property so EVERY later write path
+        (append/INSERT/UPDATE/MERGE/OPTIMIZE/LOAD DATA) lays files out
+        by partition with no caller cooperation."""
+        props = None
+        if partition is not None:
+            if partition["source"] not in df.columns:
+                raise ValueError(
+                    f"{self.root}: partition source column "
+                    f"{partition['source']!r} not in schema"
+                )
+            props = {"partition": partition}
+        return self._commit(
+            "create",
+            self._write_data(df, partition=partition),
+            df.schema.json(),
+            props=props,
+        )
 
     def append(self, df: DataFrame) -> int:
         """Append with Delta-style additive schema evolution (r4): new
@@ -359,6 +468,56 @@ class VersionedTable:
             self._write_data(df),
             df.schema.json(),
             change_files=self._capture_changes(df),
+            expected_base=expected_base,
+        )
+
+    def replace_partitions(
+        self, df: DataFrame, parts: set, expected_base: int
+    ) -> int:
+        """Partition-scoped rewrite (r6 — how BigQuery executes DML
+        whose predicate pins partitions): the partitions in ``parts``
+        are replaced by ``df``'s rows, every OTHER partition's files
+        are carried BY REFERENCE. A one-day DELETE on a 10-year table
+        rewrites one day, not the table — the difference between an
+        O(day) and an O(table) job at 100 TB. ``df`` must only hold
+        rows belonging to ``parts`` (validated from the written files'
+        own partition values, so a caller bug can't silently leak rows
+        into carried partitions). CDF capture diffs the TOUCHED
+        partitions only — untouched rows provably didn't change.
+        Pinned to ``expected_base`` (OCC) like any derived rewrite."""
+        spec = self._partition_spec()
+        if spec is None:
+            raise ValueError(f"{self.root}: table is not partitioned")
+        self._enforce(self._constraints(), df)
+        untouched = [
+            e
+            for e in self.files(version=expected_base)
+            if e.get("part") not in parts
+        ]
+        new_files = self._write_data(df, partition=spec)
+        stray = {e["part"] for e in new_files} - set(parts)
+        if stray:
+            raise ValueError(
+                f"{self.root}: replacement rows land outside the "
+                f"declared partitions: {sorted(stray)[:5]}"
+            )
+        change_files = None
+        keys = self._cdf_keys()
+        if keys:
+            from bigquery_etl_spark.operators.merge import snapshot_diff
+
+            old_touched = self.read(
+                version=expected_base, part_pred=lambda p: p in parts
+            )
+            change_files = self._write_data(
+                snapshot_diff(old_touched, df, keys), subdir="_changes"
+            )
+        m = self._load_manifest(expected_base)
+        return self._commit(
+            "overwrite",
+            untouched + new_files,
+            m["schema"],
+            change_files=change_files,
             expected_base=expected_base,
         )
 
@@ -621,10 +780,17 @@ class VersionedTable:
     # -- read path -----------------------------------------------------------
 
     def files(
-        self, version: int | None = None, prune: tuple[str, float, float] | None = None
+        self,
+        version: int | None = None,
+        prune: tuple[str, float, float] | None = None,
+        part_pred=None,
     ) -> list[dict]:
         """Live file entries at `version`, optionally min/max-pruned by
-        `(col, lo, hi)` — a file survives only if [min,max] ∩ [lo,hi]."""
+        `(col, lo, hi)` — a file survives only if [min,max] ∩ [lo,hi] —
+        and/or partition-pruned by ``part_pred(part_value) -> bool``
+        (r6): pruning a partitioned table is a pass over MANIFEST
+        entries, so a one-day query on a 10-year table hands Spark one
+        day's file list — the other files never reach the planner."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise VersionNotFound(f"{self.root}: empty table")
@@ -638,16 +804,41 @@ class VersionedTable:
                     continue  # provably disjoint — skip the whole file
                 kept.append(e)
             entries = kept
+        if part_pred is not None:
+            entries = [e for e in entries if part_pred(e.get("part"))]
         return entries
 
+    def partitions(self, version: int | None = None) -> list[dict]:
+        """Per-partition accounting (file/row/byte totals) from the
+        manifest ONLY — INFORMATION_SCHEMA.PARTITIONS at any table size
+        costs one JSON read, zero data scan."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        agg: dict = {}
+        for e in self._load_manifest(v)["files"]:
+            a = agg.setdefault(e.get("part"), [0, 0, 0])
+            a[0] += 1
+            a[1] += e["rows"]
+            a[2] += e["bytes"]
+        return [
+            {"partition": p, "n_files": a[0], "rows": a[1], "bytes": a[2]}
+            for p, a in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+            )
+        ]
+
     def read(
-        self, version: int | None = None, prune: tuple[str, float, float] | None = None
+        self,
+        version: int | None = None,
+        prune: tuple[str, float, float] | None = None,
+        part_pred=None,
     ) -> DataFrame:
         v = self.latest_version() if version is None else version
         if v is None:
             raise VersionNotFound(f"{self.root}: empty table")
         manifest = self._load_manifest(v)
-        entries = self.files(v, prune)
+        entries = self.files(v, prune, part_pred=part_pred)
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not entries:
             return self.spark.createDataFrame([], schema)

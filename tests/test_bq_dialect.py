@@ -237,3 +237,39 @@ def test_named_query_parameters(fcat):
         ).collect()[0].v
         == "it's"
     )
+
+
+def test_hll_count_surface(fcat):
+    """HLL_COUNT.INIT/MERGE_PARTIAL/MERGE/EXTRACT → DataSketches
+    builtins; sketches are binary and MERGEABLE (re-aggregation gives
+    the same estimate as a direct sketch over the union)."""
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    assert (
+        translate("SELECT HLL_COUNT.MERGE(s) FROM t")
+        == "SELECT HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(s)) FROM t"
+    )
+    assert (
+        translate("SELECT HLL_COUNT.INIT(x, 14) FROM t")
+        == "SELECT HLL_SKETCH_AGG(x, 14) FROM t"
+    )
+    import pytest as _p
+
+    with _p.raises(BQDialectError, match="lgConfigK"):
+        translate("SELECT HLL_COUNT.INIT(x, 24) FROM t")
+    # end-to-end: partial sketches per id-class re-aggregate to the
+    # overall distinct count (3 ids in ft)
+    got = fcat.bq_sql(
+        "SELECT HLL_COUNT.EXTRACT(HLL_COUNT.MERGE_PARTIAL(s)) AS n "
+        "FROM (SELECT id % 2 AS g, HLL_COUNT.INIT(id) AS s "
+        "      FROM ft GROUP BY g)"
+    ).collect()[0]
+    assert got.n == 3
+    # sketch payload is an opaque binary column
+    row = fcat.bq_sql(
+        "SELECT HLL_COUNT.INIT(id) AS s FROM ft"
+    ).collect()[0]
+    assert isinstance(row.s, (bytes, bytearray))

@@ -133,3 +133,84 @@ def test_index_creation_enables_cdf_if_absent(spark, cat):
     assert cat.tables["docs"]._cdf_keys() is None
     cat.sql("CREATE SEARCH INDEX si ON docs (text) OPTIONS(id_column='doc_id')")
     assert cat.tables["docs"]._cdf_keys() == ["doc_id"]
+
+
+def test_search_fn_predicate(spark, cat):
+    """BigQuery SEARCH() predicate (r6): rewritten to a semi-join
+    against the bucket-pruned index hit set — the corpus text column
+    is never scanned. Default semantics = every token must match."""
+    cat.sql(
+        "CREATE SEARCH INDEX si ON docs (text) "
+        "OPTIONS(id_column='doc_id', n_buckets=16)"
+    )
+    got = sorted(
+        r.doc_id
+        for r in cat.sql(
+            "SELECT doc_id FROM docs WHERE SEARCH(docs, 'spark window')"
+        ).collect()
+    )
+    assert got == [1, 2]  # both tokens required (BigQuery default)
+    any_ = sorted(
+        r.doc_id
+        for r in cat.sql(
+            "SELECT doc_id FROM docs "
+            "WHERE SEARCH(docs, 'spark window', mode => 'any')"
+        ).collect()
+    )
+    assert any_ == [1, 2, 4]
+    # composes with other predicates; a '$'-free literal stays text
+    one = cat.sql(
+        "SELECT doc_id, text FROM docs "
+        "WHERE SEARCH(docs, 'merge') AND doc_id > 1"
+    ).collect()
+    assert sorted(r.doc_id for r in one) == [3]
+    # maintained index serves the rewritten predicate after DML
+    cat.sql("INSERT INTO docs SELECT 7, 'spark window spark'")
+    got2 = sorted(
+        r.doc_id
+        for r in cat.sql(
+            "SELECT doc_id FROM docs WHERE SEARCH(docs, 'spark window')"
+        ).collect()
+    )
+    assert got2 == [1, 2, 7]
+    # a table without a search index refuses loudly
+    cat.create_table(
+        "plain",
+        os.path.join(cat.tables["docs"].root + "_plain"),
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+    )
+    with pytest.raises(KeyError, match="no search index"):
+        cat.sql("SELECT * FROM plain WHERE SEARCH(plain, 'x')")
+
+
+def test_vector_search_tvf(spark, cat, tmp_path):
+    """BigQuery VECTOR_SEARCH TVF (r6): the FROM-clause call becomes a
+    view over the partition-pruned IVF probe."""
+    cat.create_table(
+        "emb",
+        str(tmp_path / "emb"),
+        spark.createDataFrame(
+            [(i, _vec(i)) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        ),
+    )
+    cat.sql(
+        "CREATE VECTOR INDEX vi ON emb (embedding) "
+        "OPTIONS(id_column='vec_id', num_lists=4)"
+    )
+    rows = cat.sql(
+        "SELECT query_id, vec_id, rank FROM VECTOR_SEARCH("
+        "TABLE emb, 'embedding', "
+        "(SELECT 0 AS qid, embedding FROM emb WHERE vec_id = 1), "
+        "top_k => 3, nprobe => 4) ORDER BY rank"
+    ).collect()
+    assert [r.vec_id for r in rows][0] == 1  # own vector is nearest
+    assert len(rows) == 3 and all(r.query_id == 0 for r in rows)
+    # composes downstream: join the TVF result back to the base table
+    j = cat.sql(
+        "SELECT v.rank, e.vec_id FROM VECTOR_SEARCH("
+        "TABLE emb, 'embedding', "
+        "(SELECT 0, embedding FROM emb WHERE vec_id = 1), top_k => 2) v "
+        "JOIN emb e ON v.vec_id = e.vec_id ORDER BY v.rank"
+    ).collect()
+    assert len(j) == 2 and j[0].vec_id == 1

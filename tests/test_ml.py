@@ -146,3 +146,59 @@ def test_unknown_model_and_type_refuse(cat):
             "CREATE MODEL bad OPTIONS(model_type='dnn_classifier', "
             "input_label_cols=['y']) AS SELECT * FROM train"
         )
+
+
+def test_fit_logistic_separates(spark, cat):
+    """IRLS on a linearly separable set (integer margin >= 1) must
+    classify the training data perfectly and orient the boundary."""
+    rows = [
+        (float(i % 11), float((i * 3) % 9)) for i in range(300)
+    ]
+    pts = [
+        (x1, x2, 1 if x1 - x2 + 0.5 > 0 else 0)
+        for x1, x2 in rows
+    ]
+    df = spark.createDataFrame(pts, "x1 double, x2 double, y int")
+    model = ml.fit_logistic_reg(df, ["x1", "x2"], "y")
+    assert model["model_type"] == "logistic_reg"
+    # boundary direction: +x1, -x2
+    assert model["coefficients"][0] > 0 > model["coefficients"][1]
+    scored = ml.predict_logistic_reg(df, model)
+    bad = scored.filter(
+        scored.predicted_label != scored.y
+    ).count()
+    assert bad == 0
+    # probabilities are calibrated-monotone in the margin
+    ev = ml.evaluate_logistic_reg(df, model).collect()[0]
+    assert ev.accuracy == 1.0 and ev.precision == 1.0 and ev.recall == 1.0
+    assert ev.log_loss < 0.1
+
+
+def test_logistic_sql_surface(spark, cat, tmp_path):
+    rows = [(float(i % 7), 1 if (i % 7) >= 3 else 0) for i in range(140)]
+    cat.create_table(
+        "lr_train",
+        str(tmp_path / "lr_train"),
+        spark.createDataFrame(rows, "x double, y int"),
+    )
+    cat.sql(
+        "CREATE MODEL lr OPTIONS(model_type='logistic_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM lr_train"
+    )
+    ev = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL lr, TABLE lr_train)"
+    ).collect()[0]
+    assert ev.accuracy == 1.0
+    pred = cat.sql(
+        "SELECT predicted_y, predicted_y_prob FROM "
+        "ML.PREDICT(MODEL lr, (SELECT 6.0 AS x, 1 AS y))"
+    ).collect()[0]
+    assert pred.predicted_y == 1 and pred.predicted_y_prob > 0.9
+    w = {
+        r.processed_input: r.weight
+        for r in cat.sql("SELECT * FROM ML.WEIGHTS(MODEL lr)").collect()
+    }
+    assert w["x"] > 0  # larger x -> class 1
+    # persisted like any model
+    import os
+    assert os.path.exists(str(tmp_path / "wh" / "_models" / "lr.json"))
