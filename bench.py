@@ -118,6 +118,13 @@ HEADLINE = [
     "q_search_fn",
     "q_vector_search_fn",
     "q_ml_logreg",
+    # r6 C49: external tables — timed, excluded from matched (Spark
+    # reads the landing-zone CSV, the oracle reads parquet: different
+    # I/O class, not an engine contest)
+    "q_external_table",
+    # r6 C50: logical views — matched: both engines run the same
+    # aggregate over the same logical rows (macro expansion is free)
+    "q_logical_view",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB
@@ -136,6 +143,7 @@ MATCHED_EXCLUDE = {
     "q_partition_meta": "manifest metadata read vs oracle recompute",
     "q_vector_search_fn": "invariant twin: oracle is a constant VALUES",
     "q_ml_logreg": "invariant twin: oracle is a constant + one COUNT",
+    "q_external_table": "CSV landing-zone scan vs parquet oracle",
 }
 
 

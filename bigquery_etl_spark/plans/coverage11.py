@@ -1074,6 +1074,116 @@ def q_export_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_external_table",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS price_sum
+    FROM orders
+    WHERE o_orderkey % 5 = 2
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "external", "sqlsurface"),
+)
+def q_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE EXTERNAL TABLE`` (r6 C49 — BigQuery's schema-on-read
+    ingestion model): the %5=2 orders slice is EXPORTed to CSV once,
+    then queried THROUGH an external table with an explicit
+    BigQuery-typed column list (INT64/STRING/FLOAT64) — no copy, no
+    commit, the catalog just resolves the uris per statement. The
+    oracle recomputes the aggregate from raw orders: parity proves
+    the type mapping and text round-trip end-to-end. At 100 TB this
+    is the zero-ingest path over a landing zone."""
+    import os
+
+    from bigquery_etl_spark.plans._util import dsum_sql, scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        o.createOrReplaceTempView("ext_orders_src")
+        cat = LakeCatalog(spark)
+        cat.sql(
+            f"EXPORT DATA OPTIONS(uri='{path}/landing', format='CSV', "
+            "header='true') AS SELECT * FROM ext_orders_src "
+            "WHERE o_orderkey % 5 = 2"
+        )
+
+    root = scratch_build(f"ext_table:{sf_dir}", "ext_table_", _build)
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE EXTERNAL TABLE ext_orders "
+        "(o_orderkey INT64, o_orderstatus STRING, o_totalprice FLOAT64) "
+        f"OPTIONS(format='csv', uris=['{os.path.join(root, 'landing')}'], "
+        "header='true')"
+    )
+    return cat.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        + dsum_sql("o_totalprice", "price_sum")
+        + " FROM ext_orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@query(
+    "q_logical_view",
+    sql="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS price_sum
+    FROM orders
+    WHERE o_orderkey % 6 IN (0, 1) AND o_totalprice > 50000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "view", "sqlsurface"),
+)
+def q_logical_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical CREATE VIEW (r6 C50 — BigQuery's plain views, distinct
+    from the CDF-maintained C36 materialized views): a view is a
+    MACRO that re-resolves against current state per statement. The
+    fixture creates the view over the %6=0 slice, then INSERTs the
+    %6=1 slice into the base table — the final read through the view
+    must include the inserted rows with NO refresh step. Oracle is
+    the closed form over both slices."""
+    import os
+
+    from bigquery_etl_spark.plans._util import dsum_sql, scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        o.createOrReplaceTempView("lv_src")
+        cat = LakeCatalog(spark)
+        cat.create_table(
+            "lv_t",
+            os.path.join(path, "t"),
+            o.filter(F.col("o_orderkey") % 6 == 0),
+        )
+        cat.sql(
+            "INSERT INTO lv_t SELECT * FROM lv_src WHERE o_orderkey % 6 = 1"
+        )
+
+    root = scratch_build(f"logical_view:{sf_dir}", "logical_view_", _build)
+    cat = LakeCatalog(spark)
+    cat.register("lv_t", VersionedTable(spark, os.path.join(root, "t")))
+    cat.sql(
+        "CREATE OR REPLACE VIEW lv_big AS "
+        "SELECT o_orderstatus, o_totalprice FROM lv_t "
+        "WHERE o_totalprice > 50000"
+    )
+    return cat.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        + dsum_sql("o_totalprice", "price_sum")
+        + " FROM lv_big GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@query(
     "q_bq_dialect",
     sql="""
     SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,

@@ -175,15 +175,20 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT c_mktsegment, COUNT(*) AS n
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000)
     GROUP BY c_mktsegment
     """,
     tags=("join",),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI: customers with no orders at all."""
+    """LEFT ANTI: customers with no LARGE orders. (Restricted to the
+    big-ticket subset so the result is NON-EMPTY on this dataset —
+    every synthetic customer has some order, and an all-covered anti
+    join would pass its oracle vacuously.)"""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

@@ -29,7 +29,7 @@ from bigquery_etl_spark.sources import load
 
 def _orders_part_fixture(spark: SparkSession, sf_dir: str) -> str:
     """orders (1/3 sample) partitioned by month of o_orderdate, with a
-    partition-scoped DELETE already applied: 1994-Q1 loses its URGENT
+    partition-scoped DELETE already applied: 1996-Q1 loses its URGENT
     rows — an O(quarter) rewrite, every other month's files carried by
     reference."""
     from bigquery_etl_spark.sources.lake_sql import LakeCatalog
@@ -47,8 +47,8 @@ def _orders_part_fixture(spark: SparkSession, sf_dir: str) -> str:
             "CLUSTER BY o_orderkey AS SELECT * FROM po_src"
         )
         cat.sql(
-            "DELETE FROM po WHERE o_orderdate >= '1994-01-01' AND "
-            "o_orderdate < '1994-04-01' AND o_orderpriority = '1-URGENT'"
+            "DELETE FROM po WHERE o_orderdate >= '1996-01-01' AND "
+            "o_orderdate < '1996-04-01' AND o_orderpriority = '1-URGENT'"
         )
 
     return scratch_build(f"orders_part:{sf_dir}", "orders_part_", _build)
@@ -101,8 +101,8 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n
     FROM orders
     WHERE o_orderkey % 3 = 0
-      AND o_orderdate >= '1993-12-01' AND o_orderdate < '1994-05-01'
-      AND NOT (o_orderdate >= '1994-01-01' AND o_orderdate < '1994-04-01'
+      AND o_orderdate >= '1995-12-01' AND o_orderdate < '1996-05-01'
+      AND NOT (o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
                AND o_orderpriority = '1-URGENT')
     GROUP BY month ORDER BY month
     """,
@@ -110,11 +110,11 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_partition_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-scoped DELETE read-back (r6 C45): the fixture deleted
-    1994-Q1 URGENT orders — replace_partitions rewrote exactly the
+    1996-Q1 URGENT orders — replace_partitions rewrote exactly the
     three touched months and carried every other month's files BY
     REFERENCE (path-identity pinned in tests/test_partitioned.py).
-    The result reads the surviving rows around the boundary (1993-12
-    untouched, Q1 thinned, 1994-04 untouched); the oracle applies the
+    The result reads the surviving rows around the boundary (1995-12
+    untouched, Q1 thinned, 1996-04 untouched); the oracle applies the
     same delete as a predicate on raw orders. At 100 TB this is the
     difference between rewriting a quarter and rewriting a decade."""
     from bigquery_etl_spark.sources.lake_sql import LakeCatalog
@@ -128,7 +128,7 @@ def q_partition_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.sql(
         "SELECT date_format(o_orderdate, 'yyyy-MM') AS month, "
         "COUNT(*) AS n FROM po "
-        "WHERE o_orderdate >= '1993-12-01' AND o_orderdate < '1994-05-01' "
+        "WHERE o_orderdate >= '1995-12-01' AND o_orderdate < '1996-05-01' "
         "GROUP BY month ORDER BY month"
     )
 
@@ -141,7 +141,7 @@ def q_partition_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS total_rows
         FROM orders
         WHERE o_orderkey % 3 = 0
-          AND NOT (o_orderdate >= '1994-01-01' AND o_orderdate < '1994-04-01'
+          AND NOT (o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
                    AND o_orderpriority = '1-URGENT')
         GROUP BY partition_id
     ) ORDER BY partition_id

@@ -265,14 +265,21 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT n_nationkey AS nk FROM nation
     EXCEPT
-    SELECT s_nationkey AS nk FROM supplier
+    SELECT s_nationkey AS nk FROM supplier WHERE s_nationkey < 20
     """,
     tags=("setop",),
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): nations with no supplier — planned as anti join."""
+    """EXCEPT (distinct): nations with no low-key supplier — planned as
+    anti join. (The subtrahend filter keeps the result NON-EMPTY on
+    this dataset: an all-nations-covered EXCEPT returns zero rows and
+    passes its oracle vacuously — the r6 q_partition_dml lesson.)"""
     n = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nk"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 20)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
     return n.subtract(s)
 
 

@@ -65,6 +65,18 @@ _FN_RENAMES = {
     "GENERATE_UUID": "UUID",
     "REGEXP_CONTAINS": "REGEXP_LIKE",
     "FORMAT": "FORMAT_STRING",
+    # JSON scalar accessors (r6): BigQuery's JSON_VALUE /
+    # JSON_EXTRACT_SCALAR return the UNQUOTED scalar at a JSONPath —
+    # exactly get_json_object's contract. The JSON-subtree pair
+    # (JSON_QUERY/JSON_EXTRACT) is deliberately NOT mapped: BigQuery
+    # returns quoted JSON text for string leaves there, and a silent
+    # semantic drift is worse than an unknown-function error.
+    "JSON_VALUE": "GET_JSON_OBJECT",
+    "JSON_EXTRACT_SCALAR": "GET_JSON_OBJECT",
+    # sequence() covers the date/timestamp flavors too (same default
+    # 1-day step for ascending date ranges as BigQuery)
+    "GENERATE_DATE_ARRAY": "SEQUENCE",
+    "GENERATE_TIMESTAMP_ARRAY": "SEQUENCE",
 }
 
 
@@ -363,6 +375,15 @@ def translate(sql: str) -> str:
 
     sql = re.sub(r"`[\w.]*\*`", _protect, sql)
     sql = _map_literal_aware(sql, _names)
+    # BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark's TABLESAMPLE
+    # (same block-sampling semantics: both sample storage splits, not
+    # rows — approximate by design)
+    sql = _map_literal_aware(
+        sql,
+        lambda seg: re.sub(
+            r"(?i)\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (", seg
+        ),
+    )
     sql = _rewrite_unnest(sql)
     sql = _rewrite_calls(sql, "TIMESTAMP_DIFF", _diff_rewriter)
     sql = _rewrite_calls(sql, "DATE_DIFF", _diff_rewriter)

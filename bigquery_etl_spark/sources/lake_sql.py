@@ -633,6 +633,17 @@ class LakeCatalog:
         # name -> model dict (r6 BQML surface: CREATE MODEL /
         # ML.PREDICT / ML.EVALUATE / ML.WEIGHTS; operators/ml.py)
         self.models: dict[str, dict] = {}
+        # name -> select text (r6 C50): LOGICAL views — BigQuery
+        # CREATE VIEW. A view is a macro: its SQL re-resolves against
+        # the CURRENT state of everything it references on every
+        # statement, so lake DML shows through immediately
+        self.viewdefs: dict[str, str] = {}
+        self._resolving_views: set[str] = set()
+        # name -> {format, uris, options, schema_ddl} (r6 C49):
+        # BigQuery external tables — schema-on-read over files the
+        # catalog does NOT own; every reference re-resolves the uris,
+        # so files added after CREATE are visible to the next query
+        self.externals: dict[str, dict] = {}
         # open multi-statement transaction (r6): shadow-clone staging,
         # None when not in a transaction
         self._txn: dict | None = None
@@ -995,6 +1006,67 @@ class LakeCatalog:
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in target.fields])
         return self._committed(table, tbl.append(df))
 
+    def _create_external(
+        self,
+        name: str,
+        replace: bool,
+        cols_text: str | None,
+        opts_text: str,
+    ):
+        """``CREATE EXTERNAL TABLE t [(c TYPE, …)] OPTIONS(format=…,
+        uris=[…] [, reader options])`` (r6 C49 — BigQuery external
+        tables, the other half of its two ingestion models next to
+        LOAD DATA): SCHEMA-ON-READ over files the catalog does not
+        own. Nothing is copied or committed — the spec is metadata;
+        every query re-resolves the uris, so files appended to the
+        path after CREATE show up in the next query (BigQuery's
+        contract, and the 100 TB point: an external table over a
+        landing zone costs zero ingest). Column list types accept
+        BigQuery names (INT64, FLOAT64, …) via the dialect type map;
+        without one, the format's schema inference applies."""
+        if name in self.tables:
+            raise ValueError(f"{name!r} is already a lake table")
+        if name in self.externals and not replace:
+            raise ValueError(f"external table {name!r} already exists")
+        opts = self._parse_options(opts_text)
+        fmt = str(opts.pop("format", "parquet")).lower()
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(
+                f"external table format {fmt!r} not supported "
+                "(have: parquet, csv, json)"
+            )
+        uris = opts.pop("uris", None)
+        if uris is None:
+            raise ValueError("CREATE EXTERNAL TABLE requires uris=[…]")
+        if isinstance(uris, str):
+            uris = [uris]
+        schema_ddl = None
+        if cols_text and cols_text.strip():
+            from bigquery_etl_spark.sources.bq_dialect import _TYPE_MAP
+
+            ddl = cols_text.strip()
+            for bq, sp in _TYPE_MAP.items():
+                ddl = re.sub(rf"(?i)\b{bq}\b", sp, ddl)
+            schema_ddl = ddl
+        if str(opts.pop("skip_leading_rows", "")) in ("1", "1.0"):
+            opts["header"] = "true"  # the BigQuery CSV spelling
+        self.externals[name] = {
+            "format": fmt,
+            "uris": list(uris),
+            "options": {k: str(v) for k, v in opts.items()},
+            "schema_ddl": schema_ddl,
+        }
+        return self._read_external(name)
+
+    def _read_external(self, name: str) -> DataFrame:
+        spec = self.externals[name]
+        reader = self.spark.read
+        for k, v in spec["options"].items():
+            reader = reader.option(k, v)
+        if spec["schema_ddl"]:
+            reader = reader.schema(spec["schema_ddl"])
+        return reader.format(spec["format"]).load(spec["uris"])
+
     # -- QUALIFY (r6) -------------------------------------------------------
 
     def _try_qualify(self, text: str):
@@ -1336,6 +1408,13 @@ class LakeCatalog:
                         float(hist[0]["ts"]) if hist else float(m["ts"]),
                     )
                 )
+            for name in self.externals:
+                # external tables own no manifests: row/byte totals are
+                # unknown without a scan (NULL — BigQuery reports the
+                # same for external tables)
+                rows.append((name, "EXTERNAL", None, None, None, None, None))
+            for name in self.viewdefs:
+                rows.append((name, "VIEW", None, None, None, None, None))
             return self.spark.createDataFrame(
                 rows,
                 "table_name string, table_type string, version int, "
@@ -1496,6 +1575,27 @@ class LakeCatalog:
                 from bigquery_etl_spark.operators.matview import present
 
                 present(mv.state.read(), mv.spec).createOrReplaceTempView(name)
+        for name in self.externals:
+            # schema-on-read: re-resolve the uris per statement so
+            # newly landed files are visible (BigQuery's contract)
+            if re.search(rf"\b{re.escape(name)}\b", text):
+                self._read_external(name).createOrReplaceTempView(name)
+        for name, select in self.viewdefs.items():
+            # logical views are macros: re-plan the stored SQL against
+            # current state per statement (nested views recurse; the
+            # guard set breaks definition cycles loudly)
+            if re.search(rf"\b{re.escape(name)}\b", text):
+                if name in self._resolving_views:
+                    raise ValueError(
+                        f"view {name!r} is defined in terms of itself"
+                    )
+                self._resolving_views.add(name)
+                try:
+                    self.spark.sql(
+                        self._register_views(select)
+                    ).createOrReplaceTempView(name)
+                finally:
+                    self._resolving_views.discard(name)
 
         def _sub_version(m: re.Match) -> str:
             name, v = m.group(1), int(m.group(2))
@@ -1799,6 +1899,75 @@ class LakeCatalog:
             tbl.create(df, partition=spec)
             self.register(name, tbl)
             return 1
+        m = re.match(
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?EXTERNAL\s+TABLE\s+([\w.]+)\s*"
+            r"(?:\(([^)]*)\)\s*)?OPTIONS\s*\((.*)\)\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._create_external(
+                m.group(2), bool(m.group(1)), m.group(3), m.group(4)
+            )
+
+        m = re.match(
+            r"\s*DROP\s+EXTERNAL\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)"
+            r"\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and (m.group(1) in self.externals or "IF EXISTS" in text.upper()):
+            self.externals.pop(m.group(1), None)
+            return None
+
+        m = re.match(
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, select = m.group(2), m.group(3).strip().rstrip(";")
+            if name in self.tables or name in self.externals:
+                raise ValueError(f"{name!r} is already a table")
+            if name in self.viewdefs and not m.group(1):
+                raise ValueError(f"view {name!r} already exists")
+            # validate NOW (BigQuery does): a broken view should fail
+            # at CREATE, not at first use
+            self.viewdefs[name] = select
+            try:
+                self.spark.sql(self._register_views(select)).schema
+            except Exception:
+                del self.viewdefs[name]
+                raise
+            return None
+
+        m = re.match(
+            r"\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and (m.group(1) in self.viewdefs or "IF EXISTS" in text.upper()):
+            self.viewdefs.pop(m.group(1), None)
+            return None
+
+        m = re.match(
+            r"\s*ASSERT\s+(.*?)(?:\s+AS\s+'([^']*)')?\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and re.match(r"\s*ASSERT\b", text, re.IGNORECASE):
+            cond = m.group(1).strip()
+            row = self.spark.sql(
+                self._register_views(
+                    f"SELECT coalesce(({cond}), FALSE) AS ok"
+                )
+            ).collect()[0]
+            if not row.ok:
+                raise AssertionError(
+                    m.group(2) or f"ASSERT failed: {cond}"
+                )
+            return None
+
         m = re.match(
             r"\s*EXPORT\s+DATA\s+OPTIONS\s*\((.*?)\)\s+AS\s+(.*)$",
             text,

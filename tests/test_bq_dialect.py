@@ -273,3 +273,34 @@ def test_hll_count_surface(fcat):
         "SELECT HLL_COUNT.INIT(id) AS s FROM ft"
     ).collect()[0]
     assert isinstance(row.s, (bytes, bytearray))
+
+
+def test_json_tablesample_star_except(fcat):
+    """r6 dialect extras: JSON scalar accessors, TABLESAMPLE SYSTEM,
+    and BigQuery's SELECT * EXCEPT (native in Spark 4)."""
+    got = fcat.bq_sql(
+        "SELECT JSON_VALUE('{\"a\": {\"b\": 7}}', '$.a.b') AS v, "
+        "JSON_EXTRACT_SCALAR('{\"s\": \"x\"}', '$.s') AS s"
+    ).collect()[0]
+    assert got.v == "7" and got.s == "x"  # unquoted scalars
+    n = fcat.bq_sql(
+        "SELECT COUNT(*) AS n FROM ft TABLESAMPLE SYSTEM (100 PERCENT)"
+    ).collect()[0].n
+    assert n == 3
+    cols = fcat.bq_sql("SELECT * EXCEPT (amt) FROM ft").columns
+    assert cols == ["id"]
+    from bigquery_etl_spark.sources.bq_dialect import translate
+
+    # JSON_QUERY deliberately unmapped (quoted-string semantics differ)
+    assert "JSON_QUERY" in translate("SELECT JSON_QUERY(j, '$.a')")
+
+
+def test_generate_date_array(fcat):
+    rows = fcat.bq_sql(
+        "SELECT GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-01-04') "
+        "AS d, "
+        "GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-03-01', "
+        "INTERVAL 1 MONTH) AS m"
+    ).collect()[0]
+    assert len(rows.d) == 4 and str(rows.d[0]) == "2024-01-01"
+    assert len(rows.m) == 3 and str(rows.m[-1]) == "2024-03-01"
