@@ -125,6 +125,10 @@ HEADLINE = [
     # r6 C50: logical views — matched: both engines run the same
     # aggregate over the same logical rows (macro expansion is free)
     "q_logical_view",
+    # r6 C51: geography — matched: both engines run the identical
+    # haversine arithmetic over the same rows (pure codegen vs pure
+    # vectorized trig — a fair scalar-math contest)
+    "q_gis_distance",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

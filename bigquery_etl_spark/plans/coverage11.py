@@ -1184,6 +1184,60 @@ def q_logical_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gis_distance",
+    sql="""
+    WITH pts AS (
+        SELECT c_mktsegment,
+               CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+               CAST(((c_custkey * 7) % 140) - 70 + 0.25 AS DOUBLE) AS lat
+        FROM customer
+    ), d AS (
+        SELECT c_mktsegment,
+               2.0 * 6371008.8 * ASIN(SQRT(
+                   POWER(SIN(RADIANS(lat - 20.0) / 2), 2) +
+                   COS(RADIANS(20.0)) * COS(RADIANS(lat)) *
+                   POWER(SIN(RADIANS(lon - 10.0) / 2), 2))) AS dist
+        FROM pts
+    )
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE dist <= 3000000.0) AS n_within,
+           CAST(SUM(CAST(ROUND(dist) AS DECIMAL(18,0))) AS BIGINT)
+               AS total_m
+    FROM d GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("dialect", "gis"),
+)
+def q_gis_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery GEOGRAPHY point subset (r6 C51): ST_GEOGPOINT /
+    ST_DISTANCE / ST_DWITHIN lowered by the dialect onto pure codegen
+    trig — haversine on the mean-radius sphere, zero UDFs, so the
+    distance computation whole-stage-compiles like any arithmetic at
+    any scale. The oracle spells out the IDENTICAL formula in DuckDB
+    SQL: parity proves constructor plumbing, argument order and the
+    spherical math end-to-end (per-row meters summed exactly via
+    integer rounding; both engines' libm agree far inside the rounding
+    grid)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "customer").selectExpr(
+        "c_mktsegment",
+        "CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon",
+        "CAST(((c_custkey * 7) % 140) - 70 + 0.25 AS DOUBLE) AS lat",
+    ).createOrReplaceTempView("gis_pts")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        SELECT c_mktsegment,
+               COUNTIF(ST_DWITHIN(ST_GEOGPOINT(lon, lat),
+                                  ST_GEOGPOINT(10.0, 20.0), 3000000.0))
+                   AS n_within,
+               CAST(SUM(CAST(ROUND(ST_DISTANCE(ST_GEOGPOINT(lon, lat),
+                                               ST_GEOGPOINT(10.0, 20.0)))
+                             AS NUMERIC)) AS INT64) AS total_m
+        FROM gis_pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
+
+
+@query(
     "q_bq_dialect",
     sql="""
     SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,

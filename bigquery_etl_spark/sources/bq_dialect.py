@@ -215,6 +215,86 @@ def _hll_1arg_rewriter(template: str):
     return _rw
 
 
+# -- geography subset (r6 C51) ------------------------------------------------
+#
+# BigQuery GEOGRAPHY, restricted to the POINT algebra that has an exact
+# closed form: points are struct<lon double, lat double>, distances are
+# great-circle (haversine) on the mean-radius sphere R = 6371008.8 m.
+# BigQuery itself computes on a sphere (S2); its radius differs from
+# ours by <0.1%, and the ORACLE for the declared query applies the
+# identical formula, so parity is exact where it is checked. Polygon /
+# line constructors and topological predicates (ST_CONTAINS, ST_UNION)
+# have no faithful closed form here and deliberately stay unknown
+# functions — a loud error beats silently-wrong geometry.
+
+_EARTH_R = "6371008.8"
+
+
+def _hav(a: str, b: str) -> str:
+    a, b = f"({a.strip()})", f"({b.strip()})"
+    return (
+        f"(2.0 * {_EARTH_R} * ASIN(SQRT("
+        f"POWER(SIN(RADIANS({b}.lat - {a}.lat) / 2), 2) + "
+        f"COS(RADIANS({a}.lat)) * COS(RADIANS({b}.lat)) * "
+        f"POWER(SIN(RADIANS({b}.lon - {a}.lon) / 2), 2))))"
+    )
+
+
+def _st_geogpoint(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"ST_GEOGPOINT expects (lon, lat), got {args}")
+    return (
+        f"NAMED_STRUCT('lon', CAST(({args[0].strip()}) AS DOUBLE), "
+        f"'lat', CAST(({args[1].strip()}) AS DOUBLE))"
+    )
+
+
+def _st_distance(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"ST_DISTANCE expects (a, b), got {args}")
+    return _hav(args[0], args[1])
+
+
+def _st_dwithin(args: list[str]) -> str:
+    if len(args) != 3:
+        raise BQDialectError(f"ST_DWITHIN expects (a, b, meters), got {args}")
+    return f"({_hav(args[0], args[1])} <= ({args[2].strip()}))"
+
+
+def _st_field(field: str):
+    def _rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise BQDialectError(f"expected one geography argument, got {args}")
+        return f"({args[0].strip()}).{field}"
+
+    return _rw
+
+
+def _st_astext(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError(f"ST_ASTEXT expects one argument, got {args}")
+    g = f"({args[0].strip()})"
+    return (
+        f"CONCAT('POINT(', CAST({g}.lon AS STRING), ' ', "
+        f"CAST({g}.lat AS STRING), ')')"
+    )
+
+
+def _st_geogfromtext(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError(f"ST_GEOGFROMTEXT expects one argument, got {args}")
+    t = f"({args[0].strip()})"
+    # the SQL string literal must carry doubled backslashes (Spark
+    # unescapes them once at parse time)
+    num = "(-?\\\\d+(?:\\\\.\\\\d+)?(?:[eE][+-]?\\\\d+)?)"
+    return (
+        "NAMED_STRUCT('lon', CAST(REGEXP_EXTRACT("
+        f"{t}, 'POINT\\\\s*\\\\(\\\\s*{num}\\\\s+{num}\\\\s*\\\\)', 1) AS DOUBLE), "
+        "'lat', CAST(REGEXP_EXTRACT("
+        f"{t}, 'POINT\\\\s*\\\\(\\\\s*{num}\\\\s+{num}\\\\s*\\\\)', 2) AS DOUBLE))"
+    )
+
+
 _UNNEST_RX = re.compile(
     r"(?i),\s*UNNEST\s*\(",
 )
@@ -414,6 +494,15 @@ def translate(sql: str) -> str:
         r"HLL_COUNT\s*\.\s*EXTRACT",
         _hll_1arg_rewriter("HLL_SKETCH_ESTIMATE({0})"),
     )
+    # geography point algebra (r6 C51): constructors first so the
+    # distance rewriters see already-lowered struct expressions
+    sql = _rewrite_calls(sql, "ST_GEOGPOINT", _st_geogpoint)
+    sql = _rewrite_calls(sql, "ST_GEOGFROMTEXT", _st_geogfromtext)
+    sql = _rewrite_calls(sql, "ST_DWITHIN", _st_dwithin)
+    sql = _rewrite_calls(sql, "ST_DISTANCE", _st_distance)
+    sql = _rewrite_calls(sql, "ST_ASTEXT", _st_astext)
+    sql = _rewrite_calls(sql, "ST_X", _st_field("lon"))
+    sql = _rewrite_calls(sql, "ST_Y", _st_field("lat"))
     for key, orig in guard.items():
         sql = sql.replace(key, orig)
     return sql

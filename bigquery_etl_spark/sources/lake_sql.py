@@ -1865,6 +1865,68 @@ class LakeCatalog:
 
         m = re.match(
             r"\s*CREATE\s+TABLE\s+([\w.]+)\s+"
+            r"(?:LOCATION\s+'([^']+)'\s+)?\(",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            # explicit-schema DDL (r6 — BigQuery CREATE TABLE t (cols)):
+            # an EMPTY table whose schema, partitioning and options are
+            # declared up front; the first INSERT/LOAD fills it. Column
+            # types accept BigQuery names via the dialect type map.
+            import os
+
+            from bigquery_etl_spark.sources.bq_dialect import _TYPE_MAP
+
+            name, loc = m.group(1), m.group(2)
+            close = _matching_paren(text, m.end() - 1)
+            cols_ddl = text[m.end() : close].strip()
+            rest = text[close + 1 :].strip().rstrip(";").strip()
+            if re.match(r"(?i)^AS\b", rest):
+                raise ValueError(
+                    "CREATE TABLE (columns) AS select is not supported — "
+                    "use CTAS (the select defines the schema) or the "
+                    "column-list form plus INSERT"
+                )
+            rm = re.match(
+                r"(?i)^(?:PARTITION\s+BY\s+(.+?))?"
+                r"(?:\s*CLUSTER\s+BY\s+(.+?))?"
+                r"(?:\s*OPTIONS\s*\(([^)]*)\))?$",
+                rest,
+                re.DOTALL,
+            )
+            if not rm:
+                raise ValueError(
+                    f"CREATE TABLE {name}: unparsable tail {rest!r}"
+                )
+            if name in self.tables:
+                raise ValueError(f"lake table {name!r} already exists")
+            if loc is None:
+                if self.warehouse is None:
+                    raise ValueError(
+                        "CREATE TABLE needs LOCATION '<root>' (catalog "
+                        "has no warehouse directory)"
+                    )
+                loc = os.path.join(self.warehouse, name)
+            for bq, sp in _TYPE_MAP.items():
+                cols_ddl = re.sub(rf"(?i)\b{bq}\b", sp, cols_ddl)
+            empty = self.spark.createDataFrame([], cols_ddl)
+            spec = None
+            if rm.group(1) or rm.group(2) or rm.group(3):
+                opts = self._parse_options(rm.group(3)) if rm.group(3) else {}
+                if rm.group(1) is None:
+                    raise ValueError(
+                        "CLUSTER BY / OPTIONS on CREATE TABLE need a "
+                        "PARTITION BY clause"
+                    )
+                spec = _parse_partition_spec(rm.group(1), rm.group(2), opts)
+            tbl = VersionedTable(self.spark, loc)
+            tbl.create(empty, partition=spec)
+            self.register(name, tbl)
+            return 1
+
+        m = re.match(
+            r"\s*CREATE\s+TABLE\s+([\w.]+)\s+"
             r"(?:LOCATION\s+'([^']+)'\s+)?"
             r"(?:PARTITION\s+BY\s+(.+?)\s+)?"
             r"(?:CLUSTER\s+BY\s+(.+?)\s+)?"

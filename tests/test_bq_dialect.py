@@ -304,3 +304,33 @@ def test_generate_date_array(fcat):
     ).collect()[0]
     assert len(rows.d) == 4 and str(rows.d[0]) == "2024-01-01"
     assert len(rows.m) == 3 and str(rows.m[-1]) == "2024-03-01"
+
+
+def test_geography_point_algebra(fcat):
+    """r6 C51: the GEOGRAPHY POINT subset — constructor/accessors/WKT
+    round-trip/haversine distance on the mean-radius sphere. Polygon
+    constructors and topological predicates stay unknown functions
+    (loud error, not silently-wrong geometry)."""
+    r = fcat.bq_sql(
+        "SELECT ST_DISTANCE(ST_GEOGPOINT(-0.1278, 51.5074), "
+        "ST_GEOGPOINT(2.3522, 48.8566)) AS lp, "
+        "ST_X(ST_GEOGPOINT(10, 20)) AS x, "
+        "ST_Y(ST_GEOGFROMTEXT('POINT(10 -20.5)')) AS y, "
+        "ST_ASTEXT(ST_GEOGPOINT(1.5, -2.25)) AS wkt, "
+        "ST_DWITHIN(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(1, 0), 120000) "
+        "AS near, "
+        "ST_DWITHIN(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(1, 0), 100000) "
+        "AS far"
+    ).collect()[0]
+    assert abs(r.lp - 343_557) < 1_000  # London-Paris ~343.5 km
+    assert r.x == 10.0 and r.y == -20.5
+    assert r.wkt == "POINT(1.5 -2.25)"
+    assert r.near is True and r.far is False
+    # zero distance to self, antipodal ~ pi * R
+    r2 = fcat.bq_sql(
+        "SELECT ST_DISTANCE(ST_GEOGPOINT(5, 5), ST_GEOGPOINT(5, 5)) AS z, "
+        "ST_DISTANCE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(180, 0)) AS anti"
+    ).collect()[0]
+    assert r2.z == 0.0
+    import math
+    assert abs(r2.anti - math.pi * 6371008.8) < 1.0

@@ -340,3 +340,37 @@ def test_constraint_extraction_is_conservative(spark, tmp_path):
     # identity numeric compares numerically, not lexically
     assert _part_possible("9", [("<", "10")],
                           {"source": "k", "granularity": "identity"})
+
+
+def test_explicit_schema_ddl(spark, tmp_path):
+    """BigQuery CREATE TABLE t (cols) — empty table declared up front
+    (BQ types mapped), partitioning applied from the first INSERT on."""
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.sql(
+        "CREATE TABLE decl (k INT64, d DATE, amt FLOAT64, "
+        "price NUMERIC) PARTITION BY DATE_TRUNC(d, MONTH)"
+    )
+    tbl = cat.tables["decl"]
+    assert tbl.read().count() == 0
+    assert dict(tbl.read().dtypes) == {
+        "k": "bigint", "d": "date", "amt": "double",
+        "price": "decimal(38,9)",
+    }
+    cat.sql(
+        "INSERT INTO decl SELECT 1, DATE '2024-02-03', 1.5, CAST(2 AS DECIMAL(38,9))"
+    )
+    cat.sql(
+        "INSERT INTO decl SELECT 2, DATE '2024-03-04', 2.5, CAST(3 AS DECIMAL(38,9))"
+    )
+    assert {e["part"] for e in tbl.files()} == {"2024-02", "2024-03"}
+    got = cat.sql("SELECT k FROM decl WHERE d >= '2024-03-01'")
+    assert [r.k for r in got.collect()] == [2]
+    assert len(got.inputFiles()) == 1  # February pruned
+    # plain (unpartitioned) declared table
+    cat.sql("CREATE TABLE decl2 (a INT64, b STRING)")
+    cat.sql("INSERT INTO decl2 SELECT 5, 'x'")
+    assert [tuple(r) for r in cat.sql("SELECT * FROM decl2").collect()] == [
+        (5, "x")
+    ]
+    with pytest.raises(ValueError, match="use CTAS"):
+        cat.sql("CREATE TABLE bad (a INT64) AS SELECT 1")
