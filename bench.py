@@ -101,6 +101,7 @@ HEADLINE = [
     "q_transaction",
     "q_table_clone",
     "q_ml_linreg",
+    "q_ml_linreg_exact",
     # r6 C45: partitioned lake tables. The prune query is matched (both
     # engines run the same quarter aggregate; manifest pruning vs
     # DuckDB zonemaps is exactly the contest we want trend-guarded);
@@ -129,6 +130,8 @@ HEADLINE = [
     # haversine arithmetic over the same rows (pure codegen vs pure
     # vectorized trig — a fair scalar-math contest)
     "q_gis_distance",
+    # r6: column-list INSERT + DEFAULTs — committed-state read-back
+    "q_insert_defaults",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB
@@ -148,6 +151,12 @@ MATCHED_EXCLUDE = {
     "q_vector_search_fn": "invariant twin: oracle is a constant VALUES",
     "q_ml_logreg": "invariant twin: oracle is a constant + one COUNT",
     "q_external_table": "CSV landing-zone scan vs parquet oracle",
+    # r6 sweep finding (PERF.md): the planted-fit leg's oracle is
+    # literal constants — zero oracle work, so it cannot be a fair
+    # matched entry. The REAL fit (q_ml_linreg) stays matched: one
+    # aggregate pass on each side.
+    "q_ml_linreg_exact": "planted-fit oracle is constants (no work)",
+    "q_insert_defaults": "committed-state read-back vs oracle recompute",
 }
 
 

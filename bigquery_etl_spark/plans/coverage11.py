@@ -1184,6 +1184,61 @@ def q_logical_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_insert_defaults",
+    sql="""
+    SELECT o_orderkey AS k, 'loaded' AS status,
+           CAST(o_totalprice AS DOUBLE) AS amount
+    FROM orders WHERE o_orderkey % 11 = 4
+    UNION ALL
+    SELECT o_orderkey, 'review', 0.0
+    FROM orders WHERE o_orderkey % 11 = 5
+    ORDER BY k
+    """,
+    tags=("lakehouse", "dml", "sqlsurface"),
+)
+def q_insert_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-list INSERT + column DEFAULTs (r6 — BigQuery DML
+    semantics): the table declares ``status STRING DEFAULT 'loaded'``
+    and ``amount FLOAT64 DEFAULT 0.0``; one INSERT lists (k, amount)
+    so status fills from its default, the other lists (k, status) so
+    amount does. The oracle is the closed form of both fills — any
+    mis-aligned column order, missed default, or positional/by-name
+    confusion mismatches."""
+    import os
+
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).createOrReplaceTempView("dfl_src")
+        cat = LakeCatalog(spark)
+        cat.sql(
+            f"CREATE TABLE dfl LOCATION '{os.path.join(path, 't')}' "
+            "(k INT64, status STRING DEFAULT 'loaded', "
+            "amount FLOAT64 DEFAULT 0.0)"
+        )
+        cat.sql(
+            "INSERT INTO dfl (k, amount) SELECT o_orderkey, o_totalprice "
+            "FROM dfl_src WHERE o_orderkey % 11 = 4"
+        )
+        cat.sql(
+            "INSERT INTO dfl (k, status) SELECT o_orderkey, 'review' "
+            "FROM dfl_src WHERE o_orderkey % 11 = 5"
+        )
+
+    root = scratch_build(f"insert_defaults:{sf_dir}", "ins_dft_", _build)
+    return (
+        VersionedTable(spark, os.path.join(root, "t"))
+        .read()
+        .select("k", "status", "amount")
+        .orderBy("k")
+    )
+
+
+@query(
     "q_gis_distance",
     sql="""
     WITH pts AS (

@@ -1129,6 +1129,70 @@ class LakeCatalog:
             id_col=idx.id_col, vec_col=idx.col, dim=dim,
         )
 
+    def _try_partition_scoped_merge(self, tbl, source, spec, v0):
+        """Partition-scoped MERGE (r6 — what Delta's dynamic file
+        pruning buys): when the ON condition PINS the target's
+        partition column to the source's same-named column
+        (``ON … t.pdate = s.pdate …`` — the standard lakehouse merge
+        idiom, written precisely to enable this), every matched pair
+        shares a partition value, so only the SOURCE's partitions can
+        change — the merge joins against those partitions' rows and
+        ``replace_partitions`` carries the rest by reference. A daily
+        upsert into a 10-year table shuffles one day, not a decade.
+
+        Applicability is checked conservatively and the answer to any
+        doubt is None (fall back to the audited full-snapshot path):
+        - no WHEN NOT MATCHED BY SOURCE clause (those act on rows in
+          UNTOUCHED partitions);
+        - no clause assigns the partition column (rows could move);
+        - the ON text contains the literal ``t.p = s.p`` /
+          ``s.p = t.p`` equality at face value;
+        - inserted rows landing OUTSIDE the source's partitions are
+          caught by replace_partitions' stray check → fall back."""
+        pspec = tbl._partition_spec()
+        if pspec is None:
+            return None
+        pcol = pspec["source"]
+        if pcol not in source.columns:
+            return None
+        for cl in spec.clauses:
+            if cl.kind == "not_matched_by_source":
+                return None
+            if cl.assignments and pcol in cl.assignments:
+                return None
+        ta = re.escape(spec.target_alias or spec.target)
+        sa = re.escape(spec.source_alias or spec.source or "")
+        c = re.escape(pcol)
+        pin = (
+            rf"(?i)(?:{ta}\.{c}\s*=\s*{sa}\.{c}|{sa}\.{c}\s*=\s*{ta}\.{c})"
+        )
+        if not re.search(pin, spec.on or ""):
+            return None
+        from bigquery_etl_spark.sources.versioned import _part_column
+
+        touched = {
+            r["__pt"]
+            for r in source.select(
+                _part_column(pspec).alias("__pt")
+            ).distinct().collect()
+        }
+        parts_now = {e.get("part") for e in tbl.files(version=v0)}
+        if not (parts_now - touched):
+            return None  # every partition touched — scoping buys nothing
+        target_touched = tbl.read(
+            version=v0, part_pred=lambda p: p in touched
+        )
+        merged = merge_dataframes(target_touched, source, spec)
+        try:
+            return tbl.replace_partitions(merged, touched, expected_base=v0)
+        except ValueError:
+            # stray rows (an INSERT expression computed a partition
+            # value outside the source's set): redo as a full merge —
+            # correctness over the saved rewrite; orphaned files are
+            # VACUUM's job
+            merged = merge_dataframes(tbl.read(version=v0), source, spec)
+            return tbl.overwrite(merged, expected_base=v0)
+
     def _rewrite_index_fns(self, text: str) -> str:
         """BigQuery's index-serving SQL functions (r6), rewritten onto
         the SQL-declared indexes:
@@ -1482,9 +1546,38 @@ class LakeCatalog:
                 "file_count long, total_rows long, "
                 "total_logical_bytes long",
             )
+        if which == "VIEWS":
+            # BigQuery INFORMATION_SCHEMA.VIEWS: logical views with
+            # their stored SQL (the macro text — what re-resolves per
+            # statement)
+            rows = [
+                (name, select) for name, select in self.viewdefs.items()
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "table_name string, view_definition string"
+            )
+        if which == "ROUTINES":
+            # BigQuery INFORMATION_SCHEMA.ROUTINES: stored procedures
+            # (bq_script CREATE PROCEDURE) and trained models (BQML —
+            # BigQuery lists models in INFORMATION_SCHEMA.MODELS; one
+            # inventory view serves both here, typed)
+            rows = []
+            for name, (params, _body) in getattr(
+                self, "procedures", {}
+            ).items():
+                sig = ", ".join(f"{mode} {pname}" for mode, pname in params)
+                rows.append((name, "PROCEDURE", sig))
+            for name, model in self.models.items():
+                rows.append((name, "MODEL", model.get("model_type", "")))
+            return self.spark.createDataFrame(
+                rows or [],
+                "routine_name string, routine_type string, "
+                "signature string",
+            )
         raise ValueError(
             f"INFORMATION_SCHEMA.{which} is not implemented "
-            "(have: TABLES, COLUMNS, TABLE_CONSTRAINTS, PARTITIONS)"
+            "(have: TABLES, COLUMNS, TABLE_CONSTRAINTS, PARTITIONS, "
+            "VIEWS, ROUTINES)"
         )
 
     def _read_pruned(self, name: str, tbl: VersionedTable, text: str):
@@ -1910,6 +2003,18 @@ class LakeCatalog:
                 loc = os.path.join(self.warehouse, name)
             for bq, sp in _TYPE_MAP.items():
                 cols_ddl = re.sub(rf"(?i)\b{bq}\b", sp, cols_ddl)
+            # column DEFAULT expressions (r6): stripped from the DDL
+            # (Spark's parser doesn't take them) and stored as table
+            # props; column-list INSERTs apply them
+            defaults: dict[str, str] = {}
+            stripped = []
+            for coldef in _split_top_level(cols_ddl):
+                parts = re.split(r"(?i)\s+DEFAULT\s+", coldef, maxsplit=1)
+                if len(parts) == 2:
+                    cname = coldef.strip().split()[0]
+                    defaults[cname] = parts[1].strip()
+                stripped.append(parts[0])
+            cols_ddl = ", ".join(s.strip() for s in stripped)
             empty = self.spark.createDataFrame([], cols_ddl)
             spec = None
             if rm.group(1) or rm.group(2) or rm.group(3):
@@ -1921,9 +2026,24 @@ class LakeCatalog:
                     )
                 spec = _parse_partition_spec(rm.group(1), rm.group(2), opts)
             tbl = VersionedTable(self.spark, loc)
-            tbl.create(empty, partition=spec)
+            tbl.create(empty, partition=spec, defaults=defaults or None)
             self.register(name, tbl)
             return 1
+
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+"
+            r"(?:SET\s+DEFAULT\s+(.+?)|DROP\s+DEFAULT)\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(1) in self.tables:
+            return self._committed(
+                m.group(1),
+                self.tables[m.group(1)].set_default(
+                    m.group(2),
+                    m.group(3).strip() if m.group(3) else None,
+                ),
+            )
 
         m = re.match(
             r"\s*CREATE\s+TABLE\s+([\w.]+)\s+"
@@ -2047,27 +2167,61 @@ class LakeCatalog:
             return self._load_data(m.group(1), m.group(2))
 
         m = re.match(
-            r"\s*INSERT\s+INTO\s+([\w.]+)(?:\$(\w+))?\s+(.*)$",
+            r"\s*INSERT\s+INTO\s+([\w.]+)(?:\$(\w+))?\s+"
+            r"(?:\(\s*(?!SELECT\b|VALUES\b)([\w\s,]+?)\s*\)\s*)?(.*)$",
             text,
             re.IGNORECASE | re.DOTALL,
         )
         if m and m.group(1) in self.tables:
             tbl = self.tables[m.group(1)]
-            df = self.spark.sql(self._register_views(m.group(3)))
+            df = self.spark.sql(self._register_views(m.group(4)))
             target = tbl.read().schema
-            if len(df.columns) != len(target.fields):
-                raise ValueError(
-                    f"INSERT INTO {m.group(1)}: {len(df.columns)} columns "
-                    f"for a {len(target.fields)}-column table"
+            if m.group(3):
+                # column-list INSERT (r6 — BigQuery `INSERT INTO t
+                # (a, b) …`): the listed columns align by position to
+                # the select; every OTHER column fills from its
+                # declared DEFAULT expression, else NULL (BigQuery's
+                # rule — DEFAULT defaults to NULL)
+                cols = [c.strip() for c in m.group(3).split(",")]
+                names = {f.name for f in target.fields}
+                unknown = [c for c in cols if c not in names]
+                if unknown:
+                    raise ValueError(
+                        f"INSERT INTO {m.group(1)}: unknown columns "
+                        f"{unknown}"
+                    )
+                if len(df.columns) != len(cols):
+                    raise ValueError(
+                        f"INSERT INTO {m.group(1)}: {len(df.columns)} "
+                        f"values for {len(cols)} listed columns"
+                    )
+                defaults = tbl._defaults()
+                df = df.toDF(*cols)
+                proj = []
+                for f in target.fields:
+                    if f.name in cols:
+                        proj.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                    elif f.name in defaults:
+                        proj.append(
+                            F.expr(defaults[f.name]).cast(f.dataType).alias(f.name)
+                        )
+                    else:
+                        proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+                df = df.select(*proj)
+            else:
+                if len(df.columns) != len(target.fields):
+                    raise ValueError(
+                        f"INSERT INTO {m.group(1)}: {len(df.columns)} columns "
+                        f"for a {len(target.fields)}-column table"
+                    )
+                # SQL INSERT semantics: align by POSITION, adopt the
+                # table's names and types (a bare `SELECT 4, 'd'` has
+                # literal names) — positional toDF rename first:
+                # literal selects get auto-names like `9.5` that F.col
+                # would mis-parse as a nested field reference
+                df = df.toDF(*[f.name for f in target.fields]).select(
+                    *[F.col(f.name).cast(f.dataType) for f in target.fields]
                 )
-            # SQL INSERT semantics: align by POSITION, adopt the table's
-            # names and types (a bare `SELECT 4, 'd'` has literal names)
-            # positional toDF rename first: literal selects get
-            # auto-names like `9.5` that F.col would mis-parse as a
-            # nested field reference
-            df = df.toDF(*[f.name for f in target.fields]).select(
-                *[F.col(f.name).cast(f.dataType) for f in target.fields]
-            )
             if m.group(2):
                 # INSERT INTO t$<partition_id> (BigQuery): every row
                 # must belong to that partition — checked in ONE
@@ -2431,6 +2585,11 @@ class LakeCatalog:
             else:
                 source = self.spark.table(spec.source)
             v0 = tbl.latest_version()
+            scoped = self._try_partition_scoped_merge(
+                tbl, source, spec, v0
+            )
+            if scoped is not None:
+                return self._committed(spec.target, scoped)
             merged = merge_dataframes(tbl.read(version=v0), source, spec)
             return self._committed(
                 spec.target, tbl.overwrite(merged, expected_base=v0)

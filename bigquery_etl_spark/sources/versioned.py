@@ -330,26 +330,33 @@ class VersionedTable:
             os.unlink(tmp)
         return version
 
-    def create(self, df: DataFrame, partition: dict | None = None) -> int:
+    def create(
+        self,
+        df: DataFrame,
+        partition: dict | None = None,
+        defaults: dict | None = None,
+    ) -> int:
         """Create v1. ``partition`` (r6) declares the table's layout:
         ``{"source": col, "granularity": identity|day|month|year|range,
         "cluster": [cols], "require_filter": bool, "range": [lo,hi,step]}``
         — stored as a table property so EVERY later write path
         (append/INSERT/UPDATE/MERGE/OPTIMIZE/LOAD DATA) lays files out
         by partition with no caller cooperation."""
-        props = None
+        props = {}
         if partition is not None:
             if partition["source"] not in df.columns:
                 raise ValueError(
                     f"{self.root}: partition source column "
                     f"{partition['source']!r} not in schema"
                 )
-            props = {"partition": partition}
+            props["partition"] = partition
+        if defaults:
+            props["defaults"] = dict(defaults)
         return self._commit(
             "create",
             self._write_data(df, partition=partition),
             df.schema.json(),
-            props=props,
+            props=props or None,
         )
 
     def append(self, df: DataFrame) -> int:
@@ -552,6 +559,34 @@ class VersionedTable:
             raise KeyError(f"{self.root}: no constraint {name!r}")
         del cons[name]
         props["constraints"] = cons
+        return self._commit("alter", [], m["schema"], props=props)
+
+    def _defaults(self) -> dict[str, str]:
+        """Declared column DEFAULT expressions (r6 — BigQuery column
+        defaults): metadata only, applied by column-list INSERT when a
+        column is omitted."""
+        base = self.latest_version()
+        if base is None:
+            return {}
+        return self._load_manifest(base).get("props", {}).get("defaults", {})
+
+    def set_default(self, col: str, expr: str | None) -> int:
+        """``ALTER TABLE t ALTER COLUMN c SET DEFAULT e`` /
+        ``DROP DEFAULT`` — a metadata-only commit, like ADD COLUMNS."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionNotFound(f"{self.root}: empty table")
+        m = self._load_manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if col not in {f.name for f in schema.fields}:
+            raise ValueError(f"{self.root}: unknown column {col!r}")
+        props = dict(m.get("props", {}))
+        dft = dict(props.get("defaults", {}))
+        if expr is None:
+            dft.pop(col, None)
+        else:
+            dft[col] = expr
+        props["defaults"] = dft
         return self._commit("alter", [], m["schema"], props=props)
 
     def _constraints(self) -> dict[str, str]:

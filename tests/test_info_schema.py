@@ -102,3 +102,35 @@ def test_updates_after_dml(cat):
 def test_unknown_view_refuses(cat):
     with pytest.raises(ValueError, match="not implemented"):
         cat.sql("SELECT * FROM INFORMATION_SCHEMA.JOBS_BY_PROJECT")
+
+
+def test_views_and_routines(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.create_table(
+        "rt", str(tmp_path / "rt"),
+        spark.createDataFrame([(1, 2.0)], "k long, x double"),
+    )
+    cat.sql("CREATE VIEW rv AS SELECT k FROM rt")
+    cat.script(
+        "CREATE PROCEDURE bump(IN n INT64, OUT r INT64) "
+        "BEGIN SET r = n + 1; END"
+    )
+    cat.sql(
+        "CREATE MODEL rm OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['x']) AS SELECT k, x FROM rt UNION ALL "
+        "SELECT 2, 4.0 UNION ALL SELECT 3, 6.0"
+    )
+    v = cat.sql("SELECT * FROM INFORMATION_SCHEMA.VIEWS").collect()
+    assert [(r.table_name, r.view_definition) for r in v] == [
+        ("rv", "SELECT k FROM rt")
+    ]
+    r = {
+        row.routine_name: (row.routine_type, row.signature)
+        for row in cat.sql(
+            "SELECT * FROM INFORMATION_SCHEMA.ROUTINES"
+        ).collect()
+    }
+    assert r["bump"] == ("PROCEDURE", "in n, out r")
+    assert r["rm"] == ("MODEL", "linear_reg")

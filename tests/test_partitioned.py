@@ -374,3 +374,118 @@ def test_explicit_schema_ddl(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="use CTAS"):
         cat.sql("CREATE TABLE bad (a INT64) AS SELECT 1")
+
+
+def test_partition_scoped_merge(spark, tmp_path):
+    """MERGE whose ON pins t.d = s.d rewrites only the source's
+    partitions; everything else is carried by reference."""
+    cat, df = _mk(spark, tmp_path)
+    cat.sql(
+        "CREATE TABLE pm PARTITION BY DATE_TRUNC(d, MONTH) "
+        "AS SELECT * FROM part_src"
+    )
+    tbl = cat.tables["pm"]
+    before = {e["path"]: e["part"] for e in tbl.files(version=1)}
+    spark.createDataFrame(
+        [(0, datetime.date(2024, 1, 1), 9, 999.0),
+         (20_000, datetime.date(2024, 1, 15), 1, 1.0)],
+        "k long, d date, cat int, amt double",
+    ).createOrReplaceTempView("pm_src")
+    cat.sql(
+        "MERGE INTO pm t USING pm_src s "
+        "ON t.d = s.d AND t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt, cat = s.cat "
+        "WHEN NOT MATCHED THEN INSERT (k, d, cat, amt) "
+        "VALUES (s.k, s.d, s.cat, s.amt)"
+    )
+    after = {e["path"]: e["part"] for e in tbl.files(version=2)}
+    for p, part in before.items():
+        if part != "2024-01":
+            assert p in after  # carried by reference
+    assert not any(p in after for p, part in before.items() if part == "2024-01")
+    got = {r.k: (r.amt, r.cat) for r in cat.sql("SELECT * FROM pm").collect()}
+    assert got[0] == (999.0, 9) and got[20_000] == (1.0, 1)
+    assert len(got) == 401
+
+
+def test_merge_without_partition_pin_falls_back(spark, tmp_path):
+    """No t.d = s.d equality in ON -> a source row may match a target
+    row in ANY partition; scoping must not fire."""
+    cat, df = _mk(spark, tmp_path, n=60)
+    cat.sql(
+        "CREATE TABLE pm2 PARTITION BY DATE_TRUNC(d, MONTH) "
+        "AS SELECT * FROM part_src"
+    )
+    tbl = cat.tables["pm2"]
+    before = set(e["path"] for e in tbl.files(version=1))
+    # source row dated March matches (by key) a January target row
+    spark.createDataFrame(
+        [(3, datetime.date(2024, 3, 20), 0, -5.0)],
+        "k long, d date, cat int, amt double",
+    ).createOrReplaceTempView("pm2_src")
+    cat.sql(
+        "MERGE INTO pm2 t USING pm2_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt"
+    )
+    # full rewrite: no stale carried files
+    assert not (before & set(e["path"] for e in tbl.files(version=2)))
+    got = {r.k: r.amt for r in cat.sql("SELECT * FROM pm2").collect()}
+    assert got[3] == -5.0  # the January row WAS updated
+
+
+def test_scoped_merge_stray_insert_falls_back(spark, tmp_path):
+    """An INSERT expression that lands outside the source's partitions
+    trips the stray check and redoes the merge unscoped — correctness
+    over the saved rewrite."""
+    cat, df = _mk(spark, tmp_path, n=60)
+    cat.sql(
+        "CREATE TABLE pm3 PARTITION BY DATE_TRUNC(d, MONTH) "
+        "AS SELECT * FROM part_src"
+    )
+    spark.createDataFrame(
+        [(30_000, datetime.date(2024, 2, 1), 0, 1.0)],
+        "k long, d date, cat int, amt double",
+    ).createOrReplaceTempView("pm3_src")
+    cat.sql(
+        "MERGE INTO pm3 t USING pm3_src s ON t.d = s.d AND t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, d, cat, amt) "
+        "VALUES (s.k, date_add(s.d, 200), s.cat, s.amt)"
+    )
+    got = cat.sql("SELECT d FROM pm3 WHERE k = 30000").collect()
+    assert got[0].d == datetime.date(2024, 8, 19)
+    assert "2024-08" in {e["part"] for e in cat.tables["pm3"].files()}
+
+
+def test_insert_column_list_and_defaults(spark, tmp_path):
+    """BigQuery column-list INSERT + column DEFAULTs: omitted columns
+    fill from their declared DEFAULT expression, else NULL."""
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.sql(
+        "CREATE TABLE dft (k INT64, status STRING DEFAULT 'new', "
+        "score FLOAT64 DEFAULT 1.5, note STRING)"
+    )
+    cat.sql("INSERT INTO dft (k) SELECT 1")
+    cat.sql("INSERT INTO dft (k, status) VALUES (2, 'done')")
+    cat.sql("INSERT INTO dft (note, k) SELECT 'n3', 3")  # any order
+    rows = {r.k: (r.status, r.score, r.note)
+            for r in cat.sql("SELECT * FROM dft").collect()}
+    assert rows == {
+        1: ("new", 1.5, None),
+        2: ("done", 1.5, None),
+        3: ("new", 1.5, "n3"),
+    }
+    # ALTER ... SET / DROP DEFAULT are metadata-only commits
+    cat.sql("ALTER TABLE dft ALTER COLUMN status SET DEFAULT 'queued'")
+    cat.sql("INSERT INTO dft (k) SELECT 4")
+    cat.sql("ALTER TABLE dft ALTER COLUMN status DROP DEFAULT")
+    cat.sql("INSERT INTO dft (k) SELECT 5")
+    rows = {r.k: r.status for r in cat.sql("SELECT * FROM dft").collect()}
+    assert rows[4] == "queued" and rows[5] is None
+    # full-width INSERT still positional
+    cat.sql("INSERT INTO dft SELECT 6, 's', 2.0, 'x'")
+    assert cat.sql("SELECT COUNT(*) AS n FROM dft").collect()[0].n == 6
+    # unknown column refuses
+    with pytest.raises(ValueError, match="unknown columns"):
+        cat.sql("INSERT INTO dft (nope) SELECT 1")
+    with pytest.raises(ValueError, match="values for"):
+        cat.sql("INSERT INTO dft (k, note) SELECT 1")
