@@ -132,6 +132,9 @@ HEADLINE = [
     "q_gis_distance",
     # r6: column-list INSERT + DEFAULTs — committed-state read-back
     "q_insert_defaults",
+    # r6 C52: %-datetime formatting — matched: DuckDB interprets the
+    # same %-codes natively (strftime/strptime), identical row work
+    "q_bq_datetime_fmt",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

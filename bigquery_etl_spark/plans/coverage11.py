@@ -1239,6 +1239,45 @@ def q_insert_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bq_datetime_fmt",
+    sql="""
+    SELECT strftime(o_orderdate, '%Y/%m') AS ym,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE
+               CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'),
+                             '%Y-%m-%d') AS DATE)
+               = CAST(o_orderdate AS DATE)) AS roundtrip_ok
+    FROM orders
+    WHERE o_orderkey % 7 = 2
+    GROUP BY ym ORDER BY ym
+    """,
+    tags=("dialect", "datetime"),
+)
+def q_bq_datetime_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery %-style datetime formatting (r6 C52): FORMAT_DATE /
+    PARSE_DATE lowered to java DateTimeFormatter patterns with quoted
+    literal runs. The oracle is DuckDB's NATIVE strftime/strptime —
+    the same %-codes interpreted by an independent implementation —
+    so parity proves the code conversion table, not just plumbing.
+    The roundtrip leg (format → parse → compare) must hold for every
+    row."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 2
+    ).select("o_orderdate").createOrReplaceTempView("fmt_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        SELECT FORMAT_DATE('%Y/%m', o_orderdate) AS ym,
+               COUNT(*) AS n,
+               COUNTIF(PARSE_DATE('%Y-%m-%d',
+                                  FORMAT_DATE('%Y-%m-%d', o_orderdate))
+                       = CAST(o_orderdate AS DATE)) AS roundtrip_ok
+        FROM fmt_orders GROUP BY ym ORDER BY ym
+    """)
+
+
+@query(
     "q_gis_distance",
     sql="""
     WITH pts AS (

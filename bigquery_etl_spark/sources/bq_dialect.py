@@ -48,6 +48,9 @@ _TYPE_MAP = {
     "BOOL": "BOOLEAN",
     "BYTES": "BINARY",
     "NUMERIC": "DECIMAL(38,9)",
+    # BigQuery DATETIME is a civil (zoneless) timestamp — exactly
+    # Spark's TIMESTAMP_NTZ
+    "DATETIME": "TIMESTAMP_NTZ",
 }
 
 _FN_RENAMES = {
@@ -211,6 +214,86 @@ def _hll_1arg_rewriter(template: str):
         if len(args) != 1:
             raise BQDialectError(f"expected one sketch argument, got {args}")
         return template.format(args[0].strip())
+
+    return _rw
+
+
+# -- %-style datetime formatting (r6 C52) -------------------------------------
+#
+# BigQuery's FORMAT_/PARSE_ DATE/TIMESTAMP/DATETIME family takes
+# strptime %-codes; Spark takes java DateTimeFormatter patterns. The
+# converter maps the %-codes and SINGLE-QUOTES every literal run that
+# contains letters (java patterns treat bare letters as fields — an
+# unquoted 'T' separator would silently become a field). Unknown
+# %-codes and non-literal format arguments refuse loudly.
+
+_STRFTIME_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "I": "hh", "M": "mm", "S": "ss", "f": "SSSSSS",
+    "j": "DDD", "b": "MMM", "B": "MMMM", "a": "EEE", "A": "EEEE",
+    "p": "a", "z": "xx", "Z": "zz", "Q": "Q",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    out: list[str] = []
+    lit: list[str] = []
+
+    def _flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        if re.search(r"[A-Za-z]", run):
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+        lit.clear()
+
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= n:
+                raise BQDialectError(f"dangling % in format {fmt!r}")
+            code = fmt[i + 1]
+            if code == "%":
+                lit.append("%")
+            else:
+                if code not in _STRFTIME_MAP:
+                    raise BQDialectError(
+                        f"unsupported strftime code %{code} in {fmt!r}"
+                    )
+                _flush()
+                out.append(_STRFTIME_MAP[code])
+            i += 2
+            continue
+        lit.append(c)
+        i += 1
+    _flush()
+    return "".join(out)
+
+
+def _fmt_rewriter(fn_template: str, fmt_first: bool = True):
+    """FORMAT_DATE('%Y-%m', x) → DATE_FORMAT(x, 'yyyy-MM') etc. The
+    format must be a string literal (BigQuery's overwhelmingly common
+    case); computed formats refuse."""
+
+    def _rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise BQDialectError(f"expected (format, expr), got {args}")
+        fmt, expr = (args[0], args[1]) if fmt_first else (args[1], args[0])
+        fm = re.match(r"^\s*'([^']*)'\s*$", fmt)
+        if not fm:
+            raise BQDialectError(
+                f"format must be a string literal, got {fmt!r}"
+            )
+        java = _strftime_to_java(fm.group(1))
+        # the java pattern may contain single quotes (quoted literal
+        # runs) — double them for the enclosing SQL string literal
+        return fn_template.format(
+            expr=expr.strip(), fmt=java.replace("'", "''")
+        )
 
     return _rw
 
@@ -493,6 +576,53 @@ def translate(sql: str) -> str:
         sql,
         r"HLL_COUNT\s*\.\s*EXTRACT",
         _hll_1arg_rewriter("HLL_SKETCH_ESTIMATE({0})"),
+    )
+    # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
+    # plain rewrites would otherwise eat the inner name): NULL on
+    # unparsable input via try_to_timestamp, matching BigQuery's SAFE
+    # semantics under Spark's ANSI mode.
+    sql = _rewrite_calls(
+        sql,
+        r"SAFE\s*\.\s*PARSE_DATE",
+        _fmt_rewriter("CAST(TRY_TO_TIMESTAMP({expr}, '{fmt}') AS DATE)"),
+    )
+    sql = _rewrite_calls(
+        sql,
+        r"SAFE\s*\.\s*PARSE_TIMESTAMP",
+        _fmt_rewriter("TRY_TO_TIMESTAMP({expr}, '{fmt}')"),
+    )
+    sql = _rewrite_calls(
+        sql,
+        r"SAFE\s*\.\s*PARSE_DATETIME",
+        _fmt_rewriter(
+            "CAST(TRY_TO_TIMESTAMP({expr}, '{fmt}') AS TIMESTAMP_NTZ)"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "FORMAT_DATE", _fmt_rewriter("DATE_FORMAT({expr}, '{fmt}')")
+    )
+    sql = _rewrite_calls(
+        sql,
+        "FORMAT_TIMESTAMP",
+        _fmt_rewriter("DATE_FORMAT({expr}, '{fmt}')"),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "FORMAT_DATETIME",
+        _fmt_rewriter("DATE_FORMAT({expr}, '{fmt}')"),
+    )
+    sql = _rewrite_calls(
+        sql, "PARSE_DATE", _fmt_rewriter("TO_DATE({expr}, '{fmt}')")
+    )
+    sql = _rewrite_calls(
+        sql,
+        "PARSE_TIMESTAMP",
+        _fmt_rewriter("TO_TIMESTAMP({expr}, '{fmt}')"),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "PARSE_DATETIME",
+        _fmt_rewriter("TO_TIMESTAMP_NTZ({expr}, '{fmt}')"),
     )
     # geography point algebra (r6 C51): constructors first so the
     # distance rewriters see already-lowered struct expressions

@@ -334,3 +334,36 @@ def test_geography_point_algebra(fcat):
     assert r2.z == 0.0
     import math
     assert abs(r2.anti - math.pi * 6371008.8) < 1.0
+
+
+def test_strftime_format_family(fcat):
+    """r6 C52: FORMAT_/PARSE_ DATE/TIMESTAMP/DATETIME with %-codes →
+    java patterns, literal runs quoted; SAFE.PARSE_* returns NULL on
+    garbage (try_to_timestamp under ANSI); DATETIME type maps to
+    TIMESTAMP_NTZ. Computed formats and unknown codes refuse."""
+    import datetime
+
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    r = fcat.bq_sql(
+        "SELECT FORMAT_DATE('%Y-%m', DATE '2024-03-05') AS a, "
+        "FORMAT_TIMESTAMP('%F %T', TIMESTAMP '2024-03-05 10:11:12') AS b, "
+        "PARSE_DATE('%Y%m%d', '20240501') AS c, "
+        "PARSE_TIMESTAMP('%Y-%m-%dT%H:%M:%S', '2024-05-01T08:09:10') AS d, "
+        "SAFE.PARSE_DATE('%Y-%m-%d', 'garbage') AS e, "
+        "CAST('2024-01-02 03:04:05' AS DATETIME) AS f"
+    ).collect()[0]
+    assert r.a == "2024-03" and r.b == "2024-03-05 10:11:12"
+    assert r.c == datetime.date(2024, 5, 1)
+    assert r.d == datetime.datetime(2024, 5, 1, 8, 9, 10)
+    assert r.e is None
+    assert r.f == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    import pytest as _p
+
+    with _p.raises(BQDialectError, match="unsupported strftime"):
+        translate("SELECT FORMAT_DATE('%Q%V', d)")
+    with _p.raises(BQDialectError, match="string literal"):
+        translate("SELECT FORMAT_DATE(fmt_col, d)")
