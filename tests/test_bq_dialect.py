@@ -367,3 +367,22 @@ def test_strftime_format_family(fcat):
         translate("SELECT FORMAT_DATE('%Q%V', d)")
     with _p.raises(BQDialectError, match="string literal"):
         translate("SELECT FORMAT_DATE(fmt_col, d)")
+
+
+def test_pivot_and_unpivot_pass_through(fcat):
+    """BigQuery PIVOT/UNPIVOT: the operator syntax is the same shape
+    Spark parses natively — the shim passes it through untouched."""
+    rows = fcat.bq_sql(
+        "SELECT * FROM (SELECT id % 2 AS side, id, amt FROM ft) "
+        "PIVOT (SUM(amt) FOR side IN (0 AS even, 1 AS odd)) "
+        "ORDER BY id"
+    ).collect()
+    got = {r.id: (r.even, r.odd) for r in rows}
+    assert got == {1: (None, 10.0), 2: (20.0, None), 3: (None, 30.0)}
+    un = fcat.bq_sql(
+        "SELECT id, kind, val FROM "
+        "(SELECT id, amt AS a, amt * 2 AS b FROM ft) "
+        "UNPIVOT (val FOR kind IN (a, b)) "
+        "WHERE id = 2 ORDER BY kind"
+    ).collect()
+    assert [(r.kind, r.val) for r in un] == [("a", 20.0), ("b", 40.0)]
