@@ -1129,6 +1129,26 @@ class LakeCatalog:
             id_col=idx.id_col, vec_col=idx.col, dim=dim,
         )
 
+    def _pre_create(self, name: str, replace, if_not_exists) -> str | None:
+        """BigQuery's CREATE TABLE modifiers: ``OR REPLACE`` drops the
+        existing table first (storage and history go — BigQuery's
+        semantics; dependent MVs/indexes block/drop via the DROP
+        path); ``IF NOT EXISTS`` turns an existing-table collision
+        into a no-op (returns "skip"). Both absent: collisions fall
+        through to the handler's loud refusal."""
+        if replace and if_not_exists:
+            raise ValueError(
+                "CREATE TABLE: OR REPLACE and IF NOT EXISTS are "
+                "mutually exclusive (BigQuery refuses this too)"
+            )
+        if name not in self.tables:
+            return None
+        if if_not_exists:
+            return "skip"
+        if replace:
+            self.sql(f"DROP TABLE {name}")
+        return None
+
     def _try_partition_scoped_merge(self, tbl, source, spec, v0):
         """Partition-scoped MERGE (r6 — what Delta's dynamic file
         pruning buys): when the ON condition PINS the target's
@@ -1803,7 +1823,8 @@ class LakeCatalog:
         ):
             return self._end_transaction(commit=False)
         if self._txn is not None and re.match(
-            r"\s*(CREATE|DROP|ALTER|OPTIMIZE|VACUUM|RESTORE|LOAD|EXPORT)\b",
+            r"\s*(CREATE|DROP|ALTER|OPTIMIZE|VACUUM|RESTORE|LOAD|EXPORT"
+            r"|TRUNCATE)\b",
             text,
             re.IGNORECASE,
         ):
@@ -1957,7 +1978,8 @@ class LakeCatalog:
             return 1
 
         m = re.match(
-            r"\s*CREATE\s+TABLE\s+([\w.]+)\s+"
+            r"\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
+            r"(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+"
             r"(?:LOCATION\s+'([^']+)'\s+)?\(",
             text,
             re.IGNORECASE,
@@ -1971,7 +1993,9 @@ class LakeCatalog:
 
             from bigquery_etl_spark.sources.bq_dialect import _TYPE_MAP
 
-            name, loc = m.group(1), m.group(2)
+            name, loc = m.group(3), m.group(4)
+            if self._pre_create(name, m.group(1), m.group(2)) == "skip":
+                return 0
             close = _matching_paren(text, m.end() - 1)
             cols_ddl = text[m.end() : close].strip()
             rest = text[close + 1 :].strip().rstrip(";").strip()
@@ -2046,7 +2070,8 @@ class LakeCatalog:
             )
 
         m = re.match(
-            r"\s*CREATE\s+TABLE\s+([\w.]+)\s+"
+            r"\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+"
+            r"(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+"
             r"(?:LOCATION\s+'([^']+)'\s+)?"
             r"(?:PARTITION\s+BY\s+(.+?)\s+)?"
             r"(?:CLUSTER\s+BY\s+(.+?)\s+)?"
@@ -2057,7 +2082,10 @@ class LakeCatalog:
         if m:
             import os
 
-            name, loc, pexpr, cluster, opts_text, select = m.groups()
+            (replace, ifne, name, loc, pexpr, cluster, opts_text,
+             select) = m.groups()
+            if self._pre_create(name, replace, ifne) == "skip":
+                return 0
             if name in self.tables:
                 raise ValueError(f"lake table {name!r} already exists")
             if loc is None:
@@ -2101,6 +2129,56 @@ class LakeCatalog:
         if m and (m.group(1) in self.externals or "IF EXISTS" in text.upper()):
             self.externals.pop(m.group(1), None)
             return None
+
+        m = re.match(
+            r"\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and (m.group(1) in self.tables or "IF EXISTS" in text.upper()):
+            # BigQuery DROP TABLE: the table and its storage go away;
+            # its indexes go with it (BigQuery's rule). A materialized
+            # view on the table would be silently orphaned — refuse
+            # loudly instead (drop the view first).
+            import shutil
+
+            name = m.group(1)
+            tbl = self.tables.get(name)
+            if tbl is None:
+                return None  # IF EXISTS on an unknown name
+            dependents = [
+                v for v, mv in self.matviews.items()
+                if mv.spec.table == name
+            ]
+            if dependents:
+                raise ValueError(
+                    f"DROP TABLE {name}: materialized view(s) "
+                    f"{dependents} depend on it — drop them first"
+                )
+            for key in [k for k in self.indexes if k[0] == name]:
+                idx = self.indexes[key]
+                self._drop_index(idx.kind, idx.name, name)
+            del self.tables[name]
+            shutil.rmtree(tbl.root, ignore_errors=True)
+            return None
+
+        m = re.match(
+            r"\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(1) in self.tables:
+            # BigQuery TRUNCATE TABLE: removes all rows, keeps the
+            # table (schema, partition spec, constraints, history —
+            # it's a commit, so time travel still reaches old data)
+            tbl = self.tables[m.group(1)]
+            v0 = tbl.latest_version()
+            return self._committed(
+                m.group(1),
+                tbl.overwrite(
+                    tbl.read(version=v0).limit(0), expected_base=v0
+                ),
+            )
 
         m = re.match(
             r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",

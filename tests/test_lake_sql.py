@@ -495,3 +495,67 @@ def test_delete_string_literal_containing_where(spark, tmp_path):
     cat.sql("UPDATE dml_t SET s = 'del WHERE me' WHERE k = 3")
     cat.sql("DELETE FROM dml_t WHERE s = 'del WHERE me'")
     assert {r.k for r in cat.tables["dml_t"].read().collect()} == {1, 2, 4}
+
+
+def test_drop_and_truncate_table(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    cat.create_table("dt", str(tmp_path / "dt"), df)
+    # TRUNCATE keeps the table + history (time travel reaches old data)
+    cat.sql("TRUNCATE TABLE dt")
+    assert cat.sql("SELECT COUNT(*) AS n FROM dt").collect()[0].n == 0
+    assert (
+        cat.sql("SELECT COUNT(*) AS n FROM dt VERSION AS OF 1")
+        .collect()[0].n == 2
+    )
+    cat.sql("INSERT INTO dt SELECT 3, 'c'")  # still writable
+    # DROP removes table, storage, and its indexes
+    import os
+    root = cat.tables["dt"].root
+    cat.sql("CREATE SEARCH INDEX dt_si ON dt (v) OPTIONS(id_column='k')")
+    cat.sql("DROP TABLE dt")
+    assert "dt" not in cat.tables and not os.path.exists(root)
+    assert not cat.indexes
+    cat.sql("DROP TABLE IF EXISTS dt")  # no-op, no error
+    import pytest as _p
+    with _p.raises(Exception):
+        cat.sql("DROP TABLE never_existed")
+    # a dependent materialized view blocks the drop (loud, not orphan)
+    cat.create_table("dt2", str(tmp_path / "dt2"), df)
+    cat.sql("CREATE MATERIALIZED VIEW dt2_mv AS "
+            "SELECT v, COUNT(*) AS n FROM dt2 GROUP BY v")
+    with _p.raises(ValueError, match="depend on it"):
+        cat.sql("DROP TABLE dt2")
+    cat.sql("DROP MATERIALIZED VIEW dt2_mv")
+    cat.sql("DROP TABLE dt2")
+    assert "dt2" not in cat.tables
+
+
+def test_create_or_replace_and_if_not_exists(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("cor_src")
+    cat.sql("CREATE TABLE cor AS SELECT * FROM cor_src")
+    # IF NOT EXISTS: existing table -> no-op, content untouched
+    cat.sql("CREATE TABLE IF NOT EXISTS cor AS SELECT 99 AS k")
+    assert [r.k for r in cat.sql("SELECT k FROM cor").collect()] == [1]
+    # OR REPLACE: drops and recreates (fresh history)
+    cat.sql("CREATE OR REPLACE TABLE cor AS SELECT 2 AS k")
+    assert [r.k for r in cat.sql("SELECT k FROM cor").collect()] == [2]
+    assert cat.tables["cor"].latest_version() == 1
+    # plain collision still refuses
+    import pytest as _p
+    with _p.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE cor AS SELECT 3 AS k")
+    with _p.raises(ValueError, match="mutually exclusive"):
+        cat.sql("CREATE OR REPLACE TABLE IF NOT EXISTS cor AS SELECT 1")
+    # explicit-schema spelling takes the modifiers too
+    cat.sql("CREATE OR REPLACE TABLE cor (k INT64, v STRING)")
+    assert cat.sql("SELECT COUNT(*) AS n FROM cor").collect()[0].n == 0
+    cat.sql("CREATE TABLE IF NOT EXISTS cor (x FLOAT64)")
+    assert dict(cat.tables["cor"].read().dtypes) == {
+        "k": "bigint", "v": "string",
+    }
