@@ -30,6 +30,11 @@ def canonical_plan(df) -> str:
     text = re.sub(r"cachedcount=\d+", "cachedcount=", text)
     # scratch/fixture paths: mkdtemp suffixes, commit uuids, tmp roots
     text = re.sub(r"/tmp/[^\s,\]\)]+", "/tmp/_", text)
+    # per-process text-index store names (lsi_<table>_<index>_<pid> —
+    # operators/text_index keys saveAsTable targets by pid): the pid
+    # leaked into the digest and made q_search_* snapshots flap
+    # between subprocess runs
+    text = re.sub(r"\blsi_(\w+?)_\d+\b", r"lsi_\1_", text)
     text = re.sub(r"[0-9a-f]{32}", "_uuid_", text)
     # parquet file lists vary in count at different SFs — keep location
     # kind, drop the enumeration
