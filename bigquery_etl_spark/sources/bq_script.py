@@ -305,7 +305,12 @@ def _sql_literal(v) -> str:
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, datetime.date):
         return f"DATE '{v.isoformat()}'"
-    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    # Quotes escape by DOUBLING ('' — SQL standard, Spark accepts it):
+    # a backslash escape (\') would desynchronize every textual scanner
+    # in the pipeline (_map_literal_aware/_split_top_level/_call_sites
+    # treat any bare ' as the literal terminator), so O'Brien would
+    # break all later dialect rewrites of the statement.
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 
 

@@ -253,6 +253,14 @@ def _col_constraints(text: str, col: str) -> list[tuple[str, object]]:
     if not wh:
         return []
     scan = text[wh[0] :]
+    # Subquery guard: a predicate on a same-named column of ANOTHER
+    # table (e.g. `WHERE id IN (SELECT id FROM s WHERE d = '…')`) must
+    # never leak into partition elimination — a scoped DELETE/UPDATE
+    # would then rewrite only that partition and silently leave
+    # matching rows elsewhere. Any SELECT after the WHERE disables
+    # pruning entirely (row-level predicates still filter correctly).
+    if re.search(r"(?i)\bSELECT\b", re.sub(r"'[^']*'", "''", scan)):
+        return []
     c = re.escape(col)
     # unqualified only: no word-char or '.' immediately before; DATE()
     # wrapping accepted (truncation keeps the comparison conservative)
@@ -787,6 +795,7 @@ class LakeCatalog:
         ROLLBACK = drop the clones — nothing to undo, because nothing
         was written. DDL (CREATE/DROP/ALTER/OPTIMIZE/VACUUM/RESTORE)
         refuses inside a transaction, as in BigQuery."""
+        import shutil
         import tempfile
 
         if self._txn is not None:
@@ -800,16 +809,34 @@ class LakeCatalog:
         }
         import os
 
-        for name, tbl in self.tables.items():
-            v = tbl.latest_version()
-            if v is not None and tbl._load_manifest(v).get("props", {}).get(
-                "snapshot"
-            ):
-                continue  # snapshots stay read-only INSIDE the txn too
-            txn["pinned"][name] = v
-            self.tables[name] = tbl.clone_to(
-                os.path.join(stage, name), version=v
-            )
+        # Build the clone map in a LOCAL dict and swap atomically at the
+        # end: if any clone_to raises mid-loop, self.tables must not be
+        # left half-pointed at temp-dir clones with no txn to roll back.
+        shadow = dict(self.tables)
+        try:
+            for name, tbl in self.tables.items():
+                v = tbl.latest_version()
+                if v is None:
+                    # registered-but-never-created: nothing to clone;
+                    # writes land on a fresh shadow table and publish
+                    # as the real table's first version at COMMIT
+                    txn["pinned"][name] = None
+                    shadow[name] = VersionedTable(
+                        self.spark,
+                        os.path.join(stage, name),
+                        stat_cols=tbl.stat_cols,
+                    )
+                    continue
+                if tbl._load_manifest(v).get("props", {}).get("snapshot"):
+                    continue  # snapshots stay read-only INSIDE the txn too
+                txn["pinned"][name] = v
+                shadow[name] = tbl.clone_to(
+                    os.path.join(stage, name), version=v
+                )
+        except Exception:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        self.tables = shadow
         self._txn = txn
 
     def _end_transaction(self, commit: bool):
@@ -1180,6 +1207,16 @@ class LakeCatalog:
                 return None
             if cl.assignments and pcol in cl.assignments:
                 return None
+        # Only conjunctive ON conditions are eligible: with
+        # `ON t.id = s.id OR t.p = s.p` the partition pin can be
+        # satisfied while matches still span partitions through the
+        # OR branch — rows in untouched partitions would be carried
+        # unchanged AND their source rows re-inserted as NOT MATCHED.
+        on_no_str = re.sub(r"'[^']*'", "''", spec.on or "")
+        if _PRUNE_GUARD_RX.search(on_no_str) or re.search(
+            r"(?i)\bSELECT\b", on_no_str
+        ):
+            return None
         ta = re.escape(spec.target_alias or spec.target)
         sa = re.escape(spec.source_alias or spec.source or "")
         c = re.escape(pcol)
@@ -2253,6 +2290,15 @@ class LakeCatalog:
         if m and m.group(1) in self.tables:
             tbl = self.tables[m.group(1)]
             df = self.spark.sql(self._register_views(m.group(4)))
+            if tbl.latest_version() is None:
+                # registered-but-never-created: first INSERT creates v1
+                # with the insert's own schema (no target to align to)
+                if m.group(2) or m.group(3):
+                    raise MergeParseError(
+                        f"INSERT INTO {m.group(1)}: partition decorator "
+                        "/ column list needs an existing table schema"
+                    )
+                return self._committed(m.group(1), tbl.create(df))
             target = tbl.read().schema
             if m.group(3):
                 # column-list INSERT (r6 — BigQuery `INSERT INTO t
@@ -2852,6 +2898,13 @@ class LakeCatalog:
         from bigquery_etl_spark.operators import matview as _mv
 
         self.last_mv_rewrite = None
+        if self._txn is not None:
+            # Inside a transaction self.tables points at the shadow
+            # CLONES (version numbering restarts); advancing durable MV
+            # state from a clone would absorb uncommitted writes that
+            # survive ROLLBACK. Fall through to the plain SQL path over
+            # the clone — deferred maintenance catches up at COMMIT.
+            return None
         q = _mv.try_parse_aggregate(text)
         if q is None or q.table not in self.tables:
             return None
