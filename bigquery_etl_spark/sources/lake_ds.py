@@ -74,6 +74,15 @@ def _load_manifest(root: str, version: int | None) -> dict:
         return json.load(f)
 
 
+def _manifest_files(root: str, manifest: dict) -> list[dict]:
+    """Live file entries under the r7 O(change) log protocol: full
+    ``files`` when the manifest is a checkpoint, else checkpoint +
+    delta-tail replay (sources/versioned.py resolve_manifest_files)."""
+    from bigquery_etl_spark.sources.versioned import resolve_manifest_files
+
+    return resolve_manifest_files(manifest, lambda v: _load_manifest(root, v))
+
+
 def _file_survives(entry: dict, filters: list[Filter]) -> bool:
     """False only if some pushed filter is provably disjoint from the
     file's [min, max] interval — absent stats always survive."""
@@ -139,7 +148,7 @@ class VersionedLakeReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         return [
             _FilePartition(os.path.join(self.root, e["path"]))
-            for e in self.manifest["files"]
+            for e in _manifest_files(self.root, self.manifest)
             if _file_survives(e, self.pushed)
         ]
 
@@ -208,15 +217,25 @@ def _change_partitions(root: str, v_lo: int, v_hi: int) -> list[_ChangePartition
     for v in range(v_lo, v_hi + 1):
         m = _load_manifest(root, v)
         if m["kind"] in ("create", "append"):
-            parent_paths = (
-                {e["path"] for e in _load_manifest(root, m["parent"])["files"]}
-                if m.get("parent")
-                else set()
-            )
+            if m.get("log") is not None:  # r7 delta manifest: the
+                added = m["log"]["add"]  # added set IS the log
+            else:
+                parent_paths = (
+                    {
+                        e["path"]
+                        for e in _manifest_files(
+                            root, _load_manifest(root, m["parent"])
+                        )
+                    }
+                    if m.get("parent")
+                    else set()
+                )
+                added = [
+                    e for e in m["files"] if e["path"] not in parent_paths
+                ]
             parts.extend(
                 _ChangePartition(os.path.join(root, e["path"]), v, "insert")
-                for e in m["files"]
-                if e["path"] not in parent_paths
+                for e in added
             )
         elif m.get("changes") is not None:
             parts.extend(
