@@ -88,18 +88,47 @@ class BQDialectError(ValueError):
 
 
 def _map_literal_aware(text: str, fn) -> str:
-    """Apply ``fn`` to the segments of ``text`` outside single-quoted
-    string literals, reassembling literals verbatim."""
+    """Apply ``fn`` to the segments of ``text`` outside string
+    literals, quoted identifiers and comments (the shared lexical rule
+    — lake_sql._skip_island), reassembling the islands verbatim: a
+    function name inside a comment or backticked identifier must never
+    be rewritten, and a quote inside a comment must never desync the
+    scan."""
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
     out, i, n = [], 0, len(text)
     start = 0
     while i < n:
-        if text[i] == "'":
+        j = _skip_island(text, i)
+        if j != i:
             out.append(fn(text[start:i]))
-            j = i + 1
-            while j < n and text[j] != "'":
-                j += 1
-            out.append(text[i : j + 1])
-            i = j + 1
+            out.append(text[i:j])
+            i = j
+            start = i
+            continue
+        i += 1
+    out.append(fn(text[start:]))
+    return "".join(out)
+
+
+def _map_nonbacktick_islands(text: str, fn) -> str:
+    """Like _map_literal_aware, but BACKTICKS stay visible to ``fn`` —
+    the one pass that needs this is the BigQuery path flattener
+    (`proj.ds.table` -> table), which rewrites backticked names
+    themselves. Strings and comments remain protected islands."""
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+    out, i, n = [], 0, len(text)
+    start = 0
+    while i < n:
+        if text[i] == "`":
+            i += 1
+            continue
+        j = _skip_island(text, i)
+        if j != i:
+            out.append(fn(text[start:i]))
+            out.append(text[i:j])
+            i = j
             start = i
             continue
         i += 1
@@ -115,14 +144,14 @@ def _split_args(inner: str) -> list[str]:
 
 def _call_sites(text: str, rx: re.Pattern) -> list[tuple[int, int]]:
     """(start, open_paren) of each call matching ``rx`` outside string
-    literals, in scan order."""
+    literals, quoted identifiers and comments, in scan order."""
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
     sites, i, n = [], 0, len(text)
     while i < n:
-        if text[i] == "'":
-            j = i + 1
-            while j < n and text[j] != "'":
-                j += 1
-            i = j + 1
+        j = _skip_island(text, i)
+        if j != i:
+            i = j
             continue
         m = rx.match(text, i)
         if m:
@@ -513,14 +542,20 @@ def translate(sql: str) -> str:
         )
     sql = _rewrite_create_function(sql)
 
-    def _names(seg: str) -> str:
+    def _flatten_paths(seg: str) -> str:
         # backticked paths (not wildcard refs, which keep their backticks
-        # for the catalog's shard expansion): flatten to last segment
-        seg = re.sub(
+        # for the catalog's shard expansion): flatten to last segment.
+        # Runs through _map_nonbacktick_islands — backticks must stay
+        # VISIBLE to this pass (r7 tokenizer: they are opaque islands
+        # to every other scanner), while 'strings' and comments stay
+        # protected.
+        return re.sub(
             r"`([\w.-]*?)([\w-]+)`(?!\*)",
             lambda m: m.group(2) if "*" not in m.group(0) else m.group(0),
             seg,
         )
+
+    def _names(seg: str) -> str:
         for bq, sp in _TYPE_MAP.items():
             seg = re.sub(rf"(?i)\b{bq}\b", sp, seg)
         for bq, sp in _FN_RENAMES.items():
@@ -537,6 +572,7 @@ def translate(sql: str) -> str:
         return key
 
     sql = re.sub(r"`[\w.]*\*`", _protect, sql)
+    sql = _map_nonbacktick_islands(sql, _flatten_paths)
     sql = _map_literal_aware(sql, _names)
     # BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark's TABLESAMPLE
     # (same block-sampling semantics: both sample storage splits, not
