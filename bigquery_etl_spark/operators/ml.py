@@ -323,6 +323,235 @@ def predict_kmeans(
     return df.withColumn(out, _argmin_dist(vec, model["centroids"]))
 
 
+# -- PCA (r7, VERDICT r6 item 6) ----------------------------------------------
+
+
+def fit_pca(
+    df: DataFrame, features: list[str], n_components: int
+) -> dict:
+    """``model_type='pca'`` by the sufficient-statistics pattern
+    (fit_linear_reg's): ONE distributed aggregate pass computes count,
+    per-feature sums and the upper triangle of the cross-moment matrix
+    (d(d+1)/2 + d + 1 scalar SUMs, map-side combined, codegen); the
+    driver assembles the d×d covariance and eigensolves it with numpy.
+    At 100 TB the cost is one scan — the driver sees d² numbers, never
+    rows. Components are deterministic: eigenvectors sorted by
+    eigenvalue descending, sign-canonicalized so each component's
+    largest-|loading| entry is positive (eigenvector sign is otherwise
+    arbitrary, which would break oracle hashing)."""
+    import numpy as np
+
+    d = len(features)
+    if not 1 <= n_components <= d:
+        raise ValueError(
+            f"num_principal_components must be in [1, {d}], got {n_components}"
+        )
+    cols = [F.col(c).cast("double") for c in features]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [F.sum(cols[i]).alias(f"__s_{i}") for i in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"__c_{i}_{j}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    mean = np.array([row[f"__s_{i}"] / n for i in range(d)])
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            # E[xy] - E[x]E[y], unbiased (n-1) denominator like BQML
+            cij = (row[f"__c_{i}_{j}"] - n * mean[i] * mean[j]) / (n - 1)
+            cov[i, j] = cov[j, i] = cij
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals = np.maximum(evals[order], 0.0)
+    comps = evecs[:, order].T  # (d components) x (d features)
+    for r in range(d):
+        k = int(np.argmax(np.abs(comps[r])))
+        if comps[r, k] < 0:
+            comps[r] = -comps[r]
+    total = float(evals.sum()) or 1.0
+    return {
+        "model_type": "pca",
+        "features": list(features),
+        "n_components": int(n_components),
+        "mean": [float(v) for v in mean],
+        "components": [
+            [float(v) for v in comps[r]] for r in range(n_components)
+        ],
+        "explained_variance": [float(v) for v in evals[:n_components]],
+        "explained_variance_ratio": [
+            float(v / total) for v in evals[:n_components]
+        ],
+        "n": int(n),
+    }
+
+
+def predict_pca(df: DataFrame, model: dict) -> DataFrame:
+    """Project onto the principal components — coefficients broadcast
+    as literals into one codegen projection (BQML output naming:
+    ``principal_component_<i>``)."""
+    centered = [
+        (F.col(c).cast("double") - F.lit(m))
+        for c, m in zip(model["features"], model["mean"])
+    ]
+    out = df
+    for r, comp in enumerate(model["components"], start=1):
+        expr = None
+        for x, w in zip(centered, comp):
+            term = x * F.lit(w)
+            expr = term if expr is None else expr + term
+        out = out.withColumn(f"principal_component_{r}", expr)
+    return out
+
+
+# -- matrix factorization (r7, VERDICT r6 item 6) ------------------------------
+
+
+def _solve_side(
+    ratings: DataFrame,
+    other_factors: DataFrame,
+    group_col: str,
+    other_col: str,
+    rating_col: str,
+    f: int,
+    l2: float,
+) -> DataFrame:
+    """One ALS half-step as a GROUPED SOLVE: join each rating with the
+    fixed side's factor vector, group by the side being solved, and
+    solve that group's f×f ridge normal equations in an Arrow-batched
+    applyInPandas (each group sees only ITS ratings — the classic
+    distributed-ALS layout: work is sharded by key, the dense factor
+    matrix never materializes on one node; the fixed side arrives via
+    an equi-join Spark broadcasts when small)."""
+    import numpy as np
+    import pandas as pd
+
+    joined = ratings.join(
+        other_factors.withColumnRenamed("id", other_col).withColumnRenamed(
+            "factors", "__of"
+        ),
+        on=other_col,
+    ).select(
+        F.col(group_col).alias("id"),
+        F.col("__of"),
+        F.col(rating_col).cast("double").alias("__r"),
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.vstack(pdf["__of"].to_numpy())
+        y = pdf["__r"].to_numpy()
+        w = np.linalg.solve(X.T @ X + l2 * len(y) * np.eye(f), X.T @ y)
+        return pd.DataFrame(
+            {"id": [pdf["id"].iloc[0]], "factors": [w.tolist()]}
+        )
+
+    return joined.groupBy("id").applyInPandas(
+        solve, schema="id long, factors array<double>"
+    )
+
+
+def fit_matrix_factorization(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    num_factors: int = 8,
+    n_iters: int = 8,
+    l2: float = 0.05,
+) -> dict:
+    """``model_type='matrix_factorization'`` (explicit feedback) by
+    alternating least squares: item factors init deterministically
+    from a hash of the item id (seeded, reproducible), then each
+    half-step re-solves one side with the other fixed — a join + one
+    grouped f×f solve per key (``_solve_side``). Factors stay
+    DISTRIBUTED DataFrames end to end (n_users × f never collects:
+    the 100 TB shape); they persist as parquet next to the model JSON.
+    Checkpointed via localCheckpoint each round so the lineage doesn't
+    double per iteration."""
+    ratings = df.select(
+        F.col(user_col).cast("long").alias(user_col),
+        F.col(item_col).cast("long").alias(item_col),
+        F.col(rating_col).cast("double").alias(rating_col),
+    ).cache()
+    f = num_factors
+    # deterministic pseudo-random init in [0.1, 1.1): codegen, no UDF
+    items = ratings.select(F.col(item_col).alias("id")).distinct().select(
+        "id",
+        F.array(
+            *[
+                (F.abs(F.hash(F.col("id") + F.lit(97 * j))) % 1000)
+                / 1000.0
+                * 1.0
+                + 0.1
+                for j in range(f)
+            ]
+        ).alias("factors"),
+    )
+    users = None
+    for _ in range(n_iters):
+        users = _solve_side(
+            ratings, items, user_col, item_col, rating_col, f, l2
+        ).localCheckpoint(eager=False)
+        items = _solve_side(
+            ratings, users, item_col, user_col, rating_col, f, l2
+        ).localCheckpoint(eager=False)
+    model = {
+        "model_type": "matrix_factorization",
+        "user_col": user_col,
+        "item_col": item_col,
+        "rating_col": rating_col,
+        "num_factors": f,
+        "user_factors": users,
+        "item_factors": items,
+    }
+    model["rmse"] = evaluate_matrix_factorization(ratings, model)
+    ratings.unpersist()
+    return model
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def predict_matrix_factorization(df: DataFrame, model: dict) -> DataFrame:
+    """(user, item) rows -> ``predicted_<rating_col>`` via two factor
+    joins and a codegen dot product (BQML ML.PREDICT naming). Pairs
+    with no trained factor predict NULL (cold start — BigQuery
+    errors; NULL keeps the operator total)."""
+    u, i, r = model["user_col"], model["item_col"], model["rating_col"]
+    uf = model["user_factors"].withColumnRenamed("id", u).withColumnRenamed(
+        "factors", "__uf"
+    )
+    itf = model["item_factors"].withColumnRenamed("id", i).withColumnRenamed(
+        "factors", "__if"
+    )
+    return (
+        df.join(uf, on=u, how="left")
+        .join(itf, on=i, how="left")
+        .withColumn(f"predicted_{r}", _dot(F.col("__uf"), F.col("__if")))
+        .drop("__uf", "__if")
+    )
+
+
+def evaluate_matrix_factorization(df: DataFrame, model: dict) -> float:
+    r = model["rating_col"]
+    scored = predict_matrix_factorization(df, model)
+    row = scored.agg(
+        F.sqrt(
+            F.avg(
+                F.pow(F.col(f"predicted_{r}") - F.col(r).cast("double"), 2)
+            )
+        ).alias("rmse")
+    ).collect()[0]
+    return float(row["rmse"]) if row["rmse"] is not None else float("nan")
+
+
 # -- model store --------------------------------------------------------------
 
 

@@ -187,3 +187,122 @@ def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("recall") == 1.0).alias("rec_perfect"),
         (F.col("log_loss") < 0.1).alias("logloss_small"),
     )
+
+
+@query(
+    "q_ml_pca",
+    sql="""
+    SELECT CAST(2 AS BIGINT) AS n_components,
+           1.0 AS cum_ratio_2,
+           TRUE AS recon_ok
+    """,
+    tags=("ml", "bqml", "pca"),
+    twin="invariant",
+)
+def q_ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQML PCA (r7, VERDICT r6 item 6) through the FULL SQL surface:
+    ``CREATE MODEL ... OPTIONS(model_type='pca',
+    num_principal_components=2)`` then ``ML.PRINCIPAL_COMPONENT_INFO``
+    + ``ML.PREDICT``. Training is the sufficient-statistics pattern
+    (ml.py fit_pca): ONE aggregate pass collects d(d+3)/2+1 scalar
+    sums, the driver eigensolves the d x d covariance. Invariant twin
+    (eigenvectors live in an engine-float space): the 4 features are
+    built as linear combinations of a PLANTED 2-dim latent factor, so
+    the data is exactly rank 2 — a correct PCA must explain 100% of
+    the variance with 2 components (ROUND 6) AND reconstruct every row
+    from its 2 scores to ~machine precision. Any covariance/eigens/
+    projection bug breaks one of the booleans and hash-mismatches."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    src = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 17).cast("double").alias("z1"),
+        (F.col("o_custkey") % 13).cast("double").alias("z2"),
+    ).select(
+        F.col("z1").alias("x1"),
+        F.col("z2").alias("x2"),
+        (F.lit(2.0) * F.col("z1") - F.col("z2")).alias("x3"),
+        (F.col("z1") + F.lit(3.0) * F.col("z2")).alias("x4"),
+    )
+    src.createOrReplaceTempView("pca_pts")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL pca_m OPTIONS(model_type='pca', "
+        "num_principal_components=2) AS SELECT * FROM pca_pts"
+    )
+    info = cat.sql(
+        "SELECT * FROM ML.PRINCIPAL_COMPONENT_INFO(MODEL pca_m) "
+        "WHERE principal_component_id = 2"
+    ).collect()[0]
+    model = cat.models["pca_m"]
+    # reconstruction: mean + sum_r score_r * component_r, all codegen
+    scored = cat.sql("SELECT * FROM ML.PREDICT(MODEL pca_m, TABLE pca_pts)")
+    err = None
+    for d, feat in enumerate(model["features"]):
+        rec = F.lit(model["mean"][d])
+        for r, comp in enumerate(model["components"], start=1):
+            rec = rec + F.col(f"principal_component_{r}") * F.lit(comp[d])
+        e = F.abs(rec - F.col(feat))
+        err = e if err is None else F.greatest(err, e)
+    max_err = scored.agg(F.max(err).alias("e")).collect()[0].e
+    return spark.createDataFrame(
+        [(
+            2,
+            round(info.cumulative_explained_variance_ratio, 6),
+            bool(max_err < 1e-6),
+        )],
+        "n_components long, cum_ratio_2 double, recon_ok boolean",
+    )
+
+
+@query(
+    "q_ml_mf",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS rmse_ok
+    FROM (SELECT DISTINCT o_custkey % 50 AS u, o_orderkey % 40 AS i
+          FROM orders)
+    """,
+    tags=("ml", "bqml", "matrix_factorization"),
+    twin="invariant",
+)
+def q_ml_mf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQML matrix factorization (r7, VERDICT r6 item 6) through the
+    FULL SQL surface: ``CREATE MODEL ... OPTIONS(
+    model_type='matrix_factorization', user_col=..., item_col=...,
+    rating_col=..., num_factors=2)`` then ``ML.EVALUATE``. Training is
+    ALS where each half-step is a join + GROUPED f x f solve
+    (applyInPandas per key — factors stay distributed DataFrames, the
+    n_users x f matrix never collects; ml.py fit_matrix_factorization).
+    Invariant twin (factor values live in an engine-float space): the
+    planted ratings are EXACTLY rank 2 (r = a_u*b_i + c_u*d_i over
+    integer grids), so ALS with 2 factors must fit them to RMSE < 0.05
+    — any solver/join/init bug leaves residual structure and breaks
+    the boolean. n_pairs pins the training-set construction exactly."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    ratings = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 50).cast("long").alias("u"),
+        (F.col("o_orderkey") % 40).cast("long").alias("i"),
+    ).distinct().select(
+        "u",
+        "i",
+        (
+            (F.lit(1.0) + F.col("u") % 5) * (F.lit(1.0) + F.col("i") % 4)
+            + (F.col("u") % 3) * (F.col("i") % 2)
+        ).cast("double").alias("r"),
+    )
+    ratings.createOrReplaceTempView("mf_ratings")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL mf_m OPTIONS("
+        "model_type='matrix_factorization', user_col='u', item_col='i', "
+        "rating_col='r', num_factors=2, max_iterations=6, l2_reg=0.001) "
+        "AS SELECT * FROM mf_ratings"
+    )
+    ev = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL mf_m, TABLE mf_ratings)"
+    ).collect()[0]
+    n = ratings.count()
+    return spark.createDataFrame(
+        [(n, bool(ev.root_mean_squared_error < 0.05))],
+        "n_pairs long, rmse_ok boolean",
+    )

@@ -202,3 +202,132 @@ def test_logistic_sql_surface(spark, cat, tmp_path):
     # persisted like any model
     import os
     assert os.path.exists(str(tmp_path / "wh" / "_models" / "lr.json"))
+
+
+def test_pca_recovers_planted_rank(spark, cat, tmp_path):
+    """r7 (VERDICT r6 item 6): PCA by one covariance-aggregate pass +
+    driver eigensolve. 4 features built from a 2-dim latent factor ->
+    2 components explain 100% of variance and reconstruct every row."""
+    rows = [
+        (float(i % 17), float((i * 7) % 13)) for i in range(300)
+    ]
+    data = [(z1, z2, 2 * z1 - z2, z1 + 3 * z2) for z1, z2 in rows]
+    spark.createDataFrame(
+        data, "x1 double, x2 double, x3 double, x4 double"
+    ).createOrReplaceTempView("pca_src")
+    cat.sql(
+        "CREATE MODEL pm OPTIONS(model_type='pca', "
+        "num_principal_components=2) AS SELECT * FROM pca_src"
+    )
+    info = {
+        r.principal_component_id: r
+        for r in cat.sql(
+            "SELECT * FROM ML.PRINCIPAL_COMPONENT_INFO(MODEL pm)"
+        ).collect()
+    }
+    assert round(info[2].cumulative_explained_variance_ratio, 9) == 1.0
+    assert info[1].eigenvalue >= info[2].eigenvalue > 0
+    comps = cat.sql(
+        "SELECT * FROM ML.PRINCIPAL_COMPONENTS(MODEL pm)"
+    ).collect()
+    assert {(r.principal_component_id, r.feature) for r in comps} == {
+        (i, f) for i in (1, 2) for f in ("x1", "x2", "x3", "x4")
+    }
+    # deterministic sign: largest-|loading| entry positive
+    model = cat.models["pm"]
+    for comp in model["components"]:
+        assert max(comp, key=abs) > 0
+    # projection through ML.PREDICT reconstructs rows
+    scored = cat.sql(
+        "SELECT * FROM ML.PREDICT(MODEL pm, TABLE pca_src)"
+    ).collect()
+    import numpy as np
+
+    C = np.array(model["components"])
+    mu = np.array(model["mean"])
+    for r in scored[:50]:
+        rec = mu + np.array(
+            [r.principal_component_1, r.principal_component_2]
+        ) @ C
+        assert np.abs(rec - np.array([r.x1, r.x2, r.x3, r.x4])).max() < 1e-9
+    # persisted as JSON like the other closed-form models
+    assert ml.load_model(
+        str(tmp_path / "wh" / "_models"), "pm"
+    )["n_components"] == 2
+
+
+def test_pca_refuses_bad_component_count(spark, cat):
+    spark.createDataFrame(
+        [(1.0, 2.0)], "a double, b double"
+    ).createOrReplaceTempView("pca_bad")
+    with pytest.raises(ValueError, match="num_principal_components"):
+        cat.sql(
+            "CREATE MODEL pbad OPTIONS(model_type='pca', "
+            "num_principal_components=5) AS SELECT * FROM pca_bad"
+        )
+
+
+def test_matrix_factorization_fits_planted_rank2(spark, cat, tmp_path):
+    """r7 (VERDICT r6 item 6): ALS matrix factorization — each
+    half-step a grouped f x f solve, factors stay DataFrames. Planted
+    exactly-rank-2 ratings fit to near-zero RMSE; ML.PREDICT scores
+    (user, item) pairs; ML.RECOMMEND emits the full grid."""
+    rows = [
+        (u, i, float((1 + u % 5) * (1 + i % 4) + (u % 3) * (i % 2)))
+        for u in range(24)
+        for i in range(18)
+    ]
+    spark.createDataFrame(
+        rows, "u long, i long, r double"
+    ).createOrReplaceTempView("mf_src")
+    cat.sql(
+        "CREATE MODEL mfm OPTIONS(model_type='matrix_factorization', "
+        "user_col='u', item_col='i', rating_col='r', num_factors=2, "
+        "max_iterations=6, l2_reg=0.001) AS SELECT * FROM mf_src"
+    )
+    ev = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL mfm, TABLE mf_src)"
+    ).collect()[0]
+    assert ev.root_mean_squared_error < 0.05
+    scored = cat.sql(
+        "SELECT * FROM ML.PREDICT(MODEL mfm, (SELECT * FROM mf_src))"
+    ).collect()
+    assert len(scored) == len(rows)
+    assert all(abs(s.predicted_r - s.r) < 0.5 for s in scored)
+    rec = cat.sql("SELECT * FROM ML.RECOMMEND(MODEL mfm)")
+    assert rec.count() == 24 * 18
+    # factor matrices persisted as parquet, metadata as JSON
+    import os
+
+    mdir = str(tmp_path / "wh" / "_models" / "mfm")
+    assert os.path.isdir(os.path.join(mdir, "user_factors.parquet"))
+    meta = ml.load_model(str(tmp_path / "wh" / "_models"), "mfm")
+    assert meta["num_factors"] == 2 and "user_factors" not in meta
+
+
+def test_matrix_factorization_cold_start_nulls(spark, cat):
+    rows = [(u, i, 1.0 * (u + i)) for u in range(6) for i in range(6)]
+    spark.createDataFrame(
+        rows, "u long, i long, r double"
+    ).createOrReplaceTempView("mf_cold_src")
+    cat.sql(
+        "CREATE MODEL mfc OPTIONS(model_type='matrix_factorization', "
+        "user_col='u', item_col='i', rating_col='r', num_factors=2, "
+        "max_iterations=3) AS SELECT * FROM mf_cold_src"
+    )
+    spark.createDataFrame(
+        [(0, 0), (999, 0)], "u long, i long"
+    ).createOrReplaceTempView("mf_cold_q")
+    got = {
+        r.u: r.predicted_r
+        for r in cat.sql(
+            "SELECT * FROM ML.PREDICT(MODEL mfc, TABLE mf_cold_q)"
+        ).collect()
+    }
+    assert got[0] is not None and got[999] is None  # cold user -> NULL
+    cat.sql(
+        "CREATE MODEL lin_for_rec OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM train"
+    )
+    with pytest.raises(ValueError, match="matrix_factorization only"):
+        cat.sql("SELECT * FROM ML.RECOMMEND(MODEL lin_for_rec)")
