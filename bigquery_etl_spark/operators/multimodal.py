@@ -7,14 +7,16 @@ Media travels as ``binary`` cells with a typed metadata struct — the
 Arrow-batched ``mapInPandas`` operators so bytes move driver-free,
 partition-parallel.
 
-Two formats decode FOR REAL with only the stdlib — uncompressed BMP
-(struct) and non-interlaced PNG (zlib inflate + scanline unfilter) —
-so the default decode→resize→feature pipeline is genuine end-to-end in
-this container. Codec-library formats (JPEG/video/audio) use PIL when
-importable (probed at call time) and otherwise fall back to a
-clearly-marked deterministic fake (byte-level stats standing in for
-pixel stats); the Spark-side plumbing — schemas, batch iteration,
-fan-out shapes — is identical on every path.
+Three formats decode FOR REAL with only the stdlib — uncompressed BMP
+(struct), non-interlaced PNG (zlib inflate + scanline unfilter), and
+baseline sequential JPEG (r7: Huffman + dequant + IDCT + luma, see
+operators/jpeg_py.py) — so the default decode→resize→feature pipeline
+is genuine end-to-end in this container for the formats a crawl corpus
+actually contains. Remaining codec-library formats (progressive JPEG/
+video/audio) use PIL when importable (probed at call time) and
+otherwise fall back to a clearly-marked deterministic fake (byte-level
+stats standing in for pixel stats); the Spark-side plumbing — schemas,
+batch iteration, fan-out shapes — is identical on every path.
 """
 
 from __future__ import annotations
@@ -375,9 +377,10 @@ def _nn_resize(sw: int, sh: int, gray: bytes, w: int, h: int) -> bytes:
 
 
 def _decode_stdlib(b: bytes) -> tuple[int, int, bytes] | None:
-    """(w, h, gray) via a REAL pure-stdlib codec — BMP or PNG — or None
-    when neither signature matches / the payload is an unsupported
-    variant (callers fall back to PIL or the marked fake)."""
+    """(w, h, gray) via a REAL pure-stdlib codec — BMP, PNG, or
+    baseline JPEG (r7) — or None when no signature matches / the
+    payload is an unsupported variant, e.g. progressive JPEG (callers
+    fall back to PIL or the marked fake)."""
     if b[:2] == b"BM":
         try:
             return decode_bmp(b)
@@ -386,6 +389,13 @@ def _decode_stdlib(b: bytes) -> tuple[int, int, bytes] | None:
     if b[:8] == PNG_SIG:
         try:
             return decode_png(b)
+        except ValueError:
+            pass
+    if b[:2] == b"\xff\xd8":
+        from bigquery_etl_spark.operators.jpeg_py import decode_jpeg
+
+        try:
+            return decode_jpeg(b)
         except ValueError:
             pass
     return None
