@@ -153,3 +153,20 @@ def cached_id_bounds(spark, sf_dir: str, table: str, id_col: str, n_buckets: int
             load(spark, sf_dir, table).select(id_col), id_col, n_buckets
         )
     return _BOUNDS_CACHE[key]
+
+
+def local_df(spark, rows, schema: str):
+    """Driver-built tiny result as a LocalRelation (r7 bench finding):
+    ``spark.createDataFrame(list, schema)`` parallelizes through a
+    Python RDD, and EVERY downstream job re-evaluates the rows through
+    a Python worker — ~0.5 s of per-job overhead on a 2-row frame at
+    bench cadence. The pandas/Arrow path lands a ``LocalTableScan``
+    (pure JVM, no tasks to re-run), ~0.2 s for the same statement.
+    Only for small driver-side row lists (model coefficients,
+    invariant summaries) — data-sized results never collect."""
+    import pandas as pd
+
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols), schema
+    )

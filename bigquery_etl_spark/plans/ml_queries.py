@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigquery_etl_spark.plans._util import local_df
 from bigquery_etl_spark.registry import query
 from bigquery_etl_spark.sources import load
 
@@ -52,7 +53,7 @@ def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("1_slope", round(real["coefficients"][0], 2)),
         ("2_icpt", round(real["intercept"], 2)),
     ]
-    return spark.createDataFrame(rows, "term string, w double").orderBy("term")
+    return local_df(spark, rows, "term string, w double").orderBy("term")
 
 
 @query(
@@ -88,7 +89,7 @@ def q_ml_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("3_x2", round(planted["coefficients"][1], 6)),
         ("4_r2", round(planted["r2"], 6)),
     ]
-    return spark.createDataFrame(rows, "term string, w double").orderBy("term")
+    return local_df(spark, rows, "term string, w double").orderBy("term")
 
 
 @query(
@@ -244,7 +245,8 @@ def q_ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = F.abs(rec - F.col(feat))
         err = e if err is None else F.greatest(err, e)
     max_err = scored.agg(F.max(err).alias("e")).collect()[0].e
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(
             2,
             round(info.cumulative_explained_variance_ratio, 6),
@@ -302,7 +304,8 @@ def q_ml_mf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM ML.EVALUATE(MODEL mf_m, TABLE mf_ratings)"
     ).collect()[0]
     n = ratings.count()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n, bool(ev.root_mean_squared_error < 0.05))],
         "n_pairs long, rmse_ok boolean",
     )
