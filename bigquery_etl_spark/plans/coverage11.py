@@ -1698,3 +1698,76 @@ def q_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+@query(
+    "q_ddl_lifecycle",
+    sql="""
+    SELECT t AS table_name, n, price_sum FROM (
+        SELECT 'renamed_copy' AS t, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS price_sum
+        FROM orders WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT 'like_filled',
+               COUNT(*) FILTER (WHERE o_orderkey % 7 = 3
+                                AND o_totalprice > 100000),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FILTER (WHERE o_orderkey % 7 = 3
+                            AND o_totalprice > 100000) AS DOUBLE)
+        FROM orders
+    ) ORDER BY table_name
+    """,
+    tags=("lakehouse", "ddl", "sqlsurface"),
+)
+def q_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 DDL lifecycle statements as one driver-checked chain:
+    ``CREATE TABLE … COPY`` (zero-copy clone: schema + data, shared
+    inodes), ``ALTER TABLE … RENAME TO`` (catalog-only — at 100 TB a
+    rename must not move 10^6 files; indexes/matviews follow the
+    name), ``CREATE TABLE … LIKE`` (schema/partition/constraints,
+    empty) + INSERT into it, then a read-back of both results. The
+    SOURCE table is mutated after the COPY so the oracle also proves
+    copy-on-write isolation (the copy must still show the original
+    slice). Fixture builds once per process; the timed body is the
+    read-back."""
+    import os
+
+    from bigquery_etl_spark.plans._util import dsum, scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        cat = LakeCatalog(spark, warehouse=os.path.join(path, "wh"))
+        cat.create_table(
+            "ddl_src",
+            os.path.join(path, "src"),
+            o.filter(F.col("o_orderkey") % 7 == 3),
+        )
+        cat.sql("CREATE TABLE ddl_copy COPY ddl_src")
+        cat.sql("ALTER TABLE ddl_copy RENAME TO renamed_copy")
+        cat.sql("CREATE TABLE like_filled LIKE ddl_src")
+        o.filter(
+            (F.col("o_orderkey") % 7 == 3)
+            & (F.col("o_totalprice") > 100000)
+        ).createOrReplaceTempView("ddl_like_src")
+        cat.sql("INSERT INTO like_filled SELECT * FROM ddl_like_src")
+        # copy-on-write proof: mutate the SOURCE after the copy
+        cat.sql("DELETE FROM ddl_src WHERE o_orderkey % 2 = 0")
+
+    root = scratch_build(f"ddl_lifecycle:{sf_dir}", "ddl_life_", _build)
+
+    def _agg(tbl_root: str, label: str) -> DataFrame:
+        return (
+            VersionedTable(spark, tbl_root)
+            .read()
+            .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "price_sum"))
+            .select(F.lit(label).alias("table_name"), "n", "price_sum")
+        )
+
+    return _agg(os.path.join(root, "wh", "ddl_copy"), "renamed_copy").unionAll(
+        _agg(os.path.join(root, "wh", "like_filled"), "like_filled")
+    ).orderBy("table_name")

@@ -1982,6 +1982,83 @@ class LakeCatalog:
             return None
 
         m = re.match(
+            r"\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s+"
+            r"RENAME\s+TO\s+([\w.]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and (m.group(1) in self.tables or "IF EXISTS" in text.upper()):
+            # BigQuery ALTER TABLE RENAME TO: a CATALOG operation —
+            # storage stays where it is (renaming 10^6 files at 100 TB
+            # would be an outage, and object stores can't rename
+            # anyway); indexes and matviews follow the name.
+            old, new = m.group(1), m.group(2)
+            tbl = self.tables.get(old)
+            if tbl is None:
+                return None  # IF EXISTS on an unknown name
+            if new in self.tables or new in self.viewdefs or new in self.externals:
+                raise ValueError(f"{new!r} already exists in this catalog")
+            del self.tables[old]
+            self.tables[new] = tbl
+            for key in [k for k in list(self.indexes) if k[0] == old]:
+                idx = self.indexes.pop(key)
+                idx.table = new
+                self.indexes[(new, key[1])] = idx
+            for mv in self.matviews.values():
+                if mv.spec.table == old:
+                    mv.spec.table = new
+            return None
+
+        m = re.match(
+            r"\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+"
+            r"(?:LOCATION\s+'([^']+)'\s+)?(LIKE|COPY)\s+([\w.]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(5) in self.tables:
+            # BigQuery CREATE TABLE … LIKE (schema only, empty table)
+            # and … COPY (schema + data). COPY = zero-copy clone (same
+            # bytes, hard-linked); LIKE = empty create with the source's
+            # current schema, partition spec and constraints.
+            import os as _os
+
+            ine, name, loc, kind, src = m.groups()
+            if name in self.tables:
+                if ine:
+                    return None
+                raise ValueError(f"lake table {name!r} already exists")
+            if loc is None:
+                if self.warehouse is None:
+                    raise ValueError(
+                        f"CREATE TABLE … {kind.upper()} needs LOCATION "
+                        "'<root>' (catalog has no warehouse directory)"
+                    )
+                loc = _os.path.join(self.warehouse, name)
+            stbl = self.tables[src]
+            if kind.upper() == "COPY":
+                dst = stbl.clone_to(loc)
+            else:
+                sm = stbl._load_manifest(stbl.latest_version())
+                props = sm.get("props", {})
+                import json as _json
+
+                from pyspark.sql.types import StructType as _ST
+
+                dst = VersionedTable(self.spark, loc, stat_cols=stbl.stat_cols)
+                empty = self.spark.createDataFrame(
+                    [], _ST.fromJson(_json.loads(sm["schema"]))
+                )
+                dst.create(
+                    empty,
+                    partition=props.get("partition"),
+                    defaults=props.get("defaults"),
+                )
+                for cname, expr in props.get("constraints", {}).items():
+                    dst.add_constraint(cname, expr)
+            self.register(name, dst)
+            return 1
+
+        m = re.match(
             r"\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*"
             r"(?:\((.*)\)|([^()]+?))\s*;?\s*$",
             text,

@@ -133,3 +133,88 @@ def test_load_data_maintains_views_and_indexes(cat, tmp_path, spark):
     ).collect()}
     assert cat.last_mv_rewrite == "mvt"
     assert out == {"A": 5, "B": 6}
+
+
+def test_alter_table_rename_to(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.create_table(
+        "old_name", str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+    )
+    cat.sql("ALTER TABLE old_name RENAME TO new_name")
+    assert "old_name" not in cat.tables and "new_name" in cat.tables
+    assert cat.sql("SELECT count(*) AS n FROM new_name").collect()[0].n == 2
+    # storage untouched: a catalog operation, not a file move
+    assert cat.tables["new_name"].root == str(tmp_path / "t")
+    cat.sql("ALTER TABLE IF EXISTS ghost RENAME TO whatever")  # no-op
+    import pytest as _p
+
+    cat.create_table(
+        "other", str(tmp_path / "o"),
+        spark.createDataFrame([(1,)], "x long"),
+    )
+    with _p.raises(ValueError, match="already exists"):
+        cat.sql("ALTER TABLE other RENAME TO new_name")
+
+
+def test_create_table_like_and_copy(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.create_table(
+        "src_t", str(tmp_path / "src"),
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+    )
+    cat.sql("ALTER TABLE src_t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    # LIKE: schema + constraints, EMPTY
+    cat.sql("CREATE TABLE like_t LIKE src_t")
+    assert cat.sql("SELECT count(*) AS n FROM like_t").collect()[0].n == 0
+    assert dict(cat.tables["like_t"].read().dtypes) == {
+        "id": "bigint", "v": "double",
+    }
+    import pytest as _p
+
+    from bigquery_etl_spark.sources.versioned import ConstraintViolation
+
+    spark.createDataFrame([(3, -1.0)], "id long, v double") \
+        .createOrReplaceTempView("bad_rows")
+    with _p.raises(ConstraintViolation):
+        cat.sql("INSERT INTO like_t SELECT * FROM bad_rows")
+    # COPY: schema + data (zero-copy clone)
+    cat.sql("CREATE TABLE copy_t COPY src_t")
+    assert sorted(
+        (r.id, r.v) for r in cat.sql("SELECT * FROM copy_t").collect()
+    ) == [(1, 10.0), (2, 20.0)]
+    # divergence is copy-on-write
+    cat.sql("DELETE FROM src_t WHERE id = 1")
+    assert cat.sql("SELECT count(*) AS n FROM copy_t").collect()[0].n == 2
+    assert cat.sql("SELECT count(*) AS n FROM src_t").collect()[0].n == 1
+    cat.sql("CREATE TABLE IF NOT EXISTS copy_t COPY src_t")  # no-op
+    assert cat.sql("SELECT count(*) AS n FROM copy_t").collect()[0].n == 2
+
+
+def test_rename_keeps_index_maintenance(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.create_table(
+        "docs_r", str(tmp_path / "d"),
+        spark.createDataFrame(
+            [(1, "merge stream"), (2, "vector scan")], "doc_id long, text string"
+        ),
+    )
+    cat.sql(
+        "CREATE SEARCH INDEX r_si ON docs_r (text) "
+        "OPTIONS(id_column='doc_id', n_buckets=4)"
+    )
+    cat.sql("ALTER TABLE docs_r RENAME TO docs_rn")
+    assert ("docs_rn", "r_si") in cat.indexes
+    spark.createDataFrame([(3, "merge late")], "doc_id long, text string") \
+        .createOrReplaceTempView("docs_r_more")
+    cat.sql("INSERT INTO docs_rn SELECT * FROM docs_r_more")
+    got = {r.doc_id for r in cat.sql(
+        "SELECT doc_id FROM docs_rn WHERE SEARCH(docs_rn, 'merge')"
+    ).collect()}
+    assert got == {1, 3}  # the index followed the rename and stayed maintained
