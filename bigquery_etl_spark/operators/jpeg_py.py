@@ -483,3 +483,83 @@ def _decode_scan(d, pos, frame, quant, huff_dc, huff_ac, sel, ri):
     for y in range(lh):
         out[y * lw : (y + 1) * lw] = plane[y * pw : y * pw + lw]
     return lw, lh, bytes(out)
+
+
+def encode_jpeg_420(
+    w: int, h: int, gray: bytes, quality: int = 90
+) -> bytes:
+    """Encode as a THREE-component 4:2:0 JPEG (Y at 2x2 sampling, flat
+    neutral chroma) — the layout virtually every camera/libjpeg file
+    uses, and the decoder path a single-component fixture never
+    exercises: interleaved MCUs of 4 Y blocks + Cb + Cr, per-component
+    DC predictors, luma placement at sampling factors > 1."""
+    if len(gray) != w * h:
+        raise ValueError(f"gray length {len(gray)} != {w}*{h}")
+    quant = _quality_scale(quality)
+    dc_tab = _build_encode_table(ENC_DC_BITS, ENC_DC_VALS)
+    ac_tab = _build_encode_table(ENC_AC_BITS, ENC_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(quant[ZIGZAG[i]] for i in range(64))
+    # SOF0: Y id 1 sampling 2x2, Cb id 2 and Cr id 3 at 1x1
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(ENC_DC_VALS))
+    out += b"\x00" + bytes(ENC_DC_BITS) + bytes(ENC_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(ENC_AC_VALS))
+    out += b"\x10" + bytes(ENC_AC_BITS) + bytes(ENC_AC_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def emit_block(zz: list[int], cid: int) -> None:
+        diff = zz[0] - preds[cid]
+        preds[cid] = zz[0]
+        s = _category(diff)
+        ln, code = dc_tab[s]
+        bw.write(ln, code)
+        if s:
+            bw.write(s, diff if diff >= 0 else diff + (1 << s) - 1)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_tab[0xF0]
+                bw.write(ln, code)
+                run -= 16
+            s = _category(zz[k])
+            ln, code = ac_tab[(run << 4) | s]
+            bw.write(ln, code)
+            bw.write(s, zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1)
+            run = 0
+        if run:
+            ln, code = ac_tab[0x00]
+            bw.write(ln, code)
+
+    zero_block = [0] * 64
+    mcux = (w + 15) // 16
+    mcuy = (h + 15) // 16
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):  # 4 luma blocks per MCU
+                for bx in range(2):
+                    block = [0.0] * 64
+                    oy, ox = (my * 2 + by) * 8, (mx * 2 + bx) * 8
+                    for y in range(8):
+                        sy = min(oy + y, h - 1)
+                        for x in range(8):
+                            sx = min(ox + x, w - 1)
+                            block[y * 8 + x] = gray[sy * w + sx] - 128.0
+                    coef = _fdct_quant(block, quant)
+                    emit_block([coef[ZIGZAG[i]] for i in range(64)], 1)
+            emit_block(zero_block, 2)  # neutral Cb (128 -> all zeros)
+            emit_block(zero_block, 3)  # neutral Cr
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -506,3 +506,27 @@ def test_multimodal_real_jpeg_decode_in_this_container(spark):
     f = extract_features(media).collect()[0]
     # pixel mean of the decoded luma, not byte mean of the jpg payload
     assert abs(f.mean_byte - 120.0) < 3.0
+
+
+def test_jpeg_420_multicomponent_decode():
+    """4:2:0 three-component JPEG (the layout real camera files use):
+    interleaved MCUs of 4 Y blocks + Cb + Cr, per-component DC
+    predictors, luma placed at sampling factors > 1, odd dimensions
+    cropped back. Chroma is neutral so the luma plane must equal the
+    planted grayscale within quantization error."""
+    from bigquery_etl_spark.operators.jpeg_py import (
+        decode_jpeg,
+        encode_jpeg_420,
+    )
+    from bigquery_etl_spark.operators.multimodal import _decode_stdlib
+
+    w, h = 36, 20  # not multiples of 16: exercises MCU-edge cropping
+    gray = bytes(((x * 6 + y * 9) % 210 + 20) for y in range(h) for x in range(w))
+    jpg = encode_jpeg_420(w, h, gray, quality=92)
+    dw, dh, out = decode_jpeg(jpg)
+    assert (dw, dh) == (w, h)
+    errs = [abs(a - b) for a, b in zip(gray, out)]
+    assert max(errs) <= 20 and sum(errs) / len(errs) < 3.0
+    # routed through the pipeline's stdlib decoder too
+    got = _decode_stdlib(jpg)
+    assert got is not None and got[:2] == (w, h)
