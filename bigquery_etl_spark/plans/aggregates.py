@@ -398,3 +398,71 @@ def q_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+@query(
+    "q_kll_sketch",
+    sql="""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS med_ok, TRUE AS p90_ok
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    tags=("agg", "approx", "dialect", "sketch"),
+    twin="invariant",
+)
+def q_kll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery KLL_QUANTILES.* mergeable quantile sketches (r7 C55)
+    lowered onto Spark's DataSketches KLL builtins (bq_dialect):
+    INIT_INT64 → kll_sketch_agg_bigint, MERGE_PARTIAL_INT64 →
+    kll_merge_agg_bigint, EXTRACT_POINT/COUNT → get_quantile/get_n.
+    Same mergeability property as HLL (C46): per-(status, bucket)
+    sketches built once roll up to per-status quantiles without
+    re-touching raw rows — at 100 TB you persist KB-sized sketches per
+    partition/day and answer any later quantile query from them.
+    Invariant twin (sketch compaction is randomized): the sketch's n
+    must equal the EXACT count (KLL never loses count), and the
+    extracted median/p90 must land inside the exact ±2% rank window
+    (k=2048 → normalized rank error ~0.6%, so the window is ~3 sigma);
+    any merge/extract/typing bug lands outside and hash-mismatches."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("kll_orders")
+    cat = LakeCatalog(spark)
+    approx = cat.bq_sql("""
+        SELECT o_orderstatus AS status,
+               KLL_QUANTILES.COUNT_INT64(
+                   KLL_QUANTILES.MERGE_PARTIAL_INT64(sk)) AS n_sk,
+               KLL_QUANTILES.EXTRACT_POINT_INT64(
+                   KLL_QUANTILES.MERGE_PARTIAL_INT64(sk), 0.5) AS med,
+               KLL_QUANTILES.EXTRACT_POINT_INT64(
+                   KLL_QUANTILES.MERGE_PARTIAL_INT64(sk), 0.9) AS p90
+        FROM (SELECT o_orderstatus, o_orderkey % 8 AS b,
+                     KLL_QUANTILES.INIT_INT64(o_orderkey, 2048) AS sk
+              FROM kll_orders GROUP BY o_orderstatus, b)
+        GROUP BY o_orderstatus
+    """)
+    # exact rank windows from the same data (percentile() is exact;
+    # interpolation lies between the two bracketing order statistics,
+    # so the window is conservative for a value-returning sketch)
+    exact = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "percentile(o_orderkey, array(0.48, 0.52, 0.88, 0.92))"
+        ).alias("q"),
+    )
+    j = approx.join(
+        exact, approx.status == exact.o_orderstatus
+    )
+    return j.select(
+        "status",
+        F.col("n_sk").cast("long").alias("n"),
+        (
+            (F.col("n_sk") == F.col("n"))
+            & (F.col("med") >= F.col("q")[0])
+            & (F.col("med") <= F.col("q")[1])
+        ).alias("med_ok"),
+        (
+            (F.col("p90") >= F.col("q")[2]) & (F.col("p90") <= F.col("q")[3])
+        ).alias("p90_ok"),
+    ).orderBy("status")

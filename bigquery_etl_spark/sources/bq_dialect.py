@@ -247,6 +247,60 @@ def _hll_1arg_rewriter(template: str):
     return _rw
 
 
+def _kll_init_rewriter(sp_type: str):
+    """``KLL_QUANTILES.INIT_<T>(x [, k])`` → ``kll_sketch_agg_<t>`` —
+    BigQuery's k IS DataSketches' k (both control the rank-error bound
+    ~1.33/k); Spark accepts [8, 65535]."""
+
+    def _rw(args: list[str]) -> str:
+        if len(args) == 1:
+            return f"KLL_SKETCH_AGG_{sp_type}({args[0].strip()})"
+        if len(args) == 2:
+            k = int(args[1])
+            if not 8 <= k <= 65535:
+                raise BQDialectError(
+                    f"KLL k {k} outside Spark's DataSketches range [8, 65535]"
+                )
+            return f"KLL_SKETCH_AGG_{sp_type}({args[0].strip()}, {k})"
+        raise BQDialectError(
+            f"KLL_QUANTILES.INIT expects (x [, k]), got {args}"
+        )
+
+    return _rw
+
+
+def _kll_2arg_rewriter(template: str):
+    def _rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise BQDialectError(f"expected (sketch, phi), got {args}")
+        return template.format(args[0].strip(), args[1].strip())
+
+    return _rw
+
+
+def _kll_merge_point_rewriter(sp_type: str):
+    """``KLL_QUANTILES.MERGE_POINT_<T>(x, phi [, k])`` — the one-shot
+    form: build the sketch over raw values AND extract one quantile."""
+
+    def _rw(args: list[str]) -> str:
+        if len(args) == 2:
+            inner = f"KLL_SKETCH_AGG_{sp_type}({args[0].strip()})"
+        elif len(args) == 3:
+            inner = (
+                f"KLL_SKETCH_AGG_{sp_type}({args[0].strip()}, "
+                f"{int(args[2])})"
+            )
+        else:
+            raise BQDialectError(
+                f"KLL_QUANTILES.MERGE_POINT expects (x, phi [, k]), got {args}"
+            )
+        return (
+            f"KLL_SKETCH_GET_QUANTILE_{sp_type}({inner}, {args[1].strip()})"
+        )
+
+    return _rw
+
+
 # -- %-style datetime formatting (r6 C52) -------------------------------------
 #
 # BigQuery's FORMAT_/PARSE_ DATE/TIMESTAMP/DATETIME family takes
@@ -410,6 +464,37 @@ def _st_geogfromtext(args: list[str]) -> str:
 _UNNEST_RX = re.compile(
     r"(?i),\s*UNNEST\s*\(",
 )
+
+
+def _rewrite_star_replace(text: str) -> str:
+    """BigQuery ``SELECT [t.]* REPLACE (expr AS col, …)`` → Spark's
+    native ``* EXCEPT (col, …), expr AS col, …``. No schema needed —
+    EXCEPT drops the originals and the replacements re-enter by name.
+    Documented divergence: replaced columns move to the END of the
+    projection (BigQuery keeps them in place); column NAMES and values
+    are identical, which is what name-keyed consumers (and the
+    driver's sorted-column compare) see."""
+    from bigquery_etl_spark.sources.lake_sql import _matching_paren
+
+    rx = re.compile(r"(?i)((?:[\w]+\s*\.\s*)?\*)\s+REPLACE\s*\(")
+    for start, open_idx in reversed(_call_sites(text, rx)):
+        close = _matching_paren(text, open_idx)
+        star = rx.match(text, start).group(1)
+        items = []
+        names = []
+        for arg in _split_args(text[open_idx + 1 : close]):
+            m = re.match(r"(?is)^(.*\S)\s+AS\s+(\w+)\s*$", arg)
+            if not m:
+                raise BQDialectError(
+                    f"* REPLACE items must be 'expr AS name': {arg!r}"
+                )
+            items.append(f"{m.group(1)} AS {m.group(2)}")
+            names.append(m.group(2))
+        repl = (
+            f"{star} EXCEPT ({', '.join(names)}), {', '.join(items)}"
+        )
+        text = text[:start] + repl + text[close + 1 :]
+    return text
 
 
 def _rewrite_unnest(text: str) -> str:
@@ -613,6 +698,45 @@ def translate(sql: str) -> str:
         r"HLL_COUNT\s*\.\s*EXTRACT",
         _hll_1arg_rewriter("HLL_SKETCH_ESTIMATE({0})"),
     )
+    # KLL_QUANTILES.* sketch surface (r7 C55): mergeable quantile
+    # sketches onto Spark's DataSketches KLL builtins (4.1+). Same
+    # 100 TB property as HLL: per-shard/day partial sketches
+    # re-aggregate across any grouping without touching raw data.
+    for bq_t, sp_t in (("INT64", "BIGINT"), ("FLOAT64", "DOUBLE")):
+        sql = _rewrite_calls(
+            sql,
+            rf"KLL_QUANTILES\s*\.\s*INIT_{bq_t}",
+            _kll_init_rewriter(sp_t),
+        )
+        sql = _rewrite_calls(
+            sql,
+            rf"KLL_QUANTILES\s*\.\s*MERGE_PARTIAL_{bq_t}",
+            _hll_1arg_rewriter(f"KLL_MERGE_AGG_{sp_t}({{0}})"),
+        )
+        sql = _rewrite_calls(
+            sql,
+            rf"KLL_QUANTILES\s*\.\s*EXTRACT_POINT_{bq_t}",
+            _kll_2arg_rewriter(
+                f"KLL_SKETCH_GET_QUANTILE_{sp_t}({{0}}, {{1}})"
+            ),
+        )
+        sql = _rewrite_calls(
+            sql,
+            rf"KLL_QUANTILES\s*\.\s*MERGE_POINT_{bq_t}",
+            _kll_merge_point_rewriter(sp_t),
+        )
+        sql = _rewrite_calls(
+            sql,
+            rf"KLL_QUANTILES\s*\.\s*COUNT_{bq_t}",
+            _hll_1arg_rewriter(f"KLL_SKETCH_GET_N_{sp_t}({{0}})"),
+        )
+    if re.search(r"(?i)\bKLL_QUANTILES\s*\.\s*MERGE_PARTIAL\s*\(", sql):
+        raise BQDialectError(
+            "KLL_QUANTILES.MERGE_PARTIAL is untyped in BigQuery; Spark's "
+            "KLL merges are typed — use MERGE_PARTIAL_INT64 or "
+            "MERGE_PARTIAL_FLOAT64 (documented divergence)"
+        )
+    sql = _rewrite_star_replace(sql)
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
     # unparsable input via try_to_timestamp, matching BigQuery's SAFE

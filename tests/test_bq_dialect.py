@@ -386,3 +386,67 @@ def test_pivot_and_unpivot_pass_through(fcat):
         "WHERE id = 2 ORDER BY kind"
     ).collect()
     assert [(r.kind, r.val) for r in un] == [("a", 20.0), ("b", 40.0)]
+
+
+def test_kll_quantiles_surface(spark, tmp_path):
+    """r7 C55: KLL_QUANTILES.* onto Spark's DataSketches KLL builtins.
+    No-compaction regime (k > n) makes extraction EXACT, so the
+    surface is value-checked; the untyped MERGE_PARTIAL refuses with
+    the documented divergence."""
+    import pytest as _p
+
+    from bigquery_etl_spark.sources.bq_dialect import BQDialectError
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    spark.createDataFrame(
+        [(i, float(i) / 2) for i in range(1000)], "id long, v double"
+    ).createOrReplaceTempView("kll_t")
+    cat = LakeCatalog(spark)
+    row = cat.bq_sql("""
+        SELECT KLL_QUANTILES.EXTRACT_POINT_INT64(
+                   KLL_QUANTILES.MERGE_PARTIAL_INT64(sk), 0.5) AS med,
+               KLL_QUANTILES.COUNT_INT64(
+                   KLL_QUANTILES.MERGE_PARTIAL_INT64(sk)) AS n
+        FROM (SELECT id % 4 AS g,
+                     KLL_QUANTILES.INIT_INT64(id, 2048) AS sk
+              FROM kll_t GROUP BY g)
+    """).collect()[0]
+    assert row.n == 1000 and abs(row.med - 500) <= 1
+    p90 = cat.bq_sql(
+        "SELECT KLL_QUANTILES.MERGE_POINT_FLOAT64(v, 0.9, 2048) AS p "
+        "FROM kll_t"
+    ).collect()[0].p
+    assert abs(p90 - 449.5) <= 1.0
+    with _p.raises(BQDialectError, match="MERGE_PARTIAL_INT64"):
+        cat.bq_sql("SELECT KLL_QUANTILES.MERGE_PARTIAL(sk) FROM kll_t")
+    with _p.raises(BQDialectError, match="outside Spark"):
+        cat.bq_sql("SELECT KLL_QUANTILES.INIT_INT64(id, 4) FROM kll_t")
+
+
+def test_star_replace_and_group_by_all(spark):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a")],
+        "id long, v double, s string",
+    ).createOrReplaceTempView("sr_t")
+    cat = LakeCatalog(spark)
+    got = cat.bq_sql(
+        "SELECT * REPLACE (v * 2 AS v, UPPER(s) AS s) FROM sr_t "
+        "ORDER BY id"
+    ).collect()
+    assert sorted(r.asDict() for r in got[:1]) == [
+        {"id": 1, "v": 20.0, "s": "A"}
+    ]
+    assert {r.s for r in got} == {"A", "B"}
+    # qualified star + string literal containing REPLACE stays intact
+    got2 = cat.bq_sql(
+        "SELECT t.* REPLACE (id + 100 AS id), '* REPLACE (x AS y)' AS lit "
+        "FROM sr_t t WHERE id = 1"
+    ).collect()[0]
+    assert got2.id == 101 and got2.lit == "* REPLACE (x AS y)"
+    # GROUP BY ALL is native Spark; it must pass through the dialect
+    rows = cat.bq_sql(
+        "SELECT s, COUNT(*) AS n FROM sr_t GROUP BY ALL ORDER BY s"
+    ).collect()
+    assert [(r.s, r.n) for r in rows] == [("a", 2), ("b", 1)]
