@@ -530,3 +530,71 @@ def test_jpeg_420_multicomponent_decode():
     # routed through the pipeline's stdlib decoder too
     got = _decode_stdlib(jpg)
     assert got is not None and got[:2] == (w, h)
+
+
+def test_wav_codec_roundtrip_pure_stdlib():
+    """r7: RIFF/WAVE PCM decodes for real — 8/16/24/32-bit PCM and
+    float variants, chunk-walked parse, stereo mono-mix; compressed
+    formats refuse (fallback contract)."""
+    import math
+    import struct
+
+    import pytest
+
+    from bigquery_etl_spark.operators.multimodal import decode_wav, encode_wav
+
+    sr = 8000
+    tone = [0.5 * math.sin(2 * math.pi * 440 * t / sr) for t in range(sr)]
+    got_sr, ch, v = decode_wav(encode_wav(sr, tone))
+    assert (got_sr, ch, len(v)) == (sr, 1, sr)
+    rms = math.sqrt(sum(x * x for x in v) / len(v))
+    assert abs(rms - 0.5 / math.sqrt(2)) < 1e-3
+    zcr = sum(1 for i in range(1, len(v)) if (v[i - 1] < 0) != (v[i] < 0)) / (
+        len(v) - 1
+    )
+    assert abs(zcr - 2 * 440 / sr) < 2e-3
+    # extra LIST chunk mid-file must not break the walk
+    wav = bytearray(encode_wav(sr, tone[:100]))
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = bytes(wav[:12]) + extra + bytes(wav[12:])
+    patched = (
+        patched[:4]
+        + struct.pack("<I", len(patched) - 8)
+        + patched[8:]
+    )
+    assert decode_wav(patched)[2] == decode_wav(bytes(wav))[2]
+    # compressed format refuses
+    bad = bytearray(encode_wav(sr, tone[:10]))
+    bad[20:22] = struct.pack("<H", 2)  # ADPCM format tag
+    with pytest.raises(ValueError, match="compressed WAV"):
+        decode_wav(bytes(bad))
+
+
+def test_extract_audio_features_real_and_fallback(spark):
+    import math
+
+    from bigquery_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    sr = 4000
+    tone = [0.25 * math.sin(2 * math.pi * 100 * t / sr) for t in range(sr * 2)]
+    wav = encode_wav(sr, tone)
+    meta = {"format": "wav", "width": None, "height": None,
+            "duration_ms": None, "sample_rate": sr}
+    rows = [
+        (0, "audio", wav, meta),
+        (1, "audio", b"\x00\x01not-audio", dict(meta, format="mp3")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_audio_features(media).collect()}
+    real = got[0]
+    assert real.decoded and real.sample_rate == sr
+    assert abs(real.duration_ms - 2000.0) < 1e-6  # measured, not metadata
+    assert abs(real.rms - 0.25 / math.sqrt(2)) < 1e-3
+    assert abs(real.zcr - 2 * 100 / sr) < 2e-3
+    assert abs(real.peak - 0.25) < 1e-3
+    fake = got[1]
+    assert not fake.decoded and fake.sample_rate == 0  # marked fallback
