@@ -501,3 +501,78 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _fake_wav(i: int) -> bytes:
+    """Deterministic per-id WAV fixture: A·sin(2π·f·t/sr), parameters
+    derived from the id so every row decodes to different, predictable
+    sample-domain stats."""
+    import math
+
+    from bigquery_etl_spark.operators.multimodal import encode_wav
+
+    sr = 4000 + 1000 * (i % 3)
+    f = 50 * (1 + i % 5)
+    amp = 0.2 + 0.1 * (i % 4)
+    n = sr // 2  # half a second
+    return encode_wav(
+        sr, [amp * math.sin(2 * math.pi * f * t / sr) for t in range(n)]
+    )
+
+
+def _audio_features_sql(n: int = 12) -> str:
+    """VALUES twin re-derived WITHOUT Spark (q_media_features rule):
+    decode the identical WAV bytes with the pure-Python codec and
+    recompute the identical feature math — adjudicates the Arrow/
+    mapInPandas plumbing end-to-end."""
+    import math
+
+    from bigquery_etl_spark.operators.multimodal import decode_wav
+    from bigquery_etl_spark.plans.pipeline_e2e import _values_sql
+
+    rows = []
+    for i in range(n):
+        sr, _ch, v = decode_wav(_fake_wav(i))
+        ns = len(v)
+        rms = math.sqrt(sum(x * x for x in v) / ns)
+        zcr = sum(
+            1 for k in range(1, ns) if (v[k - 1] < 0) != (v[k] < 0)
+        ) / (ns - 1)
+        peak = max(abs(x) for x in v)
+        rows.append(
+            (i, sr, ns, 1000.0 * ns / sr, rms, zcr, peak, True)
+        )
+    return _values_sql(
+        rows,
+        [("media_id", "BIGINT"), ("sample_rate", "INTEGER"),
+         ("n_samples", "BIGINT"), ("duration_ms", "DOUBLE"),
+         ("rms", "DOUBLE"), ("zcr", "DOUBLE"), ("peak", "DOUBLE"),
+         ("decoded", "BOOLEAN")],
+    )
+
+
+@query("q_audio_features", sql=_audio_features_sql(), tags=("multimodal", "audio"))
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: REAL audio decode in the pipeline — deterministic WAV tones
+    decode to sample-domain features (measured duration/RMS/ZCR/peak)
+    through Arrow-batched mapInPandas; the twin re-derives the exact
+    values from the same bytes without Spark. At 100 TB the binary
+    column stays in its own parquet row groups and this operator is a
+    map-only stage — no shuffle, per-partition parallel."""
+    from bigquery_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    rows = [
+        (
+            i,
+            "audio",
+            _fake_wav(i),
+            {"format": "wav", "width": None, "height": None,
+             "duration_ms": None, "sample_rate": None},
+        )
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return extract_audio_features(media).orderBy("media_id")

@@ -49,6 +49,8 @@ def _sql_lit(v, typ: str) -> str:
         return f"CAST(NULL AS {typ})"
     if typ == "DOUBLE":
         return f"CAST({v!r} AS {typ})"
+    if typ == "BOOLEAN":
+        return "TRUE" if v else "FALSE"
     if typ in ("BIGINT", "INTEGER"):
         return f"CAST({int(v)} AS {typ})"
     s = str(v).replace("'", "''")
