@@ -232,3 +232,40 @@ def test_export_emits_valid_delta_log(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(
         map(tuple, t.read().collect())
     )
+
+
+def test_crash_artifacts_are_invisible_and_vacuumable(spark, tbl):
+    """Torn writes under the r7 protocol: a stray manifest temp file
+    (crash between write and link) must be invisible to readers; data
+    files from a commit that never linked its manifest are orphans the
+    next VACUUM removes; an interrupted vacuum checkpoint (temp
+    written, os.replace never ran) leaves the chain resolvable."""
+    tbl.create(frame(spark, 0, 10))
+    v2 = tbl.append(frame(spark, 10, 15, "b"))
+    # 1. stray manifest temp: crash between fsync and os.link
+    stray = os.path.join(tbl._manifest_dir, ".tmp-deadbeef")
+    with open(stray, "w") as f:
+        f.write('{"version": 999, "files": []}')
+    assert tbl.latest_version() == v2
+    assert tbl.read().count() == 15
+    # 2. data files written but manifest never linked: invisible, and
+    # vacuum reclaims them (they're referenced by no retained manifest)
+    orphan_dir = os.path.join(tbl.root, "data", "deadc0de")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-zzz.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    assert tbl.read().count() == 15  # explicit file list: orphan unseen
+    deleted = tbl.vacuum(retain_last=10)  # retention keeps ALL versions
+    assert "data/deadc0de/part-zzz.parquet" in deleted
+    assert tbl.read(version=1).count() == 10  # nothing live was touched
+    # 3. interrupted vacuum checkpoint: temp file exists, replace never
+    # ran -> the delta chain still resolves and a retried vacuum works
+    v3 = tbl.append(frame(spark, 15, 18, "c"))
+    tmp = os.path.join(tbl._manifest_dir, ".tmp-interrupted")
+    with open(tmp, "w") as f:
+        json.dump(tbl._load_manifest(v3), f)
+    assert tbl.read(version=v3).count() == 18
+    tbl.vacuum(retain_last=1)
+    assert tbl._load_manifest(v3).get("files") is not None  # materialized
+    assert tbl.read().count() == 18
