@@ -17,7 +17,18 @@ Semantics (the BigQuery scripting subset):
 - ``IF cond THEN … [ELSEIF cond THEN …] [ELSE …] END IF;``
 - ``WHILE cond DO … END WHILE;`` / ``LOOP … END LOOP;`` with
   ``BREAK``/``LEAVE`` and ``CONTINUE``/``ITERATE``.
-- ``EXECUTE IMMEDIATE <string expr> [INTO var];``
+- ``EXECUTE IMMEDIATE <string expr> [INTO var[, var...]] [USING expr
+  [AS name], ...];`` (r7) — ``?`` placeholders bind positionally and
+  ``@name`` by name, values rendered as SQL literals; placeholders
+  inside string literals of the dynamic SQL are data, not parameters
+  (island-aware scan). INTO with multiple variables takes the first
+  row's columns in order.
+- ``CREATE [OR REPLACE] TEMP TABLE name AS select;`` (r7) — a REAL
+  versioned table in a scratch dir, registered in the catalog so later
+  statements (including DML) compose through the full machinery;
+  script-scoped: dropped when the script ends (BigQuery temp tables
+  are session-scoped — a script IS our session unit), with the final
+  result eagerly checkpointed so it survives the cleanup.
 - ``FOR var IN (query) DO … END FOR;`` — the query materializes once
   (one distributed job); the body sees ``var.field`` per row.
 - ``BEGIN … [EXCEPTION WHEN ERROR THEN …] END;`` with
@@ -299,8 +310,22 @@ def _sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # the D suffix keeps the literal DOUBLE: Spark types a bare
+        # `55.0` as DECIMAL(3,1), so a FLOAT64 variable re-entering a
+        # statement would silently change type (BigQuery floats stay
+        # FLOAT64). Non-finite values need the cast spelling.
+        import math
+
+        if math.isfinite(v):
+            return f"{v!r}D"
+        return f"CAST('{'NaN' if math.isnan(v) else ('Infinity' if v > 0 else '-Infinity')}' AS DOUBLE)"
+    if isinstance(v, int):
         return repr(v)
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # exact decimal stays DECIMAL (BigQuery NUMERIC)
     if isinstance(v, datetime.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, datetime.date):
@@ -380,7 +405,30 @@ class ScriptRunner:
 
     def run(self, text: str):
         nodes, _, _ = _parse(_split_statements(text), 0, ())
-        self._exec(nodes)
+        self._temp_tables: list[str] = []
+        try:
+            self._exec(nodes)
+            if self._temp_tables and hasattr(self.last, "localCheckpoint"):
+                # the script's RESULT may lazily read a temp table the
+                # cleanup below deletes — pin the blocks now (eager
+                # checkpoint severs the lineage from the files)
+                self.last = self.last.localCheckpoint(eager=True)
+        finally:
+            # TEMP TABLEs are script-scoped (BigQuery: session-scoped;
+            # a script IS our session unit): deregister + remove
+            import shutil
+
+            for name in self._temp_tables:
+                tbl = self.cat.tables.pop(name, None)
+                if tbl is not None:
+                    shutil.rmtree(tbl.root, ignore_errors=True)
+                # also drop the Spark temp view _register_views created
+                # for statements inside the script — a stale view over
+                # deleted files must not shadow the name
+                try:
+                    self.cat.spark.catalog.dropTempView(name)
+                except Exception:  # noqa: BLE001 — view may not exist
+                    pass
         return self.last
 
     def _exec(self, nodes: list):
@@ -488,22 +536,140 @@ class ScriptRunner:
         if m:
             self._call(m.group(1), m.group(2))
             return
-        m = re.match(r"(?is)^EXECUTE\s+IMMEDIATE\s+(.*?)(?:\s+INTO\s+(\w+))?$", s)
-        if m:
-            sql_text = self._scalar(m.group(1))
+        m0 = re.match(r"(?is)^EXECUTE\s+IMMEDIATE\s+(.*)$", s)
+        if m0:
+            # island-aware clause split: INTO/USING inside the quoted
+            # dynamic-SQL string must not end the expression
+            from bigquery_etl_spark.sources.lake_sql import _top_level_find
+
+            tail = m0.group(1)
+            intos = _top_level_find(tail, r"\bINTO\b")
+            usings = _top_level_find(tail, r"\bUSING\b")
+            cut = min(intos + usings, default=len(tail))
+            into_text = None
+            using_text = None
+            if intos:
+                into_end = usings[0] if usings else len(tail)
+                into_text = tail[intos[0] + 4 : into_end].strip()
+            if usings:
+                using_text = tail[usings[0] + 5 :].strip()
+            sql_text = self._scalar(tail[:cut].strip())
             if not isinstance(sql_text, str):
                 raise ScriptError("EXECUTE IMMEDIATE needs a string expression")
-            result = self.cat.bq_sql(sql_text)
-            if m.group(2):
-                name = m.group(2).lower()
-                if name not in self.env:
+            if using_text:
+                # USING expr [AS name], ... — bind ? positionally and
+                # @name by name, values rendered as SQL literals
+                # (BigQuery's dynamic-SQL parameter contract)
+                from bigquery_etl_spark.sources.lake_sql import (
+                    _skip_island,
+                    _split_top_level,
+                )
+
+                positional: list = []
+                named: dict[str, object] = {}
+                for item in _split_top_level(using_text):
+                    am = re.match(r"(?is)^(.*?)\s+AS\s+(\w+)\s*$", item)
+                    if am:
+                        named[am.group(2).lower()] = self._scalar(am.group(1))
+                    else:
+                        positional.append(self._scalar(item))
+                out, i, n, pi = [], 0, len(sql_text), 0
+                while i < n:
+                    j = _skip_island(sql_text, i)
+                    if j != i:
+                        out.append(sql_text[i:j])
+                        i = j
+                        continue
+                    c = sql_text[i]
+                    if c == "?":
+                        if pi >= len(positional):
+                            raise ScriptError(
+                                "EXECUTE IMMEDIATE: more ? placeholders "
+                                "than USING values"
+                            )
+                        out.append(_sql_literal(positional[pi]))
+                        pi += 1
+                        i += 1
+                        continue
+                    if c == "@":
+                        nm = re.match(r"@(\w+)", sql_text[i:])
+                        if nm and nm.group(1).lower() in named:
+                            out.append(
+                                _sql_literal(named[nm.group(1).lower()])
+                            )
+                            i += nm.end()
+                            continue
+                        raise ScriptError(
+                            f"EXECUTE IMMEDIATE: unbound parameter "
+                            f"@{nm.group(1) if nm else ''!s}"
+                        )
+                    out.append(c)
+                    i += 1
+                if pi < len(positional):
                     raise ScriptError(
-                        f"INTO undeclared variable {m.group(2)!r}"
+                        "EXECUTE IMMEDIATE: fewer ? placeholders than "
+                        "USING values"
                     )
+                sql_text = "".join(out)
+            result = self.cat.bq_sql(sql_text)
+            if into_text:
+                names = [
+                    v.strip().lower()
+                    for v in into_text.split(",")
+                    if v.strip()
+                ]
+                for nm0 in names:
+                    if nm0 not in self.env:
+                        raise ScriptError(f"INTO undeclared variable {nm0!r}")
                 rows = result.collect() if hasattr(result, "collect") else None
-                self.env[name] = rows[0][0] if rows else None
+                row = rows[0] if rows else None
+                if row is not None and len(names) > len(row):
+                    raise ScriptError(
+                        f"INTO lists {len(names)} variables but the result "
+                        f"has {len(row)} column(s)"
+                    )
+                for k, nm0 in enumerate(names):
+                    self.env[nm0] = row[k] if row is not None else None
             else:
                 self.last = result
+            return
+        m = re.match(
+            r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+"
+            r"([\w]+)\s+AS\s+(.*)$",
+            s,
+        )
+        if m:
+            # script-scoped TEMP TABLE: a REAL versioned table in a
+            # scratch dir, registered in the catalog so later
+            # statements (including DML) compose through the full
+            # machinery; dropped when the script ends
+            import shutil
+            import tempfile
+
+            name, select = m.group(2), m.group(3)
+            replacing = name in self.cat.tables
+            if replacing and not m.group(1):
+                raise ScriptError(f"table {name!r} already exists")
+            if replacing and name not in self._temp_tables:
+                raise ScriptError(
+                    f"CREATE OR REPLACE TEMP TABLE {name!r}: a PERMANENT "
+                    "table of that name exists"
+                )
+            # evaluate + WRITE the select BEFORE dropping any old
+            # incarnation: Spark is lazy and a self-referencing
+            # `... AS SELECT ... FROM <name>` must read the old files
+            df = self.cat.bq_sql(_substitute(select, self.env))
+            root = tempfile.mkdtemp(prefix=f"bqs_temp_{name}_")
+            from bigquery_etl_spark.sources.versioned import VersionedTable
+
+            new_tbl = VersionedTable(self.cat.spark, root)
+            new_tbl.create(df)  # materializes now, old table still live
+            old = self.cat.tables.pop(name, None)
+            if old is not None:
+                shutil.rmtree(old.root, ignore_errors=True)
+                self._temp_tables.remove(name)
+            self.cat.register(name, new_tbl)
+            self._temp_tables.append(name)
             return
         self.last = self.cat.bq_sql(_substitute(s, self.env))
 

@@ -261,3 +261,56 @@ def test_procedure_returns_result_set(cat):
         CALL top_rows(3);
     """)
     assert [r.id for r in out.collect()] == [1, 2, 3]
+
+
+def test_execute_immediate_using_positional_and_named(cat):
+    out = _run(cat, """
+        DECLARE cutoff INT64 DEFAULT 4;
+        DECLARE label STRING DEFAULT 'x? -- not a placeholder';
+        EXECUTE IMMEDIATE
+            'SELECT COUNT(*) AS n FROM t WHERE id > ? AND grp <> @g'
+            USING cutoff, 'Z' AS g;
+    """)
+    assert out.collect()[0].n == 6
+    # placeholders inside string literals of the dynamic SQL are data
+    out = _run(cat, """
+        EXECUTE IMMEDIATE 'SELECT ''?@x'' AS s, ? AS v' USING 7;
+    """)
+    row = out.collect()[0]
+    assert row.s == "?@x" and row.v == 7
+    import pytest as _p
+
+    from bigquery_etl_spark.sources.bq_script import ScriptError
+
+    with _p.raises(ScriptError, match="unbound parameter"):
+        _run(cat, "EXECUTE IMMEDIATE 'SELECT @missing' USING 1 AS other;")
+    with _p.raises(ScriptError, match="fewer"):
+        _run(cat, "EXECUTE IMMEDIATE 'SELECT 1' USING 1, 2;")
+
+
+def test_execute_immediate_into_multiple(cat):
+    out = _run(cat, """
+        DECLARE a INT64;
+        DECLARE b FLOAT64;
+        EXECUTE IMMEDIATE
+            'SELECT COUNT(*), SUM(val) FROM t' INTO a, b;
+        SELECT a AS n, b AS s;
+    """)
+    row = out.collect()[0]
+    assert row.n == 10 and abs(row.s - 55.0) < 1e-9
+
+
+def test_create_temp_table_in_script(cat, spark):
+    out = _run(cat, """
+        CREATE TEMP TABLE hot AS SELECT * FROM t WHERE val > 5;
+        DELETE FROM hot WHERE id % 2 = 0;
+        CREATE OR REPLACE TEMP TABLE hot AS SELECT * FROM hot WHERE id > 7;
+        SELECT COUNT(*) AS n FROM hot;
+    """)
+    assert out.collect()[0].n == 1  # ids 6..10 with val>5 -> odd -> 7,9 -> >7 -> 9
+    # temp table is gone after the script
+    assert "hot" not in cat.tables
+    import pytest as _p
+
+    with _p.raises(Exception):
+        cat.sql("SELECT * FROM hot")
