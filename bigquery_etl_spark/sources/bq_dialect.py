@@ -466,6 +466,57 @@ _UNNEST_RX = re.compile(
 )
 
 
+def _rewrite_array_subquery(text: str) -> str:
+    """BigQuery ``ARRAY(SELECT expr FROM …)`` → a scalar subquery over
+    ``collect_list`` (Spark has no ARRAY-subquery form). ``ORDER BY``
+    on the selected expression itself maps to ``sort_array`` (ASC/
+    DESC); any other ORDER BY refuses loudly — collect_list cannot
+    honor it and a silently unordered array is a wrong result.
+    Correlated forms work the way Spark's scalar-subquery aggregates
+    do. (BigQuery errors on NULL elements; here they are kept —
+    filter them in the subquery if the distinction matters.)"""
+    from bigquery_etl_spark.sources.lake_sql import (
+        _matching_paren,
+        _top_level_find,
+    )
+
+    rx = re.compile(r"(?i)\bARRAY\s*\(")
+    for start, open_idx in reversed(_call_sites(text, rx)):
+        close = _matching_paren(text, open_idx)
+        inner = text[open_idx + 1 : close].strip()
+        sm = re.match(r"(?is)^SELECT\s+(.*)$", inner)
+        if not sm:
+            continue  # ARRAY(1, 2) literal-ish form: Spark-native
+        body = sm.group(1)
+        froms = _top_level_find(body, r"\bFROM\b")
+        if not froms:
+            raise BQDialectError(f"ARRAY subquery needs FROM: {inner!r}")
+        expr = body[: froms[0]].strip()
+        rest = body[froms[0] :]
+        obs = _top_level_find(rest, r"\bORDER\s+BY\b")
+        agg = f"COLLECT_LIST({expr})"
+        if obs:
+            ob = rest[obs[0] :]
+            rest = rest[: obs[0]].rstrip()
+            om = re.match(
+                r"(?is)^ORDER\s+BY\s+(.*?)\s*(ASC|DESC)?\s*$", ob
+            )
+            key = om.group(1).strip() if om else ""
+            if key != expr:
+                raise BQDialectError(
+                    "ARRAY(SELECT … ORDER BY …) is only supported when "
+                    "ordering by the selected expression itself "
+                    f"(got ORDER BY {key!r} over {expr!r}) — collect_list "
+                    "cannot honor an arbitrary sort"
+                )
+            asc = "FALSE" if (om.group(2) or "").upper() == "DESC" else "TRUE"
+            agg = f"SORT_ARRAY({agg}, {asc})"
+        text = (
+            text[:start] + f"(SELECT {agg} {rest})" + text[close + 1 :]
+        )
+    return text
+
+
 def _rewrite_star_replace(text: str) -> str:
     """BigQuery ``SELECT [t.]* REPLACE (expr AS col, …)`` → Spark's
     native ``* EXCEPT (col, …), expr AS col, …``. No schema needed —
@@ -737,6 +788,7 @@ def translate(sql: str) -> str:
             "MERGE_PARTIAL_FLOAT64 (documented divergence)"
         )
     sql = _rewrite_star_replace(sql)
+    sql = _rewrite_array_subquery(sql)
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
     # unparsable input via try_to_timestamp, matching BigQuery's SAFE

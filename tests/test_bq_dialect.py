@@ -450,3 +450,33 @@ def test_star_replace_and_group_by_all(spark):
         "SELECT s, COUNT(*) AS n FROM sr_t GROUP BY ALL ORDER BY s"
     ).collect()
     assert [(r.s, r.n) for r in rows] == [("a", 2), ("b", 1)]
+
+
+def test_array_subquery_rewrite(spark):
+    """r7: ARRAY(SELECT …) — uncorrelated and correlated forms, ORDER
+    BY the selected expression (ASC/DESC via sort_array), native
+    ARRAY(1,2) literals untouched, arbitrary ORDER BY refuses."""
+    import pytest as _p
+
+    from bigquery_etl_spark.sources.bq_dialect import BQDialectError
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    spark.createDataFrame(
+        [(1, "a", 3), (2, "a", 1), (3, "b", 2)], "id long, g string, v long"
+    ).createOrReplaceTempView("arr_t")
+    cat = LakeCatalog(spark)
+    assert cat.bq_sql(
+        "SELECT ARRAY(SELECT v FROM arr_t WHERE g = 'a' ORDER BY v) AS a"
+    ).collect()[0].a == [1, 3]
+    assert cat.bq_sql(
+        "SELECT ARRAY(SELECT v FROM arr_t ORDER BY v DESC) AS a"
+    ).collect()[0].a == [3, 2, 1]
+    got = cat.bq_sql(
+        "SELECT g, ARRAY(SELECT id FROM arr_t i WHERE i.g = o.g "
+        "ORDER BY id) AS ids "
+        "FROM (SELECT DISTINCT g FROM arr_t) o ORDER BY g"
+    ).collect()
+    assert [(r.g, r.ids) for r in got] == [("a", [1, 2]), ("b", [3])]
+    assert cat.bq_sql("SELECT ARRAY(1, 2, 3) AS a").collect()[0].a == [1, 2, 3]
+    with _p.raises(BQDialectError, match="ordering by the selected"):
+        cat.bq_sql("SELECT ARRAY(SELECT v FROM arr_t ORDER BY id) AS a")
