@@ -1771,3 +1771,37 @@ def q_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(os.path.join(root, "wh", "ddl_copy"), "renamed_copy").unionAll(
         _agg(os.path.join(root, "wh", "like_filled"), "like_filled")
     ).orderBy("table_name")
+
+
+@query(
+    "q_named_window",
+    sql="""
+    SELECT o_custkey AS cust, o_orderkey AS ok,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS running,
+           LAG(o_orderkey) OVER w AS prev_ok
+    FROM orders WHERE o_custkey % 97 = 11
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY cust, ok
+    """,
+    tags=("sql", "window", "dialect"),
+)
+def q_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (r7 — BigQuery's `WINDOW w AS (...)`,
+    native in Spark): three functions share one window definition, so
+    the plan builds ONE sort/partition pass for all of them — the
+    reuse the clause exists for. Exact twin: DuckDB supports the same
+    clause."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("nw_orders")
+    return spark.sql("""
+        SELECT o_custkey AS cust, o_orderkey AS ok,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+                    AS DOUBLE) AS running,
+               LAG(o_orderkey) OVER w AS prev_ok
+        FROM nw_orders WHERE o_custkey % 97 = 11
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY cust, ok
+    """)

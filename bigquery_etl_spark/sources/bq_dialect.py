@@ -555,18 +555,19 @@ def _rewrite_unnest(text: str) -> str:
     pos). The comma form sits exactly where LATERAL VIEW belongs, so
     in-place substitution preserves clause order; multiple UNNESTs
     chain as multiple LATERAL VIEWs (Spark allows any number)."""
-    from bigquery_etl_spark.sources.lake_sql import _matching_paren
+    from bigquery_etl_spark.sources.lake_sql import (
+        _matching_paren,
+        _skip_island,
+    )
 
     k = 0
     while True:
         sites = []
         i, n = 0, len(text)
         while i < n:
-            if text[i] == "'":
-                j = i + 1
-                while j < n and text[j] != "'":
-                    j += 1
-                i = j + 1
+            j = _skip_island(text, i)
+            if j != i:
+                i = j
                 continue
             m = _UNNEST_RX.match(text, i)
             if m:
