@@ -192,3 +192,89 @@ def test_comment_fuzz_matches_duckdb(spark, sf_dir, seed):
     want = run_duckdb(decorated, sf_dir)  # DuckDB lexes the same islands
     errs = compare(got, want)
     assert not errs, f"{decorated!r}: " + "; ".join(errs)
+
+
+# -- property-based invariants (hypothesis) ------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ATOMS = st.sampled_from(
+        [
+            "SELECT", "WHERE", "FROM", "x", "y1", ",", "(", ")", " ",
+            "\n", "+", "=", "1", "2.5",
+            "'a b'", "'it''s'", "`od d`", '"q w"',
+            "-- c WHERE ,\n", "/* ( ' WHERE */",
+        ]
+    )
+
+    def _balanced(tokens: list[str]) -> str:
+        """Close any unbalanced parens so _matching_paren terminates."""
+        depth = 0
+        out = []
+        for t in tokens:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    continue
+                depth -= 1
+            out.append(t)
+        return "".join(out) + ")" * depth
+
+    @given(st.lists(_ATOMS, min_size=0, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_map_literal_aware_identity_roundtrip(tokens):
+        """fn=identity must reassemble the EXACT input — any byte lost
+        or duplicated at an island boundary corrupts rewritten SQL."""
+        from bigquery_etl_spark.sources.bq_dialect import _map_literal_aware
+
+        text = _balanced(tokens)
+        assert _map_literal_aware(text, lambda s: s) == text
+
+    def _island_spans(text: str) -> list[tuple[int, int]]:
+        """Reference scan: spans _skip_island claims, walked
+        left-to-right (the only way the scanners ever call it)."""
+        from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+        spans, i = [], 0
+        while i < len(text):
+            j = _skip_island(text, i)
+            if j != i:
+                assert j > i  # progress: scanners must never loop
+                spans.append((i, j))
+                i = j
+            else:
+                i += 1
+        return spans
+
+    @given(st.lists(_ATOMS, min_size=0, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_top_level_find_never_inside_islands(tokens):
+        from bigquery_etl_spark.sources.lake_sql import _top_level_find
+
+        text = _balanced(tokens)
+        spans = _island_spans(text)
+        for pos in _top_level_find(text, r"\bWHERE\b"):
+            assert not any(a <= pos < b for a, b in spans), (text, pos, spans)
+
+    @given(st.lists(_ATOMS, min_size=0, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_split_top_level_reassembles(tokens):
+        """Joining the split parts with the separator must reproduce the
+        input up to outer whitespace and empty segments (all the
+        splitter is allowed to normalize)."""
+        from bigquery_etl_spark.sources.lake_sql import _split_top_level
+
+        text = _balanced(tokens)
+        parts = _split_top_level(text)
+        # every part must appear in order in the original text
+        i = 0
+        for p in parts:
+            j = text.find(p, i)
+            assert j >= 0, (text, parts, p)
+            i = j + len(p)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
