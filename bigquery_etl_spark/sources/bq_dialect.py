@@ -68,6 +68,11 @@ _FN_RENAMES = {
     "GENERATE_UUID": "UUID",
     "REGEXP_CONTAINS": "REGEXP_LIKE",
     "FORMAT": "FORMAT_STRING",
+    # TO_JSON_STRING serializes any value as JSON text — Spark's
+    # to_json for struct/array/map inputs (scalars differ: BigQuery
+    # quotes a bare string, Spark's to_json refuses non-containers;
+    # wrap scalars in STRUCT upstream if you hit that)
+    "TO_JSON_STRING": "TO_JSON",
     # JSON scalar accessors (r6): BigQuery's JSON_VALUE /
     # JSON_EXTRACT_SCALAR return the UNQUOTED scalar at a JSONPath —
     # exactly get_json_object's contract. The JSON-subtree pair
@@ -245,6 +250,53 @@ def _hll_1arg_rewriter(template: str):
         return template.format(args[0].strip())
 
     return _rw
+
+
+def _approx_quantiles_rewriter(args: list[str]) -> str:
+    """``APPROX_QUANTILES(x, n)`` → n+1 evenly spaced approximate
+    quantiles (BigQuery returns the array [min, q1/n, …, max]) via
+    percentile_approx over a generated percentage array. n must be a
+    literal (it shapes the result array)."""
+    if len(args) != 2:
+        raise BQDialectError(f"APPROX_QUANTILES expects (x, n), got {args}")
+    try:
+        n = int(args[1])
+    except ValueError:
+        raise BQDialectError(
+            f"APPROX_QUANTILES: n must be a literal integer, got {args[1]!r}"
+        ) from None
+    if n < 1:
+        raise BQDialectError(f"APPROX_QUANTILES: n must be >= 1, got {n}")
+    if n > 1000:
+        raise BQDialectError(
+            f"APPROX_QUANTILES: n={n} expands to an inline percentage "
+            "array — use KLL_QUANTILES sketches for fine-grained grids"
+        )
+    # percentile_approx requires a FOLDABLE percentage array: n is a
+    # literal, so emit the explicit ARRAY(...) of n+1 points
+    pts = ", ".join(f"{i}D / {n}D" for i in range(n + 1))
+    return f"PERCENTILE_APPROX({args[0].strip()}, ARRAY({pts}))"
+
+
+def _split_rewriter(args: list[str]) -> str:
+    """BigQuery ``SPLIT(s [, delim])`` splits on a LITERAL delimiter
+    (default ','); Spark's split() takes a REGEX — ``SPLIT(x, '.')``
+    would silently split on every character. Literal string delimiters
+    are regex-quoted (\\Q…\\E); non-literal delimiters refuse loudly
+    rather than change meaning."""
+    if len(args) == 1:
+        return f"SPLIT({args[0].strip()}, '\\\\Q,\\\\E')"
+    if len(args) == 2:
+        d = args[1].strip()
+        dm = re.match(r"^'((?:[^']|'')*)'$", d)
+        if not dm:
+            raise BQDialectError(
+                "SPLIT: BigQuery delimiters are literal but Spark's are "
+                f"regex — only literal string delimiters are rewritable, "
+                f"got {d!r}"
+            )
+        return f"SPLIT({args[0].strip()}, '\\\\Q{dm.group(1)}\\\\E')"
+    raise BQDialectError(f"SPLIT expects (s [, delim]), got {args}")
 
 
 def _kll_init_rewriter(sp_type: str):
@@ -790,6 +842,8 @@ def translate(sql: str) -> str:
         )
     sql = _rewrite_star_replace(sql)
     sql = _rewrite_array_subquery(sql)
+    sql = _rewrite_calls(sql, "APPROX_QUANTILES", _approx_quantiles_rewriter)
+    sql = _rewrite_calls(sql, "SPLIT", _split_rewriter)
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
     # unparsable input via try_to_timestamp, matching BigQuery's SAFE

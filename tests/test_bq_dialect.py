@@ -480,3 +480,34 @@ def test_array_subquery_rewrite(spark):
     assert cat.bq_sql("SELECT ARRAY(1, 2, 3) AS a").collect()[0].a == [1, 2, 3]
     with _p.raises(BQDialectError, match="ordering by the selected"):
         cat.bq_sql("SELECT ARRAY(SELECT v FROM arr_t ORDER BY id) AS a")
+
+
+def test_approx_quantiles_split_tojson_format(spark):
+    """r7 dialect additions: APPROX_QUANTILES (n+1 evenly spaced
+    points via a foldable percentage array), SPLIT with LITERAL
+    delimiters (BigQuery) regex-quoted for Spark — '.' must split on
+    dots, not every character — TO_JSON_STRING, printf FORMAT."""
+    import pytest as _p
+
+    from bigquery_etl_spark.sources.bq_dialect import BQDialectError
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    spark.range(1, 101).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).createOrReplaceTempView("aqx")
+    cat = LakeCatalog(spark)
+    q = cat.bq_sql("SELECT APPROX_QUANTILES(v, 4) AS q FROM aqx").collect()[0].q
+    assert q == [1.0, 25.0, 50.0, 75.0, 100.0]
+    assert cat.bq_sql("SELECT SPLIT('a.b.c', '.') AS p").collect()[0].p == [
+        "a", "b", "c",
+    ]
+    assert cat.bq_sql("SELECT SPLIT('x,y') AS p").collect()[0].p == ["x", "y"]
+    assert (
+        cat.bq_sql("SELECT TO_JSON_STRING(STRUCT(1 AS a)) AS j").collect()[0].j
+        == '{"a":1}'
+    )
+    assert cat.bq_sql("SELECT FORMAT('%03d/%s', 7, 'x') AS f").collect()[0].f == "007/x"
+    with _p.raises(BQDialectError, match="literal"):
+        cat.bq_sql("SELECT SPLIT('a', id) FROM aqx")
+    with _p.raises(BQDialectError, match="literal integer"):
+        cat.bq_sql("SELECT APPROX_QUANTILES(v, id) FROM aqx")
