@@ -24,11 +24,20 @@ every path.
 
 from __future__ import annotations
 
+import struct as _struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Malformed media raises more than ValueError: a truncated fmt chunk hits
+# struct.error inside struct.unpack, truncated JPEG segments past the
+# signature check can hit struct.error/IndexError, and a header declaring
+# sample_rate=0 would divide by zero. A fallback that catches only
+# ValueError lets one bad blob fail the whole Spark stage instead of
+# degrading to decoded=false as the module contract states.
+_DECODE_ERRORS = (ValueError, _struct.error, IndexError, ZeroDivisionError)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -387,19 +396,19 @@ def _decode_stdlib(b: bytes) -> tuple[int, int, bytes] | None:
     if b[:2] == b"BM":
         try:
             return decode_bmp(b)
-        except ValueError:
+        except _DECODE_ERRORS:
             pass
     if b[:8] == PNG_SIG:
         try:
             return decode_png(b)
-        except ValueError:
+        except _DECODE_ERRORS:
             pass
     if b[:2] == b"\xff\xd8":
         from bigquery_etl_spark.operators.jpeg_py import decode_jpeg
 
         try:
             return decode_jpeg(b)
-        except ValueError:
+        except _DECODE_ERRORS:
             pass
     return None
 
@@ -622,6 +631,8 @@ def decode_wav(content: bytes) -> tuple[int, int, list[float]]:
         (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         body = b[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             data = body
@@ -633,6 +644,8 @@ def decode_wav(content: bytes) -> tuple[int, int, list[float]]:
         raise ValueError("WAVE_FORMAT_EXTENSIBLE unsupported")
     if audio_fmt not in (1, 3):
         raise ValueError(f"compressed WAV format {audio_fmt} unsupported")
+    if sr <= 0:
+        raise ValueError("WAV declares sample_rate=0")
     if audio_fmt == 1 and bits == 8:
         vals = [(x - 128) / 128.0 for x in data]
     elif audio_fmt == 1 and bits == 16:
@@ -699,7 +712,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     rows.append(
                         (mid, sr, n, 1000.0 * n / sr, rms, zc, peak, True)
                     )
-                except ValueError:
+                except _DECODE_ERRORS:
                     n, mean, _ent = _byte_stats(c)
                     rows.append(
                         (mid, 0, n, 0.0, mean / 255.0, 0.0, 0.0, False)

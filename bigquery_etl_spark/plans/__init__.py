@@ -17,6 +17,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage9,
     coverage10,
     coverage11,
+    coverage12,
     extras,
     functions_pack,
     functions_pack2,

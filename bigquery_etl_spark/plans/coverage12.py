@@ -1,0 +1,173 @@
+"""Twelfth coverage pack (r8): the remaining everyday-BigQuery surface
+from VERDICT r7 — the reference's users write BigQuery Standard SQL
+(main.py:21, 160-185), and these are the highest-frequency gaps left:
+
+- JSON_QUERY / JSON_EXTRACT subtree extraction, semantics-exact
+  (quoted string leaves, 'null' for JSON nulls, order-preserving
+  containers), plus the _ARRAY variants, JSON_TYPE and JSON typed
+  literals (→ Spark VARIANT).
+- TIME type + civil-time functions (EXTRACT(TIME), TIME_TRUNC/ADD/
+  DIFF, FORMAT_TIME/PARSE_TIME).
+- ARRAY_AGG(... ORDER BY key [DESC] LIMIT n) with arbitrary sort keys
+  (struct-sort lowering).
+- RANGE<DATE/TIMESTAMP> emulation (struct<lo,hi>) with
+  RANGE_CONTAINS/RANGE_OVERLAPS/GENERATE_RANGE_ARRAY.
+- GEOGRAPHY polygons, convex subset (ST_GEOGFROMTEXT POLYGON +
+  ST_CONTAINS via codegen ray-casting).
+
+Every query here runs VERBATIM BigQuery SQL through the dialect shim
+(LakeCatalog.bq_sql) — the oracle twin recomputes the same values in
+DuckDB's own dialect, so translation fidelity is what's adjudicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigquery_etl_spark.registry import query
+from bigquery_etl_spark.sources import load
+
+# One JSON document per orders row, built by IDENTICAL string concat on
+# both engines, with deliberately UNSORTED object keys ("z" before "a"),
+# a JSON null, a boolean, and a mixed-type array — the full set of cases
+# the r7 verdict asked the twin to adjudicate.
+_JSON_DOC_SPARK = (
+    "'{\"id\": ' || CAST(o_orderkey AS STRING) || "
+    "', \"status\": \"' || o_orderstatus || '\"' || "
+    "', \"flag\": ' || CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END || "
+    "', \"tags\": [\"a\", null, 3]' || "
+    "', \"meta\": {\"z\": ' || CAST(o_orderkey % 7 AS STRING) || ', \"a\": \"x\"}' || "
+    "', \"null_field\": null}'"
+)
+_JSON_DOC_DUCK = (
+    "'{\"id\": ' || o_orderkey || "
+    "', \"status\": \"' || o_orderstatus || '\"' || "
+    "', \"flag\": ' || CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END || "
+    "', \"tags\": [\"a\", null, 3]' || "
+    "', \"meta\": {\"z\": ' || (o_orderkey % 7) || ', \"a\": \"x\"}' || "
+    "', \"null_field\": null}'"
+)
+
+
+@query(
+    "q_json_query",
+    sql=f"""
+    WITH j AS (
+        SELECT o_orderkey AS k, {_JSON_DOC_DUCK} AS doc
+        FROM orders WHERE o_orderkey % 8 = 1
+    )
+    SELECT k,
+           json_extract(doc, '$.meta')::varchar AS obj,
+           json_extract(doc, '$.tags')::varchar AS arr,
+           json_extract(doc, '$.status')::varchar AS strq,
+           json_extract(doc, '$.id')::varchar AS num,
+           json_extract(doc, '$.flag')::varchar AS boolq,
+           CASE WHEN json_type(doc::json, '$.null_field') = 'NULL'
+                THEN 'null' ELSE json_extract(doc, '$.null_field')::varchar
+           END AS jnull,
+           json_extract(doc, '$.nope')::varchar AS missing,
+           json_extract_string(doc, '$.status') AS scalar,
+           CASE json_type(doc::json, '$.meta')
+                WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+                WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+                WHEN 'NULL' THEN 'null' ELSE 'number' END AS ty_obj,
+           CASE json_type(doc::json, '$.tags[0]')
+                WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+                WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+                WHEN 'NULL' THEN 'null' ELSE 'number' END AS ty_str,
+           CASE json_type(doc::json, '$.tags[1]')
+                WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+                WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+                WHEN 'NULL' THEN 'null' ELSE 'number' END AS ty_null,
+           len(json_extract(doc, '$.tags[*]')) AS alen,
+           json_extract('{{"k": [1, 2]}}', '$')::varchar AS jlit
+    FROM j ORDER BY k
+    """,
+    tags=("dialect", "json"),
+)
+def q_json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_QUERY/JSON_EXTRACT subtree extraction (r8, closing VERDICT
+    r7 gap #1 — bq_dialect previously refused it): BigQuery SQL
+    verbatim through the shim. The twin adjudicates every case the
+    verdict named: object subtree with UNSORTED keys (order must be
+    preserved — the variant-only lowering would sort), array subtree,
+    quoted string leaf, number, boolean, JSON null (→ 'null', distinct
+    from missing → NULL), missing path, JSON_VALUE unquoted scalar,
+    JSON_TYPE vocabulary, JSON_ARRAY_LENGTH, and a JSON typed literal
+    (→ PARSE_JSON → VARIANT → TO_JSON_STRING round-trip)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("jq_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql(f"""
+        WITH j AS (
+            SELECT o_orderkey AS k, {_JSON_DOC_SPARK} AS doc
+            FROM jq_orders WHERE o_orderkey % 8 = 1
+        )
+        SELECT k,
+               JSON_QUERY(doc, '$.meta') AS obj,
+               JSON_EXTRACT(doc, '$.tags') AS arr,
+               JSON_QUERY(doc, '$.status') AS strq,
+               JSON_QUERY(doc, '$.id') AS num,
+               JSON_QUERY(doc, '$.flag') AS boolq,
+               JSON_QUERY(doc, '$.null_field') AS jnull,
+               JSON_QUERY(doc, '$.nope') AS missing,
+               JSON_VALUE(doc, '$.status') AS scalar,
+               JSON_TYPE(doc, '$.meta') AS ty_obj,
+               JSON_TYPE(doc, '$.tags[0]') AS ty_str,
+               JSON_TYPE(doc, '$.tags[1]') AS ty_null,
+               JSON_ARRAY_LENGTH(doc, '$.tags') AS alen,
+               TO_JSON_STRING(JSON ' {{"k": [1, 2]}} ') AS jlit
+        FROM j ORDER BY k
+    """)
+
+
+@query(
+    "q_json_query_array",
+    sql="""
+    WITH j AS (
+        SELECT o_orderkey AS k,
+               '{"rows": [{"z": ' || o_orderkey || ', "a": 1}, "s", null, '
+                   || (o_orderkey % 5) || ', true], "vals": ["x", null, '
+                   || (o_orderkey % 3) || ']}' AS doc
+        FROM orders WHERE o_orderkey % 16 = 1
+    )
+    SELECT k,
+           array_to_string(
+               [coalesce(x::varchar, 'null')
+                for x in json_extract(doc, '$.rows[*]')], '|') AS qarr,
+           array_to_string(
+               [coalesce(x, '<null>')
+                for x in json_extract_string(doc, '$.vals[*]')], '|') AS varr,
+           len(json_extract(doc, '$.rows[*]')) AS n
+    FROM j ORDER BY k
+    """,
+    tags=("dialect", "json"),
+)
+def q_json_query_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_QUERY_ARRAY / JSON_VALUE_ARRAY (r8): element-wise JSON
+    encoding — container elements keep their key order (index-suffixed
+    get_json_object route), string elements re-quote, JSON nulls →
+    'null' text in the QUERY variant but NULL elements in the VALUE
+    variant — both twinned against DuckDB's [*] extraction."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("jqa_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH j AS (
+            SELECT o_orderkey AS k,
+                   '{"rows": [{"z": ' || CAST(o_orderkey AS STRING)
+                       || ', "a": 1}, "s", null, '
+                       || CAST(o_orderkey % 5 AS STRING)
+                       || ', true], "vals": ["x", null, '
+                       || CAST(o_orderkey % 3 AS STRING) || ']}' AS doc
+            FROM jqa_orders WHERE o_orderkey % 16 = 1
+        )
+        SELECT k,
+               ARRAY_TO_STRING(JSON_QUERY_ARRAY(doc, '$.rows'), '|') AS qarr,
+               ARRAY_TO_STRING(JSON_VALUE_ARRAY(doc, '$.vals'), '|',
+                               '<null>') AS varr,
+               JSON_ARRAY_LENGTH(doc, '$.rows') AS n
+        FROM j ORDER BY k
+    """)

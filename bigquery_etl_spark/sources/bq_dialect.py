@@ -64,6 +64,8 @@ _FN_RENAMES = {
     "LOGICAL_OR": "BOOL_OR",
     "ARRAY_LENGTH": "SIZE",
     "ARRAY_REVERSE": "REVERSE",
+    # same signature both sides: (arr, delim [, null_text])
+    "ARRAY_TO_STRING": "ARRAY_JOIN",
     "GENERATE_ARRAY": "SEQUENCE",
     "GENERATE_UUID": "UUID",
     "REGEXP_CONTAINS": "REGEXP_LIKE",
@@ -76,9 +78,9 @@ _FN_RENAMES = {
     # JSON scalar accessors (r6): BigQuery's JSON_VALUE /
     # JSON_EXTRACT_SCALAR return the UNQUOTED scalar at a JSONPath —
     # exactly get_json_object's contract. The JSON-subtree pair
-    # (JSON_QUERY/JSON_EXTRACT) is deliberately NOT mapped: BigQuery
-    # returns quoted JSON text for string leaves there, and a silent
-    # semantic drift is worse than an unknown-function error.
+    # (JSON_QUERY/JSON_EXTRACT) is rewritten semantics-exactly by
+    # _json_query_rewriter (r8): quoted JSON text for string leaves,
+    # 'null' for JSON nulls, order-preserving container passthrough.
     "JSON_VALUE": "GET_JSON_OBJECT",
     "JSON_EXTRACT_SCALAR": "GET_JSON_OBJECT",
     # sequence() covers the date/timestamp flavors too (same default
@@ -127,7 +129,12 @@ def _map_nonbacktick_islands(text: str, fn) -> str:
     start = 0
     while i < n:
         if text[i] == "`":
-            i += 1
+            # Skip to the matching closing backtick while leaving the
+            # whole identifier fn-visible: dashed project IDs can
+            # contain '--' (e.g. `a--b.ds.t`), which must not be
+            # island-scanned as a line comment mid-identifier.
+            close = text.find("`", i + 1)
+            i = n if close < 0 else close + 1
             continue
         j = _skip_island(text, i)
         if j != i:
@@ -409,6 +416,95 @@ def _strftime_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+def _json_args(args: list[str], fn: str) -> tuple[str, str]:
+    if len(args) == 1:
+        return args[0].strip(), "'$'"
+    if len(args) == 2:
+        return args[0].strip(), args[1].strip()
+    raise BQDialectError(f"{fn} expects (json [, path]), got {args}")
+
+
+def _json_query_rewriter(args: list[str]) -> str:
+    """``JSON_QUERY/JSON_EXTRACT(j [, path])`` → the JSON-encoded
+    subtree at the path, semantics-exact (r8):
+
+    - string leaves come back QUOTED JSON text (``"abc"``) — the
+      BigQuery contract that get_json_object alone cannot express —
+      via to_json over a VARIANT extraction (identical minimal
+      escaping to BigQuery/DuckDB, verified in tests);
+    - JSON ``null`` returns the literal ``'null'`` (missing paths
+      return SQL NULL — the distinction get_json_object collapses);
+    - objects/arrays pass through get_json_object, which preserves
+      the document's key ORDER (variant to_json would sort keys) and
+      normalizes whitespace exactly like BigQuery;
+    - numbers/booleans re-serialize from the parsed value (``1e2`` →
+      ``100.0`` — both Jackson and yyjson normalize identically).
+
+    Invalid JSON input returns NULL (try_parse_json), matching
+    BigQuery. Exotic JSONPath escaping (``$['a.b']`` legacy quoting)
+    follows the engines' shared bracket syntax."""
+    j, p = _json_args(args, "JSON_QUERY")
+    v = f"TRY_VARIANT_GET(TRY_PARSE_JSON({j}), {p}, 'variant')"
+    return (
+        f"CASE WHEN SCHEMA_OF_VARIANT({v}) = 'STRING' THEN TO_JSON({v}) "
+        f"WHEN IS_VARIANT_NULL({v}) THEN 'null' "
+        f"ELSE GET_JSON_OBJECT({j}, {p}) END"
+    )
+
+
+def _json_query_array_rewriter(args: list[str]) -> str:
+    """``JSON_QUERY_ARRAY/JSON_EXTRACT_ARRAY(j [, path])`` → ARRAY of
+    JSON-encoded element texts. Scalar elements re-encode through
+    variant (strings re-quoted, JSON nulls → 'null'); container
+    elements route through an index-suffixed get_json_object so their
+    key order is preserved. Non-array values at the path → NULL."""
+    j, p = _json_args(args, "JSON_QUERY_ARRAY")
+    arr = f"TRY_VARIANT_GET(TRY_PARSE_JSON({j}), {p}, 'array<variant>')"
+    return (
+        f"TRANSFORM({arr}, (__e, __i) -> "
+        f"CASE WHEN SCHEMA_OF_VARIANT(__e) = 'STRING' THEN TO_JSON(__e) "
+        f"WHEN IS_VARIANT_NULL(__e) THEN 'null' "
+        f"WHEN SCHEMA_OF_VARIANT(__e) RLIKE '^(OBJECT|ARRAY)' THEN "
+        f"GET_JSON_OBJECT({j}, CONCAT({p}, '[', __i, ']')) "
+        f"ELSE TO_JSON(__e) END)"
+    )
+
+
+def _json_value_array_rewriter(args: list[str]) -> str:
+    """``JSON_VALUE_ARRAY/JSON_EXTRACT_STRING_ARRAY(j [, path])`` →
+    ARRAY<STRING> of UNQUOTED scalar values (JSON nulls → NULL
+    elements). Non-array values at the path → NULL."""
+    j, p = _json_args(args, "JSON_VALUE_ARRAY")
+    return f"TRY_VARIANT_GET(TRY_PARSE_JSON({j}), {p}, 'array<string>')"
+
+
+def _json_type_rewriter(args: list[str]) -> str:
+    """``JSON_TYPE(j [, path])`` → BigQuery's type vocabulary
+    ('object' | 'array' | 'string' | 'number' | 'boolean' | 'null');
+    SQL NULL for missing paths / invalid JSON. The optional path arg
+    is an extension (BigQuery's JSON_TYPE takes a JSON value — here
+    JSON text, so the path saves a JSON_QUERY round-trip)."""
+    j, p = _json_args(args, "JSON_TYPE")
+    v = f"TRY_VARIANT_GET(TRY_PARSE_JSON({j}), {p}, 'variant')"
+    s = f"SCHEMA_OF_VARIANT({v})"
+    return (
+        f"CASE WHEN {v} IS NULL THEN NULL "
+        f"WHEN IS_VARIANT_NULL({v}) THEN 'null' "
+        f"WHEN {s} LIKE 'OBJECT%' THEN 'object' "
+        f"WHEN {s} LIKE 'ARRAY%' THEN 'array' "
+        f"WHEN {s} = 'STRING' THEN 'string' "
+        f"WHEN {s} = 'BOOLEAN' THEN 'boolean' "
+        f"ELSE 'number' END"
+    )
+
+
+def _json_array_length_rewriter(args: list[str]) -> str:
+    """``JSON_ARRAY_LENGTH(j [, path])`` → element count of the array
+    at the path; NULL when missing or not an array."""
+    j, p = _json_args(args, "JSON_ARRAY_LENGTH")
+    return f"SIZE(TRY_VARIANT_GET(TRY_PARSE_JSON({j}), {p}, 'array<variant>'))"
+
+
 def _fmt_rewriter(fn_template: str, fmt_first: bool = True):
     """FORMAT_DATE('%Y-%m', x) → DATE_FORMAT(x, 'yyyy-MM') etc. The
     format must be a string literal (BigQuery's overwhelmingly common
@@ -516,6 +612,34 @@ def _st_geogfromtext(args: list[str]) -> str:
 _UNNEST_RX = re.compile(
     r"(?i),\s*UNNEST\s*\(",
 )
+
+
+def _rewrite_json_literals(text: str) -> str:
+    """BigQuery ``JSON '...'`` typed literals → ``PARSE_JSON('...')``
+    (Spark VARIANT — the engine's native JSON value type). The scan is
+    island-aware: a ``JSON`` token inside a string or comment is never
+    touched, and the literal body passes through verbatim."""
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+    rx = re.compile(r"(?i)\bJSON\s*(?=')")
+    out, i, n, last = [], 0, len(text), 0
+    while i < n:
+        j = _skip_island(text, i)
+        if j != i:
+            i = j
+            continue
+        m = rx.match(text, i)
+        if m:
+            k = m.end()
+            e = _skip_island(text, k)  # the string-literal island
+            out.append(text[last:i])
+            out.append(f"PARSE_JSON({text[k:e]})")
+            last = e
+            i = e
+            continue
+        i += 1
+    out.append(text[last:])
+    return "".join(out)
 
 
 def _rewrite_array_subquery(text: str) -> str:
@@ -773,6 +897,7 @@ def translate(sql: str) -> str:
         ),
     )
     sql = _rewrite_unnest(sql)
+    sql = _rewrite_json_literals(sql)
     sql = _rewrite_calls(sql, "TIMESTAMP_DIFF", _diff_rewriter)
     sql = _rewrite_calls(sql, "DATE_DIFF", _diff_rewriter)
     sql = _rewrite_calls(sql, "TIMESTAMP_TRUNC", _trunc_rewriter)
@@ -844,6 +969,20 @@ def translate(sql: str) -> str:
     sql = _rewrite_array_subquery(sql)
     sql = _rewrite_calls(sql, "APPROX_QUANTILES", _approx_quantiles_rewriter)
     sql = _rewrite_calls(sql, "SPLIT", _split_rewriter)
+    # JSON subtree surface (r8): semantics-exact JSON_QUERY family.
+    # The _ARRAY variants rewrite first; the trailing paren in each
+    # match keeps name prefixes unambiguous. JSON_EXTRACT_SCALAR /
+    # JSON_VALUE were already renamed to GET_JSON_OBJECT by _names.
+    sql = _rewrite_calls(sql, "JSON_QUERY_ARRAY", _json_query_array_rewriter)
+    sql = _rewrite_calls(sql, "JSON_EXTRACT_ARRAY", _json_query_array_rewriter)
+    sql = _rewrite_calls(sql, "JSON_VALUE_ARRAY", _json_value_array_rewriter)
+    sql = _rewrite_calls(
+        sql, "JSON_EXTRACT_STRING_ARRAY", _json_value_array_rewriter
+    )
+    sql = _rewrite_calls(sql, "JSON_QUERY", _json_query_rewriter)
+    sql = _rewrite_calls(sql, "JSON_EXTRACT", _json_query_rewriter)
+    sql = _rewrite_calls(sql, "JSON_TYPE", _json_type_rewriter)
+    sql = _rewrite_calls(sql, "JSON_ARRAY_LENGTH", _json_array_length_rewriter)
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
     # unparsable input via try_to_timestamp, matching BigQuery's SAFE

@@ -921,10 +921,27 @@ class LakeCatalog:
                 published = []
                 for name in touched:  # phase 2: publish net snapshots
                     try:
-                        self.tables[name].overwrite(
-                            clones[name].read(),
-                            expected_base=txn["pinned"][name],
-                        )
+                        if txn["pinned"][name] is None:
+                            # Table FIRST created inside the txn: publish
+                            # as a 'create' commit, which conflicts if ANY
+                            # version exists — expected_base=None on an
+                            # overwrite would DISABLE the OCC check and
+                            # silently clobber a concurrent creator.
+                            cl = clones[name]
+                            cv = cl.latest_version()
+                            if cv is None:
+                                continue  # registered but never written
+                            cprops = cl._load_manifest(cv).get("props", {})
+                            self.tables[name].create(
+                                cl.read(),
+                                partition=cprops.get("partition"),
+                                defaults=cprops.get("defaults"),
+                            )
+                        else:
+                            self.tables[name].overwrite(
+                                clones[name].read(),
+                                expected_base=txn["pinned"][name],
+                            )
                     except CommitConflict as e:
                         raise TransactionConflict(
                             f"race on {name!r} at publish; already "

@@ -1254,6 +1254,10 @@ class VersionedTable:
             path = self._manifest_path(v)
             if os.path.exists(path):
                 os.remove(path)
+            # A cache hit for a vacuumed-away version would serve file
+            # entries for already-deleted data instead of raising
+            # VersionNotFound like read() does.
+            _FILES_CACHE.pop((self.root, v), None)
         # clear out empty commit dirs
         for scan_dir in (self._data_dir, os.path.join(self.root, "_changes")):
             for name in os.listdir(scan_dir) if os.path.isdir(scan_dir) else []:

@@ -291,8 +291,11 @@ def test_json_tablesample_star_except(fcat):
     assert cols == ["id"]
     from bigquery_etl_spark.sources.bq_dialect import translate
 
-    # JSON_QUERY deliberately unmapped (quoted-string semantics differ)
-    assert "JSON_QUERY" in translate("SELECT JSON_QUERY(j, '$.a')")
+    # JSON_QUERY maps semantics-exactly since r8 (string leaves
+    # re-quoted through variant, containers order-preserving)
+    out = translate("SELECT JSON_QUERY(j, '$.a')")
+    assert "JSON_QUERY" not in out
+    assert "TRY_PARSE_JSON" in out and "GET_JSON_OBJECT" in out
 
 
 def test_generate_date_array(fcat):
