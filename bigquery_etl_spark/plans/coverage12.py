@@ -171,3 +171,80 @@ def q_json_query_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                JSON_ARRAY_LENGTH(doc, '$.rows') AS n
         FROM j ORDER BY k
     """)
+
+
+@query(
+    "q_time_type",
+    sql="""
+    WITH t AS (
+        SELECT o_orderkey AS k,
+               make_time((o_orderkey % 24)::int, (o_orderkey % 60)::int,
+                         ((o_orderkey * 7) % 60)::double) AS tm,
+               to_timestamp(1709600000 + o_orderkey) AS ts
+        FROM orders WHERE o_orderkey % 8 = 1
+    )
+    SELECT k,
+           tm::varchar AS tm,
+           (ts::timestamp::TIME)::varchar AS t_ts,
+           (ts::timestamp::TIME)::varchar AS t_ex,
+           make_time(hour(tm), minute(tm), 0)::varchar AS t_min,
+           make_time(hour(tm), 0, 0)::varchar AS t_hr,
+           (tm + INTERVAL 45 MINUTE)::varchar AS t_add,
+           (tm - INTERVAL 90 SECOND)::varchar AS t_sub,
+           datediff('minute', TIME '12:00:00', tm) AS d_min,
+           datediff('second', tm, TIME '23:59:59.25') AS d_sec,
+           strftime(('1970-01-01 ' || tm::varchar)::timestamp,
+                    '%H|%M|%S') AS fmt,
+           strptime(
+               lpad((k % 24)::varchar, 2, '0') || '-'
+                   || lpad((k % 60)::varchar, 2, '0') || '-'
+                   || lpad(((k * 7) % 60)::varchar, 2, '0'),
+               '%H-%M-%S')::TIME::varchar AS parsed,
+           (TIME '07:08:09.25')::varchar AS lit
+    FROM t ORDER BY k
+    """,
+    tags=("dialect", "time"),
+)
+def q_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Civil TIME type + functions (r8, closing VERDICT r7 gap #3):
+    BigQuery SQL verbatim through the shim. Spark 4.1's native TIME is
+    only part-wired (CAST/EXTRACT/arithmetic raise
+    UNSUPPORTED_TIME_TYPE), so the dialect lowers TIME onto canonical
+    'HH:MM:SS[.ffffff]' strings — byte-identical to DuckDB's
+    TIME::VARCHAR rendering, chronological under ORDER BY. Covered:
+    TIME literals, TIME(h,m,s) and TIME(timestamp) constructors,
+    EXTRACT(TIME FROM ts), TIME_TRUNC, TIME_ADD/TIME_SUB (mod-24h wrap,
+    adjudicated by the +45min/-90s columns crossing midnight),
+    TIME_DIFF boundary-crossing counts, FORMAT_TIME/PARSE_TIME %-codes
+    — all twinned against DuckDB's native TIME."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("tt_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH t AS (
+            SELECT o_orderkey AS k,
+                   TIME(MOD(o_orderkey, 24), MOD(o_orderkey, 60),
+                        MOD(o_orderkey * 7, 60)) AS tm,
+                   TIMESTAMP_SECONDS(1709600000 + o_orderkey) AS ts
+            FROM tt_orders WHERE o_orderkey % 8 = 1
+        )
+        SELECT k,
+               tm,
+               TIME(ts) AS t_ts,
+               EXTRACT(TIME FROM ts) AS t_ex,
+               TIME_TRUNC(tm, MINUTE) AS t_min,
+               TIME_TRUNC(tm, HOUR) AS t_hr,
+               TIME_ADD(tm, INTERVAL 45 MINUTE) AS t_add,
+               TIME_SUB(tm, INTERVAL 90 SECOND) AS t_sub,
+               TIME_DIFF(tm, TIME '12:00:00', MINUTE) AS d_min,
+               TIME_DIFF(TIME '23:59:59.25', tm, SECOND) AS d_sec,
+               FORMAT_TIME('%H|%M|%S', tm) AS fmt,
+               PARSE_TIME('%H-%M-%S',
+                   CONCAT(LPAD(CAST(MOD(k, 24) AS STRING), 2, '0'), '-',
+                          LPAD(CAST(MOD(k, 60) AS STRING), 2, '0'), '-',
+                          LPAD(CAST(MOD(k * 7, 60) AS STRING), 2, '0')))
+                   AS parsed,
+               TIME '07:08:09.250' AS lit
+        FROM t ORDER BY k
+    """)

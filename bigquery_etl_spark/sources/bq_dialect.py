@@ -505,6 +505,185 @@ def _json_array_length_rewriter(args: list[str]) -> str:
     return f"SIZE(TRY_VARIANT_GET(TRY_PARSE_JSON({j}), {p}, 'array<variant>'))"
 
 
+# -- civil TIME emulation (r8, VERDICT r7 gap #3) -----------------------------
+#
+# BigQuery's TIME is a civil time-of-day with microsecond precision.
+# Spark 4.1's native TIME type is only part-wired (literals parse under
+# spark.sql.types.timeType.enabled, but CAST / EXTRACT / arithmetic all
+# raise UNSUPPORTED_TIME_TYPE), so the dialect represents TIME values as
+# CANONICAL STRINGS ``HH:MM:SS[.ffffff]`` — zero-padded, fractional part
+# trimmed of trailing zeros, byte-identical to DuckDB's TIME::VARCHAR
+# rendering, so oracle twins compare exactly and ORDER BY sorts
+# chronologically. Arithmetic anchors the value at the epoch day (the
+# session timezone is UTC — the repo-wide oracle contract) and wraps
+# mod 24 h exactly like BigQuery's TIME_ADD/TIME_SUB.
+
+_DAY_US = 86_400_000_000
+_TIME_PART_US = {
+    "HOUR": 3_600_000_000,
+    "MINUTE": 60_000_000,
+    "SECOND": 1_000_000,
+    "MILLISECOND": 1_000,
+    "MICROSECOND": 1,
+}
+
+
+def _canon_time_text(s: str) -> str:
+    """Validate + canonicalize a TIME literal's text at translate time."""
+    m = re.match(r"^\s*(\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.(\d{1,6}))?\s*$", s)
+    if not m:
+        raise BQDialectError(f"invalid TIME literal {s!r}")
+    h, mi, se = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if not (h <= 23 and mi <= 59 and se <= 59):
+        raise BQDialectError(f"TIME literal out of range: {s!r}")
+    frac = (m.group(4) or "").rstrip("0")
+    return f"{h:02d}:{mi:02d}:{se:02d}" + (f".{frac}" if frac else "")
+
+
+def _canon_trim(expr: str) -> str:
+    """Trim trailing fraction zeros, then a bare trailing dot."""
+    return (
+        f"REGEXP_REPLACE(REGEXP_REPLACE({expr}, "
+        "'(\\\\.\\\\d*?)0+$', '$1'), '\\\\.$', '')"
+    )
+
+
+def _time_anchor(t: str) -> str:
+    """The TIME string anchored at the epoch day, as a TIMESTAMP."""
+    return f"CAST(CONCAT('1970-01-01 ', {t.strip()}) AS TIMESTAMP)"
+
+
+def _time_us(t: str) -> str:
+    """Microseconds since midnight of a canonical TIME string."""
+    return f"UNIX_MICROS({_time_anchor(t)})"
+
+
+def _time_from_us(us: str) -> str:
+    """Canonical TIME string from microseconds since midnight."""
+    return _canon_trim(
+        f"DATE_FORMAT(TIMESTAMP_MICROS({us}), 'HH:mm:ss.SSSSSS')"
+    )
+
+
+def _time_part_us(part: str) -> int:
+    p = part.strip().upper()
+    if p not in _TIME_PART_US:
+        raise BQDialectError(
+            f"TIME part must be one of {sorted(_TIME_PART_US)}, got {part!r}"
+        )
+    return _TIME_PART_US[p]
+
+
+def _time_ctor_rewriter(args: list[str]) -> str:
+    """``TIME(h, m, s)`` / ``TIME(timestamp)`` → canonical string."""
+    if len(args) == 1:
+        return _canon_trim(
+            f"DATE_FORMAT({args[0].strip()}, 'HH:mm:ss.SSSSSS')"
+        )
+    if len(args) == 3:
+        h, m, s = (a.strip() for a in args)
+        return _canon_trim(
+            f"DATE_FORMAT(MAKE_TIMESTAMP(1970, 1, 1, {h}, {m}, "
+            f"CAST({s} AS DECIMAL(16,6))), 'HH:mm:ss.SSSSSS')"
+        )
+    raise BQDialectError(f"TIME expects (h, m, s) or (timestamp), got {args}")
+
+
+def _time_trunc_rewriter(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"TIME_TRUNC expects (t, part), got {args}")
+    pus = _time_part_us(args[1])
+    return _time_from_us(f"(({_time_us(args[0])}) DIV {pus}) * {pus}")
+
+
+def _time_interval_rewriter(sign: str):
+    def _rw(args: list[str]) -> str:
+        if len(args) != 2 or not re.match(r"(?i)^\s*INTERVAL\b", args[1]):
+            raise BQDialectError(f"expected (t, INTERVAL n part), got {args}")
+        shifted = f"UNIX_MICROS({_time_anchor(args[0])} {sign} {args[1].strip()})"
+        return _time_from_us(f"PMOD({shifted}, {_DAY_US})")
+
+    return _rw
+
+
+def _time_diff_rewriter(args: list[str]) -> str:
+    """Boundary-crossing count, like DATE_DIFF (and DuckDB datediff)."""
+    if len(args) != 3:
+        raise BQDialectError(f"TIME_DIFF expects (t1, t2, part), got {args}")
+    pus = _time_part_us(args[2])
+    return (
+        f"(({_time_us(args[0])}) DIV {pus} - ({_time_us(args[1])}) DIV {pus})"
+    )
+
+
+def _cast_time_rewriter(keyword: str, safe: bool):
+    """``CAST/TRY_CAST(x AS TIME)`` → validated canonical string (other
+    target types pass through untouched). CAST raises on unparsable
+    input (BigQuery errors), TRY_CAST returns NULL."""
+
+    def _rw(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        m = re.match(r"(?is)^(.*)\sAS\s+TIME\s*$", args[0])
+        if not m:
+            return None
+        x = m.group(1).strip()
+        parsed = f"TRY_CAST(CONCAT('1970-01-01 ', {x}) AS TIMESTAMP)"
+        canon = _canon_trim(f"DATE_FORMAT({parsed}, 'HH:mm:ss.SSSSSS')")
+        if safe:
+            return canon
+        return (
+            f"CASE WHEN ({x}) IS NOT NULL AND {parsed} IS NULL THEN "
+            f"RAISE_ERROR(CONCAT('invalid TIME: ', {x})) "
+            f"ELSE {canon} END"
+        )
+
+    return _rw
+
+
+def _extract_time_rewriter(args: list[str]) -> str | None:
+    """``EXTRACT(TIME FROM ts)`` → canonical string (other EXTRACT
+    parts pass through to Spark untouched)."""
+    if len(args) != 1:
+        return None
+    m = re.match(r"(?is)^\s*TIME\s+FROM\s+(.*)$", args[0])
+    if not m:
+        return None
+    return _canon_trim(
+        f"DATE_FORMAT({m.group(1).strip()}, 'HH:mm:ss.SSSSSS')"
+    )
+
+
+def _rewrite_time_literals(text: str) -> str:
+    """``TIME '12:34:56.7'`` typed literals → validated canonical string
+    literals, island-aware (a TIME token inside a string or comment is
+    never touched)."""
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+    rx = re.compile(r"(?i)\bTIME\s*(?=')")
+    out, i, n, last = [], 0, len(text), 0
+    while i < n:
+        j = _skip_island(text, i)
+        if j != i:
+            i = j
+            continue
+        m = rx.match(text, i)
+        if m:
+            k = m.end()
+            e = _skip_island(text, k)  # the string-literal island
+            body = text[k:e].strip()
+            if not (body.startswith("'") and body.endswith("'")):
+                raise BQDialectError(f"malformed TIME literal at {text[i:e]!r}")
+            out.append(text[last:i])
+            out.append(f"'{_canon_time_text(body[1:-1])}'")
+            last = e
+            i = e
+            continue
+        i += 1
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _fmt_rewriter(fn_template: str, fmt_first: bool = True):
     """FORMAT_DATE('%Y-%m', x) → DATE_FORMAT(x, 'yyyy-MM') etc. The
     format must be a string literal (BigQuery's overwhelmingly common
@@ -898,6 +1077,7 @@ def translate(sql: str) -> str:
     )
     sql = _rewrite_unnest(sql)
     sql = _rewrite_json_literals(sql)
+    sql = _rewrite_time_literals(sql)
     sql = _rewrite_calls(sql, "TIMESTAMP_DIFF", _diff_rewriter)
     sql = _rewrite_calls(sql, "DATE_DIFF", _diff_rewriter)
     sql = _rewrite_calls(sql, "TIMESTAMP_TRUNC", _trunc_rewriter)
@@ -1029,6 +1209,48 @@ def translate(sql: str) -> str:
         sql,
         "PARSE_DATETIME",
         _fmt_rewriter("TO_TIMESTAMP_NTZ({expr}, '{fmt}')"),
+    )
+    # civil TIME surface (r8): canonical-string emulation (see the
+    # section comment above _canon_time_text). PARSE before FORMAT so
+    # SAFE. variants aren't eaten; TIME_* before the bare TIME ctor
+    # (the paren in each match keeps prefixes unambiguous anyway).
+    sql = _rewrite_calls(
+        sql,
+        r"SAFE\s*\.\s*PARSE_TIME",
+        _fmt_rewriter(
+            _canon_trim(
+                "DATE_FORMAT(TRY_TO_TIMESTAMP({expr}, '{fmt}'), "
+                "'HH:mm:ss.SSSSSS')"
+            )
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "PARSE_TIME",
+        _fmt_rewriter(
+            _canon_trim(
+                "DATE_FORMAT(TO_TIMESTAMP({expr}, '{fmt}'), "
+                "'HH:mm:ss.SSSSSS')"
+            )
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "FORMAT_TIME",
+        _fmt_rewriter(
+            "DATE_FORMAT(CAST(CONCAT('1970-01-01 ', {expr}) "
+            "AS TIMESTAMP), '{fmt}')"
+        ),
+    )
+    sql = _rewrite_calls(sql, "TIME_TRUNC", _time_trunc_rewriter)
+    sql = _rewrite_calls(sql, "TIME_ADD", _time_interval_rewriter("+"))
+    sql = _rewrite_calls(sql, "TIME_SUB", _time_interval_rewriter("-"))
+    sql = _rewrite_calls(sql, "TIME_DIFF", _time_diff_rewriter)
+    sql = _rewrite_calls(sql, "TIME", _time_ctor_rewriter)
+    sql = _rewrite_calls(sql, "EXTRACT", _extract_time_rewriter)
+    sql = _rewrite_calls(sql, "CAST", _cast_time_rewriter("CAST", safe=False))
+    sql = _rewrite_calls(
+        sql, "TRY_CAST", _cast_time_rewriter("TRY_CAST", safe=True)
     )
     # geography point algebra (r6 C51): constructors first so the
     # distance rewriters see already-lowered struct expressions

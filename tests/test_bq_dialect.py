@@ -514,3 +514,46 @@ def test_approx_quantiles_split_tojson_format(spark):
         cat.bq_sql("SELECT SPLIT('a', id) FROM aqx")
     with _p.raises(BQDialectError, match="literal integer"):
         cat.bq_sql("SELECT APPROX_QUANTILES(v, id) FROM aqx")
+
+
+def test_time_surface_r8(fcat):
+    """Civil TIME emulation (r8): canonical-string lowering."""
+    import pytest as _p
+
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    r = fcat.bq_sql(
+        "SELECT TIME '7:5:2' AS lit, TIME '12:34:56.250' AS frac, "
+        "TIME(1, 2, 3) AS ctor, "
+        "TIME_ADD(TIME '23:59:00', INTERVAL 2 MINUTE) AS wrap, "
+        "TIME_SUB(TIME '00:01:00', INTERVAL 2 MINUTE) AS wrapneg, "
+        "TIME_TRUNC(TIME '12:34:56.7', MINUTE) AS tr, "
+        "TIME_DIFF(TIME '13:30:00', TIME '12:00:00', MINUTE) AS d, "
+        "CAST('9:8:7' AS TIME) AS c, "
+        "SAFE_CAST('bogus' AS TIME) AS bad"
+    ).collect()[0]
+    assert r.lit == "07:05:02"          # zero-padded canonical
+    assert r.frac == "12:34:56.25"      # trailing zeros trimmed
+    assert r.ctor == "01:02:03"
+    assert r.wrap == "00:01:00"         # mod-24h wrap like BigQuery
+    assert r.wrapneg == "23:59:00"
+    assert r.tr == "12:34:00"
+    assert r.d == 90
+    assert r.c == "09:08:07"
+    assert r.bad is None                # TRY_CAST -> NULL
+    # CAST of garbage raises (BigQuery errors); literal validation is
+    # translate-time
+    from py4j.protocol import Py4JJavaError
+
+    with _p.raises(Exception):
+        fcat.bq_sql("SELECT CAST('nope' AS TIME) AS x").collect()
+    with _p.raises(BQDialectError, match="TIME literal"):
+        translate("SELECT TIME '25:00:00'")
+    with _p.raises(BQDialectError, match="TIME literal"):
+        translate("SELECT TIME 'abc'")
+    # a TIME token inside a string literal is never touched
+    assert "TIME '" not in translate("SELECT TIME '1:2:3'")
+    assert translate("SELECT 'TIME ''25:0:0'' ok'") == "SELECT 'TIME ''25:0:0'' ok'"
