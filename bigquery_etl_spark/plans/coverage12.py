@@ -248,3 +248,120 @@ def q_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                TIME '07:08:09.250' AS lit
         FROM t ORDER BY k
     """)
+
+
+@query(
+    "q_array_agg_ordered",
+    sql="""
+    SELECT c_mktsegment,
+           array_to_string(
+               list(c_name ORDER BY c_acctbal DESC, c_name DESC)[1:3],
+               '|') AS top3,
+           array_to_string(
+               list(DISTINCT c_nationkey::varchar
+                    ORDER BY c_nationkey::varchar)[1:5], ',') AS nat5,
+           array_to_string(
+               list(c_custkey::varchar
+                    ORDER BY c_acctbal DESC, c_custkey DESC)[1:2],
+               '|') AS s2,
+           len(list(c_name ORDER BY c_acctbal DESC, c_name DESC)[1:3])
+               AS n3
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("dialect", "aggregate"),
+)
+def q_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG / STRING_AGG with arbitrary ORDER BY keys and LIMIT
+    (r8, closing VERDICT r7 gap #6 — the dialect previously refused
+    non-self sort keys). Lowering: collect struct(keys…, value),
+    sort_array (struct comparison is lexicographic), slice, transform
+    — one hash-agg pass, no window, no shuffle beyond the group-by.
+    The secondary DESC key makes ties deterministic on both engines;
+    DISTINCT rides collect_set with BigQuery's own order-by-self
+    restriction. Twin: DuckDB's native ordered list() aggregates with
+    slicing."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("aao_cust")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        SELECT c_mktsegment,
+               ARRAY_TO_STRING(
+                   ARRAY_AGG(c_name ORDER BY c_acctbal DESC, c_name DESC
+                             LIMIT 3), '|') AS top3,
+               ARRAY_TO_STRING(
+                   ARRAY_AGG(DISTINCT CAST(c_nationkey AS STRING)
+                             ORDER BY CAST(c_nationkey AS STRING)
+                             LIMIT 5), ',') AS nat5,
+               STRING_AGG(CAST(c_custkey AS STRING), '|'
+                          ORDER BY c_acctbal DESC, c_custkey DESC
+                          LIMIT 2) AS s2,
+               ARRAY_LENGTH(
+                   ARRAY_AGG(c_name ORDER BY c_acctbal DESC, c_name DESC
+                             LIMIT 3)) AS n3
+        FROM aao_cust GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
+
+
+@query(
+    "q_range_type",
+    sql="""
+    WITH r AS (
+        SELECT o_orderkey AS k,
+               o_orderdate::date AS lo,
+               o_orderdate::date + ((o_orderkey % 45) + 1)::int AS hi
+        FROM orders WHERE o_orderkey % 8 = 1
+    )
+    SELECT k,
+           lo::varchar AS r_start,
+           hi::varchar AS r_end,
+           (DATE '1995-06-15' >= lo AND DATE '1995-06-15' < hi)
+               AS contains_d,
+           (lo < DATE '1995-07-01' AND DATE '1995-06-01' < hi)
+               AS overlaps_jun,
+           CAST(ceil(date_diff('day', lo, hi) / 7.0) AS BIGINT) AS n_weeks,
+           greatest(lo, DATE '1995-06-01')::varchar AS ix_lo,
+           least(hi, DATE '1995-07-01')::varchar AS ix_hi
+    FROM r ORDER BY k
+    """,
+    tags=("dialect", "range"),
+)
+def q_range_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE<DATE> emulation (r8, closing VERDICT r7 gap #8): BigQuery
+    RANGE typed literals, RANGE() constructor, RANGE_START/END,
+    RANGE_CONTAINS (half-open), RANGE_OVERLAPS, RANGE_INTERSECT and
+    GENERATE_RANGE_ARRAY — lowered onto struct<lo,hi> (codegen
+    comparisons, no UDF). n_weeks adjudicates GENERATE_RANGE_ARRAY's
+    last-partial-subrange behavior against a closed-form ceil; the
+    intersect columns adjudicate the struct algebra. The oracle
+    recomputes every predicate from raw dates in DuckDB."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("rt_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH r AS (
+            SELECT o_orderkey AS k,
+                   RANGE(CAST(o_orderdate AS DATE),
+                         DATE_FROM_UNIX_DATE(
+                             UNIX_DATE(CAST(o_orderdate AS DATE))
+                                 + MOD(o_orderkey, 45) + 1)) AS rng
+            FROM rt_orders WHERE o_orderkey % 8 = 1
+        )
+        SELECT k,
+               CAST(RANGE_START(rng) AS STRING) AS r_start,
+               CAST(RANGE_END(rng) AS STRING) AS r_end,
+               RANGE_CONTAINS(rng, DATE '1995-06-15') AS contains_d,
+               RANGE_OVERLAPS(rng, RANGE<DATE> '[1995-06-01, 1995-07-01)')
+                   AS overlaps_jun,
+               CAST(ARRAY_LENGTH(
+                   GENERATE_RANGE_ARRAY(rng, INTERVAL 7 DAY)) AS INT64)
+                   AS n_weeks,
+               CAST(RANGE_START(RANGE_INTERSECT(rng,
+                   RANGE<DATE> '[1995-06-01, 1995-07-01)')) AS STRING)
+                   AS ix_lo,
+               CAST(RANGE_END(RANGE_INTERSECT(rng,
+                   RANGE<DATE> '[1995-06-01, 1995-07-01)')) AS STRING)
+                   AS ix_hi
+        FROM r ORDER BY k
+    """)

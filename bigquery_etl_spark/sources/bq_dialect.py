@@ -872,6 +872,263 @@ def _rewrite_array_subquery(text: str) -> str:
     return text
 
 
+def _array_agg_rewriter(args: list[str]) -> str | None:
+    """``ARRAY_AGG([DISTINCT] x [IGNORE|RESPECT NULLS] [ORDER BY k1
+    [ASC|DESC], …] [LIMIT n])`` (r8, VERDICT r7 gap #6) — arbitrary
+    sort keys lower onto struct-sort: collect ``struct(k…, x)``,
+    sort_array (struct comparison is lexicographic by field order),
+    slice to the LIMIT, then project the value back out with
+    transform. All keys must share one direction (mixed ASC/DESC has
+    no sort_array form — refuses loudly). DISTINCT requires ordering
+    by the aggregated expression itself, BigQuery's own restriction.
+    NULL elements: BigQuery ERRORS without IGNORE NULLS; here the
+    default drops them (collect_list semantics, same documented
+    divergence as ARRAY(SELECT …)), RESPECT NULLS keeps them.
+    Plain ``ARRAY_AGG(x)`` stays Spark-native (collect_list alias)."""
+    from bigquery_etl_spark.sources.lake_sql import _top_level_find
+
+    s = ",".join(args)
+    if not re.search(
+        r"(?i)^\s*DISTINCT\b|\bIGNORE\s+NULLS\b|\bRESPECT\s+NULLS\b"
+        r"|\bORDER\s+BY\b|\bLIMIT\b",
+        s,
+    ):
+        return None  # plain array_agg: Spark-native
+    body = s
+    distinct = False
+    dm = re.match(r"(?is)^\s*DISTINCT\b(.*)$", body)
+    if dm:
+        distinct, body = True, dm.group(1)
+    limit = None
+    lms = _top_level_find(body, r"\bLIMIT\b")
+    if lms:
+        tail = body[lms[-1] :]
+        lm = re.match(r"(?is)^LIMIT\s+(\d+)\s*$", tail)
+        if not lm:
+            raise BQDialectError(
+                f"ARRAY_AGG LIMIT must be a literal integer, got {tail!r}"
+            )
+        limit = int(lm.group(1))
+        body = body[: lms[-1]].rstrip()
+    keys: list[tuple[str, str]] = []  # (expr, ASC|DESC)
+    obs = _top_level_find(body, r"\bORDER\s+BY\b")
+    if obs:
+        ob = re.sub(r"(?is)^ORDER\s+BY\s+", "", body[obs[0] :])
+        body = body[: obs[0]].rstrip()
+        for item in _split_args(ob):
+            km = re.match(r"(?is)^(.*?)\s*\b(ASC|DESC)\s*$", item.strip())
+            if km:
+                keys.append((km.group(1).strip(), km.group(2).upper()))
+            else:
+                keys.append((item.strip(), "ASC"))
+        if len({d for _, d in keys}) > 1:
+            raise BQDialectError(
+                "ARRAY_AGG ORDER BY keys must share one direction — "
+                "sort_array has no mixed ASC/DESC form"
+            )
+    nulls = "IGNORE"  # the collect_list default; BigQuery would error
+    nm = re.match(r"(?is)^(.*?)\s+(IGNORE|RESPECT)\s+NULLS\s*$", body)
+    if nm:
+        body, nulls = nm.group(1), nm.group(2).upper()
+    expr = body.strip()
+    asc = "TRUE" if not keys or keys[0][1] == "ASC" else "FALSE"
+    if distinct:
+        if nulls == "RESPECT":
+            raise BQDialectError(
+                "ARRAY_AGG(DISTINCT … RESPECT NULLS) is not supported"
+            )
+        if keys and [k for k, _ in keys] != [expr]:
+            raise BQDialectError(
+                "ARRAY_AGG(DISTINCT x ORDER BY …) must order by x "
+                "itself (BigQuery's own restriction)"
+            )
+        agg = f"COLLECT_SET({expr})"
+        if keys:
+            agg = f"SORT_ARRAY({agg}, {asc})"
+        if limit is not None:
+            agg = f"SLICE({agg}, 1, {limit})"
+        return agg
+    if not keys:
+        if nulls == "RESPECT":
+            agg = f"COLLECT_LIST(NAMED_STRUCT('__v', {expr}))"
+            if limit is not None:
+                agg = f"SLICE({agg}, 1, {limit})"
+            return f"TRANSFORM({agg}, __s -> __s.__v)"
+        agg = f"COLLECT_LIST({expr})"
+        if limit is not None:
+            agg = f"SLICE({agg}, 1, {limit})"
+        return agg
+    fields = ", ".join(
+        f"'__k{i}', {k}" for i, (k, _) in enumerate(keys)
+    )
+    elem = f"NAMED_STRUCT({fields}, '__v', {expr})"
+    if nulls == "IGNORE":
+        elem = f"CASE WHEN ({expr}) IS NOT NULL THEN {elem} END"
+    agg = f"SORT_ARRAY(COLLECT_LIST({elem}), {asc})"
+    if limit is not None:
+        agg = f"SLICE({agg}, 1, {limit})"
+    return f"TRANSFORM({agg}, __s -> __s.__v)"
+
+
+# -- RANGE<DATE/TIMESTAMP/DATETIME> emulation (r8, VERDICT r7 gap #8) --------
+#
+# BigQuery's RANGE type is a half-open interval [lo, hi) with
+# NULL/UNBOUNDED ends. Spark has no range type; the dialect lowers it
+# onto struct<lo, hi> (codegen-friendly, shuffle-comparable). The
+# RANGE_CONTAINS(range, range) overload is not textually
+# distinguishable from the (range, value) form — the value form is
+# implemented (the common predicate); compose OVERLAPS/START/END for
+# range-in-range checks. RANGE_INTERSECT of non-overlapping ranges
+# returns an empty/inverted struct where BigQuery errors (documented).
+
+
+def _range_ctor_rewriter(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"RANGE expects (lo, hi), got {args}")
+    return (
+        f"NAMED_STRUCT('lo', {args[0].strip()}, 'hi', {args[1].strip()})"
+    )
+
+
+def _range_field(field: str):
+    def _rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise BQDialectError(f"expected one range argument, got {args}")
+        return f"(({args[0].strip()}).{field})"
+
+    return _rw
+
+
+def _range_contains_rewriter(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"RANGE_CONTAINS expects (range, value), got {args}")
+    r, v = f"({args[0].strip()})", f"({args[1].strip()})"
+    return (
+        f"(({r}.lo IS NULL OR {v} >= {r}.lo) AND "
+        f"({r}.hi IS NULL OR {v} < {r}.hi))"
+    )
+
+
+def _range_overlaps_rewriter(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"RANGE_OVERLAPS expects (r1, r2), got {args}")
+    a, b = f"({args[0].strip()})", f"({args[1].strip()})"
+    return (
+        f"(({a}.lo IS NULL OR {b}.hi IS NULL OR {a}.lo < {b}.hi) AND "
+        f"({b}.lo IS NULL OR {a}.hi IS NULL OR {b}.lo < {a}.hi))"
+    )
+
+
+def _range_intersect_rewriter(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"RANGE_INTERSECT expects (r1, r2), got {args}")
+    a, b = f"({args[0].strip()})", f"({args[1].strip()})"
+    lo = (
+        f"CASE WHEN {a}.lo IS NULL THEN {b}.lo "
+        f"WHEN {b}.lo IS NULL THEN {a}.lo "
+        f"ELSE GREATEST({a}.lo, {b}.lo) END"
+    )
+    hi = (
+        f"CASE WHEN {a}.hi IS NULL THEN {b}.hi "
+        f"WHEN {b}.hi IS NULL THEN {a}.hi "
+        f"ELSE LEAST({a}.hi, {b}.hi) END"
+    )
+    return f"NAMED_STRUCT('lo', {lo}, 'hi', {hi})"
+
+
+def _generate_range_array_rewriter(args: list[str]) -> str:
+    """Sub-ranges of step ``interval`` covering [lo, hi); the last
+    sub-range truncates at hi (BigQuery's default last-partial
+    behavior). Unbounded input ranges refuse — the result would be
+    infinite."""
+    if len(args) != 2 or not re.match(r"(?i)^\s*INTERVAL\b", args[1]):
+        raise BQDialectError(
+            f"GENERATE_RANGE_ARRAY expects (range, INTERVAL n part), got {args}"
+        )
+    r, iv = f"({args[0].strip()})", args[1].strip()
+    return (
+        f"TRANSFORM(FILTER(SEQUENCE({r}.lo, {r}.hi, {iv}), "
+        f"__x -> __x < {r}.hi), "
+        f"__x -> NAMED_STRUCT('lo', __x, "
+        f"'hi', LEAST(__x + {iv}, {r}.hi)))"
+    )
+
+
+def _rewrite_range_literals(text: str) -> str:
+    """``RANGE<DATE> '[2024-01-01, 2024-02-01)'`` typed literals →
+    struct<lo, hi> with UNBOUNDED/NULL ends mapped to NULL, parsed and
+    validated at translate time, island-aware."""
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+    rx = re.compile(
+        r"(?i)\bRANGE\s*<\s*(DATE|DATETIME|TIMESTAMP)\s*>\s*(?=')"
+    )
+    out, i, n, last = [], 0, len(text), 0
+    while i < n:
+        j = _skip_island(text, i)
+        if j != i:
+            i = j
+            continue
+        m = rx.match(text, i)
+        if m:
+            ty = {"DATETIME": "TIMESTAMP_NTZ"}.get(
+                m.group(1).upper(), m.group(1).upper()
+            )
+            k = m.end()
+            e = _skip_island(text, k)  # the string-literal island
+            body = text[k:e].strip()[1:-1]  # inside the quotes
+            bm = re.match(r"^\s*\[\s*(.*?)\s*,\s*(.*?)\s*\)\s*$", body)
+            if not bm:
+                raise BQDialectError(
+                    f"RANGE literal must be '[lo, hi)', got {body!r}"
+                )
+            bounds = []
+            for side in bm.groups():
+                if side.upper() in ("UNBOUNDED", "NULL", ""):
+                    bounds.append(f"CAST(NULL AS {ty})")
+                else:
+                    bounds.append(f"{ty} '{side}'")
+            out.append(text[last:i])
+            out.append(
+                f"NAMED_STRUCT('lo', {bounds[0]}, 'hi', {bounds[1]})"
+            )
+            last = e
+            i = e
+            continue
+        i += 1
+    out.append(text[last:])
+    return "".join(out)
+
+
+def _string_agg_rewriter(args: list[str]) -> str | None:
+    """``STRING_AGG([DISTINCT] x [, delim] [ORDER BY …] [LIMIT n])``
+    (r8): the modifier-free forms pass through to Spark's native
+    string_agg; ordered/limited/distinct forms peel the literal
+    delimiter and ride the ARRAY_AGG struct-sort lowering, joined
+    back with array_join."""
+    s = ",".join(args)
+    if not re.search(
+        r"(?i)^\s*DISTINCT\b|\bIGNORE\s+NULLS\b|\bRESPECT\s+NULLS\b"
+        r"|\bORDER\s+BY\b|\bLIMIT\b",
+        s,
+    ):
+        return None  # plain string_agg(x [, delim]): Spark-native
+    delim = "','"  # BigQuery's default delimiter
+    rest_args = args
+    if len(args) >= 2:
+        dm = re.match(r"(?s)^\s*('(?:[^']|'')*')\s*(.*)$", args[1])
+        if dm:
+            delim = dm.group(1)
+            tail = dm.group(2).strip()
+            head = args[0] + (" " + tail if tail else "")
+            rest_args = [head] + args[2:]
+        # else: the 2nd top-level comma belongs to ORDER BY keys
+    arr = _array_agg_rewriter(rest_args)
+    if arr is None:  # only a delimiter was present after all
+        return None
+    return f"ARRAY_JOIN({arr}, {delim})"
+
+
 def _rewrite_star_replace(text: str) -> str:
     """BigQuery ``SELECT [t.]* REPLACE (expr AS col, …)`` → Spark's
     native ``* EXCEPT (col, …), expr AS col, …``. No schema needed —
@@ -1077,6 +1334,8 @@ def translate(sql: str) -> str:
     )
     sql = _rewrite_unnest(sql)
     sql = _rewrite_json_literals(sql)
+    sql = _rewrite_range_literals(sql)  # before TIME: RANGE<…> '…' has
+    # no bare TIME-quote form, but keep typed literals grouped
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_calls(sql, "TIMESTAMP_DIFF", _diff_rewriter)
     sql = _rewrite_calls(sql, "DATE_DIFF", _diff_rewriter)
@@ -1149,6 +1408,19 @@ def translate(sql: str) -> str:
     sql = _rewrite_array_subquery(sql)
     sql = _rewrite_calls(sql, "APPROX_QUANTILES", _approx_quantiles_rewriter)
     sql = _rewrite_calls(sql, "SPLIT", _split_rewriter)
+    sql = _rewrite_calls(sql, "ARRAY_AGG", _array_agg_rewriter)
+    sql = _rewrite_calls(sql, "STRING_AGG", _string_agg_rewriter)
+    # RANGE<…> surface (r8): accessors/predicates first, then the bare
+    # RANGE constructor (paren-anchored matches keep prefixes apart)
+    sql = _rewrite_calls(sql, "RANGE_CONTAINS", _range_contains_rewriter)
+    sql = _rewrite_calls(sql, "RANGE_OVERLAPS", _range_overlaps_rewriter)
+    sql = _rewrite_calls(sql, "RANGE_INTERSECT", _range_intersect_rewriter)
+    sql = _rewrite_calls(sql, "RANGE_START", _range_field("lo"))
+    sql = _rewrite_calls(sql, "RANGE_END", _range_field("hi"))
+    sql = _rewrite_calls(
+        sql, "GENERATE_RANGE_ARRAY", _generate_range_array_rewriter
+    )
+    sql = _rewrite_calls(sql, "RANGE", _range_ctor_rewriter)
     # JSON subtree surface (r8): semantics-exact JSON_QUERY family.
     # The _ARRAY variants rewrite first; the trailing paren in each
     # match keeps name prefixes unambiguous. JSON_EXTRACT_SCALAR /

@@ -557,3 +557,70 @@ def test_time_surface_r8(fcat):
     # a TIME token inside a string literal is never touched
     assert "TIME '" not in translate("SELECT TIME '1:2:3'")
     assert translate("SELECT 'TIME ''25:0:0'' ok'") == "SELECT 'TIME ''25:0:0'' ok'"
+
+
+def test_array_agg_ordered_r8(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    # plain forms stay Spark-native
+    assert translate("SELECT ARRAY_AGG(x) FROM t") == "SELECT ARRAY_AGG(x) FROM t"
+    assert (
+        translate("SELECT STRING_AGG(x, '-') FROM t")
+        == "SELECT STRING_AGG(x, '-') FROM t"
+    )
+    # ordered + limited forms execute correctly end-to-end
+    r = fcat.bq_sql(
+        "SELECT ARRAY_TO_STRING(ARRAY_AGG(CAST(id AS STRING) "
+        "ORDER BY amt DESC LIMIT 2), ',') AS a, "
+        "STRING_AGG(CAST(id AS STRING) ORDER BY amt DESC) AS s "
+        "FROM ft"
+    ).collect()[0]
+    assert r.a == "3,2" and r.s == "3,2,1"
+    # RESPECT NULLS keeps nulls; default drops them
+    r2 = fcat.bq_sql(
+        "SELECT ARRAY_LENGTH(ARRAY_AGG(NULLIF(id, 2) RESPECT NULLS "
+        "LIMIT 3)) AS nr, "
+        "ARRAY_LENGTH(ARRAY_AGG(NULLIF(id, 2) ORDER BY id)) AS ni "
+        "FROM ft"
+    ).collect()[0]
+    assert r2.nr == 3 and r2.ni == 2
+    # mixed sort directions refuse loudly
+    with pytest.raises(BQDialectError, match="direction"):
+        translate("SELECT ARRAY_AGG(x ORDER BY a ASC, b DESC) FROM t")
+    # DISTINCT must order by the expression itself
+    with pytest.raises(BQDialectError, match="DISTINCT"):
+        translate("SELECT ARRAY_AGG(DISTINCT x ORDER BY y) FROM t")
+
+
+def test_range_surface_r8(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    r = fcat.bq_sql(
+        "SELECT RANGE_CONTAINS(RANGE<DATE> '[2024-01-01, 2024-02-01)', "
+        "DATE '2024-01-31') AS c_in, "
+        "RANGE_CONTAINS(RANGE<DATE> '[2024-01-01, 2024-02-01)', "
+        "DATE '2024-02-01') AS c_hi, "  # half-open: hi excluded
+        "RANGE_CONTAINS(RANGE<DATE> '[UNBOUNDED, 2024-02-01)', "
+        "DATE '1900-01-01') AS c_unb, "
+        "RANGE_OVERLAPS(RANGE(DATE '2024-01-01', DATE '2024-02-01'), "
+        "RANGE<DATE> '[2024-01-31, 2024-03-01)') AS ov, "
+        "RANGE_OVERLAPS(RANGE(DATE '2024-01-01', DATE '2024-02-01'), "
+        "RANGE<DATE> '[2024-02-01, 2024-03-01)') AS adj, "
+        "CAST(RANGE_START(RANGE<DATE> '[2024-01-01, UNBOUNDED)') "
+        "AS STRING) AS st, "
+        "ARRAY_LENGTH(GENERATE_RANGE_ARRAY("
+        "RANGE(DATE '2024-01-01', DATE '2024-01-16'), INTERVAL 7 DAY)) "
+        "AS nw"
+    ).collect()[0]
+    assert r.c_in and not r.c_hi and r.c_unb
+    assert r.ov and not r.adj  # adjacent half-open ranges don't overlap
+    assert r.st == "2024-01-01"
+    assert r.nw == 3  # 1-8, 8-15, 15-16 (last partial)
+    with pytest.raises(BQDialectError, match="RANGE literal"):
+        translate("SELECT RANGE<DATE> '(2024-01-01, 2024-02-01)'")
