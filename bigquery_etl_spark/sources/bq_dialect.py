@@ -745,13 +745,23 @@ def _st_geogpoint(args: list[str]) -> str:
 def _st_distance(args: list[str]) -> str:
     if len(args) != 2:
         raise BQDialectError(f"ST_DISTANCE expects (a, b), got {args}")
-    return _hav(args[0], args[1])
+    a, b = args
+    if _is_poly(a) and _is_poly(b):
+        raise BQDialectError(
+            "ST_DISTANCE(polygon, polygon) is unsupported — the convex "
+            "subset covers point↔point and point↔polygon"
+        )
+    if _is_poly(a):
+        return _poly_distance(a, b)
+    if _is_poly(b):
+        return _poly_distance(b, a)
+    return _hav(a, b)
 
 
 def _st_dwithin(args: list[str]) -> str:
     if len(args) != 3:
         raise BQDialectError(f"ST_DWITHIN expects (a, b, meters), got {args}")
-    return f"({_hav(args[0], args[1])} <= ({args[2].strip()}))"
+    return f"({_st_distance(args[:2])} <= ({args[2].strip()}))"
 
 
 def _st_field(field: str):
@@ -776,7 +786,56 @@ def _st_astext(args: list[str]) -> str:
 def _st_geogfromtext(args: list[str]) -> str:
     if len(args) != 1:
         raise BQDialectError(f"ST_GEOGFROMTEXT expects one argument, got {args}")
-    t = f"({args[0].strip()})"
+    raw = args[0].strip()
+    pm = re.match(r"(?is)^'\s*POLYGON\s*\(\s*\((.*)\)\s*\)\s*'$", raw)
+    if pm:
+        # single-ring CONVEX polygon literal (r8, VERDICT r7 gap #5):
+        # parsed + validated at translate time → array<struct<lon,lat>>
+        # of ring vertices (closing vertex stripped). Edges are PLANAR
+        # in lon/lat (BigQuery's are geodesics — fine for the compact
+        # fence polygons this subset is for; documented divergence).
+        body = pm.group(1)
+        if "(" in body or ")" in body:
+            raise BQDialectError(
+                "POLYGON with holes / multiple rings is unsupported "
+                "(convex single-ring subset)"
+            )
+        pts: list[tuple[float, float]] = []
+        for pair in body.split(","):
+            xy = pair.split()
+            if len(xy) != 2:
+                raise BQDialectError(f"malformed POLYGON vertex {pair!r}")
+            pts.append((float(xy[0]), float(xy[1])))
+        if pts[0] == pts[-1]:
+            pts = pts[:-1]
+        if len(pts) < 3:
+            raise BQDialectError("POLYGON needs >= 3 distinct vertices")
+        sign = 0
+        for i in range(len(pts)):
+            ax, ay = pts[i]
+            bx, by = pts[(i + 1) % len(pts)]
+            cx, cy = pts[(i + 2) % len(pts)]
+            cr = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            if abs(cr) > 1e-12:
+                s = 1 if cr > 0 else -1
+                if sign and s != sign:
+                    raise BQDialectError(
+                        "non-convex POLYGON — the closed-form subset "
+                        "covers convex fences only (loud refusal beats "
+                        "wrong geometry)"
+                    )
+                sign = s
+        elems = ", ".join(
+            f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
+            f"'lat', CAST({y!r} AS DOUBLE))"
+            for x, y in pts
+        )
+        return f"ARRAY({elems})"
+    if re.match(r"(?is)^'\s*(MULTIPOLYGON|LINESTRING|GEOMETRYCOLLECTION)", raw):
+        raise BQDialectError(
+            "only POINT and single-ring convex POLYGON WKT are supported"
+        )
+    t = f"({raw})"
     # the SQL string literal must carry doubled backslashes (Spark
     # unescapes them once at parse time)
     num = "(-?\\\\d+(?:\\\\.\\\\d+)?(?:[eE][+-]?\\\\d+)?)"
@@ -786,6 +845,137 @@ def _st_geogfromtext(args: list[str]) -> str:
         "'lat', CAST(REGEXP_EXTRACT("
         f"{t}, 'POINT\\\\s*\\\\(\\\\s*{num}\\\\s+{num}\\\\s*\\\\)', 2) AS DOUBLE))"
     )
+
+
+def _is_poly(expr: str) -> bool:
+    return expr.lstrip().upper().startswith("ARRAY(")
+
+
+_POLY_VERTEX_RX = re.compile(
+    r"NAMED_STRUCT\('lon', CAST\((-?[\d.eE+]+) AS DOUBLE\), "
+    r"'lat', CAST\((-?[\d.eE+]+) AS DOUBLE\)\)"
+)
+
+
+def _parse_poly_literal(expr: str) -> list[tuple[float, float]] | None:
+    """Recover the vertex list from the exact ARRAY(NAMED_STRUCT(…))
+    text _st_geogfromtext emits for a WKT literal — the signal that
+    the ray-cast can UNROLL into flat constant arithmetic (whole-stage
+    codegen) instead of lambda HOFs (CodegenFallback)."""
+    s = expr.strip()
+    if not (s.upper().startswith("ARRAY(") and s.endswith(")")):
+        return None
+    verts = [
+        (float(m.group(1)), float(m.group(2)))
+        for m in _POLY_VERTEX_RX.finditer(s)
+    ]
+    # every element must be a plain vertex struct (no residue between)
+    residue = _POLY_VERTEX_RX.sub("", s[6:-1]).replace(",", "").strip()
+    if len(verts) < 3 or residue:
+        return None
+    return verts
+
+
+def _poly_edges(A: str) -> str:
+    return (
+        f"TRANSFORM(SEQUENCE(1, SIZE({A})), __i -> NAMED_STRUCT("
+        f"'a', ELEMENT_AT({A}, __i), "
+        f"'b', ELEMENT_AT({A}, __i % SIZE({A}) + 1)))"
+    )
+
+
+def _poly_contains(A: str, p: str) -> str:
+    """Even-odd ray cast over the ring's edges, no UDF. WKT-literal
+    polygons (the supported constructor) UNROLL into flat constant
+    arithmetic — the whole expression stays inside whole-stage codegen
+    (lambda HOFs would be CodegenFallback); computed polygons fall back
+    to an aggregate-HOF fold. Horizontal edges never cross (skipped in
+    the unroll; shorted by the lat-straddle test in the fold)."""
+    verts = _parse_poly_literal(A)
+    p = f"({p.strip()})"
+    if verts is not None:
+        terms = []
+        n = len(verts)
+        for i in range(n):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % n]
+            if ay == by:
+                continue  # horizontal edge: no ray crossing
+            terms.append(
+                f"IF(({ay!r}D > {p}.lat) <> ({by!r}D > {p}.lat) AND "
+                f"{p}.lon < {bx - ax!r}D * ({p}.lat - {ay!r}D) / "
+                f"{by - ay!r}D + {ax!r}D, 1, 0)"
+            )
+        return f"(({' + '.join(terms)}) % 2 = 1)"
+    A = f"({A.strip()})"
+    crossings = (
+        f"AGGREGATE({_poly_edges(A)}, 0, (__n, __e) -> __n + IF("
+        f"(__e.a.lat > {p}.lat) <> (__e.b.lat > {p}.lat) AND "
+        f"{p}.lon < (__e.b.lon - __e.a.lon) * ({p}.lat - __e.a.lat) / "
+        f"(__e.b.lat - __e.a.lat) + __e.a.lon, 1, 0))"
+    )
+    return f"(({crossings}) % 2 = 1)"
+
+
+def _poly_distance(A: str, p: str) -> str:
+    """Haversine meters from a point to a convex ring: 0 inside, else
+    the min over edges of the distance to the planar-projected closest
+    point on the segment. WKT-literal polygons unroll into a LEAST
+    chain of per-edge closed forms (whole-stage codegen; Spark's CSE
+    dedups the repeated point subexpressions); computed polygons fall
+    back to transform/aggregate HOFs."""
+    verts = _parse_poly_literal(A)
+    if verts is not None:
+        pp = f"({p.strip()})"
+        dists = []
+        n = len(verts)
+        for i in range(n):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % n]
+            dx, dy = bx - ax, by - ay
+            l2 = dx * dx + dy * dy
+            if l2 == 0.0:
+                continue  # degenerate zero-length edge
+            t = (
+                f"LEAST(GREATEST((({pp}.lon - {ax!r}D) * {dx!r}D + "
+                f"({pp}.lat - {ay!r}D) * {dy!r}D) / {l2!r}D, 0.0D), 1.0D)"
+            )
+            c = (
+                f"NAMED_STRUCT('lon', {ax!r}D + {t} * {dx!r}D, "
+                f"'lat', {ay!r}D + {t} * {dy!r}D)"
+            )
+            dists.append(_hav(c, pp))
+        dmin = f"LEAST({', '.join(dists)})"
+        return f"IF({_poly_contains(A, p)}, 0.0D, {dmin})"
+    A, p = f"({A.strip()})", f"({p.strip()})"
+    t = (
+        f"LEAST(GREATEST(COALESCE((({p}.lon - __e.ax) * __e.dx + "
+        f"({p}.lat - __e.ay) * __e.dy) / NULLIF(__e.dx * __e.dx + "
+        f"__e.dy * __e.dy, 0.0D), 0.0D), 0.0D), 1.0D)"
+    )
+    closest = (
+        f"TRANSFORM(TRANSFORM({_poly_edges(A)}, __e -> NAMED_STRUCT("
+        f"'ax', __e.a.lon, 'ay', __e.a.lat, "
+        f"'dx', __e.b.lon - __e.a.lon, 'dy', __e.b.lat - __e.a.lat)), "
+        f"__e -> NAMED_STRUCT('lon', __e.ax + {t} * __e.dx, "
+        f"'lat', __e.ay + {t} * __e.dy))"
+    )
+    dmin = (
+        f"AGGREGATE(TRANSFORM({closest}, __c -> {_hav('__c', p)}), "
+        f"CAST('Infinity' AS DOUBLE), (__m, __d) -> LEAST(__m, __d))"
+    )
+    return f"IF({_poly_contains(A, p)}, 0.0D, {dmin})"
+
+
+def _st_contains(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"ST_CONTAINS expects (polygon, point), got {args}")
+    if not _is_poly(args[0]):
+        raise BQDialectError(
+            "ST_CONTAINS supports (convex POLYGON literal, point) — "
+            "construct the polygon with ST_GEOGFROMTEXT('POLYGON((…))')"
+        )
+    return _poly_contains(args[0], args[1])
 
 
 _UNNEST_RX = re.compile(
@@ -1528,6 +1718,7 @@ def translate(sql: str) -> str:
     # distance rewriters see already-lowered struct expressions
     sql = _rewrite_calls(sql, "ST_GEOGPOINT", _st_geogpoint)
     sql = _rewrite_calls(sql, "ST_GEOGFROMTEXT", _st_geogfromtext)
+    sql = _rewrite_calls(sql, "ST_CONTAINS", _st_contains)
     sql = _rewrite_calls(sql, "ST_DWITHIN", _st_dwithin)
     sql = _rewrite_calls(sql, "ST_DISTANCE", _st_distance)
     sql = _rewrite_calls(sql, "ST_ASTEXT", _st_astext)

@@ -624,3 +624,40 @@ def test_range_surface_r8(fcat):
     assert r.nw == 3  # 1-8, 8-15, 15-16 (last partial)
     with pytest.raises(BQDialectError, match="RANGE literal"):
         translate("SELECT RANGE<DATE> '(2024-01-01, 2024-02-01)'")
+
+
+def test_gis_polygon_r8(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    sq = (
+        "ST_GEOGFROMTEXT('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    )
+    r = fcat.bq_sql(
+        f"SELECT ST_CONTAINS({sq}, ST_GEOGPOINT(5.0, 5.0)) AS c_in, "
+        f"ST_CONTAINS({sq}, ST_GEOGPOINT(15.0, 5.0)) AS c_out, "
+        f"ST_DISTANCE(ST_GEOGPOINT(5.0, 5.0), {sq}) AS d_in, "
+        f"ST_DWITHIN(ST_GEOGPOINT(10.5, 5.0), {sq}, 60000.0) AS near, "
+        f"ST_DWITHIN(ST_GEOGPOINT(20.0, 5.0), {sq}, 60000.0) AS far"
+    ).collect()[0]
+    assert r.c_in and not r.c_out
+    assert r.d_in == 0.0
+    assert r.near and not r.far  # ~55 km vs ~1100 km from the east edge
+    # refusals: non-convex ring, holes, point-as-container
+    with pytest.raises(BQDialectError, match="non-convex"):
+        translate(
+            "SELECT ST_GEOGFROMTEXT("
+            "'POLYGON((0 0, 10 0, 5 5, 10 10, 0 10, 0 0))')"
+        )
+    with pytest.raises(BQDialectError, match="holes"):
+        translate(
+            "SELECT ST_GEOGFROMTEXT("
+            "'POLYGON((0 0, 10 0, 10 10, 0 0), (1 1, 2 1, 2 2, 1 1))')"
+        )
+    with pytest.raises(BQDialectError, match="ST_CONTAINS"):
+        translate(
+            "SELECT ST_CONTAINS(ST_GEOGPOINT(1.0, 1.0), "
+            "ST_GEOGPOINT(2.0, 2.0))"
+        )
