@@ -555,6 +555,286 @@ def evaluate_matrix_factorization(df: DataFrame, model: dict) -> float:
 # -- model store --------------------------------------------------------------
 
 
+# -- ARIMA_PLUS (r8, VERDICT r7 item 2) ---------------------------------------
+#
+# BigQuery's time-series model (the most-used BQML model after
+# linear/logistic). Spark-first layout: the fit is ONE applyInPandas
+# over series ids — each series' decomposition (linear trend →
+# autocorrelation-detected seasonality → AR(p) residual, all exact
+# least squares, zero RNG) runs Arrow-batched where that series'
+# rows live, and the MODEL is a per-series parameter DataFrame
+# (n_series rows), never a driver-side collect. ML.FORECAST is a
+# second applyInPandas over the PARAMS only — O(n_series × horizon),
+# independent of the training data size: the 100 TB story is that raw
+# rows are touched exactly once, at fit time.
+
+_ARIMA_PARAMS_SCHEMA = (
+    "id string, n long, freq_us long, last_ts_us long, "
+    "trend_a double, trend_b double, period int, "
+    "seasonal array<double>, phi array<double>, tail array<double>, "
+    "se double"
+)
+
+
+def _fit_one_series(ts_us, y, max_ar: int):
+    """Deterministic trend + seasonality + AR(p) decomposition of one
+    series (numpy least squares throughout; no randomness)."""
+    import numpy as np
+
+    order = np.argsort(ts_us, kind="mergesort")
+    ts_us, y = ts_us[order], y[order].astype(float)
+    n = len(y)
+    freq = int(np.median(np.diff(ts_us))) if n > 1 else 1
+    t = np.arange(n, dtype=float)
+    # linear trend by exact least squares
+    if n > 1:
+        b, a = np.polyfit(t, y, 1)
+    else:
+        a, b = float(y[0]), 0.0
+    resid = y - (a + b * t)
+    # seasonality: smallest lag whose autocorrelation is within 10% of
+    # the best (multiples of the true period score ~equally; smallest
+    # wins so a planted weekly cycle detects as 7, not 14)
+    period, seasonal = 1, [0.0]
+    max_lag = min(n // 2, 366)
+    if max_lag >= 2 and np.std(resid) > 1e-12:
+        var = float(np.dot(resid, resid))
+        acs = {}
+        for lag in range(2, max_lag + 1):
+            acs[lag] = float(np.dot(resid[:-lag], resid[lag:])) / var
+        best = max(acs.values())
+        if best > 0.3:
+            period = min(
+                lag for lag, ac in acs.items() if ac >= 0.9 * best
+            )
+            seasonal = [
+                float(np.mean(resid[k::period])) for k in range(period)
+            ]
+    s = np.array(seasonal, dtype=float)[np.arange(n) % period]
+    resid2 = resid - s
+    # AR(p) on the deseasonalized residual, exact least squares
+    p = min(max_ar, n // 10)
+    phi: list[float] = []
+    if p >= 1 and np.std(resid2) > 1e-9:
+        X = np.column_stack(
+            [resid2[p - 1 - j : n - 1 - j] for j in range(p)]
+        )
+        yy = resid2[p:]
+        try:
+            phi = np.linalg.lstsq(X, yy, rcond=None)[0].tolist()
+        except np.linalg.LinAlgError:
+            phi = []
+    if phi:
+        pred = np.column_stack(
+            [resid2[p - 1 - j : n - 1 - j] for j in range(len(phi))]
+        ) @ np.array(phi)
+        errs = resid2[p:] - pred
+    else:
+        errs = resid2
+    se = float(np.std(errs)) if len(errs) else 0.0
+    tail = resid2[-len(phi):].tolist() if phi else []
+    return {
+        "n": n,
+        "freq_us": freq,
+        "last_ts_us": int(ts_us[-1]),
+        "trend_a": float(a),
+        "trend_b": float(b),
+        "period": int(period),
+        "seasonal": [float(v) for v in seasonal],
+        "phi": phi,
+        "tail": tail,
+        "se": se,
+    }
+
+
+def fit_arima_plus(
+    df: DataFrame,
+    ts_col: str,
+    y_col: str,
+    id_col: str | None = None,
+    max_ar_order: int = 5,
+    horizon: int = 1000,
+) -> dict:
+    """``model_type='ARIMA_PLUS'``: one grouped Arrow pass fits every
+    series where its rows live; the returned params DataFrame is the
+    model (persisted as parquet next to the model JSON, like C54's
+    factor matrices)."""
+    import pandas as pd
+
+    sel = [
+        (F.col(id_col).cast("string") if id_col else F.lit("__single__"))
+        .alias("__id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts"),
+        F.col(y_col).cast("double").alias("__y"),
+    ]
+    src = df.select(*sel).where(
+        F.col("__ts").isNotNull() & F.col("__y").isNotNull()
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        prm = _fit_one_series(
+            pdf["__ts"].to_numpy(), pdf["__y"].to_numpy(), max_ar_order
+        )
+        prm["id"] = pdf["__id"].iloc[0]
+        return pd.DataFrame([prm])
+
+    params = (
+        src.groupBy("__id")
+        .applyInPandas(fit, schema=_ARIMA_PARAMS_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    return {
+        "model_type": "arima_plus",
+        "ts_col": ts_col,
+        "y_col": y_col,
+        "id_col": id_col,
+        "horizon": horizon,
+        "params": params,
+        "n_series": params.count(),
+    }
+
+
+def _norm_ppf(p: float) -> float:
+    """Inverse standard-normal CDF (Acklam's rational approximation,
+    |rel err| < 1.15e-9 — public-domain constants)."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    import math
+
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                 * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+            * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+
+def forecast_arima_plus(
+    spark: SparkSession,
+    model: dict,
+    horizon: int | None = None,
+    confidence_level: float = 0.95,
+) -> DataFrame:
+    """``ML.FORECAST``: applyInPandas over the PARAMS DataFrame only —
+    each series rolls its AR recursion ``horizon`` steps (psi-weight
+    variance accumulation widens the intervals with lead time, the
+    standard ARMA forecast-variance recursion)."""
+    import numpy as np
+    import pandas as pd
+
+    h = int(horizon if horizon is not None else model.get("horizon", 1000))
+    z = _norm_ppf((1.0 + confidence_level) / 2.0)
+    id_col = model.get("id_col")
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            phi = np.array(
+                [] if r.phi is None else list(r.phi), dtype=float
+            )
+            p = len(phi)
+            hist = [] if r.tail is None else list(r.tail)
+            seasonal = list(r.seasonal) if (
+                r.seasonal is not None and len(r.seasonal)
+            ) else [0.0]
+            period = max(int(r.period), 1)
+            # psi weights: cumulative one-step variance multipliers
+            psi = [1.0]
+            for j in range(1, h):
+                psi.append(
+                    float(
+                        sum(
+                            phi[k] * psi[j - 1 - k]
+                            for k in range(min(p, j))
+                        )
+                    )
+                )
+            cumvar = np.cumsum(np.square(psi))
+            for step in range(1, h + 1):
+                ar = (
+                    float(
+                        sum(
+                            phi[k] * hist[-1 - k]
+                            for k in range(min(p, len(hist)))
+                        )
+                    )
+                    if p
+                    else 0.0
+                )
+                hist.append(ar)
+                t = r.n - 1 + step
+                val = (
+                    r.trend_a
+                    + r.trend_b * t
+                    + seasonal[t % period]
+                    + ar
+                )
+                se_h = r.se * float(np.sqrt(cumvar[step - 1]))
+                rows.append(
+                    (
+                        r.id,
+                        (r.last_ts_us + step * r.freq_us),
+                        val,
+                        se_h,
+                        confidence_level,
+                        val - z * se_h,
+                        val + z * se_h,
+                        val - z * se_h,
+                        val + z * se_h,
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "__id", "__ts_us", "forecast_value", "standard_error",
+                "confidence_level", "prediction_interval_lower_bound",
+                "prediction_interval_upper_bound",
+                "confidence_interval_lower_bound",
+                "confidence_interval_upper_bound",
+            ],
+        )
+
+    out_schema = (
+        "__id string, __ts_us long, forecast_value double, "
+        "standard_error double, confidence_level double, "
+        "prediction_interval_lower_bound double, "
+        "prediction_interval_upper_bound double, "
+        "confidence_interval_lower_bound double, "
+        "confidence_interval_upper_bound double"
+    )
+    out = model["params"].groupBy("id").applyInPandas(roll, out_schema)
+    cols = [
+        F.timestamp_micros(F.col("__ts_us")).alias("forecast_timestamp"),
+        "forecast_value", "standard_error", "confidence_level",
+        "prediction_interval_lower_bound",
+        "prediction_interval_upper_bound",
+        "confidence_interval_lower_bound",
+        "confidence_interval_upper_bound",
+    ]
+    if id_col:
+        cols.insert(0, F.col("__id").alias(id_col))
+    return out.select(*cols)
+
+
 def save_model(root: str, name: str, model: dict) -> str:
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, f"{name}.json")

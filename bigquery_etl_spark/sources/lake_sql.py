@@ -2952,11 +2952,23 @@ class LakeCatalog:
                 n_iters=int(opts.get("max_iterations", 8)),
                 l2=float(opts.get("l2_reg", 0.05) or 0.05),
             )
+        elif mtype == "arima_plus":
+            for req in ("time_series_timestamp_col", "time_series_data_col"):
+                if req not in opts:
+                    raise ValueError(f"ARIMA_PLUS needs {req}='<column>'")
+            model = _ml.fit_arima_plus(
+                df,
+                opts["time_series_timestamp_col"],
+                opts["time_series_data_col"],
+                id_col=opts.get("time_series_id_col"),
+                max_ar_order=int(opts.get("auto_arima_max_order", 5)),
+                horizon=int(opts.get("horizon", 1000)),
+            )
         else:
             raise ValueError(
                 f"model_type {mtype!r} not implemented "
                 "(have: linear_reg, logistic_reg, kmeans, pca, "
-                "matrix_factorization; ARIMA_PLUS/boosted trees are out "
+                "matrix_factorization, arima_plus; boosted trees are out "
                 "of scope for closed-form passes)"
             )
         self.models[name] = model
@@ -2978,6 +2990,17 @@ class LakeCatalog:
                     for k, v in model.items()
                     if k not in ("user_factors", "item_factors")
                 }
+                _ml.save_model(
+                    _os.path.join(self.warehouse, "_models"), name, meta
+                )
+            elif mtype == "arima_plus":
+                # per-series params are a DISTRIBUTED DataFrame
+                # (n_series rows) — parquet, like the MF factors
+                mdir = _os.path.join(self.warehouse, "_models", name)
+                model["params"].write.mode("overwrite").parquet(
+                    _os.path.join(mdir, "params.parquet")
+                )
+                meta = {k: v for k, v in model.items() if k != "params"}
                 _ml.save_model(
                     _os.path.join(self.warehouse, "_models"), name, meta
                 )
@@ -3010,7 +3033,8 @@ class LakeCatalog:
 
         rx = re.compile(
             r"(?i)\bML\s*\.\s*(PREDICT|EVALUATE|WEIGHTS|CENTROIDS|"
-            r"PRINCIPAL_COMPONENTS|PRINCIPAL_COMPONENT_INFO|RECOMMEND)\s*\("
+            r"PRINCIPAL_COMPONENTS|PRINCIPAL_COMPONENT_INFO|RECOMMEND|"
+            r"FORECAST)\s*\("
         )
         n = 0
         while True:
@@ -3110,6 +3134,33 @@ class LakeCatalog:
                     "principal_component_id int, eigenvalue double, "
                     "explained_variance_ratio double, "
                     "cumulative_explained_variance_ratio double",
+                )
+            elif fn == "FORECAST":
+                if model["model_type"] != "arima_plus":
+                    raise ValueError("ML.FORECAST: arima_plus only")
+                horizon, conf = None, 0.95
+                if mm.group(2):
+                    # BigQuery's STRUCT(n AS horizon, c AS
+                    # confidence_level) settings argument
+                    hm = re.search(
+                        r"(?i)(\d+)\s+AS\s+horizon", mm.group(2)
+                    )
+                    cm = re.search(
+                        r"(?i)([\d.]+)\s+AS\s+confidence_level",
+                        mm.group(2),
+                    )
+                    if hm:
+                        horizon = int(hm.group(1))
+                    if cm:
+                        conf = float(cm.group(1))
+                    if not (hm or cm):
+                        raise ValueError(
+                            "ML.FORECAST settings must be "
+                            "STRUCT(n AS horizon, c AS confidence_level)"
+                        )
+                df = _ml.forecast_arima_plus(
+                    self.spark, model, horizon=horizon,
+                    confidence_level=conf,
                 )
             elif fn == "RECOMMEND":
                 if model["model_type"] != "matrix_factorization":

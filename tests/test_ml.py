@@ -331,3 +331,111 @@ def test_matrix_factorization_cold_start_nulls(spark, cat):
     )
     with pytest.raises(ValueError, match="matrix_factorization only"):
         cat.sql("SELECT * FROM ML.RECOMMEND(MODEL lin_for_rec)")
+
+
+# -- ARIMA_PLUS (r8) ----------------------------------------------------------
+
+
+def _series_df(spark, n, fn, sid=None):
+    from pyspark.sql import functions as F
+
+    base = 1704067200
+    rows = [(sid if sid is not None else "s", i, float(fn(i)))
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "sid string, t long, y double"
+    ).select(
+        "sid",
+        F.timestamp_seconds(F.lit(base) + F.col("t") * 86400).alias("ts"),
+        "y",
+    )
+
+
+def test_arima_nonseasonal_trend(spark):
+    """A pure linear trend must fit with period=1 (no spurious
+    seasonality) and forecast the extension exactly."""
+    from bigquery_etl_spark.operators.ml import (
+        fit_arima_plus,
+        forecast_arima_plus,
+    )
+
+    df = _series_df(spark, 60, lambda t: 3.0 + 2.5 * t)
+    m = fit_arima_plus(df, "ts", "y", id_col=None)
+    prm = m["params"].collect()[0]
+    assert prm.period == 1 and prm.n == 60
+    fc = forecast_arima_plus(spark, m, horizon=5).collect()
+    assert len(fc) == 5
+    for i, r in enumerate(fc, start=60):
+        assert abs(r.forecast_value - (3.0 + 2.5 * i)) < 1e-6
+    # daily grid continues
+    assert (fc[1].forecast_timestamp - fc[0].forecast_timestamp
+            ).total_seconds() == 86400
+
+
+def test_arima_detects_weekly_period(spark):
+    from bigquery_etl_spark.operators.ml import fit_arima_plus
+
+    pat = [1.0, -2.0, 0.0, 2.0, 0.0, -2.0, 1.0]
+    df = _series_df(spark, 140, lambda t: 10.0 + 0.5 * t + pat[t % 7])
+    m = fit_arima_plus(df, "ts", "y")
+    prm = m["params"].collect()[0]
+    assert prm.period == 7  # not a multiple like 14
+    assert prm.se < 1e-6    # exact decomposition -> zero residual
+
+
+def test_arima_ar_component_improves_fit(spark):
+    """An AR(1)-flavored residual (deterministic cos ramp) must yield
+    nonzero phi and finite widening intervals."""
+    import math
+
+    from bigquery_etl_spark.operators.ml import (
+        fit_arima_plus,
+        forecast_arima_plus,
+    )
+
+    df = _series_df(
+        spark, 200, lambda t: 5.0 + 0.1 * t + 4.0 * math.cos(t / 3.0)
+    )
+    m = fit_arima_plus(df, "ts", "y")
+    prm = m["params"].collect()[0]
+    assert prm.phi and len(prm.phi) >= 1
+    fc = forecast_arima_plus(spark, m, horizon=10,
+                             confidence_level=0.9).collect()
+    ses = [r.standard_error for r in fc]
+    assert all(s >= 0 for s in ses)
+    assert ses[-1] >= ses[0]  # psi-weight variance never shrinks
+    for r in fc:
+        assert (r.prediction_interval_lower_bound <= r.forecast_value
+                <= r.prediction_interval_upper_bound)
+
+
+def test_arima_sql_surface_requires_options(spark, tmp_path):
+    import pytest as _p
+
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    _series_df(spark, 30, lambda t: float(t)).createOrReplaceTempView(
+        "ar_src"
+    )
+    with _p.raises(ValueError, match="time_series"):
+        cat.sql(
+            "CREATE MODEL ar_bad OPTIONS(model_type='ARIMA_PLUS') "
+            "AS SELECT * FROM ar_src"
+        )
+    cat.sql(
+        "CREATE MODEL ar_ok OPTIONS(model_type='ARIMA_PLUS', "
+        "time_series_timestamp_col='ts', time_series_data_col='y', "
+        "horizon=3) AS SELECT ts, y FROM ar_src"
+    )
+    # default horizon comes from the model options
+    rows = cat.sql(
+        "SELECT * FROM ML.FORECAST(MODEL ar_ok)"
+    ).collect()
+    assert len(rows) == 3
+    # params persisted as parquet next to the model JSON
+    import os
+
+    assert os.path.isdir(
+        str(tmp_path / "wh" / "_models" / "ar_ok" / "params.parquet")
+    )
