@@ -135,6 +135,15 @@ HEADLINE = [
     # r6 C52: %-datetime formatting — matched: DuckDB interprets the
     # same %-codes natively (strftime/strptime), identical row work
     "q_bq_datetime_fmt",
+    # r8 additions (VERDICT r7 item 9: new exact-twinned queries join
+    # the matched set): JSON subtree extraction, civil TIME, ordered
+    # ARRAY_AGG, RANGE algebra, convex-polygon geography
+    "q_json_query",
+    "q_json_query_array",
+    "q_time_type",
+    "q_array_agg_ordered",
+    "q_range_type",
+    "q_gis_polygon",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

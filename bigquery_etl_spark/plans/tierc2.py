@@ -405,26 +405,38 @@ def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data on its scan partitioning for the gram explode below
     dedup = exact_dedup(quality, ["text"], "doc_id", strategy="winners")
 
-    def grams(df: DataFrame) -> DataFrame:
-        arr = F.when(
-            F.size("t") >= 5,
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 5),
-                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 5)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return df.select("doc_id", F.explode(arr).alias("g"))
+    gram_arr = F.when(
+        F.size("t") >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 5),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
     eval_grams = (
-        grams(base.filter(F.col("doc_id") % 50 == 0)).select("g").distinct()
+        base.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(gram_arr).alias("g"))
+        .distinct()
     )
-    contaminated = (
-        grams(dedup).join(F.broadcast(eval_grams), "g").select("doc_id").distinct()
-    )
-    # contaminated ids are bounded by the corpus doc count (post-
-    # distinct) — broadcast so the anti-join never shuffles the corpus
-    clean = dedup.join(F.broadcast(contaminated), "doc_id", "left_anti").select(
-        "doc_id", "n"
+    # decontamination FUSED into the main pass (r8, VERDICT r7 item 10:
+    # the old shape built a `contaminated` broadcast from a SECOND full
+    # quality→dedup→tokenize pass, then anti-joined a THIRD one).
+    # Explode the surviving docs' grams once, left-join the broadcast
+    # eval set, and reduce to one flag per doc — the groupBy(doc_id)
+    # partial-aggregates map-side, so the shuffle carries one tiny
+    # (doc_id, n, flag) row per doc, never the gram fan-out. Gramless
+    # docs survive via explode_outer (null gram → no hit → kept).
+    clean = (
+        dedup.select("doc_id", "n", F.explode_outer(gram_arr).alias("g"))
+        .join(
+            F.broadcast(eval_grams.withColumn("__hit", F.lit(1))),
+            "g",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.first("n").alias("n"), F.max("__hit").alias("__c"))
+        .filter(F.col("__c").isNull())
+        .select("doc_id", "n")
     )
 
     from bigquery_etl_spark.plans._util import cached_id_bounds
