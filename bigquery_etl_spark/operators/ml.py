@@ -835,6 +835,63 @@ def forecast_arima_plus(
     return out.select(*cols)
 
 
+def arima_evaluate(model: dict) -> DataFrame:
+    """``ML.ARIMA_EVALUATE``: per-series fit diagnostics projected
+    straight off the params DataFrame — whole-stage codegen, no
+    Python, no touch of the training data. log-likelihood/AIC use the
+    gaussian closed form over the residual variance (k = AR order +
+    trend terms + seasonal dof); BigQuery's auto.ARIMA search fields
+    (has_spikes_and_dips etc.) report the decomposition's honest
+    equivalents."""
+    params = model["params"]
+    var = F.greatest(F.col("se") * F.col("se"), F.lit(1e-300))
+    k = (
+        F.size(F.coalesce(F.col("phi"), F.array()))
+        + F.lit(2)
+        + F.when(F.col("period") > 1, F.col("period") - 1).otherwise(0)
+    ).cast("double")
+    ll = (
+        F.lit(-0.5)
+        * F.col("n").cast("double")
+        * (F.lit(1.837877066409345) + F.log(var) + F.lit(1.0))
+    )  # 1.8378… = ln(2π)
+    day_us = 86_400_000_000
+    span = F.col("period").cast("double") * F.col("freq_us").cast("double")
+    seasonal = F.when(F.col("period") <= 1, F.array().cast("array<string>")).otherwise(
+        F.array(
+            F.when(
+                (span >= 0.9 * 7 * day_us) & (span <= 1.1 * 7 * day_us),
+                F.lit("WEEKLY"),
+            )
+            .when(
+                (span >= 0.9 * day_us) & (span <= 1.1 * day_us),
+                F.lit("DAILY"),
+            )
+            .when(
+                (span >= 0.9 * 365 * day_us) & (span <= 1.1 * 366 * day_us),
+                F.lit("YEARLY"),
+            )
+            .otherwise(F.concat(F.lit("EVERY_"), F.col("period"), F.lit("_POINTS")))
+        )
+    )
+    cols = [
+        F.size(F.coalesce(F.col("phi"), F.array())).alias("non_seasonal_p"),
+        F.lit(0).alias("non_seasonal_d"),
+        F.lit(0).alias("non_seasonal_q"),
+        (F.col("trend_b") != 0.0).alias("has_drift"),
+        ll.alias("log_likelihood"),
+        (F.lit(2.0) * k - F.lit(2.0) * ll).alias("AIC"),
+        (F.col("se") * F.col("se")).alias("variance"),
+        seasonal.alias("seasonal_periods"),
+        F.lit(False).alias("has_holiday_effect"),
+        F.lit(False).alias("has_spikes_and_dips"),
+        F.lit(False).alias("has_step_changes"),
+    ]
+    if model.get("id_col"):
+        cols.insert(0, F.col("id").alias(model["id_col"]))
+    return params.select(*cols)
+
+
 def save_model(root: str, name: str, model: dict) -> str:
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, f"{name}.json")

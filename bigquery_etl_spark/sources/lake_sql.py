@@ -3034,7 +3034,7 @@ class LakeCatalog:
         rx = re.compile(
             r"(?i)\bML\s*\.\s*(PREDICT|EVALUATE|WEIGHTS|CENTROIDS|"
             r"PRINCIPAL_COMPONENTS|PRINCIPAL_COMPONENT_INFO|RECOMMEND|"
-            r"FORECAST)\s*\("
+            r"FORECAST|ARIMA_EVALUATE)\s*\("
         )
         n = 0
         while True:
@@ -3135,6 +3135,10 @@ class LakeCatalog:
                     "explained_variance_ratio double, "
                     "cumulative_explained_variance_ratio double",
                 )
+            elif fn == "ARIMA_EVALUATE":
+                if model["model_type"] != "arima_plus":
+                    raise ValueError("ML.ARIMA_EVALUATE: arima_plus only")
+                df = _ml.arima_evaluate(model)
             elif fn == "FORECAST":
                 if model["model_type"] != "arima_plus":
                     raise ValueError("ML.FORECAST: arima_plus only")

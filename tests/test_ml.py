@@ -439,3 +439,39 @@ def test_arima_sql_surface_requires_options(spark, tmp_path):
     assert os.path.isdir(
         str(tmp_path / "wh" / "_models" / "ar_ok" / "params.parquet")
     )
+
+
+def test_arima_evaluate_diagnostics(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    pat = [1.0, -2.0, 0.0, 2.0, 0.0, -2.0, 1.0]
+    rows = []
+    for sid in ("a", "b"):
+        for t in range(140):
+            y = (2.0 if sid == "a" else 5.0) + 0.5 * t + pat[t % 7]
+            rows.append((sid, t, y))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "sid string, t long, y double").select(
+        "sid",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("t") * 86400).alias("ts"),
+        "y",
+    )
+    df.createOrReplaceTempView("ae_src")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL ae_m OPTIONS(model_type='ARIMA_PLUS', "
+        "time_series_timestamp_col='ts', time_series_data_col='y', "
+        "time_series_id_col='sid') AS SELECT * FROM ae_src"
+    )
+    ev = {r.sid: r for r in cat.sql(
+        "SELECT * FROM ML.ARIMA_EVALUATE(MODEL ae_m)").collect()}
+    assert set(ev) == {"a", "b"}
+    for r in ev.values():
+        assert r.non_seasonal_d == 0 and r.non_seasonal_q == 0
+        assert r.has_drift  # planted slope 0.5
+        assert r.seasonal_periods == ["WEEKLY"]  # daily grid, period 7
+        assert r.variance < 1e-10  # exact decomposition
+        assert r.AIC == 2.0 * (r.non_seasonal_p + 2 + 6) - 2.0 * r.log_likelihood
+        assert not (r.has_holiday_effect or r.has_spikes_and_dips
+                    or r.has_step_changes)
