@@ -75,14 +75,12 @@ _FN_RENAMES = {
     # quotes a bare string, Spark's to_json refuses non-containers;
     # wrap scalars in STRUCT upstream if you hit that)
     "TO_JSON_STRING": "TO_JSON",
-    # JSON scalar accessors (r6): BigQuery's JSON_VALUE /
-    # JSON_EXTRACT_SCALAR return the UNQUOTED scalar at a JSONPath —
-    # exactly get_json_object's contract. The JSON-subtree pair
-    # (JSON_QUERY/JSON_EXTRACT) is rewritten semantics-exactly by
-    # _json_query_rewriter (r8): quoted JSON text for string leaves,
-    # 'null' for JSON nulls, order-preserving container passthrough.
-    "JSON_VALUE": "GET_JSON_OBJECT",
-    "JSON_EXTRACT_SCALAR": "GET_JSON_OBJECT",
+    # JSON accessors now live in the _json_*_rewriter family (r8):
+    # JSON_VALUE/JSON_EXTRACT_SCALAR lower onto a VARIANT string cast —
+    # get_json_object alone is WRONG on two BigQuery edges the fuzz
+    # sweep caught: a JSON null inside an array re-serializes as the
+    # text 'null' (object-field nulls return SQL NULL — inconsistent),
+    # and non-scalar values return their JSON text instead of NULL.
     # sequence() covers the date/timestamp flavors too (same default
     # 1-day step for ascending date ranges as BigQuery)
     "GENERATE_DATE_ARRAY": "SEQUENCE",
@@ -476,6 +474,23 @@ def _json_value_array_rewriter(args: list[str]) -> str:
     elements). Non-array values at the path → NULL."""
     j, p = _json_args(args, "JSON_VALUE_ARRAY")
     return f"TRY_VARIANT_GET(TRY_PARSE_JSON({j}), {p}, 'array<string>')"
+
+
+def _json_value_rewriter(args: list[str]) -> str:
+    """``JSON_VALUE/JSON_EXTRACT_SCALAR(j [, path])`` → the UNQUOTED
+    scalar at the path via a VARIANT string cast: strings unquote,
+    numbers/booleans render their value, JSON nulls / missing paths /
+    non-scalars (objects, arrays) all return SQL NULL — BigQuery's
+    exact contract. (get_json_object diverges on array-element nulls
+    and non-scalars — caught by tests/test_json_time_fuzz.py.)"""
+    j, p = _json_args(args, "JSON_VALUE")
+    v = f"TRY_VARIANT_GET(TRY_PARSE_JSON({j}), {p}, 'variant')"
+    return (
+        f"CASE WHEN {v} IS NULL THEN NULL "
+        f"WHEN IS_VARIANT_NULL({v}) THEN NULL "
+        f"WHEN SCHEMA_OF_VARIANT({v}) RLIKE '^(OBJECT|ARRAY)' THEN NULL "
+        f"ELSE GET_JSON_OBJECT({j}, {p}) END"
+    )
 
 
 def _json_type_rewriter(args: list[str]) -> str:
@@ -1623,6 +1638,8 @@ def translate(sql: str) -> str:
     )
     sql = _rewrite_calls(sql, "JSON_QUERY", _json_query_rewriter)
     sql = _rewrite_calls(sql, "JSON_EXTRACT", _json_query_rewriter)
+    sql = _rewrite_calls(sql, "JSON_VALUE", _json_value_rewriter)
+    sql = _rewrite_calls(sql, "JSON_EXTRACT_SCALAR", _json_value_rewriter)
     sql = _rewrite_calls(sql, "JSON_TYPE", _json_type_rewriter)
     sql = _rewrite_calls(sql, "JSON_ARRAY_LENGTH", _json_array_length_rewriter)
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the

@@ -1,0 +1,199 @@
+"""Seeded differential fuzz for the r8 dialect surfaces.
+
+The unit tests pin the designed-for cases; these sweeps hunt the cases
+nobody designed for — random JSON documents (nested, unicode, quotes,
+numeric edge tokens) through JSON_QUERY/JSON_VALUE/JSON_TYPE, and
+random civil times through TIME_ADD/TIME_SUB/TIME_DIFF/TIME_TRUNC —
+value-compared against DuckDB's native implementations, the same
+adversarial-oracle pattern as tests/test_dml_fuzz.py.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import duckdb
+import pytest
+
+from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+SEED = 0xA8A8
+
+
+def _rand_json(rng: random.Random, depth: int = 0):
+    kinds = ["int", "float", "str", "bool", "null"]
+    if depth < 2:
+        kinds += ["obj", "arr", "obj", "arr"]
+    k = rng.choice(kinds)
+    if k == "int":
+        return rng.randint(-10**9, 10**9)
+    if k == "float":
+        return rng.choice([0.5, -1.25, 3.0, 123.456, -0.0078125])
+    if k == "str":
+        alphabet = 'ab"\\\n\tcd é✓ $.[]'
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+    if k == "bool":
+        return rng.random() < 0.5
+    if k == "null":
+        return None
+    if k == "obj":
+        # deliberately UNSORTED key order
+        keys = rng.sample(["z", "a", "m", "k1", "b2"], rng.randint(1, 4))
+        return {kk: _rand_json(rng, depth + 1) for kk in keys}
+    return [_rand_json(rng, depth + 1) for _ in range(rng.randint(0, 4))]
+
+
+PATHS = ["$.z", "$.a", "$.m", "$.k1", "$.a.z", "$.a[0]", "$.nope", "$"]
+
+
+def test_json_query_differential_fuzz(spark):
+    rng = random.Random(SEED)
+    docs = [
+        json.dumps({"z": _rand_json(rng), "a": _rand_json(rng),
+                    "m": _rand_json(rng)})
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "i long, doc string")
+    df.createOrReplaceTempView("jf_docs")
+    cat = LakeCatalog(spark)
+    cols = []
+    for n, p in enumerate(PATHS):
+        cols.append(f"JSON_QUERY(doc, '{p}') AS q{n}")
+        cols.append(f"JSON_VALUE(doc, '{p}') AS v{n}")
+        cols.append(f"JSON_TYPE(doc, '{p}') AS t{n}")
+    got = {
+        r.i: r
+        for r in cat.bq_sql(
+            f"SELECT i, {', '.join(cols)} FROM jf_docs"
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE jf(i BIGINT, doc JSON)")
+    con.executemany("INSERT INTO jf VALUES (?, ?)",
+                    [(i, d) for i, d in enumerate(docs)])
+    dcols = []
+    for n, p in enumerate(PATHS):
+        dcols.append(
+            f"CASE WHEN json_type(doc, '{p}') = 'NULL' THEN 'null' "
+            f"ELSE json_extract(doc, '{p}')::varchar END AS q{n}"
+        )
+        dcols.append(
+            # BigQuery JSON_VALUE: NULL for non-scalars (DuckDB's
+            # json_extract_string would return their JSON text)
+            f"CASE WHEN json_type(doc, '{p}') IN ('OBJECT', 'ARRAY') "
+            f"THEN NULL ELSE json_extract_string(doc, '{p}') END AS v{n}"
+        )
+        dcols.append(
+            f"CASE WHEN json_type(doc, '{p}') IS NULL THEN NULL "
+            f"WHEN json_type(doc, '{p}') = 'OBJECT' THEN 'object' "
+            f"WHEN json_type(doc, '{p}') = 'ARRAY' THEN 'array' "
+            f"WHEN json_type(doc, '{p}') = 'VARCHAR' THEN 'string' "
+            f"WHEN json_type(doc, '{p}') = 'BOOLEAN' THEN 'boolean' "
+            f"WHEN json_type(doc, '{p}') = 'NULL' THEN 'null' "
+            f"ELSE 'number' END AS t{n}"
+        )
+    want = {
+        r[0]: r
+        for r in con.execute(
+            f"SELECT i, {', '.join(dcols)} FROM jf"
+        ).fetchall()
+    }
+    names = ["i"] + [f"{c}{n}" for n in range(len(PATHS)) for c in "qvt"]
+    mismatches = []
+    for i in got:
+        g, w = got[i], want[i]
+        for ci, (gv, wv) in enumerate(zip(tuple(g), w)):
+            if gv != wv:
+                mismatches.append(
+                    (i, names[ci] if ci < len(names) else ci, gv, wv,
+                     docs[i][:120])
+                )
+    assert not mismatches, mismatches[:5]
+
+
+def test_time_arithmetic_differential_fuzz(spark):
+    rng = random.Random(SEED + 1)
+    rows = []
+    for i in range(200):
+        h, m, s = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+        frac = rng.choice(["", ".5", ".25", ".123", ".999999"])
+        rows.append((i, f"{h:02d}:{m:02d}:{s:02d}{frac}",
+                     rng.randint(-5000, 5000)))
+    df = spark.createDataFrame(rows, "i long, t string, dm long")
+    df.createOrReplaceTempView("tf_times")
+    cat = LakeCatalog(spark)
+    got = {
+        r.i: (r.a, r.b, r.tr, r.d)
+        for r in cat.bq_sql("""
+            SELECT i,
+                   TIME_ADD(t, INTERVAL 97 MINUTE) AS a,
+                   TIME_SUB(t, INTERVAL 4321 SECOND) AS b,
+                   TIME_TRUNC(t, MINUTE) AS tr,
+                   TIME_DIFF(t, TIME '11:30:15', SECOND) AS d
+            FROM tf_times
+        """).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tf(i BIGINT, t TIME, dm BIGINT)")
+    con.executemany(
+        "INSERT INTO tf VALUES (?, ?, ?)", [(i, t, dm) for i, t, dm in rows]
+    )
+    want = {
+        r[0]: r[1:]
+        for r in con.execute("""
+            SELECT i,
+                   (t + INTERVAL 97 MINUTE)::varchar,
+                   (t - INTERVAL 4321 SECOND)::varchar,
+                   make_time(hour(t), minute(t), 0)::varchar,
+                   datediff('second', TIME '11:30:15', t)
+            FROM tf
+        """).fetchall()
+    }
+    mismatches = [
+        (i, got[i], want[i], rows[i][1])
+        for i in got
+        if tuple(got[i]) != tuple(want[i])
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_array_agg_ordered_differential_fuzz(spark):
+    """Random (group, key, value) rows: ordered+limited ARRAY_AGG must
+    match DuckDB's native ordered list() slice exactly (ties broken by
+    the compound key on both engines)."""
+    rng = random.Random(SEED + 2)
+    rows = [
+        (rng.randint(0, 9), rng.randint(0, 20), f"v{n}")
+        for n in range(400)
+    ]
+    spark.createDataFrame(rows, "g int, k int, v string") \
+        .createOrReplaceTempView("af_rows")
+    cat = LakeCatalog(spark)
+    got = {
+        r.g: (r.asc3, r.desc2)
+        for r in cat.bq_sql("""
+            SELECT g,
+                   ARRAY_TO_STRING(ARRAY_AGG(v ORDER BY k, v LIMIT 3),
+                                   '|') AS asc3,
+                   ARRAY_TO_STRING(ARRAY_AGG(v ORDER BY k DESC, v DESC
+                                             LIMIT 2), '|') AS desc2
+            FROM af_rows GROUP BY g
+        """).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE af(g INT, k INT, v VARCHAR)")
+    con.executemany("INSERT INTO af VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]: r[1:]
+        for r in con.execute("""
+            SELECT g,
+                   array_to_string(list(v ORDER BY k, v)[1:3], '|'),
+                   array_to_string(list(v ORDER BY k DESC, v DESC)[1:2],
+                                   '|')
+            FROM af GROUP BY g
+        """).fetchall()
+    }
+    assert got == want
