@@ -733,11 +733,14 @@ def forecast_arima_plus(
     model: dict,
     horizon: int | None = None,
     confidence_level: float = 0.95,
+    explain: bool = False,
 ) -> DataFrame:
-    """``ML.FORECAST``: applyInPandas over the PARAMS DataFrame only —
-    each series rolls its AR recursion ``horizon`` steps (psi-weight
-    variance accumulation widens the intervals with lead time, the
-    standard ARMA forecast-variance recursion)."""
+    """``ML.FORECAST`` (and ``ML.EXPLAIN_FORECAST`` with
+    ``explain=True``, which adds the per-step trend / seasonal /
+    AR-residual decomposition columns): applyInPandas over the PARAMS
+    DataFrame only — each series rolls its AR recursion ``horizon``
+    steps (psi-weight variance accumulation widens the intervals with
+    lead time, the standard ARMA forecast-variance recursion)."""
     import numpy as np
     import pandas as pd
 
@@ -789,29 +792,34 @@ def forecast_arima_plus(
                     + ar
                 )
                 se_h = r.se * float(np.sqrt(cumvar[step - 1]))
-                rows.append(
-                    (
-                        r.id,
-                        (r.last_ts_us + step * r.freq_us),
-                        val,
-                        se_h,
-                        confidence_level,
-                        val - z * se_h,
-                        val + z * se_h,
-                        val - z * se_h,
-                        val + z * se_h,
-                    )
+                rec = (
+                    r.id,
+                    (r.last_ts_us + step * r.freq_us),
+                    val,
+                    se_h,
+                    confidence_level,
+                    val - z * se_h,
+                    val + z * se_h,
+                    val - z * se_h,
+                    val + z * se_h,
                 )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "__id", "__ts_us", "forecast_value", "standard_error",
-                "confidence_level", "prediction_interval_lower_bound",
-                "prediction_interval_upper_bound",
-                "confidence_interval_lower_bound",
-                "confidence_interval_upper_bound",
-            ],
-        )
+                if explain:
+                    rec += (
+                        r.trend_a + r.trend_b * t,
+                        seasonal[t % period],
+                        ar,
+                    )
+                rows.append(rec)
+        cols = [
+            "__id", "__ts_us", "forecast_value", "standard_error",
+            "confidence_level", "prediction_interval_lower_bound",
+            "prediction_interval_upper_bound",
+            "confidence_interval_lower_bound",
+            "confidence_interval_upper_bound",
+        ]
+        if explain:
+            cols += ["trend", "seasonal_period_component", "ar_component"]
+        return pd.DataFrame(rows, columns=cols)
 
     out_schema = (
         "__id string, __ts_us long, forecast_value double, "
@@ -821,6 +829,11 @@ def forecast_arima_plus(
         "confidence_interval_lower_bound double, "
         "confidence_interval_upper_bound double"
     )
+    if explain:
+        out_schema += (
+            ", trend double, seasonal_period_component double, "
+            "ar_component double"
+        )
     out = model["params"].groupBy("id").applyInPandas(roll, out_schema)
     cols = [
         F.timestamp_micros(F.col("__ts_us")).alias("forecast_timestamp"),
@@ -830,6 +843,8 @@ def forecast_arima_plus(
         "confidence_interval_lower_bound",
         "confidence_interval_upper_bound",
     ]
+    if explain:
+        cols += ["trend", "seasonal_period_component", "ar_component"]
     if id_col:
         cols.insert(0, F.col("__id").alias(id_col))
     return out.select(*cols)

@@ -78,7 +78,12 @@ def make_ipfs_docs(spark: SparkSession, raw_logs: DataFrame) -> DataFrame:
 
 
 def fetcher_for(docs: DataFrame):
-    """A6 live-KV fetcher stub: hash -> doc dict built once driver-side."""
+    """A6 live-KV fetcher stub: hash -> doc dict built once driver-side.
+
+    FIXTURE-ONLY PATTERN: this collect() emulates an external KV
+    service for tests, bounded by the fixture's hash set. The real
+    enrichment join (pipeline/extract.py) is a broadcast equi-join —
+    never copy this driver-side dict into a production lookup path."""
     table = {r.ipfs_hash: r.doc for r in docs.collect()}
 
     def fetch(hashes: list[str]) -> dict[str, str]:

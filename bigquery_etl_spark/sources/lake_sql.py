@@ -3034,7 +3034,7 @@ class LakeCatalog:
         rx = re.compile(
             r"(?i)\bML\s*\.\s*(PREDICT|EVALUATE|WEIGHTS|CENTROIDS|"
             r"PRINCIPAL_COMPONENTS|PRINCIPAL_COMPONENT_INFO|RECOMMEND|"
-            r"FORECAST|ARIMA_EVALUATE)\s*\("
+            r"EXPLAIN_FORECAST|FORECAST|ARIMA_EVALUATE)\s*\("
         )
         n = 0
         while True:
@@ -3139,9 +3139,9 @@ class LakeCatalog:
                 if model["model_type"] != "arima_plus":
                     raise ValueError("ML.ARIMA_EVALUATE: arima_plus only")
                 df = _ml.arima_evaluate(model)
-            elif fn == "FORECAST":
+            elif fn in ("FORECAST", "EXPLAIN_FORECAST"):
                 if model["model_type"] != "arima_plus":
-                    raise ValueError("ML.FORECAST: arima_plus only")
+                    raise ValueError(f"ML.{fn}: arima_plus only")
                 horizon, conf = None, 0.95
                 if mm.group(2):
                     # BigQuery's STRUCT(n AS horizon, c AS
@@ -3165,6 +3165,7 @@ class LakeCatalog:
                 df = _ml.forecast_arima_plus(
                     self.spark, model, horizon=horizon,
                     confidence_level=conf,
+                    explain=(fn == "EXPLAIN_FORECAST"),
                 )
             elif fn == "RECOMMEND":
                 if model["model_type"] != "matrix_factorization":

@@ -475,3 +475,40 @@ def test_arima_evaluate_diagnostics(spark, tmp_path):
         assert r.AIC == 2.0 * (r.non_seasonal_p + 2 + 6) - 2.0 * r.log_likelihood
         assert not (r.has_holiday_effect or r.has_spikes_and_dips
                     or r.has_step_changes)
+
+
+def test_arima_explain_forecast_decomposition(spark, tmp_path):
+    """ML.EXPLAIN_FORECAST: the decomposition columns must SUM to the
+    forecast value exactly (trend + seasonal + AR residual)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    pat = [1.0, -2.0, 0.0, 2.0, 0.0, -2.0, 1.0]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(t, 3.0 + 0.5 * t + 2.0 * pat[t % 7]) for t in range(140)],
+        "t long, y double",
+    ).select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("t") * 86400)
+        .alias("ts"),
+        "y",
+    )
+    df.createOrReplaceTempView("ef_src")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL ef_m OPTIONS(model_type='ARIMA_PLUS', "
+        "time_series_timestamp_col='ts', time_series_data_col='y') "
+        "AS SELECT * FROM ef_src"
+    )
+    rows = cat.sql(
+        "SELECT * FROM ML.EXPLAIN_FORECAST(MODEL ef_m, "
+        "STRUCT(7 AS horizon, 0.9 AS confidence_level))"
+    ).collect()
+    assert len(rows) == 7
+    for r in rows:
+        parts = r.trend + r.seasonal_period_component + r.ar_component
+        assert abs(parts - r.forecast_value) < 1e-9
+        assert r.confidence_level == 0.9
+    # the weekly component repeats the planted pattern shape
+    seas = [r.seasonal_period_component for r in rows]
+    assert max(seas) > 1.0 and min(seas) < -1.0
