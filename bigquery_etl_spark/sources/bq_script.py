@@ -83,6 +83,16 @@ class _While:
 
 
 @dataclass
+class _Repeat:
+    """``REPEAT … UNTIL cond END REPEAT`` — post-condition loop (the
+    body always runs at least once; the loop exits when cond turns
+    TRUE)."""
+
+    body: list
+    until: str
+
+
+@dataclass
 class _For:
     """``FOR var IN (query) DO … END FOR`` — the query materializes
     ONCE (one distributed job), then the body runs per result row with
@@ -166,6 +176,25 @@ def _parse(stmts: list[str], i: int, until: tuple[str, ...]):
                 j = i + 1
             body, j, _ = _parse(stmts, j, ("END LOOP",))
             nodes.append(_While(cond=None, body=body))
+            i = j + 1
+            continue
+        m = re.match(r"(?is)^REPEAT\b\s*(.*)$", s)
+        if m:
+            j = i
+            if m.group(1).strip():
+                stmts[i] = m.group(1)
+            else:
+                j = i + 1
+            body, j, term = _parse(stmts, j, ("UNTIL",))
+            um = re.match(
+                r"(?is)^UNTIL\s+(.*?)\s+END\s+REPEAT\s*$",
+                " ".join((term or "").split()),
+            )
+            if not um:
+                raise ScriptError(
+                    f"REPEAT needs 'UNTIL cond END REPEAT', got {term!r}"
+                )
+            nodes.append(_Repeat(body=body, until=um.group(1)))
             i = j + 1
             continue
         m = re.match(r"(?is)^FOR\s+(\w+)\s+IN\s*\(", s)
@@ -451,6 +480,17 @@ class ScriptRunner:
                         break
                     except _Continue:
                         continue
+                continue
+            if isinstance(n, _Repeat):
+                while True:
+                    try:
+                        self._exec(n.body)
+                    except _Break:
+                        break
+                    except _Continue:
+                        pass
+                    if bool(self._scalar(n.until)):
+                        break
                 continue
             if isinstance(n, _For):
                 self._tick()

@@ -314,3 +314,29 @@ def test_create_temp_table_in_script(cat, spark):
 
     with _p.raises(Exception):
         cat.sql("SELECT * FROM hot")
+
+
+def test_repeat_until(cat):
+    """REPEAT … UNTIL: post-condition loop — body runs at least once."""
+    out = _run(cat, """
+        DECLARE n INT64 DEFAULT 0;
+        DECLARE s INT64 DEFAULT 0;
+        REPEAT
+          SET n = n + 1;
+          SET s = s + n;
+        UNTIL n >= 5
+        END REPEAT;
+        SELECT n AS n, s AS s;
+    """)
+    r = out.collect()[0]
+    assert (r.n, r.s) == (5, 15)
+    # at-least-once: condition true up front still runs the body once
+    out2 = _run(cat, """
+        DECLARE n INT64 DEFAULT 99;
+        REPEAT
+          SET n = n + 1;
+        UNTIL TRUE
+        END REPEAT;
+        SELECT n AS n;
+    """)
+    assert out2.collect()[0].n == 100
