@@ -476,3 +476,76 @@ def q_gis_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS total_m
         FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
     """)
+
+
+@query(
+    "q_json_mutators",
+    sql="""
+    WITH j AS (
+        SELECT o_orderkey AS k, o_orderkey % 5 AS m, o_orderkey % 9 AS n
+        FROM orders WHERE o_orderkey % 16 = 1
+    )
+    SELECT k,
+           '{"id":' || k || ',"a":{"x":' || m
+               || ',"drop":null},"tags":[1,null,3]}' AS set1,
+           '{"id":' || k
+               || ',"a":{"x":1,"drop":null},"tags":[1,null,3],'
+               || '"b":{"c":"hi"}}' AS set_new,
+           '{"id":' || k || ',"a":{"x":1},"tags":[1,3]}' AS removed,
+           '{"id":' || k || ',"a":{"x":1},"tags":[1,3]}' AS stripped,
+           '{"id":' || k
+               || ',"a":{"x":1,"drop":null},"tags":[1,null,3,null,true]}'
+               AS padded,
+           13 AS li_str,
+           1 AS li_bool,
+           12.7 AS lf,
+           TRUE AS lb,
+           n::varchar AS ls,
+           CAST(NULL AS BIGINT) AS l_arr
+    FROM j ORDER BY k
+    """,
+    tags=("dialect", "json"),
+)
+def q_json_mutators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON mutators + LAX conversions (r8): JSON_SET (in-place set,
+    missing-path creation, array padding with nulls), JSON_REMOVE
+    (multi-path), JSON_STRIP_NULLS (objects AND arrays, BigQuery
+    defaults) — Arrow-batched mutator UDFs (the sanctioned fallback
+    tier: Spark has no subtree-rewrite builtin; values cross as
+    to_json(named_struct) so types survive exactly) — plus the pure-
+    codegen LAX_INT64/LAX_FLOAT64/LAX_BOOL/LAX_STRING family (numeric
+    strings convert, INT64 rounds half away from zero, booleans map,
+    containers → NULL). The oracle states every expected document as a
+    closed-form string and every LAX value as a constant — one
+    serialization convention (minimal separators, insertion order) on
+    both sides."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("jm_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH j AS (
+            SELECT o_orderkey AS k,
+                   '{ "id": ' || CAST(o_orderkey AS STRING)
+                       || ', "a": {"x": 1, "drop": null}, '
+                       || '"tags": [1, null, 3] }' AS doc,
+                   '{"s": "12.7", "b": true, "t": "TRUE", "n": '
+                       || CAST(o_orderkey % 9 AS STRING)
+                       || ', "arr": [1]}' AS doc2,
+                   o_orderkey % 5 AS m
+            FROM jm_orders WHERE o_orderkey % 16 = 1
+        )
+        SELECT k,
+               JSON_SET(doc, '$.a.x', m) AS set1,
+               JSON_SET(doc, '$.b.c', 'hi') AS set_new,
+               JSON_REMOVE(doc, '$.a.drop', '$.tags[1]') AS removed,
+               JSON_STRIP_NULLS(doc) AS stripped,
+               JSON_SET(doc, '$.tags[4]', TRUE) AS padded,
+               LAX_INT64(doc2, '$.s') AS li_str,
+               LAX_INT64(doc2, '$.b') AS li_bool,
+               LAX_FLOAT64(doc2, '$.s') AS lf,
+               LAX_BOOL(doc2, '$.t') AS lb,
+               LAX_STRING(doc2, '$.n') AS ls,
+               LAX_INT64(doc2, '$.arr') AS l_arr
+        FROM j ORDER BY k
+    """)

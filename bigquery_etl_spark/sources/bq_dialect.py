@@ -513,6 +513,107 @@ def _json_type_rewriter(args: list[str]) -> str:
     )
 
 
+def _literal_path(p: str, fn: str) -> str:
+    """Validate a JSONPath literal at translate time (loud errors beat
+    a per-row UDF failure)."""
+    pm = re.match(r"^'((?:[^']|'')*)'$", p.strip())
+    if not pm:
+        raise BQDialectError(f"{fn}: JSONPath must be a string literal, got {p!r}")
+    from bigquery_etl_spark.functions.json_mutators import parse_path
+
+    try:
+        parse_path(pm.group(1).replace("''", "'"))
+    except ValueError as e:
+        raise BQDialectError(f"{fn}: {e}") from None
+    return p.strip()
+
+
+def _json_set_rewriter(args: list[str]) -> str:
+    """``JSON_SET(j, path, value [, path2, value2 …])`` → chained
+    Arrow-batched mutator UDF calls (functions/json_mutators.py — the
+    sanctioned fallback tier: Spark has no subtree-rewrite builtin).
+    Values cross the string boundary as ``to_json(named_struct('v',
+    value))`` so their TYPE survives exactly; NULL values decode to
+    JSON null (BigQuery's rule)."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise BQDialectError(
+            f"JSON_SET expects (json, path, value [, path, value]…), got {args}"
+        )
+    out = args[0].strip()
+    for i in range(1, len(args), 2):
+        p = _literal_path(args[i], "JSON_SET")
+        out = (
+            f"__bq_json_set({out}, {p}, "
+            f"TO_JSON(NAMED_STRUCT('v', {args[i + 1].strip()})))"
+        )
+    return out
+
+
+def _json_remove_rewriter(args: list[str]) -> str:
+    if len(args) < 2:
+        raise BQDialectError(f"JSON_REMOVE expects (json, path …), got {args}")
+    out = args[0].strip()
+    for p in args[1:]:
+        lp = _literal_path(p, "JSON_REMOVE")
+        if lp.strip("' ").strip() == "$":
+            raise BQDialectError(
+                "JSON_REMOVE cannot remove the document root $"
+            )
+        out = f"__bq_json_remove({out}, {lp})"
+    return out
+
+
+def _json_strip_nulls_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError(
+            "JSON_STRIP_NULLS supports the 1-arg form (BigQuery defaults: "
+            "include_arrays=true, remove_empty=false)"
+        )
+    return f"__bq_json_strip_nulls({args[0].strip()})"
+
+
+def _lax_rewriter(kind: str):
+    """``LAX_INT64/LAX_FLOAT64/LAX_BOOL/LAX_STRING(j [, path])`` —
+    BigQuery's flexible JSON→scalar conversions, pure codegen on a
+    VARIANT probe: numbers and numeric strings convert (INT64 rounds
+    half away from zero, BigQuery's ROUND), booleans map to 1/0 or
+    'true'/'false' text, containers and JSON nulls → NULL."""
+
+    def _rw(args: list[str]) -> str:
+        j, p = _json_args(args, f"LAX_{kind}")
+        jp = f"TRY_PARSE_JSON({j})"
+        v = f"TRY_VARIANT_GET({jp}, {p}, 'variant')"
+        sch = f"SCHEMA_OF_VARIANT({v})"
+        s = f"TRY_VARIANT_GET({jp}, {p}, 'string')"
+        b = f"TRY_VARIANT_GET({jp}, {p}, 'boolean')"
+        guard = f"WHEN {sch} RLIKE '^(OBJECT|ARRAY)' THEN NULL "
+        if kind == "STRING":
+            return (
+                f"CASE {guard}WHEN IS_VARIANT_NULL({v}) THEN NULL "
+                f"ELSE {s} END"
+            )
+        if kind == "BOOL":
+            return (
+                f"CASE {guard}WHEN {sch} = 'BOOLEAN' THEN {b} "
+                f"WHEN LOWER({s}) = 'true' THEN TRUE "
+                f"WHEN LOWER({s}) = 'false' THEN FALSE "
+                f"ELSE NULL END"
+            )
+        num = f"TRY_CAST({s} AS DOUBLE)"
+        if kind == "FLOAT64":
+            return (
+                f"CASE {guard}WHEN {sch} = 'BOOLEAN' THEN "
+                f"IF({b}, 1.0D, 0.0D) ELSE {num} END"
+            )
+        return (  # INT64
+            f"CASE {guard}WHEN {sch} = 'BOOLEAN' THEN "
+            f"IF({b}, 1L, 0L) "
+            f"ELSE CAST(ROUND({num}) AS BIGINT) END"
+        )
+
+    return _rw
+
+
 def _json_array_length_rewriter(args: list[str]) -> str:
     """``JSON_ARRAY_LENGTH(j [, path])`` → element count of the array
     at the path; NULL when missing or not an array."""
@@ -1642,6 +1743,15 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "JSON_EXTRACT_SCALAR", _json_value_rewriter)
     sql = _rewrite_calls(sql, "JSON_TYPE", _json_type_rewriter)
     sql = _rewrite_calls(sql, "JSON_ARRAY_LENGTH", _json_array_length_rewriter)
+    # JSON mutators (r8): Arrow-batched UDFs registered by the catalog
+    sql = _rewrite_calls(sql, "JSON_SET", _json_set_rewriter)
+    sql = _rewrite_calls(sql, "JSON_REMOVE", _json_remove_rewriter)
+    sql = _rewrite_calls(sql, "JSON_STRIP_NULLS", _json_strip_nulls_rewriter)
+    # LAX conversions (r8): flexible JSON→scalar, pure codegen
+    sql = _rewrite_calls(sql, "LAX_INT64", _lax_rewriter("INT64"))
+    sql = _rewrite_calls(sql, "LAX_FLOAT64", _lax_rewriter("FLOAT64"))
+    sql = _rewrite_calls(sql, "LAX_BOOL", _lax_rewriter("BOOL"))
+    sql = _rewrite_calls(sql, "LAX_STRING", _lax_rewriter("STRING"))
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
     # unparsable input via try_to_timestamp, matching BigQuery's SAFE

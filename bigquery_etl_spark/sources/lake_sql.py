@@ -1871,7 +1871,15 @@ class LakeCatalog:
                 return rx.sub(repl, s)
 
             text = _map_literal_aware(text, _seg)
-        return self.sql(translate(text))
+        out = translate(text)
+        if "__bq_json_" in out:
+            # JSON mutators lower onto session-registered Arrow UDFs
+            from bigquery_etl_spark.functions.json_mutators import (
+                register_json_mutators,
+            )
+
+            register_json_mutators(self.spark)
+        return self.sql(out)
 
     def script(self, text: str):
         """Execute a BigQuery procedural script (DECLARE/SET, IF/WHILE/

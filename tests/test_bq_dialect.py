@@ -661,3 +661,29 @@ def test_gis_polygon_r8(fcat):
             "SELECT ST_CONTAINS(ST_GEOGPOINT(1.0, 1.0), "
             "ST_GEOGPOINT(2.0, 2.0))"
         )
+
+
+def test_json_mutators_r8(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    r = fcat.bq_sql(
+        "SELECT JSON_SET('{\"a\": 1}', '$.b[1]', 2) AS pad, "
+        "JSON_SET('{\"a\": 1}', '$.a', NULL) AS setnull, "
+        "JSON_REMOVE('[1, 2, 3]', '$[0]') AS rm0, "
+        "JSON_STRIP_NULLS('{\"a\": null, \"b\": [null, 1]}') AS st, "
+        "LAX_INT64('\"-2.5\"') AS neg, "
+        "LAX_BOOL('1') AS nb"
+    ).collect()[0]
+    assert r.pad == '{"a":1,"b":[null,2]}'   # arrays pad with nulls
+    assert r.setnull == '{"a":null}'          # NULL value -> JSON null
+    assert r.rm0 == "[2,3]"
+    assert r.st == '{"b":[1]}'
+    assert r.neg == -3                        # ROUND half away from zero
+    assert r.nb is None                       # numbers don't coerce to bool
+    with pytest.raises(BQDialectError, match="JSONPath"):
+        translate("SELECT JSON_SET(j, p, 1)")  # computed path refuses
+    with pytest.raises(BQDialectError, match="root"):
+        translate("SELECT JSON_REMOVE(j, '$')")
