@@ -1083,6 +1083,99 @@ def _poly_distance(A: str, p: str) -> str:
     return f"IF({_poly_contains(A, p)}, 0.0D, {dmin})"
 
 
+def _st_area(args: list[str]) -> str:
+    """``ST_AREA``: 0 for points; for convex WKT rings the
+    Chamberlain–Duquette spherical-excess formula (the turf.js /
+    geojson-area geodesic area, public closed form):
+    A = |R²/2 · Σ (λ₂-λ₁)(2 + sin φ₁ + sin φ₂)| — evaluated at
+    translate time for literal rings (the vertices are constants), so
+    the whole expression folds to a literal."""
+    if len(args) != 1:
+        raise BQDialectError(f"ST_AREA expects one geography, got {args}")
+    verts = _parse_poly_literal(args[0])
+    if verts is None:
+        if _is_poly(args[0]):
+            raise BQDialectError(
+                "ST_AREA supports POINTs (0) and literal convex POLYGONs"
+            )
+        return "0.0D"  # a point has zero area
+    import math
+
+    total = 0.0
+    n = len(verts)
+    for i in range(n):
+        ax, ay = verts[i]
+        bx, by = verts[(i + 1) % n]
+        total += math.radians(bx - ax) * (
+            2.0 + math.sin(math.radians(ay)) + math.sin(math.radians(by))
+        )
+    r = 6371008.8
+    area = abs(total * r * r / 2.0)
+    return f"{area!r}D"
+
+
+def _st_perimeter(args: list[str]) -> str:
+    """``ST_PERIMETER``: sum of haversine edge lengths — the same
+    great-circle metric as ST_DISTANCE, so the two compose
+    consistently. Constant-folds for literal rings."""
+    if len(args) != 1:
+        raise BQDialectError(f"ST_PERIMETER expects one geography, got {args}")
+    verts = _parse_poly_literal(args[0])
+    if verts is None:
+        if _is_poly(args[0]):
+            raise BQDialectError(
+                "ST_PERIMETER supports POINTs (0) and literal convex POLYGONs"
+            )
+        return "0.0D"
+    import math
+
+    r = 6371008.8
+    total = 0.0
+    n = len(verts)
+    for i in range(n):
+        ax, ay = verts[i]
+        bx, by = verts[(i + 1) % n]
+        total += 2.0 * r * math.asin(
+            math.sqrt(
+                math.sin(math.radians(by - ay) / 2) ** 2
+                + math.cos(math.radians(ay))
+                * math.cos(math.radians(by))
+                * math.sin(math.radians(bx - ax) / 2) ** 2
+            )
+        )
+    return f"{total!r}D"
+
+
+def _st_centroid(args: list[str]) -> str:
+    """``ST_CENTROID``: points return themselves; literal convex rings
+    return the planar area-weighted centroid (shoelace form — the
+    planar-edge contract shared with ST_CONTAINS, documented)."""
+    if len(args) != 1:
+        raise BQDialectError(f"ST_CENTROID expects one geography, got {args}")
+    verts = _parse_poly_literal(args[0])
+    if verts is None:
+        if _is_poly(args[0]):
+            raise BQDialectError(
+                "ST_CENTROID supports POINTs and literal convex POLYGONs"
+            )
+        return args[0].strip()  # a point is its own centroid
+    a2 = cx = cy = 0.0
+    n = len(verts)
+    for i in range(n):
+        x0, y0 = verts[i]
+        x1, y1 = verts[(i + 1) % n]
+        cross = x0 * y1 - x1 * y0
+        a2 += cross
+        cx += (x0 + x1) * cross
+        cy += (y0 + y1) * cross
+    cx /= 3.0 * a2
+    cy /= 3.0 * a2
+    return (
+        f"NAMED_STRUCT('lon', CAST({cx!r} AS DOUBLE), "
+        f"'lat', CAST({cy!r} AS DOUBLE))"
+    )
+
+
 def _st_contains(args: list[str]) -> str:
     if len(args) != 2:
         raise BQDialectError(f"ST_CONTAINS expects (polygon, point), got {args}")
@@ -1846,6 +1939,9 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "ST_GEOGPOINT", _st_geogpoint)
     sql = _rewrite_calls(sql, "ST_GEOGFROMTEXT", _st_geogfromtext)
     sql = _rewrite_calls(sql, "ST_CONTAINS", _st_contains)
+    sql = _rewrite_calls(sql, "ST_AREA", _st_area)
+    sql = _rewrite_calls(sql, "ST_PERIMETER", _st_perimeter)
+    sql = _rewrite_calls(sql, "ST_CENTROID", _st_centroid)
     sql = _rewrite_calls(sql, "ST_DWITHIN", _st_dwithin)
     sql = _rewrite_calls(sql, "ST_DISTANCE", _st_distance)
     sql = _rewrite_calls(sql, "ST_ASTEXT", _st_astext)

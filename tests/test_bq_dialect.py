@@ -687,3 +687,22 @@ def test_json_mutators_r8(fcat):
         translate("SELECT JSON_SET(j, p, 1)")  # computed path refuses
     with pytest.raises(BQDialectError, match="root"):
         translate("SELECT JSON_REMOVE(j, '$')")
+
+
+def test_gis_area_perimeter_centroid_r8(fcat):
+    import math
+
+    sq = "ST_GEOGFROMTEXT('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))')"
+    r = fcat.bq_sql(
+        f"SELECT ST_AREA({sq}) AS a, ST_PERIMETER({sq}) AS p, "
+        f"ST_X(ST_CENTROID({sq})) AS cx, ST_Y(ST_CENTROID({sq})) AS cy, "
+        f"ST_AREA(ST_GEOGPOINT(5.0, 5.0)) AS pa, "
+        f"ST_X(ST_CENTROID(ST_GEOGPOINT(5.0, 6.0))) AS px"
+    ).collect()[0]
+    # 1°x1° at the equator ≈ (111.19 km)² ≈ 1.2364e10 m² — the
+    # spherical-excess closed form lands within 0.1% of that
+    deg_m = 6371008.8 * math.pi / 180.0
+    assert abs(r.a - deg_m * deg_m) / (deg_m * deg_m) < 1e-3
+    assert abs(r.p - 4 * deg_m) / (4 * deg_m) < 1e-3
+    assert abs(r.cx - 0.5) < 1e-12 and abs(r.cy - 0.5) < 1e-12
+    assert r.pa == 0.0 and r.px == 5.0
