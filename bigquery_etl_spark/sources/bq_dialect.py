@@ -69,6 +69,8 @@ _FN_RENAMES = {
     "GENERATE_ARRAY": "SEQUENCE",
     "GENERATE_UUID": "UUID",
     "REGEXP_CONTAINS": "REGEXP_LIKE",
+    # BigQuery ERROR(msg) raises with the message — Spark's raise_error
+    "ERROR": "RAISE_ERROR",
     "FORMAT": "FORMAT_STRING",
     # TO_JSON_STRING serializes any value as JSON text — Spark's
     # to_json for struct/array/map inputs (scalars differ: BigQuery
@@ -412,6 +414,22 @@ def _strftime_to_java(fmt: str) -> str:
         i += 1
     _flush()
     return "".join(out)
+
+
+def _range_bucket_rewriter(args: list[str]) -> str:
+    """``RANGE_BUCKET(x, boundaries_array)`` → the 0-based count of
+    boundaries ≤ x (BigQuery's bucket index; boundaries must be sorted
+    ascending — same precondition as BigQuery). Lowered onto
+    size(filter(...)) with NULL propagation."""
+    if len(args) < 2:
+        raise BQDialectError(f"RANGE_BUCKET expects (x, array), got {args}")
+    # the array may be a bracket literal [a, b, c] — top-level comma
+    # splitting doesn't nest on brackets, so re-join the tail
+    x, arr = args[0].strip(), ",".join(args[1:]).strip()
+    return (
+        f"CASE WHEN ({x}) IS NULL OR ({arr}) IS NULL THEN NULL "
+        f"ELSE SIZE(FILTER({arr}, __b -> __b <= ({x}))) END"
+    )
 
 
 def _json_args(args: list[str], fn: str) -> tuple[str, str]:
@@ -1845,6 +1863,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "LAX_FLOAT64", _lax_rewriter("FLOAT64"))
     sql = _rewrite_calls(sql, "LAX_BOOL", _lax_rewriter("BOOL"))
     sql = _rewrite_calls(sql, "LAX_STRING", _lax_rewriter("STRING"))
+    sql = _rewrite_calls(sql, "RANGE_BUCKET", _range_bucket_rewriter)
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
     # unparsable input via try_to_timestamp, matching BigQuery's SAFE

@@ -706,3 +706,17 @@ def test_gis_area_perimeter_centroid_r8(fcat):
     assert abs(r.p - 4 * deg_m) / (4 * deg_m) < 1e-3
     assert abs(r.cx - 0.5) < 1e-12 and abs(r.cy - 0.5) < 1e-12
     assert r.pa == 0.0 and r.px == 5.0
+
+
+def test_range_bucket_and_error_r8(fcat):
+    r = fcat.bq_sql(
+        "SELECT RANGE_BUCKET(20, [0, 10, 20, 30, 40]) AS b, "
+        "RANGE_BUCKET(-5, [0, 10]) AS lo, "
+        "RANGE_BUCKET(99, [0, 10]) AS hi, "
+        "RANGE_BUCKET(CAST(NULL AS INT64), [0, 10]) AS nn"
+    ).collect()[0]
+    assert (r.b, r.lo, r.hi, r.nn) == (3, 0, 2, None)
+    import pytest as _p
+
+    with _p.raises(Exception, match="boom"):
+        fcat.bq_sql("SELECT IF(TRUE, ERROR('boom'), 1) AS x").collect()
