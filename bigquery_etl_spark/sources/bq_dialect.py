@@ -1210,6 +1210,81 @@ _UNNEST_RX = re.compile(
 )
 
 
+def _matching_bracket(text: str, open_idx: int) -> int:
+    """Index of the ']' matching text[open_idx] == '[', island-aware
+    and nesting both bracket kinds."""
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+    depth, i, n = 0, open_idx, len(text)
+    while i < n:
+        j = _skip_island(text, i)
+        if j != i:
+            i = j
+            continue
+        c = text[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise BQDialectError(f"unbalanced brackets at {text[open_idx:open_idx+40]!r}")
+
+
+# keywords that can directly precede an ARRAY literal (everything else
+# word-like before '[' means SUBSCRIPT: arr[0], a.b[1])
+_KW_BEFORE_ARRAY = {"SELECT", "THEN", "ELSE", "WHEN", "RETURN", "DO"}
+
+
+def _rewrite_array_literals(text: str) -> str:
+    """BigQuery bracket array literals → Spark ``ARRAY(…)``:
+    ``[1, 2, 3]`` and the typed ``ARRAY<T>[…]`` form (empty typed
+    literals keep their element type through a CAST). A '[' preceded
+    by an identifier, ')' or ']' is a SUBSCRIPT and passes through
+    untouched; island-aware throughout. Processed right-to-left so
+    nested literals rewrite inside-out."""
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+    # collect candidate '[' positions (outside islands)
+    sites = []
+    i, n = 0, len(text)
+    while i < n:
+        j = _skip_island(text, i)
+        if j != i:
+            i = j
+            continue
+        if text[i] == "[":
+            sites.append(i)
+        i += 1
+    for s in reversed(sites):
+        # classify by the preceding non-space token
+        k = s - 1
+        while k >= 0 and text[k].isspace():
+            k -= 1
+        typed = None
+        if k >= 0 and text[k] == ">":
+            tm = re.search(r"(?is)ARRAY\s*<[\w\s<>,()]*>\s*$", text[: k + 1])
+            if tm:
+                typed = (tm.start(), text[tm.start() : k + 1])
+        if typed is None and k >= 0 and (
+            text[k].isalnum() or text[k] in "_)]"
+        ):
+            word = re.search(r"(\w+)$", text[: k + 1])
+            if not word or word.group(1).upper() not in _KW_BEFORE_ARRAY:
+                continue  # subscript: arr[0], a.b[1], f(x)[2]
+        close = _matching_bracket(text, s)
+        inner = text[s + 1 : close].strip()
+        lowered = f"ARRAY({inner})"
+        if typed is not None:
+            # the element type already went through _TYPE_MAP upstream
+            lowered = f"CAST({lowered} AS {typed[1].rstrip()})"
+            text = text[: typed[0]] + lowered + text[close + 1 :]
+        else:
+            text = text[:s] + lowered + text[close + 1 :]
+    return text
+
+
 def _rewrite_json_literals(text: str) -> str:
     """BigQuery ``JSON '...'`` typed literals → ``PARSE_JSON('...')``
     (Spark VARIANT — the engine's native JSON value type). The scan is
@@ -1749,6 +1824,7 @@ def translate(sql: str) -> str:
             r"(?i)\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (", seg
         ),
     )
+    sql = _rewrite_array_literals(sql)
     sql = _rewrite_unnest(sql)
     sql = _rewrite_json_literals(sql)
     sql = _rewrite_range_literals(sql)  # before TIME: RANGE<…> '…' has

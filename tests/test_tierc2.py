@@ -185,12 +185,12 @@ def test_sample_diverse_deterministic(spark, sf_dir):
 
 
 def test_hybrid_vector_leg_routes_by_query_load(spark, sf_dir):
-    """r5 (VERDICT r4 item 6): the hybrid-search vector leg goes
-    through the ``topk`` dispatcher. At the declared Q=3 the plan is
-    the codegen crossJoin (no Python eval); at a batch load (Q=512,
-    parameterized — the leg is no longer hard-coded to 3) the plan
-    must show the Arrow-blocked BLAS kernel (MapInPandas), the shape
-    that survives a real query load."""
+    """r5 (VERDICT r4 item 6), re-pinned r8: the hybrid-search vector
+    leg goes through the ``topk`` dispatcher, which now routes EVERY
+    exact load to the Arrow-blocked BLAS kernel (the r7 LocalRelation
+    fix removed its Python floor and the crossJoin grid measured
+    slower even at Q=3 — PERF.md r8). Both the declared Q=3 and the
+    batch Q=512 shapes must show MapInPandas and no join-grid node."""
     from bigquery_etl_spark.plans.tierc2 import hybrid_vector_leg
     from bigquery_etl_spark.sources import load
     from pyspark.sql import functions as F
@@ -200,7 +200,8 @@ def test_hybrid_vector_leg_routes_by_query_load(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     plan3 = hybrid_vector_leg(emb, q3, n_queries=3)._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan3  # codegen grid for tiny Q
+    assert "MapInPandas" in plan3  # BLAS kernel at every exact load (r8)
+    assert "BroadcastNestedLoopJoin" not in plan3
 
     q512 = emb.orderBy("vec_id").limit(512).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
