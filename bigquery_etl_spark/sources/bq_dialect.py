@@ -416,6 +416,21 @@ def _strftime_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+def _any_value_rewriter(args: list[str]) -> str | None:
+    """``ANY_VALUE(x HAVING MAX|MIN y)`` → ``max_by/min_by(x, y)``
+    (BigQuery's argmax/argmin idiom); plain ANY_VALUE passes through
+    (Spark has it natively)."""
+    if len(args) != 1:
+        return None
+    m = re.match(
+        r"(?is)^(.*)\s+HAVING\s+(MAX|MIN)\s+(.*)$", args[0].strip()
+    )
+    if not m:
+        return None
+    fn = "MAX_BY" if m.group(2).upper() == "MAX" else "MIN_BY"
+    return f"{fn}({m.group(1).strip()}, {m.group(3).strip()})"
+
+
 def _range_bucket_rewriter(args: list[str]) -> str:
     """``RANGE_BUCKET(x, boundaries_array)`` → the 0-based count of
     boundaries ≤ x (BigQuery's bucket index; boundaries must be sorted
@@ -1940,6 +1955,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "LAX_BOOL", _lax_rewriter("BOOL"))
     sql = _rewrite_calls(sql, "LAX_STRING", _lax_rewriter("STRING"))
     sql = _rewrite_calls(sql, "RANGE_BUCKET", _range_bucket_rewriter)
+    sql = _rewrite_calls(sql, "ANY_VALUE", _any_value_rewriter)
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
     # unparsable input via try_to_timestamp, matching BigQuery's SAFE

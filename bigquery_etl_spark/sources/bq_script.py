@@ -15,7 +15,8 @@ Semantics (the BigQuery scripting subset):
   itself be a subquery over tables).
 - ``SET name = expr;`` — re-evaluates; scalar subqueries allowed.
 - ``IF cond THEN … [ELSEIF cond THEN …] [ELSE …] END IF;``
-- ``WHILE cond DO … END WHILE;`` / ``LOOP … END LOOP;`` with
+- ``WHILE cond DO … END WHILE;`` / ``LOOP … END LOOP;`` /
+  ``REPEAT … UNTIL cond END REPEAT;`` (post-condition, r8) with
   ``BREAK``/``LEAVE`` and ``CONTINUE``/``ITERATE``.
 - ``EXECUTE IMMEDIATE <string expr> [INTO var[, var...]] [USING expr
   [AS name], ...];`` (r7) — ``?`` placeholders bind positionally and

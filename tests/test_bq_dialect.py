@@ -720,3 +720,12 @@ def test_range_bucket_and_error_r8(fcat):
 
     with _p.raises(Exception, match="boom"):
         fcat.bq_sql("SELECT IF(TRUE, ERROR('boom'), 1) AS x").collect()
+
+
+def test_any_value_having_r8(fcat):
+    r = fcat.bq_sql(
+        "SELECT ANY_VALUE(id HAVING MAX amt) AS top, "
+        "ANY_VALUE(id HAVING MIN amt) AS bottom, "
+        "ANY_VALUE(amt) IS NOT NULL AS plain FROM ft"
+    ).collect()[0]
+    assert (r.top, r.bottom, r.plain) == (3, 1, True)
