@@ -144,6 +144,8 @@ HEADLINE = [
     "q_array_agg_ordered",
     "q_range_type",
     "q_gis_polygon",
+    "q_json_mutators",
+    "q_sample_stratified",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

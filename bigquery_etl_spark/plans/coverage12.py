@@ -23,6 +23,7 @@ DuckDB's own dialect, so translation fidelity is what's adjudicated.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bigquery_etl_spark.registry import query
 from bigquery_etl_spark.sources import load
@@ -549,3 +550,58 @@ def q_json_mutators(spark: SparkSession, sf_dir: str) -> DataFrame:
                LAX_INT64(doc2, '$.arr') AS l_arr
         FROM j ORDER BY k
     """)
+
+
+@query(
+    "q_sample_stratified",
+    sql="""
+    WITH tagged AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint
+                   % 1000 AS bucket
+        FROM documents
+    ),
+    sampled AS (
+        SELECT * FROM tagged
+        WHERE bucket < CASE lang WHEN 'en' THEN 200
+                                 WHEN 'de' THEN 500
+                                 ELSE 1000 END
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+    tags=("tierc", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (r8) — the
+    domain-rebalancing step of a training-data mix: per-stratum keep
+    rates (down-weight overrepresented languages) applied through a
+    CONTENT-HASH bucket, not an RNG — so the sample is reproducible
+    across engines, runs, and cluster sizes, composes with incremental
+    ingestion (a doc's keep/drop never changes), and the oracle can
+    recompute it EXACTLY (md5 is engine-independent where Spark's
+    xxhash64/rand are not). One scan, one map-side-combined group-by:
+    the 100 TB shape. The rates here (en 20%, de 50%, rest 100%) are
+    the classic down-sample-the-head mix."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 1000
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 200)
+        .when(F.col("lang") == "de", 500)
+        .otherwise(1000)
+    )
+    return (
+        docs.select("lang", F.length("text").alias("n_chars"),
+                    bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("lang")
+    )
