@@ -1,0 +1,183 @@
+"""Pure-Python Delta Lake reader (r8, sources/delta_read.py): log
+replay, export round-trip, partitioned reconstruction, time travel,
+checkpoint handling, loud refusals."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from bigquery_etl_spark.sources.delta_read import DeltaReadError, read_delta
+
+
+def _write_commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _meta(schema_json: str, part_cols=()) -> dict:
+    return {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": list(part_cols),
+            "configuration": {},
+        }
+    }
+
+
+def test_roundtrip_via_export_snapshot(spark, tmp_path):
+    """export_snapshot writes a _delta_log; read_delta must open it and
+    return the identical rows."""
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i) / 4) for i in range(50)],
+        "id long, s string, v double",
+    )
+    t.create(df)
+    out = str(tmp_path / "export")
+    t.export_snapshot(out)
+    got = read_delta(spark, out)
+    assert sorted(r.id for r in got.collect()) == list(range(50))
+    assert got.schema == df.schema
+
+
+def test_log_replay_add_remove_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "dt")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(root, exist_ok=True)
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    b = spark.createDataFrame([(3, "c")], "id long, s string")
+    a.coalesce(1).write.parquet(os.path.join(root, "fa"))
+    b.coalesce(1).write.parquet(os.path.join(root, "fb"))
+    fa = [f"fa/{n}" for n in os.listdir(os.path.join(root, "fa"))
+          if n.endswith(".parquet")][0]
+    fb = [f"fb/{n}" for n in os.listdir(os.path.join(root, "fb"))
+          if n.endswith(".parquet")][0]
+    schema_json = a.schema.json()
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(schema_json),
+        {"add": {"path": fa, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    _write_commit(log, 1, [
+        {"add": {"path": fb, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    _write_commit(log, 2, [
+        {"remove": {"path": fa, "dataChange": True}},
+    ])
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [3]
+    assert sorted(
+        r.id for r in read_delta(spark, root, version=1).collect()
+    ) == [1, 2, 3]
+    assert sorted(
+        r.id for r in read_delta(spark, root, version=0).collect()
+    ) == [1, 2]
+    with pytest.raises(DeltaReadError, match="latest"):
+        read_delta(spark, root, version=9)
+
+
+def test_partition_columns_reconstruct(spark, tmp_path):
+    """Partition values live only in the log; the reader re-attaches
+    them as typed columns."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "pt")
+    log = os.path.join(root, "_delta_log")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("day", T.DateType()),
+    ])
+    data = spark.createDataFrame([(1,), (2,)], "id long")
+    data.coalesce(1).write.parquet(os.path.join(root, "d1"))
+    data.coalesce(1).write.parquet(os.path.join(root, "d2"))
+    f1 = [f"d1/{n}" for n in os.listdir(os.path.join(root, "d1"))
+          if n.endswith(".parquet")][0]
+    f2 = [f"d2/{n}" for n in os.listdir(os.path.join(root, "d2"))
+          if n.endswith(".parquet")][0]
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(schema.json(), part_cols=["day"]),
+        {"add": {"path": f1, "partitionValues": {"day": "2024-01-01"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": f2, "partitionValues": {"day": "2024-01-02"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    got = read_delta(spark, root)
+    assert got.schema == schema
+    import datetime
+
+    days = sorted({r.day for r in got.collect()})
+    assert days == [datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)]
+    assert got.count() == 4
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    """_last_checkpoint + parquet checkpoint: versions at or below the
+    checkpoint come from it, the JSON tail replays on top."""
+    root = str(tmp_path / "ck")
+    log = os.path.join(root, "_delta_log")
+    data = spark.createDataFrame([(1,), (2,)], "id long")
+    data.coalesce(1).write.parquet(os.path.join(root, "d1"))
+    f1 = [f"d1/{n}" for n in os.listdir(os.path.join(root, "d1"))
+          if n.endswith(".parquet")][0]
+    schema_json = data.schema.json()
+    os.makedirs(log, exist_ok=True)
+    # checkpoint at version 1 carrying protocol+meta+add
+    ck_schema = (
+        "protocol struct<minReaderVersion int, minWriterVersion int>, "
+        "metaData struct<id string, "
+        "format struct<provider string>, schemaString string, "
+        "partitionColumns array<string>, "
+        "configuration map<string,string>>, "
+        "add struct<path string, partitionValues map<string,string>, "
+        "size long, modificationTime long, dataChange boolean>, "
+        "remove struct<path string, dataChange boolean>"
+    )
+    ck_rows = [
+        ({"minReaderVersion": 1, "minWriterVersion": 2}, None, None, None),
+        (None, {"id": "t", "format": {"provider": "parquet"},
+                "schemaString": schema_json, "partitionColumns": [],
+                "configuration": {}}, None, None),
+        (None, None, {"path": f1, "partitionValues": {}, "size": 1,
+                      "modificationTime": 0, "dataChange": True}, None),
+    ]
+    ck_df = spark.createDataFrame(ck_rows, ck_schema)
+    ck_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(log, "_tmp_ck")
+    )
+    src = [n for n in os.listdir(os.path.join(log, "_tmp_ck"))
+           if n.endswith(".parquet")][0]
+    os.rename(os.path.join(log, "_tmp_ck", src),
+              os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 3}, f)
+    # JSON tail: version 2 removes the file
+    _write_commit(log, 2, [{"remove": {"path": f1, "dataChange": True}}])
+    assert sorted(
+        r.id for r in read_delta(spark, root, version=1).collect()
+    ) == [1, 2]
+    assert read_delta(spark, root).count() == 0
+
+
+def test_refusals(spark, tmp_path):
+    root = str(tmp_path / "rf")
+    log = os.path.join(root, "_delta_log")
+    schema_json = spark.createDataFrame([(1,)], "id long").schema.json()
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        _meta(schema_json),
+    ])
+    with pytest.raises(DeltaReadError, match="minReaderVersion"):
+        read_delta(spark, root)
+    with pytest.raises(DeltaReadError, match="_delta_log"):
+        read_delta(spark, str(tmp_path / "nope"))
