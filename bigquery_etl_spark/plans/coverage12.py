@@ -605,3 +605,51 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_chars").cast("bigint").alias("n_chars"))
         .orderBy("lang")
     )
+
+
+@query(
+    "q_delta_interop",
+    sql="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,9))) AS DOUBLE) AS bal
+    FROM customer WHERE c_custkey % 3 = 0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("sources", "interop"),
+)
+def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake interop round-trip (r8): a versioned-lake snapshot
+    exports with its r7 _delta_log, then reads back through the
+    pure-Python Delta READER (sources/delta_read.py — JSON action
+    replay, no jars) and must aggregate identically to the original
+    parquet the oracle reads. Proves both directions of the interop
+    bridge against each other: the export's log is exactly what the
+    reader's protocol subset consumes, and the data path stays the
+    ordinary JVM parquet scan (explicit files + schema)."""
+    import os
+
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.delta_read import read_delta
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        src = load(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") % 3 == 0
+        ).select("c_custkey", "c_mktsegment", "c_acctbal")
+        t = VersionedTable(spark, os.path.join(path, "t"))
+        t.create(src)
+        t.export_snapshot(os.path.join(path, "export"))
+
+    d = scratch_build(f"delta_interop:{sf_dir}", "delta-interop-", _build)
+    df = read_delta(spark, os.path.join(d, "export"))
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
