@@ -653,3 +653,104 @@ def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_iceberg_interop",
+    sql="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,9))) AS DOUBLE) AS bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey % 2 = 0
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("sources", "interop"),
+)
+def q_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg interop (r8): a v2 table laid out by hand — metadata
+    JSON, avro_py-written manifest list + manifest, parquet data files
+    — opened by the pure-Python reader (sources/iceberg_read.py, zero
+    jars) and joined/aggregated; the oracle recomputes from the raw
+    parquet. The manifests are driver-side KB-sized metadata; the data
+    scan is the ordinary distributed JVM parquet path with explicit
+    files + schema."""
+    import json
+    import os
+    import shutil
+
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.avro_py import write_avro
+    from bigquery_etl_spark.sources.iceberg_read import read_iceberg
+
+    def _one_avro(df, out):
+        d = out + ".dir"
+        write_avro(df.coalesce(1), d)
+        part = [x for x in os.listdir(d) if x.endswith(".avro")][0]
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        shutil.move(os.path.join(d, part), out)
+        shutil.rmtree(d)
+
+    def _build(path: str) -> None:
+        root = os.path.join(path, "ice")
+        src = load(spark, sf_dir, "supplier").filter(
+            F.col("s_suppkey") % 2 == 0
+        ).select("s_suppkey", "s_nationkey", "s_acctbal")
+        dfile = os.path.join(root, "data", "s0")
+        src.coalesce(1).write.parquet(dfile)
+        part = [x for x in os.listdir(dfile) if x.endswith(".parquet")][0]
+        final = os.path.join(root, "data", "s0.parquet")
+        shutil.move(os.path.join(dfile, part), final)
+        shutil.rmtree(dfile)
+        m1 = os.path.join(root, "metadata", "m1.avro")
+        _one_avro(
+            spark.createDataFrame(
+                [(1, {"content": 0, "file_path": final,
+                      "file_format": "PARQUET", "record_count": 0})],
+                "status int, data_file struct<content int, "
+                "file_path string, file_format string, record_count long>",
+            ),
+            m1,
+        )
+        l1 = os.path.join(root, "metadata", "snap-1.avro")
+        _one_avro(
+            spark.createDataFrame(
+                [(m1, 0)], "manifest_path string, content int"
+            ),
+            l1,
+        )
+        meta = {
+            "format-version": 2,
+            "schemas": [{
+                "type": "struct", "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "s_suppkey", "required": True,
+                     "type": "long"},
+                    {"id": 2, "name": "s_nationkey", "required": True,
+                     "type": "long"},
+                    {"id": 3, "name": "s_acctbal", "required": False,
+                     "type": "double"},
+                ],
+            }],
+            "current-schema-id": 0,
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "manifest-list": l1}],
+        }
+        with open(os.path.join(root, "metadata",
+                               "00001-q.metadata.json"), "w") as f:
+            json.dump(meta, f)
+
+    d = scratch_build(f"iceberg_interop:{sf_dir}", "ice-interop-", _build)
+    sup = read_iceberg(spark, os.path.join(d, "ice"))
+    nat = load(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat),
+                 sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(38,9)"))
+            .cast("double").alias("bal"),
+        )
+        .orderBy("n_name")
+    )
