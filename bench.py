@@ -146,6 +146,8 @@ HEADLINE = [
     "q_gis_polygon",
     "q_json_mutators",
     "q_sample_stratified",
+    "q_delta_interop",
+    "q_iceberg_interop",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB
