@@ -506,6 +506,10 @@ def q_gis_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j ORDER BY k
     """,
     tags=("dialect", "json"),
+    # the oracle STATES the expected documents closed-form (DuckDB has
+    # no json_set) — value-exact adjudication, but not comparable WORK,
+    # so it stays out of the bench's DuckDB-matched ratio
+    twin="invariant",
 )
 def q_json_mutators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON mutators + LAX conversions (r8): JSON_SET (in-place set,
@@ -617,6 +621,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     tags=("sources", "interop"),
+    # oracle reads the RAW parquet (DuckDB has no delta reader here) —
+    # value-exact, not comparable work
+    twin="invariant",
 )
 def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta Lake interop round-trip (r8): a versioned-lake snapshot
@@ -666,6 +673,8 @@ def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name ORDER BY n_name
     """,
     tags=("sources", "interop"),
+    # oracle reads the RAW parquet — value-exact, not comparable work
+    twin="invariant",
 )
 def q_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg interop (r8): a v2 table laid out by hand — metadata
