@@ -763,3 +763,77 @@ def q_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q_net_funcs",
+    sql="""
+    WITH t AS (
+        SELECT o_orderkey AS k,
+               ((o_orderkey % 223) + 10) AS a,
+               ((o_orderkey * 7) % 256) AS b,
+               ((o_orderkey * 13) % 256) AS c,
+               ((o_orderkey % 254) + 1) AS d
+        FROM orders WHERE o_orderkey % 16 = 1
+    )
+    SELECT k,
+           a || '.' || b || '.' || c || '.' || d AS ip_str,
+           lower(lpad(to_hex(a), 2, '0') || lpad(to_hex(b), 2, '0')
+               || lpad(to_hex(c), 2, '0') || lpad(to_hex(d), 2, '0'))
+               AS ip_hex,
+           a * 16777216 + b * 65536 + c * 256 + d AS ip_int,
+           lower(lpad(to_hex(a), 2, '0') || lpad(to_hex(b), 2, '0'))
+               || '0000' AS trunc16_hex,
+           'www.example.com' AS host1,
+           'sub.domain.org' AS host2,
+           CAST(NULL AS VARCHAR) AS host3,
+           TRUE AS bad_ip_null,
+           TRUE AS has_needle
+    FROM t ORDER BY k
+    """,
+    tags=("dialect", "net"),
+)
+def q_net_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NET.* functions (r8): IPv4 int↔bytes round-trips (pure codegen
+    hex algebra), NET.IP_FROM_STRING/IP_TO_STRING (exact stdlib-
+    ipaddress Arrow UDFs, both address families), NET.IP_TRUNC (/16
+    prefix), NET.SAFE_IP_FROM_STRING (NULL on garbage), NET.HOST URL
+    parsing (scheme/userinfo stripped, stops at /:?#), and
+    CONTAINS_SUBSTR. Bytes columns compare as hex strings; every
+    expected value is a closed form the oracle restates."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("nf_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH t AS (
+            SELECT o_orderkey AS k,
+                   MOD(o_orderkey, 223) + 10 AS a,
+                   MOD(o_orderkey * 7, 256) AS b,
+                   MOD(o_orderkey * 13, 256) AS c,
+                   MOD(o_orderkey, 254) + 1 AS d
+            FROM nf_orders WHERE o_orderkey % 16 = 1
+        ), ips AS (
+            SELECT k,
+                   CONCAT(CAST(a AS STRING), '.', CAST(b AS STRING), '.',
+                          CAST(c AS STRING), '.', CAST(d AS STRING))
+                       AS ip_str,
+                   a * 16777216 + b * 65536 + c * 256 + d AS ip_int
+            FROM t
+        )
+        SELECT k,
+               NET.IP_TO_STRING(NET.IP_FROM_STRING(ip_str)) AS ip_str,
+               LOWER(HEX(NET.IPV4_FROM_INT64(ip_int))) AS ip_hex,
+               NET.IPV4_TO_INT64(NET.IP_FROM_STRING(ip_str)) AS ip_int,
+               LOWER(HEX(NET.IP_TRUNC(NET.IP_FROM_STRING(ip_str), 16)))
+                   AS trunc16_hex,
+               NET.HOST('https://user:pw@www.example.com:8080/p?q=1')
+                   AS host1,
+               NET.HOST('sub.domain.org/path') AS host2,
+               NET.HOST('') AS host3,
+               NET.SAFE_IP_FROM_STRING('not-an-ip') IS NULL
+                   AS bad_ip_null,
+               CONTAINS_SUBSTR('The Quick Brown Fox', 'qUiCk bRoWn')
+                   AS has_needle
+        FROM ips ORDER BY k
+    """)

@@ -416,6 +416,72 @@ def _strftime_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+# -- NET.* (r8) ---------------------------------------------------------------
+
+
+def _net_1arg(template: str, fn: str):
+    def _rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise BQDialectError(f"NET.{fn} expects one argument, got {args}")
+        return template.format(args[0].strip())
+
+    return _rw
+
+
+def _net_ipv4_from_int64(args: list[str]) -> str:
+    """``NET.IPV4_FROM_INT64(x)`` → 4 big-endian bytes, pure codegen
+    (mask to 32 bits — BigQuery accepts the signed and unsigned
+    ranges — hex-pad, unhex)."""
+    if len(args) != 1:
+        raise BQDialectError(f"NET.IPV4_FROM_INT64 expects (int), got {args}")
+    x = args[0].strip()
+    return f"UNHEX(LPAD(HEX(({x}) & 4294967295), 8, '0'))"
+
+
+def _net_ipv4_to_int64(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError(f"NET.IPV4_TO_INT64 expects (bytes), got {args}")
+    b = args[0].strip()
+    return f"CAST(CONV(HEX({b}), 16, 10) AS BIGINT)"
+
+
+def _net_host(args: list[str]) -> str:
+    """``NET.HOST(url)`` → the hostname component (best-effort URL
+    parse, BigQuery's contract): strip scheme and userinfo, stop at
+    the first of / : ? #; empty → NULL. Pure codegen regex."""
+    if len(args) != 1:
+        raise BQDialectError(f"NET.HOST expects (url), got {args}")
+    u = args[0].strip()
+    rx = (
+        "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^@/?#]*@)?([^/:?#]+)'"
+    )
+    return f"NULLIF(REGEXP_EXTRACT({u}, {rx}, 1), '')"
+
+
+def _net_ip_trunc(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"NET.IP_TRUNC expects (bytes, prefix), got {args}")
+    return (
+        f"__bq_net_ip_trunc({args[0].strip()}, "
+        f"CAST({args[1].strip()} AS INT))"
+    )
+
+
+def _contains_substr_rewriter(args: list[str]) -> str:
+    """``CONTAINS_SUBSTR(expr, 'value')`` → case-insensitive substring
+    test (BigQuery additionally NFKC-normalizes; lower-casing covers
+    the overwhelming case and the divergence is documented — exotic
+    normalization-sensitive needles differ)."""
+    if len(args) != 2:
+        raise BQDialectError(
+            f"CONTAINS_SUBSTR expects (expr, value), got {args}"
+        )
+    e, v = args[0].strip(), args[1].strip()
+    return (
+        f"(INSTR(LOWER(CAST({e} AS STRING)), LOWER({v})) > 0)"
+    )
+
+
 def _any_value_rewriter(args: list[str]) -> str | None:
     """``ANY_VALUE(x HAVING MAX|MIN y)`` → ``max_by/min_by(x, y)``
     (BigQuery's argmax/argmin idiom); plain ANY_VALUE passes through
@@ -1956,6 +2022,32 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "LAX_STRING", _lax_rewriter("STRING"))
     sql = _rewrite_calls(sql, "RANGE_BUCKET", _range_bucket_rewriter)
     sql = _rewrite_calls(sql, "ANY_VALUE", _any_value_rewriter)
+    # NET.* (r8): IPv4 int↔bytes + HOST pure codegen; string-IP
+    # parse/format + prefix trunc via exact stdlib-ipaddress UDFs
+    sql = _rewrite_calls(sql, r"NET\s*\.\s*IPV4_FROM_INT64", _net_ipv4_from_int64)
+    sql = _rewrite_calls(sql, r"NET\s*\.\s*IPV4_TO_INT64", _net_ipv4_to_int64)
+    sql = _rewrite_calls(
+        sql, r"NET\s*\.\s*SAFE_IP_FROM_STRING",
+        _net_1arg("__bq_net_safe_ip_from_string({0})", "SAFE_IP_FROM_STRING"),
+    )
+    sql = _rewrite_calls(
+        sql, r"NET\s*\.\s*IP_FROM_STRING",
+        _net_1arg("__bq_net_ip_from_string({0})", "IP_FROM_STRING"),
+    )
+    sql = _rewrite_calls(
+        sql, r"NET\s*\.\s*IP_TO_STRING",
+        _net_1arg("__bq_net_ip_to_string({0})", "IP_TO_STRING"),
+    )
+    sql = _rewrite_calls(sql, r"NET\s*\.\s*IP_TRUNC", _net_ip_trunc)
+    sql = _rewrite_calls(sql, r"NET\s*\.\s*HOST", _net_host)
+    sql = _rewrite_calls(sql, "CONTAINS_SUBSTR", _contains_substr_rewriter)
+    for refused in ("PUBLIC_SUFFIX", "REG_DOMAIN"):
+        if re.search(rf"(?i)\bNET\s*\.\s*{refused}\s*\(", sql):
+            raise BQDialectError(
+                f"NET.{refused} needs the Mozilla Public Suffix List "
+                "(not shipped here) — a stale builtin copy would "
+                "silently misclassify domains"
+            )
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
     # unparsable input via try_to_timestamp, matching BigQuery's SAFE

@@ -1879,6 +1879,12 @@ class LakeCatalog:
             )
 
             register_json_mutators(self.spark)
+        if "__bq_net_" in out:
+            from bigquery_etl_spark.functions.net_funcs import (
+                register_net_funcs,
+            )
+
+            register_net_funcs(self.spark)
         return self.sql(out)
 
     def script(self, text: str):
@@ -3042,7 +3048,8 @@ class LakeCatalog:
         rx = re.compile(
             r"(?i)\bML\s*\.\s*(PREDICT|EVALUATE|WEIGHTS|CENTROIDS|"
             r"PRINCIPAL_COMPONENTS|PRINCIPAL_COMPONENT_INFO|RECOMMEND|"
-            r"EXPLAIN_FORECAST|FORECAST|ARIMA_EVALUATE)\s*\("
+            r"EXPLAIN_FORECAST|FORECAST|ARIMA_EVALUATE|"
+            r"ARIMA_COEFFICIENTS)\s*\("
         )
         n = 0
         while True:
@@ -3147,6 +3154,21 @@ class LakeCatalog:
                 if model["model_type"] != "arima_plus":
                     raise ValueError("ML.ARIMA_EVALUATE: arima_plus only")
                 df = _ml.arima_evaluate(model)
+            elif fn == "ARIMA_COEFFICIENTS":
+                if model["model_type"] != "arima_plus":
+                    raise ValueError("ML.ARIMA_COEFFICIENTS: arima_plus only")
+                cols = [
+                    F.coalesce(F.col("phi"), F.array()).alias(
+                        "ar_coefficients"
+                    ),
+                    F.array().cast("array<double>").alias(
+                        "ma_coefficients"
+                    ),
+                    F.col("trend_b").alias("intercept_or_drift"),
+                ]
+                if model.get("id_col"):
+                    cols.insert(0, F.col("id").alias(model["id_col"]))
+                df = model["params"].select(*cols)
             elif fn in ("FORECAST", "EXPLAIN_FORECAST"):
                 if model["model_type"] != "arima_plus":
                     raise ValueError(f"ML.{fn}: arima_plus only")

@@ -729,3 +729,24 @@ def test_any_value_having_r8(fcat):
         "ANY_VALUE(amt) IS NOT NULL AS plain FROM ft"
     ).collect()[0]
     assert (r.top, r.bottom, r.plain) == (3, 1, True)
+
+
+def test_net_funcs_ipv6_and_refusals(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    r = fcat.bq_sql(
+        "SELECT NET.IP_TO_STRING(NET.IP_FROM_STRING("
+        "'2001:db8::1')) AS v6, "
+        "LENGTH(NET.IP_FROM_STRING('2001:db8::1')) AS n6, "
+        "LOWER(HEX(NET.IP_TRUNC(NET.IP_FROM_STRING('2001:db8::1'), 32)))"
+        " AS t32, "
+        "NET.HOST('no-scheme.example.net:99/x') AS h"
+    ).collect()[0]
+    assert r.v6 == "2001:db8::1" and r.n6 == 16
+    assert r.t32 == "20010db8" + "0" * 24
+    assert r.h == "no-scheme.example.net"
+    with pytest.raises(BQDialectError, match="Public Suffix"):
+        translate("SELECT NET.REG_DOMAIN('a.b.co.uk')")

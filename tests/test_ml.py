@@ -512,3 +512,22 @@ def test_arima_explain_forecast_decomposition(spark, tmp_path):
     # the weekly component repeats the planted pattern shape
     seas = [r.seasonal_period_component for r in rows]
     assert max(seas) > 1.0 and min(seas) < -1.0
+
+
+def test_arima_coefficients(spark, tmp_path):
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    df = _series_df(spark, 80, lambda t: 1.0 + 2.0 * t)
+    df.createOrReplaceTempView("ac_src")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL ac_m OPTIONS(model_type='ARIMA_PLUS', "
+        "time_series_timestamp_col='ts', time_series_data_col='y') "
+        "AS SELECT ts, y FROM ac_src"
+    )
+    r = cat.sql(
+        "SELECT * FROM ML.ARIMA_COEFFICIENTS(MODEL ac_m)"
+    ).collect()
+    assert len(r) == 1
+    assert r[0].ma_coefficients == []
+    assert abs(r[0].intercept_or_drift - 2.0) < 1e-9  # planted slope
