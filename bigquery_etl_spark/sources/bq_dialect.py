@@ -71,6 +71,9 @@ _FN_RENAMES = {
     "REGEXP_CONTAINS": "REGEXP_LIKE",
     # BigQuery ERROR(msg) raises with the message — Spark's raise_error
     "ERROR": "RAISE_ERROR",
+    "FROM_HEX": "UNHEX",
+    "TO_BASE64": "BASE64",
+    "FROM_BASE64": "UNBASE64",
     "FORMAT": "FORMAT_STRING",
     # TO_JSON_STRING serializes any value as JSON text — Spark's
     # to_json for struct/array/map inputs (scalars differ: BigQuery
@@ -422,7 +425,7 @@ def _strftime_to_java(fmt: str) -> str:
 def _net_1arg(template: str, fn: str):
     def _rw(args: list[str]) -> str:
         if len(args) != 1:
-            raise BQDialectError(f"NET.{fn} expects one argument, got {args}")
+            raise BQDialectError(f"{fn} expects one argument, got {args}")
         return template.format(args[0].strip())
 
     return _rw
@@ -2028,19 +2031,23 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, r"NET\s*\.\s*IPV4_TO_INT64", _net_ipv4_to_int64)
     sql = _rewrite_calls(
         sql, r"NET\s*\.\s*SAFE_IP_FROM_STRING",
-        _net_1arg("__bq_net_safe_ip_from_string({0})", "SAFE_IP_FROM_STRING"),
+        _net_1arg("__bq_net_safe_ip_from_string({0})", "NET.SAFE_IP_FROM_STRING"),
     )
     sql = _rewrite_calls(
         sql, r"NET\s*\.\s*IP_FROM_STRING",
-        _net_1arg("__bq_net_ip_from_string({0})", "IP_FROM_STRING"),
+        _net_1arg("__bq_net_ip_from_string({0})", "NET.IP_FROM_STRING"),
     )
     sql = _rewrite_calls(
         sql, r"NET\s*\.\s*IP_TO_STRING",
-        _net_1arg("__bq_net_ip_to_string({0})", "IP_TO_STRING"),
+        _net_1arg("__bq_net_ip_to_string({0})", "NET.IP_TO_STRING"),
     )
     sql = _rewrite_calls(sql, r"NET\s*\.\s*IP_TRUNC", _net_ip_trunc)
     sql = _rewrite_calls(sql, r"NET\s*\.\s*HOST", _net_host)
     sql = _rewrite_calls(sql, "CONTAINS_SUBSTR", _contains_substr_rewriter)
+    # BigQuery TO_HEX is LOWERCASE where Spark's HEX is upper
+    sql = _rewrite_calls(
+        sql, "TO_HEX", _net_1arg("LOWER(HEX({0}))", "TO_HEX")
+    )
     for refused in ("PUBLIC_SUFFIX", "REG_DOMAIN"):
         if re.search(rf"(?i)\bNET\s*\.\s*{refused}\s*\(", sql):
             raise BQDialectError(

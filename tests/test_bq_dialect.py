@@ -750,3 +750,13 @@ def test_net_funcs_ipv6_and_refusals(fcat):
     assert r.h == "no-scheme.example.net"
     with pytest.raises(BQDialectError, match="Public Suffix"):
         translate("SELECT NET.REG_DOMAIN('a.b.co.uk')")
+
+
+def test_bytes_codecs_r8(fcat):
+    r = fcat.bq_sql(
+        "SELECT TO_HEX(CAST('hi' AS BYTES)) AS h, "
+        "CAST(FROM_HEX('6869') AS STRING) AS s, "
+        "TO_BASE64(CAST('hi' AS BYTES)) AS b64, "
+        "CAST(FROM_BASE64('aGk=') AS STRING) AS s2"
+    ).collect()[0]
+    assert (r.h, r.s, r.b64, r.s2) == ("6869", "hi", "aGk=", "hi")
