@@ -792,6 +792,9 @@ def q_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t ORDER BY k
     """,
     tags=("dialect", "net"),
+    # the oracle RESTATES expected values via closed-form arithmetic
+    # (DuckDB does no IP parsing) — value-exact, not comparable work
+    twin="invariant",
 )
 def q_net_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NET.* functions (r8): IPv4 int↔bytes round-trips (pure codegen
