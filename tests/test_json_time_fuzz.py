@@ -197,3 +197,90 @@ def test_array_agg_ordered_differential_fuzz(spark):
         """).fetchall()
     }
     assert got == want
+
+
+def test_gis_polygon_differential_fuzz(spark):
+    """Random convex rings (vertices on ellipses — convex by
+    construction) × random points: ST_CONTAINS / ST_DISTANCE must match
+    a pure-Python reference applying the identical formulas (the unroll
+    and the reference share IEEE-double arithmetic, so agreement is
+    near-exact)."""
+    import math
+
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    rng = random.Random(SEED + 3)
+    cat = LakeCatalog(spark)
+
+    def ref_contains(verts, px, py):
+        n, inside = len(verts), False
+        for i in range(n):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % n]
+            if (ay > py) != (by > py) and px < (bx - ax) * (py - ay) / (
+                by - ay
+            ) + ax:
+                inside = not inside
+        return inside
+
+    def ref_distance(verts, px, py):
+        if ref_contains(verts, px, py):
+            return 0.0
+        r = 6371008.8
+        best = float("inf")
+        n = len(verts)
+        for i in range(n):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % n]
+            dx, dy = bx - ax, by - ay
+            l2 = dx * dx + dy * dy
+            t = min(max(((px - ax) * dx + (py - ay) * dy) / l2, 0.0), 1.0)
+            cx, cy = ax + t * dx, ay + t * dy
+            d = 2.0 * r * math.asin(
+                math.sqrt(
+                    math.sin(math.radians(py - cy) / 2) ** 2
+                    + math.cos(math.radians(cy))
+                    * math.cos(math.radians(py))
+                    * math.sin(math.radians(px - cx) / 2) ** 2
+                )
+            )
+            best = min(best, d)
+        return best
+
+    for trial in range(6):
+        cx0, cy0 = rng.uniform(-60, 60), rng.uniform(-40, 40)
+        a, b = rng.uniform(3, 25), rng.uniform(3, 20)
+        k = rng.randint(3, 9)
+        angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(k))
+        verts = [
+            (round(cx0 + a * math.cos(t), 6), round(cy0 + b * math.sin(t), 6))
+            for t in angles
+        ]
+        wkt = "POLYGON((" + ", ".join(
+            f"{x} {y}" for x, y in verts + [verts[0]]
+        ) + "))"
+        pts = [
+            (i, rng.uniform(cx0 - 2 * a, cx0 + 2 * a),
+             rng.uniform(cy0 - 2 * b, cy0 + 2 * b))
+            for i in range(40)
+        ]
+        spark.createDataFrame(
+            pts, "i long, lon double, lat double"
+        ).createOrReplaceTempView("gfz_pts")
+        rows = cat.bq_sql(
+            f"SELECT i, ST_CONTAINS(ST_GEOGFROMTEXT('{wkt}'), "
+            "ST_GEOGPOINT(lon, lat)) AS c, "
+            f"ST_DISTANCE(ST_GEOGPOINT(lon, lat), "
+            f"ST_GEOGFROMTEXT('{wkt}')) AS d FROM gfz_pts"
+        ).collect()
+        got = {r.i: (r.c, r.d) for r in rows}
+        for i, px, py in pts:
+            want_c = ref_contains(verts, px, py)
+            want_d = ref_distance(verts, px, py)
+            assert got[i][0] == want_c, (trial, i, verts, (px, py))
+            if want_d == 0.0:
+                assert got[i][1] == 0.0
+            else:
+                assert abs(got[i][1] - want_d) <= 1e-9 * want_d, (
+                    trial, i, got[i][1], want_d
+                )
