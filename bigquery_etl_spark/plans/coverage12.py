@@ -840,3 +840,55 @@ def q_net_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS has_needle
         FROM ips ORDER BY k
     """)
+
+
+@query(
+    "q_unicode_funcs",
+    sql="""
+    WITH t AS (
+        SELECT o_orderkey AS k,
+               'Stra' || chr(223) || 'e-' || o_orderkey AS s,
+               'e' || chr(769) || '-' || o_orderkey AS dec
+        FROM orders WHERE o_orderkey % 16 = 1
+    )
+    SELECT k,
+           nfc_normalize(dec) AS nfc,
+           length(nfc_normalize(dec)) AS n_nfc,
+           'strasse-' || k AS folded,
+           97 AS cp0,
+           'ok' AS cps_roundtrip
+    FROM t ORDER BY k
+    """,
+    tags=("dialect", "unicode"),
+    # the NFC leg IS comparable work (DuckDB nfc_normalize); casefold/
+    # codepoint legs are restated closed-form — categorized invariant
+    twin="invariant",
+)
+def q_unicode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode pack (r8): NORMALIZE (stdlib-unicodedata, the exact
+    UAX #15 algorithms), NORMALIZE_AND_CASEFOLD (Unicode case folding,
+    ß→ss — lower() cannot do this), TO_CODE_POINTS /
+    CODE_POINTS_TO_STRING round-trip. The NFC leg twins against
+    DuckDB's native nfc_normalize; the rest restate closed forms."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("uni_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH t AS (
+            SELECT o_orderkey AS k,
+                   CONCAT('Stra', '\\u00df', 'e-',
+                          CAST(o_orderkey AS STRING)) AS s,
+                   CONCAT('e', '\\u0301', '-',
+                          CAST(o_orderkey AS STRING)) AS dec
+            FROM uni_orders WHERE o_orderkey % 16 = 1
+        )
+        SELECT k,
+               NORMALIZE(dec) AS nfc,
+               LENGTH(NORMALIZE(dec)) AS n_nfc,
+               NORMALIZE_AND_CASEFOLD(s) AS folded,
+               TO_CODE_POINTS('abc')[0] AS cp0,
+               IF(CODE_POINTS_TO_STRING(TO_CODE_POINTS('ok')) = 'ok',
+                  'ok', 'BROKEN') AS cps_roundtrip
+        FROM t ORDER BY k
+    """)

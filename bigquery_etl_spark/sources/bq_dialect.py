@@ -470,6 +470,30 @@ def _net_ip_trunc(args: list[str]) -> str:
     )
 
 
+def _normalize_rewriter(fn_name: str):
+    """``NORMALIZE/NORMALIZE_AND_CASEFOLD(s [, NFC|NFKC|NFD|NFKD])`` →
+    the exact stdlib-unicodedata Arrow UDFs. The form is a bare keyword
+    in BigQuery — validated at translate time."""
+    udf = (
+        "__bq_uni_casefold" if "CASEFOLD" in fn_name else "__bq_uni_normalize"
+    )
+
+    def _rw(args: list[str]) -> str:
+        if len(args) == 1:
+            form = "NFC"
+        elif len(args) == 2:
+            form = args[1].strip().upper()
+            if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+                raise BQDialectError(
+                    f"{fn_name}: form must be NFC|NFKC|NFD|NFKD, got {form!r}"
+                )
+        else:
+            raise BQDialectError(f"{fn_name} expects (s [, form]), got {args}")
+        return f"{udf}({args[0].strip()}, '{form}')"
+
+    return _rw
+
+
 def _contains_substr_rewriter(args: list[str]) -> str:
     """``CONTAINS_SUBSTR(expr, 'value')`` → case-insensitive substring
     test (BigQuery additionally NFKC-normalizes; lower-casing covers
@@ -2047,6 +2071,20 @@ def translate(sql: str) -> str:
     # BigQuery TO_HEX is LOWERCASE where Spark's HEX is upper
     sql = _rewrite_calls(
         sql, "TO_HEX", _net_1arg("LOWER(HEX({0}))", "TO_HEX")
+    )
+    # Unicode pack (r8): exact stdlib-unicodedata UDFs
+    sql = _rewrite_calls(
+        sql, "NORMALIZE_AND_CASEFOLD",
+        _normalize_rewriter("NORMALIZE_AND_CASEFOLD"),
+    )
+    sql = _rewrite_calls(sql, "NORMALIZE", _normalize_rewriter("NORMALIZE"))
+    sql = _rewrite_calls(
+        sql, "TO_CODE_POINTS",
+        _net_1arg("__bq_uni_to_code_points({0})", "TO_CODE_POINTS"),
+    )
+    sql = _rewrite_calls(
+        sql, "CODE_POINTS_TO_STRING",
+        _net_1arg("__bq_uni_from_code_points({0})", "CODE_POINTS_TO_STRING"),
     )
     for refused in ("PUBLIC_SUFFIX", "REG_DOMAIN"):
         if re.search(rf"(?i)\bNET\s*\.\s*{refused}\s*\(", sql):

@@ -1885,6 +1885,12 @@ class LakeCatalog:
             )
 
             register_net_funcs(self.spark)
+        if "__bq_uni_" in out:
+            from bigquery_etl_spark.functions.unicode_funcs import (
+                register_unicode_funcs,
+            )
+
+            register_unicode_funcs(self.spark)
         return self.sql(out)
 
     def script(self, text: str):

@@ -760,3 +760,27 @@ def test_bytes_codecs_r8(fcat):
         "CAST(FROM_BASE64('aGk=') AS STRING) AS s2"
     ).collect()[0]
     assert (r.h, r.s, r.b64, r.s2) == ("6869", "hi", "aGk=", "hi")
+
+
+def test_unicode_pack_r8(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    # e + combining acute (NFD) must NFC-compose to é; NFKC folds the
+    # ligature ﬁ; casefold handles the German ß -> ss
+    r = fcat.bq_sql(
+        "SELECT NORMALIZE('e\\u0301') = '\\u00e9' AS nfc, "
+        "NORMALIZE('\\ufb01rst', NFKC) AS lig, "
+        "NORMALIZE_AND_CASEFOLD('Stra\\u00dfe') AS cf, "
+        "TO_CODE_POINTS('A\\u00e9') AS cps, "
+        "CODE_POINTS_TO_STRING([104, 105]) AS s"
+    ).collect()[0]
+    assert r.nfc is True
+    assert r.lig == "first"
+    assert r.cf == "strasse"
+    assert list(r.cps) == [65, 233]
+    assert r.s == "hi"
+    with pytest.raises(BQDialectError, match="NFC"):
+        translate("SELECT NORMALIZE(x, NFX)")
