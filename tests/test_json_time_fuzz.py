@@ -284,3 +284,43 @@ def test_gis_polygon_differential_fuzz(spark):
                 assert abs(got[i][1] - want_d) <= 1e-9 * want_d, (
                     trial, i, got[i][1], want_d
                 )
+
+
+def test_array_literal_classifier_fuzz():
+    """Random compositions of subscripts (must survive) and bracket
+    literals (must lower to ARRAY(...)) through the dialect's
+    island-aware scanner — including nested literals, literals inside
+    function args, and brackets inside string islands (untouchable)."""
+    from bigquery_etl_spark.sources.bq_dialect import translate
+
+    rng = random.Random(SEED + 4)
+    for _ in range(120):
+        parts, checks = ["SELECT "], []
+        n_terms = rng.randint(1, 5)
+        for t in range(n_terms):
+            kind = rng.choice(["sub", "lit", "nested", "fnarg", "strisl"])
+            if kind == "sub":
+                idx = rng.randint(0, 9)
+                parts.append(f"arr{t}[{idx}]")
+                checks.append((f"arr{t}[{idx}]", True))  # must survive
+            elif kind == "lit":
+                vals = ", ".join(str(rng.randint(0, 99))
+                                 for _ in range(rng.randint(0, 3)))
+                parts.append(f"x{t} = [{vals}]")
+                checks.append((f"ARRAY({vals})", True))
+                checks.append((f"= [{vals}]", False))  # bracket gone
+            elif kind == "nested":
+                parts.append(f"c{t} = [[1, {t}], [2]]")
+                checks.append((f"ARRAY(ARRAY(1, {t}), ARRAY(2))", True))
+            elif kind == "fnarg":
+                parts.append(f"SIZE([{t}, 7])")
+                checks.append((f"SIZE(ARRAY({t}, 7))", True))
+            else:
+                parts.append(f"'[{t}, keep]'")
+                checks.append((f"'[{t}, keep]'", True))  # island intact
+            if t < n_terms - 1:
+                parts.append(", ")
+        src = "".join(parts)
+        out = translate(src)
+        for needle, present in checks:
+            assert (needle in out) == present, (src, out, needle)
