@@ -494,6 +494,49 @@ def _normalize_rewriter(fn_name: str):
     return _rw
 
 
+def _edit_distance_rewriter(args: list[str]) -> str:
+    """``EDIT_DISTANCE(a, b [, max_distance])`` → levenshtein. The
+    3-arg forms differ: BigQuery CAPS the result at max_distance where
+    Spark returns -1 past the threshold — bridged with one IF."""
+    if len(args) == 2:
+        return f"LEVENSHTEIN({args[0].strip()}, {args[1].strip()})"
+    if len(args) == 3:
+        a, b, k = (x.strip() for x in args)
+        lv = f"LEVENSHTEIN({a}, {b}, {k})"
+        return f"IF({lv} = -1, {k}, {lv})"
+    raise BQDialectError(f"EDIT_DISTANCE expects (a, b [, max]), got {args}")
+
+
+def _vector_distance_rewriter(kind: str):
+    """``COSINE_DISTANCE/EUCLIDEAN_DISTANCE(a, b)`` — BigQuery's
+    vector distances as zip_with/aggregate folds (JVM-side, no UDF)."""
+
+    def _rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise BQDialectError(
+                f"{kind}_DISTANCE expects (array, array), got {args}"
+            )
+        a, b = f"({args[0].strip()})", f"({args[1].strip()})"
+        if kind == "EUCLIDEAN":
+            return (
+                f"SQRT(AGGREGATE(ZIP_WITH({a}, {b}, "
+                f"(__x, __y) -> (__x - __y) * (__x - __y)), 0.0D, "
+                f"(__s, __v) -> __s + __v))"
+            )
+        dot = (
+            f"AGGREGATE(ZIP_WITH({a}, {b}, (__x, __y) -> __x * __y), "
+            f"0.0D, (__s, __v) -> __s + __v)"
+        )
+        norm = (
+            "SQRT(AGGREGATE({v}, 0.0D, (__s, __x) -> __s + __x * __x))"
+        )
+        return (
+            f"(1.0D - {dot} / ({norm.format(v=a)} * {norm.format(v=b)}))"
+        )
+
+    return _rw
+
+
 def _contains_substr_rewriter(args: list[str]) -> str:
     """``CONTAINS_SUBSTR(expr, 'value')`` → case-insensitive substring
     test (BigQuery additionally NFKC-normalizes; lower-casing covers
@@ -2068,6 +2111,13 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, r"NET\s*\.\s*IP_TRUNC", _net_ip_trunc)
     sql = _rewrite_calls(sql, r"NET\s*\.\s*HOST", _net_host)
     sql = _rewrite_calls(sql, "CONTAINS_SUBSTR", _contains_substr_rewriter)
+    sql = _rewrite_calls(sql, "EDIT_DISTANCE", _edit_distance_rewriter)
+    sql = _rewrite_calls(
+        sql, "COSINE_DISTANCE", _vector_distance_rewriter("COSINE")
+    )
+    sql = _rewrite_calls(
+        sql, "EUCLIDEAN_DISTANCE", _vector_distance_rewriter("EUCLIDEAN")
+    )
     # BigQuery TO_HEX is LOWERCASE where Spark's HEX is upper
     sql = _rewrite_calls(
         sql, "TO_HEX", _net_1arg("LOWER(HEX({0}))", "TO_HEX")

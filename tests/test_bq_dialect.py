@@ -784,3 +784,20 @@ def test_unicode_pack_r8(fcat):
     assert r.s == "hi"
     with pytest.raises(BQDialectError, match="NFC"):
         translate("SELECT NORMALIZE(x, NFX)")
+
+
+def test_distance_funcs_r8(fcat):
+    import math
+
+    r = fcat.bq_sql(
+        "SELECT EDIT_DISTANCE('kitten', 'sitting') AS ed, "
+        "EDIT_DISTANCE('kitten', 'sitting', 2) AS capped, "
+        "COSINE_DISTANCE([1.0, 0.0], [0.0, 1.0]) AS orth, "
+        "COSINE_DISTANCE([2.0, 0.0], [5.0, 0.0]) AS same, "
+        "EUCLIDEAN_DISTANCE([0.0, 0.0], [3.0, 4.0]) AS euc"
+    ).collect()[0]
+    assert r.ed == 3
+    assert r.capped == 2            # BigQuery caps at max_distance
+    assert abs(r.orth - 1.0) < 1e-12
+    assert abs(r.same) < 1e-12
+    assert abs(r.euc - 5.0) < 1e-12
