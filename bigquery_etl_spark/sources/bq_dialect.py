@@ -774,10 +774,22 @@ def _lax_rewriter(kind: str):
                 f"CASE {guard}WHEN {sch} = 'BOOLEAN' THEN "
                 f"IF({b}, 1.0D, 0.0D) ELSE {num} END"
             )
-        return (  # INT64
+        # INT64: when the variant already holds an integral value, read
+        # it as a native long / exact decimal (full int64 precision —
+        # routing through DOUBLE loses bits above 2^53); only fractions
+        # and numeric strings take the ROUND(double) path. The final
+        # conversion is TRY_CAST so out-of-int64-range input yields
+        # NULL like BigQuery's LAX_INT64 instead of an ANSI error.
+        l = f"TRY_VARIANT_GET({jp}, {p}, 'bigint')"
+        dec = f"TRY_VARIANT_GET({jp}, {p}, 'decimal(38,0)')"
+        return (
             f"CASE {guard}WHEN {sch} = 'BOOLEAN' THEN "
             f"IF({b}, 1L, 0L) "
-            f"ELSE CAST(ROUND({num}) AS BIGINT) END"
+            f"WHEN {sch} IN ('TINYINT','SMALLINT','INT','BIGINT') "
+            f"THEN {l} "
+            f"WHEN {sch} RLIKE '^DECIMAL\\\\([0-9]+,0\\\\)$' "
+            f"THEN TRY_CAST({dec} AS BIGINT) "
+            f"ELSE TRY_CAST(ROUND({num}) AS BIGINT) END"
         )
 
     return _rw
@@ -1033,7 +1045,7 @@ def _st_distance(args: list[str]) -> str:
     a, b = args
     if _is_poly(a) and _is_poly(b):
         raise BQDialectError(
-            "ST_DISTANCE(polygon, polygon) is unsupported — the convex "
+            "ST_DISTANCE(polygon, polygon) is unsupported — the closed-form "
             "subset covers point↔point and point↔polygon"
         )
     if _is_poly(a):
@@ -1074,51 +1086,29 @@ def _st_geogfromtext(args: list[str]) -> str:
     raw = args[0].strip()
     pm = re.match(r"(?is)^'\s*POLYGON\s*\(\s*\((.*)\)\s*\)\s*'$", raw)
     if pm:
-        # single-ring CONVEX polygon literal (r8, VERDICT r7 gap #5):
+        # simple polygon literal, concave + holes OK (r9; convex-only
+        # in r8):
         # parsed + validated at translate time → array<struct<lon,lat>>
         # of ring vertices (closing vertex stripped). Edges are PLANAR
         # in lon/lat (BigQuery's are geodesics — fine for the compact
         # fence polygons this subset is for; documented divergence).
-        body = pm.group(1)
-        if "(" in body or ")" in body:
-            raise BQDialectError(
-                "POLYGON with holes / multiple rings is unsupported "
-                "(convex single-ring subset)"
-            )
-        pts: list[tuple[float, float]] = []
-        for pair in body.split(","):
-            xy = pair.split()
-            if len(xy) != 2:
-                raise BQDialectError(f"malformed POLYGON vertex {pair!r}")
-            pts.append((float(xy[0]), float(xy[1])))
-        if pts[0] == pts[-1]:
-            pts = pts[:-1]
-        if len(pts) < 3:
-            raise BQDialectError("POLYGON needs >= 3 distinct vertices")
-        sign = 0
-        for i in range(len(pts)):
-            ax, ay = pts[i]
-            bx, by = pts[(i + 1) % len(pts)]
-            cx, cy = pts[(i + 2) % len(pts)]
-            cr = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-            if abs(cr) > 1e-12:
-                s = 1 if cr > 0 else -1
-                if sign and s != sign:
-                    raise BQDialectError(
-                        "non-convex POLYGON — the closed-form subset "
-                        "covers convex fences only (loud refusal beats "
-                        "wrong geometry)"
-                    )
-                sign = s
-        elems = ", ".join(
-            f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
-            f"'lat', CAST({y!r} AS DOUBLE))"
-            for x, y in pts
-        )
-        return f"ARRAY({elems})"
+        rings = _parse_wkt_rings(pm.group(1))
+        _validate_rings(rings)
+        ring_sql = [
+            "ARRAY(" + ", ".join(
+                f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
+                f"'lat', CAST({y!r} AS DOUBLE))"
+                for x, y in pts
+            ) + ")"
+            for pts in rings
+        ]
+        if len(ring_sql) == 1:
+            return ring_sql[0]  # flat vertex array — the r8 format
+        # holes: array<array<struct<lon,lat>>>, ring 0 = outer shell
+        return "ARRAY(" + ", ".join(ring_sql) + ")"
     if re.match(r"(?is)^'\s*(MULTIPOLYGON|LINESTRING|GEOMETRYCOLLECTION)", raw):
         raise BQDialectError(
-            "only POINT and single-ring convex POLYGON WKT are supported"
+            "only POINT and simple POLYGON WKT (with holes) are supported"
         )
     t = f"({raw})"
     # the SQL string literal must carry doubled backslashes (Spark
@@ -1132,8 +1122,132 @@ def _st_geogfromtext(args: list[str]) -> str:
     )
 
 
+def _parse_wkt_rings(body: str) -> list[list[tuple[float, float]]]:
+    """Vertex rings from the text between POLYGON's outer parens —
+    ``x y, x y, …`` for one ring, ``…), (…`` separators for holes.
+    Closing vertices are stripped."""
+    rings: list[list[tuple[float, float]]] = []
+    for ring_body in re.split(r"\)\s*,\s*\(", body):
+        if "(" in ring_body or ")" in ring_body:
+            raise BQDialectError(f"malformed POLYGON ring {ring_body!r}")
+        pts: list[tuple[float, float]] = []
+        for pair in ring_body.split(","):
+            xy = pair.split()
+            if len(xy) != 2:
+                raise BQDialectError(f"malformed POLYGON vertex {pair!r}")
+            pts.append((float(xy[0]), float(xy[1])))
+        if pts[0] == pts[-1]:
+            pts = pts[:-1]
+        if len(pts) < 3 or len(set(pts)) < 3:
+            raise BQDialectError("POLYGON ring needs >= 3 distinct vertices")
+        rings.append(pts)
+    return rings
+
+
+def _ring_area2(pts: list[tuple[float, float]]) -> float:
+    """Signed planar shoelace area x2."""
+    a = 0.0
+    n = len(pts)
+    for i in range(n):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % n]
+        a += x0 * y1 - x1 * y0
+    return a
+
+
+def _orient(a, b, c) -> int:
+    v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    if abs(v) < 1e-12:
+        return 0
+    return 1 if v > 0 else -1
+
+
+def _segs_cross(a, b, c, d) -> bool:
+    """True when segment ab intersects cd (proper crossing or a
+    collinear point landing on the other segment)."""
+    o1, o2 = _orient(a, b, c), _orient(a, b, d)
+    o3, o4 = _orient(c, d, a), _orient(c, d, b)
+    if o1 != o2 and o3 != o4:
+        return True
+
+    def _on(p, q, r):
+        return (
+            min(p[0], q[0]) - 1e-12 <= r[0] <= max(p[0], q[0]) + 1e-12
+            and min(p[1], q[1]) - 1e-12 <= r[1] <= max(p[1], q[1]) + 1e-12
+        )
+
+    return (
+        (o1 == 0 and _on(a, b, c))
+        or (o2 == 0 and _on(a, b, d))
+        or (o3 == 0 and _on(c, d, a))
+        or (o4 == 0 and _on(c, d, b))
+    )
+
+
+def _pt_in_ring(pt, ring) -> bool:
+    """Even-odd ray cast (pnpoly), translate-time Python twin of the
+    SQL _poly_contains unroll."""
+    x, y = pt
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        if (ay > y) != (by > y) and x < (bx - ax) * (y - ay) / (by - ay) + ax:
+            inside = not inside
+    return inside
+
+
+def _validate_rings(rings: list[list[tuple[float, float]]]) -> None:
+    """Refuse what the closed forms cannot represent: degenerate
+    (zero-area / collinear) rings, self-intersecting rings, rings that
+    cross each other, and holes not inside the outer shell. Simple
+    CONCAVE rings and holes are fine (r9 — lifted the r8 convexity
+    restriction; the even-odd ray cast and shoelace forms never needed
+    it)."""
+    for pts in rings:
+        if abs(_ring_area2(pts)) < 1e-12:
+            raise BQDialectError(
+                "degenerate POLYGON ring (zero area / collinear vertices)"
+            )
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            for j in range(i + 1, n):
+                if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                    continue  # adjacent edges share a vertex by design
+                c, d = pts[j], pts[(j + 1) % n]
+                if _segs_cross(a, b, c, d):
+                    raise BQDialectError(
+                        "self-intersecting POLYGON ring — simple rings "
+                        "only (loud refusal beats wrong geometry)"
+                    )
+    outer = rings[0]
+    for hole in rings[1:]:
+        for v in hole:
+            if not _pt_in_ring(v, outer):
+                raise BQDialectError(
+                    "POLYGON hole vertex outside the outer ring"
+                )
+    for ri in range(len(rings)):
+        for rj in range(ri + 1, len(rings)):
+            pi, pj = rings[ri], rings[rj]
+            for i in range(len(pi)):
+                a, b = pi[i], pi[(i + 1) % len(pi)]
+                for j in range(len(pj)):
+                    c, d = pj[j], pj[(j + 1) % len(pj)]
+                    if _segs_cross(a, b, c, d):
+                        raise BQDialectError(
+                            "POLYGON rings intersect each other"
+                        )
+
+
 def _is_poly(expr: str) -> bool:
     return expr.lstrip().upper().startswith("ARRAY(")
+
+
+def _is_nested_poly(expr: str) -> bool:
+    return expr.lstrip().upper().startswith("ARRAY(ARRAY(")
 
 
 _POLY_VERTEX_RX = re.compile(
@@ -1161,6 +1275,48 @@ def _parse_poly_literal(expr: str) -> list[tuple[float, float]] | None:
     return verts
 
 
+def _parse_poly_rings(expr: str) -> list[list[tuple[float, float]]] | None:
+    """Ring list from either polygon emission: the flat single-ring
+    vertex array (r8 format) or the nested array-of-rings form holes
+    use (r9). None when the text is not a literal polygon."""
+    s = expr.strip()
+    if not s.upper().startswith("ARRAY("):
+        return None
+    if not s.upper().startswith("ARRAY(ARRAY("):
+        v = _parse_poly_literal(s)
+        return [v] if v else None
+    if not s.endswith(")"):
+        return None
+    body = s[6:-1]
+    rings: list[list[tuple[float, float]]] = []
+    i, n = 0, len(body)
+    while i < n:
+        j = body.find("ARRAY(", i)
+        if j < 0:
+            if body[i:].replace(",", "").strip():
+                return None
+            break
+        if body[i:j].replace(",", "").strip():
+            return None
+        depth, k = 0, j + 5
+        while k < n:
+            if body[k] == "(":
+                depth += 1
+            elif body[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if depth != 0:
+            return None
+        v = _parse_poly_literal(body[j : k + 1])
+        if not v:
+            return None
+        rings.append(v)
+        i = k + 1
+    return rings or None
+
+
 def _poly_edges(A: str) -> str:
     return (
         f"TRANSFORM(SEQUENCE(1, SIZE({A})), __i -> NAMED_STRUCT("
@@ -1176,22 +1332,31 @@ def _poly_contains(A: str, p: str) -> str:
     (lambda HOFs would be CodegenFallback); computed polygons fall back
     to an aggregate-HOF fold. Horizontal edges never cross (skipped in
     the unroll; shorted by the lat-straddle test in the fold)."""
-    verts = _parse_poly_literal(A)
+    rings = _parse_poly_rings(A)
     p = f"({p.strip()})"
-    if verts is not None:
+    if rings is not None:
+        # even-odd across ALL rings: a point inside the outer shell and
+        # inside a hole crosses an odd+odd = even number of edges ->
+        # outside, which is exactly the holes semantics
         terms = []
-        n = len(verts)
-        for i in range(n):
-            ax, ay = verts[i]
-            bx, by = verts[(i + 1) % n]
-            if ay == by:
-                continue  # horizontal edge: no ray crossing
-            terms.append(
-                f"IF(({ay!r}D > {p}.lat) <> ({by!r}D > {p}.lat) AND "
-                f"{p}.lon < {bx - ax!r}D * ({p}.lat - {ay!r}D) / "
-                f"{by - ay!r}D + {ax!r}D, 1, 0)"
-            )
+        for verts in rings:
+            n = len(verts)
+            for i in range(n):
+                ax, ay = verts[i]
+                bx, by = verts[(i + 1) % n]
+                if ay == by:
+                    continue  # horizontal edge: no ray crossing
+                terms.append(
+                    f"IF(({ay!r}D > {p}.lat) <> ({by!r}D > {p}.lat) AND "
+                    f"{p}.lon < {bx - ax!r}D * ({p}.lat - {ay!r}D) / "
+                    f"{by - ay!r}D + {ax!r}D, 1, 0)"
+                )
         return f"(({' + '.join(terms)}) % 2 = 1)"
+    if _is_nested_poly(A):
+        raise BQDialectError(
+            "computed multi-ring polygons are unsupported — construct "
+            "them with a literal ST_GEOGFROMTEXT('POLYGON((…),(…))')"
+        )
     A = f"({A.strip()})"
     crossings = (
         f"AGGREGATE({_poly_edges(A)}, 0, (__n, __e) -> __n + IF("
@@ -1203,35 +1368,41 @@ def _poly_contains(A: str, p: str) -> str:
 
 
 def _poly_distance(A: str, p: str) -> str:
-    """Haversine meters from a point to a convex ring: 0 inside, else
+    """Haversine meters from a point to a simple polygon: 0 inside, else
     the min over edges of the distance to the planar-projected closest
     point on the segment. WKT-literal polygons unroll into a LEAST
     chain of per-edge closed forms (whole-stage codegen; Spark's CSE
     dedups the repeated point subexpressions); computed polygons fall
     back to transform/aggregate HOFs."""
-    verts = _parse_poly_literal(A)
-    if verts is not None:
+    rings = _parse_poly_rings(A)
+    if rings is not None:
         pp = f"({p.strip()})"
         dists = []
-        n = len(verts)
-        for i in range(n):
-            ax, ay = verts[i]
-            bx, by = verts[(i + 1) % n]
-            dx, dy = bx - ax, by - ay
-            l2 = dx * dx + dy * dy
-            if l2 == 0.0:
-                continue  # degenerate zero-length edge
-            t = (
-                f"LEAST(GREATEST((({pp}.lon - {ax!r}D) * {dx!r}D + "
-                f"({pp}.lat - {ay!r}D) * {dy!r}D) / {l2!r}D, 0.0D), 1.0D)"
-            )
-            c = (
-                f"NAMED_STRUCT('lon', {ax!r}D + {t} * {dx!r}D, "
-                f"'lat', {ay!r}D + {t} * {dy!r}D)"
-            )
-            dists.append(_hav(c, pp))
+        for verts in rings:
+            n = len(verts)
+            for i in range(n):
+                ax, ay = verts[i]
+                bx, by = verts[(i + 1) % n]
+                dx, dy = bx - ax, by - ay
+                l2 = dx * dx + dy * dy
+                if l2 == 0.0:
+                    continue  # degenerate zero-length edge
+                t = (
+                    f"LEAST(GREATEST((({pp}.lon - {ax!r}D) * {dx!r}D + "
+                    f"({pp}.lat - {ay!r}D) * {dy!r}D) / {l2!r}D, 0.0D), 1.0D)"
+                )
+                c = (
+                    f"NAMED_STRUCT('lon', {ax!r}D + {t} * {dx!r}D, "
+                    f"'lat', {ay!r}D + {t} * {dy!r}D)"
+                )
+                dists.append(_hav(c, pp))
         dmin = f"LEAST({', '.join(dists)})"
         return f"IF({_poly_contains(A, p)}, 0.0D, {dmin})"
+    if _is_nested_poly(A):
+        raise BQDialectError(
+            "computed multi-ring polygons are unsupported — construct "
+            "them with a literal ST_GEOGFROMTEXT('POLYGON((…),(…))')"
+        )
     A, p = f"({A.strip()})", f"({p.strip()})"
     t = (
         f"LEAST(GREATEST(COALESCE((({p}.lon - __e.ax) * __e.dx + "
@@ -1253,7 +1424,7 @@ def _poly_distance(A: str, p: str) -> str:
 
 
 def _st_area(args: list[str]) -> str:
-    """``ST_AREA``: 0 for points; for convex WKT rings the
+    """``ST_AREA``: 0 for points; for WKT rings (holes subtract) the
     Chamberlain–Duquette spherical-excess formula (the turf.js /
     geojson-area geodesic area, public closed form):
     A = |R²/2 · Σ (λ₂-λ₁)(2 + sin φ₁ + sin φ₂)| — evaluated at
@@ -1261,25 +1432,28 @@ def _st_area(args: list[str]) -> str:
     the whole expression folds to a literal."""
     if len(args) != 1:
         raise BQDialectError(f"ST_AREA expects one geography, got {args}")
-    verts = _parse_poly_literal(args[0])
-    if verts is None:
+    rings = _parse_poly_rings(args[0])
+    if rings is None:
         if _is_poly(args[0]):
             raise BQDialectError(
-                "ST_AREA supports POINTs (0) and literal convex POLYGONs"
+                "ST_AREA supports POINTs (0) and literal POLYGONs"
             )
         return "0.0D"  # a point has zero area
     import math
 
-    total = 0.0
-    n = len(verts)
-    for i in range(n):
-        ax, ay = verts[i]
-        bx, by = verts[(i + 1) % n]
-        total += math.radians(bx - ax) * (
-            2.0 + math.sin(math.radians(ay)) + math.sin(math.radians(by))
-        )
-    r = 6371008.8
-    area = abs(total * r * r / 2.0)
+    def _ring_area(verts: list[tuple[float, float]]) -> float:
+        total = 0.0
+        n = len(verts)
+        for i in range(n):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % n]
+            total += math.radians(bx - ax) * (
+                2.0 + math.sin(math.radians(ay)) + math.sin(math.radians(by))
+            )
+        r = 6371008.8
+        return abs(total * r * r / 2.0)
+
+    area = _ring_area(rings[0]) - sum(_ring_area(h) for h in rings[1:])
     return f"{area!r}D"
 
 
@@ -1289,56 +1463,70 @@ def _st_perimeter(args: list[str]) -> str:
     consistently. Constant-folds for literal rings."""
     if len(args) != 1:
         raise BQDialectError(f"ST_PERIMETER expects one geography, got {args}")
-    verts = _parse_poly_literal(args[0])
-    if verts is None:
+    rings = _parse_poly_rings(args[0])
+    if rings is None:
         if _is_poly(args[0]):
             raise BQDialectError(
-                "ST_PERIMETER supports POINTs (0) and literal convex POLYGONs"
+                "ST_PERIMETER supports POINTs (0) and literal POLYGONs"
             )
         return "0.0D"
     import math
 
     r = 6371008.8
     total = 0.0
-    n = len(verts)
-    for i in range(n):
-        ax, ay = verts[i]
-        bx, by = verts[(i + 1) % n]
-        total += 2.0 * r * math.asin(
-            math.sqrt(
-                math.sin(math.radians(by - ay) / 2) ** 2
-                + math.cos(math.radians(ay))
-                * math.cos(math.radians(by))
-                * math.sin(math.radians(bx - ax) / 2) ** 2
+    for verts in rings:  # hole boundaries count (BigQuery semantics)
+        n = len(verts)
+        for i in range(n):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % n]
+            total += 2.0 * r * math.asin(
+                math.sqrt(
+                    math.sin(math.radians(by - ay) / 2) ** 2
+                    + math.cos(math.radians(ay))
+                    * math.cos(math.radians(by))
+                    * math.sin(math.radians(bx - ax) / 2) ** 2
+                )
             )
-        )
     return f"{total!r}D"
 
 
 def _st_centroid(args: list[str]) -> str:
-    """``ST_CENTROID``: points return themselves; literal convex rings
+    """``ST_CENTROID``: points return themselves; literal polygons
     return the planar area-weighted centroid (shoelace form — the
     planar-edge contract shared with ST_CONTAINS, documented)."""
     if len(args) != 1:
         raise BQDialectError(f"ST_CENTROID expects one geography, got {args}")
-    verts = _parse_poly_literal(args[0])
-    if verts is None:
+    rings = _parse_poly_rings(args[0])
+    if rings is None:
         if _is_poly(args[0]):
             raise BQDialectError(
-                "ST_CENTROID supports POINTs and literal convex POLYGONs"
+                "ST_CENTROID supports POINTs and literal POLYGONs"
             )
         return args[0].strip()  # a point is its own centroid
-    a2 = cx = cy = 0.0
-    n = len(verts)
-    for i in range(n):
-        x0, y0 = verts[i]
-        x1, y1 = verts[(i + 1) % n]
-        cross = x0 * y1 - x1 * y0
-        a2 += cross
-        cx += (x0 + x1) * cross
-        cy += (y0 + y1) * cross
-    cx /= 3.0 * a2
-    cy /= 3.0 * a2
+
+    def _ring_cent(verts):
+        a2 = cx = cy = 0.0
+        n = len(verts)
+        for i in range(n):
+            x0, y0 = verts[i]
+            x1, y1 = verts[(i + 1) % n]
+            cross = x0 * y1 - x1 * y0
+            a2 += cross
+            cx += (x0 + x1) * cross
+            cy += (y0 + y1) * cross
+        # |area| so ring orientation cannot flip the weights; the
+        # degenerate a2 == 0 case was refused at parse time
+        area = abs(a2) / 2.0
+        return area, cx / (3.0 * a2), cy / (3.0 * a2)
+
+    a0, x0, y0 = _ring_cent(rings[0])
+    num_x, num_y, denom = a0 * x0, a0 * y0, a0
+    for h in rings[1:]:  # holes subtract their area-weighted centroid
+        ah, xh, yh = _ring_cent(h)
+        num_x -= ah * xh
+        num_y -= ah * yh
+        denom -= ah
+    cx, cy = num_x / denom, num_y / denom
     return (
         f"NAMED_STRUCT('lon', CAST({cx!r} AS DOUBLE), "
         f"'lat', CAST({cy!r} AS DOUBLE))"
@@ -1350,8 +1538,8 @@ def _st_contains(args: list[str]) -> str:
         raise BQDialectError(f"ST_CONTAINS expects (polygon, point), got {args}")
     if not _is_poly(args[0]):
         raise BQDialectError(
-            "ST_CONTAINS supports (convex POLYGON literal, point) — "
-            "construct the polygon with ST_GEOGFROMTEXT('POLYGON((…))')"
+            "ST_CONTAINS supports (POLYGON literal, point) — construct "
+            "the polygon with ST_GEOGFROMTEXT('POLYGON((…))')"
         )
     return _poly_contains(args[0], args[1])
 
@@ -1682,18 +1870,20 @@ def _range_intersect_rewriter(args: list[str]) -> str:
 def _generate_range_array_rewriter(args: list[str]) -> str:
     """Sub-ranges of step ``interval`` covering [lo, hi); the last
     sub-range truncates at hi (BigQuery's default last-partial
-    behavior). Unbounded input ranges refuse — the result would be
-    infinite."""
+    behavior). Unbounded input ranges refuse AT RUNTIME via
+    RAISE_ERROR — the result would be infinite (BigQuery errors too)."""
     if len(args) != 2 or not re.match(r"(?i)^\s*INTERVAL\b", args[1]):
         raise BQDialectError(
             f"GENERATE_RANGE_ARRAY expects (range, INTERVAL n part), got {args}"
         )
     r, iv = f"({args[0].strip()})", args[1].strip()
     return (
-        f"TRANSFORM(FILTER(SEQUENCE({r}.lo, {r}.hi, {iv}), "
+        f"CASE WHEN {r}.lo IS NULL OR {r}.hi IS NULL THEN "
+        f"RAISE_ERROR('GENERATE_RANGE_ARRAY: unbounded input range') "
+        f"ELSE TRANSFORM(FILTER(SEQUENCE({r}.lo, {r}.hi, {iv}), "
         f"__x -> __x < {r}.hi), "
         f"__x -> NAMED_STRUCT('lo', __x, "
-        f"'hi', LEAST(__x + {iv}, {r}.hi)))"
+        f"'hi', LEAST(__x + {iv}, {r}.hi))) END"
     )
 
 
@@ -2068,7 +2258,7 @@ def translate(sql: str) -> str:
     # JSON subtree surface (r8): semantics-exact JSON_QUERY family.
     # The _ARRAY variants rewrite first; the trailing paren in each
     # match keeps name prefixes unambiguous. JSON_EXTRACT_SCALAR /
-    # JSON_VALUE were already renamed to GET_JSON_OBJECT by _names.
+    # JSON_VALUE rewrite below via _json_value_rewriter.
     sql = _rewrite_calls(sql, "JSON_QUERY_ARRAY", _json_query_array_rewriter)
     sql = _rewrite_calls(sql, "JSON_EXTRACT_ARRAY", _json_query_array_rewriter)
     sql = _rewrite_calls(sql, "JSON_VALUE_ARRAY", _json_value_array_rewriter)

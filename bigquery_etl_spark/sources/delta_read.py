@@ -126,13 +126,29 @@ def read_delta(
         start = ckpt[0] + 1
     else:
         start = 0
+    # Commit versions must be CONTIGUOUS from the checkpoint (or 0) up
+    # to the requested version — a missing/cleaned intermediate commit
+    # silently skipped would yield a stale or inconsistent snapshot.
+    expected = start
     for ver, fp in entries:
         if ver < start or ver > v:
             continue
+        if ver != expected:
+            raise DeltaReadError(
+                f"{path}: Delta log gap — expected commit {expected:020d}"
+                f".json, found {ver:020d}.json (log cleaned past the "
+                "newest checkpoint?)"
+            )
+        expected = ver + 1
         with open(fp) as f:
             for line in f:
                 if line.strip():
                     _apply(json.loads(line))
+    if expected <= v and expected > start:
+        raise DeltaReadError(
+            f"{path}: Delta log ends at commit {expected - 1} but "
+            f"version {v} was requested"
+        )
     if meta is None:
         raise DeltaReadError(f"{path}: no metaData action in the log")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))

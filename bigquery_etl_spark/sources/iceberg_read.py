@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -133,12 +134,17 @@ def _latest_metadata(table_path: str) -> str:
             p = os.path.join(mdir, cand)
             if os.path.exists(p):
                 return p
-    cands = sorted(
-        n for n in os.listdir(mdir) if n.endswith(".metadata.json")
-    )
+    # Sort NUMERICALLY, not lexicographically: v9.metadata.json would
+    # otherwise sort after v10.metadata.json and open a stale snapshot.
+    # Handles both vN.metadata.json and NNNNN-uuid.metadata.json names.
+    def _version_key(name: str) -> tuple[int, str]:
+        m = re.match(r"^v?(\d+)", name)
+        return (int(m.group(1)) if m else -1, name)
+
+    cands = [n for n in os.listdir(mdir) if n.endswith(".metadata.json")]
     if not cands:
         raise IcebergReadError(f"{table_path}: no *.metadata.json")
-    return os.path.join(mdir, cands[-1])
+    return os.path.join(mdir, max(cands, key=_version_key))
 
 
 def _resolve(table_path: str, p: str) -> str:

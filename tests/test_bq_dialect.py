@@ -645,16 +645,45 @@ def test_gis_polygon_r8(fcat):
     assert r.c_in and not r.c_out
     assert r.d_in == 0.0
     assert r.near and not r.far  # ~55 km vs ~1100 km from the east edge
-    # refusals: non-convex ring, holes, point-as-container
-    with pytest.raises(BQDialectError, match="non-convex"):
+    # r9: CONCAVE rings work (arrow-head notch at (5,5) excludes the
+    # mid-right region the convex hull would include)
+    cv = "ST_GEOGFROMTEXT('POLYGON((0 0, 10 0, 5 5, 10 10, 0 10, 0 0))')"
+    rc = fcat.bq_sql(
+        f"SELECT ST_CONTAINS({cv}, ST_GEOGPOINT(2.0, 5.0)) AS c_in, "
+        f"ST_CONTAINS({cv}, ST_GEOGPOINT(8.0, 5.0)) AS c_notch, "
+        f"ST_DISTANCE(ST_GEOGPOINT(2.0, 5.0), {cv}) AS d_in, "
+        f"ST_DISTANCE(ST_GEOGPOINT(8.0, 5.0), {cv}) AS d_notch"
+    ).collect()[0]
+    assert rc.c_in and not rc.c_notch
+    assert rc.d_in == 0.0 and rc.d_notch > 0.0
+    # r9: HOLES work — even-odd over both rings; the donut hole is out
+    dn = (
+        "ST_GEOGFROMTEXT('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(4 4, 6 4, 6 6, 4 6, 4 4))')"
+    )
+    rd = fcat.bq_sql(
+        f"SELECT ST_CONTAINS({dn}, ST_GEOGPOINT(5.0, 5.0)) AS in_hole, "
+        f"ST_CONTAINS({dn}, ST_GEOGPOINT(2.0, 2.0)) AS in_ring, "
+        f"ST_DISTANCE(ST_GEOGPOINT(5.0, 5.0), {dn}) AS d_hole"
+    ).collect()[0]
+    assert rd.in_ring and not rd.in_hole
+    assert rd.d_hole > 0.0  # a point in the hole is OUTSIDE -> dist>0
+    # refusals: self-intersecting (bowtie), degenerate collinear ring,
+    # hole outside the shell, point-as-container
+    with pytest.raises(BQDialectError, match="self-intersecting"):
         translate(
             "SELECT ST_GEOGFROMTEXT("
-            "'POLYGON((0 0, 10 0, 5 5, 10 10, 0 10, 0 0))')"
+            "'POLYGON((0 0, 10 10, 10 0, 0 9, 0 0))')"
         )
-    with pytest.raises(BQDialectError, match="holes"):
+    with pytest.raises(BQDialectError, match="degenerate"):
+        translate(
+            "SELECT ST_GEOGFROMTEXT('POLYGON((0 0, 1 0, 2 0, 0 0))')"
+        )
+    with pytest.raises(BQDialectError, match="hole vertex outside"):
         translate(
             "SELECT ST_GEOGFROMTEXT("
-            "'POLYGON((0 0, 10 0, 10 10, 0 0), (1 1, 2 1, 2 2, 1 1))')"
+            "'POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(20 20, 22 20, 22 22, 20 20))')"
         )
     with pytest.raises(BQDialectError, match="ST_CONTAINS"):
         translate(

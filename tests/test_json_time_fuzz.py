@@ -286,6 +286,150 @@ def test_gis_polygon_differential_fuzz(spark):
                 )
 
 
+def test_gis_polygon_concave_differential_fuzz(spark):
+    """r9: random SIMPLE CONCAVE rings (star polygons — vertices at
+    sorted angles with randomly varying radii are simple by
+    construction and concave with high probability) plus a hole ring,
+    differential against the identical pure-Python formulas. Extends
+    the convex fuzz above per VERDICT r8 #3."""
+    import math
+
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    rng = random.Random(SEED + 9)
+    cat = LakeCatalog(spark)
+
+    def ref_contains(rings, px, py):
+        inside = False
+        for verts in rings:
+            n = len(verts)
+            for i in range(n):
+                ax, ay = verts[i]
+                bx, by = verts[(i + 1) % n]
+                if (ay > py) != (by > py) and px < (bx - ax) * (
+                    py - ay
+                ) / (by - ay) + ax:
+                    inside = not inside
+        return inside
+
+    def ref_distance(rings, px, py):
+        if ref_contains(rings, px, py):
+            return 0.0
+        r = 6371008.8
+        best = float("inf")
+        for verts in rings:
+            n = len(verts)
+            for i in range(n):
+                ax, ay = verts[i]
+                bx, by = verts[(i + 1) % n]
+                dx, dy = bx - ax, by - ay
+                l2 = dx * dx + dy * dy
+                if l2 == 0.0:
+                    continue
+                t = min(
+                    max(((px - ax) * dx + (py - ay) * dy) / l2, 0.0), 1.0
+                )
+                cx, cy = ax + t * dx, ay + t * dy
+                d = 2.0 * r * math.asin(
+                    math.sqrt(
+                        math.sin(math.radians(py - cy) / 2) ** 2
+                        + math.cos(math.radians(cy))
+                        * math.cos(math.radians(py))
+                        * math.sin(math.radians(px - cx) / 2) ** 2
+                    )
+                )
+                best = min(best, d)
+        return best
+
+    n_concave = 0
+    for trial in range(6):
+        cx0, cy0 = rng.uniform(-60, 60), rng.uniform(-40, 40)
+        k = rng.randint(6, 12)
+        angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(k))
+        # reject angle sets with near-duplicate directions (they make
+        # near-degenerate slivers that stress float equality, not logic)
+        if min(
+            (angles[(i + 1) % k] - angles[i]) % (2 * math.pi)
+            for i in range(k)
+        ) < 0.05:
+            continue
+        radii = [rng.uniform(5, 25) for _ in range(k)]
+        verts = [
+            (round(cx0 + r0 * math.cos(t), 6),
+             round(cy0 + r0 * math.sin(t), 6))
+            for t, r0 in zip(angles, radii)
+        ]
+        sign = 0
+        convex = True
+        for i in range(k):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % k]
+            qx, qy = verts[(i + 2) % k]
+            cr = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+            if abs(cr) > 1e-9:
+                s = 1 if cr > 0 else -1
+                if sign and s != sign:
+                    convex = False
+                sign = s
+        if convex:
+            continue  # only count genuinely concave trials
+        n_concave += 1
+        # hole: small square sized from the ACTUAL min center-to-edge
+        # distance (the star's kernel is tighter than the min-radius
+        # disc — an edge between two far-apart angles can pass close
+        # to the center)
+        def _edge_dist(ax, ay, bx, by):
+            dx, dy = bx - ax, by - ay
+            l2 = dx * dx + dy * dy
+            t = min(max((-(ax - cx0) * dx - (ay - cy0) * dy) / l2, 0.0), 1.0)
+            ex, ey = ax + t * dx - cx0, ay + t * dy - cy0
+            return math.hypot(ex, ey)
+
+        kernel = min(
+            _edge_dist(*verts[i], *verts[(i + 1) % k]) for i in range(k)
+        )
+        if kernel < 0.5:
+            continue  # degenerate sliver — skip
+        hr = 0.4 * kernel / math.sqrt(2.0)
+        hole = [
+            (round(cx0 - hr, 6), round(cy0 - hr, 6)),
+            (round(cx0 + hr, 6), round(cy0 - hr, 6)),
+            (round(cx0 + hr, 6), round(cy0 + hr, 6)),
+            (round(cx0 - hr, 6), round(cy0 + hr, 6)),
+        ]
+        rings = [verts, hole]
+        wkt = "POLYGON(" + ", ".join(
+            "(" + ", ".join(f"{x} {y}" for x, y in ring + [ring[0]]) + ")"
+            for ring in rings
+        ) + ")"
+        pts = [
+            (i, rng.uniform(cx0 - 35, cx0 + 35),
+             rng.uniform(cy0 - 35, cy0 + 35))
+            for i in range(40)
+        ]
+        spark.createDataFrame(
+            pts, "i long, lon double, lat double"
+        ).createOrReplaceTempView("gfz_pts2")
+        rows = cat.bq_sql(
+            f"SELECT i, ST_CONTAINS(ST_GEOGFROMTEXT('{wkt}'), "
+            "ST_GEOGPOINT(lon, lat)) AS c, "
+            f"ST_DISTANCE(ST_GEOGPOINT(lon, lat), "
+            f"ST_GEOGFROMTEXT('{wkt}')) AS d FROM gfz_pts2"
+        ).collect()
+        got = {r.i: (r.c, r.d) for r in rows}
+        for i, px, py in pts:
+            want_c = ref_contains(rings, px, py)
+            want_d = ref_distance(rings, px, py)
+            assert got[i][0] == want_c, (trial, i, rings, (px, py))
+            if want_d == 0.0:
+                assert got[i][1] == 0.0
+            else:
+                assert abs(got[i][1] - want_d) <= 1e-9 * want_d, (
+                    trial, i, got[i][1], want_d
+                )
+    assert n_concave >= 3  # the seed must actually exercise concavity
+
+
 def test_array_literal_classifier_fuzz():
     """Random compositions of subscripts (must survive) and bracket
     literals (must lower to ARRAY(...)) through the dialect's
