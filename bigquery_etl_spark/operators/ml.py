@@ -29,6 +29,8 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -921,3 +923,467 @@ def load_model(root: str, name: str) -> dict:
         raise ValueError(f"unknown model {name!r}")
     with open(path) as f:
         return json.load(f)
+
+
+# -- boosted trees (r9, VERDICT r8 gap #1) ------------------------------------
+#
+# BQML's boosted_tree_regressor / boosted_tree_classifier, built the way
+# this module builds everything: SUFFICIENT STATISTICS to the driver,
+# never rows. The trainer is histogram-based second-order gradient
+# boosting (the public XGBoost objective, Chen & Guestrin 2016, with
+# LightGBM-style feature histograms):
+#
+# - ONE binning pass: percentile_approx over every feature in a single
+#   scalar aggregate -> per-feature quantile bin edges (driver holds
+#   k x (B-1) doubles). Features then map to small-int bins with a
+#   fold over the literal edge array (JVM-side, no Python).
+# - The binned design (k tinyint columns + label) is persisted ONCE;
+#   margins, gradients, hessians and node assignments are EXPRESSIONS
+#   over it, recomputed per pass by codegen — nothing else
+#   materializes.
+# - Each tree LEVEL is ONE distributed aggregate: posexplode the k bin
+#   columns -> hash-aggregate SUM(g), SUM(h), COUNT per
+#   (node, feature, bin). Map-side combine collapses each partition to
+#   nodes x k x B partial rows, so the shuffle is histogram-sized (KBs),
+#   independent of row count — the 100 TB shape. The driver scans the
+#   histogram for the best split per node (exact second-order gain
+#   with L2 and min_split_loss) and never sees a row.
+# - Leaf weights come from the split bookkeeping (children G/H are the
+#   prefix sums already computed) — no extra pass.
+#
+# Reference surface: CREATE MODEL OPTIONS(model_type='boosted_tree_*')
+# + ML.PREDICT / ML.EVALUATE / ML.FEATURE_IMPORTANCE (delegated BigQuery
+# surface, ref main.py:21,49-50).
+
+
+def _bin_expr(col: Column, edges: list[float]) -> Column:
+    """bin(x) = #edges <= x, a fold over the literal edge array.
+    NULLs land in bin 0 (left-most), the same convention the split
+    conditions use."""
+    acc = F.lit(0)
+    for e in edges:
+        acc = acc + F.when(col >= F.lit(e), 1).otherwise(0)
+    return acc
+
+
+def _tree_value_expr(
+    tree: dict, cols: list[Column], *, on_bins: bool
+) -> Column:
+    """Leaf-weight expression for one trained tree — nested IFs walked
+    from the root. ``on_bins``: condition on the binned column
+    (training-time margin) vs the raw feature against the edge VALUE
+    (predict-time — prediction needs no binning pass)."""
+
+    def walk(node_id: int) -> Column:
+        s = tree["splits"].get(str(node_id))
+        if s is None:
+            return F.lit(tree["leaves"][str(node_id)])
+        if on_bins:
+            cond = cols[s["f"]] <= F.lit(s["bin_thr"])
+        else:
+            # bin(x) <= t  <=>  x < edges[t]; NULL x follows the NULL
+            # bin-0 convention (goes left)
+            c = cols[s["f"]]
+            cond = c.isNull() | (c < F.lit(s["value_thr"]))
+        return F.when(cond, walk(2 * node_id + 1)).otherwise(
+            walk(2 * node_id + 2)
+        )
+
+    return walk(0)
+
+
+def fit_boosted_trees(
+    df: DataFrame,
+    features: list[str],
+    label: str,
+    objective: str = "regression",
+    num_trees: int = 20,
+    max_depth: int = 4,
+    learning_rate: float = 0.3,
+    l2: float = 1.0,
+    min_split_loss: float = 0.0,
+    min_child_weight: float = 1.0,
+    num_bins: int = 32,
+) -> dict:
+    """Histogram GBDT: num_trees x max_depth distributed aggregate
+    passes over ONE persisted binned dataset; every pass ships only a
+    (node, feature, bin) histogram to the driver."""
+    import numpy as np
+
+    if objective not in ("regression", "classification"):
+        raise ValueError(f"objective {objective!r}")
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(label).cast("double")).alias("__sy"),
+        *[
+            F.percentile_approx(
+                F.col(c).cast("double"), fracs, 10_000
+            ).alias(f"__q_{i}")
+            for i, c in enumerate(features)
+        ],
+    ).collect()[0]
+    n_rows = agg["__n"]
+    if not n_rows:
+        raise ValueError("boosted trees: empty training input")
+    edges: list[list[float]] = []
+    for i in range(len(features)):
+        qs = [q for q in (agg[f"__q_{i}"] or []) if q is not None]
+        uniq = sorted(set(float(q) for q in qs))
+        edges.append(uniq)
+    mean_y = agg["__sy"] / n_rows
+    if objective == "classification":
+        p0 = min(max(mean_y, 1e-6), 1.0 - 1e-6)
+        base = float(np.log(p0 / (1.0 - p0)))
+    else:
+        base = float(mean_y)
+
+    bin_cols = [f"__b_{i}" for i in range(len(features))]
+    # the margin __m is a MATERIALIZED cached column, updated once per
+    # tree — never a cumulative expression over all prior trees, which
+    # would blow the 64 KB whole-stage-codegen method limit (and at
+    # 100 TB re-evaluate T ensembles per pass). Each cache swap is
+    # forced by the next tree's first histogram pass; the superseded
+    # cache unpersists one tree later (margin checkpointing, the
+    # standard distributed-GBDT shape).
+    cur = df.select(
+        F.col(label).cast("double").alias("__y"),
+        *[
+            _bin_expr(F.col(c).cast("double"), edges[i]).alias(bin_cols[i])
+            for i, c in enumerate(features)
+        ],
+        F.lit(base).alias("__m"),
+    ).persist()
+    to_unpersist: DataFrame | None = None
+
+    trees: list[dict] = []
+    y = F.col("__y")
+    for _ in range(num_trees):
+        margin = F.col("__m")
+        if objective == "classification":
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            g_expr, h_expr = p - y, p * (F.lit(1.0) - p)
+        else:
+            g_expr, h_expr = margin - y, F.lit(1.0)
+
+        splits: dict[str, dict] = {}
+        node_stats: dict[int, tuple[float, float]] = {}
+        node_expr = F.lit(0)
+        open_nodes = [0]
+        for depth in range(max_depth):
+            hist = (
+                cur.select(
+                    node_expr.alias("__node"),
+                    F.posexplode(
+                        F.array(*[F.col(c) for c in bin_cols])
+                    ).alias("__f", "__b"),
+                    g_expr.alias("__g"),
+                    h_expr.alias("__h"),
+                )
+                .groupBy("__node", "__f", "__b")
+                .agg(F.sum("__g").alias("sg"), F.sum("__h").alias("sh"))
+                .collect()
+            )
+            by_node: dict[int, np.ndarray] = {}
+            for r in hist:
+                a = by_node.setdefault(
+                    r["__node"],
+                    np.zeros((len(features), num_bins, 2)),
+                )
+                a[r["__f"], r["__b"], 0] = r["sg"]
+                a[r["__f"], r["__b"], 1] = r["sh"]
+            level_splits: dict[int, tuple[int, int]] = {}
+            for nid in open_nodes:
+                a = by_node.get(nid)
+                if a is None:
+                    continue
+                G, H = a[0, :, 0].sum(), a[0, :, 1].sum()
+                if nid not in node_stats:
+                    node_stats[nid] = (float(G), float(H))
+                parent_score = G * G / (H + l2)
+                best = (0.0, -1, -1)  # (gain, f, thr)
+                for fi in range(len(features)):
+                    if not edges[fi]:
+                        continue
+                    GL = np.cumsum(a[fi, :, 0])
+                    HL = np.cumsum(a[fi, :, 1])
+                    # threshold t sends bins <= t left; t = B-1 is the
+                    # trivial all-left split, excluded
+                    for t in range(min(len(edges[fi]), num_bins - 1)):
+                        hl, hr = HL[t], H - HL[t]
+                        if hl < min_child_weight or hr < min_child_weight:
+                            continue
+                        gl, gr = GL[t], G - GL[t]
+                        gain = 0.5 * (
+                            gl * gl / (hl + l2)
+                            + gr * gr / (hr + l2)
+                            - parent_score
+                        ) - min_split_loss
+                        if gain > best[0]:
+                            best = (float(gain), fi, t)
+                if best[1] >= 0:
+                    _, fi, t = best
+                    level_splits[nid] = (fi, t)
+                    gl = float(np.cumsum(a[fi, :, 0])[t])
+                    hl = float(np.cumsum(a[fi, :, 1])[t])
+                    gn, hn = node_stats[nid]
+                    node_stats[2 * nid + 1] = (gl, hl)
+                    node_stats[2 * nid + 2] = (gn - gl, hn - hl)
+                    splits[str(nid)] = {
+                        "f": fi,
+                        "bin_thr": t,
+                        "value_thr": edges[fi][t],
+                        "gain": best[0] + min_split_loss,
+                        "cover": hn,
+                    }
+            if not level_splits:
+                break
+            upd = node_expr
+            for nid, (fi, t) in level_splits.items():
+                upd = (
+                    F.when(
+                        node_expr == F.lit(nid),
+                        F.when(
+                            F.col(bin_cols[fi]) <= F.lit(t),
+                            F.lit(2 * nid + 1),
+                        ).otherwise(F.lit(2 * nid + 2)),
+                    ).otherwise(upd)
+                )
+            if to_unpersist is not None:
+                # the first hist pass above materialized cur's cache;
+                # the previous tree's cache is now safe to drop
+                to_unpersist.unpersist()
+                to_unpersist = None
+            node_expr = upd
+            open_nodes = [
+                c
+                for nid in level_splits
+                for c in (2 * nid + 1, 2 * nid + 2)
+            ]
+        leaves = {
+            str(nid): -gh[0] / (gh[1] + l2)
+            for nid, gh in node_stats.items()
+            if str(nid) not in splits
+        }
+        if to_unpersist is not None:
+            to_unpersist.unpersist()
+            to_unpersist = None
+        if not splits:
+            # no split improved the objective: the ensemble converged
+            break
+        tree = {"splits": splits, "leaves": leaves}
+        trees.append(tree)
+        nxt = cur.withColumn(
+            "__m",
+            F.col("__m")
+            + F.lit(learning_rate)
+            * _tree_value_expr(
+                tree, [F.col(c) for c in bin_cols], on_bins=True
+            ),
+        ).persist()
+        to_unpersist = cur
+        cur = nxt
+    cur.unpersist()
+    if to_unpersist is not None:
+        to_unpersist.unpersist()
+    return {
+        "model_type": (
+            "boosted_tree_regressor"
+            if objective == "regression"
+            else "boosted_tree_classifier"
+        ),
+        "features": list(features),
+        "label": label,
+        "objective": objective,
+        "base_score": base,
+        "learning_rate": learning_rate,
+        "l2": l2,
+        "edges": edges,
+        "trees": trees,
+        "n": int(n_rows),
+    }
+
+
+# total (splits + leaves) across the ensemble below which the margin
+# stays a pure nested-IF codegen expression; above it one Project would
+# exceed janino's 64 KB method limit (CollapseProject re-inlines any
+# chunked intermediate columns, so chunking cannot save codegen) and
+# Spark silently drops to interpreted eval — the Arrow-batched numpy
+# scorer below is faster than interpreted Catalyst at that size.
+_BT_CODEGEN_MAX_NODES = 300
+
+
+def _score_boosted_pandas(model: dict):
+    """Vectorized ensemble scorer as a scalar pandas_udf: per Arrow
+    batch, every tree is walked level-by-level with numpy masks —
+    O(trees x splits) vectorized ops per batch, no per-row Python.
+    NaN (NULL) goes left, matching the bin-0 convention."""
+    import numpy as np
+
+    trees = model["trees"]
+    base = model["base_score"]
+    lr = model["learning_rate"]
+    prepped = []
+    for t in trees:
+        splits = sorted(
+            ((int(k), v["f"], v["value_thr"]) for k, v in t["splits"].items())
+        )
+        max_id = max(
+            [int(k) for k in t["leaves"]]
+            + [2 * nid + 2 for nid, _, _ in splits]
+        )
+        w = np.zeros(max_id + 1)
+        for k, v in t["leaves"].items():
+            w[int(k)] = v
+        prepped.append((splits, w))
+
+    @F.pandas_udf("double")
+    def score(feats: pd.DataFrame) -> pd.Series:
+        X = np.column_stack(
+            [
+                feats.iloc[:, i].to_numpy(dtype=float, na_value=np.nan)
+                for i in range(feats.shape[1])
+            ]
+        )
+        m = np.full(len(X), base)
+        for splits, w in prepped:
+            node = np.zeros(len(X), dtype=np.int64)
+            for nid, f, thr in splits:
+                mask = node == nid
+                if not mask.any():
+                    continue
+                x = X[mask, f]
+                left = np.isnan(x) | (x < thr)
+                node[mask] = np.where(left, 2 * nid + 1, 2 * nid + 2)
+            m += lr * w[node]
+        return pd.Series(m)
+
+    return score
+
+
+def _with_boosted_margin(
+    df: DataFrame, model: dict, out: str
+) -> DataFrame:
+    """Project the ensemble margin as column ``out``. Router: small
+    ensembles are a pure nested-IF codegen expression (zero Python);
+    ensembles past _BT_CODEGEN_MAX_NODES score through the
+    Arrow-batched numpy scorer (the repo's sanctioned vectorized
+    fallback tier) — one map stage, zero shuffles either way."""
+    total_nodes = sum(
+        len(t["splits"]) + len(t["leaves"]) for t in model["trees"]
+    )
+    cols = [F.col(c).cast("double") for c in model["features"]]
+    if total_nodes <= _BT_CODEGEN_MAX_NODES:
+        margin = F.lit(model["base_score"])
+        for t in model["trees"]:
+            margin = margin + F.lit(
+                model["learning_rate"]
+            ) * _tree_value_expr(t, cols, on_bins=False)
+        return df.withColumn(out, margin)
+    return df.withColumn(
+        out, _score_boosted_pandas(model)(F.struct(*cols))
+    )
+
+
+def predict_boosted_trees(
+    df: DataFrame,
+    model: dict,
+    out: str = "predicted_label",
+    prob_out: str | None = None,
+) -> DataFrame:
+    """Broadcast-trees projection: the ensemble is nested-IF codegen
+    on the raw features (prediction needs NO binning pass — split
+    thresholds carry their edge values)."""
+    scored = _with_boosted_margin(df, model, "__bt_margin")
+    if model["objective"] == "classification":
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-F.col("__bt_margin"))
+        )
+        po = prob_out or f"{out}_prob"
+        return (
+            scored.withColumn(po, p)
+            .withColumn(out, (F.col(po) >= 0.5).cast("int"))
+            .drop("__bt_margin")
+        )
+    return scored.withColumnRenamed("__bt_margin", out)
+
+
+def evaluate_boosted_trees(df: DataFrame, model: dict) -> DataFrame:
+    """ML.EVALUATE: one scalar-aggregate pass, the same output shape
+    as the linear (regressor) / logistic (classifier) evaluators."""
+    if model["objective"] == "classification":
+        scored = predict_boosted_trees(
+            df, model, out="__yhat", prob_out="__p"
+        )
+        yv = F.col(model["label"]).cast("int")
+        tp = F.sum(((F.col("__yhat") == 1) & (yv == 1)).cast("long"))
+        fp = F.sum(((F.col("__yhat") == 1) & (yv == 0)).cast("long"))
+        fn = F.sum(((F.col("__yhat") == 0) & (yv == 1)).cast("long"))
+        eps = F.lit(1e-15)
+        pc = F.greatest(F.least(F.col("__p"), F.lit(1.0) - eps), eps)
+        ll = -F.avg(
+            yv.cast("double") * F.log(pc)
+            + (F.lit(1.0) - yv.cast("double")) * F.log(F.lit(1.0) - pc)
+        )
+        agg = scored.agg(
+            F.avg((F.col("__yhat") == yv).cast("double")).alias("accuracy"),
+            tp.alias("__tp"),
+            fp.alias("__fp"),
+            fn.alias("__fn"),
+            ll.alias("log_loss"),
+        )
+        prec = F.col("__tp") / F.greatest(
+            F.col("__tp") + F.col("__fp"), F.lit(1)
+        )
+        rec = F.col("__tp") / F.greatest(
+            F.col("__tp") + F.col("__fn"), F.lit(1)
+        )
+        return agg.select(
+            "accuracy",
+            prec.alias("precision"),
+            rec.alias("recall"),
+            (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-300))).alias(
+                "f1_score"
+            ),
+            "log_loss",
+        )
+    pred = predict_boosted_trees(df, model, out="__p")
+    err = F.col("__p") - F.col(model["label"]).cast("double")
+    yv = F.col(model["label"]).cast("double")
+    return pred.agg(
+        F.avg(F.abs(err)).alias("mean_absolute_error"),
+        F.avg(err * err).alias("mean_squared_error"),
+        (
+            F.lit(1.0)
+            - F.sum(err * err)
+            / (
+                F.sum(yv * yv)
+                - F.count(F.lit(1)) * F.pow(F.avg(yv), F.lit(2))
+            )
+        ).alias("r2_score"),
+    )
+
+
+def feature_importance_boosted(
+    spark: SparkSession, model: dict
+) -> DataFrame:
+    """ML.FEATURE_IMPORTANCE: XGBoost's public importance triple per
+    feature — split count (weight), total gain, total hessian cover —
+    straight from the stored trees (metadata only, no data pass)."""
+    w = {c: 0 for c in model["features"]}
+    gain = {c: 0.0 for c in model["features"]}
+    cover = {c: 0.0 for c in model["features"]}
+    for t in model["trees"]:
+        for s in t["splits"].values():
+            c = model["features"][s["f"]]
+            w[c] += 1
+            gain[c] += s["gain"]
+            cover[c] += s["cover"]
+    rows = [
+        (c, float(w[c]), gain[c], cover[c]) for c in model["features"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature string, importance_weight double, "
+        "importance_gain double, importance_cover double",
+    )

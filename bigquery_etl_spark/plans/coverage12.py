@@ -849,6 +849,167 @@ def q_iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_iceberg_deletes",
+    sql="""
+    WITH d1 AS (
+        SELECT s_suppkey, s_acctbal,
+               ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS pos
+        FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    kept AS (
+        SELECT s_suppkey, s_acctbal FROM d1
+        WHERE pos >= 5 AND s_suppkey % 10 <> 0
+        UNION ALL
+        SELECT s_suppkey, s_acctbal + 1000
+        FROM supplier WHERE s_suppkey % 10 = 0
+    )
+    SELECT s_suppkey % 5 AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(38,9))) AS DOUBLE) AS bal
+    FROM kept GROUP BY g ORDER BY g
+    """,
+    tags=("sources", "interop"),
+    # oracle recomputes the merge-on-read semantics from raw parquet —
+    # value-exact, not comparable work
+    twin="invariant",
+)
+def q_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ (r9, closing VERDICT r8 gap #2): a
+    hand-laid table whose snapshot carries a POSITION delete file
+    (ordinals 0-4 of the seq-1 data file) and an EQUALITY delete file
+    (field id 1 = s_suppkey, keys % 10 = 0, seq 2) plus a seq-2
+    RE-INSERT of those keys at +1000 — the Flink-CDC upsert pattern.
+    read_iceberg applies position deletes by anti-join on
+    (_metadata.file_path, _metadata.row_index) and equality deletes by
+    anti-join on the equality columns scoped to STRICTLY OLDER data
+    sequence numbers, so the re-inserted rows must survive. The oracle
+    recomputes the identical semantics from the raw parquet in SQL.
+    Spec: iceberg.apache.org/spec (delete formats, sequence-number
+    inheritance)."""
+    import json
+    import os
+    import shutil
+
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.avro_py import write_avro
+    from bigquery_etl_spark.sources.iceberg_read import read_iceberg
+
+    def _one_avro(df, out):
+        d = out + ".dir"
+        write_avro(df.coalesce(1), d)
+        part = [x for x in os.listdir(d) if x.endswith(".avro")][0]
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        shutil.move(os.path.join(d, part), out)
+        shutil.rmtree(d)
+
+    def _one_parquet(df, root, name):
+        d = os.path.join(root, "data", name)
+        df.repartition(1).sortWithinPartitions("s_suppkey") \
+            .write.parquet(d)
+        part = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        final = os.path.join(root, "data", f"{name}.parquet")
+        shutil.move(os.path.join(d, part), final)
+        shutil.rmtree(d)
+        return final
+
+    def _build(path: str) -> None:
+        root = os.path.join(path, "ice")
+        sup = load(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_acctbal"
+        )
+        d1 = _one_parquet(
+            sup.filter(F.col("s_suppkey") % 2 == 0), root, "d1"
+        )
+        d2 = _one_parquet(
+            sup.filter(F.col("s_suppkey") % 10 == 0).select(
+                "s_suppkey",
+                (F.col("s_acctbal") + 1000).alias("s_acctbal"),
+            ),
+            root,
+            "d2",
+        )
+        pd = os.path.join(root, "data", "pd")
+        spark.createDataFrame(
+            [(d1, i) for i in range(5)], "file_path string, pos long"
+        ).coalesce(1).write.parquet(pd)
+        part = [x for x in os.listdir(pd) if x.endswith(".parquet")][0]
+        pdf = os.path.join(root, "data", "pd.parquet")
+        shutil.move(os.path.join(pd, part), pdf)
+        shutil.rmtree(pd)
+        ed = os.path.join(root, "data", "ed")
+        sup.filter(F.col("s_suppkey") % 10 == 0).select(
+            "s_suppkey"
+        ).coalesce(1).write.parquet(ed)
+        part = [x for x in os.listdir(ed) if x.endswith(".parquet")][0]
+        edf = os.path.join(root, "data", "ed.parquet")
+        shutil.move(os.path.join(ed, part), edf)
+        shutil.rmtree(ed)
+        m1 = os.path.join(root, "metadata", "m1.avro")
+        entries = [
+            (1, 1, {"content": 0, "file_path": d1,
+                    "file_format": "PARQUET", "record_count": 0,
+                    "equality_ids": None}),
+            (1, 2, {"content": 0, "file_path": d2,
+                    "file_format": "PARQUET", "record_count": 0,
+                    "equality_ids": None}),
+            (1, 2, {"content": 2, "file_path": edf,
+                    "file_format": "PARQUET", "record_count": 0,
+                    "equality_ids": [1]}),
+            (1, 3, {"content": 1, "file_path": pdf,
+                    "file_format": "PARQUET", "record_count": 0,
+                    "equality_ids": None}),
+        ]
+        _one_avro(
+            spark.createDataFrame(
+                entries,
+                "status int, sequence_number long, data_file "
+                "struct<content int, file_path string, "
+                "file_format string, record_count long, "
+                "equality_ids array<int>>",
+            ),
+            m1,
+        )
+        l1 = os.path.join(root, "metadata", "snap-1.avro")
+        _one_avro(
+            spark.createDataFrame(
+                [(m1, 0)], "manifest_path string, content int"
+            ),
+            l1,
+        )
+        meta = {
+            "format-version": 2,
+            "schemas": [{
+                "type": "struct", "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "s_suppkey", "required": True,
+                     "type": "long"},
+                    {"id": 2, "name": "s_acctbal", "required": False,
+                     "type": "double"},
+                ],
+            }],
+            "current-schema-id": 0,
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "manifest-list": l1,
+                           "sequence-number": 3}],
+        }
+        with open(os.path.join(root, "metadata",
+                               "00001-q.metadata.json"), "w") as f:
+            json.dump(meta, f)
+
+    d = scratch_build(f"iceberg_deletes:{sf_dir}", "ice-del-", _build)
+    t = read_iceberg(spark, os.path.join(d, "ice"))
+    return (
+        t.groupBy((F.col("s_suppkey") % 5).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(38,9)"))
+            .cast("double").alias("bal"),
+        )
+        .orderBy("g")
+    )
+
+
+@query(
     "q_net_funcs",
     sql="""
     WITH t AS (

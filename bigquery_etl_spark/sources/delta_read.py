@@ -184,3 +184,193 @@ def read_delta(
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+# -- deletion vectors (r9, VERDICT r8 gap #2) ---------------------------------
+#
+# Public formats, implemented pure-Python in the avro_py/jpeg_py house
+# style: Z85 (ZeroMQ base85, RFC 32/Z85) for encoded UUIDs and inline
+# DVs; the Deletion Vector file layout and the 64-bit RoaringBitmapArray
+# "portable" serialization from the Delta protocol spec
+# (github.com/delta-io/delta PROTOCOL.md, "Deletion Vectors"); the
+# 32-bit RoaringBitmap portable format from the public
+# RoaringFormatSpec (github.com/RoaringBitmap/RoaringFormatSpec).
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+_DV_MAGIC = 1681511377  # little-endian magic prefixing the bitmap data
+
+
+def _z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise DeltaReadError(f"Z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for ch in s[i : i + 5]:
+            d = _Z85_INDEX.get(ch)
+            if d is None:
+                raise DeltaReadError(f"invalid Z85 character {ch!r}")
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            raise DeltaReadError("Z85 group overflows 32 bits")
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def z85_encode(b: bytes) -> str:
+    """Inverse of _z85_decode (exported for the snapshot mirror and
+    tests)."""
+    if len(b) % 4:
+        raise DeltaReadError(f"Z85 input length {len(b)} not a multiple of 4")
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_CHARS[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _read_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One 32-bit RoaringBitmap in the standard portable format.
+    Returns (sorted values, next offset)."""
+    import struct
+
+    cookie = struct.unpack_from("<I", buf, pos)[0]
+    if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE (runs possible)
+        n_cont = (cookie >> 16) + 1
+        pos += 4
+        run_flag_bytes = (n_cont + 7) // 8
+        run_flags = buf[pos : pos + run_flag_bytes]
+        pos += run_flag_bytes
+        has_offsets = n_cont >= 4
+    elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        n_cont = struct.unpack_from("<I", buf, pos + 4)[0]
+        pos += 8
+        run_flags = b"\x00" * ((n_cont + 7) // 8)
+        has_offsets = True
+    else:
+        raise DeltaReadError(f"roaring bitmap cookie {cookie} unsupported")
+    keys_cards = []
+    for i in range(n_cont):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        keys_cards.append((key, card_m1 + 1))
+    if has_offsets:
+        pos += 4 * n_cont  # offsets are redundant for sequential reads
+    values: list[int] = []
+    for i, (key, card) in enumerate(keys_cards):
+        is_run = bool(run_flags[i // 8] & (1 << (i % 8)))
+        hi = key << 16
+        if is_run:
+            n_runs = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            for _ in range(n_runs):
+                start, length_m1 = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(
+                    hi | v for v in range(start, start + length_m1 + 1)
+                )
+        elif card > 4096:  # bitset container: 1024 x 64-bit words
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.append(hi | (wi << 6) | b.bit_length() - 1)
+                    w ^= b
+        else:  # array container
+            arr = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(hi | v for v in arr)
+    return values, pos
+
+
+def _roaring64_values(data: bytes) -> list[int]:
+    """Delta's RoaringBitmapArray portable format: magic, 8-byte LE
+    bitmap count, then that many 32-bit portable bitmaps for the DENSE
+    high-key indexes 0..n-1."""
+    import struct
+
+    if len(data) < 12:
+        raise DeltaReadError("deletion vector data truncated")
+    magic = struct.unpack_from("<i", data, 0)[0]
+    if magic != _DV_MAGIC:
+        raise DeltaReadError(f"deletion vector magic {magic} != {_DV_MAGIC}")
+    n_bitmaps = struct.unpack_from("<q", data, 4)[0]
+    pos = 12
+    out: list[int] = []
+    for idx in range(n_bitmaps):
+        vals, pos = _read_roaring32(data, pos)
+        base = idx << 32
+        out.extend(base | v for v in vals)
+    return out
+
+
+# positions decode on the DRIVER (a DV is per-file metadata, KBs for
+# real tables); this cap refuses pathological multi-GB vectors loudly
+# instead of silently OOMing the driver
+_DV_MAX_POSITIONS = 50_000_000
+
+
+def _dv_positions(table_path: str, dv: dict) -> list[int]:
+    """Deleted row ordinals for one add-action's deletionVector
+    descriptor."""
+    import struct
+    import uuid
+    import zlib
+
+    st = dv.get("storageType")
+    if st == "i":  # inline: z85 of the DV data itself
+        data = _z85_decode(dv["pathOrInlineDv"])
+    elif st in ("u", "p"):
+        if st == "p":
+            fp = dv["pathOrInlineDv"].removeprefix("file:")
+        else:
+            enc = dv["pathOrInlineDv"]
+            prefix, uuid_part = enc[:-20], enc[-20:]
+            u = uuid.UUID(bytes=_z85_decode(uuid_part))
+            fp = os.path.join(
+                table_path, prefix, f"deletion_vector_{u}.bin"
+            )
+        with open(fp, "rb") as f:
+            blob = f.read()
+        if not blob or blob[0] != 1:
+            raise DeltaReadError(
+                f"deletion vector file version {blob[:1]!r} unsupported"
+            )
+        off = dv.get("offset")
+        if off is None:
+            off = 1
+        size = struct.unpack_from(">I", blob, off)[0]
+        data = blob[off + 4 : off + 4 + size]
+        crc = struct.unpack_from(">I", blob, off + 4 + size)[0]
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise DeltaReadError("deletion vector checksum mismatch")
+    else:
+        raise DeltaReadError(f"deletionVector storageType {st!r} unsupported")
+    want = dv.get("sizeInBytes")
+    if want is not None and want != len(data):
+        raise DeltaReadError(
+            f"deletion vector size {len(data)} != descriptor {want}"
+        )
+    vals = _roaring64_values(data)
+    card = dv.get("cardinality")
+    if card is not None and card != len(vals):
+        raise DeltaReadError(
+            f"deletion vector cardinality {len(vals)} != descriptor {card}"
+        )
+    if len(vals) > _DV_MAX_POSITIONS:
+        raise DeltaReadError(
+            f"deletion vector with {len(vals)} positions exceeds the "
+            f"driver-side decode cap ({_DV_MAX_POSITIONS}) — compact the "
+            "table first"
+        )
+    return vals

@@ -14,10 +14,15 @@ stays distributed.
 Supported: format-version 1 and 2, parquet data files,
 ``version-hint.text`` or newest ``*.metadata.json`` discovery,
 ``snapshot_id`` time travel, identity partitioning (Iceberg data files
-carry ALL columns, so nothing needs reconstruction). Refused loudly:
-v2 delete files (merge-on-read tables need compaction first),
-non-parquet data files, unsupported types. Layout per the public
-Iceberg table spec (iceberg.apache.org/spec)."""
+carry ALL columns, so nothing needs reconstruction), and — r9, closing
+VERDICT r8 gap #2 — v2 merge-on-read DELETE FILES: position deletes
+anti-join on (_metadata.file_path, _metadata.row_index) and equality
+deletes anti-join on their equality_ids columns, both scoped by the
+spec's sequence-number rules (position applies to data seq <= delete
+seq; equality to data seq STRICTLY < delete seq). Tables without
+deletes keep the plain zero-overhead parquet scan. Refused loudly:
+non-parquet data/delete files, unsupported types. Layout per the
+public Iceberg table spec (iceberg.apache.org/spec)."""
 
 from __future__ import annotations
 
@@ -188,35 +193,169 @@ def read_iceberg(
             f"{table_path}: snapshot {sid} not found "
             f"(have {[s.get('snapshot-id') for s in snaps]})"
         )
-    files: list[str] = []
+    snap_seq = snap.get("sequence-number", 0) or 0
+    # (manifest_path, manifest_seq) pairs; v1 manifests carry seq 0
     if "manifest-list" in snap:
         mlist = _read_avro_dicts(_resolve(table_path, snap["manifest-list"]))
-        manifests = []
-        for m in mlist:
-            if m.get("content", 0) not in (0, None):
-                raise IcebergReadError(
-                    "v2 DELETE manifests present — merge-on-read tables "
-                    "must be compacted before this reader opens them"
-                )
-            manifests.append(_resolve(table_path, m["manifest_path"]))
+        manifests = [
+            (
+                _resolve(table_path, m["manifest_path"]),
+                m.get("sequence_number")
+                if m.get("sequence_number") is not None
+                else snap_seq,
+            )
+            for m in mlist
+        ]
     else:  # v1 inline manifests list
-        manifests = [_resolve(table_path, p) for p in snap["manifests"]]
-    for mpath in manifests:
+        manifests = [(_resolve(table_path, p), 0) for p in snap["manifests"]]
+
+    data_files: list[tuple[str, int]] = []  # (path, data sequence number)
+    pos_deletes: list[tuple[str, int]] = []
+    eq_deletes: list[tuple[str, int, list[int]]] = []
+    for mpath, mseq in manifests:
         for entry in _read_avro_dicts(mpath):
             if entry.get("status", 1) == 2:  # DELETED
                 continue
             df_meta = entry["data_file"]
             d = df_meta.asDict() if hasattr(df_meta, "asDict") else dict(df_meta)
-            if d.get("content", 0) not in (0, None):
-                raise IcebergReadError(
-                    "v2 delete files present — compact before reading"
-                )
             fmt = (d.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
                 raise IcebergReadError(
                     f"Iceberg data file format {fmt!r} unsupported"
                 )
-            files.append(_resolve(table_path, d["file_path"]))
-    if not files:
+            # spec inheritance: a null entry sequence number inherits
+            # the manifest's (which inherited the snapshot's on commit)
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = mseq
+            path = _resolve(table_path, d["file_path"])
+            content = d.get("content", 0) or 0
+            if content == 0:
+                data_files.append((path, int(seq)))
+            elif content == 1:  # position deletes
+                pos_deletes.append((path, int(seq)))
+            elif content == 2:  # equality deletes
+                ids = d.get("equality_ids") or []
+                if not ids:
+                    raise IcebergReadError(
+                        "equality delete file without equality_ids"
+                    )
+                eq_deletes.append((path, int(seq), [int(i) for i in ids]))
+            else:
+                raise IcebergReadError(
+                    f"Iceberg data_file content {content} unsupported"
+                )
+    if not data_files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*[p for p, _ in data_files])
+    if not pos_deletes and not eq_deletes:
+        return df
+    return _apply_deletes(
+        spark, df, schema, schema_json, table_path,
+        data_files, pos_deletes, eq_deletes,
+    )
+
+
+def _norm_path(col):
+    """Normalize 'file:///x', 'file:/x' and '/x' spellings so delete
+    file_path references match Spark's _metadata.file_path URIs."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    schema: T.StructType,
+    schema_json: dict,
+    table_path: str,
+    data_files: list[tuple[str, int]],
+    pos_deletes: list[tuple[str, int]],
+    eq_deletes: list[tuple[str, int, list[int]]],
+) -> DataFrame:
+    """Merge-on-read: apply v2 position/equality delete files as ANTI
+    JOINS against the data scan. Each row learns its (file, ordinal)
+    from Spark's hidden ``_metadata`` column — the exact position the
+    spec's position deletes address — and its data sequence number from
+    a broadcast (file -> seq) lookup sized by file COUNT, not rows. The
+    delete sides are metadata-scale scans; the big side shuffles only
+    for the anti-join hash probes (broadcast when small, which delete
+    files virtually always are)."""
+    from pyspark.sql import functions as F
+
+    seq_df = F.broadcast(
+        spark.createDataFrame(
+            [(p.removeprefix("file:"), s) for p, s in data_files],
+            "__path string, __fseq long",
+        ).withColumn("__path", _norm_path(F.col("__path")))
+    )
+    cols = [f.name for f in schema.fields]
+    work = (
+        df.select(
+            *cols,
+            _norm_path(F.col("_metadata.file_path")).alias("__path"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        .join(seq_df, "__path", "left")
+    )
+    if pos_deletes:
+        parts = []
+        for p, dseq in pos_deletes:
+            parts.append(
+                spark.read.schema(
+                    "file_path string, pos long"
+                ).parquet(p).select(
+                    _norm_path(F.col("file_path")).alias("__dpath"),
+                    F.col("pos").alias("__dpos"),
+                    F.lit(int(dseq)).alias("__dseq"),
+                )
+            )
+        pos_df = parts[0]
+        for extra in parts[1:]:
+            pos_df = pos_df.unionByName(extra)
+        work = work.join(
+            F.broadcast(pos_df),
+            (F.col("__path") == F.col("__dpath"))
+            & (F.col("__pos") == F.col("__dpos"))
+            & (F.col("__fseq") <= F.col("__dseq")),
+            "left_anti",
+        )
+    if eq_deletes:
+        id_to_name = {
+            f["id"]: f["name"] for f in schema_json["fields"]
+        }
+        by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+        for p, dseq, ids in eq_deletes:
+            by_ids.setdefault(tuple(ids), []).append((p, dseq))
+        for ids, group in sorted(by_ids.items()):
+            try:
+                names = [id_to_name[i] for i in ids]
+            except KeyError as e:
+                raise IcebergReadError(
+                    f"equality_ids reference unknown field id {e}"
+                ) from None
+            eq_schema = T.StructType(
+                [schema[n] for n in names]
+            )
+            parts = []
+            for p, dseq in group:
+                parts.append(
+                    spark.read.schema(eq_schema).parquet(p).select(
+                        *[
+                            F.col(n).alias(f"__d_{n}")
+                            for n in names
+                        ],
+                        F.lit(int(dseq)).alias("__dseq"),
+                    )
+                )
+            eq_df = parts[0]
+            for extra in parts[1:]:
+                eq_df = eq_df.unionByName(extra)
+            cond = F.col("__fseq") < F.col("__dseq")
+            for n in names:
+                # null-safe equality: the spec deletes on value match,
+                # and a NULL key in the delete row matches NULL data
+                cond = cond & F.col(n).eqNullSafe(F.col(f"__d_{n}"))
+            work = work.join(F.broadcast(eq_df), cond, "left_anti")
+    return work.select(*cols)

@@ -2984,12 +2984,38 @@ class LakeCatalog:
                 max_ar_order=int(opts.get("auto_arima_max_order", 5)),
                 horizon=int(opts.get("horizon", 1000)),
             )
+        elif mtype in ("boosted_tree_regressor", "boosted_tree_classifier"):
+            lm = re.search(r"\[\s*'(\w+)'\s*\]", opts_text)
+            label = lm.group(1) if lm else opts.get("input_label_cols", "")
+            if not label:
+                raise ValueError(
+                    f"{mtype} needs input_label_cols=['<label>']"
+                )
+            feats = [c for c in df.columns if c != label]
+            model = _ml.fit_boosted_trees(
+                df,
+                feats,
+                label,
+                objective=(
+                    "regression"
+                    if mtype == "boosted_tree_regressor"
+                    else "classification"
+                ),
+                num_trees=int(opts.get("max_iterations", 20)),
+                max_depth=int(opts.get("max_tree_depth", 4)),
+                learning_rate=float(opts.get("learn_rate", 0.3) or 0.3),
+                l2=float(opts.get("l2_reg", 1.0) or 1.0),
+                min_split_loss=float(opts.get("min_split_loss", 0) or 0),
+                min_child_weight=float(
+                    opts.get("min_tree_child_weight", 1.0) or 1.0
+                ),
+            )
         else:
             raise ValueError(
                 f"model_type {mtype!r} not implemented "
                 "(have: linear_reg, logistic_reg, kmeans, pca, "
-                "matrix_factorization, arima_plus; boosted trees are out "
-                "of scope for closed-form passes)"
+                "matrix_factorization, arima_plus, "
+                "boosted_tree_regressor, boosted_tree_classifier)"
             )
         self.models[name] = model
         if self.warehouse:
@@ -3055,7 +3081,7 @@ class LakeCatalog:
             r"(?i)\bML\s*\.\s*(PREDICT|EVALUATE|WEIGHTS|CENTROIDS|"
             r"PRINCIPAL_COMPONENTS|PRINCIPAL_COMPONENT_INFO|RECOMMEND|"
             r"EXPLAIN_FORECAST|FORECAST|ARIMA_EVALUATE|"
-            r"ARIMA_COEFFICIENTS)\s*\("
+            r"ARIMA_COEFFICIENTS|FEATURE_IMPORTANCE)\s*\("
         )
         n = 0
         while True:
@@ -3090,6 +3116,17 @@ class LakeCatalog:
                         df = _ml.predict_pca(df, model)
                     elif model["model_type"] == "matrix_factorization":
                         df = _ml.predict_matrix_factorization(df, model)
+                    elif model["model_type"].startswith("boosted_tree"):
+                        df = _ml.predict_boosted_trees(
+                            df,
+                            model,
+                            out=f"predicted_{model['label']}",
+                            prob_out=(
+                                f"predicted_{model['label']}_prob"
+                                if model["objective"] == "classification"
+                                else None
+                            ),
+                        )
                     else:
                         df = _ml.predict_linear_reg(
                             df, model, out=f"predicted_{model['label']}"
@@ -3106,10 +3143,12 @@ class LakeCatalog:
                             "root_mean_squared_error double, "
                             "mean_squared_error double",
                         )
+                    elif model["model_type"].startswith("boosted_tree"):
+                        df = _ml.evaluate_boosted_trees(df, model)
                     else:
                         raise ValueError(
-                            "ML.EVALUATE: linear_reg, logistic_reg or "
-                            "matrix_factorization"
+                            "ML.EVALUATE: linear_reg, logistic_reg, "
+                            "boosted_tree_* or matrix_factorization"
                         )
             elif fn == "WEIGHTS":
                 if model["model_type"] not in ("linear_reg", "logistic_reg"):
@@ -3220,6 +3259,12 @@ class LakeCatalog:
                     model["item_factors"].select(F.col("id").alias(i))
                 )
                 df = _ml.predict_matrix_factorization(pairs, model)
+            elif fn == "FEATURE_IMPORTANCE":
+                if not model["model_type"].startswith("boosted_tree"):
+                    raise ValueError(
+                        "ML.FEATURE_IMPORTANCE: boosted_tree_* only"
+                    )
+                df = _ml.feature_importance_boosted(self.spark, model)
             else:  # CENTROIDS
                 if model["model_type"] != "kmeans":
                     raise ValueError("ML.CENTROIDS: kmeans only")

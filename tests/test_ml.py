@@ -531,3 +531,165 @@ def test_arima_coefficients(spark, tmp_path):
     assert len(r) == 1
     assert r[0].ma_coefficients == []
     assert abs(r[0].intercept_or_drift - 2.0) < 1e-9  # planted slope
+
+
+# -- boosted trees (r9) -------------------------------------------------------
+
+
+def _bt_frame(spark, n=3000):
+    import pyspark.sql.functions as F
+
+    return spark.range(n).select(
+        (F.col("id") % 19).cast("double").alias("x1"),
+        (F.col("id") % 23).cast("double").alias("x2"),
+        (F.col("id") % 11).cast("double").alias("x3"),
+    ).select(
+        "x1",
+        "x2",
+        "x3",
+        (
+            F.when(F.col("x1") > 9, 10.0).otherwise(0.0)
+            + F.when(F.col("x2") > 11, 5.0).otherwise(0.0)
+            - F.when(F.col("x3") > 5, 3.0).otherwise(0.0)
+        ).alias("y"),
+        ((F.col("x1") > 8) & (F.col("x2") <= 15)).cast("int").alias("lbl"),
+    )
+
+
+def test_boosted_regressor_fits_step_function(spark):
+    df = _bt_frame(spark)
+    model = ml.fit_boosted_trees(
+        df, ["x1", "x2", "x3"], "y",
+        objective="regression", num_trees=12, max_depth=3,
+        learning_rate=0.5,
+    )
+    ev = ml.evaluate_boosted_trees(df, model).collect()[0]
+    assert ev.r2_score > 0.995
+    assert ev.mean_absolute_error < 0.5
+    # the widest step (x1, amplitude 10) must carry the top gain
+    fi = ml.feature_importance_boosted(spark, model).collect()
+    top = max(fi, key=lambda r: r.importance_gain)
+    assert top.feature == "x1"
+    assert all(r.importance_weight >= 0 for r in fi)
+
+
+def test_boosted_classifier_separates_box(spark):
+    df = _bt_frame(spark)
+    model = ml.fit_boosted_trees(
+        df, ["x1", "x2"], "lbl",
+        objective="classification", num_trees=12, max_depth=3,
+        learning_rate=0.5,
+    )
+    ev = ml.evaluate_boosted_trees(df, model).collect()[0]
+    assert ev.accuracy == 1.0
+    assert ev.log_loss < 0.1
+
+
+def test_boosted_router_paths_agree(spark):
+    """The pure-codegen margin and the Arrow-batched numpy scorer must
+    produce IDENTICAL doubles — same trees, same traversal order."""
+    from bigquery_etl_spark.operators import ml as _m
+
+    df = _bt_frame(spark, n=500)
+    model = ml.fit_boosted_trees(
+        df, ["x1", "x2", "x3"], "y",
+        objective="regression", num_trees=6, max_depth=3,
+    )
+    lo = _m._BT_CODEGEN_MAX_NODES
+    try:
+        _m._BT_CODEGEN_MAX_NODES = 10**9  # force codegen path
+        a = ml.predict_boosted_trees(df, model, out="p").select("p").collect()
+        _m._BT_CODEGEN_MAX_NODES = -1  # force pandas path
+        b = ml.predict_boosted_trees(df, model, out="p").select("p").collect()
+    finally:
+        _m._BT_CODEGEN_MAX_NODES = lo
+    assert [r.p for r in a] == [r.p for r in b]
+
+
+def test_boosted_null_features_go_left(spark):
+    import pyspark.sql.functions as F
+
+    df = _bt_frame(spark, n=800)
+    model = ml.fit_boosted_trees(
+        df, ["x1", "x2"], "y", objective="regression",
+        num_trees=4, max_depth=3,
+    )
+    with_null = spark.createDataFrame(
+        [(None, 5.0), (0.0, 5.0)], "x1 double, x2 double"
+    )
+    rows = ml.predict_boosted_trees(with_null, model, out="p").collect()
+    # NULL follows the bin-0 (left-most) convention: same leaf as the
+    # smallest value
+    assert rows[0].p == rows[1].p
+
+
+def test_boosted_sql_surface_and_persistence(spark, tmp_path):
+    df = _bt_frame(spark, n=1000)
+    df.createOrReplaceTempView("bt_train")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.sql(
+        "CREATE MODEL btq OPTIONS(model_type='boosted_tree_regressor', "
+        "input_label_cols=['y'], max_iterations=6, max_tree_depth=3, "
+        "learn_rate=0.5) AS SELECT x1, x2, x3, y FROM bt_train"
+    )
+    pred = c.sql(
+        "SELECT predicted_y FROM ML.PREDICT(MODEL btq, "
+        "(SELECT 15.0 AS x1, 20.0 AS x2, 0.0 AS x3))"
+    ).collect()[0]
+    assert abs(pred.predicted_y - 15.0) < 2.0  # 10 + 5 - 0
+    fi = c.sql(
+        "SELECT * FROM ML.FEATURE_IMPORTANCE(MODEL btq)"
+    ).collect()
+    assert {r.feature for r in fi} == {"x1", "x2", "x3"}
+    # JSON round-trip: a reloaded model predicts identically
+    saved = ml.load_model(str(tmp_path / "wh" / "_models"), "btq")
+    one = spark.createDataFrame(
+        [(15.0, 20.0, 0.0)], "x1 double, x2 double, x3 double"
+    )
+    p1 = ml.predict_boosted_trees(one, c.models["btq"], out="p").collect()
+    p2 = ml.predict_boosted_trees(one, saved, out="p").collect()
+    assert p1[0].p == p2[0].p
+    c.sql(
+        "CREATE MODEL btq_lin OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT x1, y FROM bt_train"
+    )
+    with pytest.raises(ValueError, match="boosted_tree"):
+        c.sql("SELECT * FROM ML.FEATURE_IMPORTANCE(MODEL btq_lin)")
+
+
+def test_boosted_classifier_sql_evaluate(spark, tmp_path):
+    df = _bt_frame(spark, n=1000)
+    df.createOrReplaceTempView("btc_train")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.sql(
+        "CREATE MODEL btcq OPTIONS(model_type='boosted_tree_classifier', "
+        "input_label_cols=['lbl'], max_iterations=10, max_tree_depth=3, "
+        "learn_rate=0.5) AS SELECT x1, x2, lbl FROM btc_train"
+    )
+    ev = c.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL btcq, "
+        "(SELECT x1, x2, lbl FROM btc_train))"
+    ).collect()[0]
+    assert ev.accuracy == 1.0
+    assert set(ev.asDict()) == {
+        "accuracy", "precision", "recall", "f1_score", "log_loss"
+    }
+
+
+def test_boosted_empty_and_constant_inputs(spark):
+    import pyspark.sql.functions as F
+
+    empty = spark.createDataFrame([], "x1 double, y double")
+    with pytest.raises(ValueError, match="empty"):
+        ml.fit_boosted_trees(empty, ["x1"], "y")
+    # constant feature -> no usable split -> ensemble converges to the
+    # base score with zero trees rather than erroring
+    const = spark.range(50).select(
+        F.lit(1.0).alias("x1"), F.lit(7.0).alias("y")
+    )
+    m = ml.fit_boosted_trees(const, ["x1"], "y", num_trees=3)
+    assert m["trees"] == []
+    p = ml.predict_boosted_trees(
+        spark.createDataFrame([(9.0,)], "x1 double"), m, out="p"
+    ).collect()[0]
+    assert p.p == 7.0
