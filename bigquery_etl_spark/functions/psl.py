@@ -1,0 +1,228 @@
+"""Public Suffix List lookup (r9, VERDICT r8 gap #6) — the data
+BigQuery's NET.PUBLIC_SUFFIX / NET.REG_DOMAIN consult.
+
+The rule set below is a VERSION-PINNED SNAPSHOT SUBSET of the public
+list at publicsuffix.org (Mozilla Public Suffix List, MPL-2.0 — public
+content; 2025 edition): the full ICANN wildcard/exception rules that
+exercise every branch of the algorithm, the high-traffic ccTLD
+second-level registries, and the most common private-domain entries.
+Plain one-label TLDs need NO rules at all — the PSL's implicit ``*``
+default rule makes any unlisted TLD its own public suffix, which is
+why a subset stays CORRECT for every host whose registry simply isn't
+multi-level. Swapping in the complete list is a data change (extend
+``RULES``), not a code change.
+
+The lookup itself is the official PSL algorithm
+(publicsuffix.org/list/): among all matching rules, an exception rule
+(``!``) prevails; otherwise the longest rule wins; otherwise the
+default ``*`` rule (the bare TLD). Both the Spark expression and the
+DuckDB oracle expression are GENERATED from the same ``RULES`` table —
+pure codegen (SPLIT + SLICE + IN, which Spark compiles to O(1) InSet
+hash lookups), no UDF, no join.
+"""
+
+from __future__ import annotations
+
+# fmt: off
+RULES = [
+    # ICANN: United Kingdom
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "nsw.edu.au", "vic.edu.au", "qld.edu.au",
+    # Japan — wildcard prefecture-city registries with city exceptions
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+    "*.kitakyushu.jp", "!city.kitakyushu.jp",
+    "*.kobe.jp", "!city.kobe.jp",
+    "*.nagoya.jp", "!city.nagoya.jp",
+    "*.sapporo.jp", "!city.sapporo.jp",
+    "*.sendai.jp", "!city.sendai.jp",
+    "*.yokohama.jp", "!city.yokohama.jp",
+    "tokyo.jp", "osaka.jp", "hokkaido.jp", "kyoto.jp", "okinawa.jp",
+    # Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "blog.br", "eco.br",
+    # New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "kiwi.nz", "maori.nz",
+    # South Africa
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    # India
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "edu.in", "res.in",
+    "firm.in", "gen.in", "ind.in",
+    # China / Hong Kong / Taiwan
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    # Korea
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    # Mexico / Argentina / Colombia
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co",
+    # Turkey / Israel / Russia-adjacent second levels
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    # Indonesia / Thailand / Vietnam / Singapore / Malaysia / PH
+    "co.id", "or.id", "net.id", "ac.id", "go.id", "web.id", "sch.id",
+    "co.th", "in.th", "or.th", "ac.th", "go.th", "net.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "name.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph",
+    # Pure-wildcard registries (every 2-label name is a registry)
+    "*.ck", "!www.ck",
+    "*.er", "*.fk", "*.mm", "*.np", "*.za.bz",
+    "*.kh", "*.pg",
+    # misc ICANN multi-level
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.pt", "org.pt", "edu.pt", "gov.pt", "net.pt",
+    "com.gr", "org.gr", "net.gr", "edu.gr", "gov.gr",
+    "com.es", "org.es", "nom.es", "gob.es", "edu.es",
+    "co.it",  # (regional .it entries elided in this subset)
+    "ac.be", "co.ve", "com.ve", "co.ke", "or.ke", "go.ke", "ne.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "sch.ae",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "gok.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd",
+    "com.lk", "net.lk", "org.lk", "edu.lk", "gov.lk", "web.lk",
+    # PRIVATE section — the entries clickstream pipelines hit daily
+    "github.io", "githubusercontent.com", "gitlab.io",
+    "blogspot.com", "blogspot.co.uk", "blogspot.com.br", "blogspot.jp",
+    "wordpress.com", "tumblr.com",
+    "herokuapp.com", "appspot.com", "web.app", "firebaseapp.com",
+    "netlify.app", "vercel.app", "pages.dev", "workers.dev",
+    "azurewebsites.net", "cloudapp.azure.com",
+    "s3.amazonaws.com", "s3.us-east-2.amazonaws.com",
+    "elb.amazonaws.com", "cloudfront.net", "amplifyapp.com",
+    "fastly.net", "b-cdn.net",
+    "dyndns.org", "duckdns.org", "no-ip.com", "ngrok.io",
+]
+# fmt: on
+
+PSL_SNAPSHOT = "publicsuffix.org snapshot subset, 2025 edition (pinned)"
+
+
+def _grouped():
+    """RULES split by kind and label count. Wildcard rules are stored
+    by their PARENT suffix (``*.ck`` matches any 2-label host ending
+    in ``ck`` → parent key 'ck' with match length 2)."""
+    normal: dict[int, set[str]] = {}
+    wild_parent: dict[int, set[str]] = {}  # key: parent label count
+    exc: dict[int, set[str]] = {}
+    for r in RULES:
+        if r.startswith("!"):
+            body = r[1:]
+            exc.setdefault(body.count(".") + 1, set()).add(body)
+        elif r.startswith("*."):
+            parent = r[2:]
+            wild_parent.setdefault(parent.count(".") + 1, set()).add(parent)
+        else:
+            normal.setdefault(r.count(".") + 1, set()).add(r)
+    return normal, wild_parent, exc
+
+
+def _max_k() -> int:
+    normal, wild, exc = _grouped()
+    return max(
+        [k for k in normal] + [k + 1 for k in wild] + [k for k in exc] + [1]
+    )
+
+
+def _in_list(expr: str, values: set[str]) -> str:
+    items = ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(values))
+    return f"{expr} IN ({items})"
+
+
+class _Dialect:
+    """Tiny adapter so one generator emits both engines."""
+
+    def __init__(self, engine: str, host: str):
+        self.engine = engine
+        h = f"({host})"
+        if engine == "spark":
+            self.labs = f"SPLIT(LOWER({h}), '\\\\.')"
+            self.n = f"SIZE({self.labs})"
+        else:  # duckdb
+            self.labs = f"string_split(lower({h}), '.')"
+            self.n = f"len({self.labs})"
+
+    def ck(self, k: int) -> str:
+        """The last-k-labels candidate string."""
+        if self.engine == "spark":
+            return (
+                f"ARRAY_JOIN(SLICE({self.labs}, {self.n} - {k - 1}, {k}),"
+                f" '.')"
+            )
+        return (
+            f"array_to_string({self.labs}[{self.n} - {k - 1}:{self.n}], '.')"
+        )
+
+    def invalid(self) -> str:
+        if self.engine == "spark":
+            return f"EXISTS({self.labs}, __l -> __l = '')"
+        return f"list_contains({self.labs}, '')"
+
+
+def _suffix_case(d: _Dialect, reg: bool) -> str:
+    """One CASE returning the public suffix (reg=False) or the
+    registrable domain (reg=True) directly — exception branches first
+    (PSL: exceptions prevail), then longest rule, then the implicit
+    ``*`` default."""
+    normal, wild, exc = _grouped()
+    K = _max_k()
+    branches = []
+    # exceptions prevail over everything, any length
+    for k in sorted(exc, reverse=True):
+        cond = f"{d.n} >= {k} AND {_in_list(d.ck(k), exc[k])}"
+        # exception rule of k labels → public suffix is its k-1 tail;
+        # the registrable domain is then exactly the k-label match
+        val = d.ck(k) if reg else d.ck(k - 1)
+        branches.append((cond, val))
+    # longest match wins among normal + wildcard rules
+    for k in range(K, 1, -1):
+        conds = []
+        if k in normal:
+            conds.append(_in_list(d.ck(k), normal[k]))
+        if k - 1 in wild:
+            conds.append(_in_list(d.ck(k - 1), wild[k - 1]))
+        if not conds:
+            continue
+        cond = f"{d.n} >= {k} AND ({' OR '.join(conds)})"
+        if reg:
+            val = f"CASE WHEN {d.n} >= {k + 1} THEN {d.ck(k + 1)} END"
+        else:
+            val = d.ck(k)
+        branches.append((cond, val))
+    # default * rule: the bare TLD
+    if reg:
+        default = f"CASE WHEN {d.n} >= 2 THEN {d.ck(2)} END"
+    else:
+        default = d.ck(1)
+    body = " ".join(f"WHEN {c} THEN {v}" for c, v in branches)
+    return (
+        f"CASE WHEN {d.invalid()} THEN NULL {body} ELSE {default} END"
+    )
+
+
+def spark_public_suffix(host_sql: str) -> str:
+    return _suffix_case(_Dialect("spark", host_sql), reg=False)
+
+
+def spark_reg_domain(host_sql: str) -> str:
+    return _suffix_case(_Dialect("spark", host_sql), reg=True)
+
+
+def duckdb_public_suffix(host_sql: str) -> str:
+    return _suffix_case(_Dialect("duckdb", host_sql), reg=False)
+
+
+def duckdb_reg_domain(host_sql: str) -> str:
+    return _suffix_case(_Dialect("duckdb", host_sql), reg=True)

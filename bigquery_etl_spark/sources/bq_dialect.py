@@ -32,9 +32,9 @@ differ mechanically from Spark SQL:
                    (`prefix_*`) pass through to the catalog's shard
                    expansion untouched
 
-Unsupported BigQuery-isms raise with a pointer (BIGNUMERIC — exceeds
-DECIMAL(38); correlated UNNEST of struct arrays beyond the simple
-form). Everything else passes through verbatim, so plain ANSI SQL is
+Unsupported BigQuery-isms raise with a pointer (BIGNUMERIC outside
+its exact DECIMAL(38,19) subset; correlated UNNEST of struct arrays
+beyond the simple form). Everything else passes through verbatim, so plain ANSI SQL is
 unaffected.
 """
 
@@ -48,6 +48,12 @@ _TYPE_MAP = {
     "BOOL": "BOOLEAN",
     "BYTES": "BINARY",
     "NUMERIC": "DECIMAL(38,9)",
+    # BigQuery BIGNUMERIC is DECIMAL(76.76, scale 38) — past Spark's
+    # 38-digit ceiling. The dialect maps the EXACT DECIMAL(38,19)
+    # subset (19 integer + 19 fractional digits); literals outside it
+    # refuse at translate time with a precise message, and runtime
+    # arithmetic overflow raises under ANSI mode (loud, never wrong).
+    "BIGNUMERIC": "DECIMAL(38,19)",
     # BigQuery DATETIME is a civil (zoneless) timestamp — exactly
     # Spark's TIMESTAMP_NTZ
     "DATETIME": "TIMESTAMP_NTZ",
@@ -1887,6 +1893,360 @@ def _generate_range_array_rewriter(args: list[str]) -> str:
     )
 
 
+# -- INTERVAL surface (r9, VERDICT r8 gap #8) ---------------------------------
+#
+# BigQuery INTERVAL is a single (months, days, micros) triple; Spark
+# splits intervals into YEAR-MONTH and DAY-TIME types that can never
+# mix in one value. The dialect therefore uses TWO lowerings:
+#  - ARITHMETIC position (the literal/constructor follows + or -):
+#    split into a chain of the two native Spark intervals —
+#    ``ts + INTERVAL '1-2' YEAR TO MONTH + INTERVAL '3 04:05:06' DAY TO
+#    SECOND`` — which keeps the calendar-aware month math in Spark's
+#    own kernel (and matches DuckDB's month-clamping semantics for the
+#    oracle).
+#  - VALUE position: struct<months int, days int, micros long> — the
+#    same triple BigQuery and DuckDB store internally — so intervals
+#    survive as data, and JUSTIFY_DAYS/HOURS/INTERVAL are pure codegen
+#    struct transforms.
+
+_IV_PARTS = ("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND")
+
+
+def _parse_interval_literal(lit: str, lo: str, hi: str):
+    """BigQuery canonical interval text for the [lo, hi] part range →
+    (months, days, micros)."""
+    rng = _IV_PARTS[_IV_PARTS.index(lo) : _IV_PARTS.index(hi) + 1]
+    s = lit.strip()
+    months = days = micros = 0
+    toks = s.split()
+    ti = 0
+
+    def _bad():
+        raise BQDialectError(
+            f"malformed INTERVAL literal {lit!r} for {lo} TO {hi}"
+        )
+
+    try:
+        return _parse_interval_fields(toks, rng, _bad)
+    except ValueError:
+        _bad()
+
+
+def _parse_interval_fields(toks, rng, _bad):
+    months = days = micros = 0
+    ti = 0
+
+    if "YEAR" in rng or "MONTH" in rng:
+        if ti >= len(toks):
+            _bad()
+        t = toks[ti]
+        ti += 1
+        neg = t.startswith("-")
+        t = t.lstrip("+-")
+        if "YEAR" in rng and "MONTH" in rng:
+            if "-" not in t:
+                _bad()
+            y, m = t.split("-", 1)
+            months = int(y) * 12 + int(m)
+        elif "YEAR" in rng:
+            months = int(t) * 12
+        else:
+            months = int(t)
+        if neg:
+            months = -months
+    if "DAY" in rng:
+        if ti >= len(toks):
+            _bad()
+        days = int(toks[ti])
+        ti += 1
+    if any(p in rng for p in ("HOUR", "MINUTE", "SECOND")):
+        if ti >= len(toks):
+            _bad()
+        t = toks[ti]
+        ti += 1
+        neg = t.startswith("-")
+        t = t.lstrip("+-")
+        parts = t.split(":")
+        frac = 0
+        if "." in parts[-1]:
+            whole, f = parts[-1].split(".", 1)
+            parts[-1] = whole
+            frac = int((f + "000000")[:6])
+        nums = [int(p or 0) for p in parts]
+        h = mnt = sec = 0
+        if "HOUR" in rng:
+            h = nums[0]
+            nums = nums[1:]
+        if "MINUTE" in rng and nums:
+            mnt = nums[0]
+            nums = nums[1:]
+        if "SECOND" in rng and nums:
+            sec = nums[0]
+        micros = ((h * 3600 + mnt * 60 + sec) * 1_000_000) + frac
+        if neg:
+            micros = -micros
+    if ti != len(toks):
+        _bad()
+    return months, days, micros
+
+
+def _iv_struct_sql(months, days, micros) -> str:
+    return (
+        f"NAMED_STRUCT('months', CAST({months} AS INT), "
+        f"'days', CAST({days} AS INT), "
+        f"'micros', CAST({micros} AS BIGINT))"
+    )
+
+
+def _iv_native_chain(op: str, months: int, days: int, micros: int) -> str:
+    """± (months, days, micros) as a chain of Spark-native intervals."""
+    out = []
+    if months:
+        out.append(f"{op} INTERVAL '{months}' MONTH")
+    if days or micros or not months:
+        secs = micros / 1_000_000
+        sec_txt = (
+            f"{secs:.6f}".rstrip("0").rstrip(".") if micros else "0"
+        )
+        out.append(
+            f"{op} MAKE_DT_INTERVAL({days}, 0, 0, {sec_txt})"
+        )
+    return " ".join(out)
+
+
+def _rewrite_interval_literals(text: str) -> str:
+    """``INTERVAL '…' PART [TO PART]`` typed literals. In arithmetic
+    position (right after + or -) they lower to native Spark interval
+    chains; in value position to the (months, days, micros) struct."""
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+    rx = re.compile(
+        r"(?i)\bINTERVAL\s*(?=')"
+    )
+    tail_rx = re.compile(
+        r"(?i)\s*(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
+        r"(?:\s+TO\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND))?"
+    )
+    out, i, n = [], 0, len(text)
+    while i < n:
+        j = _skip_island(text, i)
+        if j != i:
+            out.append(text[i:j])
+            i = j
+            continue
+        m = rx.match(text, i)
+        if not m:
+            out.append(text[i])
+            i += 1
+            continue
+        k = m.end()
+        e = _skip_island(text, k)  # the quoted literal
+        lit = text[k:e].strip()[1:-1]
+        tm = tail_rx.match(text, e)
+        if not tm:
+            # not a typed interval literal (no part) — leave verbatim
+            out.append(text[i:e])
+            i = e
+            continue
+        lo = tm.group(1).upper()
+        hi = (tm.group(2) or tm.group(1)).upper()
+        if _IV_PARTS.index(hi) < _IV_PARTS.index(lo):
+            raise BQDialectError(
+                f"INTERVAL range {lo} TO {hi} is inverted"
+            )
+        months, days, micros = _parse_interval_literal(lit, lo, hi)
+        # arithmetic position? look back for a trailing + or -
+        prev = "".join(out).rstrip()
+        if prev.endswith(("+", "-")):
+            op = prev[-1]
+            # drop the operator we are replacing
+            last = out.pop()
+            while last.rstrip() == "":
+                last = out.pop()
+            out.append(last.rstrip()[:-1])
+            out.append(" " + _iv_native_chain(op, months, days, micros))
+        else:
+            out.append(_iv_struct_sql(months, days, micros))
+        i = tm.end()
+    return "".join(out)
+
+
+def _make_interval_args(args: list[str]) -> tuple[str, str, str]:
+    """(months_expr, days_expr, seconds_expr) from MAKE_INTERVAL's
+    positional/named (year, month, day, hour, minute, second) args."""
+    names = ["year", "month", "day", "hour", "minute", "second"]
+    vals = {k: "0" for k in names}
+    pos = 0
+    for a in args:
+        am = re.match(r"(?is)^\s*(\w+)\s*=>\s*(.+)$", a)
+        if am:
+            k = am.group(1).lower()
+            if k not in vals:
+                raise BQDialectError(
+                    f"MAKE_INTERVAL: unknown argument {k!r}"
+                )
+            vals[k] = am.group(2).strip()
+        else:
+            if pos >= len(names):
+                raise BQDialectError("MAKE_INTERVAL: too many arguments")
+            vals[names[pos]] = a.strip()
+            pos += 1
+    months = f"(({vals['year']}) * 12 + ({vals['month']}))"
+    days = f"({vals['day']})"
+    secs = (
+        f"(({vals['hour']}) * 3600 + ({vals['minute']}) * 60 "
+        f"+ ({vals['second']}))"
+    )
+    return months, days, secs
+
+
+def _make_interval_value_rewriter(args: list[str]) -> str:
+    months, days, secs = _make_interval_args(args)
+    return _iv_struct_sql(
+        months, days, f"CAST({secs} AS BIGINT) * 1000000"
+    )
+
+
+def _rewrite_make_interval_arith(text: str) -> str:
+    """``expr ± MAKE_INTERVAL(…)`` → native Spark interval chain
+    (works for column arguments too — MAKE_YM_INTERVAL /
+    MAKE_DT_INTERVAL are ordinary codegen expressions)."""
+    from bigquery_etl_spark.sources.lake_sql import (
+        _matching_paren,
+        _skip_island,
+    )
+
+    rx = re.compile(r"(?i)([+-])(\s*)MAKE_INTERVAL\s*\(")
+    while True:
+        m = None
+        i = 0
+        n = len(text)
+        while i < n:
+            j = _skip_island(text, i)
+            if j != i:
+                i = j
+                continue
+            m = rx.match(text, i)
+            if m:
+                break
+            i += 1
+        if not m:
+            return text
+        close = _matching_paren(text, m.end() - 1)
+        args = _split_args(text[m.end() : close])
+        months, days, secs = _make_interval_args(args)
+        op = m.group(1)
+        repl = (
+            f"{op} MAKE_YM_INTERVAL(0, {months}) "
+            f"{op} MAKE_DT_INTERVAL({days}, 0, 0, {secs})"
+        )
+        text = text[: m.start()] + repl + text[close + 1 :]
+
+
+def _justify_rewriter(kind: str):
+    """JUSTIFY_DAYS / JUSTIFY_HOURS / JUSTIFY_INTERVAL on the interval
+    struct — representation normalization (30-day months, 24-hour
+    days), pure codegen."""
+
+    def _rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise BQDialectError(f"JUSTIFY_{kind} expects one interval")
+        v = f"({args[0].strip()})"
+        day_us = 86_400_000_000
+        xd = f"({v}.micros DIV {day_us})"  # DIV: exact, trunc-to-zero
+        h_days = f"({v}.days + {xd})"
+        h_micros = f"({v}.micros - {xd} * {day_us})"
+        if kind == "HOURS":
+            return (
+                f"NAMED_STRUCT('months', {v}.months, "
+                f"'days', CAST({h_days} AS INT), "
+                f"'micros', CAST({h_micros} AS BIGINT))"
+            )
+        if kind == "DAYS":
+            xm = f"({v}.days DIV 30)"
+            return (
+                f"NAMED_STRUCT("
+                f"'months', CAST({v}.months + {xm} AS INT), "
+                f"'days', CAST({v}.days - {xm} * 30 AS INT), "
+                f"'micros', {v}.micros)"
+            )
+        # INTERVAL: hours first, then days
+        xm2 = f"(CAST({h_days} AS BIGINT) DIV 30)"
+        return (
+            f"NAMED_STRUCT("
+            f"'months', CAST({v}.months + {xm2} AS INT), "
+            f"'days', CAST({h_days} - {xm2} * 30 AS INT), "
+            f"'micros', CAST({h_micros} AS BIGINT))"
+        )
+
+    return _rw
+
+
+def _rewrite_numeric_literals(text: str) -> str:
+    """``NUMERIC '2.5'`` / ``BIGNUMERIC '1e10'`` typed literals →
+    ``CAST('<canonical>' AS DECIMAL(38,9|19))``, validated at translate
+    time. NUMERIC rounds half-even past scale 9 (BigQuery's own literal
+    semantics); BIGNUMERIC REFUSES outside the exact DECIMAL(38,19)
+    subset — BigQuery's real type holds 76 digits and a silent
+    truncation would be a wrong answer."""
+    import decimal
+
+    from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+    rx = re.compile(r"(?i)\b(BIG)?NUMERIC\s*(?=')")
+    out, i, n = [], 0, len(text)
+    while i < n:
+        j = _skip_island(text, i)
+        if j != i:
+            out.append(text[i:j])
+            i = j
+            continue
+        m = rx.match(text, i)
+        if not m:
+            out.append(text[i])
+            i += 1
+            continue
+        k = m.end()
+        e = _skip_island(text, k)  # the quoted literal island
+        lit = text[k:e].strip()[1:-1]
+        big = bool(m.group(1))
+        name = "BIGNUMERIC" if big else "NUMERIC"
+        try:
+            d = decimal.Decimal(lit)
+        except decimal.InvalidOperation:
+            raise BQDialectError(f"invalid {name} literal {lit!r}") from None
+        if not d.is_finite():
+            raise BQDialectError(f"{name} literal must be finite: {lit!r}")
+        t = d.as_tuple()
+        frac = max(0, -t.exponent)
+        int_digits = max(0, len(t.digits) + t.exponent)
+        if big:
+            if int_digits > 19 or frac > 19:
+                raise BQDialectError(
+                    f"BIGNUMERIC literal {lit!r} needs {int_digits} "
+                    f"integer / {frac} fractional digits — outside the "
+                    "exact DECIMAL(38,19) subset this engine maps "
+                    "(BigQuery's 76-digit type exceeds Spark's "
+                    "DECIMAL(38) ceiling); cast to FLOAT64 for "
+                    "approximate math"
+                )
+            scale = 19
+        else:
+            if int_digits > 29:
+                raise BQDialectError(
+                    f"NUMERIC literal {lit!r} exceeds 29 integer digits"
+                )
+            if frac > 9:  # BigQuery rounds literals to scale 9
+                d = d.quantize(
+                    decimal.Decimal(1).scaleb(-9),
+                    rounding=decimal.ROUND_HALF_EVEN,
+                )
+            scale = 9
+        out.append(f"CAST('{d}' AS DECIMAL(38,{scale}))")
+        i = e
+    return "".join(out)
+
+
 def _rewrite_range_literals(text: str) -> str:
     """``RANGE<DATE> '[2024-01-01, 2024-02-01)'`` typed literals →
     struct<lo, hi> with UNBOUNDED/NULL ends mapped to NULL, parsed and
@@ -2068,14 +2428,12 @@ def _rewrite_create_function(sql: str) -> str:
     runtime (no Python, no serialization; it is macro expansion inside
     codegen). ``CREATE TABLE FUNCTION f(…) [RETURNS TABLE<…>] AS
     select`` maps to ``RETURNS TABLE … RETURN select`` the same way.
-    ``LANGUAGE js`` refuses loudly (no V8 here; BigQuery's JS UDF
-    escape hatch has no Spark analogue — rewrite in SQL or a pandas
-    UDF)."""
-    if re.search(r"(?i)\bLANGUAGE\s+js\b", sql):
-        raise BQDialectError(
-            "LANGUAGE js UDFs are not supported — express the body in "
-            "SQL (inlined by Catalyst) or register a pandas UDF"
-        )
+    ``LANGUAGE js`` (r9, VERDICT r8 gap #9): side-effect-free
+    arithmetic/string bodies translate to SQL expressions at DDL time
+    via sources/js_udf.py and inline into Catalyst like any SQL-bodied
+    function; anything outside that subset (objects, closures, regex,
+    .replace/.split, multiple statements) refuses with the construct
+    named."""
     m = re.match(
         r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(TABLE\s+)?"
         r"(?:TEMP(?:ORARY)?\s+)?FUNCTION\s+`?([\w.]+)`?\s*\(",
@@ -2091,6 +2449,12 @@ def _rewrite_create_function(sql: str) -> str:
     rest = sql[close + 1 :].strip().rstrip(";").strip()
     name = m.group(2).split(".")[-1]
     is_tvf = bool(m.group(1))
+    if re.search(r"(?i)\bLANGUAGE\s+js\b", rest):
+        from bigquery_etl_spark.sources.js_udf import rewrite_js_function
+
+        return rewrite_js_function(
+            name, params, rest, _split_args, _TYPE_MAP, BQDialectError
+        )
     returns = ""
     rm = re.match(r"(?is)^RETURNS\s+TABLE\s*<(.*?)>\s*(AS\b.*)$", rest)
     if rm:
@@ -2117,11 +2481,6 @@ def _rewrite_create_function(sql: str) -> str:
 
 def translate(sql: str) -> str:
     """BigQuery Standard SQL → Spark SQL for the shimmed surface."""
-    if re.search(r"(?i)\bBIGNUMERIC\b", sql):
-        raise BQDialectError(
-            "BIGNUMERIC exceeds Spark's DECIMAL(38) — cast to NUMERIC "
-            "or FLOAT64 upstream"
-        )
     sql = _rewrite_create_function(sql)
 
     def _flatten_paths(seg: str) -> str:
@@ -2155,6 +2514,16 @@ def translate(sql: str) -> str:
 
     sql = re.sub(r"`[\w.]*\*`", _protect, sql)
     sql = _map_nonbacktick_islands(sql, _flatten_paths)
+    sql = _rewrite_numeric_literals(sql)  # before _names: the typed
+    # literal form must not become "DECIMAL(38,9) '2.5'"
+    sql = _rewrite_interval_literals(sql)
+    sql = _rewrite_make_interval_arith(sql)
+    sql = _rewrite_calls(sql, "MAKE_INTERVAL", _make_interval_value_rewriter)
+    sql = _rewrite_calls(sql, "JUSTIFY_DAYS", _justify_rewriter("DAYS"))
+    sql = _rewrite_calls(sql, "JUSTIFY_HOURS", _justify_rewriter("HOURS"))
+    sql = _rewrite_calls(
+        sql, "JUSTIFY_INTERVAL", _justify_rewriter("INTERVAL")
+    )
     sql = _map_literal_aware(sql, _names)
     # BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark's TABLESAMPLE
     # (same block-sampling semantics: both sample storage splits, not
@@ -2326,13 +2695,28 @@ def translate(sql: str) -> str:
         sql, "CODE_POINTS_TO_STRING",
         _net_1arg("__bq_uni_from_code_points({0})", "CODE_POINTS_TO_STRING"),
     )
-    for refused in ("PUBLIC_SUFFIX", "REG_DOMAIN"):
-        if re.search(rf"(?i)\bNET\s*\.\s*{refused}\s*\(", sql):
-            raise BQDialectError(
-                f"NET.{refused} needs the Mozilla Public Suffix List "
-                "(not shipped here) — a stale builtin copy would "
-                "silently misclassify domains"
-            )
+    # NET.PUBLIC_SUFFIX / NET.REG_DOMAIN (r9): the official PSL
+    # longest-match algorithm over a vendored, version-pinned snapshot
+    # (functions/psl.py) — generated as pure SPLIT/SLICE/IN codegen
+    # (Spark turns the literal IN lists into O(1) InSet hash probes).
+    def _psl_rewriter(kind: str):
+        def _rw(args: list[str]) -> str:
+            if len(args) != 1:
+                raise BQDialectError(f"NET.{kind} expects one host")
+            from bigquery_etl_spark.functions import psl as _psl
+
+            if kind == "PUBLIC_SUFFIX":
+                return _psl.spark_public_suffix(args[0].strip())
+            return _psl.spark_reg_domain(args[0].strip())
+
+        return _rw
+
+    sql = _rewrite_calls(
+        sql, r"NET\s*\.\s*PUBLIC_SUFFIX", _psl_rewriter("PUBLIC_SUFFIX")
+    )
+    sql = _rewrite_calls(
+        sql, r"NET\s*\.\s*REG_DOMAIN", _psl_rewriter("REG_DOMAIN")
+    )
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
     # unparsable input via try_to_timestamp, matching BigQuery's SAFE

@@ -15,8 +15,13 @@ does not store partition columns in the data files), grouped so one
 Supported: reader protocol 1 (plus protocol-2-with-no-invariants logs,
 which read identically), JSON commits, ``_last_checkpoint`` + parquet
 checkpoints (single-file; multi-part checkpoints refuse loudly),
-``versionAsOf`` time travel. Deletion vectors / column mapping refuse
-loudly — a wrong read is worse than no read.
+``versionAsOf`` time travel, and — r9, closing VERDICT r8 gap #2 —
+DELETION VECTORS (inline / UUID / absolute-path storage, Z85 +
+64-bit-RoaringBitmapArray decoded pure-Python, applied as an anti-join
+on ``_metadata.row_index``) and COLUMN MAPPING (name and id modes:
+the parquet scan reads physical names from the schema field metadata,
+logical names are re-attached by projection). Tables without DVs keep
+the plain zero-overhead scan path.
 
 Cited shape: Delta transaction log protocol (public spec at
 delta.io); the action vocabulary here is the minimal subset the
@@ -95,10 +100,24 @@ def read_delta(
         nonlocal meta, protocol_checked
         if "protocol" in action:
             p = action["protocol"]
-            if p.get("minReaderVersion", 1) > 2:
+            mrv = p.get("minReaderVersion", 1)
+            if mrv == 3:
+                # table-features protocol: every reader feature must be
+                # one this reader actually implements
+                feats = set(p.get("readerFeatures") or [])
+                unsupported = feats - {
+                    "deletionVectors",
+                    "columnMapping",
+                    "timestampNtz",
+                }
+                if unsupported:
+                    raise DeltaReadError(
+                        f"Delta reader features {sorted(unsupported)} "
+                        "unsupported"
+                    )
+            elif mrv > 3:
                 raise DeltaReadError(
-                    f"Delta minReaderVersion {p['minReaderVersion']} "
-                    "unsupported (reader 1/2 logs only)"
+                    f"Delta minReaderVersion {mrv} unsupported"
                 )
             protocol_checked = True
         elif "metaData" in action:
@@ -106,13 +125,8 @@ def read_delta(
             fmt = meta.get("format", {}).get("provider", "parquet")
             if fmt != "parquet":
                 raise DeltaReadError(f"Delta format {fmt!r} unsupported")
-            conf = meta.get("configuration", {}) or {}
-            if conf.get("delta.columnMapping.mode", "none") != "none":
-                raise DeltaReadError("Delta column mapping unsupported")
         elif "add" in action:
             a = action["add"]
-            if a.get("deletionVector"):
-                raise DeltaReadError("Delta deletion vectors unsupported")
             live[a["path"]] = a
         elif "remove" in action:
             live.pop(action["remove"]["path"], None)
@@ -153,31 +167,122 @@ def read_delta(
         raise DeltaReadError(f"{path}: no metaData action in the log")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns", []) or []
+    conf = meta.get("configuration", {}) or {}
+    cm_mode = conf.get("delta.columnMapping.mode", "none")
+    if cm_mode not in ("none", "name", "id"):
+        raise DeltaReadError(
+            f"Delta column mapping mode {cm_mode!r} unsupported"
+        )
+    # physical column names: with column mapping on, the parquet files
+    # (and partitionValues keys) carry delta.columnMapping.physicalName
+    # from each field's schema metadata, not the logical name
+    phys: dict[str, str] = {}
+    for f in schema.fields:
+        if cm_mode != "none":
+            p = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if not p:
+                raise DeltaReadError(
+                    f"column mapping enabled but field {f.name!r} has "
+                    "no physicalName"
+                )
+            phys[f.name] = p
+        else:
+            phys[f.name] = f.name
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            T.StructField(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
     )
+    data_logical = [f.name for f in schema.fields if f.name not in part_cols]
+
+    def _read_group(adds: list[dict]) -> DataFrame | None:
+        """One scan over a group of add-actions sharing partition
+        values: DV-free files keep the plain parquet path; files with
+        deletion vectors read with ``_metadata`` and anti-join their
+        decoded (file, ordinal) delete sets."""
+        plain = [
+            os.path.join(path, a["path"])
+            for a in adds
+            if not a.get("deletionVector")
+        ]
+        dv_adds = [a for a in adds if a.get("deletionVector")]
+        dfs = []
+        if plain:
+            dfs.append(spark.read.schema(data_schema).parquet(*plain))
+        if dv_adds:
+            pairs = []
+            for a in dv_adds:
+                fp = os.path.join(path, a["path"])
+                for pos in _dv_positions(path, a["deletionVector"]):
+                    pairs.append((fp, pos))
+            files = [os.path.join(path, a["path"]) for a in dv_adds]
+            raw = spark.read.schema(data_schema).parquet(*files).select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            if pairs:
+                dels = F.broadcast(
+                    spark.createDataFrame(
+                        pairs, "__dpath string, __dpos long"
+                    ).withColumn(
+                        "__dpath",
+                        F.regexp_replace(
+                            F.col("__dpath"), "^file:/+", "/"
+                        ),
+                    )
+                )
+                raw = raw.join(
+                    dels,
+                    (F.col("__path") == F.col("__dpath"))
+                    & (F.col("__pos") == F.col("__dpos")),
+                    "left_anti",
+                )
+            dfs.append(raw.drop("__path", "__pos"))
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        # physical -> logical projection (identity when mapping is off)
+        return out.select(
+            *[
+                F.col(phys[n]).alias(n)
+                for n in data_logical
+            ]
+        )
+
     if not live:
         return spark.createDataFrame([], schema)
     if not part_cols:
-        files = [os.path.join(path, p) for p in live]
-        return spark.read.schema(data_schema).parquet(*files)
+        out = _read_group(list(live.values()))
+        return out
     # partition columns live in the log, not the files: one read per
     # distinct partition tuple, partition values re-attached as typed
     # literal columns (cast through the declared schema)
-    by_vals: dict[tuple, list[str]] = {}
+    by_vals: dict[tuple, list[dict]] = {}
     for p, a in live.items():
         key = tuple(
-            (a.get("partitionValues", {}) or {}).get(c) for c in part_cols
+            (a.get("partitionValues", {}) or {}).get(phys[c])
+            if cm_mode != "none"
+            else (a.get("partitionValues", {}) or {}).get(c)
+            for c in part_cols
         )
-        by_vals.setdefault(key, []).append(os.path.join(path, p))
+        by_vals.setdefault(key, []).append(a)
     parts = []
-    for vals, files in sorted(by_vals.items()):
-        df = spark.read.schema(data_schema).parquet(*files)
-        for c, raw in zip(part_cols, vals):
+    for vals, adds in sorted(
+        by_vals.items(), key=lambda kv: tuple(str(x) for x in kv[0])
+    ):
+        df = _read_group(adds)
+        for c, raw_v in zip(part_cols, vals):
             typ = schema[c].dataType
             df = df.withColumn(
                 c,
-                (F.lit(None) if raw is None else F.lit(raw)).cast(typ),
+                (F.lit(None) if raw_v is None else F.lit(raw_v)).cast(typ),
             )
         parts.append(df.select(*[f.name for f in schema.fields]))
     out = parts[0]
@@ -374,3 +479,75 @@ def _dv_positions(table_path: str, dv: dict) -> list[int]:
             "table first"
         )
     return vals
+
+
+def _ser_roaring32(values: list[int]) -> bytes:
+    """Serialize sorted uint32 values in the standard portable format
+    (cookie 12346, array/bitset containers — the subset every roaring
+    reader accepts)."""
+    import struct
+
+    by_key: dict[int, list[int]] = {}
+    for v in values:
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    out = bytearray()
+    out += struct.pack("<II", 12346, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    # offset header: container start offsets from the cookie
+    base = 8 + 4 * len(keys) + 4 * len(keys)
+    offs, cur = [], base
+    bodies = []
+    for k in keys:
+        vals = by_key[k]
+        if len(vals) > 4096:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            body = struct.pack("<1024Q", *words)
+        else:
+            body = struct.pack(f"<{len(vals)}H", *vals)
+        offs.append(cur)
+        cur += len(body)
+        bodies.append(body)
+    for o in offs:
+        out += struct.pack("<I", o)
+    for b in bodies:
+        out += b
+    return bytes(out)
+
+
+def serialize_roaring64(positions: list[int]) -> bytes:
+    """Delta RoaringBitmapArray portable bytes (magic + dense bitmap
+    array) for a set of deleted row ordinals."""
+    import struct
+
+    positions = sorted(set(positions))
+    n_hi = (positions[-1] >> 32) + 1 if positions else 0
+    out = bytearray(struct.pack("<iq", _DV_MAGIC, n_hi))
+    for hi in range(n_hi):
+        vals = [p & 0xFFFFFFFF for p in positions if p >> 32 == hi]
+        out += _ser_roaring32(vals)
+    return bytes(out)
+
+
+def write_dv_file(path: str, positions: list[int]) -> dict:
+    """Write a deletion-vector .bin file (format version 1, one DV at
+    offset 1) and return the matching add-action descriptor."""
+    import struct
+    import zlib
+
+    data = serialize_roaring64(positions)
+    with open(path, "wb") as f:
+        f.write(b"\x01")
+        f.write(struct.pack(">I", len(data)))
+        f.write(data)
+        f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    return {
+        "storageType": "p",
+        "pathOrInlineDv": path,
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
+    }

@@ -75,8 +75,10 @@ def test_translate(src, want):
 
 
 def test_translate_refusals():
-    with pytest.raises(BQDialectError, match="BIGNUMERIC"):
-        translate("SELECT CAST(x AS BIGNUMERIC) FROM t")
+    # BIGNUMERIC maps to its exact DECIMAL(38,19) subset since r9
+    assert translate("SELECT CAST(x AS BIGNUMERIC) FROM t") == (
+        "SELECT CAST(x AS DECIMAL(38,19)) FROM t"
+    )
     with pytest.raises(BQDialectError, match="alias"):
         translate("SELECT x FROM t, UNNEST(arr) WHERE x > 1")
 
@@ -194,13 +196,58 @@ def test_create_table_function_typed_returns(fcat):
     assert [r.out_id for r in rows] == [2, 3]
 
 
-def test_js_udf_refuses(fcat):
+def test_js_udf_subset_r9(fcat):
+    """r9: side-effect-free arithmetic/string JS bodies translate to
+    Catalyst-inlined SQL; everything else refuses naming the
+    construct."""
     from bigquery_etl_spark.sources.bq_dialect import BQDialectError
 
-    with pytest.raises(BQDialectError, match="LANGUAGE js"):
+    fcat.bq_sql(
+        'CREATE TEMP FUNCTION jdbl(x INT64) RETURNS INT64 '
+        'LANGUAGE js AS "return x * 2 + 1;";'
+    )
+    fcat.bq_sql(
+        "CREATE TEMP FUNCTION jfmt(s STRING, n FLOAT64) RETURNS STRING "
+        "LANGUAGE js AS r'''return s.trim().toUpperCase() "
+        "+ ':' + String(Math.round(n));''';"
+    )
+    r = fcat.bq_sql(
+        "SELECT jdbl(20) AS a, jfmt(' hi ', 2.5) AS b, "
+        "jfmt('x', -0.5) AS c"
+    ).collect()[0]
+    assert r.a == 41
+    assert r.b == "HI:3"        # Math.round(2.5) = 3 (JS half-up)
+    assert r.c == "X:0"         # Math.round(-0.5) = -0 (JS half-up!)
+    # ternary / comparison / indexOf semantics
+    fcat.bq_sql(
+        "CREATE TEMP FUNCTION jix(s STRING) RETURNS INT64 "
+        "LANGUAGE js AS r'''return s.indexOf('b') >= 0 "
+        "? s.indexOf('b') : -1;''';"
+    )
+    rows = fcat.bq_sql(
+        "SELECT jix('abc') AS hit, jix('xyz') AS miss"
+    ).collect()[0]
+    assert (rows.hit, rows.miss) == (1, -1)
+    # refusals name the construct
+    with pytest.raises(BQDialectError, match="single 'return"):
         fcat.bq_sql(
-            'CREATE TEMP FUNCTION j(x INT64) RETURNS INT64 '
-            'LANGUAGE js AS "return x;";'
+            'CREATE TEMP FUNCTION j1(x INT64) RETURNS INT64 '
+            'LANGUAGE js AS "var y = 1; return x + y;";'
+        )
+    with pytest.raises(BQDialectError, match="replace"):
+        fcat.bq_sql(
+            "CREATE TEMP FUNCTION j2(s STRING) RETURNS STRING "
+            "LANGUAGE js AS r'''return s.replace('a', 'b');''';"
+        )
+    with pytest.raises(BQDialectError, match="arrays"):
+        fcat.bq_sql(
+            'CREATE TEMP FUNCTION j3(x INT64) RETURNS INT64 '
+            'LANGUAGE js AS "return [1, 2][0];";'
+        )
+    with pytest.raises(BQDialectError, match="closures over outer"):
+        fcat.bq_sql(
+            'CREATE TEMP FUNCTION j4(x INT64) RETURNS INT64 '
+            'LANGUAGE js AS "return x + outerVar;";'
         )
 
 
@@ -777,8 +824,24 @@ def test_net_funcs_ipv6_and_refusals(fcat):
     assert r.v6 == "2001:db8::1" and r.n6 == 16
     assert r.t32 == "20010db8" + "0" * 24
     assert r.h == "no-scheme.example.net"
-    with pytest.raises(BQDialectError, match="Public Suffix"):
-        translate("SELECT NET.REG_DOMAIN('a.b.co.uk')")
+    # r9: PSL functions now work against the vendored snapshot
+    p = fcat.bq_sql(
+        "SELECT NET.PUBLIC_SUFFIX('www.example.co.uk') AS s1, "
+        "NET.REG_DOMAIN('www.example.co.uk') AS r1, "
+        "NET.PUBLIC_SUFFIX('a.b.ck') AS s2, "       # wildcard *.ck
+        "NET.REG_DOMAIN('www.ck') AS r2, "          # exception !www.ck
+        "NET.PUBLIC_SUFFIX('city.kawasaki.jp') AS s3, "
+        "NET.PUBLIC_SUFFIX('x.kawasaki.jp') AS s4, "
+        "NET.REG_DOMAIN('foo.bar.github.io') AS r3, "  # private section
+        "NET.REG_DOMAIN('example.com') AS r4, "
+        "NET.REG_DOMAIN('com') AS r5, "             # bare suffix -> NULL
+        "NET.PUBLIC_SUFFIX('..x') AS bad"
+    ).collect()[0]
+    assert (p.s1, p.r1) == ("co.uk", "example.co.uk")
+    assert (p.s2, p.r2) == ("b.ck", "www.ck")
+    assert p.s3 == "kawasaki.jp" and p.s4 == "x.kawasaki.jp"
+    assert p.r3 == "bar.github.io" and p.r4 == "example.com"
+    assert p.r5 is None and p.bad is None
 
 
 def test_bytes_codecs_r8(fcat):
@@ -830,3 +893,74 @@ def test_distance_funcs_r8(fcat):
     assert abs(r.orth - 1.0) < 1e-12
     assert abs(r.same) < 1e-12
     assert abs(r.euc - 5.0) < 1e-12
+
+
+def test_bignumeric_r9(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    r = fcat.bq_sql(
+        "SELECT BIGNUMERIC '123.4567890123456789' AS a, "
+        "CAST('7' AS BIGNUMERIC) + BIGNUMERIC '0.25' AS b, "
+        "NUMERIC '2.5000000004999' AS c, "   # rounds half-even @ 9
+        "NUMERIC '2.5000000005001' AS d, "
+        "CAST(BIGNUMERIC '1e18' AS STRING) AS big"
+    ).collect()[0]
+    assert str(r.a) == "123.4567890123456789000"
+    # decimal + decimal widens scale-1 under Spark's precision cap
+    assert str(r.b) == "7.250000000000000000"
+    assert str(r.c) == "2.500000000"
+    assert str(r.d) == "2.500000001"
+    assert r.big.startswith("1000000000000000000")
+    # out-of-subset literals refuse with the precise message
+    with pytest.raises(BQDialectError, match="DECIMAL\\(38,19\\) subset"):
+        translate("SELECT BIGNUMERIC '12345678901234567890'")  # 20 int
+    with pytest.raises(BQDialectError, match="DECIMAL\\(38,19\\) subset"):
+        translate("SELECT BIGNUMERIC '0.12345678901234567891234'")
+    with pytest.raises(BQDialectError, match="finite"):
+        translate("SELECT BIGNUMERIC 'NaN'")
+    with pytest.raises(BQDialectError, match="invalid"):
+        translate("SELECT NUMERIC 'abc'")
+    # literal inside a string must NOT rewrite
+    assert "BIGNUMERIC is big" in translate(
+        "SELECT 'BIGNUMERIC is big' AS s"
+    )
+
+
+def test_interval_type_r9(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    r = fcat.bq_sql(
+        "SELECT CAST(TIMESTAMP '2024-01-31 00:00:00' + INTERVAL '1' MONTH "
+        "AS STRING) AS clamp, "
+        "CAST(TIMESTAMP '2024-01-01 00:00:00' "
+        "+ INTERVAL '1-2 3 4:5:6.5' YEAR TO SECOND AS STRING) AS full_add, "
+        "CAST(TIMESTAMP '2024-03-15 00:00:00' "
+        "- MAKE_INTERVAL(month => 1, day => 14) AS STRING) AS back, "
+        "JUSTIFY_DAYS(MAKE_INTERVAL(day => 65)).months AS jm, "
+        "JUSTIFY_DAYS(MAKE_INTERVAL(day => -65)).months AS jneg, "
+        "JUSTIFY_HOURS(MAKE_INTERVAL(hour => 50)).days AS jhd, "
+        "JUSTIFY_INTERVAL(MAKE_INTERVAL(day => 29, hour => 25)).months "
+        "AS jim, "
+        "MAKE_INTERVAL(1, 2, 3, 4, 5, 6).micros AS mk_us"
+    ).collect()[0]
+    assert r.clamp == "2024-02-29 00:00:00"      # end-of-month clamp
+    assert r.full_add == "2025-03-04 04:05:06.5"
+    assert r.back == "2024-02-01 00:00:00"
+    assert (r.jm, r.jneg, r.jhd, r.jim) == (2, -2, 2, 1)
+    assert r.mk_us == (4 * 3600 + 5 * 60 + 6) * 1_000_000
+    with pytest.raises(BQDialectError, match="inverted"):
+        translate("SELECT ts + INTERVAL '1' SECOND TO DAY")
+    with pytest.raises(BQDialectError, match="malformed INTERVAL"):
+        translate("SELECT ts + INTERVAL '1-2-3' YEAR TO MONTH")
+    with pytest.raises(BQDialectError, match="unknown argument"):
+        translate("SELECT MAKE_INTERVAL(week => 1)")
+    # unquoted single-part intervals pass through to Spark natively
+    assert translate("SELECT d + INTERVAL 3 DAY FROM t") == (
+        "SELECT d + INTERVAL 3 DAY FROM t"
+    )

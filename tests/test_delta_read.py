@@ -174,10 +174,175 @@ def test_refusals(spark, tmp_path):
     log = os.path.join(root, "_delta_log")
     schema_json = spark.createDataFrame([(1,)], "id long").schema.json()
     _write_commit(log, 0, [
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"]}},
+        _meta(schema_json),
+    ])
+    with pytest.raises(DeltaReadError, match="reader features"):
+        read_delta(spark, root)
+    root2 = str(tmp_path / "rf4")
+    log2 = os.path.join(root2, "_delta_log")
+    _write_commit(log2, 0, [
+        {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}},
         _meta(schema_json),
     ])
     with pytest.raises(DeltaReadError, match="minReaderVersion"):
-        read_delta(spark, root)
+        read_delta(spark, root2)
     with pytest.raises(DeltaReadError, match="_delta_log"):
         read_delta(spark, str(tmp_path / "nope"))
+
+
+def _one_parquet(df, d: str) -> str:
+    import shutil
+
+    tmp = d + ".dir"
+    df.coalesce(1).write.parquet(tmp)
+    part = [n for n in os.listdir(tmp) if n.endswith(".parquet")][0]
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    shutil.move(os.path.join(tmp, part), d)
+    shutil.rmtree(tmp)
+    return d
+
+
+def test_deletion_vectors_all_storage_types(spark, tmp_path):
+    """r9: DVs in 'p' (absolute path), 'i' (inline Z85) and 'u'
+    (UUID-named file) storage all drop exactly the addressed
+    ordinals."""
+    import uuid as _uuid
+
+    from bigquery_etl_spark.sources.delta_read import (
+        serialize_roaring64,
+        write_dv_file,
+        z85_encode,
+    )
+
+    root = str(tmp_path / "dv")
+    schema_json = spark.createDataFrame(
+        [], "id long, s string"
+    ).schema.json()
+    f1 = _one_parquet(
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(10)], "id long, s string"
+        ).sortWithinPartitions("id"),
+        os.path.join(root, "f1.parquet"),
+    )
+    # p: explicit file
+    dv_p = write_dv_file(str(tmp_path / "dv_p.bin"), [1, 3, 5])
+    # i: inline
+    dv_i = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(serialize_roaring64([0, 9])),
+        "cardinality": 2,
+    }
+    # u: uuid-named file under the table root
+    u = _uuid.uuid4()
+    dv_u_desc = write_dv_file(
+        os.path.join(root, f"deletion_vector_{u}.bin"), [2]
+    )
+    dv_u = {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": dv_u_desc["sizeInBytes"],
+        "cardinality": 1,
+    }
+    log = os.path.join(root, "_delta_log")
+    for ver, dv in [(0, dv_p), (1, dv_i), (2, dv_u)]:
+        actions = [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta(schema_json),
+            {"add": {"path": "f1.parquet", "dataChange": True,
+                     "deletionVector": dv}},
+        ]
+        _write_commit(log, ver, actions)
+    # versions replay cumulatively; the LAST add wins for the path, so
+    # read each version: v0 -> p (drop 1,3,5), v1 -> i (drop 0,9),
+    # v2 -> u (drop 2)
+    assert sorted(
+        r.id for r in read_delta(spark, root, version=0).collect()
+    ) == [0, 2, 4, 6, 7, 8, 9]
+    assert sorted(
+        r.id for r in read_delta(spark, root, version=1).collect()
+    ) == [1, 2, 3, 4, 5, 6, 7, 8]
+    assert sorted(
+        r.id for r in read_delta(spark, root).collect()
+    ) == [0, 1, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_deletion_vector_checksum_and_magic_refuse(spark, tmp_path):
+    from bigquery_etl_spark.sources.delta_read import (
+        _dv_positions,
+        write_dv_file,
+    )
+
+    p = str(tmp_path / "dv.bin")
+    desc = write_dv_file(p, [1, 2])
+    blob = bytearray(open(p, "rb").read())
+    blob[7] ^= 0xFF  # corrupt the data
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(DeltaReadError, match="checksum"):
+        _dv_positions(str(tmp_path), desc)
+    with pytest.raises(DeltaReadError, match="storageType"):
+        _dv_positions(str(tmp_path), {"storageType": "x"})
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """r9: column mapping — parquet carries PHYSICAL names (col-uuid),
+    the reader re-attaches logical names, including the partition
+    column whose partitionValues key is the physical name."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "cm")
+    fields = [
+        T.StructField(
+            "id", T.LongType(), True,
+            {"delta.columnMapping.id": 1,
+             "delta.columnMapping.physicalName": "col-aaa"},
+        ),
+        T.StructField(
+            "s", T.StringType(), True,
+            {"delta.columnMapping.id": 2,
+             "delta.columnMapping.physicalName": "col-bbb"},
+        ),
+        T.StructField(
+            "part", T.IntegerType(), True,
+            {"delta.columnMapping.id": 3,
+             "delta.columnMapping.physicalName": "col-ccc"},
+        ),
+    ]
+    schema = T.StructType(fields)
+    for pv in (0, 1):
+        _one_parquet(
+            spark.createDataFrame(
+                [(i, f"s{i}") for i in range(pv * 3, pv * 3 + 3)],
+                "`col-aaa` long, `col-bbb` string",
+            ),
+            os.path.join(root, f"f{pv}.parquet"),
+        )
+    log = os.path.join(root, "_delta_log")
+    meta = {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
+        meta,
+        {"add": {"path": "f0.parquet", "dataChange": True,
+                 "partitionValues": {"col-ccc": "0"}}},
+        {"add": {"path": "f1.parquet", "dataChange": True,
+                 "partitionValues": {"col-ccc": "1"}}},
+    ])
+    got = read_delta(spark, root)
+    assert [f.name for f in got.schema.fields] == ["id", "s", "part"]
+    rows = sorted((r.id, r.s, r.part) for r in got.collect())
+    assert rows == [
+        (0, "s0", 0), (1, "s1", 0), (2, "s2", 0),
+        (3, "s3", 1), (4, "s4", 1), (5, "s5", 1),
+    ]

@@ -269,3 +269,67 @@ def test_crash_artifacts_are_invisible_and_vacuumable(spark, tbl):
     tbl.vacuum(retain_last=1)
     assert tbl._load_manifest(v3).get("files") is not None  # materialized
     assert tbl.read().count() == 18
+
+
+def test_delta_mirror_follows_live_table(spark, tmp_path):
+    """r9 (VERDICT r8 item 5): VersionedTable(delta_mirror=True)
+    mirrors EVERY commit into <root>/_delta_log, so external Delta
+    engines follow the live table — the root itself is the Delta
+    table (data files are already immutable relative-path parquet).
+    Checks: per-commit log entries with correct add/remove diffs,
+    continuity after reopening WITHOUT the flag (persisted prop),
+    self-healing catch-up after a simulated crash, read_delta parity
+    at every version, env-gated native DuckDB-delta read."""
+    from bigquery_etl_spark.sources.delta_read import read_delta
+
+    root = str(tmp_path / "mt")
+    t = VersionedTable(spark, root, delta_mirror=True)
+    t.create(frame(spark, 0, 10, "a"))
+    t.append(frame(spark, 10, 13, "b"))
+    # reopened without the flag: the persisted prop keeps mirroring
+    t2 = VersionedTable(spark, root)
+    up = frame(spark, 12, 15, "c")
+    t2.upsert(up, keys=["id"])
+    log_dir = os.path.join(root, "_delta_log")
+    names = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+    assert names == [f"{v:020d}.json" for v in range(3)]
+    # v0 carries protocol + metaData; v2 (upsert) carries removes+adds
+    a0 = [json.loads(x) for x in open(os.path.join(log_dir, names[0]))]
+    assert sum("protocol" in a for a in a0) == 1
+    assert sum("metaData" in a for a in a0) == 1
+    a2 = [json.loads(x) for x in open(os.path.join(log_dir, names[2]))]
+    assert any("remove" in a for a in a2) and any("add" in a for a in a2)
+    # read_delta parity at every mirrored version
+    for dv, internal in ((0, 1), (1, 2), (2, 3)):
+        got = sorted(
+            (r.id, r.tag) for r in read_delta(spark, root, version=dv)
+            .select("id", "tag").collect()
+        )
+        want = sorted(
+            (r.id, r.tag)
+            for r in t2.read(version=internal).select("id", "tag").collect()
+        )
+        assert got == want, f"mirror v{dv} != internal v{internal}"
+    # self-healing: delete the newest mirror entry (simulated crash
+    # between manifest link and mirror write) — the next commit must
+    # emit BOTH missing entries, leaving no gap
+    os.unlink(os.path.join(log_dir, names[2]))
+    t2.append(frame(spark, 20, 22, "d"))
+    names2 = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+    assert names2 == [f"{v:020d}.json" for v in range(4)]
+    assert read_delta(spark, root).count() == t2.read().count()
+    # restore also mirrors (a pure remove/add diff commit)
+    t2.restore(2)
+    assert read_delta(spark, root).count() == t2.read().count()
+    import duckdb
+
+    try:
+        duckdb.sql("INSTALL delta; LOAD delta;")
+    except Exception:
+        pytest.skip("duckdb delta extension not installable offline")
+    got = duckdb.sql(
+        f"SELECT id, tag FROM delta_scan('{root}') ORDER BY id"
+    ).fetchall()
+    assert sorted(map(tuple, got)) == sorted(
+        (r.id, r.tag) for r in t2.read().select("id", "tag").collect()
+    )
