@@ -54,6 +54,11 @@ NON_EQUI_OK = {
     "q_dedup_incremental",  # four 1-row invariant summaries cross-joined
     "q_dedup_minhash_recall_near",  # two 1-row recall summaries cross-joined
     "q_drift_psi",        # (group × bin) grid: categorical groups × 10 bins
+    # r9 collect-folds: per-run scalar collects folded into the returned
+    # plan as 1-row aggregate crossJoins (same pattern as q_tfidf).
+    "q_ml_logreg",        # 1-row feature-stats aggregate cross
+    "q_ml_mf",            # 1-row global-mean aggregate cross
+    "q_ml_boosted",       # 1-row base-score aggregate cross
 }
 
 # Streaming / source / pipeline queries that cannot build a pure batch
