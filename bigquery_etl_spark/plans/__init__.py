@@ -18,6 +18,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage10,
     coverage11,
     coverage12,
+    coverage13,
     extras,
     functions_pack,
     functions_pack2,

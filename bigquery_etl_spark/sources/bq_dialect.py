@@ -1049,11 +1049,18 @@ def _st_distance(args: list[str]) -> str:
     if len(args) != 2:
         raise BQDialectError(f"ST_DISTANCE expects (a, b), got {args}")
     a, b = args
-    if _is_poly(a) and _is_poly(b):
+    a_shape = _is_poly(a) or _is_line(a)
+    b_shape = _is_poly(b) or _is_line(b)
+    if a_shape and b_shape:
         raise BQDialectError(
-            "ST_DISTANCE(polygon, polygon) is unsupported — the closed-form "
-            "subset covers point↔point and point↔polygon"
+            "ST_DISTANCE between two polygons/linestrings is unsupported "
+            "— the closed-form subset covers point↔point, point↔polygon "
+            "and point↔linestring"
         )
+    if _is_line(a):
+        return _line_distance(a, b)
+    if _is_line(b):
+        return _line_distance(b, a)
     if _is_poly(a):
         return _poly_distance(a, b)
     if _is_poly(b):
@@ -1112,9 +1119,51 @@ def _st_geogfromtext(args: list[str]) -> str:
             return ring_sql[0]  # flat vertex array — the r8 format
         # holes: array<array<struct<lon,lat>>>, ring 0 = outer shell
         return "ARRAY(" + ", ".join(ring_sql) + ")"
-    if re.match(r"(?is)^'\s*(MULTIPOLYGON|LINESTRING|GEOMETRYCOLLECTION)", raw):
+    mm = re.match(r"(?is)^'\s*MULTIPOLYGON\s*\(\s*(.*)\s*\)\s*'$", raw)
+    if mm:
+        # r10 (VERDICT r9 gap #2): MULTIPOLYGON literal — a list of
+        # simple polygons (each with optional holes), validated
+        # pairwise-disjoint at translate time so the even-odd ray cast
+        # over the FLATTENED edge set is exactly the multipolygon
+        # containment semantics. Emitted as a 3-deep nested array
+        # (polygons -> rings -> vertices).
+        polys = _parse_wkt_multipoly(mm.group(1))
+        for rings in polys:
+            _validate_rings(rings)
+        _validate_multipoly(polys)
+        poly_sql = []
+        for rings in polys:
+            ring_sql = [
+                "ARRAY(" + ", ".join(
+                    f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
+                    f"'lat', CAST({y!r} AS DOUBLE))"
+                    for x, y in pts
+                ) + ")"
+                for pts in rings
+            ]
+            poly_sql.append("ARRAY(" + ", ".join(ring_sql) + ")")
+        return "ARRAY(" + ", ".join(poly_sql) + ")"
+    lm = re.match(r"(?is)^'\s*LINESTRING\s*\(\s*([^()]*)\s*\)\s*'$", raw)
+    if lm:
+        # r10: LINESTRING literal — an open vertex chain (no closing
+        # edge, no interior). Wrapped in a named struct so the
+        # downstream rewrites can tell it from a polygon ring.
+        pts = _parse_wkt_points(lm.group(1))
+        if len(pts) < 2:
+            raise BQDialectError("LINESTRING needs >= 2 vertices")
+        return (
+            "NAMED_STRUCT('linestring', ARRAY("
+            + ", ".join(
+                f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
+                f"'lat', CAST({y!r} AS DOUBLE))"
+                for x, y in pts
+            )
+            + "))"
+        )
+    if re.match(r"(?is)^'\s*(GEOMETRYCOLLECTION|MULTIPOINT|MULTILINESTRING)", raw):
         raise BQDialectError(
-            "only POINT and simple POLYGON WKT (with holes) are supported"
+            "only POINT, LINESTRING, simple POLYGON (with holes) and "
+            "disjoint MULTIPOLYGON WKT are supported"
         )
     t = f"({raw})"
     # the SQL string literal must carry doubled backslashes (Spark
@@ -1128,6 +1177,18 @@ def _st_geogfromtext(args: list[str]) -> str:
     )
 
 
+def _parse_wkt_points(body: str) -> list[tuple[float, float]]:
+    """``x y, x y, …`` vertex list (shared by ring and linestring
+    parsing)."""
+    pts: list[tuple[float, float]] = []
+    for pair in body.split(","):
+        xy = pair.split()
+        if len(xy) != 2:
+            raise BQDialectError(f"malformed WKT vertex {pair!r}")
+        pts.append((float(xy[0]), float(xy[1])))
+    return pts
+
+
 def _parse_wkt_rings(body: str) -> list[list[tuple[float, float]]]:
     """Vertex rings from the text between POLYGON's outer parens —
     ``x y, x y, …`` for one ring, ``…), (…`` separators for holes.
@@ -1136,18 +1197,73 @@ def _parse_wkt_rings(body: str) -> list[list[tuple[float, float]]]:
     for ring_body in re.split(r"\)\s*,\s*\(", body):
         if "(" in ring_body or ")" in ring_body:
             raise BQDialectError(f"malformed POLYGON ring {ring_body!r}")
-        pts: list[tuple[float, float]] = []
-        for pair in ring_body.split(","):
-            xy = pair.split()
-            if len(xy) != 2:
-                raise BQDialectError(f"malformed POLYGON vertex {pair!r}")
-            pts.append((float(xy[0]), float(xy[1])))
+        pts = _parse_wkt_points(ring_body)
         if pts[0] == pts[-1]:
             pts = pts[:-1]
         if len(pts) < 3 or len(set(pts)) < 3:
             raise BQDialectError("POLYGON ring needs >= 3 distinct vertices")
         rings.append(pts)
     return rings
+
+
+def _parse_wkt_multipoly(body: str) -> list[list[list[tuple[float, float]]]]:
+    """Polygon list from the text between MULTIPOLYGON's outer parens:
+    top-level ``((ring),(hole)) , ((ring))`` groups split by paren
+    depth, each group's content handed to the POLYGON ring parser."""
+    polys: list[list[list[tuple[float, float]]]] = []
+    depth, start = 0, None
+    for i, c in enumerate(body):
+        if c == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                raise BQDialectError("unbalanced MULTIPOLYGON parens")
+            if depth == 0:
+                inner = body[start + 1 : i].strip()
+                if not (inner.startswith("(") and inner.endswith(")")):
+                    raise BQDialectError(
+                        f"malformed MULTIPOLYGON polygon {inner[:40]!r}"
+                    )
+                polys.append(_parse_wkt_rings(inner[1:-1]))
+        elif depth == 0 and c not in ", \t\r\n":
+            raise BQDialectError(
+                f"unexpected MULTIPOLYGON text {body[i:i+20]!r}"
+            )
+    if depth != 0:
+        raise BQDialectError("unbalanced MULTIPOLYGON parens")
+    if not polys:
+        raise BQDialectError("empty MULTIPOLYGON")
+    return polys
+
+
+def _validate_multipoly(polys: list[list[list[tuple[float, float]]]]) -> None:
+    """Member polygons must be pairwise DISJOINT (no ring crossings, no
+    shell nested in another shell) — the condition under which the
+    even-odd parity over the flattened edge set equals per-polygon
+    containment OR'd together."""
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            for ri in polys[i]:
+                for rj in polys[j]:
+                    for a_i in range(len(ri)):
+                        a, b = ri[a_i], ri[(a_i + 1) % len(ri)]
+                        for c_i in range(len(rj)):
+                            c, d = rj[c_i], rj[(c_i + 1) % len(rj)]
+                            if _segs_cross(a, b, c, d):
+                                raise BQDialectError(
+                                    "MULTIPOLYGON member polygons "
+                                    "intersect each other"
+                                )
+            if _pt_in_ring(polys[j][0][0], polys[i][0]) or _pt_in_ring(
+                polys[i][0][0], polys[j][0]
+            ):
+                raise BQDialectError(
+                    "MULTIPOLYGON member polygon nested inside another "
+                    "— not a valid disjoint multipolygon"
+                )
 
 
 def _ring_area2(pts: list[tuple[float, float]]) -> float:
@@ -1291,10 +1407,23 @@ def _parse_poly_rings(expr: str) -> list[list[tuple[float, float]]] | None:
     if not s.upper().startswith("ARRAY(ARRAY("):
         v = _parse_poly_literal(s)
         return [v] if v else None
-    if not s.endswith(")"):
+    chunks = _split_top_arrays(s)
+    if chunks is None:
+        return None
+    rings = [_parse_poly_literal(c) for c in chunks]
+    if any(v is None for v in rings):
+        return None
+    return rings or None
+
+
+def _split_top_arrays(expr: str) -> list[str] | None:
+    """Top-level ``ARRAY(...)`` element texts of an ``ARRAY(...)``
+    expression, or None when the text is anything else."""
+    s = expr.strip()
+    if not (s.upper().startswith("ARRAY(") and s.endswith(")")):
         return None
     body = s[6:-1]
-    rings: list[list[tuple[float, float]]] = []
+    out: list[str] = []
     i, n = 0, len(body)
     while i < n:
         j = body.find("ARRAY(", i)
@@ -1315,12 +1444,60 @@ def _parse_poly_rings(expr: str) -> list[list[tuple[float, float]]] | None:
             k += 1
         if depth != 0:
             return None
-        v = _parse_poly_literal(body[j : k + 1])
-        if not v:
-            return None
-        rings.append(v)
+        out.append(body[j : k + 1])
         i = k + 1
-    return rings or None
+    return out
+
+
+def _parse_multipoly_literal(
+    expr: str,
+) -> list[list[list[tuple[float, float]]]] | None:
+    """Polygon list (each a ring list) from the 3-deep nested array
+    text _st_geogfromtext emits for a MULTIPOLYGON literal."""
+    s = expr.strip()
+    if not s.upper().startswith("ARRAY(ARRAY(ARRAY("):
+        return None
+    chunks = _split_top_arrays(s)
+    if not chunks:
+        return None
+    polys = [_parse_poly_rings(c) for c in chunks]
+    if any(p is None for p in polys):
+        return None
+    return polys  # type: ignore[return-value]
+
+
+def _parse_any_rings(expr: str) -> list[list[tuple[float, float]]] | None:
+    """Every ring of a literal polygon OR multipolygon, flattened —
+    the form the even-odd / min-edge-distance unrolls consume (valid
+    for multipolygons because members are validated disjoint)."""
+    mp = _parse_multipoly_literal(expr)
+    if mp is not None:
+        return [ring for poly in mp for ring in poly]
+    return _parse_poly_rings(expr)
+
+
+_LINESTRING_PREFIX = "NAMED_STRUCT('LINESTRING'"
+
+
+def _is_line(expr: str) -> bool:
+    return expr.lstrip().upper().startswith(_LINESTRING_PREFIX)
+
+
+def _parse_line_literal(expr: str) -> list[tuple[float, float]] | None:
+    """Vertex chain from the struct-wrapped array _st_geogfromtext
+    emits for a LINESTRING literal."""
+    s = expr.strip()
+    if not _is_line(s) or not s.endswith("))"):
+        return None
+    inner = s[s.index(",") + 1 : -1].strip()
+    verts = [
+        (float(m.group(1)), float(m.group(2)))
+        for m in _POLY_VERTEX_RX.finditer(inner)
+    ]
+    residue = _POLY_VERTEX_RX.sub("", inner[6:-1]).replace(",", "").strip()
+    if len(verts) < 2 or residue:
+        return None
+    return verts
 
 
 def _poly_edges(A: str) -> str:
@@ -1337,8 +1514,10 @@ def _poly_contains(A: str, p: str) -> str:
     arithmetic — the whole expression stays inside whole-stage codegen
     (lambda HOFs would be CodegenFallback); computed polygons fall back
     to an aggregate-HOF fold. Horizontal edges never cross (skipped in
-    the unroll; shorted by the lat-straddle test in the fold)."""
-    rings = _parse_poly_rings(A)
+    the unroll; shorted by the lat-straddle test in the fold).
+    MULTIPOLYGON literals (r10) flatten their disjoint members' rings
+    into the same parity count."""
+    rings = _parse_any_rings(A)
     p = f"({p.strip()})"
     if rings is not None:
         # even-odd across ALL rings: a point inside the outer shell and
@@ -1379,8 +1558,9 @@ def _poly_distance(A: str, p: str) -> str:
     point on the segment. WKT-literal polygons unroll into a LEAST
     chain of per-edge closed forms (whole-stage codegen; Spark's CSE
     dedups the repeated point subexpressions); computed polygons fall
-    back to transform/aggregate HOFs."""
-    rings = _parse_poly_rings(A)
+    back to transform/aggregate HOFs. MULTIPOLYGON literals (r10) take
+    the min across their flattened disjoint members' edges."""
+    rings = _parse_any_rings(A)
     if rings is not None:
         pp = f"({p.strip()})"
         dists = []
@@ -1429,6 +1609,67 @@ def _poly_distance(A: str, p: str) -> str:
     return f"IF({_poly_contains(A, p)}, 0.0D, {dmin})"
 
 
+def _line_distance(L: str, p: str) -> str:
+    """Haversine meters from a point to a literal LINESTRING: min over
+    its OPEN segment chain (no closing edge, no interior) of the
+    distance to the planar-projected closest segment point — the same
+    per-edge closed form _poly_distance unrolls, minus the inside test.
+    Whole-stage codegen; the vertices are constants."""
+    verts = _parse_line_literal(L)
+    if verts is None:
+        raise BQDialectError(
+            "computed LINESTRINGs are unsupported — construct them with "
+            "a literal ST_GEOGFROMTEXT('LINESTRING(…)')"
+        )
+    pp = f"({p.strip()})"
+    dists = []
+    for (ax, ay), (bx, by) in zip(verts, verts[1:]):
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        if l2 == 0.0:
+            dists.append(_hav(
+                f"NAMED_STRUCT('lon', {ax!r}D, 'lat', {ay!r}D)", pp))
+            continue
+        t = (
+            f"LEAST(GREATEST((({pp}.lon - {ax!r}D) * {dx!r}D + "
+            f"({pp}.lat - {ay!r}D) * {dy!r}D) / {l2!r}D, 0.0D), 1.0D)"
+        )
+        c = (
+            f"NAMED_STRUCT('lon', {ax!r}D + {t} * {dx!r}D, "
+            f"'lat', {ay!r}D + {t} * {dy!r}D)"
+        )
+        dists.append(_hav(c, pp))
+    if len(dists) == 1:
+        return dists[0]
+    return f"LEAST({', '.join(dists)})"
+
+
+def _st_length(args: list[str]) -> str:
+    """``ST_LENGTH``: sum of haversine segment lengths for literal
+    LINESTRINGs (constant-folds); 0 for points and polygons (BigQuery
+    semantics — length is a line property)."""
+    if len(args) != 1:
+        raise BQDialectError(f"ST_LENGTH expects one geography, got {args}")
+    verts = _parse_line_literal(args[0])
+    if verts is None:
+        if _is_line(args[0]):
+            raise BQDialectError(
+                "computed LINESTRINGs are unsupported — construct them "
+                "with a literal ST_GEOGFROMTEXT('LINESTRING(…)')"
+            )
+        return "0.0D"  # points and polygons have zero length
+    import math
+
+    r = 6371008.8
+    total = 0.0
+    for (ax, ay), (bx, by) in zip(verts, verts[1:]):
+        total += 2.0 * r * math.asin(math.sqrt(
+            math.sin(math.radians(by - ay) / 2) ** 2
+            + math.cos(math.radians(ay)) * math.cos(math.radians(by))
+            * math.sin(math.radians(bx - ax) / 2) ** 2))
+    return f"{total!r}D"
+
+
 def _st_area(args: list[str]) -> str:
     """``ST_AREA``: 0 for points; for WKT rings (holes subtract) the
     Chamberlain–Duquette spherical-excess formula (the turf.js /
@@ -1438,13 +1679,17 @@ def _st_area(args: list[str]) -> str:
     the whole expression folds to a literal."""
     if len(args) != 1:
         raise BQDialectError(f"ST_AREA expects one geography, got {args}")
-    rings = _parse_poly_rings(args[0])
-    if rings is None:
-        if _is_poly(args[0]):
-            raise BQDialectError(
-                "ST_AREA supports POINTs (0) and literal POLYGONs"
-            )
-        return "0.0D"  # a point has zero area
+    polys = _parse_multipoly_literal(args[0])
+    if polys is None:
+        rings = _parse_poly_rings(args[0])
+        if rings is None:
+            if _is_poly(args[0]):
+                raise BQDialectError(
+                    "ST_AREA supports POINTs (0), LINESTRINGs (0) and "
+                    "literal POLYGON/MULTIPOLYGONs"
+                )
+            return "0.0D"  # points and linestrings have zero area
+        polys = [rings]
     import math
 
     def _ring_area(verts: list[tuple[float, float]]) -> float:
@@ -1459,7 +1704,10 @@ def _st_area(args: list[str]) -> str:
         r = 6371008.8
         return abs(total * r * r / 2.0)
 
-    area = _ring_area(rings[0]) - sum(_ring_area(h) for h in rings[1:])
+    area = sum(
+        _ring_area(rings[0]) - sum(_ring_area(h) for h in rings[1:])
+        for rings in polys
+    )
     return f"{area!r}D"
 
 
@@ -1469,13 +1717,14 @@ def _st_perimeter(args: list[str]) -> str:
     consistently. Constant-folds for literal rings."""
     if len(args) != 1:
         raise BQDialectError(f"ST_PERIMETER expects one geography, got {args}")
-    rings = _parse_poly_rings(args[0])
+    rings = _parse_any_rings(args[0])
     if rings is None:
         if _is_poly(args[0]):
             raise BQDialectError(
-                "ST_PERIMETER supports POINTs (0) and literal POLYGONs"
+                "ST_PERIMETER supports POINTs (0), LINESTRINGs (0) and "
+                "literal POLYGON/MULTIPOLYGONs"
             )
-        return "0.0D"
+        return "0.0D"  # points and linestrings have zero perimeter
     import math
 
     r = 6371008.8
@@ -1502,13 +1751,40 @@ def _st_centroid(args: list[str]) -> str:
     planar-edge contract shared with ST_CONTAINS, documented)."""
     if len(args) != 1:
         raise BQDialectError(f"ST_CENTROID expects one geography, got {args}")
-    rings = _parse_poly_rings(args[0])
-    if rings is None:
-        if _is_poly(args[0]):
-            raise BQDialectError(
-                "ST_CENTROID supports POINTs and literal POLYGONs"
-            )
-        return args[0].strip()  # a point is its own centroid
+    polys = _parse_multipoly_literal(args[0])
+    line = None if polys else _parse_line_literal(args[0])
+    if line is not None:
+        # linestring centroid: haversine-length-weighted mean of the
+        # planar segment midpoints (constant-folds; same planar-edge
+        # contract as the polygon forms)
+        import math
+
+        r = 6371008.8
+        num_x = num_y = total = 0.0
+        for (ax, ay), (bx, by) in zip(line, line[1:]):
+            seg = 2.0 * r * math.asin(math.sqrt(
+                math.sin(math.radians(by - ay) / 2) ** 2
+                + math.cos(math.radians(ay)) * math.cos(math.radians(by))
+                * math.sin(math.radians(bx - ax) / 2) ** 2))
+            num_x += (ax + bx) / 2.0 * seg
+            num_y += (ay + by) / 2.0 * seg
+            total += seg
+        cx, cy = num_x / total, num_y / total
+        return (
+            f"NAMED_STRUCT('lon', CAST({cx!r} AS DOUBLE), "
+            f"'lat', CAST({cy!r} AS DOUBLE))"
+        )
+    if polys is None:
+        rings = _parse_poly_rings(args[0])
+        if rings is None:
+            if _is_poly(args[0]):
+                raise BQDialectError(
+                    "ST_CENTROID supports POINTs, literal LINESTRINGs "
+                    "and literal POLYGON/MULTIPOLYGONs"
+                )
+            return args[0].strip()  # a point is its own centroid
+        polys = [rings]
+    rings = None  # structure-aware below: shells add, holes subtract
 
     def _ring_cent(verts):
         a2 = cx = cy = 0.0
@@ -1525,13 +1801,17 @@ def _st_centroid(args: list[str]) -> str:
         area = abs(a2) / 2.0
         return area, cx / (3.0 * a2), cy / (3.0 * a2)
 
-    a0, x0, y0 = _ring_cent(rings[0])
-    num_x, num_y, denom = a0 * x0, a0 * y0, a0
-    for h in rings[1:]:  # holes subtract their area-weighted centroid
-        ah, xh, yh = _ring_cent(h)
-        num_x -= ah * xh
-        num_y -= ah * yh
-        denom -= ah
+    num_x = num_y = denom = 0.0
+    for poly in polys:
+        a0, x0, y0 = _ring_cent(poly[0])
+        num_x += a0 * x0
+        num_y += a0 * y0
+        denom += a0
+        for h in poly[1:]:  # holes subtract their area-weighted centroid
+            ah, xh, yh = _ring_cent(h)
+            num_x -= ah * xh
+            num_y -= ah * yh
+            denom -= ah
     cx, cy = num_x / denom, num_y / denom
     return (
         f"NAMED_STRUCT('lon', CAST({cx!r} AS DOUBLE), "
@@ -2814,6 +3094,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "ST_AREA", _st_area)
     sql = _rewrite_calls(sql, "ST_PERIMETER", _st_perimeter)
     sql = _rewrite_calls(sql, "ST_CENTROID", _st_centroid)
+    sql = _rewrite_calls(sql, "ST_LENGTH", _st_length)
     sql = _rewrite_calls(sql, "ST_DWITHIN", _st_dwithin)
     sql = _rewrite_calls(sql, "ST_DISTANCE", _st_distance)
     sql = _rewrite_calls(sql, "ST_ASTEXT", _st_astext)

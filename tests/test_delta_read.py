@@ -175,7 +175,7 @@ def test_refusals(spark, tmp_path):
     schema_json = spark.createDataFrame([(1,)], "id long").schema.json()
     _write_commit(log, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["typeWidening"]}},
         _meta(schema_json),
     ])
     with pytest.raises(DeltaReadError, match="reader features"):
@@ -346,3 +346,128 @@ def test_column_mapping_name_mode(spark, tmp_path):
         (0, "s0", 0), (1, "s1", 0), (2, "s2", 0),
         (3, "s3", 1), (4, "s4", 1), (5, "s5", 1),
     ]
+
+
+_CK_SCHEMA = (
+    "protocol struct<minReaderVersion int, minWriterVersion int, "
+    "readerFeatures array<string>>, "
+    "metaData struct<id string, "
+    "format struct<provider string>, schemaString string, "
+    "partitionColumns array<string>, "
+    "configuration map<string,string>>, "
+    "add struct<path string, partitionValues map<string,string>, "
+    "size long, modificationTime long, dataChange boolean>, "
+    "remove struct<path string, dataChange boolean>, "
+    "sidecar struct<path string, sizeInBytes long>"
+)
+
+
+def _ck_row(protocol=None, meta=None, add=None, remove=None, sidecar=None):
+    return (protocol, meta, add, remove, sidecar)
+
+
+def _write_ck_parquet(spark, rows, dest: str) -> None:
+    _one_parquet(spark.createDataFrame(rows, _CK_SCHEMA), dest)
+
+
+def test_multipart_checkpoint(spark, tmp_path):
+    """r10: n.checkpoint.o.p.parquet part sets union into one
+    checkpoint; an INCOMPLETE higher-version set is ignored per spec."""
+    root = str(tmp_path / "mp")
+    log = os.path.join(root, "_delta_log")
+    data = spark.createDataFrame([(1,), (2,)], "id long")
+    more = spark.createDataFrame([(3,)], "id long")
+    f1 = os.path.basename(
+        _one_parquet(data, os.path.join(root, "f1.parquet")))
+    f2 = os.path.basename(
+        _one_parquet(more, os.path.join(root, "f2.parquet")))
+    schema_json = data.schema.json()
+    meta = {"id": "t", "format": {"provider": "parquet"},
+            "schemaString": schema_json, "partitionColumns": [],
+            "configuration": {}}
+    # checkpoint v1 split across 2 parts: part 1 = protocol+meta,
+    # part 2 = both adds
+    _write_ck_parquet(spark, [
+        _ck_row(protocol={"minReaderVersion": 1, "minWriterVersion": 2}),
+        _ck_row(meta=meta),
+    ], os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    _write_ck_parquet(spark, [
+        _ck_row(add={"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}),
+        _ck_row(add={"path": f2, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}),
+    ], os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    # JSON tail on top of the checkpoint
+    _write_commit(log, 2, [{"remove": {"path": f1, "dataChange": True}}])
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [3]
+    assert sorted(
+        r.id for r in read_delta(spark, root, version=1).collect()
+    ) == [1, 2, 3]
+    # incomplete multi-part set at v3 (part 1 of 2 only): IGNORED, the
+    # complete v1 checkpoint + json tail still serve reads
+    _write_ck_parquet(spark, [
+        _ck_row(add={"path": "nope.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}),
+    ], os.path.join(log, f"{3:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    _write_commit(log, 3, [])
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [3]
+
+
+def test_v2_checkpoint_parquet_sidecar(spark, tmp_path):
+    """r10: UUID-named v2 parquet checkpoint whose adds live in a
+    _sidecars/ parquet file referenced by a sidecar action."""
+    root = str(tmp_path / "v2p")
+    log = os.path.join(root, "_delta_log")
+    data = spark.createDataFrame([(1,), (2,)], "id long")
+    f1 = os.path.basename(
+        _one_parquet(data, os.path.join(root, "f1.parquet")))
+    meta = {"id": "t", "format": {"provider": "parquet"},
+            "schemaString": data.schema.json(), "partitionColumns": [],
+            "configuration": {}}
+    _write_ck_parquet(spark, [
+        _ck_row(add={"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}),
+    ], os.path.join(log, "_sidecars", "sc-1.parquet"))
+    _write_ck_parquet(spark, [
+        _ck_row(protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"]}),
+        _ck_row(meta=meta),
+        _ck_row(sidecar={"path": "sc-1.parquet", "sizeInBytes": 1}),
+    ], os.path.join(
+        log,
+        f"{0:020d}.checkpoint.7d17ac10-5cc3-401b-bd1a-a9f7ed077d5e.parquet",
+    ))
+    _write_commit(log, 1, [
+        {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [1, 2]
+    # missing sidecar refuses loudly
+    os.remove(os.path.join(log, "_sidecars", "sc-1.parquet"))
+    with pytest.raises(DeltaReadError, match="sidecar missing"):
+        read_delta(spark, root)
+
+
+def test_v2_checkpoint_json(spark, tmp_path):
+    """r10: v2 checkpoints may be JSON-lines action files."""
+    root = str(tmp_path / "v2j")
+    log = os.path.join(root, "_delta_log")
+    data = spark.createDataFrame([(7,), (8,)], "id long")
+    f1 = os.path.basename(
+        _one_parquet(data, os.path.join(root, "f1.parquet")))
+    os.makedirs(log, exist_ok=True)
+    ck = os.path.join(
+        log, f"{0:020d}.checkpoint.1b2e6d27-8a3f-49a5-9a61-0f5f3e2a9b10.json"
+    )
+    with open(ck, "w") as f:
+        for a in [
+            {"checkpointMetadata": {"version": 0}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"]}},
+            _meta(data.schema.json()),
+            {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    assert sorted(r.id for r in read_delta(spark, root).collect()) == [7, 8]
