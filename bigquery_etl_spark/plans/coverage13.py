@@ -170,3 +170,203 @@ def q_delta_multipart_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snap", "o_orderstatus")
     )
+
+
+# -- GIS: MULTIPOLYGON + LINESTRING (r10, VERDICT r9 gap #2) ------------------
+#
+# Same contract as coverage12's polygon fences: ONE vertex table
+# generates both the BigQuery WKT (Spark side, translate-time unroll)
+# and the DuckDB closed-form oracle, so both engines evaluate the
+# IDENTICAL planar ray-cast / min-edge-distance / haversine formulas.
+# Two disjoint member polygons (one concave, one with a hole) — the
+# flattened even-odd parity IS multipolygon containment for disjoint
+# members (validated at translate time).
+
+_MP_P1 = [(-60.0, -30.0), (-10.0, -30.0), (-10.0, 10.0), (-35.0, -5.0),
+          (-60.0, 10.0)]
+_MP_P1_HOLE = [(-50.0, -25.0), (-40.0, -25.0), (-40.0, -15.0),
+               (-50.0, -15.0)]
+_MP_P2 = [(20.0, -10.0), (55.0, -20.0), (55.0, 25.0), (20.0, 15.0)]
+_MP_WKT = (
+    "MULTIPOLYGON((("
+    + ", ".join(f"{x} {y}" for x, y in _MP_P1 + [_MP_P1[0]])
+    + "), ("
+    + ", ".join(f"{x} {y}" for x, y in _MP_P1_HOLE + [_MP_P1_HOLE[0]])
+    + ")), (("
+    + ", ".join(f"{x} {y}" for x, y in _MP_P2 + [_MP_P2[0]])
+    + ")))"
+)
+
+
+def _duck_edges(rings) -> str:
+    es = []
+    for ring in rings:
+        for i, (ax, ay) in enumerate(ring):
+            bx, by = ring[(i + 1) % len(ring)]
+            es.append(
+                f"{{'ax': {ax}, 'ay': {ay}, "
+                f"'dx': {bx - ax}, 'dy': {by - ay}, 'bx': {bx}, 'by': {by}}}"
+            )
+    return "[" + ", ".join(es) + "]"
+
+
+def _mp_oracle_sql() -> str:
+    from bigquery_etl_spark.plans.coverage12 import _DUCK_DIST, _DUCK_INSIDE
+
+    edges = _duck_edges([_MP_P1, _MP_P1_HOLE, _MP_P2])
+    return f"""
+    WITH pts AS (
+        SELECT c_mktsegment,
+               CAST(((c_custkey * 19) % 160) - 80 + 0.5 AS DOUBLE) AS plon,
+               CAST(((c_custkey * 13) % 120) - 60 + 0.25 AS DOUBLE) AS plat,
+               {edges} AS edges
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN {_DUCK_INSIDE} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inside,
+           CAST(SUM(CASE WHEN {_DUCK_DIST} <= 2500000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_near,
+           CAST(SUM(CAST(round({_DUCK_DIST}) AS BIGINT)) AS BIGINT)
+               AS total_m
+    FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@query(
+    "q_gis_multipolygon",
+    sql=_mp_oracle_sql(),
+    tags=("dialect", "geo"),
+)
+def q_gis_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHY MULTIPOLYGON subset (r10, closing VERDICT r9 gap #2):
+    ST_GEOGFROMTEXT('MULTIPOLYGON(…)') parses member polygons (concave
+    + holes OK), validates pairwise disjointness at translate time, and
+    lowers ST_CONTAINS to the even-odd ray cast over the FLATTENED edge
+    set (correct exactly because members are disjoint) and ST_DISTANCE
+    to the min across all members' edges — flat constant arithmetic in
+    whole-stage codegen, no UDF. Planar edges where BigQuery's are
+    geodesics (documented divergence; the ORACLE applies the identical
+    formula over the identical edge list, so parity is exact where
+    checked). Nested or crossing members refuse loudly. Reference
+    surface: BigQuery GEOGRAPHY (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("gmp_cust")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql(f"""
+        WITH pts AS (
+            SELECT c_mktsegment,
+                   ST_GEOGPOINT(
+                       CAST(MOD(c_custkey * 19, 160) - 80 + 0.5
+                            AS FLOAT64),
+                       CAST(MOD(c_custkey * 13, 120) - 60 + 0.25
+                            AS FLOAT64)) AS pt
+            FROM gmp_cust
+        )
+        SELECT c_mktsegment,
+               COUNTIF(ST_CONTAINS(
+                   ST_GEOGFROMTEXT('{_MP_WKT}'), pt)) AS n_inside,
+               COUNTIF(ST_DWITHIN(pt,
+                   ST_GEOGFROMTEXT('{_MP_WKT}'), 2500000.0)) AS n_near,
+               CAST(SUM(CAST(ROUND(ST_DISTANCE(pt,
+                   ST_GEOGFROMTEXT('{_MP_WKT}'))) AS INT64)) AS INT64)
+                   AS total_m
+        FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
+
+
+# Open polyline "route" for q_gis_linestring: no closing edge, no
+# interior — ST_DISTANCE is the min over segments, ST_LENGTH the
+# haversine sum (constant-folded at translate time).
+_ROUTE = [(-70.0, -40.0), (-30.0, -10.0), (0.0, 0.0), (25.0, 20.0),
+          (60.0, 30.0)]
+_ROUTE_WKT = "LINESTRING(" + ", ".join(
+    f"{x} {y}" for x, y in _ROUTE) + ")"
+
+
+def _route_length_m() -> float:
+    import math
+
+    r = 6371008.8
+    total = 0.0
+    for (ax, ay), (bx, by) in zip(_ROUTE, _ROUTE[1:]):
+        total += 2.0 * r * math.asin(math.sqrt(
+            math.sin(math.radians(by - ay) / 2) ** 2
+            + math.cos(math.radians(ay)) * math.cos(math.radians(by))
+            * math.sin(math.radians(bx - ax) / 2) ** 2))
+    return total
+
+
+def _line_oracle_sql() -> str:
+    from bigquery_etl_spark.plans.coverage12 import _DUCK_HAV, _DUCK_T
+
+    # open chain: consecutive vertex pairs only (no closing edge)
+    es = []
+    for (ax, ay), (bx, by) in zip(_ROUTE, _ROUTE[1:]):
+        es.append(
+            f"{{'ax': {ax}, 'ay': {ay}, "
+            f"'dx': {bx - ax}, 'dy': {by - ay}}}"
+        )
+    edges = "[" + ", ".join(es) + "]"
+    dist = (
+        "list_aggregate(list_transform(edges, __e -> "
+        + _DUCK_HAV.format(cx=f"__e.ax + {_DUCK_T} * __e.dx",
+                           cy=f"__e.ay + {_DUCK_T} * __e.dy")
+        + "), 'min')"
+    )
+    return f"""
+    WITH pts AS (
+        SELECT c_mktsegment,
+               CAST(((c_custkey * 23) % 200) - 100 + 0.5 AS DOUBLE) AS plon,
+               CAST(((c_custkey * 11) % 130) - 65 + 0.25 AS DOUBLE) AS plat,
+               {edges} AS edges
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN {dist} <= 1500000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_near,
+           CAST(SUM(CAST(round({dist}) AS BIGINT)) AS BIGINT) AS total_m,
+           CAST(round({_route_length_m()!r}) AS BIGINT) AS route_m
+    FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@query(
+    "q_gis_linestring",
+    sql=_line_oracle_sql(),
+    tags=("dialect", "geo"),
+)
+def q_gis_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHY LINESTRING subset (r10, closing VERDICT r9 gap #2):
+    ST_GEOGFROMTEXT('LINESTRING(…)') parses the open vertex chain;
+    ST_LENGTH constant-folds the haversine segment sum at translate
+    time and ST_DISTANCE(point, line) unrolls the min over segments of
+    the closest-point haversine (no closing edge, no interior — the
+    exact open-chain semantics). The ORACLE recomputes the identical
+    forms; the length constant is derived independently from the same
+    vertex table. Computed (non-literal) linestrings refuse loudly."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("gls_cust")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql(f"""
+        WITH pts AS (
+            SELECT c_mktsegment,
+                   ST_GEOGPOINT(
+                       CAST(MOD(c_custkey * 23, 200) - 100 + 0.5
+                            AS FLOAT64),
+                       CAST(MOD(c_custkey * 11, 130) - 65 + 0.25
+                            AS FLOAT64)) AS pt
+            FROM gls_cust
+        )
+        SELECT c_mktsegment,
+               COUNTIF(ST_DWITHIN(pt,
+                   ST_GEOGFROMTEXT('{_ROUTE_WKT}'), 1500000.0)) AS n_near,
+               CAST(SUM(CAST(ROUND(ST_DISTANCE(pt,
+                   ST_GEOGFROMTEXT('{_ROUTE_WKT}'))) AS INT64)) AS INT64)
+                   AS total_m,
+               CAST(ROUND(ST_LENGTH(
+                   ST_GEOGFROMTEXT('{_ROUTE_WKT}'))) AS INT64) AS route_m
+        FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)

@@ -739,6 +739,81 @@ def test_gis_polygon_r8(fcat):
         )
 
 
+def test_gis_multipolygon_linestring_r10(fcat):
+    import math
+
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    mp = (
+        "ST_GEOGFROMTEXT('MULTIPOLYGON("
+        "((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4)), "
+        "((20 0, 30 0, 30 10, 20 10, 20 0)))')"
+    )
+    r = fcat.bq_sql(
+        f"SELECT ST_CONTAINS({mp}, ST_GEOGPOINT(2.0, 2.0)) AS in1, "
+        f"ST_CONTAINS({mp}, ST_GEOGPOINT(25.0, 5.0)) AS in2, "
+        f"ST_CONTAINS({mp}, ST_GEOGPOINT(5.0, 5.0)) AS in_hole, "
+        f"ST_CONTAINS({mp}, ST_GEOGPOINT(15.0, 5.0)) AS between, "
+        f"ST_DISTANCE(ST_GEOGPOINT(25.0, 5.0), {mp}) AS d_in, "
+        f"ST_DISTANCE(ST_GEOGPOINT(15.0, 5.0), {mp}) AS d_mid, "
+        f"ST_AREA({mp}) AS area"
+    ).collect()[0]
+    assert r.in1 and r.in2
+    assert not r.in_hole and not r.between
+    assert r.d_in == 0.0 and r.d_mid > 0.0
+    # area = (100 - 4 + 100) deg² worth of spherical patches; compare
+    # against the two-squares-minus-hole computed the same way
+    sq10 = fcat.bq_sql(
+        "SELECT ST_AREA(ST_GEOGFROMTEXT("
+        "'POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(4 4, 6 4, 6 6, 4 6, 4 4))')) AS a1, "
+        "ST_AREA(ST_GEOGFROMTEXT("
+        "'POLYGON((20 0, 30 0, 30 10, 20 10, 20 0))')) AS a2"
+    ).collect()[0]
+    assert abs(r.area - (sq10.a1 + sq10.a2)) < 1.0
+    # linestring: open chain — no closing edge, zero area
+    ln = "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 0, 1 1)')"
+    rl = fcat.bq_sql(
+        f"SELECT ST_LENGTH({ln}) AS len, ST_AREA({ln}) AS a, "
+        f"ST_DISTANCE(ST_GEOGPOINT(0.5, 0.0), {ln}) AS d_on, "
+        f"ST_DISTANCE(ST_GEOGPOINT(0.0, 1.0), {ln}) AS d_off, "
+        f"ST_DWITHIN(ST_GEOGPOINT(0.5, 0.1), {ln}, 20000.0) AS near"
+    ).collect()[0]
+    deg_m = 2.0 * 6371008.8 * math.asin(math.sin(math.radians(1) / 2))
+    assert abs(rl.len - 2 * deg_m) / (2 * deg_m) < 1e-3
+    assert rl.a == 0.0
+    assert rl.d_on == 0.0
+    # (0,1) is one degree from the nearest vertex (0,0) AND from the
+    # closest point (1,1); open chain means NO edge from (1,1) to (0,0)
+    assert abs(rl.d_off - deg_m) / deg_m < 1e-3
+    assert rl.near
+    # refusals: overlapping members, nested members, computed line,
+    # line↔polygon distance
+    with pytest.raises(BQDialectError, match="intersect each other"):
+        translate(
+            "SELECT ST_GEOGFROMTEXT('MULTIPOLYGON("
+            "((0 0, 10 0, 10 10, 0 10, 0 0)), "
+            "((5 5, 15 5, 15 15, 5 15, 5 5)))')"
+        )
+    with pytest.raises(BQDialectError, match="nested inside"):
+        translate(
+            "SELECT ST_GEOGFROMTEXT('MULTIPOLYGON("
+            "((0 0, 10 0, 10 10, 0 10, 0 0)), "
+            "((2 2, 4 2, 4 4, 2 4, 2 2)))')"
+        )
+    with pytest.raises(BQDialectError, match="unsupported"):
+        translate(
+            "SELECT ST_DISTANCE("
+            "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 0)'), "
+            "ST_GEOGFROMTEXT('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))'))"
+        )
+    with pytest.raises(BQDialectError, match="LINESTRING"):
+        translate("SELECT ST_GEOGFROMTEXT('LINESTRING(0 0)')")
+
+
 def test_json_mutators_r8(fcat):
     from bigquery_etl_spark.sources.bq_dialect import (
         BQDialectError,

@@ -430,6 +430,138 @@ def test_gis_polygon_concave_differential_fuzz(spark):
     assert n_concave >= 3  # the seed must actually exercise concavity
 
 
+def test_gis_multipoly_linestring_differential_fuzz(spark):
+    """r10: random DISJOINT member polygons (two ellipse rings far
+    apart — one with a centered hole) and random open polylines,
+    differential against the identical pure-Python formulas. Extends
+    the polygon fuzz per VERDICT r9 #3."""
+    import math
+
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    rng = random.Random(SEED + 17)
+    cat = LakeCatalog(spark)
+
+    def ref_contains(rings, px, py):
+        inside = False
+        for verts in rings:
+            n = len(verts)
+            for i in range(n):
+                ax, ay = verts[i]
+                bx, by = verts[(i + 1) % n]
+                if (ay > py) != (by > py) and px < (bx - ax) * (
+                    py - ay
+                ) / (by - ay) + ax:
+                    inside = not inside
+        return inside
+
+    def _hav(px, py, cx, cy):
+        r = 6371008.8
+        return 2.0 * r * math.asin(math.sqrt(
+            math.sin(math.radians(py - cy) / 2) ** 2
+            + math.cos(math.radians(cy)) * math.cos(math.radians(py))
+            * math.sin(math.radians(px - cx) / 2) ** 2))
+
+    def _seg_dist(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        if l2 == 0.0:
+            return _hav(px, py, ax, ay)
+        t = min(max(((px - ax) * dx + (py - ay) * dy) / l2, 0.0), 1.0)
+        return _hav(px, py, ax + t * dx, ay + t * dy)
+
+    def ref_poly_distance(rings, px, py):
+        if ref_contains(rings, px, py):
+            return 0.0
+        return min(
+            _seg_dist(px, py, *verts[i], *verts[(i + 1) % len(verts)])
+            for verts in rings
+            for i in range(len(verts))
+        )
+
+    def _ellipse(cx0, cy0, a, b, k):
+        angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(k))
+        if min(
+            (angles[(i + 1) % k] - angles[i]) % (2 * math.pi)
+            for i in range(k)
+        ) < 0.08:
+            return None
+        return [
+            (round(cx0 + a * math.cos(t), 6),
+             round(cy0 + b * math.sin(t), 6))
+            for t in angles
+        ]
+
+    trials = 0
+    for _ in range(24):
+        if trials >= 4:
+            break
+        cx1, cy1 = rng.uniform(-70, -30), rng.uniform(-30, 30)
+        cx2 = cx1 + rng.uniform(70, 100)  # guaranteed-disjoint members
+        p1 = _ellipse(cx1, cy1, rng.uniform(6, 25), rng.uniform(6, 20),
+                      rng.randint(4, 8))
+        p2 = _ellipse(cx2, cy1, rng.uniform(6, 25), rng.uniform(6, 20),
+                      rng.randint(4, 8))
+        if p1 is None or p2 is None:
+            continue
+        trials += 1
+        hr = 1.5
+        hole = [
+            (round(cx1 - hr, 6), round(cy1 - hr, 6)),
+            (round(cx1 + hr, 6), round(cy1 - hr, 6)),
+            (round(cx1 + hr, 6), round(cy1 + hr, 6)),
+            (round(cx1 - hr, 6), round(cy1 + hr, 6)),
+        ]
+        polys = [[p1, hole], [p2]]
+        wkt = "MULTIPOLYGON(" + ", ".join(
+            "(" + ", ".join(
+                "(" + ", ".join(
+                    f"{x} {y}" for x, y in ring + [ring[0]]) + ")"
+                for ring in poly
+            ) + ")"
+            for poly in polys
+        ) + ")"
+        # open polyline between the two members
+        line = [
+            (round(rng.uniform(cx1, cx2), 6),
+             round(rng.uniform(cy1 - 30, cy1 + 30), 6))
+            for _ in range(rng.randint(3, 6))
+        ]
+        lwkt = "LINESTRING(" + ", ".join(
+            f"{x} {y}" for x, y in line) + ")"
+        pts = [
+            (i, rng.uniform(cx1 - 35, cx2 + 35),
+             rng.uniform(cy1 - 35, cy1 + 35))
+            for i in range(40)
+        ]
+        spark.createDataFrame(
+            pts, "i long, lon double, lat double"
+        ).createOrReplaceTempView("gfz_pts3")
+        rows = cat.bq_sql(
+            f"SELECT i, ST_CONTAINS(ST_GEOGFROMTEXT('{wkt}'), "
+            "ST_GEOGPOINT(lon, lat)) AS c, "
+            f"ST_DISTANCE(ST_GEOGPOINT(lon, lat), "
+            f"ST_GEOGFROMTEXT('{wkt}')) AS d, "
+            f"ST_DISTANCE(ST_GEOGPOINT(lon, lat), "
+            f"ST_GEOGFROMTEXT('{lwkt}')) AS ld FROM gfz_pts3"
+        ).collect()
+        flat = [r for poly in polys for r in poly]
+        got = {r.i: (r.c, r.d, r.ld) for r in rows}
+        for i, px, py in pts:
+            want_c = ref_contains(flat, px, py)
+            want_d = ref_poly_distance(flat, px, py)
+            want_ld = min(
+                _seg_dist(px, py, *a, *b) for a, b in zip(line, line[1:])
+            )
+            assert got[i][0] == want_c, (i, polys, (px, py))
+            if want_d == 0.0:
+                assert got[i][1] == 0.0
+            else:
+                assert abs(got[i][1] - want_d) <= 1e-9 * want_d
+            assert abs(got[i][2] - want_ld) <= 1e-9 * max(want_ld, 1.0)
+    assert trials >= 4
+
+
 def test_array_literal_classifier_fuzz():
     """Random compositions of subscripts (must survive) and bracket
     literals (must lower to ARRAY(...)) through the dialect's
