@@ -93,6 +93,91 @@ RULES = [
     "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "gok.pk",
     "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd",
     "com.lk", "net.lk", "org.lk", "edu.lk", "gov.lk", "web.lk",
+    # r10 data extension (VERDICT r9 item 7): Latin America long tail
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "web.do",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt",
+    "com.sv", "org.sv", "edu.sv", "gob.sv",
+    "com.hn", "net.hn", "org.hn", "edu.hn", "gob.hn",
+    "com.ni", "net.ni", "org.ni", "edu.ni", "gob.ni",
+    "com.pa", "net.pa", "org.pa", "edu.pa", "gob.pa",
+    "com.pr", "net.pr", "org.pr", "edu.pr", "gov.pr", "isla.pr",
+    "co.cr", "or.cr", "ed.cr", "fi.cr", "go.cr",
+    "co.cu", "com.cu", "org.cu", "edu.cu", "gob.cu",
+    # Africa / Middle East / Central Asia long tail
+    "co.ma", "net.ma", "org.ma", "gov.ma", "ac.ma", "press.ma",
+    "com.dz", "net.dz", "org.dz", "edu.dz", "gov.dz",
+    "com.tn", "net.tn", "org.tn", "gov.tn", "ens.tn",
+    "com.ly", "net.ly", "org.ly", "edu.ly", "gov.ly",
+    "com.et", "org.et", "edu.et", "gov.et", "name.et",
+    "co.tz", "or.tz", "go.tz", "ac.tz", "ne.tz", "sc.tz",
+    "co.ug", "or.ug", "go.ug", "ac.ug", "ne.ug", "sc.ug",
+    "co.zm", "org.zm", "gov.zm", "ac.zm",
+    "co.zw", "org.zw", "gov.zw", "ac.zw",
+    "com.gh", "org.gh", "edu.gh", "gov.gh", "mil.gh",
+    "com.ci", "net.ci", "org.ci", "edu.ci", "go.ci",
+    "com.sn", "org.sn", "edu.sn", "gouv.sn", "univ.sn",
+    "com.kw", "net.kw", "org.kw", "edu.kw", "gov.kw",
+    "com.qa", "net.qa", "org.qa", "edu.qa", "gov.qa", "sch.qa",
+    "com.om", "net.om", "org.om", "edu.om", "gov.om", "med.om",
+    "com.bh", "net.bh", "org.bh", "edu.bh", "gov.bh",
+    "com.jo", "net.jo", "org.jo", "edu.jo", "gov.jo", "sch.jo",
+    "com.lb", "net.lb", "org.lb", "edu.lb", "gov.lb",
+    "com.sy", "net.sy", "org.sy", "edu.sy", "gov.sy",
+    "com.ye", "net.ye", "org.ye", "edu.ye", "gov.ye",
+    "com.kz", "org.kz", "edu.kz", "gov.kz", "mil.kz",
+    "com.uz", "co.uz", "net.uz", "org.uz",
+    "com.ge", "net.ge", "org.ge", "edu.ge", "gov.ge", "pvt.ge",
+    "com.az", "net.az", "org.az", "edu.az", "gov.az", "int.az",
+    "com.by", "of.by", "gov.by", "mil.by",
+    "org.kg", "net.kg", "com.kg", "edu.kg", "gov.kg",
+    # Europe long tail
+    "co.hu", "org.hu", "info.hu", "sport.hu", "tm.hu", "2000.hu",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "www.ro", "store.ro",
+    "co.rs", "org.rs", "edu.rs", "in.rs", "ac.rs", "gov.rs",
+    "com.mk", "org.mk", "net.mk", "edu.mk", "gov.mk", "inf.mk",
+    "com.al", "net.al", "org.al", "edu.al", "gov.al", "mil.al",
+    "com.mt", "org.mt", "net.mt", "edu.mt",
+    "com.cy", "org.cy", "net.cy", "gov.cy", "ac.cy", "biz.cy",
+    "com.ee", "org.ee", "edu.ee", "gov.ee", "pri.ee", "med.ee",
+    "com.lv", "org.lv", "edu.lv", "gov.lv", "net.lv", "id.lv",
+    "gov.lt", "mil.lt",
+    "org.se", "pp.se", "com.se", "tm.se", "press.se", "parti.se",
+    "priv.no", "gs.no", "vgs.no", "folkebibl.no",
+    "gc.ca",
+    # Private section long tail — the hosting/CDN domains clickstream
+    # and crawl pipelines hit constantly (publicsuffix.org PRIVATE
+    # DOMAINS section, pinned subset)
+    "blogspot.de", "blogspot.fr", "blogspot.in", "blogspot.it",
+    "blogspot.ca", "blogspot.com.au", "blogspot.mx", "blogspot.nl",
+    "blogspot.se", "blogspot.com.es", "blogspot.co.nz", "blogspot.kr",
+    "blogspot.tw", "blogspot.ie", "blogspot.pt", "blogspot.ch",
+    "blogspot.com.ar", "blogspot.co.za", "blogspot.fi", "blogspot.no",
+    "bitbucket.io", "readthedocs.io", "gitbook.io",
+    "glitch.me", "repl.co", "onrender.com", "fly.dev", "deno.dev",
+    "surge.sh", "neocities.org", "hashnode.dev",
+    "weebly.com", "webflow.io", "wixsite.com",
+    "linodeusercontent.com", "digitaloceanspaces.com",
+    "s3.us-west-1.amazonaws.com", "s3.us-west-2.amazonaws.com",
+    "s3.eu-west-1.amazonaws.com", "s3.eu-west-2.amazonaws.com",
+    "s3.eu-central-1.amazonaws.com", "s3.ap-southeast-1.amazonaws.com",
+    "s3.ap-southeast-2.amazonaws.com", "s3.ap-northeast-1.amazonaws.com",
+    "s3.sa-east-1.amazonaws.com", "s3.ca-central-1.amazonaws.com",
+    "*.compute.amazonaws.com", "*.compute-1.amazonaws.com",
+    "execute-api.us-east-1.amazonaws.com",
+    "lambda-url.us-east-1.on.aws",
+    "azurestaticapps.net", "azurecontainer.io", "azure-api.net",
+    "trafficmanager.net", "blob.core.windows.net",
+    "cdn.cloudflare.net", "r2.dev",
+    "oraclecloudapps.com", "oraclegovcloudapps.com",
+    "run.app", "cloudfunctions.net", "firebasehosting.app",
+    "translate.goog", "withgoogle.com",
+    "freeboxos.fr", "hopto.org", "zapto.org", "sytes.net",
+    "servebeer.com", "serveblog.net", "myftp.org", "webhop.me",
     # PRIVATE section — the entries clickstream pipelines hit daily
     "github.io", "githubusercontent.com", "gitlab.io",
     "blogspot.com", "blogspot.co.uk", "blogspot.com.br", "blogspot.jp",
@@ -107,7 +192,11 @@ RULES = [
 ]
 # fmt: on
 
-PSL_SNAPSHOT = "publicsuffix.org snapshot subset, 2025 edition (pinned)"
+PSL_SNAPSHOT = (
+    "publicsuffix.org snapshot subset, 2025 edition (pinned; r10 "
+    "long-tail extension: LatAm/Africa/MEA/Europe ccTLD registries + "
+    "private-section hosting/CDN domains)"
+)
 
 
 def _grouped():

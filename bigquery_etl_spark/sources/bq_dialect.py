@@ -294,6 +294,90 @@ def _approx_quantiles_rewriter(args: list[str]) -> str:
     return f"PERCENTILE_APPROX({args[0].strip()}, ARRAY({pts}))"
 
 
+_ATC_CMP = """(_atc_a, _atc_b) -> CASE
+        WHEN _atc_a.{m} > _atc_b.{m} THEN -1
+        WHEN _atc_a.{m} < _atc_b.{m} THEN 1
+        WHEN _atc_a.value IS NULL AND _atc_b.value IS NULL THEN 0
+        WHEN _atc_a.value IS NULL THEN 1
+        WHEN _atc_b.value IS NULL THEN -1
+        WHEN _atc_a.value < _atc_b.value THEN -1
+        WHEN _atc_a.value > _atc_b.value THEN 1
+        ELSE 0 END"""
+
+
+def _approx_top_k(args: list[str], fname: str) -> int:
+    try:
+        k = int(args[-1])
+    except ValueError:
+        raise BQDialectError(
+            f"{fname}: number must be a literal integer, got {args[-1]!r}"
+        ) from None
+    if k < 1:
+        raise BQDialectError(f"{fname}: number must be >= 1, got {k}")
+    return k
+
+
+def _approx_top_count_rewriter(args: list[str]) -> str:
+    """``APPROX_TOP_COUNT(x, k)`` → EXACT top-k values by frequency as
+    ``ARRAY<STRUCT<value, count>>`` (BigQuery's return shape; an exact
+    answer is always a legal answer for an APPROX_ function). Lowering:
+    one ``collect_list`` aggregate (Spark dedups the textual repeats
+    into a single physical aggregate buffer) post-processed entirely by
+    JVM-side higher-order functions — distinct values, per-value
+    frequency, frequency-desc/value-asc sort (deterministic tie-break;
+    BigQuery leaves ties unspecified), slice to k. NULL values COUNT
+    (BigQuery does): the collect goes through a non-null STRUCT wrapper
+    so collect_list cannot drop them. Scope, stated loudly: the group's
+    rows are materialized in the aggregation buffer, so this spelling
+    is for bounded-cardinality columns (statuses, countries, codes) —
+    the dashboard shape APPROX_TOP_COUNT exists for. Unbounded heavy
+    hitters at 100 TB use the mergeable CMS operator
+    (operators/sketches.py cms_build/cms_query) instead."""
+    if len(args) != 2:
+        raise BQDialectError(f"APPROX_TOP_COUNT expects (x, number), got {args}")
+    x = args[0].strip()
+    k = _approx_top_k(args, "APPROX_TOP_COUNT")
+    vals = f"TRANSFORM(COLLECT_LIST(STRUCT(({x}) AS _v)), _atc_s -> _atc_s._v)"
+    return (
+        "SLICE(ARRAY_SORT(TRANSFORM("
+        f"ARRAY_DISTINCT({vals}), "
+        f"_atc_x -> STRUCT(_atc_x AS value, "
+        f"CAST(SIZE(FILTER({vals}, _atc_e -> _atc_e <=> _atc_x)) AS BIGINT)"
+        f" AS count)), {_ATC_CMP.format(m='count')}), 1, {k})"
+    )
+
+
+def _approx_top_sum_rewriter(args: list[str]) -> str:
+    """``APPROX_TOP_SUM(x, weight, k)`` → EXACT top-k values by summed
+    weight as ``ARRAY<STRUCT<value, sum>>``. BigQuery semantics kept:
+    rows whose WEIGHT is NULL are ignored (the CASE wrapper makes
+    collect_list drop them), NULL VALUES participate, and the sum's
+    type follows the weight's type (the fold's zero is ``w - w`` of the
+    group's first matching element — type-preserving without knowing
+    the type at rewrite time; the filtered array is non-empty by
+    construction since the value came from it). Same bounded-
+    cardinality scope note as APPROX_TOP_COUNT."""
+    if len(args) != 3:
+        raise BQDialectError(
+            f"APPROX_TOP_SUM expects (x, weight, number), got {args}"
+        )
+    x, w = args[0].strip(), args[1].strip()
+    k = _approx_top_k(args, "APPROX_TOP_SUM")
+    pairs = (
+        f"COLLECT_LIST(CASE WHEN ({w}) IS NOT NULL "
+        f"THEN STRUCT(({x}) AS _v, ({w}) AS _w) END)"
+    )
+    f = f"FILTER({pairs}, _ats_p -> _ats_p._v <=> _atc_x)"
+    return (
+        "SLICE(ARRAY_SORT(TRANSFORM("
+        f"ARRAY_DISTINCT(TRANSFORM({pairs}, _atc_s -> _atc_s._v)), "
+        f"_atc_x -> STRUCT(_atc_x AS value, "
+        f"AGGREGATE({f}, {f}[0]._w - {f}[0]._w, "
+        f"(_ats_acc, _ats_q) -> _ats_acc + _ats_q._w) AS sum)), "
+        f"{_ATC_CMP.format(m='sum')}), 1, {k})"
+    )
+
+
 def _split_rewriter(args: list[str]) -> str:
     """BigQuery ``SPLIT(s [, delim])`` splits on a LITERAL delimiter
     (default ','); Spark's split() takes a REGEX — ``SPLIT(x, '.')``
@@ -2890,6 +2974,12 @@ def translate(sql: str) -> str:
     sql = _rewrite_star_replace(sql)
     sql = _rewrite_array_subquery(sql)
     sql = _rewrite_calls(sql, "APPROX_QUANTILES", _approx_quantiles_rewriter)
+    # APPROX_TOP_COUNT / APPROX_TOP_SUM (r10 VERDICT gap #3): exact
+    # top-k lowering, BigQuery STRUCT array shape; bounded-cardinality
+    # scope documented on the rewriters (CMS operator is the unbounded
+    # path).
+    sql = _rewrite_calls(sql, "APPROX_TOP_COUNT", _approx_top_count_rewriter)
+    sql = _rewrite_calls(sql, "APPROX_TOP_SUM", _approx_top_sum_rewriter)
     sql = _rewrite_calls(sql, "SPLIT", _split_rewriter)
     sql = _rewrite_calls(sql, "ARRAY_AGG", _array_agg_rewriter)
     sql = _rewrite_calls(sql, "STRING_AGG", _string_agg_rewriter)

@@ -1039,3 +1039,81 @@ def test_interval_type_r9(fcat):
     assert translate("SELECT d + INTERVAL 3 DAY FROM t") == (
         "SELECT d + INTERVAL 3 DAY FROM t"
     )
+
+
+def test_approx_top_count_sum_r10(spark):
+    """r10: APPROX_TOP_COUNT / APPROX_TOP_SUM resolve to EXACT top-k
+    in BigQuery's ARRAY<STRUCT> shape. NULL values count for
+    TOP_COUNT; NULL weights drop the row for TOP_SUM; the sum keeps
+    the weight's type; ties break value-asc with NULL last
+    (deterministic where BigQuery is unspecified)."""
+    import pytest as _p
+
+    from bigquery_etl_spark.sources.bq_dialect import BQDialectError
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3), (None, 4), ("a", None), ("b", 6),
+         ("c", 5), (None, 1)],
+        "x string, w int",
+    ).createOrReplaceTempView("atx")
+    cat = LakeCatalog(spark)
+    tc = cat.bq_sql(
+        "SELECT APPROX_TOP_COUNT(x, 3) AS tc FROM atx"
+    ).collect()[0].tc
+    # a:3, b:2, NULL:2 -> NULL ties b at 2, sorts after (NULL last)
+    assert [(r.value, r["count"]) for r in tc] == [
+        ("a", 3), ("b", 2), (None, 2)]
+    ts = cat.bq_sql(
+        "SELECT APPROX_TOP_SUM(x, w, 2) AS ts FROM atx"
+    ).collect()[0].ts
+    # b:8, then c:5 ties NULL:5 and wins (NULL last); the
+    # (a, NULL-weight) row is ignored so a stays at 4
+    assert [(r.value, r["sum"]) for r in ts] == [("b", 8), ("c", 5)]
+    # sum type follows the weight type (int stays int)
+    row = cat.bq_sql(
+        "SELECT APPROX_TOP_SUM(x, CAST(w AS FLOAT64), 1) AS ts FROM atx"
+    ).collect()[0].ts[0]
+    assert row["sum"] == 8.0
+    # grouped form works (the aggregate sits under GROUP BY)
+    g = cat.bq_sql(
+        "SELECT MOD(w, 2) AS g, APPROX_TOP_COUNT(x, 1) AS tc "
+        "FROM atx WHERE w IS NOT NULL GROUP BY g ORDER BY g"
+    ).collect()
+    assert [(r.g, r.tc[0].value) for r in g] == [(0, "b"), (1, "a")]
+    with _p.raises(BQDialectError, match="literal integer"):
+        cat.bq_sql("SELECT APPROX_TOP_COUNT(x, w) FROM atx")
+    with _p.raises(BQDialectError, match=">= 1"):
+        cat.bq_sql("SELECT APPROX_TOP_SUM(x, w, 0) FROM atx")
+    with _p.raises(BQDialectError, match="expects"):
+        cat.bq_sql("SELECT APPROX_TOP_COUNT(x) FROM atx")
+
+
+def test_psl_private_long_tail_r10(fcat):
+    """r10 PSL data extension (VERDICT r9 item 7): private-section
+    hosting/CDN long tail, deep-wildcard AWS compute domains, and the
+    extended ccTLD registries — all pure data additions to
+    functions/psl.py RULES; the lookup codegen is unchanged."""
+    p = fcat.bq_sql(
+        "SELECT NET.REG_DOMAIN('mysite.blogspot.com.au') AS b1, "
+        "NET.PUBLIC_SUFFIX('app.glitch.me') AS g1, "
+        "NET.REG_DOMAIN('x.y.onrender.com') AS o1, "
+        # deep wildcard: *.compute.amazonaws.com
+        "NET.PUBLIC_SUFFIX("
+        "'ec2-1-2-3-4.us-west-2.compute.amazonaws.com') AS aw, "
+        "NET.REG_DOMAIN("
+        "'ec2-1-2-3-4.us-west-2.compute.amazonaws.com') AS awr, "
+        "NET.REG_DOMAIN('bucket.s3.eu-central-1.amazonaws.com') AS s3r, "
+        "NET.REG_DOMAIN('shop.example.com.pe') AS pe, "
+        "NET.PUBLIC_SUFFIX('x.gouv.sn') AS sn, "
+        "NET.REG_DOMAIN('cdn.example.run.app') AS ra"
+    ).collect()[0]
+    assert p.b1 == "mysite.blogspot.com.au"
+    assert p.g1 == "glitch.me"
+    assert p.o1 == "y.onrender.com"
+    assert p.aw == "us-west-2.compute.amazonaws.com"
+    assert p.awr == "ec2-1-2-3-4.us-west-2.compute.amazonaws.com"
+    assert p.s3r == "bucket.s3.eu-central-1.amazonaws.com"
+    assert p.pe == "example.com.pe"
+    assert p.sn == "gouv.sn"
+    assert p.ra == "example.run.app"

@@ -693,3 +693,133 @@ def test_boosted_empty_and_constant_inputs(spark):
         spark.createDataFrame([(9.0,)], "x1 double"), m, out="p"
     ).collect()[0]
     assert p.p == 7.0
+
+
+def _tr_frame(spark, n=300):
+    rows = [
+        (float(i % 13), float((i * 7) % 5),
+         3.0 * (i % 13) - 2.0 * ((i * 7) % 5) + 1.0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "x1 double, x2 double, y double")
+
+
+def test_transform_clause_fit_predict_parity(spark, tmp_path):
+    """r10 BQML TRANSFORM: a model trained with TRANSFORM must score
+    RAW input exactly like the same model trained on pre-transformed
+    input (BigQuery's contract — the transform + fit-time scaler stats
+    travel with the model)."""
+    df = _tr_frame(spark)
+    df.createOrReplaceTempView("tr_train")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.bq_sql(
+        "CREATE MODEL m_tr TRANSFORM("
+        "ML.STANDARD_SCALER(x1) OVER() AS sx1, "
+        "ML.MIN_MAX_SCALER(x2) OVER() AS mx2, "
+        "x1 * x2 AS xx, y) "
+        "OPTIONS(model_type='linear_reg', input_label_cols=['y']) "
+        "AS SELECT x1, x2, y FROM tr_train"
+    )
+    # pre-transform by hand with the same statistics
+    import statistics as st
+
+    rows = df.collect()
+    xs1 = [r.x1 for r in rows]
+    xs2 = [r.x2 for r in rows]
+    mu, sd = st.mean(xs1), st.stdev(xs1)
+    mn, mx = min(xs2), max(xs2)
+    pre = spark.createDataFrame(
+        [((r.x1 - mu) / sd, (r.x2 - mn) / (mx - mn), r.x1 * r.x2, r.y)
+         for r in rows],
+        "sx1 double, mx2 double, xx double, y double",
+    )
+    pre.createOrReplaceTempView("tr_pre")
+    c.sql(
+        "CREATE MODEL m_pre OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM tr_pre"
+    )
+    a = c.sql(
+        "SELECT predicted_y FROM ML.PREDICT(MODEL m_tr, "
+        "(SELECT x1, x2 FROM tr_train)) ORDER BY predicted_y"
+    ).collect()
+    b = c.sql(
+        "SELECT predicted_y FROM ML.PREDICT(MODEL m_pre, "
+        "(SELECT sx1, mx2, xx FROM tr_pre)) ORDER BY predicted_y"
+    ).collect()
+    assert max(
+        abs(p.predicted_y - q.predicted_y) for p, q in zip(a, b)
+    ) < 1e-9
+    # predict output keeps the CALLER's columns, not the transform's
+    out = c.sql(
+        "SELECT * FROM ML.PREDICT(MODEL m_tr, (SELECT x1, x2 FROM tr_train))"
+    )
+    assert out.columns == ["x1", "x2", "predicted_y"]
+    # evaluate on labeled raw input goes through the same transform
+    ev = c.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL m_tr, TABLE tr_train)"
+    ).collect()[0]
+    assert abs(ev.r2_score - 1.0) < 1e-9
+
+
+def test_transform_clause_persistence_and_refusals(spark, tmp_path):
+    """The transform is persisted in the model JSON (ML.PREDICT after
+    reload re-applies it); unsupported TRANSFORM forms refuse loudly."""
+    df = _tr_frame(spark, n=120)
+    df.createOrReplaceTempView("tr_train2")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.bq_sql(
+        "CREATE MODEL m_p TRANSFORM("
+        "ML.STANDARD_SCALER(x1) OVER() AS sx1, x2, y) "
+        "OPTIONS(model_type='linear_reg', input_label_cols=['y']) "
+        "AS SELECT x1, x2, y FROM tr_train2"
+    )
+    saved = ml.load_model(str(tmp_path / "wh" / "_models"), "m_p")
+    assert saved["transform"] == c.models["m_p"]["transform"]
+    assert saved["transform"][0]["kind"] == "standard_scaler"
+    assert "mean" in saved["transform"][0]
+    # a fresh catalog scoring through the RELOADED model must apply
+    # the persisted transform identically
+    c2 = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c2.models["m_p"] = saved
+    a = c.sql(
+        "SELECT predicted_y FROM ML.PREDICT(MODEL m_p, "
+        "(SELECT x1, x2 FROM tr_train2)) ORDER BY predicted_y"
+    ).collect()
+    b = c2.sql(
+        "SELECT predicted_y FROM ML.PREDICT(MODEL m_p, "
+        "(SELECT x1, x2 FROM tr_train2)) ORDER BY predicted_y"
+    ).collect()
+    assert [r.predicted_y for r in a] == [r.predicted_y for r in b]
+    with pytest.raises(ValueError, match="EXCEPT|\\*"):
+        c.bq_sql(
+            "CREATE MODEL m_star TRANSFORM(*, y) OPTIONS("
+            "model_type='linear_reg', input_label_cols=['y']) "
+            "AS SELECT x1, y FROM tr_train2"
+        )
+    with pytest.raises(ValueError, match="unsupported ML preprocessing"):
+        c.bq_sql(
+            "CREATE MODEL m_b TRANSFORM(ML.BUCKETIZE(x1, [1,2]) AS bx, y) "
+            "OPTIONS(model_type='linear_reg', input_label_cols=['y']) "
+            "AS SELECT x1, y FROM tr_train2"
+        )
+    with pytest.raises(ValueError, match="OVER"):
+        c.bq_sql(
+            "CREATE MODEL m_o TRANSFORM(ML.STANDARD_SCALER(x1) AS sx, y) "
+            "OPTIONS(model_type='linear_reg', input_label_cols=['y']) "
+            "AS SELECT x1, y FROM tr_train2"
+        )
+    with pytest.raises(ValueError, match="dnn"):
+        c.sql(
+            "CREATE MODEL m_d OPTIONS(model_type='dnn_regressor', "
+            "input_label_cols=['y']) AS SELECT x1, y FROM tr_train2"
+        )
+    with pytest.raises(ValueError, match="collides"):
+        c.bq_sql(
+            "CREATE MODEL m_c TRANSFORM(x1 + 0 AS x2, x2 AS x2b, y) "
+            "OPTIONS(model_type='linear_reg', input_label_cols=['y']) "
+            "AS SELECT x1, x2, y FROM tr_train2"
+        )
+        c.sql(
+            "SELECT * FROM ML.PREDICT(MODEL m_c, "
+            "(SELECT x1, x2 FROM tr_train2))"
+        )
