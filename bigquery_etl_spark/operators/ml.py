@@ -93,6 +93,9 @@ def fit_linear_reg(
         "rss": rss,
         "tss": tss,
         "r2": 1.0 - rss / tss if tss > 0 else float("nan"),
+        # normal equations converge in one "iteration" — the final MSE
+        # comes from the same sufficient statistics, no extra pass
+        "training_info": [{"iteration": 0, "loss": rss / n}],
     }
 
 
@@ -150,6 +153,7 @@ def fit_logistic_reg(
     k = len(feats)
     y = F.col(label).cast("double")
     beta = np.zeros(k)
+    losses: list[float] = []
     for _ in range(n_iters):
         eta = F.lit(float(beta[0]))
         for i in range(1, k):
@@ -163,7 +167,16 @@ def fit_logistic_reg(
                     F.sum(w * feats[i] * feats[j]).alias(f"__h_{i}_{j}")
                 )
             aggs.append(F.sum((y - p) * feats[i]).alias(f"__g_{i}"))
+        # ML.TRAINING_INFO (r10): the mean clipped log-loss at the
+        # CURRENT beta rides the same aggregate pass for free
+        eps = F.lit(1e-15)
+        pc = F.greatest(F.least(p, F.lit(1.0) - eps), eps)
+        aggs.append(
+            (-F.avg(y * F.log(pc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc))
+             ).alias("__loss")
+        )
         row = df.agg(*aggs).collect()[0]
+        losses.append(float(row["__loss"]))
         hess = np.zeros((k, k))
         for i in range(k):
             for j in range(i, k):
@@ -177,12 +190,20 @@ def fit_logistic_reg(
         beta = beta + step
         if float(np.max(np.abs(step))) < tol:
             break
+    # losses[i] is the loss at the beta AFTER i Newton steps, so the
+    # list is the full descent trajectory INCLUDING the initial
+    # beta=0 loss (ln 2) as iteration 0 — one index off BigQuery's
+    # "loss after iteration i" ladder, documented divergence that
+    # preserves the information (strictly decreasing on convergence)
     return {
         "model_type": "logistic_reg",
         "features": list(features),
         "label": label,
         "intercept": float(beta[0]),
         "coefficients": [float(b) for b in beta[1:]],
+        "training_info": [
+            {"iteration": i, "loss": ls} for i, ls in enumerate(losses)
+        ],
     }
 
 
@@ -308,6 +329,11 @@ def fit_kmeans(
                 else cents[c]
                 for c in range(k)
             ]
+        # training distance distribution for ML.DETECT_ANOMALIES
+        # (r10): one extra percentile pass while src is still cached
+        grid = _dist_quantile_grid(
+            src, _nearest_centroid_dist(F.col("__v"), cents)
+        )
     finally:
         src.unpersist()
     return {
@@ -315,6 +341,7 @@ def fit_kmeans(
         "features": list(features),
         "k": k,
         "centroids": cents,
+        "dist_quantiles": grid,
     }
 
 
@@ -374,7 +401,7 @@ def fit_pca(
         if comps[r, k] < 0:
             comps[r] = -comps[r]
     total = float(evals.sum()) or 1.0
-    return {
+    model = {
         "model_type": "pca",
         "features": list(features),
         "n_components": int(n_components),
@@ -388,6 +415,12 @@ def fit_pca(
         ],
         "n": int(n),
     }
+    # training reconstruction-error distribution for
+    # ML.DETECT_ANOMALIES (r10): one extra percentile pass
+    model["dist_quantiles"] = _dist_quantile_grid(
+        df, _pca_recon_error(model)
+    )
+    return model
 
 
 def predict_pca(df: DataFrame, model: dict) -> DataFrame:
@@ -1387,3 +1420,250 @@ def feature_importance_boosted(
         "feature string, importance_weight double, "
         "importance_gain double, importance_cover double",
     )
+
+
+# -- BQML inspection / anomaly pack (r10) -------------------------------------
+#
+# ML.CONFUSION_MATRIX / ML.ROC_CURVE / ML.DETECT_ANOMALIES /
+# ML.FEATURE_INFO / ML.TRAINING_INFO — the BigQuery model-inspection
+# surface (delegated in the reference, main.py:21,49-50). Every
+# computation is either fit-time sufficient statistics persisted in
+# the model dict or a single codegen aggregate pass at call time.
+
+
+def _nearest_centroid_dist(vec: Column, centroids: list[list[float]]) -> Column:
+    """Euclidean distance to the NEAREST centroid as one codegen
+    expression: argmax over (x·c − ‖c‖²/2) gives the best centroid, so
+    dist² = ‖x‖² − 2·max_score — linear in k, no UDF."""
+    from bigquery_etl_spark.operators.similarity import dot
+
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    half_sq = F.array(
+        *[F.lit(sum(x * x for x in c) / 2.0) for c in centroids]
+    )
+    best = F.array_max(
+        F.zip_with(
+            F.transform(cent_arr, lambda c: dot(vec, c)),
+            half_sq,
+            lambda d, h: d - h,
+        )
+    )
+    return F.sqrt(F.greatest(dot(vec, vec) - 2.0 * best, F.lit(0.0)))
+
+
+_Q_GRID = 1001  # fit-time quantile grid resolution (0.1% contamination steps)
+
+
+def _dist_quantile_grid(df: DataFrame, dist: Column) -> list[float]:
+    """1001-point quantile grid of a distance/error expression over the
+    TRAINING frame — one distributed percentile_approx pass; the grid
+    (8KB) persists in the model JSON so ML.DETECT_ANOMALIES thresholds
+    come from TRAINING data (BigQuery's contract), not from the scored
+    input."""
+    pts = ", ".join(f"{i / (_Q_GRID - 1)}D" for i in range(_Q_GRID))
+    row = df.select(dist.alias("__d")).agg(
+        F.expr(f"percentile_approx(__d, array({pts}), 10000)").alias("__q")
+    ).collect()[0]
+    return [float(v) for v in row["__q"]]
+
+
+def _contamination_threshold(model: dict, contamination: float) -> float:
+    if not 0.0 < contamination <= 0.5:
+        raise ValueError(
+            f"contamination must be in (0, 0.5], got {contamination}"
+        )
+    grid = model.get("dist_quantiles")
+    if not grid:
+        raise ValueError(
+            "model has no training distance distribution — retrain with "
+            "this engine version (dist_quantiles persisted at fit time)"
+        )
+    idx = min(_Q_GRID - 1, max(0, round((1.0 - contamination) * (_Q_GRID - 1))))
+    return float(grid[idx]) or 1e-300  # guard zero threshold
+
+
+def detect_anomalies(
+    df: DataFrame, model: dict, contamination: float = 0.1
+) -> DataFrame:
+    """``ML.DETECT_ANOMALIES(MODEL m, STRUCT(c AS contamination), t)``
+    for kmeans (distance to nearest centroid) and pca (reconstruction
+    error of the truncated basis) — the two closed-form detectors.
+    The threshold is the (1−c) quantile of the TRAINING distance/error
+    distribution persisted at fit; scoring is one broadcast-constants
+    codegen projection. ARIMA_PLUS in-sample anomaly detection needs
+    the sequential residual reconstruction and refuses loudly."""
+    mt = model["model_type"]
+    if mt == "kmeans":
+        vec = F.array(
+            *[F.col(c).cast("double") for c in model["features"]]
+        )
+        dist = _nearest_centroid_dist(vec, model["centroids"])
+        thr = _contamination_threshold(model, contamination)
+        out = df.withColumn(
+            "centroid_id", _argmin_dist(vec, model["centroids"])
+        ).withColumn(
+            "normalized_distance", dist / F.lit(thr)
+        )
+        return out.withColumn(
+            "is_anomaly", F.col("normalized_distance") > 1.0
+        )
+    if mt == "pca":
+        err = _pca_recon_error(model)
+        thr = _contamination_threshold(model, contamination)
+        out = df.withColumn("mean_squared_error", err * err / F.lit(
+            float(len(model["features"]))
+        ))
+        return out.withColumn(
+            "is_anomaly", err > F.lit(thr)
+        )
+    raise ValueError(
+        "ML.DETECT_ANOMALIES: kmeans or pca (arima_plus in-sample "
+        "reconstruction is out of scope — documented refusal)"
+    )
+
+
+def _pca_recon_error(model: dict) -> Column:
+    """‖(x−μ) − Vᵀ·V·(x−μ)‖ with V = the n_components basis — fully
+    unrolled constant arithmetic (d·k multiplies), whole-stage
+    codegen."""
+    feats, mean = model["features"], model["mean"]
+    comps = model["components"]
+    centered = [
+        F.col(c).cast("double") - F.lit(m) for c, m in zip(feats, mean)
+    ]
+    projs = []
+    for comp in comps:
+        p = F.lit(0.0)
+        for x, w in zip(centered, comp):
+            p = p + x * F.lit(w)
+        projs.append(p)
+    sq = F.lit(0.0)
+    for d_i in range(len(feats)):
+        recon = F.lit(0.0)
+        for comp, p in zip(comps, projs):
+            recon = recon + p * F.lit(comp[d_i])
+        diff = centered[d_i] - recon
+        sq = sq + diff * diff
+    return F.sqrt(sq)
+
+
+def confusion_matrix(df: DataFrame, model: dict) -> DataFrame:
+    """``ML.CONFUSION_MATRIX(MODEL m, t)`` — one groupBy-pivot over the
+    scored input; binary classifiers (logistic_reg,
+    boosted_tree_classifier). Column naming follows BigQuery: the
+    label values themselves (stringified), expected down the rows,
+    predicted across the columns."""
+    mt = model["model_type"]
+    if mt == "logistic_reg":
+        scored = predict_logistic_reg(df, model, out="__yhat", prob_out="__p")
+    elif mt == "boosted_tree_classifier" or (
+        mt.startswith("boosted_tree") and model.get("objective") == "classification"
+    ):
+        scored = predict_boosted_trees(df, model, out="__yhat", prob_out="__p")
+    else:
+        raise ValueError(
+            "ML.CONFUSION_MATRIX: logistic_reg or boosted_tree_classifier"
+        )
+    y = F.col(model["label"]).cast("int")
+    return (
+        scored.select(
+            y.cast("string").alias("expected_label"),
+            F.col("__yhat").cast("string").alias("__pred"),
+        )
+        .groupBy("expected_label")
+        .pivot("__pred", ["0", "1"])
+        .count()
+        .na.fill(0, ["0", "1"])
+        .orderBy("expected_label")
+    )
+
+
+def roc_curve(
+    df: DataFrame, model: dict, thresholds: list[float] | None = None
+) -> DataFrame:
+    """``ML.ROC_CURVE(MODEL m, t [, thresholds])`` — EXACT counts at
+    every threshold in ONE aggregate pass (2·T+2 conditional sums,
+    map-side combined, codegen), reshaped to BigQuery's row-per-
+    threshold output by inline(). T is bounded (≤256) because each
+    threshold adds two aggregate expressions to the plan."""
+    if thresholds is None:
+        thresholds = [i / 100.0 for i in range(101)]
+    if not 1 <= len(thresholds) <= 256:
+        raise ValueError(
+            f"ML.ROC_CURVE: 1..256 thresholds, got {len(thresholds)}"
+        )
+    mt = model["model_type"]
+    if mt == "logistic_reg":
+        scored = predict_logistic_reg(df, model, out="__yhat", prob_out="__p")
+    elif mt.startswith("boosted_tree") and model.get("objective") == "classification":
+        scored = predict_boosted_trees(df, model, out="__yhat", prob_out="__p")
+    else:
+        raise ValueError(
+            "ML.ROC_CURVE: logistic_reg or boosted_tree_classifier"
+        )
+    y = F.col(model["label"]).cast("int")
+    p = F.col("__p")
+    aggs = [
+        F.sum((y == 1).cast("long")).alias("__pos"),
+        F.sum((y == 0).cast("long")).alias("__neg"),
+    ]
+    for i, t in enumerate(thresholds):
+        aggs.append(
+            F.sum(((p >= F.lit(float(t))) & (y == 1)).cast("long")).alias(f"__tp_{i}")
+        )
+        aggs.append(
+            F.sum(((p >= F.lit(float(t))) & (y == 0)).cast("long")).alias(f"__fp_{i}")
+        )
+    one = scored.agg(*aggs)
+    entries = []
+    for i, t in enumerate(thresholds):
+        tp, fp = F.col(f"__tp_{i}"), F.col(f"__fp_{i}")
+        entries.append(F.struct(
+            F.lit(float(t)).alias("threshold"),
+            (tp / F.greatest(F.col("__pos"), F.lit(1))).alias("recall"),
+            (fp / F.greatest(F.col("__neg"), F.lit(1))).alias(
+                "false_positive_rate"
+            ),
+            tp.alias("true_positives"),
+            fp.alias("false_positives"),
+            (F.col("__neg") - fp).alias("true_negatives"),
+            (F.col("__pos") - tp).alias("false_negatives"),
+        ))
+    return one.select(F.inline(F.array(*entries)))
+
+
+def feature_stats(df: DataFrame, features: list[str]) -> list[dict]:
+    """Per-feature training statistics for ``ML.FEATURE_INFO`` — ONE
+    distributed aggregate pass (6 scalars per feature), persisted in
+    the model dict like BigQuery persists them with the model."""
+    aggs: list[Column] = []
+    for i, c in enumerate(features):
+        x = F.col(c).cast("double")
+        aggs += [
+            F.min(x).alias(f"__mn_{i}"),
+            F.max(x).alias(f"__mx_{i}"),
+            F.avg(x).alias(f"__me_{i}"),
+            F.stddev(x).alias(f"__sd_{i}"),
+            F.expr(f"percentile_approx(CAST({c} AS DOUBLE), 0.5, 10000)")
+            .alias(f"__md_{i}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nu_{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+
+    def _f(v):
+        return None if v is None else float(v)
+
+    return [
+        {
+            "input": c,
+            "min": _f(row[f"__mn_{i}"]),
+            "max": _f(row[f"__mx_{i}"]),
+            "mean": _f(row[f"__me_{i}"]),
+            "median": _f(row[f"__md_{i}"]),
+            "stddev": _f(row[f"__sd_{i}"]),
+            "null_count": int(row[f"__nu_{i}"] or 0),
+        }
+        for i, c in enumerate(features)
+    ]

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigquery_etl_spark.registry import query
 from bigquery_etl_spark.sources import load
@@ -518,4 +519,180 @@ def q_ml_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__n").cast("long").alias("n"),
         (F.col("__err") < 1e-6).alias("fit_exact"),
         (F.abs(F.col("r2_score") - 1.0) < 1e-9).alias("r2_perfect"),
+    )
+
+
+@query(
+    "q_ml_inspect",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS cm_diagonal, TRUE AS roc_monotone,
+           TRUE AS auc_perfect, TRUE AS loss_decreasing,
+           TRUE AS feature_stats_exact
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    tags=("ml", "dialect"),
+    # invariant twin: model internals live in engine float space; the
+    # checks are planted-separability properties
+    twin="invariant",
+)
+def q_ml_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQML inspection surface (r10): ML.CONFUSION_MATRIX (groupBy-
+    pivot of the scored input), ML.ROC_CURVE (EXACT per-threshold
+    counts in ONE 2T+2-scalar aggregate pass, inline()-reshaped to
+    BigQuery's row-per-threshold), ML.TRAINING_INFO (per-iteration
+    IRLS loss riding the existing Newton pass for free) and
+    ML.FEATURE_INFO (fit-time per-feature stats pass persisted with
+    the model). Invariants on a linearly separable planted label: the
+    confusion matrix is exactly diagonal, recall/FPR are monotone
+    non-increasing in the threshold with endpoints (1,1)->(~0,0), the
+    trapezoid AUC is 1, the IRLS loss trajectory strictly decreases
+    from ln 2, and FEATURE_INFO's min/max/mean match exact aggregates.
+    Reference surface: BigQuery ML (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    ).select(
+        (F.col("o_orderkey") % 83).cast("double").alias("x1"),
+        (F.col("o_custkey") % 29).cast("double").alias("x2"),
+    ).withColumn(
+        "y",
+        (F.col("x1") - F.col("x2") > F.lit(20.0)).cast("int"),
+    ).createOrReplaceTempView("mli_pts")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL mli_m OPTIONS("
+        "model_type='logistic_reg', input_label_cols=['y'], "
+        "max_iterations=16) AS SELECT * FROM mli_pts"
+    )
+    cm = cat.sql(
+        "SELECT * FROM ML.CONFUSION_MATRIX(MODEL mli_m, TABLE mli_pts)"
+    )
+    cm_ok = cm.agg(
+        F.min(
+            F.when(F.col("expected_label") == "0", F.col("1") == 0)
+            .otherwise(F.col("0") == 0)
+        ).alias("ok")
+    )
+    roc = cat.sql(
+        "SELECT * FROM ML.ROC_CURVE(MODEL mli_m, TABLE mli_pts)"
+    )
+    w = Window.orderBy("threshold")
+    roc_chk = roc.select(
+        "threshold", "recall", "false_positive_rate",
+        (F.lag("recall").over(w) >= F.col("recall")).alias("__r_mono"),
+        (F.lag("false_positive_rate").over(w)
+         >= F.col("false_positive_rate")).alias("__f_mono"),
+        # trapezoid AUC over the (fpr, recall) staircase
+        ((F.lag("false_positive_rate").over(w)
+          - F.col("false_positive_rate"))
+         * (F.lag("recall").over(w) + F.col("recall")) / 2.0
+         ).alias("__auc_piece"),
+    ).agg(
+        F.min(F.coalesce("__r_mono", F.lit(True))).alias("r_mono"),
+        F.min(F.coalesce("__f_mono", F.lit(True))).alias("f_mono"),
+        F.sum("__auc_piece").alias("auc"),
+    )
+    ti = cat.sql("SELECT * FROM ML.TRAINING_INFO(MODEL mli_m)")
+    wi = Window.orderBy("iteration")
+    ti_chk = ti.select(
+        (F.lag("loss").over(wi) > F.col("loss")).alias("__dec")
+    ).agg(F.min(F.coalesce("__dec", F.lit(True))).alias("dec"))
+    fi = cat.sql("SELECT * FROM ML.FEATURE_INFO(MODEL mli_m)")
+    exact = spark.table("mli_pts").agg(
+        F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
+        F.avg("x1").alias("me1"),
+    )
+    fi_chk = fi.filter(F.col("input") == "x1").crossJoin(exact).select(
+        ((F.col("min") == F.col("mn1")) & (F.col("max") == F.col("mx1"))
+         & (F.abs(F.col("mean") - F.col("me1")) < 1e-9)).alias("fs_ok")
+    )
+    n_df = spark.table("mli_pts").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        n_df.crossJoin(cm_ok).crossJoin(roc_chk).crossJoin(ti_chk)
+        .crossJoin(fi_chk)
+        .select(
+            F.col("__n").cast("long").alias("n"),
+            F.col("ok").alias("cm_diagonal"),
+            (F.col("r_mono") & F.col("f_mono")).alias("roc_monotone"),
+            (F.abs(F.col("auc") - 1.0) < 1e-9).alias("auc_perfect"),
+            F.col("dec").alias("loss_decreasing"),
+            F.col("fs_ok").alias("feature_stats_exact"),
+        )
+    )
+
+
+@query(
+    "q_ml_anomaly",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS planted_flagged, TRUE AS rate_calibrated,
+           TRUE AS pca_planted_flagged
+    FROM customer
+    """,
+    tags=("ml", "dialect"),
+    twin="invariant",
+)
+def q_ml_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML.DETECT_ANOMALIES (r10) for kmeans (distance to nearest
+    centroid) and pca (truncated-basis reconstruction error) — the
+    threshold is the (1-contamination) quantile of the TRAINING
+    distance/error distribution persisted at fit time (one extra
+    percentile pass; BigQuery's contract that thresholds come from
+    training data, not the scored input), scoring is one broadcast-
+    constants codegen projection. Invariants: planted far outliers
+    (coordinates 100x the data range) must all flag for BOTH models,
+    and the kmeans flag rate on training data must be within 2x of
+    the requested contamination. ARIMA in-sample detection refuses
+    loudly. Reference: BigQuery ML (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    # train on CLEAN data only — an outlier inside the training set
+    # captures a kmeans centroid / rotates the PCA basis toward
+    # itself and is then, correctly, not anomalous
+    load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 37).cast("double").alias("a"),
+        ((F.col("c_custkey") % 23) + (F.col("c_custkey") % 37) * 0.5)
+        .cast("double").alias("b"),
+    ).createOrReplaceTempView("mla_train")
+    spark.table("mla_train").unionAll(
+        spark.range(8).select(
+            (F.lit(5000.0) + F.col("id") * 10).alias("a"),
+            (F.lit(-4000.0) - F.col("id") * 10).alias("b"),
+        )
+    ).createOrReplaceTempView("mla_score")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL mla_km OPTIONS(model_type='kmeans', "
+        "num_clusters=4, max_iterations=6) AS SELECT * FROM mla_train"
+    )
+    cat.sql(
+        "CREATE OR REPLACE MODEL mla_pca OPTIONS(model_type='pca', "
+        "num_principal_components=1) AS SELECT * FROM mla_train"
+    )
+    km = cat.sql(
+        "SELECT a, is_anomaly FROM ML.DETECT_ANOMALIES("
+        "MODEL mla_km, STRUCT(0.03 AS contamination), TABLE mla_score)"
+    )
+    pca = cat.sql(
+        "SELECT a, is_anomaly FROM ML.DETECT_ANOMALIES("
+        "MODEL mla_pca, STRUCT(0.03 AS contamination), TABLE mla_score)"
+    )
+    planted = F.col("a") >= 4000.0
+    km_sum = km.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.when(planted, F.col("is_anomaly"))).alias("km_planted"),
+        F.avg(
+            F.when(~planted, F.col("is_anomaly").cast("double"))
+        ).alias("km_rate"),
+    )
+    pca_sum = pca.agg(
+        F.min(F.when(planted, F.col("is_anomaly"))).alias("pca_planted")
+    )
+    return km_sum.crossJoin(pca_sum).select(
+        (F.col("__n") - 8).cast("long").alias("n"),
+        F.col("km_planted").alias("planted_flagged"),
+        (F.col("km_rate") <= 0.06).alias("rate_calibrated"),
+        F.col("pca_planted").alias("pca_planted_flagged"),
     )

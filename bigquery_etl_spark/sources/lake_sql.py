@@ -3237,6 +3237,12 @@ class LakeCatalog:
             # fit-time transform (and fit-time scaler statistics) to
             # raw input — BigQuery's TRANSFORM contract
             model["transform"] = transform_items
+        if model.get("features"):
+            # ML.FEATURE_INFO (r10): per-feature training stats ride
+            # one extra aggregate pass and persist with the model
+            model["feature_stats"] = _ml.feature_stats(
+                df, model["features"]
+            )
         self.models[name] = model
         if self.warehouse:
             import os as _os
@@ -3301,7 +3307,8 @@ class LakeCatalog:
             r"(?i)\bML\s*\.\s*(PREDICT|EVALUATE|WEIGHTS|CENTROIDS|"
             r"PRINCIPAL_COMPONENTS|PRINCIPAL_COMPONENT_INFO|RECOMMEND|"
             r"EXPLAIN_FORECAST|FORECAST|ARIMA_EVALUATE|"
-            r"ARIMA_COEFFICIENTS|FEATURE_IMPORTANCE)\s*\("
+            r"ARIMA_COEFFICIENTS|FEATURE_IMPORTANCE|CONFUSION_MATRIX|"
+            r"ROC_CURVE|DETECT_ANOMALIES|FEATURE_INFO|TRAINING_INFO)\s*\("
         )
         n = 0
         while True:
@@ -3380,6 +3387,102 @@ class LakeCatalog:
                     # columns; the transform's intermediate features
                     # are internal to the model
                     df = df.drop(*tr_added)
+            elif fn == "CONFUSION_MATRIX":
+                if not mm.group(2):
+                    raise ValueError("ML.CONFUSION_MATRIX needs an input table")
+                df = self._ml_input_df(mm.group(2))
+                if model.get("transform"):
+                    df, _ = self._apply_transform_columns(df, model)
+                df = _ml.confusion_matrix(df, model)
+            elif fn == "ROC_CURVE":
+                from bigquery_etl_spark.sources.bq_dialect import (
+                    _split_args,
+                    translate,
+                )
+
+                if not mm.group(2):
+                    raise ValueError("ML.ROC_CURVE needs an input table")
+                parts = _split_args(mm.group(2))
+                thresholds = None
+                if len(parts) >= 2:
+                    # literal thresholds expression (GENERATE_ARRAY /
+                    # [...] array literal — bracket commas split at
+                    # this level, so the tail re-joins): constant-
+                    # folded driver-side, bounded to 256 by roc_curve
+                    row = self.spark.sql(
+                        translate(
+                            f"SELECT {', '.join(parts[1:])} AS __t"
+                        )
+                    ).collect()[0]
+                    thresholds = [float(v) for v in row["__t"]]
+                df = self._ml_input_df(parts[0])
+                if model.get("transform"):
+                    df, _ = self._apply_transform_columns(df, model)
+                df = _ml.roc_curve(df, model, thresholds)
+            elif fn == "DETECT_ANOMALIES":
+                from bigquery_etl_spark.sources.bq_dialect import (
+                    _split_args,
+                )
+
+                if not mm.group(2):
+                    raise ValueError(
+                        "ML.DETECT_ANOMALIES needs an input table"
+                    )
+                parts = _split_args(mm.group(2))
+                contamination = 0.1
+                if len(parts) == 2:
+                    sm2 = re.match(
+                        r"(?is)^\s*STRUCT\s*\(\s*([0-9.eE+-]+)\s+AS\s+"
+                        r"contamination\s*\)\s*$",
+                        parts[0],
+                    )
+                    if not sm2:
+                        raise ValueError(
+                            "ML.DETECT_ANOMALIES settings must be "
+                            "STRUCT(<literal> AS contamination), got "
+                            f"{parts[0]!r}"
+                        )
+                    contamination = float(sm2.group(1))
+                    parts = parts[1:]
+                if len(parts) != 1:
+                    raise ValueError(
+                        "ML.DETECT_ANOMALIES(MODEL m [, STRUCT(c AS "
+                        "contamination)], input)"
+                    )
+                df = self._ml_input_df(parts[0])
+                if model.get("transform"):
+                    df, _ = self._apply_transform_columns(df, model)
+                df = _ml.detect_anomalies(df, model, contamination)
+            elif fn == "FEATURE_INFO":
+                stats = model.get("feature_stats")
+                if not stats:
+                    raise ValueError(
+                        "model has no feature statistics — retrain with "
+                        "this engine version (feature_stats persisted "
+                        "at fit time)"
+                    )
+                df = self.spark.createDataFrame(
+                    [
+                        (
+                            s["input"], s["min"], s["max"], s["mean"],
+                            s["median"], s["stddev"], s["null_count"],
+                        )
+                        for s in stats
+                    ],
+                    "input string, min double, max double, mean double, "
+                    "median double, stddev double, null_count long",
+                )
+            elif fn == "TRAINING_INFO":
+                ti = model.get("training_info")
+                if not ti:
+                    raise ValueError(
+                        "model has no training_info (available for "
+                        "linear_reg and logistic_reg)"
+                    )
+                df = self.spark.createDataFrame(
+                    [(0, int(t["iteration"]), float(t["loss"])) for t in ti],
+                    "training_run int, iteration int, loss double",
+                )
             elif fn == "WEIGHTS":
                 if model["model_type"] not in ("linear_reg", "logistic_reg"):
                     raise ValueError(

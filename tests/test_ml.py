@@ -141,9 +141,15 @@ def test_model_persisted_to_warehouse(cat, tmp_path):
 def test_unknown_model_and_type_refuse(cat):
     with pytest.raises(ValueError, match="unknown model"):
         cat.sql("SELECT * FROM ML.PREDICT(MODEL ghost, TABLE train)")
-    with pytest.raises(ValueError, match="not implemented"):
+    # r10: dnn_* gets its own NAMED refusal (no NN runtime)
+    with pytest.raises(ValueError, match="out of scope"):
         cat.sql(
             "CREATE MODEL bad OPTIONS(model_type='dnn_classifier', "
+            "input_label_cols=['y']) AS SELECT * FROM train"
+        )
+    with pytest.raises(ValueError, match="not implemented"):
+        cat.sql(
+            "CREATE MODEL bad2 OPTIONS(model_type='automl_regressor', "
             "input_label_cols=['y']) AS SELECT * FROM train"
         )
 
@@ -822,4 +828,180 @@ def test_transform_clause_persistence_and_refusals(spark, tmp_path):
         c.sql(
             "SELECT * FROM ML.PREDICT(MODEL m_c, "
             "(SELECT x1, x2 FROM tr_train2))"
+        )
+
+
+def test_inspection_pack_confusion_roc(spark, tmp_path):
+    """r10 BQML inspection: exact diagonal confusion matrix on
+    separable data, exact per-threshold ROC counts, custom threshold
+    arrays, and the named refusals."""
+    rows = [
+        (float(i % 20), float((i * 3) % 17),
+         1 if (i % 20) + ((i * 3) % 17) > 18 else 0)
+        for i in range(400)
+    ]
+    spark.createDataFrame(rows, "x1 double, x2 double, y int")\
+        .createOrReplaceTempView("insp_cls")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.sql(
+        "CREATE MODEL insp_m OPTIONS(model_type='logistic_reg', "
+        "input_label_cols=['y'], max_iterations=12) "
+        "AS SELECT * FROM insp_cls"
+    )
+    cm = {
+        r.expected_label: (r["0"], r["1"])
+        for r in c.sql(
+            "SELECT * FROM ML.CONFUSION_MATRIX(MODEL insp_m, "
+            "TABLE insp_cls)"
+        ).collect()
+    }
+    n_pos = sum(1 for r in rows if r[2] == 1)
+    assert cm["0"] == (400 - n_pos, 0) and cm["1"] == (0, n_pos)
+    roc = c.sql(
+        "SELECT * FROM ML.ROC_CURVE(MODEL insp_m, TABLE insp_cls, "
+        "[0.0, 0.5, 1.0])"
+    ).collect()
+    assert [r.threshold for r in roc] == [0.0, 0.5, 1.0]
+    # threshold 0: everything predicted positive
+    assert roc[0].true_positives == n_pos
+    assert roc[0].false_positives == 400 - n_pos
+    assert roc[0].recall == 1.0 and roc[0].false_positive_rate == 1.0
+    # exact count identities at every threshold
+    for r in roc:
+        assert r.true_positives + r.false_negatives == n_pos
+        assert r.false_positives + r.true_negatives == 400 - n_pos
+    # default grid is 101 thresholds
+    assert c.sql(
+        "SELECT COUNT(*) AS n FROM ML.ROC_CURVE(MODEL insp_m, "
+        "TABLE insp_cls)"
+    ).collect()[0].n == 101
+    with pytest.raises(ValueError, match="1..256"):
+        c.sql(
+            "SELECT * FROM ML.ROC_CURVE(MODEL insp_m, TABLE insp_cls, "
+            "GENERATE_ARRAY(1, 300))"
+        )
+    # linear_reg is not a classifier
+    c.sql(
+        "CREATE MODEL insp_lin OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT x1, y FROM insp_cls"
+    )
+    with pytest.raises(ValueError, match="logistic_reg or boosted"):
+        c.sql(
+            "SELECT * FROM ML.CONFUSION_MATRIX(MODEL insp_lin, "
+            "TABLE insp_cls)"
+        )
+
+
+def test_inspection_pack_info_surfaces(spark, tmp_path):
+    """ML.TRAINING_INFO (loss trajectory) and ML.FEATURE_INFO
+    (fit-time stats) persist with the model across a JSON reload."""
+    rows = [(float(i % 13), 2.0 * (i % 13) + 1.0) for i in range(100)]
+    spark.createDataFrame(rows, "x double, y double")\
+        .createOrReplaceTempView("insp_lin2")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.sql(
+        "CREATE MODEL insp_l2 OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM insp_lin2"
+    )
+    ti = c.sql(
+        "SELECT * FROM ML.TRAINING_INFO(MODEL insp_l2)"
+    ).collect()
+    assert len(ti) == 1 and ti[0].iteration == 0
+    assert ti[0].loss < 1e-18  # exact fit -> ~zero MSE
+    fi = {r.input: r for r in c.sql(
+        "SELECT * FROM ML.FEATURE_INFO(MODEL insp_l2)"
+    ).collect()}
+    assert fi["x"].min == 0.0 and fi["x"].max == 12.0
+    assert abs(fi["x"].mean - sum(r[0] for r in rows) / 100) < 1e-12
+    assert fi["x"].null_count == 0
+    # reload: the stats travel in the model JSON
+    saved = ml.load_model(str(tmp_path / "wh" / "_models"), "insp_l2")
+    assert saved["feature_stats"] == c.models["insp_l2"]["feature_stats"]
+    assert saved["training_info"] == c.models["insp_l2"]["training_info"]
+    # logistic: strictly decreasing trajectory from ln 2
+    spark.createDataFrame(
+        [(float(i), 1 if i > 50 else 0) for i in range(100)],
+        "x double, y int",
+    ).createOrReplaceTempView("insp_lg")
+    c.sql(
+        "CREATE MODEL insp_lg_m OPTIONS(model_type='logistic_reg', "
+        "input_label_cols=['y'], max_iterations=8) "
+        "AS SELECT * FROM insp_lg"
+    )
+    losses = [r.loss for r in c.sql(
+        "SELECT * FROM ML.TRAINING_INFO(MODEL insp_lg_m) "
+        "ORDER BY iteration"
+    ).collect()]
+    assert abs(losses[0] - 0.6931471805599453) < 1e-9
+    assert all(a > b for a, b in zip(losses, losses[1:]))
+
+
+def test_detect_anomalies_kmeans_pca(spark, tmp_path):
+    """ML.DETECT_ANOMALIES: thresholds come from the TRAINING
+    distance/error distribution (persisted quantile grid); planted far
+    outliers flag for both detectors; contamination validates; arima
+    refuses with a name."""
+    import random
+
+    random.seed(11)
+    pts = [(random.gauss(0, 0.5), random.gauss(0, 0.5))
+           for _ in range(400)]
+    pts += [(random.gauss(10, 0.5), random.gauss(10, 0.5))
+            for _ in range(400)]
+    spark.createDataFrame(pts, "a double, b double")\
+        .createOrReplaceTempView("an_train")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.sql(
+        "CREATE MODEL an_km OPTIONS(model_type='kmeans', "
+        "num_clusters=2, max_iterations=6) AS SELECT * FROM an_train"
+    )
+    assert len(c.models["an_km"]["dist_quantiles"]) == 1001
+    spark.createDataFrame(
+        pts + [(100.0, -100.0), (-80.0, 90.0)], "a double, b double"
+    ).createOrReplaceTempView("an_score")
+    out = c.sql(
+        "SELECT * FROM ML.DETECT_ANOMALIES(MODEL an_km, "
+        "STRUCT(0.02 AS contamination), TABLE an_score)"
+    )
+    assert set(out.columns) == {
+        "a", "b", "centroid_id", "normalized_distance", "is_anomaly"
+    }
+    far = out.filter("abs(a) > 50").collect()
+    assert all(r.is_anomaly and r.normalized_distance > 1 for r in far)
+    rate = out.filter("abs(a) <= 50").selectExpr(
+        "avg(cast(is_anomaly as double)) AS r"
+    ).collect()[0].r
+    assert rate <= 0.05  # ~2% by construction
+    # default contamination (0.1) also works
+    n_def = c.sql(
+        "SELECT COUNT(*) AS n FROM ML.DETECT_ANOMALIES(MODEL an_km, "
+        "TABLE an_score) WHERE is_anomaly"
+    ).collect()[0].n
+    assert n_def >= 2
+    # pca reconstruction-error detector
+    c.sql(
+        "CREATE MODEL an_pca OPTIONS(model_type='pca', "
+        "num_principal_components=1) AS SELECT * FROM an_train"
+    )
+    outp = c.sql(
+        "SELECT * FROM ML.DETECT_ANOMALIES(MODEL an_pca, "
+        "STRUCT(0.02 AS contamination), TABLE an_score)"
+    )
+    assert "mean_squared_error" in outp.columns
+    assert all(
+        r.is_anomaly for r in outp.filter("abs(a) > 50").collect()
+    )
+    with pytest.raises(ValueError, match="contamination"):
+        c.sql(
+            "SELECT * FROM ML.DETECT_ANOMALIES(MODEL an_km, "
+            "STRUCT(0.7 AS contamination), TABLE an_score)"
+        )
+    with pytest.raises(ValueError, match="kmeans or pca"):
+        c.sql(
+            "CREATE MODEL an_lin OPTIONS(model_type='linear_reg', "
+            "input_label_cols=['b']) AS SELECT * FROM an_train"
+        )
+        c.sql(
+            "SELECT * FROM ML.DETECT_ANOMALIES(MODEL an_lin, "
+            "TABLE an_score)"
         )
