@@ -1667,3 +1667,100 @@ def feature_stats(df: DataFrame, features: list[str]) -> list[dict]:
         }
         for i, c in enumerate(features)
     ]
+
+
+def explain_predict(df: DataFrame, model: dict, top_k: int = 3) -> DataFrame:
+    """``ML.EXPLAIN_PREDICT(MODEL m, t, STRUCT(k AS top_k_features))``
+    for the linear family — for a linear model the Shapley value of
+    feature i is EXACTLY coef_i·(x_i − μ_i) with μ from the training
+    stats persisted at fit, so attributions here are exact, not
+    sampled. baseline_prediction_value = intercept + Σ coef_i·μ_i (the
+    prediction at the training mean); attributions sum to
+    (prediction − baseline) identically, so approximation_error is 0.
+    For logistic_reg the attributions live in the model's linear
+    (log-odds) space, as BigQuery's do. One codegen projection —
+    constants broadcast, array_sort by |attribution| desc, slice k."""
+    mt = model["model_type"]
+    if mt not in ("linear_reg", "logistic_reg"):
+        raise ValueError(
+            "ML.EXPLAIN_PREDICT: linear_reg or logistic_reg (tree "
+            "ensembles: use ML.FEATURE_IMPORTANCE for global gain)"
+        )
+    stats = model.get("feature_stats")
+    if not stats:
+        raise ValueError(
+            "model has no feature statistics — retrain with this "
+            "engine version"
+        )
+    if top_k < 1:
+        raise ValueError(f"top_k_features must be >= 1, got {top_k}")
+    top_k = min(top_k, len(model["features"]))  # BigQuery caps at d
+    means = {s["input"]: float(s["mean"] or 0.0) for s in stats}
+    baseline = model["intercept"] + sum(
+        b * means[c]
+        for c, b in zip(model["features"], model["coefficients"])
+    )
+    entries = []
+    pred = F.lit(float(baseline))
+    for c, b in zip(model["features"], model["coefficients"]):
+        attr = (F.col(c).cast("double") - F.lit(means[c])) * F.lit(float(b))
+        pred = pred + attr
+        entries.append(F.struct(
+            F.lit(c).alias("feature"), attr.alias("attribution")
+        ))
+    arr = F.expr(
+        "slice(array_sort(__attr_arr, (a, b) -> CASE "
+        "WHEN abs(a.attribution) > abs(b.attribution) THEN -1 "
+        "WHEN abs(a.attribution) < abs(b.attribution) THEN 1 "
+        "WHEN a.feature < b.feature THEN -1 ELSE 1 END), 1, "
+        f"{int(top_k)})"
+    )
+    out = df.withColumn("__attr_arr", F.array(*entries)).withColumn(
+        "top_feature_attributions", arr
+    ).drop("__attr_arr").withColumn(
+        "baseline_prediction_value", F.lit(float(baseline))
+    ).withColumn("prediction_value", pred).withColumn(
+        "approximation_error", F.lit(0.0)
+    )
+    if mt == "logistic_reg":
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("prediction_value")))
+        out = out.withColumn(
+            f"predicted_{model['label']}", (p >= 0.5).cast("int")
+        ).withColumn(f"predicted_{model['label']}_prob", p)
+    else:
+        out = out.withColumn(
+            f"predicted_{model['label']}", F.col("prediction_value")
+        )
+    return out
+
+
+def global_explain(spark: SparkSession, model: dict) -> DataFrame:
+    """``ML.GLOBAL_EXPLAIN(MODEL m)`` — mean absolute attribution per
+    feature over the TRAINING data. For a linear model that is exactly
+    |coef_i|·E|x_i − μ_i|; E|x−μ| was computed at fit time (one pass,
+    persisted), so this is a constant-folded lookup. Tree ensembles
+    point to ML.FEATURE_IMPORTANCE (gain) instead, like BigQuery's
+    non-explainable-by-default tree path."""
+    mt = model["model_type"]
+    if mt not in ("linear_reg", "logistic_reg"):
+        raise ValueError(
+            "ML.GLOBAL_EXPLAIN: linear_reg or logistic_reg (tree "
+            "ensembles: ML.FEATURE_IMPORTANCE)"
+        )
+    stats = model.get("feature_stats")
+    if not stats or "mean_abs_dev" not in stats[0]:
+        raise ValueError(
+            "model has no attribution statistics — retrain with this "
+            "engine version"
+        )
+    mad = {s["input"]: float(s.get("mean_abs_dev") or 0.0) for s in stats}
+    rows = sorted(
+        (
+            (c, abs(b) * mad[c])
+            for c, b in zip(model["features"], model["coefficients"])
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return spark.createDataFrame(
+        rows, "feature string, attribution double"
+    )

@@ -696,3 +696,162 @@ def q_ml_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("km_rate") <= 0.06).alias("rate_calibrated"),
         F.col("pca_planted").alias("pca_planted_flagged"),
     )
+
+
+@query(
+    "q_ml_split_explain",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS split_disjoint, TRUE AS eval_r2_perfect,
+           TRUE AS attrs_sum_exact, TRUE AS global_order_ok
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    tags=("ml", "dialect"),
+    twin="invariant",
+)
+def q_ml_split_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQML held-out-split training + explainability (r10):
+    ``data_split_method='random'`` carves a DETERMINISTIC hash-based
+    eval fraction out of the training frame (xxhash64 over every
+    column — reproducible, documented divergence from BigQuery's true
+    random); the split predicate + select persist with the model so
+    ``ML.EVALUATE(MODEL m)`` with NO input re-evaluates the SAME
+    held-out rows (BigQuery's contract). ML.EXPLAIN_PREDICT returns
+    EXACT linear Shapley values coef·(x−μ) (μ = fit-time means), so
+    attributions sum to prediction−baseline identically;
+    ML.GLOBAL_EXPLAIN is |coef|·E|x−μ| from fit-time stats. Invariants
+    on a planted affine label: held-out r2 = 1, per-row attribution
+    sums reproduce the prediction to 1e-9, and the global ranking
+    matches the analytic |coef|·E|x−μ| ordering. Reference: BigQuery
+    ML (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    ).select(
+        (F.col("o_orderkey") % 61).cast("double").alias("x1"),
+        (F.col("o_custkey") % 31).cast("double").alias("x2"),
+    ).withColumn(
+        "y", F.lit(4.0) * F.col("x1") - F.lit(0.5) * F.col("x2") + F.lit(2.0)
+    ).createOrReplaceTempView("mse_pts")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL mse_m OPTIONS("
+        "model_type='linear_reg', input_label_cols=['y'], "
+        "data_split_method='random', data_split_eval_fraction=0.25) "
+        "AS SELECT * FROM mse_pts"
+    )
+    model = cat.models["mse_m"]
+    cond = model["data_split"]["condition"]
+    pts = spark.table("mse_pts")
+    split_chk = pts.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.expr(cond).cast("long")).alias("__n_eval"),
+    )
+    ev = cat.sql("SELECT r2_score FROM ML.EVALUATE(MODEL mse_m)")
+    ep = cat.sql(
+        "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL mse_m, "
+        "(SELECT x1, x2 FROM mse_pts), STRUCT(2 AS top_k_features))"
+    )
+    ep_chk = ep.select(
+        (
+            F.abs(
+                F.col("baseline_prediction_value")
+                + F.expr(
+                    "aggregate(top_feature_attributions, 0.0D, "
+                    "(a, e) -> a + e.attribution)"
+                )
+                - F.col("prediction_value")
+            )
+            < 1e-9
+        ).alias("__sum_ok")
+    ).agg(F.min("__sum_ok").alias("sum_ok"))
+    ge = cat.sql("SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL mse_m)")
+    # analytic ordering: |4|*E|x1-mu1| vs |-0.5|*E|x2-mu2| -> x1 first
+    ge_chk = ge.orderBy(F.desc("attribution")).limit(1).select(
+        (F.col("feature") == "x1").alias("top_is_x1")
+    )
+    return (
+        split_chk.crossJoin(ev).crossJoin(ep_chk).crossJoin(ge_chk)
+        .select(
+            F.col("__n").cast("long").alias("n_rows"),
+            ((F.col("__n_eval") > 0) & (F.col("__n_eval") < F.col("__n")))
+            .alias("split_disjoint"),
+            (F.abs(F.col("r2_score") - 1.0) < 1e-9).alias(
+                "eval_r2_perfect"
+            ),
+            F.col("sum_ok").alias("attrs_sum_exact"),
+            F.col("top_is_x1").alias("global_order_ok"),
+        )
+    )
+
+
+@query(
+    "q_ml_prefuncs",
+    sql="""
+    WITH v AS (
+        SELECT o_orderpriority AS prio,
+               CAST(o_orderkey % 97 AS DOUBLE) AS x
+        FROM orders
+    ),
+    s AS (
+        SELECT prio,
+               CASE WHEN STDDEV_SAMP(x) OVER w = 0 THEN 0.0
+                    ELSE (x - AVG(x) OVER w) / STDDEV_SAMP(x) OVER w
+               END AS sx,
+               CASE WHEN MAX(x) OVER w = MIN(x) OVER w THEN 0.0
+                    ELSE (x - MIN(x) OVER w)
+                         / (MAX(x) OVER w - MIN(x) OVER w)
+               END AS mx,
+               CASE WHEN x < 30 THEN 1 WHEN x < 60 THEN 2 ELSE 3 END
+                   AS bin
+        FROM v WINDOW w AS (PARTITION BY prio)
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(sx * sx), 6) AS DOUBLE) AS ss_energy,
+           CAST(ROUND(SUM(mx), 6) AS DOUBLE) AS mm_sum,
+           CAST(SUM(bin) AS BIGINT) AS bin_sum
+    FROM s GROUP BY prio ORDER BY prio
+    """,
+    tags=("ml", "dialect", "window"),
+)
+def q_ml_prefuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML.* preprocessing functions as PLAIN analytic functions (r10):
+    outside CREATE MODEL, ML.STANDARD_SCALER(x) OVER(w) /
+    ML.MIN_MAX_SCALER(x) OVER(w) expand in the dialect to their
+    window-aggregate closed forms over the SAME window (zero-variance
+    guard included) and ML.BUCKETIZE(x, splits) to a stateless
+    'bin_<i>' label — all whole-stage-codegen window/scalar
+    arithmetic, no UDF, no extra shuffle beyond the window's own
+    partitioning. EXACT twin: DuckDB evaluates the identical closed
+    forms (the scaled sum-of-squares per group equals n-1 for the
+    sample stddev — checked through the generic value hash, not a
+    special case). Reference: BigQuery preprocessing functions
+    (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("mlp_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH v AS (
+            SELECT o_orderpriority AS prio,
+                   CAST(MOD(o_orderkey, 97) AS FLOAT64) AS x
+            FROM mlp_orders
+        ),
+        s AS (
+            SELECT prio, x,
+                   ML.STANDARD_SCALER(x) OVER (PARTITION BY prio) AS sx,
+                   ML.MIN_MAX_SCALER(x) OVER (PARTITION BY prio) AS mx,
+                   ML.BUCKETIZE(x, [30.0, 60.0]) AS bk
+            FROM v
+        )
+        SELECT prio,
+               CAST(COUNT(*) AS INT64) AS n,
+               CAST(ROUND(SUM(sx * sx), 6) AS FLOAT64) AS ss_energy,
+               CAST(ROUND(SUM(mx), 6) AS FLOAT64) AS mm_sum,
+               CAST(SUM(CAST(SUBSTR(bk, 5) AS INT64)) AS INT64) AS bin_sum
+        FROM s
+        GROUP BY prio
+        ORDER BY prio
+    """)

@@ -2843,9 +2843,83 @@ def _rewrite_create_function(sql: str) -> str:
     )
 
 
+def _rewrite_ml_prefuncs(sql: str) -> str:
+    """ML.* preprocessing functions in PLAIN queries (r10): analytic
+    ``ML.STANDARD_SCALER(x) OVER(w)`` / ``ML.MIN_MAX_SCALER(x)
+    OVER(w)`` expand to their window-aggregate closed forms over the
+    SAME window, and stateless ``ML.BUCKETIZE(x, [s1, s2, …])`` to a
+    'bin_<i>' label via a FILTER count (BigQuery: bin_i+1 starts AT
+    s_i). Inside ``CREATE MODEL`` the TRANSFORM parser owns these
+    spellings (fit-time statistics must persist with the model), so
+    DDL text passes through untouched. Scalers WITHOUT an OVER clause
+    refuse loudly — silently computing per-row zeros would be a wrong
+    answer. Other ML.* preprocessing (QUANTILE_BUCKETIZE, NGRAMS,
+    FEATURE_CROSS, …) refuses by name."""
+    if re.match(r"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\b", sql):
+        return sql
+    for name in ("STANDARD_SCALER", "MIN_MAX_SCALER"):
+        rx = re.compile(rf"(?i)\bML\s*\.\s*{name}\s*\(")
+        for s, open_idx in reversed(_call_sites(sql, rx)):
+            from bigquery_etl_spark.sources.lake_sql import _matching_paren
+
+            close = _matching_paren(sql, open_idx)
+            x = sql[open_idx + 1 : close].strip()
+            om = re.match(r"\s*OVER\s*\(", sql[close + 1 :], re.IGNORECASE)
+            if not om:
+                raise BQDialectError(
+                    f"ML.{name} outside CREATE MODEL TRANSFORM needs an "
+                    "OVER(...) clause (the statistics window)"
+                )
+            oopen = close + 1 + om.end() - 1
+            oclose = _matching_paren(sql, oopen)
+            w = sql[oopen + 1 : oclose]
+            if name == "STANDARD_SCALER":
+                rep = (
+                    f"(CASE WHEN STDDEV({x}) OVER({w}) = 0 THEN 0.0 "
+                    f"ELSE (({x}) - AVG({x}) OVER({w})) "
+                    f"/ STDDEV({x}) OVER({w}) END)"
+                )
+            else:
+                rep = (
+                    f"(CASE WHEN MAX({x}) OVER({w}) = MIN({x}) OVER({w}) "
+                    f"THEN 0.0 ELSE (({x}) - MIN({x}) OVER({w})) "
+                    f"/ (MAX({x}) OVER({w}) - MIN({x}) OVER({w})) END)"
+                )
+            sql = sql[:s] + rep + sql[oclose + 1 :]
+
+    def _bucketize(args: list[str]) -> str:
+        if len(args) < 2:
+            raise BQDialectError(
+                f"ML.BUCKETIZE expects (x, array_split_points), got {args}"
+            )
+        # bracket-literal commas split at this level — re-join the tail
+        x, arr = args[0].strip(), ", ".join(a.strip() for a in args[1:])
+        return (
+            f"CONCAT('bin_', CAST(SIZE(FILTER({arr}, "
+            f"__mlb -> __mlb <= ({x}))) + 1 AS STRING))"
+        )
+
+    sql = _rewrite_calls(sql, r"ML\s*\.\s*BUCKETIZE", _bucketize)
+    rx_refuse = re.compile(
+        r"(?i)\bML\s*\.\s*(QUANTILE_BUCKETIZE|ROBUST_SCALER|"
+        r"MAX_ABS_SCALER|NGRAMS|FEATURE_CROSS|POLYNOMIAL_EXPAND|"
+        r"HASH_BUCKETIZE|LABEL_ENCODER|MULTI_HOT_ENCODER|"
+        r"ONE_HOT_ENCODER)\s*\("
+    )
+    sites = _call_sites(sql, rx_refuse)
+    if sites:
+        m = rx_refuse.match(sql, sites[0][0])
+        raise BQDialectError(
+            f"ML.{m.group(1).upper()} is not implemented (have: "
+            "ML.STANDARD_SCALER, ML.MIN_MAX_SCALER, ML.BUCKETIZE)"
+        )
+    return sql
+
+
 def translate(sql: str) -> str:
     """BigQuery Standard SQL → Spark SQL for the shimmed surface."""
     sql = _rewrite_create_function(sql)
+    sql = _rewrite_ml_prefuncs(sql)
 
     def _flatten_paths(seg: str) -> str:
         # backticked paths (not wildcard refs, which keep their backticks

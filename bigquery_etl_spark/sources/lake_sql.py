@@ -3047,6 +3047,14 @@ class LakeCatalog:
                     it["mean"], it["std"] = a, b
                 else:
                     it["mn"], it["mx"] = a, b
+        return self._apply_transform_select(df, items)
+
+    def _apply_transform_select(self, df, items: list[dict]):
+        """Project a frame to EXACTLY the TRANSFORM's output columns
+        using already-fitted items (scaler stats baked in)."""
+        from bigquery_etl_spark.sources.bq_dialect import translate
+
+        df.createOrReplaceTempView("__bqml_transform_in__")
         cols = [
             it["col"] if it["kind"] == "passthrough" else None
             for it in items
@@ -3062,6 +3070,43 @@ class LakeCatalog:
         return self.spark.sql(translate(
             "SELECT " + ", ".join(sel) + " FROM __bqml_transform_in__"
         ))
+
+    def _evaluate_model(self, df, model: dict):
+        """ML.EVALUATE dispatch shared by the explicit-input form and
+        the held-out-split form (input frame already transformed)."""
+        from bigquery_etl_spark.operators import ml as _ml
+
+        mt = model["model_type"]
+        if mt == "logistic_reg":
+            return _ml.evaluate_logistic_reg(df, model)
+        if mt == "linear_reg":
+            return _ml.evaluate_linear_reg(df, model)
+        if mt.startswith("boosted_tree"):
+            return _ml.evaluate_boosted_trees(df, model)
+        if mt == "matrix_factorization":
+            rmse = _ml.evaluate_matrix_factorization(df, model)
+            return self.spark.createDataFrame(
+                [(rmse, rmse * rmse)],
+                "root_mean_squared_error double, "
+                "mean_squared_error double",
+            )
+        raise ValueError(
+            "ML.EVALUATE: linear_reg, logistic_reg, boosted_tree_* "
+            "or matrix_factorization"
+        )
+
+    def _replay_eval_split(self, model: dict):
+        """Rebuild the held-out eval frame from the persisted training
+        select + split predicate (+ the fitted transform) — what
+        ``ML.EVALUATE(MODEL m)`` with no input evaluates on, exactly
+        BigQuery's contract for split-trained models."""
+        from pyspark.sql import functions as F
+
+        meta = model["data_split"]
+        df = self.spark.sql(self._register_views(meta["select"]))
+        if model.get("transform"):
+            df = self._apply_transform_select(df, model["transform"])
+        return df.filter(F.expr(meta["condition"]))
 
     def _apply_transform_columns(self, df, model):
         """Predict/evaluate-time transform: add the computed transform
@@ -3131,6 +3176,68 @@ class LakeCatalog:
         if transform_text is not None:
             transform_items = self._parse_transform(transform_text)
             df = self._fit_transform(df, transform_items)
+        # data_split_method / data_split_eval_fraction (r10): BigQuery's
+        # held-out-eval training option. 'random' here is a DETERMINISTIC
+        # row hash (xxhash64 over every input column — reproducible
+        # across runs, documented divergence from BigQuery's true
+        # random); 'seq' needs data_split_col (highest values go to
+        # eval, BigQuery's rule); 'no_split' is the default.
+        # 'auto_split'/'custom' refuse loudly.
+        split_method = str(
+            opts.get("data_split_method", "no_split")
+        ).strip("'\"").lower()
+        eval_df = None
+        split_meta: dict | None = None
+        if split_method != "no_split":
+            if mtype not in (
+                "linear_reg", "logistic_reg",
+                "boosted_tree_regressor", "boosted_tree_classifier",
+            ):
+                raise ValueError(
+                    "data_split_method applies to supervised models "
+                    f"(linear/logistic/boosted_tree), not {mtype!r}"
+                )
+            frac = float(opts.get("data_split_eval_fraction", 0.2))
+            if not 0.0 < frac < 1.0:
+                raise ValueError(
+                    f"data_split_eval_fraction must be in (0, 1), got {frac}"
+                )
+            if split_method == "random":
+                cond_sql = (
+                    "pmod(xxhash64("
+                    + ", ".join(f"`{c}`" for c in df.columns)
+                    + f"), 10000) < {int(frac * 10000)}"
+                )
+            elif split_method == "seq":
+                split_col = str(
+                    opts.get("data_split_col", "")
+                ).strip("'\"")
+                if not split_col or split_col not in df.columns:
+                    raise ValueError(
+                        "data_split_method='seq' needs data_split_col="
+                        "'<column in the training select>'"
+                    )
+                # highest data_split_col values go to eval (BigQuery)
+                qcut = df.selectExpr(
+                    f"percentile_approx(CAST(`{split_col}` AS DOUBLE), "
+                    f"{1.0 - frac}, 10000) AS q"
+                ).collect()[0]["q"]
+                cond_sql = f"CAST(`{split_col}` AS DOUBLE) >= {qcut!r}"
+            else:
+                raise ValueError(
+                    f"data_split_method {split_method!r} not supported "
+                    "(have: no_split, random, seq; auto_split/custom "
+                    "refuse)"
+                )
+            eval_df = df.filter(F.expr(cond_sql))
+            df = df.filter(~F.expr(cond_sql))
+            split_meta = {
+                "method": split_method,
+                "eval_fraction": frac,
+                "condition": cond_sql,
+                "select": select,
+                "transform": transform_text,
+            }
         if mtype == "linear_reg":
             lm = re.search(r"(?:\[|\bARRAY\s*\()\s*'(\w+)'\s*(?:\]|\))", opts_text)
             label = lm.group(1) if lm else opts.get("input_label_cols", "")
@@ -3243,6 +3350,40 @@ class LakeCatalog:
             model["feature_stats"] = _ml.feature_stats(
                 df, model["features"]
             )
+            # ML.GLOBAL_EXPLAIN needs E|x−μ| per feature (exact linear
+            # attribution magnitudes) — one more pass using the means
+            if mtype in ("linear_reg", "logistic_reg"):
+                mads = df.agg(*[
+                    F.avg(F.abs(
+                        F.col(c).cast("double") - F.lit(s["mean"] or 0.0)
+                    )).alias(f"__mad_{i}")
+                    for i, (c, s) in enumerate(
+                        zip(model["features"], model["feature_stats"])
+                    )
+                ]).collect()[0]
+                for i, s in enumerate(model["feature_stats"]):
+                    s["mean_abs_dev"] = float(mads[f"__mad_{i}"] or 0.0)
+        if split_meta is not None:
+            # the split predicate + select persist so ML.EVALUATE(MODEL m)
+            # with NO input re-evaluates on the SAME held-out rows
+            model["data_split"] = split_meta
+            ev = self._evaluate_model(eval_df, model)
+            erow = ev.collect()[0].asDict()
+            model["eval_metrics"] = {
+                k: (None if v is None else float(v))
+                for k, v in erow.items()
+            }
+            if model.get("training_info"):
+                # BigQuery reports eval_loss alongside loss; we record
+                # the FINAL model's held-out loss on the last entry
+                key = (
+                    "log_loss" if mtype.endswith("logistic_reg")
+                    or mtype.endswith("classifier")
+                    else "mean_squared_error"
+                )
+                model["training_info"][-1]["eval_loss"] = (
+                    model["eval_metrics"].get(key)
+                )
         self.models[name] = model
         if self.warehouse:
             import os as _os
@@ -3308,7 +3449,8 @@ class LakeCatalog:
             r"PRINCIPAL_COMPONENTS|PRINCIPAL_COMPONENT_INFO|RECOMMEND|"
             r"EXPLAIN_FORECAST|FORECAST|ARIMA_EVALUATE|"
             r"ARIMA_COEFFICIENTS|FEATURE_IMPORTANCE|CONFUSION_MATRIX|"
-            r"ROC_CURVE|DETECT_ANOMALIES|FEATURE_INFO|TRAINING_INFO)\s*\("
+            r"ROC_CURVE|DETECT_ANOMALIES|FEATURE_INFO|TRAINING_INFO|"
+            r"EXPLAIN_PREDICT|GLOBAL_EXPLAIN)\s*\("
         )
         n = 0
         while True:
@@ -3325,7 +3467,18 @@ class LakeCatalog:
             if mname not in self.models:
                 raise ValueError(f"unknown model {mname!r}")
             model = self.models[mname]
-            if fn in ("PREDICT", "EVALUATE"):
+            if fn == "EVALUATE" and not mm.group(2):
+                # no input table: evaluate on the persisted held-out
+                # split (split-trained models only — BigQuery's rule)
+                if not model.get("data_split"):
+                    raise ValueError(
+                        "ML.EVALUATE without an input table needs a "
+                        "model trained with data_split_method"
+                    )
+                df = self._evaluate_model(
+                    self._replay_eval_split(model), model
+                )
+            elif fn in ("PREDICT", "EVALUATE"):
                 if not mm.group(2):
                     raise ValueError(f"ML.{fn} needs an input table")
                 df = self._ml_input_df(mm.group(2))
@@ -3453,6 +3606,41 @@ class LakeCatalog:
                 if model.get("transform"):
                     df, _ = self._apply_transform_columns(df, model)
                 df = _ml.detect_anomalies(df, model, contamination)
+            elif fn == "EXPLAIN_PREDICT":
+                from bigquery_etl_spark.sources.bq_dialect import (
+                    _split_args,
+                )
+
+                if not mm.group(2):
+                    raise ValueError(
+                        "ML.EXPLAIN_PREDICT needs an input table"
+                    )
+                parts = _split_args(mm.group(2))
+                top_k = 3
+                if len(parts) == 2:
+                    km = re.match(
+                        r"(?is)^\s*STRUCT\s*\(\s*(\d+)\s+AS\s+"
+                        r"top_k_features\s*\)\s*$",
+                        parts[1],
+                    )
+                    if not km:
+                        raise ValueError(
+                            "ML.EXPLAIN_PREDICT settings must be "
+                            "STRUCT(<int> AS top_k_features), got "
+                            f"{parts[1]!r}"
+                        )
+                    top_k = int(km.group(1))
+                elif len(parts) != 1:
+                    raise ValueError(
+                        "ML.EXPLAIN_PREDICT(MODEL m, input "
+                        "[, STRUCT(k AS top_k_features)])"
+                    )
+                df = self._ml_input_df(parts[0])
+                if model.get("transform"):
+                    df, _ = self._apply_transform_columns(df, model)
+                df = _ml.explain_predict(df, model, top_k)
+            elif fn == "GLOBAL_EXPLAIN":
+                df = _ml.global_explain(self.spark, model)
             elif fn == "FEATURE_INFO":
                 stats = model.get("feature_stats")
                 if not stats:
@@ -3480,8 +3668,21 @@ class LakeCatalog:
                         "linear_reg and logistic_reg)"
                     )
                 df = self.spark.createDataFrame(
-                    [(0, int(t["iteration"]), float(t["loss"])) for t in ti],
-                    "training_run int, iteration int, loss double",
+                    [
+                        (
+                            0,
+                            int(t["iteration"]),
+                            float(t["loss"]),
+                            (
+                                None
+                                if t.get("eval_loss") is None
+                                else float(t["eval_loss"])
+                            ),
+                        )
+                        for t in ti
+                    ],
+                    "training_run int, iteration int, loss double, "
+                    "eval_loss double",
                 )
             elif fn == "WEIGHTS":
                 if model["model_type"] not in ("linear_reg", "logistic_reg"):

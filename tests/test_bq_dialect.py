@@ -1117,3 +1117,43 @@ def test_psl_private_long_tail_r10(fcat):
     assert p.pe == "example.com.pe"
     assert p.sn == "gouv.sn"
     assert p.ra == "example.run.app"
+
+
+def test_ml_prefuncs_analytic_r10(fcat):
+    """r10: ML.STANDARD_SCALER / ML.MIN_MAX_SCALER as analytic
+    functions in plain queries (window-aggregate closed forms over the
+    SAME window), stateless ML.BUCKETIZE 'bin_<i>' labels; scalers
+    without OVER refuse; unsupported ML.* preprocessing refuses by
+    name; CREATE MODEL TRANSFORM text passes through untouched."""
+    import pytest as _p
+
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    r = fcat.bq_sql(
+        "SELECT id, ML.MIN_MAX_SCALER(amt) OVER() AS m, "
+        "ML.BUCKETIZE(amt, [15.0, 25.0]) AS b "
+        "FROM ft ORDER BY id"
+    ).collect()
+    assert [x.m for x in r] == [0.0, 0.5, 1.0]
+    assert [x.b for x in r] == ["bin_1", "bin_2", "bin_3"]
+    s = fcat.bq_sql(
+        "SELECT ML.STANDARD_SCALER(amt) OVER() AS s FROM ft"
+    ).collect()
+    assert abs(sum(x.s for x in s)) < 1e-12  # centered
+    # constant column -> 0.0, not NaN/div-by-zero
+    z = fcat.bq_sql(
+        "SELECT ML.STANDARD_SCALER(1.0) OVER() AS s, "
+        "ML.MIN_MAX_SCALER(1.0) OVER() AS m FROM ft"
+    ).collect()[0]
+    assert z.s == 0.0 and z.m == 0.0
+    with _p.raises(BQDialectError, match="OVER"):
+        fcat.bq_sql("SELECT ML.STANDARD_SCALER(amt) FROM ft")
+    with _p.raises(BQDialectError, match="FEATURE_CROSS"):
+        fcat.bq_sql("SELECT ML.FEATURE_CROSS(STRUCT(amt)) FROM ft")
+    # DDL untouched: the TRANSFORM parser owns the spelling there
+    ddl = ("CREATE MODEL m TRANSFORM(ML.STANDARD_SCALER(x) OVER() AS s, y) "
+           "OPTIONS(model_type='linear_reg') AS SELECT * FROM t")
+    assert "ML.STANDARD_SCALER" in translate(ddl)

@@ -1005,3 +1005,140 @@ def test_detect_anomalies_kmeans_pca(spark, tmp_path):
             "SELECT * FROM ML.DETECT_ANOMALIES(MODEL an_lin, "
             "TABLE an_score)"
         )
+
+
+def test_data_split_and_heldout_evaluate(spark, tmp_path):
+    """r10: data_split_method='random'/'seq' carve a deterministic
+    eval split; the split predicate persists so ML.EVALUATE(MODEL m)
+    with no input re-evaluates the same held-out rows; TRAINING_INFO
+    gains eval_loss on the final entry."""
+    rows = [(float(i % 17), float((i * 7) % 13)) for i in range(400)]
+    rows = [(x1, x2, 2 * x1 - 3 * x2 + 5) for x1, x2 in rows]
+    spark.createDataFrame(rows, "x1 double, x2 double, y double")\
+        .createOrReplaceTempView("sp_train")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.sql(
+        "CREATE MODEL sp_m OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y'], data_split_method='random', "
+        "data_split_eval_fraction=0.25) AS SELECT * FROM sp_train"
+    )
+    m = c.models["sp_m"]
+    assert m["data_split"]["method"] == "random"
+    # deterministic: retraining reproduces the identical split
+    c.sql(
+        "CREATE OR REPLACE MODEL sp_m2 OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y'], data_split_method='random', "
+        "data_split_eval_fraction=0.25) AS SELECT * FROM sp_train"
+    )
+    assert (
+        c.models["sp_m2"]["data_split"]["condition"]
+        == m["data_split"]["condition"]
+    )
+    ev = c.sql("SELECT * FROM ML.EVALUATE(MODEL sp_m)").collect()[0]
+    assert ev.r2_score == pytest.approx(1.0, abs=1e-9)
+    ti = c.sql(
+        "SELECT * FROM ML.TRAINING_INFO(MODEL sp_m)"
+    ).collect()
+    assert ti[-1].eval_loss is not None and ti[-1].eval_loss < 1e-18
+    # seq split: highest data_split_col values go to eval
+    c.sql(
+        "CREATE MODEL sq_m OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y'], data_split_method='seq', "
+        "data_split_col='x1', data_split_eval_fraction=0.2) "
+        "AS SELECT * FROM sp_train"
+    )
+    cond = c.models["sq_m"]["data_split"]["condition"]
+    assert "x1" in cond and ">=" in cond
+    # refusals
+    with pytest.raises(ValueError, match="supervised"):
+        c.sql(
+            "CREATE MODEL sp_km OPTIONS(model_type='kmeans', "
+            "num_clusters=2, data_split_method='random') "
+            "AS SELECT x1, x2 FROM sp_train"
+        )
+    with pytest.raises(ValueError, match="not supported"):
+        c.sql(
+            "CREATE MODEL sp_bad OPTIONS(model_type='linear_reg', "
+            "input_label_cols=['y'], data_split_method='auto_split') "
+            "AS SELECT * FROM sp_train"
+        )
+    with pytest.raises(ValueError, match="data_split_method"):
+        c.sql("SELECT * FROM ML.EVALUATE(MODEL sq_no)") \
+            if False else None
+        c.sql(
+            "CREATE MODEL sp_ns OPTIONS(model_type='linear_reg', "
+            "input_label_cols=['y']) AS SELECT * FROM sp_train"
+        )
+        c.sql("SELECT * FROM ML.EVALUATE(MODEL sp_ns)")
+
+
+def test_explain_predict_and_global_explain(spark, tmp_path):
+    """r10: exact linear Shapley attributions — coef*(x-mean), summing
+    to prediction-baseline identically; GLOBAL_EXPLAIN = |coef|*E|x-mu|
+    from fit-time stats; tree models point to FEATURE_IMPORTANCE."""
+    rows = [(float(i % 17), float((i * 7) % 13)) for i in range(300)]
+    rows = [(x1, x2, 2 * x1 - 3 * x2 + 5) for x1, x2 in rows]
+    spark.createDataFrame(rows, "x1 double, x2 double, y double")\
+        .createOrReplaceTempView("ex_train")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.sql(
+        "CREATE MODEL ex_m OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM ex_train"
+    )
+    ep = c.sql(
+        "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL ex_m, "
+        "(SELECT 10.0 AS x1, 1.0 AS x2), STRUCT(2 AS top_k_features))"
+    ).collect()[0]
+    assert ep.predicted_y == pytest.approx(22.0, abs=1e-9)
+    assert ep.approximation_error == 0.0
+    s = sum(a.attribution for a in ep.top_feature_attributions)
+    assert ep.baseline_prediction_value + s == pytest.approx(
+        ep.prediction_value, abs=1e-9
+    )
+    # top_k truncation keeps the largest |attribution| first
+    one = c.sql(
+        "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL ex_m, "
+        "(SELECT 100.0 AS x1, 0.0 AS x2), STRUCT(1 AS top_k_features))"
+    ).collect()[0]
+    assert len(one.top_feature_attributions) == 1
+    assert one.top_feature_attributions[0].feature == "x1"
+    ge = {r.feature: r.attribution for r in c.sql(
+        "SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL ex_m)"
+    ).collect()}
+    import statistics as st
+
+    mu1 = st.mean(r[0] for r in rows)
+    mad1 = st.mean(abs(r[0] - mu1) for r in rows)
+    assert ge["x1"] == pytest.approx(2.0 * mad1, rel=1e-6)
+    # logistic attributions live in log-odds space and still sum
+    spark.createDataFrame(
+        [(float(i % 11), 1 if (i % 11) > 5 else 0) for i in range(200)],
+        "x double, y int",
+    ).createOrReplaceTempView("ex_lg")
+    c.sql(
+        "CREATE MODEL ex_lg_m OPTIONS(model_type='logistic_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM ex_lg"
+    )
+    lp = c.sql(
+        "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL ex_lg_m, "
+        "(SELECT 9.0 AS x))"
+    ).collect()[0]
+    assert lp.predicted_y == 1 and lp.predicted_y_prob > 0.5
+    assert lp.baseline_prediction_value + sum(
+        a.attribution for a in lp.top_feature_attributions
+    ) == pytest.approx(lp.prediction_value, abs=1e-9)
+    # tree models refuse with a pointer
+    df = _tr_frame(spark, n=200)
+    df.createOrReplaceTempView("ex_bt")
+    c.sql(
+        "CREATE MODEL ex_bt_m OPTIONS("
+        "model_type='boosted_tree_regressor', input_label_cols=['y'], "
+        "max_iterations=3) AS SELECT * FROM ex_bt"
+    )
+    with pytest.raises(ValueError, match="FEATURE_IMPORTANCE"):
+        c.sql(
+            "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL ex_bt_m, "
+            "TABLE ex_bt)"
+        )
+    with pytest.raises(ValueError, match="FEATURE_IMPORTANCE"):
+        c.sql("SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL ex_bt_m)")

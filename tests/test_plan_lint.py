@@ -62,6 +62,7 @@ NON_EQUI_OK = {
     "q_ml_transform",     # 1-row error/evaluate summaries crossed (r10)
     "q_ml_inspect",       # five 1-row invariant summaries crossed (r10)
     "q_ml_anomaly",       # two 1-row invariant summaries crossed (r10)
+    "q_ml_split_explain", # four 1-row invariant summaries crossed (r10)
 }
 
 # Streaming / source / pipeline queries that cannot build a pure batch
