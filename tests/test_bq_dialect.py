@@ -1157,3 +1157,28 @@ def test_ml_prefuncs_analytic_r10(fcat):
     ddl = ("CREATE MODEL m TRANSFORM(ML.STANDARD_SCALER(x) OVER() AS s, y) "
            "OPTIONS(model_type='linear_reg') AS SELECT * FROM t")
     assert "ML.STANDARD_SCALER" in translate(ddl)
+
+
+def test_named_refusals_aead_llm_r10():
+    """r10: surfaces with no faithful local implementation refuse BY
+    NAME with the reason, instead of leaking Spark's unknown-function
+    error."""
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    with pytest.raises(BQDialectError, match="AEAD"):
+        translate("SELECT AEAD.ENCRYPT(ks, 'pt', 'ad') FROM t")
+    with pytest.raises(BQDialectError, match="cryptography"):
+        translate("SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256')")
+    with pytest.raises(BQDialectError, match="foundation"):
+        translate(
+            "SELECT * FROM ML.GENERATE_TEXT(MODEL m, TABLE t)"
+        )
+    with pytest.raises(BQDialectError, match="VECTOR_SEARCH"):
+        translate(
+            "SELECT * FROM ML.GENERATE_EMBEDDING(MODEL m, TABLE t)"
+        )
+    # strings stay protected: the names inside literals don't refuse
+    assert "AEAD.ENCRYPT(" in translate("SELECT 'AEAD.ENCRYPT(x)' AS s")

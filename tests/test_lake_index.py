@@ -214,3 +214,81 @@ def test_vector_search_tvf(spark, cat, tmp_path):
         "JOIN emb e ON v.vec_id = e.vec_id ORDER BY v.rank"
     ).collect()
     assert len(j) == 2 and j[0].vec_id == 1
+
+
+def test_appends_changes_tvfs_r10(spark, tmp_path):
+    """BigQuery change-history TVFs: APPENDS (insert rows only,
+    half-open timestamp window, rewrites excluded) and CHANGES
+    (INSERT/UPDATE/DELETE with the feed required) — r10."""
+    import datetime
+    import time
+
+    import pytest
+
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.versioned import VersionedTable
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    )
+    t = VersionedTable(spark, str(tmp_path / "cht"))
+    t.create(base)
+    t.enable_change_feed(["k"])
+    cat.register("cht", t)
+    time.sleep(0.02)
+    mid = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    time.sleep(0.02)
+    cat.sql("INSERT INTO cht VALUES (3, 30.0)")
+    cat.sql("UPDATE cht SET v = 99.0 WHERE k = 1")
+    cat.sql("DELETE FROM cht WHERE k = 2")
+    # APPENDS: all inserts; DML commits contribute no appends
+    a = cat.sql(
+        "SELECT k, _CHANGE_TYPE AS ct FROM APPENDS(TABLE cht) ORDER BY k"
+    ).collect()
+    assert [(r.k, r.ct) for r in a] == [
+        (1, "INSERT"), (2, "INSERT"), (3, "INSERT")]
+    # half-open window: before `mid` only the create commit
+    b = cat.sql(
+        f"SELECT k FROM APPENDS(TABLE cht, NULL, TIMESTAMP '{mid}') "
+        "ORDER BY k"
+    ).collect()
+    assert [r.k for r in b] == [1, 2]
+    after = cat.sql(
+        f"SELECT k FROM APPENDS(TABLE cht, TIMESTAMP '{mid}', NULL) "
+        "ORDER BY k"
+    ).collect()
+    assert [r.k for r in after] == [3]
+    # CHANGES: full history with BigQuery change types; timestamps
+    # are non-decreasing in commit order
+    c = cat.sql(
+        "SELECT k, _CHANGE_TYPE AS ct, _CHANGE_TIMESTAMP AS ts "
+        "FROM CHANGES(TABLE cht, NULL, NULL) ORDER BY ts, ct, k"
+    ).collect()
+    assert [(r.k, r.ct) for r in c] == [
+        (1, "INSERT"), (2, "INSERT"), (3, "INSERT"),
+        (1, "UPDATE"), (2, "DELETE")]
+    assert all(x.ts <= y.ts for x, y in zip(c, c[1:]))
+    # update post-image value, not pre-image
+    up = [r for r in cat.sql(
+        "SELECT k, v, _CHANGE_TYPE AS ct FROM CHANGES(TABLE cht, NULL, "
+        "NULL)"
+    ).collect() if r.ct == "UPDATE"]
+    assert up[0].v == 99.0
+    # refusal: DML history without the feed
+    t2 = VersionedTable(spark, str(tmp_path / "nof"))
+    t2.create(base)
+    cat.register("nof", t2)
+    cat.sql("UPDATE nof SET v = 0 WHERE k = 1")
+    with pytest.raises(ValueError, match="enable_change_feed"):
+        cat.sql("SELECT * FROM CHANGES(TABLE nof, NULL, NULL)").collect()
+    # APPENDS over the same history simply skips the rewrite commit
+    a2 = cat.sql(
+        "SELECT k FROM APPENDS(TABLE nof, NULL, NULL) ORDER BY k"
+    ).collect()
+    assert [r.k for r in a2] == [1, 2]
+    # malformed bounds refuse loudly
+    with pytest.raises(ValueError, match="TIMESTAMP"):
+        cat.sql("SELECT * FROM APPENDS(TABLE cht, k, NULL)")

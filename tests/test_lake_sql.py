@@ -559,3 +559,63 @@ def test_create_or_replace_and_if_not_exists(spark, tmp_path):
     assert dict(cat.tables["cor"].read().dtypes) == {
         "k": "bigint", "v": "string",
     }
+
+
+def test_row_access_policies_r10(spark, tmp_path):
+    """BigQuery row-level security (r10): allowlist semantics, OR of
+    granted policies, SESSION_USER() resolution, pushdown, and the
+    DDL lifecycle."""
+    import pytest
+
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "alice@x", 10.0), (2, "bob@x", 20.0),
+         (3, "alice@x", 30.0), (4, "carol@x", 5.0)],
+        "id long, owner string, v double",
+    )
+    cat.create_table("acc", str(tmp_path / "acc"), df)
+    cat.session_user = "alice@x"
+    cat.sql(
+        'CREATE ROW ACCESS POLICY own ON acc GRANT TO ("user:alice@x") '
+        "FILTER USING (owner = SESSION_USER())"
+    )
+    assert [r.id for r in cat.sql(
+        "SELECT id FROM acc ORDER BY id").collect()] == [1, 3]
+    # allowlist: a principal with NO granted policy sees nothing
+    cat.session_user = "bob@x"
+    assert cat.sql("SELECT COUNT(*) AS n FROM acc").collect()[0].n == 0
+    # granted policies OR together
+    cat.sql(
+        "CREATE ROW ACCESS POLICY big ON acc "
+        'GRANT TO ("allAuthenticatedUsers") FILTER USING (v >= 20.0)'
+    )
+    assert [r.id for r in cat.sql(
+        "SELECT id FROM acc ORDER BY id").collect()] == [2, 3]
+    cat.session_user = "alice@x"
+    assert [r.id for r in cat.sql(
+        "SELECT id FROM acc ORDER BY id").collect()] == [1, 2, 3]
+    # the policy predicate reaches the parquet scan (prunes, not
+    # post-filters, at scale)
+    plan = cat.sql("SELECT id FROM acc")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Or(EqualTo(owner,alice@x),GreaterThanOrEqual(v,20.0))" in plan
+    # duplicate without OR REPLACE refuses; lifecycle works
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(
+            'CREATE ROW ACCESS POLICY own ON acc GRANT TO ("x") '
+            "FILTER USING (TRUE)"
+        )
+    cat.sql("DROP ROW ACCESS POLICY own ON acc")
+    assert [r.id for r in cat.sql(
+        "SELECT id FROM acc ORDER BY id").collect()] == [2, 3]
+    cat.sql("DROP ALL ROW ACCESS POLICIES ON acc")
+    assert cat.sql("SELECT COUNT(*) AS n FROM acc").collect()[0].n == 4
+    with pytest.raises(ValueError, match="not found"):
+        cat.sql("DROP ROW ACCESS POLICY ghost ON acc")
+    # SESSION_USER() in plain queries resolves too (literal-aware)
+    row = cat.sql(
+        "SELECT SESSION_USER() AS u, 'SESSION_USER()' AS s"
+    ).collect()[0]
+    assert row.u == "alice@x" and row.s == "SESSION_USER()"
