@@ -600,3 +600,56 @@ def test_array_literal_classifier_fuzz():
         out = translate(src)
         for needle, present in checks:
             assert (needle in out) == present, (src, out, needle)
+
+
+def test_approx_top_differential_fuzz(spark):
+    """Random (group, value, weight) rows with planted NULLs:
+    APPROX_TOP_COUNT/APPROX_TOP_SUM (exact top-k lowering, r10) must
+    match a pure-Python reference applying the documented semantics —
+    NULL values count, NULL weights drop the row, freq-desc then
+    value-asc-NULL-last tie-break — for every k."""
+    rng = random.Random(SEED + 7)
+    rows = [
+        (
+            rng.randint(0, 3),
+            rng.choice(["a", "b", "c", "d", None]),
+            rng.choice([1, 2, 3, None]),
+        )
+        for _ in range(500)
+    ]
+    spark.createDataFrame(rows, "g int, x string, w int") \
+        .createOrReplaceTempView("atf_rows")
+    cat = LakeCatalog(spark)
+
+    def ref(g, k, mode):
+        acc = {}
+        for gg, x, w in rows:
+            if gg != g:
+                continue
+            if mode == "count":
+                acc[x] = acc.get(x, 0) + 1
+            elif w is not None:
+                acc[x] = acc.get(x, 0) + w
+        order = sorted(
+            acc.items(),
+            key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+        )
+        return [(v, m) for v, m in order[:k]]
+
+    for k in (1, 2, 3, 5):
+        got = {
+            r.g: [(e.value, e["count"]) for e in r.tc]
+            for r in cat.bq_sql(
+                f"SELECT g, APPROX_TOP_COUNT(x, {k}) AS tc "
+                "FROM atf_rows GROUP BY g"
+            ).collect()
+        }
+        assert got == {g: ref(g, k, "count") for g in range(4)}, k
+        got_s = {
+            r.g: [(e.value, e["sum"]) for e in r.ts]
+            for r in cat.bq_sql(
+                f"SELECT g, APPROX_TOP_SUM(x, w, {k}) AS ts "
+                "FROM atf_rows GROUP BY g"
+            ).collect()
+        }
+        assert got_s == {g: ref(g, k, "sum") for g in range(4)}, k
