@@ -102,11 +102,17 @@ def fit_linear_reg(
 def predict_linear_reg(
     df: DataFrame, model: dict, out: str = "predicted_label"
 ) -> DataFrame:
-    """Broadcast-coefficients projection: one codegen map stage."""
+    """Broadcast-coefficients projection: one codegen map stage.
+    Categorical features expand to their fit-time dummy columns first
+    (r10) and the dummies are stripped from the output — the caller
+    sees their own columns plus the prediction."""
+    raw_cols = list(df.columns)
+    if model.get("categorical"):
+        df = with_dummies(df, model["categorical"])
     expr = F.lit(model["intercept"])
     for c, b in zip(model["features"], model["coefficients"]):
         expr = expr + F.col(c).cast("double") * F.lit(b)
-    return df.withColumn(out, expr)
+    return df.withColumn(out, expr).select(*raw_cols, out)
 
 
 def evaluate_linear_reg(df: DataFrame, model: dict) -> DataFrame:
@@ -215,13 +221,16 @@ def predict_logistic_reg(
 ) -> DataFrame:
     """Broadcast-coefficients sigmoid: one codegen map stage, emitting
     BQML's (predicted_label, probability) pair."""
+    raw_cols = list(df.columns)
+    if model.get("categorical"):
+        df = with_dummies(df, model["categorical"])
     eta = F.lit(model["intercept"])
     for c, b in zip(model["features"], model["coefficients"]):
         eta = eta + F.col(c).cast("double") * F.lit(b)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
     return df.withColumn(prob_out, p).withColumn(
         out, (F.col(prob_out) >= 0.5).cast("int")
-    )
+    ).select(*raw_cols, prob_out, out)
 
 
 def evaluate_logistic_reg(df: DataFrame, model: dict) -> DataFrame:
@@ -1686,6 +1695,12 @@ def explain_predict(df: DataFrame, model: dict, top_k: int = 3) -> DataFrame:
             "ML.EXPLAIN_PREDICT: linear_reg or logistic_reg (tree "
             "ensembles: use ML.FEATURE_IMPORTANCE for global gain)"
         )
+    if model.get("categorical"):
+        raise ValueError(
+            "ML.EXPLAIN_PREDICT: models with categorical features are "
+            "not supported yet (attributions per category need the "
+            "dummy expansion surfaced) — documented refusal"
+        )
     stats = model.get("feature_stats")
     if not stats:
         raise ValueError(
@@ -1747,6 +1762,11 @@ def global_explain(spark: SparkSession, model: dict) -> DataFrame:
             "ML.GLOBAL_EXPLAIN: linear_reg or logistic_reg (tree "
             "ensembles: ML.FEATURE_IMPORTANCE)"
         )
+    if model.get("categorical"):
+        raise ValueError(
+            "ML.GLOBAL_EXPLAIN: models with categorical features are "
+            "not supported yet — documented refusal"
+        )
     stats = model.get("feature_stats")
     if not stats or "mean_abs_dev" not in stats[0]:
         raise ValueError(
@@ -1764,3 +1784,76 @@ def global_explain(spark: SparkSession, model: dict) -> DataFrame:
     return spark.createDataFrame(
         rows, "feature string, attribution double"
     )
+
+
+# -- categorical features (r10): BigQuery's automatic dummy encoding ----------
+
+
+def _dummy_name(col: str, i: int) -> str:
+    return f"__cat_{col}_{i}"
+
+
+def detect_categoricals(
+    df: DataFrame, features: list[str], max_categories: int = 256
+) -> dict[str, list]:
+    """String-typed feature columns become categorical: their
+    vocabulary (distinct values, NULL included — BigQuery one-hot
+    encodes NULL as its own category) is collected ONCE at fit time,
+    sorted for determinism, bounded loudly. The vocabulary is model
+    metadata (k values per column), never data."""
+    from pyspark.sql.types import StringType
+
+    cats: dict[str, list] = {}
+    str_cols = [
+        f.name for f in df.schema.fields
+        if f.name in features and isinstance(f.dataType, StringType)
+    ]
+    for col in str_cols:
+        vals = [
+            r[0]
+            for r in df.select(col).distinct().limit(
+                max_categories + 1
+            ).collect()
+        ]
+        if len(vals) > max_categories:
+            raise ValueError(
+                f"categorical feature {col!r} has more than "
+                f"{max_categories} distinct values — hash or bucket it "
+                "explicitly (TRANSFORM), or drop it"
+            )
+        cats[col] = sorted(
+            (v for v in vals if v is not None)
+        ) + ([None] if None in vals else [])
+    return cats
+
+
+def with_dummies(df: DataFrame, categorical: dict[str, list]) -> DataFrame:
+    """One-hot expansion as a single codegen projection: one 0/1
+    double column per (column, category). Unseen categories at predict
+    time encode as all-zeros (BigQuery scores them as the baseline —
+    documented)."""
+    cols = [df[c] for c in df.columns]
+    for col, vals in categorical.items():
+        for i, v in enumerate(vals):
+            c = F.col(col)
+            d = (c.isNull() if v is None else (c == F.lit(v)))
+            cols.append(
+                F.coalesce(d.cast("double"), F.lit(0.0)).alias(
+                    _dummy_name(col, i)
+                )
+            )
+    return df.select(*cols)
+
+
+def expand_features(
+    features: list[str], categorical: dict[str, list]
+) -> list[str]:
+    out = []
+    for f in features:
+        if f in categorical:
+            out.extend(
+                _dummy_name(f, i) for i in range(len(categorical[f]))
+            )
+        else:
+            out.append(f)
+    return out

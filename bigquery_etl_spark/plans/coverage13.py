@@ -999,3 +999,93 @@ def q_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM rp_cust GROUP BY c_mktsegment"
     )
     return analyst.unionByName(admin).orderBy("who", "c_mktsegment")
+
+
+@query(
+    "q_ml_categorical",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS fit_exact, TRUE AS weights_grouped,
+           TRUE AS unseen_is_baseline
+    FROM orders WHERE o_orderkey % 6 = 0
+    """,
+    tags=("ml", "dialect"),
+    twin="invariant",
+)
+def q_ml_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQML categorical features (r10): string feature columns are
+    automatically dummy-encoded at fit time — the vocabulary (NULL
+    included as its own category, BigQuery's rule) persists in the
+    model and ML.PREDICT expands raw input identically
+    (operators/ml.py detect_categoricals/with_dummies; one codegen
+    projection, no shuffle). ML.WEIGHTS returns BigQuery's shape:
+    scalar weight for numeric inputs, (category, weight) pairs under
+    the ORIGINAL column name for categorical ones. Invariants on a
+    planted y = 2x + effect(status) + 1 label: predictions reproduce
+    y to 1e-6 on raw input (the fit is exact up to the documented
+    minimal ridge), the weights frame groups categories, and an
+    unseen category at predict time scores as the baseline
+    (all-zero dummies). Other model types REFUSE string features
+    loudly (silent NULL-casting would train a wrong model).
+    Reference: BigQuery ML (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    eff = (
+        F.when(F.col("o_orderstatus") == "O", 5.0)
+        .when(F.col("o_orderstatus") == "F", -3.0)
+        .otherwise(1.5)
+    )
+    load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 6 == 0
+    ).select(
+        (F.col("o_orderkey") % 41).cast("double").alias("x"),
+        F.col("o_orderstatus").alias("seg"),
+        (F.lit(2.0) * (F.col("o_orderkey") % 41) + eff + F.lit(1.0))
+        .alias("y"),
+    ).createOrReplaceTempView("mlc_pts")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL mlc_m OPTIONS("
+        "model_type='linear_reg', input_label_cols=['y']) "
+        "AS SELECT * FROM mlc_pts"
+    )
+    summ = cat.sql(
+        "SELECT COUNT(*) AS __n, MAX(ABS(predicted_y - y)) AS __err "
+        "FROM ML.PREDICT(MODEL mlc_m, TABLE mlc_pts)"
+    )
+    w = cat.sql(
+        "SELECT COUNT(*) AS __nw, "
+        "SUM(CASE WHEN processed_input = 'seg' "
+        "    AND weight IS NULL AND SIZE(category_weights) >= 2 "
+        "    THEN 1 ELSE 0 END) AS __grouped "
+        "FROM ML.WEIGHTS(MODEL mlc_m)"
+    )
+    # unseen category -> baseline: prediction must equal intercept +
+    # coef_x * x exactly (all dummies zero)
+    unseen = cat.sql(
+        "SELECT predicted_y FROM ML.PREDICT(MODEL mlc_m, "
+        "(SELECT 7.0 AS x, 'ZZZ' AS seg))"
+    )
+    base = cat.sql(
+        "SELECT weight AS w0 FROM ML.WEIGHTS(MODEL mlc_m) "
+        "WHERE processed_input = '__INTERCEPT__'"
+    ).crossJoin(cat.sql(
+        "SELECT weight AS wx FROM ML.WEIGHTS(MODEL mlc_m) "
+        "WHERE processed_input = 'x'"
+    ))
+    return (
+        summ.crossJoin(w).crossJoin(unseen).crossJoin(base)
+        .select(
+            F.col("__n").cast("long").alias("n"),
+            (F.col("__err") < 1e-6).alias("fit_exact"),
+            ((F.col("__grouped") == 1) & (F.col("__nw") == 3)).alias(
+                "weights_grouped"
+            ),
+            (
+                F.abs(
+                    F.col("predicted_y")
+                    - (F.col("w0") + F.col("wx") * 7.0)
+                ) < 1e-9
+            ).alias("unseen_is_baseline"),
+        )
+    )

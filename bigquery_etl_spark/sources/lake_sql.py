@@ -3503,33 +3503,59 @@ class LakeCatalog:
                 "select": select,
                 "transform": transform_text,
             }
-        if mtype == "linear_reg":
+        def _refuse_strings(cols: list[str]) -> None:
+            from pyspark.sql.types import StringType
+
+            bad = [
+                f.name for f in df.schema.fields
+                if f.name in cols and isinstance(f.dataType, StringType)
+            ]
+            if bad:
+                raise ValueError(
+                    f"{mtype}: string feature columns {bad} are not "
+                    "supported (automatic dummy encoding covers "
+                    "linear_reg/logistic_reg only) — CAST or encode "
+                    "them explicitly; silently casting to NULL would "
+                    "train a wrong model"
+                )
+
+        if mtype in ("linear_reg", "logistic_reg"):
             lm = re.search(r"(?:\[|\bARRAY\s*\()\s*'(\w+)'\s*(?:\]|\))", opts_text)
             label = lm.group(1) if lm else opts.get("input_label_cols", "")
             if not label:
                 raise ValueError(
-                    "linear_reg needs input_label_cols=['<label>']"
+                    f"{mtype} needs input_label_cols=['<label>']"
                 )
             feats = [c for c in df.columns if c != label]
-            model = _ml.fit_linear_reg(
-                df, feats, label, l2=float(opts.get("l2_reg", 0) or 0)
-            )
-        elif mtype == "logistic_reg":
-            lm = re.search(r"(?:\[|\bARRAY\s*\()\s*'(\w+)'\s*(?:\]|\))", opts_text)
-            label = lm.group(1) if lm else opts.get("input_label_cols", "")
-            if not label:
-                raise ValueError(
-                    "logistic_reg needs input_label_cols=['<label>']"
+            # categorical features (r10): BigQuery's automatic dummy
+            # encoding — string columns one-hot at fit time, the
+            # vocabulary persists in the model, predict expands
+            # identically (operators/ml.py with_dummies)
+            cats = _ml.detect_categoricals(df, feats)
+            if cats:
+                df = _ml.with_dummies(df, cats)
+                feats = _ml.expand_features(feats, cats)
+            if mtype == "linear_reg":
+                l2 = float(opts.get("l2_reg", 0) or 0)
+                if cats and l2 == 0.0:
+                    # full one-hot + intercept is rank-deficient by
+                    # construction; a minimal ridge keeps the normal-
+                    # equation solve finite (BigQuery likewise trains
+                    # categorical models with regularization on)
+                    l2 = 1e-9
+                model = _ml.fit_linear_reg(df, feats, label, l2=l2)
+            else:
+                model = _ml.fit_logistic_reg(
+                    df,
+                    feats,
+                    label,
+                    l2=float(opts.get("l2_reg", 1e-6) or 1e-6),
+                    n_iters=int(opts.get("max_iterations", 12)),
                 )
-            feats = [c for c in df.columns if c != label]
-            model = _ml.fit_logistic_reg(
-                df,
-                feats,
-                label,
-                l2=float(opts.get("l2_reg", 1e-6) or 1e-6),
-                n_iters=int(opts.get("max_iterations", 12)),
-            )
+            if cats:
+                model["categorical"] = cats
         elif mtype == "kmeans":
+            _refuse_strings(list(df.columns))
             model = _ml.fit_kmeans(
                 df,
                 list(df.columns),
@@ -3537,6 +3563,7 @@ class LakeCatalog:
                 n_iters=int(opts.get("max_iterations", 8)),
             )
         elif mtype == "pca":
+            _refuse_strings(list(df.columns))
             model = _ml.fit_pca(
                 df,
                 list(df.columns),
@@ -3579,6 +3606,7 @@ class LakeCatalog:
                     f"{mtype} needs input_label_cols=['<label>']"
                 )
             feats = [c for c in df.columns if c != label]
+            _refuse_strings(feats)
             model = _ml.fit_boosted_trees(
                 df,
                 feats,
@@ -3954,12 +3982,41 @@ class LakeCatalog:
                     raise ValueError(
                         "ML.WEIGHTS: linear_reg or logistic_reg"
                     )
-                rows = [("__INTERCEPT__", float(model["intercept"]))] + [
-                    (c, float(b))
-                    for c, b in zip(model["features"], model["coefficients"])
-                ]
+                coef = dict(
+                    zip(model["features"], model["coefficients"])
+                )
+                cats = model.get("categorical", {})
+                dummy_of = {
+                    _ml._dummy_name(col, i): (col, v)
+                    for col, vals in cats.items()
+                    for i, v in enumerate(vals)
+                }
+                rows = [("__INTERCEPT__", float(model["intercept"]), None)]
+                seen_cat: set[str] = set()
+                for c in model["features"]:
+                    if c in dummy_of:
+                        col = dummy_of[c][0]
+                        if col in seen_cat:
+                            continue
+                        seen_cat.add(col)
+                        # BigQuery: categorical weights come back as
+                        # (category, weight) pairs under the ORIGINAL
+                        # column name, scalar weight NULL
+                        cw = [
+                            (
+                                "NULL" if v is None else str(v),
+                                float(coef[_ml._dummy_name(col, i)]),
+                            )
+                            for i, v in enumerate(cats[col])
+                        ]
+                        rows.append((col, None, cw))
+                    else:
+                        rows.append((c, float(coef[c]), None))
                 df = self.spark.createDataFrame(
-                    rows, "processed_input string, weight double"
+                    rows,
+                    "processed_input string, weight double, "
+                    "category_weights array<struct<category string, "
+                    "weight double>>",
                 )
             elif fn == "PRINCIPAL_COMPONENTS":
                 if model["model_type"] != "pca":

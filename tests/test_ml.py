@@ -1142,3 +1142,93 @@ def test_explain_predict_and_global_explain(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="FEATURE_IMPORTANCE"):
         c.sql("SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL ex_bt_m)")
+
+
+def test_categorical_features_dummy_encoding(spark, tmp_path):
+    """r10 BQML categorical features: automatic one-hot at fit time,
+    vocabulary persisted (NULL its own category), identical predict
+    expansion, grouped WEIGHTS, unseen-category = baseline, named
+    refusals for model types without encoding support."""
+    rows = []
+    for i in range(300):
+        seg = ["A", "B", None][i % 3]
+        eff = {None: 0.0, "A": 5.0, "B": -3.0}[seg]
+        x = float(i % 17)
+        rows.append((x, seg, 2.0 * x + eff + 1.0))
+    spark.createDataFrame(rows, "x double, seg string, y double")\
+        .createOrReplaceTempView("cat_trn")
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    c.sql(
+        "CREATE MODEL cat_m OPTIONS(model_type='linear_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM cat_trn"
+    )
+    worst = c.sql(
+        "SELECT MAX(ABS(predicted_y - y)) AS w "
+        "FROM ML.PREDICT(MODEL cat_m, TABLE cat_trn)"
+    ).collect()[0].w
+    assert worst < 1e-6
+    # predict output keeps caller columns only
+    out = c.sql(
+        "SELECT * FROM ML.PREDICT(MODEL cat_m, "
+        "(SELECT 3.0 AS x, 'A' AS seg))"
+    )
+    assert out.columns == ["x", "seg", "predicted_y"]
+    assert abs(out.collect()[0].predicted_y - 12.0) < 1e-6
+    # NULL is its own category with its own effect
+    pn = c.sql(
+        "SELECT predicted_y FROM ML.PREDICT(MODEL cat_m, "
+        "(SELECT 3.0 AS x, CAST(NULL AS STRING) AS seg))"
+    ).collect()[0].predicted_y
+    assert abs(pn - 7.0) < 1e-6
+    # weights grouped under the original column
+    w = {r.processed_input: r for r in c.sql(
+        "SELECT * FROM ML.WEIGHTS(MODEL cat_m)"
+    ).collect()}
+    assert w["seg"].weight is None
+    cats = {e.category for e in w["seg"].category_weights}
+    assert cats == {"A", "B", "NULL"}
+    assert w["x"].weight == pytest.approx(2.0, abs=1e-4)
+    # relative effects are identifiable even though absolute dummy
+    # weights are not (minimal ridge): A - B = 8, A - NULL = 5
+    cw = {e.category: e.weight for e in w["seg"].category_weights}
+    assert cw["A"] - cw["B"] == pytest.approx(8.0, abs=1e-4)
+    assert cw["A"] - cw["NULL"] == pytest.approx(5.0, abs=1e-4)
+    # persistence round-trip keeps the vocabulary
+    saved = ml.load_model(str(tmp_path / "wh" / "_models"), "cat_m")
+    assert saved["categorical"] == c.models["cat_m"]["categorical"]
+    # logistic with a categorical feature separates on it
+    spark.createDataFrame(
+        [(["u", "v"][i % 2], i % 2) for i in range(100)],
+        "s string, y int",
+    ).createOrReplaceTempView("cat_lg")
+    c.sql(
+        "CREATE MODEL cat_lg_m OPTIONS(model_type='logistic_reg', "
+        "input_label_cols=['y']) AS SELECT * FROM cat_lg"
+    )
+    acc = c.sql(
+        "SELECT accuracy FROM ML.EVALUATE(MODEL cat_lg_m, "
+        "TABLE cat_lg)"
+    ).collect()[0].accuracy
+    assert acc == 1.0
+    # refusals: trees/kmeans with strings; explain on categorical;
+    # unbounded vocabulary
+    with pytest.raises(ValueError, match="string feature"):
+        c.sql(
+            "CREATE MODEL cat_bt OPTIONS("
+            "model_type='boosted_tree_regressor', "
+            "input_label_cols=['y'], max_iterations=2) "
+            "AS SELECT * FROM cat_trn"
+        )
+    with pytest.raises(ValueError, match="categorical"):
+        c.sql(
+            "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL cat_m, "
+            "TABLE cat_trn)"
+        )
+    spark.range(500).selectExpr(
+        "CAST(id AS STRING) AS s", "CAST(id AS DOUBLE) AS y"
+    ).createOrReplaceTempView("cat_wide")
+    with pytest.raises(ValueError, match="256"):
+        c.sql(
+            "CREATE MODEL cat_w OPTIONS(model_type='linear_reg', "
+            "input_label_cols=['y']) AS SELECT * FROM cat_wide"
+        )

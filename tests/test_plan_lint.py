@@ -63,6 +63,7 @@ NON_EQUI_OK = {
     "q_ml_inspect",       # five 1-row invariant summaries crossed (r10)
     "q_ml_anomaly",       # two 1-row invariant summaries crossed (r10)
     "q_ml_split_explain", # four 1-row invariant summaries crossed (r10)
+    "q_ml_categorical",   # four 1-row invariant summaries crossed (r10)
 }
 
 # Streaming / source / pipeline queries that cannot build a pure batch
