@@ -1695,12 +1695,6 @@ def explain_predict(df: DataFrame, model: dict, top_k: int = 3) -> DataFrame:
             "ML.EXPLAIN_PREDICT: linear_reg or logistic_reg (tree "
             "ensembles: use ML.FEATURE_IMPORTANCE for global gain)"
         )
-    if model.get("categorical"):
-        raise ValueError(
-            "ML.EXPLAIN_PREDICT: models with categorical features are "
-            "not supported yet (attributions per category need the "
-            "dummy expansion surfaced) — documented refusal"
-        )
     stats = model.get("feature_stats")
     if not stats:
         raise ValueError(
@@ -1709,19 +1703,54 @@ def explain_predict(df: DataFrame, model: dict, top_k: int = 3) -> DataFrame:
         )
     if top_k < 1:
         raise ValueError(f"top_k_features must be >= 1, got {top_k}")
-    top_k = min(top_k, len(model["features"]))  # BigQuery caps at d
     means = {s["input"]: float(s["mean"] or 0.0) for s in stats}
     baseline = model["intercept"] + sum(
         b * means[c]
         for c, b in zip(model["features"], model["coefficients"])
     )
+    # categorical columns (r10): the dummy means are the training
+    # category FREQUENCIES, so the exact linear Shapley value of the
+    # whole one-hot group — Σ_i coef_i·(dummy_i − μ_i), i.e.
+    # w_active − E[w] — attributes to the ORIGINAL column, summing
+    # with the numeric attributions to prediction − baseline exactly
+    cats = model.get("categorical", {})
+    dummy_of = {
+        _dummy_name(col, i): (col, v)
+        for col, vals in cats.items()
+        for i, v in enumerate(vals)
+    }
+    n_display = len([f for f in model["features"]
+                     if f not in dummy_of]) + len(cats)
+    top_k = min(top_k, n_display)  # BigQuery caps at d
+    coef = dict(zip(model["features"], model["coefficients"]))
     entries = []
     pred = F.lit(float(baseline))
+    group_attr: dict[str, Column] = {}
     for c, b in zip(model["features"], model["coefficients"]):
-        attr = (F.col(c).cast("double") - F.lit(means[c])) * F.lit(float(b))
+        if c in dummy_of:
+            col, v = dummy_of[c]
+            d = (
+                F.col(col).isNull() if v is None
+                else (F.col(col) == F.lit(v))
+            )
+            dx = F.coalesce(d.cast("double"), F.lit(0.0))
+            attr = (dx - F.lit(means[c])) * F.lit(float(b))
+            group_attr[col] = (
+                attr if col not in group_attr
+                else group_attr[col] + attr
+            )
+        else:
+            attr = (
+                (F.col(c).cast("double") - F.lit(means[c]))
+                * F.lit(float(b))
+            )
+            entries.append(F.struct(
+                F.lit(c).alias("feature"), attr.alias("attribution")
+            ))
         pred = pred + attr
+    for col, attr in group_attr.items():
         entries.append(F.struct(
-            F.lit(c).alias("feature"), attr.alias("attribution")
+            F.lit(col).alias("feature"), attr.alias("attribution")
         ))
     arr = F.expr(
         "slice(array_sort(__attr_arr, (a, b) -> CASE "
@@ -1762,11 +1791,6 @@ def global_explain(spark: SparkSession, model: dict) -> DataFrame:
             "ML.GLOBAL_EXPLAIN: linear_reg or logistic_reg (tree "
             "ensembles: ML.FEATURE_IMPORTANCE)"
         )
-    if model.get("categorical"):
-        raise ValueError(
-            "ML.GLOBAL_EXPLAIN: models with categorical features are "
-            "not supported yet — documented refusal"
-        )
     stats = model.get("feature_stats")
     if not stats or "mean_abs_dev" not in stats[0]:
         raise ValueError(
@@ -1774,13 +1798,30 @@ def global_explain(spark: SparkSession, model: dict) -> DataFrame:
             "engine version"
         )
     mad = {s["input"]: float(s.get("mean_abs_dev") or 0.0) for s in stats}
-    rows = sorted(
-        (
-            (c, abs(b) * mad[c])
-            for c, b in zip(model["features"], model["coefficients"])
-        ),
-        key=lambda t: (-t[1], t[0]),
-    )
+    means = {s["input"]: float(s["mean"] or 0.0) for s in stats}
+    cats = model.get("categorical", {})
+    dummy_of = {
+        _dummy_name(col, i): col
+        for col, vals in cats.items()
+        for i in range(len(vals))
+    }
+    coef = dict(zip(model["features"], model["coefficients"]))
+    pairs = []
+    for c, b in zip(model["features"], model["coefficients"]):
+        if c not in dummy_of:
+            pairs.append((c, abs(b) * mad[c]))
+    for col, vals in cats.items():
+        # every training row activates exactly ONE category, so the
+        # column's mean |attribution| has the exact closed form
+        # Σ_c freq_c · |w_c − w̄| with w̄ = Σ_j freq_j·w_j — the dummy
+        # MEANS are the frequencies; no extra pass needed
+        ws = [coef[_dummy_name(col, i)] for i in range(len(vals))]
+        fs = [means[_dummy_name(col, i)] for i in range(len(vals))]
+        wbar = sum(w * f for w, f in zip(ws, fs))
+        pairs.append(
+            (col, sum(f * abs(w - wbar) for w, f in zip(ws, fs)))
+        )
+    rows = sorted(pairs, key=lambda t: (-t[1], t[0]))
     return spark.createDataFrame(
         rows, "feature string, attribution double"
     )

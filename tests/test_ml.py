@@ -1219,11 +1219,33 @@ def test_categorical_features_dummy_encoding(spark, tmp_path):
             "input_label_cols=['y'], max_iterations=2) "
             "AS SELECT * FROM cat_trn"
         )
-    with pytest.raises(ValueError, match="categorical"):
-        c.sql(
-            "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL cat_m, "
-            "TABLE cat_trn)"
-        )
+    # explainability groups the one-hot attributions under the
+    # ORIGINAL column and stays exactly additive
+    ep = c.sql(
+        "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL cat_m, "
+        "(SELECT 3.0 AS x, 'A' AS seg), STRUCT(2 AS top_k_features))"
+    ).collect()[0]
+    feats = {a.feature for a in ep.top_feature_attributions}
+    assert feats == {"x", "seg"}
+    ssum = sum(a.attribution for a in ep.top_feature_attributions)
+    assert ep.baseline_prediction_value + ssum == pytest.approx(
+        ep.prediction_value, abs=1e-9
+    )
+    assert ep.predicted_y == pytest.approx(12.0, abs=1e-6)
+    # global explain: closed-form mean |attribution| for the grouped
+    # column — effects are ±(5,-3,0)-ish around the frequency-weighted
+    # mean, so seg's attribution is strictly positive and finite
+    ge = {r.feature: r.attribution for r in c.sql(
+        "SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL cat_m)"
+    ).collect()}
+    assert set(ge) == {"x", "seg"}
+    import statistics as st
+
+    effs = [5.0, -3.0, 0.0]  # equal thirds
+    wbar = st.mean(effs)
+    assert ge["seg"] == pytest.approx(
+        st.mean(abs(e - wbar) for e in effs), abs=1e-3
+    )
     spark.range(500).selectExpr(
         "CAST(id AS STRING) AS s", "CAST(id AS DOUBLE) AS y"
     ).createOrReplaceTempView("cat_wide")
