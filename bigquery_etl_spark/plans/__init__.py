@@ -19,6 +19,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage11,
     coverage12,
     coverage13,
+    coverage14,
     extras,
     functions_pack,
     functions_pack2,

@@ -1380,6 +1380,9 @@ class LakeCatalog:
                     )
                 start = _parse_bound(args[1]) if len(args) == 3 else None
                 end = _parse_bound(args[2]) if len(args) == 3 else None
+                self._refuse_policied(
+                    tm.group(1), f"{fn_name}() change history"
+                )
                 vt = self.tables[tm.group(1)]
                 frames = []
                 for h in vt.history():
@@ -1904,10 +1907,10 @@ class LakeCatalog:
                         f"${suffix} decorator invalid"
                     )
                 view = f"{name}__part_{suffix}"
-                tbl.read(
+                self._apply_row_policies(name, tbl.read(
                     part_pred=lambda p: p is not None
                     and p.replace("-", "") == suffix
-                ).createOrReplaceTempView(view)
+                )).createOrReplaceTempView(view)
                 return view
 
             return self._DECOR_RX.sub(repl, seg)
@@ -1915,7 +1918,8 @@ class LakeCatalog:
         return _map_literal_aware(text, _seg)
 
     def _create_row_policy(
-        self, replace: bool, name: str, table: str, rest: str
+        self, replace: bool, name: str, table: str, rest: str,
+        if_not_exists: bool = False,
     ) -> None:
         """``CREATE [OR REPLACE] ROW ACCESS POLICY p ON t
         [GRANT TO ("user:a@x", "allAuthenticatedUsers")]
@@ -1946,10 +1950,24 @@ class LakeCatalog:
         filt = rest[fm.end() : fclose].strip()
         pols = self.row_policies.setdefault(table, {})
         if name in pols and not replace:
+            if if_not_exists:
+                return  # IF NOT EXISTS: existing policy wins, no-op
             raise ValueError(
                 f"row access policy {name!r} already exists on {table!r}"
             )
         pols[name] = {"grantees": grantees, "filter": filt}
+
+    def _refuse_policied(self, name: str, what: str) -> None:
+        """BigQuery disallows time travel and change-history reads on
+        tables with row access policies (they would expose historical
+        rows the policy filter never saw) — refuse loudly rather than
+        silently bypassing the allowlist."""
+        if self.row_policies.get(name):
+            raise ValueError(
+                f"{what} is not allowed on table {name!r}: it has row "
+                "access policies (BigQuery restriction — drop the "
+                "policies or read the current snapshot)"
+            )
 
     def _apply_row_policies(self, name: str, df: DataFrame) -> DataFrame:
         """Read-time row-level security: OR of the filters of policies
@@ -2034,6 +2052,7 @@ class LakeCatalog:
             name, v = m.group(1), int(m.group(2))
             if name not in self.tables:
                 return m.group(0)
+            self._refuse_policied(name, "time travel")
             view = f"{name}__v{v}"
             self.tables[name].read(version=v).createOrReplaceTempView(view)
             return view
@@ -2042,6 +2061,7 @@ class LakeCatalog:
             name, ts = m.group(1), m.group(2)
             if name not in self.tables:
                 return m.group(0)
+            self._refuse_policied(name, "time travel")
             v = self._resolve_version(name, ts)
             view = f"{name}__v{v}"
             self.tables[name].read(version=v).createOrReplaceTempView(view)
@@ -2354,13 +2374,14 @@ class LakeCatalog:
 
         m = re.match(
             r"\s*CREATE\s+(OR\s+REPLACE\s+)?ROW\s+ACCESS\s+POLICY\s+"
-            r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+([\w.]+)\s+",
+            r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+([\w.]+)\s+",
             text,
             re.IGNORECASE,
         )
         if m:
             return self._create_row_policy(
-                bool(m.group(1)), m.group(2), m.group(3), text[m.end():]
+                bool(m.group(1)), m.group(3), m.group(4), text[m.end():],
+                if_not_exists=bool(m.group(2)),
             )
         m = re.match(
             r"\s*DROP\s+ALL\s+ROW\s+ACCESS\s+POLICIES\s+ON\s+([\w.]+)"
@@ -3369,9 +3390,12 @@ class LakeCatalog:
 
         meta = model["data_split"]
         df = self.spark.sql(self._register_views(meta["select"]))
+        # split predicate is over the RAW select columns (split precedes
+        # the transform at fit time) — filter first, then transform
+        df = df.filter(F.expr(meta["condition"]))
         if model.get("transform"):
             df = self._apply_transform_select(df, model["transform"])
-        return df.filter(F.expr(meta["condition"]))
+        return df
 
     def _apply_transform_columns(self, df, model):
         """Predict/evaluate-time transform: add the computed transform
@@ -3440,7 +3464,6 @@ class LakeCatalog:
         transform_items: list[dict] | None = None
         if transform_text is not None:
             transform_items = self._parse_transform(transform_text)
-            df = self._fit_transform(df, transform_items)
         # data_split_method / data_split_eval_fraction (r10): BigQuery's
         # held-out-eval training option. 'random' here is a DETERMINISTIC
         # row hash (xxhash64 over every input column — reproducible
@@ -3499,10 +3522,21 @@ class LakeCatalog:
             split_meta = {
                 "method": split_method,
                 "eval_fraction": frac,
+                # over RAW select columns — the split happens BEFORE the
+                # TRANSFORM so transform statistics never see eval rows
                 "condition": cond_sql,
                 "select": select,
                 "transform": transform_text,
             }
+        if transform_items is not None:
+            # fit on the TRAINING split only (BigQuery computes TRANSFORM
+            # statistics on training data; fitting pre-split would leak
+            # held-out rows into the scaler mean/std/min/max)
+            df = self._fit_transform(df, transform_items)
+            if eval_df is not None:
+                eval_df = self._apply_transform_select(
+                    eval_df, transform_items
+                )
         def _refuse_strings(cols: list[str]) -> None:
             from pyspark.sql.types import StringType
 
@@ -3721,7 +3755,12 @@ class LakeCatalog:
         if tm:
             name = tm.group(1)
             if name in self.tables:
-                return self.tables[name].read()
+                # row-level security applies to ML TABLE inputs too —
+                # ML.PREDICT(MODEL m, TABLE t) reads t as the session
+                # principal, same as a direct SELECT
+                return self._apply_row_policies(
+                    name, self.tables[name].read()
+                )
             return self.spark.table(name)
         sm = re.match(r"(?is)^\s*\((.*)\)\s*$", arg.strip())
         if sm:
@@ -3896,9 +3935,13 @@ class LakeCatalog:
                         "contamination)], input)"
                     )
                 df = self._ml_input_df(parts[0])
+                tr_added = []
                 if model.get("transform"):
-                    df, _ = self._apply_transform_columns(df, model)
+                    df, tr_added = self._apply_transform_columns(df, model)
                 df = _ml.detect_anomalies(df, model, contamination)
+                if tr_added:
+                    # per-row output keeps the CALLER's columns only
+                    df = df.drop(*tr_added)
             elif fn == "EXPLAIN_PREDICT":
                 from bigquery_etl_spark.sources.bq_dialect import (
                     _split_args,
@@ -3929,9 +3972,13 @@ class LakeCatalog:
                         "[, STRUCT(k AS top_k_features)])"
                     )
                 df = self._ml_input_df(parts[0])
+                tr_added = []
                 if model.get("transform"):
-                    df, _ = self._apply_transform_columns(df, model)
+                    df, tr_added = self._apply_transform_columns(df, model)
                 df = _ml.explain_predict(df, model, top_k)
+                if tr_added:
+                    # per-row output keeps the CALLER's columns only
+                    df = df.drop(*tr_added)
             elif fn == "GLOBAL_EXPLAIN":
                 df = _ml.global_explain(self.spark, model)
             elif fn == "FEATURE_INFO":

@@ -1254,3 +1254,218 @@ def test_categorical_features_dummy_encoding(spark, tmp_path):
             "CREATE MODEL cat_w OPTIONS(model_type='linear_reg', "
             "input_label_cols=['y']) AS SELECT * FROM cat_wide"
         )
+
+
+# -- TreeSHAP for boosted trees (r11, VERDICT r10 item 2) ----------------------
+
+
+def _ref_tree_shap_row(x, tree, n_features):
+    """Independent per-row oracle: brute-force Shapley values computed
+    STRAIGHT FROM THE DEFINITION over the path-dependent value function
+    (EXPVALUE, Algorithm 1 of the public TreeSHAP paper): conditioned
+    features follow x down the tree, unconditioned splits average their
+    children by training cover. Exponential in n_features — fine for
+    the <=4-feature test trees, and structurally unrelated to the
+    production recursion, so agreement is strong evidence."""
+    import itertools
+    import math
+
+    cover = {int(k): float(v) for k, v in tree["covers"].items()}
+
+    def expvalue(S):
+        def g(nid):
+            s = tree["splits"].get(str(nid))
+            if s is None:
+                return float(tree["leaves"][str(nid)])
+            f, thr = s["f"], s["value_thr"]
+            left, right = 2 * nid + 1, 2 * nid + 2
+            if f in S:
+                xv = x[f]
+                go_left = (
+                    xv is None
+                    or (isinstance(xv, float) and math.isnan(xv))
+                    or xv < thr
+                )
+                return g(left) if go_left else g(right)
+            return (
+                cover[left] * g(left) + cover[right] * g(right)
+            ) / cover[nid]
+
+        return g(0)
+
+    phi = [0.0] * n_features
+    for i in range(n_features):
+        rest = [f for f in range(n_features) if f != i]
+        for k in range(len(rest) + 1):
+            for S in itertools.combinations(rest, k):
+                w = (
+                    math.factorial(len(S))
+                    * math.factorial(n_features - len(S) - 1)
+                    / math.factorial(n_features)
+                )
+                phi[i] += w * (
+                    expvalue(set(S) | {i}) - expvalue(set(S))
+                )
+    return phi
+
+
+def test_tree_shap_hand_computable_cases():
+    """Single split: phi_0 = v(leaf_x) - v(empty), nothing else."""
+    import numpy as np
+
+    from bigquery_etl_spark.operators.ml import (
+        _tree_expected,
+        _tree_shap_batch,
+    )
+
+    tree = {
+        "splits": {"0": {"f": 0, "bin_thr": 0, "value_thr": 5.0,
+                         "gain": 1.0, "cover": 10.0}},
+        "leaves": {"1": 2.0, "2": 8.0},
+        "covers": {"0": 10.0, "1": 6.0, "2": 4.0},
+    }
+    v0 = 0.6 * 2.0 + 0.4 * 8.0
+    assert _tree_expected(tree) == pytest.approx(v0)
+    X = np.array([[1.0, 0.0], [9.0, 0.0], [np.nan, 0.0]])
+    phi = _tree_shap_batch(X, tree, 2)
+    assert phi[:, 1] == pytest.approx([0.0, 0.0, 0.0])
+    assert phi[0, 0] == pytest.approx(2.0 - v0)
+    assert phi[1, 0] == pytest.approx(8.0 - v0)
+    assert phi[2, 0] == pytest.approx(2.0 - v0)  # NaN goes left
+
+    # two-level, two-feature: verify against the independent per-row
+    # reference AND the sum identity
+    tree2 = {
+        "splits": {
+            "0": {"f": 0, "bin_thr": 0, "value_thr": 5.0,
+                  "gain": 1.0, "cover": 10.0},
+            "1": {"f": 1, "bin_thr": 0, "value_thr": 0.5,
+                  "gain": 1.0, "cover": 6.0},
+        },
+        "leaves": {"3": -1.0, "4": 3.0, "2": 8.0},
+        "covers": {"0": 10.0, "1": 6.0, "2": 4.0, "3": 2.0, "4": 4.0},
+    }
+    X2 = np.array(
+        [[1.0, 0.0], [1.0, 1.0], [9.0, 0.0], [9.0, 1.0], [np.nan, np.nan]]
+    )
+    phi2 = _tree_shap_batch(X2, tree2, 2)
+    leaf_of = [-1.0, 3.0, 8.0, 8.0, -1.0]
+    v0_2 = (2 * -1.0 + 4 * 3.0 + 4 * 8.0) / 10.0
+    for r in range(len(X2)):
+        ref = _ref_tree_shap_row(list(X2[r]), tree2, 2)
+        assert phi2[r] == pytest.approx(ref, abs=1e-12)
+        assert phi2[r].sum() == pytest.approx(leaf_of[r] - v0_2, abs=1e-12)
+
+
+def test_tree_shap_differential_vs_reference(spark):
+    """Fit a real GBDT (repeated split features exercise the UNWIND
+    path), then the vectorized batch TreeSHAP must match the per-row
+    reference on every row, and sum to margin - baseline."""
+    import numpy as np
+
+    from bigquery_etl_spark.operators.ml import (
+        _tree_expected,
+        _tree_shap_batch,
+        fit_boosted_trees,
+    )
+
+    rng = np.random.RandomState(7)
+    n, d = 400, 3
+    X = rng.uniform(-3, 3, size=(n, d))
+    y = (
+        np.sin(X[:, 0]) * 2.0
+        + np.where(X[:, 1] > 0, X[:, 0] * 1.5, -X[:, 2])
+        + 0.1 * rng.normal(size=n)
+    )
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(t))
+         for (a, b, c), t in zip(X, y)],
+        "f0 double, f1 double, f2 double, y double",
+    )
+    model = fit_boosted_trees(
+        df, ["f0", "f1", "f2"], "y", num_trees=5, max_depth=4
+    )
+    assert all("covers" in t for t in model["trees"])
+    lr = model["learning_rate"]
+    base = model["base_score"] + lr * sum(
+        _tree_expected(t) for t in model["trees"]
+    )
+    sample = X[:40]
+    phi = np.zeros((len(sample), d))
+    for t in model["trees"]:
+        batch = _tree_shap_batch(sample, t, d)
+        for r in range(len(sample)):
+            ref = _ref_tree_shap_row(list(sample[r]), t, d)
+            assert batch[r] == pytest.approx(ref, abs=1e-9)
+        phi += batch
+    phi *= lr
+    # sum identity vs the actual prediction margin
+    from bigquery_etl_spark.operators.ml import predict_boosted_trees
+
+    preds = {
+        (round(r.f0, 9), round(r.f1, 9), round(r.f2, 9)): r.p
+        for r in predict_boosted_trees(df, model, out="p").collect()
+    }
+    for r in range(len(sample)):
+        key = tuple(round(float(v), 9) for v in sample[r])
+        assert base + phi[r].sum() == pytest.approx(preds[key], abs=1e-9)
+
+
+def test_explain_predict_boosted_sql_surface(spark, tmp_path):
+    """ML.EXPLAIN_PREDICT(MODEL boosted, ...) through the SQL surface:
+    BigQuery's output shape, exact sum identity, top_k bound, and the
+    classifier's margin-space attributions."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    c = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    spark.range(300).selectExpr(
+        "CAST(id % 17 AS DOUBLE) AS a",
+        "CAST(id % 5 AS DOUBLE) AS b",
+        "CAST(CASE WHEN id % 17 > 8 THEN 1 ELSE 0 END + "
+        "     CASE WHEN id % 5 > 2 THEN 2 ELSE 0 END AS DOUBLE) AS y",
+    ).createOrReplaceTempView("bt_pts")
+    c.sql(
+        "CREATE OR REPLACE MODEL bt_reg OPTIONS("
+        "model_type='boosted_tree_regressor', input_label_cols=['y'], "
+        "max_iterations=8) AS SELECT * FROM bt_pts"
+    )
+    ep = c.sql(
+        "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL bt_reg, "
+        "(SELECT a, b FROM bt_pts), STRUCT(2 AS top_k_features))"
+    )
+    rows = ep.collect()
+    assert len(rows) == 300
+    for r in rows[:20]:
+        assert len(r.top_feature_attributions) == 2
+        assert r.approximation_error == 0.0
+        total = r.baseline_prediction_value + sum(
+            e.attribution for e in r.top_feature_attributions
+        )
+        assert total == pytest.approx(r.prediction_value, abs=1e-9)
+        assert r.predicted_y == pytest.approx(r.prediction_value)
+    # prediction_value matches ML.PREDICT exactly
+    pred = {
+        (r.a, r.b): r.predicted_y
+        for r in c.sql(
+            "SELECT * FROM ML.PREDICT(MODEL bt_reg, "
+            "(SELECT DISTINCT a, b FROM bt_pts))"
+        ).collect()
+    }
+    for r in rows[:50]:
+        assert r.prediction_value == pytest.approx(
+            pred[(r.a, r.b)], abs=1e-9
+        )
+    # classifier: attributions in margin space, predicted prob present
+    c.sql(
+        "CREATE OR REPLACE MODEL bt_cls OPTIONS("
+        "model_type='boosted_tree_classifier', input_label_cols=['y2'],"
+        " max_iterations=5) AS SELECT a, b, "
+        "CAST(y > 1.5 AS INT) AS y2 FROM (SELECT *, y FROM bt_pts)"
+    )
+    epc = c.sql(
+        "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL bt_cls, "
+        "(SELECT a, b FROM bt_pts))"
+    ).collect()
+    for r in epc[:10]:
+        assert 0.0 <= r.predicted_y2_prob <= 1.0
+        assert r.predicted_y2 in (0, 1)
