@@ -389,6 +389,31 @@ def main() -> None:
                 continue
             baseline[name] = round(best, 3)
 
+    # DuckDB calibration probe (r11, VERDICT r10 item 5): a FIXED query
+    # whose wall moves only with the baseline engine/host, never with
+    # this repo's code — the judge divides round-over-round baseline
+    # walls by this scalar to separate denominator drift (r9→r10 moved
+    # ~1.86× on untouched plans) from real engine movement.
+    calib = None
+    if with_baseline:
+        from bigquery_etl_spark.oracle import run_duckdb
+
+        probe = (
+            "SELECT l_returnflag, COUNT(*) AS n, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS rev "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+        try:
+            best = float("inf")
+            for _ in range(max(3, runs)):
+                t0 = time.perf_counter()
+                run_duckdb(probe, sf_dir)
+                best = min(best, time.perf_counter() - t0)
+            calib = round(best, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors["__calibration__"] = f"{type(exc).__name__}: {exc}"[:200]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -428,7 +453,40 @@ def main() -> None:
             out["matched_ratio"] = round(
                 out["matched_total_sec"] / out["duckdb_baseline_sec"], 3
             )
+    if calib is not None:
+        out["calib_duckdb_probe_sec"] = calib
     print(json.dumps(out))
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # the last JSON line it finds (r10 VERDICT item 5: the full line
+    # above is ~6 KB, so only a truncated tail survived into
+    # BENCH_r*.json and absolute-wall comparison needed the builder's
+    # soak files). Emit a SECOND, compact line that fits the tail
+    # whole: headline scalars + the calibration probe + the FULL
+    # spark-wall map over the matched (exact-twin) set — the stable
+    # round-over-round signal. tools/bench_gate.py parses lines in
+    # reverse, so it gates on this line's "queries" map.
+    if baseline:
+        compact = {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": "sec",
+            "sf": out["sf"],
+            "matched_total_sec": out["matched_total_sec"],
+            "duckdb_baseline_sec": out["duckdb_baseline_sec"],
+            "matched_ratio": out.get("matched_ratio"),
+            "calib_duckdb_probe_sec": calib,
+            "n_queries_all": len(timings),
+            "queries": {
+                k: round(v, 2) for k, v in timings.items() if k in baseline
+            },
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1950:  # stay within the driver's 2000-char tail
+            compact["queries"] = {
+                k: round(v, 1) for k, v in compact["queries"].items()
+            }
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)
 
 
 if __name__ == "__main__":

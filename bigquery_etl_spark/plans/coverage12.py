@@ -381,15 +381,42 @@ _PENTA_WKT = (
 )
 
 
+def _duck_geo_edge(ax: float, ay: float, bx: float, by: float) -> str:
+    """One DuckDB edge struct carrying BOTH the planar ray-cast fields
+    (ax/ay/bx/by/dx/dy) and the r11 geodesic constants — u = n×A,
+    v = B×n (unnormalized; the in-arc sign tests are scale-invariant)
+    and n̂ — computed by the SAME Python helpers the Spark lowering
+    uses (bq_dialect._seg_geo_sql), so the constants embedded in the
+    two engines' SQL are bit-identical."""
+    import math
+
+    from bigquery_etl_spark.sources.bq_dialect import _cross3, _unit3
+
+    A, B = _unit3(ax, ay), _unit3(bx, by)
+    n = _cross3(A, B)
+    nn = math.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+    nh = (n[0] / nn, n[1] / nn, n[2] / nn)
+    u = _cross3(n, A)
+    v = _cross3(B, n)
+    return (
+        f"{{'ax': {ax!r}, 'ay': {ay!r}, 'bx': {bx!r}, 'by': {by!r}, "
+        f"'dx': {bx - ax!r}, 'dy': {by - ay!r}, "
+        f"'ux': {u[0]!r}, 'uy': {u[1]!r}, 'uz': {u[2]!r}, "
+        f"'vx': {v[0]!r}, 'vy': {v[1]!r}, 'vz': {v[2]!r}, "
+        f"'nhx': {nh[0]!r}, 'nhy': {nh[1]!r}, 'nhz': {nh[2]!r}}}"
+    )
+
+
+def _duck_ring_edges(rings) -> str:
+    return "[" + ", ".join(
+        _duck_geo_edge(ax, ay, *ring[(i + 1) % len(ring)])
+        for ring in rings
+        for i, (ax, ay) in enumerate(ring)
+    ) + "]"
+
+
 def _duck_penta_edges() -> str:
-    es = []
-    for i, (ax, ay) in enumerate(_PENTA):
-        bx, by = _PENTA[(i + 1) % len(_PENTA)]
-        es.append(
-            f"{{'ax': {ax}, 'ay': {ay}, "
-            f"'dx': {bx - ax}, 'dy': {by - ay}, 'bx': {bx}, 'by': {by}}}"
-        )
-    return "[" + ", ".join(es) + "]"
+    return _duck_ring_edges([_PENTA])
 
 
 _DUCK_HAV = (
@@ -399,10 +426,23 @@ _DUCK_HAV = (
     "power(sin(radians(plon - ({cx})) / 2), 2)))"
 )
 
-_DUCK_T = (
-    "least(greatest(coalesce(((plon - __e.ax) * __e.dx"
-    " + (plat - __e.ay) * __e.dy)"
-    " / nullif(__e.dx * __e.dx + __e.dy * __e.dy, 0.0), 0.0), 0.0), 1.0)"
+# the point's unit 3-vector (shared by the geodesic edge distance)
+_DUCK_PX = "(cos(radians(plat)) * cos(radians(plon)))"
+_DUCK_PY = "(cos(radians(plat)) * sin(radians(plon)))"
+_DUCK_PZ = "(sin(radians(plat)))"
+
+# r11 geodesic point-to-arc distance per edge — the DuckDB mirror of
+# bq_dialect._seg_geo_sql: same constants, same closed form
+_DUCK_GEO_EDGE_DIST = (
+    "CASE WHEN (" + _DUCK_PX + " * __e.ux + " + _DUCK_PY + " * __e.uy + "
+    + _DUCK_PZ + " * __e.uz) >= 0 AND ("
+    + _DUCK_PX + " * __e.vx + " + _DUCK_PY + " * __e.vy + "
+    + _DUCK_PZ + " * __e.vz) >= 0 "
+    "THEN 6371008.8 * asin(least(1.0, abs("
+    + _DUCK_PX + " * __e.nhx + " + _DUCK_PY + " * __e.nhy + "
+    + _DUCK_PZ + " * __e.nhz))) "
+    "ELSE least(" + _DUCK_HAV.format(cx="__e.ax", cy="__e.ay") + ", "
+    + _DUCK_HAV.format(cx="__e.bx", cy="__e.by") + ") END"
 )
 
 _DUCK_INSIDE = (
@@ -415,8 +455,7 @@ _DUCK_INSIDE = (
 _DUCK_DIST = (
     "CASE WHEN " + _DUCK_INSIDE + " THEN 0.0 ELSE "
     "list_aggregate(list_transform(edges, __e -> "
-    + _DUCK_HAV.format(cx=f"__e.ax + {_DUCK_T} * __e.dx",
-                       cy=f"__e.ay + {_DUCK_T} * __e.dy")
+    + _DUCK_GEO_EDGE_DIST
     + "), 'min') END"
 )
 
@@ -494,15 +533,7 @@ _STAR_WKT = "POLYGON(" + ", ".join(
 
 
 def _duck_star_edges() -> str:
-    es = []
-    for ring in (_STAR, _STAR_HOLE):
-        for i, (ax, ay) in enumerate(ring):
-            bx, by = ring[(i + 1) % len(ring)]
-            es.append(
-                f"{{'ax': {ax}, 'ay': {ay}, "
-                f"'dx': {bx - ax}, 'dy': {by - ay}, 'bx': {bx}, 'by': {by}}}"
-            )
-    return "[" + ", ".join(es) + "]"
+    return _duck_ring_edges([_STAR, _STAR_HOLE])
 
 
 @query(

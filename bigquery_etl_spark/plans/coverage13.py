@@ -199,22 +199,14 @@ _MP_WKT = (
 )
 
 
-def _duck_edges(rings) -> str:
-    es = []
-    for ring in rings:
-        for i, (ax, ay) in enumerate(ring):
-            bx, by = ring[(i + 1) % len(ring)]
-            es.append(
-                f"{{'ax': {ax}, 'ay': {ay}, "
-                f"'dx': {bx - ax}, 'dy': {by - ay}, 'bx': {bx}, 'by': {by}}}"
-            )
-    return "[" + ", ".join(es) + "]"
-
-
 def _mp_oracle_sql() -> str:
-    from bigquery_etl_spark.plans.coverage12 import _DUCK_DIST, _DUCK_INSIDE
+    from bigquery_etl_spark.plans.coverage12 import (
+        _DUCK_DIST,
+        _DUCK_INSIDE,
+        _duck_ring_edges,
+    )
 
-    edges = _duck_edges([_MP_P1, _MP_P1_HOLE, _MP_P2])
+    edges = _duck_ring_edges([_MP_P1, _MP_P1_HOLE, _MP_P2])
     return f"""
     WITH pts AS (
         SELECT c_mktsegment,
@@ -300,20 +292,20 @@ def _route_length_m() -> float:
 
 
 def _line_oracle_sql() -> str:
-    from bigquery_etl_spark.plans.coverage12 import _DUCK_HAV, _DUCK_T
+    from bigquery_etl_spark.plans.coverage12 import (
+        _DUCK_GEO_EDGE_DIST,
+        _duck_geo_edge,
+    )
 
-    # open chain: consecutive vertex pairs only (no closing edge)
-    es = []
-    for (ax, ay), (bx, by) in zip(_ROUTE, _ROUTE[1:]):
-        es.append(
-            f"{{'ax': {ax}, 'ay': {ay}, "
-            f"'dx': {bx - ax}, 'dy': {by - ay}}}"
-        )
-    edges = "[" + ", ".join(es) + "]"
+    # open chain: consecutive vertex pairs only (no closing edge);
+    # geodesic arc distance per segment (r11 — mirrors _seg_geo_sql)
+    edges = "[" + ", ".join(
+        _duck_geo_edge(ax, ay, bx, by)
+        for (ax, ay), (bx, by) in zip(_ROUTE, _ROUTE[1:])
+    ) + "]"
     dist = (
         "list_aggregate(list_transform(edges, __e -> "
-        + _DUCK_HAV.format(cx=f"__e.ax + {_DUCK_T} * __e.dx",
-                           cy=f"__e.ay + {_DUCK_T} * __e.dy")
+        + _DUCK_GEO_EDGE_DIST
         + "), 'min')"
     )
     return f"""

@@ -1095,19 +1095,92 @@ def _fmt_rewriter(fn_template: str, fmt_first: bool = True):
     return _rw
 
 
-# -- geography subset (r6 C51) ------------------------------------------------
+# -- geography subset (r6 C51, r11 geodesic upgrade) --------------------------
 #
-# BigQuery GEOGRAPHY, restricted to the POINT algebra that has an exact
-# closed form: points are struct<lon double, lat double>, distances are
-# great-circle (haversine) on the mean-radius sphere R = 6371008.8 m.
-# BigQuery itself computes on a sphere (S2); its radius differs from
-# ours by <0.1%, and the ORACLE for the declared query applies the
-# identical formula, so parity is exact where it is checked. Polygon /
-# line constructors and topological predicates (ST_CONTAINS, ST_UNION)
-# have no faithful closed form here and deliberately stay unknown
-# functions — a loud error beats silently-wrong geometry.
+# BigQuery GEOGRAPHY on the closed-form subset: points are
+# struct<lon double, lat double>; all DISTANCE/LENGTH/PERIMETER math is
+# great-circle on the mean-radius sphere R = 6371008.8 m, and — r11
+# (VERDICT r10 item 3) — point-to-segment distances treat segments as
+# GREAT-CIRCLE ARCS (the closed 3-vector form in _seg_geo_sql), which
+# IS BigQuery's edge model (it computes on a sphere via S2; S2 edges
+# are geodesics). Its radius differs from ours by <0.1 %, and the
+# ORACLES apply the identical formulas, so parity is exact where
+# checked. Remaining documented divergences: CONTAINMENT (even-odd ray
+# cast) and CENTROID/AREA weights use planar lon/lat edges — points
+# near very long edges can classify differently — and topology ops
+# (ST_UNION / ST_INTERSECTION / ST_BUFFER) plus GEOMETRYCOLLECTION
+# refuse loudly: a loud error beats silently-wrong geometry.
 
 _EARTH_R = "6371008.8"
+
+
+def _unit3(lon: float, lat: float) -> tuple[float, float, float]:
+    """Unit 3-vector of a lon/lat point on the sphere."""
+    import math
+
+    la, lo = math.radians(lat), math.radians(lon)
+    return (
+        math.cos(la) * math.cos(lo),
+        math.cos(la) * math.sin(lo),
+        math.sin(la),
+    )
+
+
+def _cross3(a, b) -> tuple[float, float, float]:
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _pxyz(p: str) -> tuple[str, str, str]:
+    """SQL fragments for the point's unit 3-vector (repeated trig is
+    deduplicated by codegen subexpression elimination)."""
+    return (
+        f"(COS(RADIANS({p}.lat)) * COS(RADIANS({p}.lon)))",
+        f"(COS(RADIANS({p}.lat)) * SIN(RADIANS({p}.lon)))",
+        f"(SIN(RADIANS({p}.lat)))",
+    )
+
+
+def _seg_geo_sql(pp: str, ax: float, ay: float, bx: float, by: float) -> str:
+    """GEODESIC point-to-segment distance (r11, VERDICT r10 item 3):
+    the segment is the GREAT-CIRCLE arc from a to b — BigQuery's edge
+    semantics (it models Earth as a sphere; S2 edges are geodesics) —
+    replacing the r8-r10 planar lon/lat projection. Closed form via
+    3-vectors: with n = A×B, the foot of the perpendicular from P lies
+    within the arc iff P·(n×A) ≥ 0 and P·(B×n) ≥ 0 (signs are
+    scale-invariant, so n, u=n×A, v=B×n stay unnormalized constants);
+    then the cross-track distance is R·asin(|P·n̂|), else the nearer
+    endpoint's great-circle distance. All constants fold at translate
+    time; per row it is 3 trig + dot products — whole-stage codegen."""
+    import math
+
+    A, B = _unit3(ax, ay), _unit3(bx, by)
+    n = _cross3(A, B)
+    nn = math.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+    a_sql = f"NAMED_STRUCT('lon', {ax!r}D, 'lat', {ay!r}D)"
+    b_sql = f"NAMED_STRUCT('lon', {bx!r}D, 'lat', {by!r}D)"
+    if nn < 1e-15:
+        if abs(ax - bx) < 1e-12 and abs(ay - by) < 1e-12:
+            return _hav(a_sql, pp)  # zero-length segment
+        raise BQDialectError(
+            f"segment ({ax} {ay})-({bx} {by}) endpoints are antipodal "
+            "— the great-circle edge is ambiguous"
+        )
+    nh = (n[0] / nn, n[1] / nn, n[2] / nn)
+    u = _cross3(n, A)
+    v = _cross3(B, n)
+    px, py, pz = _pxyz(f"({pp.strip()})")
+    dot = lambda c: (  # noqa: E731
+        f"({px} * {c[0]!r}D + {py} * {c[1]!r}D + {pz} * {c[2]!r}D)"
+    )
+    return (
+        f"(CASE WHEN {dot(u)} >= 0 AND {dot(v)} >= 0 "
+        f"THEN {_EARTH_R} * ASIN(LEAST(1.0D, ABS({dot(nh)}))) "
+        f"ELSE LEAST({_hav(a_sql, pp)}, {_hav(b_sql, pp)}) END)"
+    )
 
 
 def _hav(a: str, b: str) -> str:
@@ -1129,26 +1202,45 @@ def _st_geogpoint(args: list[str]) -> str:
     )
 
 
+def _is_shape(expr: str) -> bool:
+    return (
+        _is_poly(expr) or _is_line(expr)
+        or _is_multipoint(expr) or _is_mls(expr)
+    )
+
+
 def _st_distance(args: list[str]) -> str:
     if len(args) != 2:
         raise BQDialectError(f"ST_DISTANCE expects (a, b), got {args}")
     a, b = args
-    a_shape = _is_poly(a) or _is_line(a)
-    b_shape = _is_poly(b) or _is_line(b)
-    if a_shape and b_shape:
+    if _is_shape(a) and _is_shape(b):
         raise BQDialectError(
-            "ST_DISTANCE between two polygons/linestrings is unsupported "
-            "— the closed-form subset covers point↔point, point↔polygon "
-            "and point↔linestring"
+            "ST_DISTANCE between two non-point geographies is "
+            "unsupported — the closed-form subset covers point↔point, "
+            "point↔polygon, point↔linestring and point↔multi*"
         )
-    if _is_line(a):
-        return _line_distance(a, b)
-    if _is_line(b):
-        return _line_distance(b, a)
-    if _is_poly(a):
-        return _poly_distance(a, b)
-    if _is_poly(b):
-        return _poly_distance(b, a)
+    for x, y in ((a, b), (b, a)):
+        if _is_multipoint(x):
+            pts = _parse_multipoint_literal(x)
+            if pts is None:
+                raise BQDialectError(
+                    "computed MULTIPOINTs are unsupported — construct "
+                    "them with a literal ST_GEOGFROMTEXT('MULTIPOINT(…)')"
+                )
+            yy = f"({y.strip()})"
+            dists = [
+                _hav(
+                    f"NAMED_STRUCT('lon', {px!r}D, 'lat', {py!r}D)", yy
+                )
+                for px, py in pts
+            ]
+            if len(dists) == 1:
+                return dists[0]
+            return f"LEAST({', '.join(dists)})"
+        if _is_mls(x) or _is_line(x):
+            return _line_distance(x, y)
+        if _is_poly(x):
+            return _poly_distance(x, y)
     return _hav(a, b)
 
 
@@ -1244,10 +1336,58 @@ def _st_geogfromtext(args: list[str]) -> str:
             )
             + "))"
         )
-    if re.match(r"(?is)^'\s*(GEOMETRYCOLLECTION|MULTIPOINT|MULTILINESTRING)", raw):
+    mpt = re.match(r"(?is)^'\s*MULTIPOINT\s*\(\s*(.*)\s*\)\s*'$", raw)
+    if mpt:
+        # r11 (VERDICT r10 item 3): MULTIPOINT literal — both public
+        # spellings (bare "x y" members and parenthesized "(x y)")
+        pts = _parse_wkt_points(
+            re.sub(r"[()]", " ", mpt.group(1))
+        )
+        if not pts:
+            raise BQDialectError("MULTIPOINT needs >= 1 point")
+        return (
+            "NAMED_STRUCT('multipoint', ARRAY("
+            + ", ".join(
+                f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
+                f"'lat', CAST({y!r} AS DOUBLE))"
+                for x, y in pts
+            )
+            + "))"
+        )
+    mls = re.match(
+        r"(?is)^'\s*MULTILINESTRING\s*\(\s*(.*)\s*\)\s*'$", raw
+    )
+    if mls:
+        # r11: MULTILINESTRING literal — member chains share the
+        # LINESTRING machinery (open chains, geodesic segments)
+        chains = [
+            _parse_wkt_points(m.group(1))
+            for m in re.finditer(r"\(([^()]*)\)", mls.group(1))
+        ]
+        if not chains or any(len(c) < 2 for c in chains):
+            raise BQDialectError(
+                "MULTILINESTRING needs >= 1 member of >= 2 vertices"
+            )
+        return (
+            "NAMED_STRUCT('multilinestring', ARRAY("
+            + ", ".join(
+                "ARRAY("
+                + ", ".join(
+                    f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
+                    f"'lat', CAST({y!r} AS DOUBLE))"
+                    for x, y in c
+                )
+                + ")"
+                for c in chains
+            )
+            + "))"
+        )
+    if re.match(r"(?is)^'\s*GEOMETRYCOLLECTION", raw):
         raise BQDialectError(
-            "only POINT, LINESTRING, simple POLYGON (with holes) and "
-            "disjoint MULTIPOLYGON WKT are supported"
+            "only POINT, MULTIPOINT, LINESTRING, MULTILINESTRING, "
+            "simple POLYGON (with holes) and disjoint MULTIPOLYGON WKT "
+            "are supported — GEOMETRYCOLLECTION has no closed-form "
+            "lowering here"
         )
     t = f"({raw})"
     # the SQL string literal must carry doubled backslashes (Spark
@@ -1561,10 +1701,55 @@ def _parse_any_rings(expr: str) -> list[list[tuple[float, float]]] | None:
 
 
 _LINESTRING_PREFIX = "NAMED_STRUCT('LINESTRING'"
+_MULTIPOINT_PREFIX = "NAMED_STRUCT('MULTIPOINT'"
+_MLS_PREFIX = "NAMED_STRUCT('MULTILINESTRING'"
 
 
 def _is_line(expr: str) -> bool:
     return expr.lstrip().upper().startswith(_LINESTRING_PREFIX)
+
+
+def _is_multipoint(expr: str) -> bool:
+    return expr.lstrip().upper().startswith(_MULTIPOINT_PREFIX)
+
+
+def _is_mls(expr: str) -> bool:
+    return expr.lstrip().upper().startswith(_MLS_PREFIX)
+
+
+def _parse_multipoint_literal(expr: str) -> list[tuple[float, float]] | None:
+    """Member points from the struct _st_geogfromtext emits for a
+    MULTIPOINT literal."""
+    s = expr.strip()
+    if not _is_multipoint(s):
+        return None
+    pts = [
+        (float(m.group(1)), float(m.group(2)))
+        for m in _POLY_VERTEX_RX.finditer(s)
+    ]
+    return pts or None
+
+
+def _parse_mls_literal(
+    expr: str,
+) -> list[list[tuple[float, float]]] | None:
+    """Member vertex chains from the struct _st_geogfromtext emits for
+    a MULTILINESTRING literal (each inner ARRAY( opens one member)."""
+    s = expr.strip()
+    if not _is_mls(s):
+        return None
+    chunks = re.split(r"(?i)ARRAY\(", s)[2:]
+    chains = [
+        [
+            (float(m.group(1)), float(m.group(2)))
+            for m in _POLY_VERTEX_RX.finditer(c)
+        ]
+        for c in chunks
+    ]
+    chains = [c for c in chains if c]
+    if not chains or any(len(c) < 2 for c in chains):
+        return None
+    return chains
 
 
 def _parse_line_literal(expr: str) -> list[tuple[float, float]] | None:
@@ -1637,13 +1822,16 @@ def _poly_contains(A: str, p: str) -> str:
 
 
 def _poly_distance(A: str, p: str) -> str:
-    """Haversine meters from a point to a simple polygon: 0 inside, else
-    the min over edges of the distance to the planar-projected closest
-    point on the segment. WKT-literal polygons unroll into a LEAST
-    chain of per-edge closed forms (whole-stage codegen; Spark's CSE
-    dedups the repeated point subexpressions); computed polygons fall
-    back to transform/aggregate HOFs. MULTIPOLYGON literals (r10) take
-    the min across their flattened disjoint members' edges."""
+    """Geodesic meters from a point to a simple polygon: 0 inside, else
+    the min over edges of the great-circle-arc distance (r11 geodesic
+    upgrade — _seg_geo_sql replaces the planar projection). WKT-literal
+    polygons unroll into a LEAST chain of per-edge closed forms
+    (whole-stage codegen; Spark's CSE dedups the repeated point
+    subexpressions); computed polygons fall back to transform/aggregate
+    HOFs evaluating the SAME closed form from runtime endpoints.
+    MULTIPOLYGON literals (r10) take the min across their flattened
+    disjoint members' edges. Containment stays the planar even-odd ray
+    cast (documented divergence for points near long edges)."""
     rings = _parse_any_rings(A)
     if rings is not None:
         pp = f"({p.strip()})"
@@ -1653,19 +1841,9 @@ def _poly_distance(A: str, p: str) -> str:
             for i in range(n):
                 ax, ay = verts[i]
                 bx, by = verts[(i + 1) % n]
-                dx, dy = bx - ax, by - ay
-                l2 = dx * dx + dy * dy
-                if l2 == 0.0:
+                if ax == bx and ay == by:
                     continue  # degenerate zero-length edge
-                t = (
-                    f"LEAST(GREATEST((({pp}.lon - {ax!r}D) * {dx!r}D + "
-                    f"({pp}.lat - {ay!r}D) * {dy!r}D) / {l2!r}D, 0.0D), 1.0D)"
-                )
-                c = (
-                    f"NAMED_STRUCT('lon', {ax!r}D + {t} * {dx!r}D, "
-                    f"'lat', {ay!r}D + {t} * {dy!r}D)"
-                )
-                dists.append(_hav(c, pp))
+                dists.append(_seg_geo_sql(pp, ax, ay, bx, by))
         dmin = f"LEAST({', '.join(dists)})"
         return f"IF({_poly_contains(A, p)}, 0.0D, {dmin})"
     if _is_nested_poly(A):
@@ -1674,74 +1852,98 @@ def _poly_distance(A: str, p: str) -> str:
             "them with a literal ST_GEOGFROMTEXT('POLYGON((…),(…))')"
         )
     A, p = f"({A.strip()})", f"({p.strip()})"
-    t = (
-        f"LEAST(GREATEST(COALESCE((({p}.lon - __e.ax) * __e.dx + "
-        f"({p}.lat - __e.ay) * __e.dy) / NULLIF(__e.dx * __e.dx + "
-        f"__e.dy * __e.dy, 0.0D), 0.0D), 0.0D), 1.0D)"
+    px, py, pz = _pxyz(p)
+    # stage 1: endpoint 3-vectors; stage 2: n = A×B (+ carried
+    # endpoints); the fold then evaluates the same geodesic closed form
+    # _seg_geo_sql constant-folds for literals
+    vec = (
+        f"TRANSFORM({_poly_edges(A)}, __e -> NAMED_STRUCT("
+        "'axv', COS(RADIANS(__e.a.lat)) * COS(RADIANS(__e.a.lon)), "
+        "'ayv', COS(RADIANS(__e.a.lat)) * SIN(RADIANS(__e.a.lon)), "
+        "'azv', SIN(RADIANS(__e.a.lat)), "
+        "'bxv', COS(RADIANS(__e.b.lat)) * COS(RADIANS(__e.b.lon)), "
+        "'byv', COS(RADIANS(__e.b.lat)) * SIN(RADIANS(__e.b.lon)), "
+        "'bzv', SIN(RADIANS(__e.b.lat)), "
+        "'a', __e.a, 'b', __e.b))"
     )
-    closest = (
-        f"TRANSFORM(TRANSFORM({_poly_edges(A)}, __e -> NAMED_STRUCT("
-        f"'ax', __e.a.lon, 'ay', __e.a.lat, "
-        f"'dx', __e.b.lon - __e.a.lon, 'dy', __e.b.lat - __e.a.lat)), "
-        f"__e -> NAMED_STRUCT('lon', __e.ax + {t} * __e.dx, "
-        f"'lat', __e.ay + {t} * __e.dy))"
+    crossed = (
+        f"TRANSFORM({vec}, __e -> NAMED_STRUCT("
+        "'nx', __e.ayv * __e.bzv - __e.azv * __e.byv, "
+        "'ny', __e.azv * __e.bxv - __e.axv * __e.bzv, "
+        "'nz', __e.axv * __e.byv - __e.ayv * __e.bxv, "
+        "'axv', __e.axv, 'ayv', __e.ayv, 'azv', __e.azv, "
+        "'bxv', __e.bxv, 'byv', __e.byv, 'bzv', __e.bzv, "
+        "'a', __e.a, 'b', __e.b))"
+    )
+    d_edge = (
+        "CASE WHEN __nn < 1e-15 THEN " + _hav("__e.a", p) + " "
+        "WHEN (" + px + " * (__e.ny * __e.azv - __e.nz * __e.ayv) + "
+        + py + " * (__e.nz * __e.axv - __e.nx * __e.azv) + "
+        + pz + " * (__e.nx * __e.ayv - __e.ny * __e.axv)) >= 0 AND ("
+        + px + " * (__e.byv * __e.nz - __e.bzv * __e.ny) + "
+        + py + " * (__e.bzv * __e.nx - __e.bxv * __e.nz) + "
+        + pz + " * (__e.bxv * __e.ny - __e.byv * __e.nx)) >= 0 "
+        f"THEN {_EARTH_R} * ASIN(LEAST(1.0D, ABS("
+        + px + " * __e.nx + " + py + " * __e.ny + "
+        + pz + " * __e.nz) / __nn)) "
+        "ELSE LEAST(" + _hav("__e.a", p) + ", " + _hav("__e.b", p)
+        + ") END"
+    )
+    # no let-binding inside HOF lambdas — inline the norm
+    nn_inline = (
+        "SQRT(__e.nx * __e.nx + __e.ny * __e.ny + __e.nz * __e.nz)"
+    )
+    per_edge = (
+        f"TRANSFORM({crossed}, __e -> "
+        + d_edge.replace("__nn", nn_inline)
+        + ")"
     )
     dmin = (
-        f"AGGREGATE(TRANSFORM({closest}, __c -> {_hav('__c', p)}), "
+        f"AGGREGATE({per_edge}, "
         f"CAST('Infinity' AS DOUBLE), (__m, __d) -> LEAST(__m, __d))"
     )
     return f"IF({_poly_contains(A, p)}, 0.0D, {dmin})"
 
 
-def _line_distance(L: str, p: str) -> str:
-    """Haversine meters from a point to a literal LINESTRING: min over
-    its OPEN segment chain (no closing edge, no interior) of the
-    distance to the planar-projected closest segment point — the same
-    per-edge closed form _poly_distance unrolls, minus the inside test.
-    Whole-stage codegen; the vertices are constants."""
-    verts = _parse_line_literal(L)
-    if verts is None:
-        raise BQDialectError(
-            "computed LINESTRINGs are unsupported — construct them with "
-            "a literal ST_GEOGFROMTEXT('LINESTRING(…)')"
-        )
-    pp = f"({p.strip()})"
-    dists = []
-    for (ax, ay), (bx, by) in zip(verts, verts[1:]):
-        dx, dy = bx - ax, by - ay
-        l2 = dx * dx + dy * dy
-        if l2 == 0.0:
-            dists.append(_hav(
-                f"NAMED_STRUCT('lon', {ax!r}D, 'lat', {ay!r}D)", pp))
-            continue
-        t = (
-            f"LEAST(GREATEST((({pp}.lon - {ax!r}D) * {dx!r}D + "
-            f"({pp}.lat - {ay!r}D) * {dy!r}D) / {l2!r}D, 0.0D), 1.0D)"
-        )
-        c = (
-            f"NAMED_STRUCT('lon', {ax!r}D + {t} * {dx!r}D, "
-            f"'lat', {ay!r}D + {t} * {dy!r}D)"
-        )
-        dists.append(_hav(c, pp))
+def _chain_distance(verts: list[tuple[float, float]], pp: str) -> str:
+    """Min geodesic distance from a point to an OPEN vertex chain
+    (r11: great-circle arc segments via _seg_geo_sql, replacing the
+    planar lon/lat projection)."""
+    dists = [
+        _seg_geo_sql(pp, ax, ay, bx, by)
+        for (ax, ay), (bx, by) in zip(verts, verts[1:])
+    ]
     if len(dists) == 1:
         return dists[0]
     return f"LEAST({', '.join(dists)})"
 
 
-def _st_length(args: list[str]) -> str:
-    """``ST_LENGTH``: sum of haversine segment lengths for literal
-    LINESTRINGs (constant-folds); 0 for points and polygons (BigQuery
-    semantics — length is a line property)."""
-    if len(args) != 1:
-        raise BQDialectError(f"ST_LENGTH expects one geography, got {args}")
-    verts = _parse_line_literal(args[0])
-    if verts is None:
-        if _is_line(args[0]):
+def _line_distance(L: str, p: str) -> str:
+    """Geodesic meters from a point to a literal LINESTRING (or
+    MULTILINESTRING member set): min over the OPEN segment chain (no
+    closing edge, no interior) of the great-circle-arc distance
+    (_seg_geo_sql — r11 geodesic upgrade from the planar projection).
+    Whole-stage codegen; the vertices are constants."""
+    chains = _parse_mls_literal(L)
+    if chains is None:
+        verts = _parse_line_literal(L)
+        if verts is None:
             raise BQDialectError(
                 "computed LINESTRINGs are unsupported — construct them "
                 "with a literal ST_GEOGFROMTEXT('LINESTRING(…)')"
             )
-        return "0.0D"  # points and polygons have zero length
+        chains = [verts]
+    pp = f"({p.strip()})"
+    dists = [_chain_distance(verts, pp) for verts in chains]
+    if len(dists) == 1:
+        return dists[0]
+    return f"LEAST({', '.join(dists)})"
+
+
+def _chain_length_m(verts: list[tuple[float, float]]) -> float:
+    """Great-circle length of an open vertex chain in meters — each
+    segment's haversine IS its geodesic arc length on the sphere
+    (BigQuery's model), so ST_LENGTH needed no r11 formula change."""
     import math
 
     r = 6371008.8
@@ -1751,7 +1953,27 @@ def _st_length(args: list[str]) -> str:
             math.sin(math.radians(by - ay) / 2) ** 2
             + math.cos(math.radians(ay)) * math.cos(math.radians(by))
             * math.sin(math.radians(bx - ax) / 2) ** 2))
-    return f"{total!r}D"
+    return total
+
+
+def _st_length(args: list[str]) -> str:
+    """``ST_LENGTH``: sum of great-circle segment lengths for literal
+    LINESTRINGs / MULTILINESTRINGs (constant-folds); 0 for points and
+    polygons (BigQuery semantics — length is a line property)."""
+    if len(args) != 1:
+        raise BQDialectError(f"ST_LENGTH expects one geography, got {args}")
+    chains = _parse_mls_literal(args[0])
+    if chains is not None:
+        return f"{sum(_chain_length_m(c) for c in chains)!r}D"
+    verts = _parse_line_literal(args[0])
+    if verts is None:
+        if _is_line(args[0]) or _is_mls(args[0]):
+            raise BQDialectError(
+                "computed LINESTRINGs are unsupported — construct them "
+                "with a literal ST_GEOGFROMTEXT('LINESTRING(…)')"
+            )
+        return "0.0D"  # points, multipoints and polygons: zero length
+    return f"{_chain_length_m(verts)!r}D"
 
 
 def _st_area(args: list[str]) -> str:
@@ -1835,6 +2057,12 @@ def _st_centroid(args: list[str]) -> str:
     planar-edge contract shared with ST_CONTAINS, documented)."""
     if len(args) != 1:
         raise BQDialectError(f"ST_CENTROID expects one geography, got {args}")
+    if _is_multipoint(args[0]) or _is_mls(args[0]):
+        raise BQDialectError(
+            "ST_CENTROID supports POINTs, literal LINESTRINGs and "
+            "literal POLYGON/MULTIPOLYGONs — not MULTIPOINT/"
+            "MULTILINESTRING"
+        )
     polys = _parse_multipoly_literal(args[0])
     line = None if polys else _parse_line_literal(args[0])
     if line is not None:

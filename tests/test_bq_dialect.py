@@ -1182,3 +1182,173 @@ def test_named_refusals_aead_llm_r10():
         )
     # strings stay protected: the names inside literals don't refuse
     assert "AEAD.ENCRYPT(" in translate("SELECT 'AEAD.ENCRYPT(x)' AS s")
+
+
+def test_geodesic_segment_distance_fuzz_r11(fcat):
+    """r11 geodesic upgrade (VERDICT r10 item 3): ST_DISTANCE(point,
+    LINESTRING segment) is the great-circle-arc distance. Two-level
+    check on random segments/points: (a) the engine value equals the
+    closed 3-vector form recomputed independently in Python (tight),
+    and (b) the closed form itself matches a brute-force min over a
+    densely slerp-sampled arc (loose tolerance from the sampling
+    step) — validating the FORMULA, not just its transcription."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    R = 6371008.8
+
+    def unit(lon, lat):
+        la, lo = math.radians(lat), math.radians(lon)
+        return (
+            math.cos(la) * math.cos(lo),
+            math.cos(la) * math.sin(lo),
+            math.sin(la),
+        )
+
+    def cross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def gc_dist(p, q):
+        return R * math.atan2(
+            math.sqrt(sum(c * c for c in cross(p, q))), dot(p, q)
+        )
+
+    def ref_closed(P, A, B):
+        n = cross(A, B)
+        nn = math.sqrt(dot(n, n))
+        if dot(P, cross(n, A)) >= 0 and dot(P, cross(B, n)) >= 0:
+            return R * math.asin(min(1.0, abs(dot(P, n) / nn)))
+        return min(gc_dist(P, A), gc_dist(P, B))
+
+    def ref_sampled(P, A, B, steps=4000):
+        # slerp along the arc, min great-circle distance to samples
+        omega = math.atan2(math.sqrt(dot(cross(A, B), cross(A, B))),
+                           dot(A, B))
+        best = float("inf")
+        for i in range(steps + 1):
+            t = i / steps
+            s1 = math.sin((1 - t) * omega) / math.sin(omega)
+            s2 = math.sin(t * omega) / math.sin(omega)
+            q = tuple(s1 * a + s2 * b for a, b in zip(A, B))
+            qn = math.sqrt(dot(q, q))
+            q = tuple(c / qn for c in q)
+            best = min(best, gc_dist(P, q))
+        return best
+
+    cases = []
+    for _ in range(40):
+        ax, ay = rng.uniform(-179, 179), rng.uniform(-80, 80)
+        bx, by = rng.uniform(-179, 179), rng.uniform(-80, 80)
+        px, py = rng.uniform(-179, 179), rng.uniform(-85, 85)
+        if abs(ax - bx) < 1e-6 and abs(ay - by) < 1e-6:
+            continue
+        cases.append((ax, ay, bx, by, px, py))
+    sel = ", ".join(
+        f"ST_DISTANCE(ST_GEOGPOINT({px!r}, {py!r}), "
+        f"ST_GEOGFROMTEXT('LINESTRING({ax!r} {ay!r}, {bx!r} {by!r})'))"
+        f" AS d{i}"
+        for i, (ax, ay, bx, by, px, py) in enumerate(cases)
+    )
+    row = fcat.bq_sql(f"SELECT {sel}").collect()[0]
+    for i, (ax, ay, bx, by, px, py) in enumerate(cases):
+        P, A, B = unit(px, py), unit(ax, ay), unit(bx, by)
+        got = row[f"d{i}"]
+        want = ref_closed(P, A, B)
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-6), (
+            i, cases[i]
+        )
+        approx = ref_sampled(P, A, B)
+        # sampling floor: half-step chord error + generous slack
+        assert abs(got - approx) < max(2500.0, 1e-3 * approx), (
+            i, cases[i], got, approx
+        )
+
+
+def test_multipoint_multilinestring_r11(fcat):
+    """r11: MULTIPOINT / MULTILINESTRING WKT parse onto the
+    point/linestring machinery — min-over-members distance, summed
+    length — and GEOMETRYCOLLECTION still refuses by name."""
+    import math
+
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    R = 6371008.8
+    deg = math.radians(1.0) * R
+    r = fcat.bq_sql(
+        "SELECT "
+        "ST_DISTANCE(ST_GEOGPOINT(0, 1), "
+        "  ST_GEOGFROMTEXT('MULTIPOINT(0 0, 50 50)')) AS d_mp, "
+        "ST_DISTANCE(ST_GEOGFROMTEXT('MULTIPOINT((0 0), (3 0))'), "
+        "  ST_GEOGPOINT(3, 1)) AS d_mp2, "
+        "ST_DISTANCE(ST_GEOGPOINT(0.5, 0.5), ST_GEOGFROMTEXT("
+        "  'MULTILINESTRING((0 0, 1 0), (10 10, 11 11))')) AS d_mls, "
+        "ST_LENGTH(ST_GEOGFROMTEXT("
+        "  'MULTILINESTRING((0 0, 1 0), (0 10, 0 12))')) AS len_mls, "
+        "ST_AREA(ST_GEOGFROMTEXT('MULTIPOINT(1 1)')) AS mp_area"
+    ).collect()[0]
+    assert r.d_mp == pytest.approx(deg, rel=1e-9)
+    assert r.d_mp2 == pytest.approx(deg, rel=1e-9)
+    assert r.d_mls == pytest.approx(0.5 * deg, rel=1e-3)
+    assert r.len_mls == pytest.approx(
+        deg * math.cos(math.radians(0.0)) * 1.0 + 2 * deg, rel=1e-3
+    )
+    assert r.mp_area == 0.0
+    with pytest.raises(BQDialectError, match="GEOMETRYCOLLECTION"):
+        translate(
+            "SELECT ST_GEOGFROMTEXT("
+            "'GEOMETRYCOLLECTION(POINT(1 1))')"
+        )
+    with pytest.raises(BQDialectError, match="non-point"):
+        translate(
+            "SELECT ST_DISTANCE("
+            "ST_GEOGFROMTEXT('MULTIPOINT(0 0)'), "
+            "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))"
+        )
+    with pytest.raises(BQDialectError, match="ST_CENTROID"):
+        translate(
+            "SELECT ST_CENTROID(ST_GEOGFROMTEXT('MULTIPOINT(0 0)'))"
+        )
+    with pytest.raises(BQDialectError, match=">= 2 vertices"):
+        translate(
+            "SELECT ST_GEOGFROMTEXT('MULTILINESTRING((0 0))')"
+        )
+
+
+def test_net_psl_full_list_r11(fcat):
+    """r11 (VERDICT r10 item 4): the COMPLETE vendored PSL replaced
+    the pinned subset — data-only by design. Long-tail asserts over
+    registries and private-section domains ABSENT from the old subset
+    (expected values per the official publicsuffix.org semantics)."""
+    from bigquery_etl_spark.functions.psl import PSL_SNAPSHOT, RULES
+
+    assert "COMPLETE" in PSL_SNAPSHOT and len(RULES) > 9000
+    p = fcat.bq_sql(
+        "SELECT NET.PUBLIC_SUFFIX('foo.gov.scot') AS s1, "
+        "NET.REG_DOMAIN('a.b.grimstad.no') AS r1, "          # kommune
+        "NET.PUBLIC_SUFFIX('x.y.kasaoka.okayama.jp') AS s2, "  # geo jp
+        "NET.REG_DOMAIN('app.x.elasticbeanstalk.com') AS r2, "  # private
+        "NET.REG_DOMAIN('foo.bar.pvt.k12.ma.us') AS r3, "    # us k12
+        "NET.PUBLIC_SUFFIX('a.b.c.kobe.jp') AS s3, "         # *.kobe.jp
+        "NET.PUBLIC_SUFFIX('city.kobe.jp') AS s4, "          # !city
+        "NET.REG_DOMAIN('x.ostrowiec.pl') AS r4, "           # pl region
+        "NET.REG_DOMAIN('unlisted-tld-host.zz') AS r5"       # implicit *
+    ).collect()[0]
+    assert p.s1 == "gov.scot"
+    assert p.r1 == "b.grimstad.no"
+    assert p.s2 == "kasaoka.okayama.jp"
+    assert p.r2 == "x.elasticbeanstalk.com"
+    assert p.r3 == "bar.pvt.k12.ma.us"
+    assert p.s3 == "c.kobe.jp" and p.s4 == "kobe.jp"
+    assert p.r4 == "x.ostrowiec.pl"
+    assert p.r5 == "unlisted-tld-host.zz"

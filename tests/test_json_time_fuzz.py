@@ -21,6 +21,51 @@ from bigquery_etl_spark.sources.lake_sql import LakeCatalog
 SEED = 0xA8A8
 
 
+def _geo_seg_dist(px, py, ax, ay, bx, by):
+    """Pure-Python mirror of the r11 geodesic point-to-arc closed form
+    (bq_dialect._seg_geo_sql): great-circle arc segments, endpoint
+    fallback outside the arc — shared by the GIS fuzz references."""
+    import math
+
+    r = 6371008.8
+
+    def unit(lon, lat):
+        la, lo = math.radians(lat), math.radians(lon)
+        return (
+            math.cos(la) * math.cos(lo),
+            math.cos(la) * math.sin(lo),
+            math.sin(la),
+        )
+
+    def cross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+
+    def hav(x1, y1, x2, y2):
+        return 2.0 * r * math.asin(math.sqrt(
+            math.sin(math.radians(y2 - y1) / 2) ** 2
+            + math.cos(math.radians(y1)) * math.cos(math.radians(y2))
+            * math.sin(math.radians(x2 - x1) / 2) ** 2))
+
+    if ax == bx and ay == by:
+        return hav(ax, ay, px, py)
+    A, B, P = unit(ax, ay), unit(bx, by), unit(px, py)
+    n = cross(A, B)
+    nn = math.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+    nh = (n[0] / nn, n[1] / nn, n[2] / nn)
+    u, v = cross(n, A), cross(B, n)
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    if dot(P, u) >= 0 and dot(P, v) >= 0:
+        return r * math.asin(min(1.0, abs(dot(P, nh))))
+    return min(hav(ax, ay, px, py), hav(bx, by, px, py))
+
+
 def _rand_json(rng: random.Random, depth: int = 0):
     kinds = ["int", "float", "str", "bool", "null"]
     if depth < 2:
@@ -226,26 +271,12 @@ def test_gis_polygon_differential_fuzz(spark):
     def ref_distance(verts, px, py):
         if ref_contains(verts, px, py):
             return 0.0
-        r = 6371008.8
-        best = float("inf")
+        # r11: geodesic arc segments (shared reference helper)
         n = len(verts)
-        for i in range(n):
-            ax, ay = verts[i]
-            bx, by = verts[(i + 1) % n]
-            dx, dy = bx - ax, by - ay
-            l2 = dx * dx + dy * dy
-            t = min(max(((px - ax) * dx + (py - ay) * dy) / l2, 0.0), 1.0)
-            cx, cy = ax + t * dx, ay + t * dy
-            d = 2.0 * r * math.asin(
-                math.sqrt(
-                    math.sin(math.radians(py - cy) / 2) ** 2
-                    + math.cos(math.radians(cy))
-                    * math.cos(math.radians(py))
-                    * math.sin(math.radians(px - cx) / 2) ** 2
-                )
-            )
-            best = min(best, d)
-        return best
+        return min(
+            _geo_seg_dist(px, py, *verts[i], *verts[(i + 1) % n])
+            for i in range(n)
+        )
 
     for trial in range(6):
         cx0, cy0 = rng.uniform(-60, 60), rng.uniform(-40, 40)
@@ -315,31 +346,14 @@ def test_gis_polygon_concave_differential_fuzz(spark):
     def ref_distance(rings, px, py):
         if ref_contains(rings, px, py):
             return 0.0
-        r = 6371008.8
-        best = float("inf")
-        for verts in rings:
-            n = len(verts)
-            for i in range(n):
-                ax, ay = verts[i]
-                bx, by = verts[(i + 1) % n]
-                dx, dy = bx - ax, by - ay
-                l2 = dx * dx + dy * dy
-                if l2 == 0.0:
-                    continue
-                t = min(
-                    max(((px - ax) * dx + (py - ay) * dy) / l2, 0.0), 1.0
-                )
-                cx, cy = ax + t * dx, ay + t * dy
-                d = 2.0 * r * math.asin(
-                    math.sqrt(
-                        math.sin(math.radians(py - cy) / 2) ** 2
-                        + math.cos(math.radians(cy))
-                        * math.cos(math.radians(py))
-                        * math.sin(math.radians(px - cx) / 2) ** 2
-                    )
-                )
-                best = min(best, d)
-        return best
+        # r11: geodesic arc segments (shared reference helper);
+        # zero-length edges skipped like the lowering does
+        return min(
+            _geo_seg_dist(px, py, *verts[i], *verts[(i + 1) % len(verts)])
+            for verts in rings
+            for i in range(len(verts))
+            if verts[i] != verts[(i + 1) % len(verts)]
+        )
 
     n_concave = 0
     for trial in range(6):
@@ -463,12 +477,8 @@ def test_gis_multipoly_linestring_differential_fuzz(spark):
             * math.sin(math.radians(px - cx) / 2) ** 2))
 
     def _seg_dist(px, py, ax, ay, bx, by):
-        dx, dy = bx - ax, by - ay
-        l2 = dx * dx + dy * dy
-        if l2 == 0.0:
-            return _hav(px, py, ax, ay)
-        t = min(max(((px - ax) * dx + (py - ay) * dy) / l2, 0.0), 1.0)
-        return _hav(px, py, ax + t * dx, ay + t * dy)
+        # r11: geodesic arc segments (shared reference helper)
+        return _geo_seg_dist(px, py, ax, ay, bx, by)
 
     def ref_poly_distance(rings, px, py):
         if ref_contains(rings, px, py):

@@ -55,6 +55,17 @@ REDEFINED: dict[str, str] = {
     "q_search_indexed": "r6: rewired through the SQL index lifecycle "
     "(CREATE SEARCH INDEX on a versioned table + CDF-maintained after "
     "a committed DELETE; oracle is the post-DELETE corpus)",
+    "q_net_psl": "r11: the COMPLETE 9.5k-rule vendored PSL replaced "
+    "the pinned subset (VERDICT r10 item 4) — the wall is now "
+    "compile-bound (two ~130 KB IN-list expressions per engine), "
+    "which amortizes at scale but not at sf0.1",
+    "q_gis_polygon": "r11: geodesic arc segment distance replaced the "
+    "planar projection (VERDICT r10 item 3)",
+    "q_gis_polygon_concave": "r11: geodesic arc segment distance",
+    "q_gis_multipolygon": "r11: geodesic arc segment distance",
+    "q_gis_linestring": "r11: geodesic arc segment distance",
+    "q_gis_distance": "r11: geodesic upgrade touched the shared "
+    "lowering (point-point haversine unchanged, plan digest moved)",
 }
 
 
