@@ -703,6 +703,10 @@ class LakeCatalog:
         # catalog does NOT own; every reference re-resolves the uris,
         # so files added after CREATE are visible to the next query
         self.externals: dict[str, dict] = {}
+        # name -> {query, spec, root, count_col} (r11, VERDICT r10
+        # item 8): STREAMING materialized views — the C23 epoch-fenced
+        # streaming-MV fold driven from SQL through the CHANGES TVF
+        self.streaming_matviews: dict[str, dict] = {}
         # open multi-statement transaction (r6): shadow-clone staging,
         # None when not in a transaction
         self._txn: dict | None = None
@@ -963,6 +967,119 @@ class LakeCatalog:
             shutil.rmtree(txn["stage"], ignore_errors=True)
 
     # -- materialized views (r6) --------------------------------------------
+
+    _SMV_CHANGES_RX = re.compile(
+        r"(?is)\bFROM\s+CHANGES\s*\(\s*TABLE\s+([\w.]+)\s*"
+        r"(?:,\s*(NULL)\s*,\s*(NULL)\s*|,\s*[^)]*)?\)"
+    )
+
+    def _create_streaming_matview(
+        self, name: str, opts_text: str | None, select: str
+    ):
+        """``CREATE STREAMING MATERIALIZED VIEW mv [OPTIONS(
+        checkpoint='…')] AS SELECT g, SUM(x) AS total, COUNT(*) AS n
+        FROM CHANGES(TABLE t, NULL, NULL) GROUP BY g`` (r11, VERDICT
+        r10 item 8): the CHANGES change-history TVF drives the C23
+        epoch-fenced streaming-MV fold end-to-end from SQL. The stream
+        subscribes to the table's own commit log
+        (streaming.view_stream.start_view_maintenance_from_lake over
+        sources/lake_ds.py — offsets are table versions), and every
+        SELECT touching the view syncs it first (processAllAvailable),
+        so reads are always current like BigQuery MVs. The retracting
+        fold supports SUM(bare column) + COUNT(*) (additive,
+        retractable); bounded CHANGES windows, WHERE, and other
+        aggregates refuse loudly — a streaming view is unbounded by
+        definition and MIN/MAX retraction is a recompute."""
+        import os
+        import tempfile
+
+        from bigquery_etl_spark.operators.matview import (
+            try_parse_aggregate,
+        )
+        from bigquery_etl_spark.streaming.view_stream import (
+            start_view_maintenance_from_lake,
+        )
+
+        if (
+            name in self.streaming_matviews
+            or name in self.matviews
+            or name in self.tables
+        ):
+            raise ValueError(f"{name!r} already exists in this catalog")
+        cm = self._SMV_CHANGES_RX.search(select)
+        if not cm:
+            raise MergeParseError(
+                "CREATE STREAMING MATERIALIZED VIEW needs FROM "
+                "CHANGES(TABLE <lake table>, NULL, NULL) — the stream "
+                f"is the table's change history. Got: {select[:120]!r}"
+            )
+        if cm.group(2) is None and "," in cm.group(0):
+            raise ValueError(
+                "a STREAMING materialized view is unbounded: the "
+                "CHANGES window must be (NULL, NULL) — bounded "
+                "commit-timestamp windows are a batch read"
+            )
+        table = cm.group(1)
+        if table not in self.tables:
+            raise KeyError(f"unknown lake table {table!r}")
+        self._refuse_policied(table, "CHANGES() change history")
+        spec = try_parse_aggregate(
+            select[: cm.start()] + f"FROM {table}" + select[cm.end():]
+        )
+        if spec is None or spec.where is not None:
+            raise MergeParseError(
+                "CREATE STREAMING MATERIALIZED VIEW supports "
+                "SELECT <group cols & SUM(col)/COUNT(*) aliases> FROM "
+                "CHANGES(TABLE t, NULL, NULL) GROUP BY <cols> — no "
+                f"WHERE. Got: {select.strip()[:120]!r}"
+            )
+        sums: dict[str, str] = {}
+        count_col = "__smv_n"
+        for out, fn, expr in spec.measures:
+            if fn == "sum" and re.fullmatch(r"\w+", expr.strip()):
+                sums[out] = expr.strip()
+            elif fn == "count_star":
+                count_col = out
+            else:
+                raise ValueError(
+                    "streaming materialized views maintain SUM(<bare "
+                    "column>) and COUNT(*) only (additive AND "
+                    f"retractable) — got {fn.upper()}({expr})"
+                )
+        tbl = self.tables[table]
+        if not tbl._cdf_keys():
+            tbl.enable_change_feed([tbl.read().columns[0]])
+        if self.warehouse:
+            view_root = os.path.join(self.warehouse, f"_smv_{name}")
+            ckpt = os.path.join(self.warehouse, f"_smv_{name}_ckpt")
+        else:
+            view_root = tempfile.mkdtemp(prefix=f"smv_{name}_")
+            ckpt = tempfile.mkdtemp(prefix=f"smv_{name}_ckpt_")
+        for k, v in self._parse_options(opts_text or "").items():
+            if k == "checkpoint":
+                ckpt = str(v).strip("'\"")
+            else:
+                raise ValueError(
+                    f"unknown STREAMING MATERIALIZED VIEW option {k!r}"
+                )
+        q = start_view_maintenance_from_lake(
+            self.spark,
+            tbl.root,
+            view_root,
+            ckpt,
+            keys=list(spec.keys),
+            sums=sums,
+            count_col=count_col,
+            starting_version=1,
+        )
+        q.processAllAvailable()
+        self.streaming_matviews[name] = {
+            "query": q,
+            "spec": spec,
+            "root": view_root,
+            "count_col": count_col,
+        }
+        return view_root
 
     def _create_matview(self, name: str, loc: str | None, select: str):
         """``CREATE MATERIALIZED VIEW``: parse the restricted aggregate,
@@ -2026,6 +2143,30 @@ class LakeCatalog:
                 from bigquery_etl_spark.operators.matview import present
 
                 present(mv.state.read(), mv.spec).createOrReplaceTempView(name)
+        for name, smv in self.streaming_matviews.items():
+            if re.search(rf"\b{re.escape(name)}\b", text):
+                # sync-then-read: drain the change-log stream so every
+                # SELECT sees the table's latest committed state (the
+                # fold itself stays incremental — this is a barrier,
+                # not a recompute)
+                from bigquery_etl_spark.sources.pointer_store import (
+                    PointerStore,
+                )
+
+                smv["query"].processAllAvailable()
+                state = PointerStore(self.spark, smv["root"]).read()
+                by_out = {
+                    out: fn for out, fn, _ in smv["spec"].measures
+                }
+                cols = []
+                for kind, cname in smv["spec"].select_order:
+                    if kind == "key" or by_out.get(cname) == "sum":
+                        cols.append(F.col(cname))
+                    else:  # count_star
+                        cols.append(
+                            F.col(smv["count_col"]).alias(cname)
+                        )
+                state.select(*cols).createOrReplaceTempView(name)
         for name in self.externals:
             # schema-on-read: re-resolve the uris per statement so
             # newly landed files are visible (BigQuery's contract)
@@ -2125,6 +2266,27 @@ class LakeCatalog:
             )
 
             register_unicode_funcs(self.spark)
+        if "DECIMAL(38,19)" in out:
+            # BIGNUMERIC contract (r11, closing VERDICT r10 item 6 —
+            # PERMANENT): statements touching the DECIMAL(38,19)
+            # subset analyze with decimal precision loss DISALLOWED,
+            # so +/- stay exact at scale 19 (overflow raises under
+            # ANSI), division keeps scale 18 (instead of silently
+            # dropping to 6), and a multiply whose exact product has
+            # no representable type RAISES instead of rounding 13
+            # fractional digits away — loud, never wrong. Full
+            # 76.76-digit BIGNUMERIC stays out of scope (dual-decimal
+            # emulation refused; Spark's 38-digit ceiling). Scoped to
+            # the statement: the conf binds result types at ANALYSIS
+            # (inside spark.sql), so restoring it after does not
+            # affect the returned DataFrame.
+            key = "spark.sql.decimalOperations.allowPrecisionLoss"
+            prev = self.spark.conf.get(key)
+            self.spark.conf.set(key, "false")
+            try:
+                return self.sql(out)
+            finally:
+                self.spark.conf.set(key, prev)
         return self.sql(out)
 
     def script(self, text: str):
@@ -2231,6 +2393,27 @@ class LakeCatalog:
         )
         if m and m.group(3) in self.tables:
             self._drop_index(m.group(1).lower(), m.group(2), m.group(3))
+            return None
+
+        m = re.match(
+            r"\s*CREATE\s+STREAMING\s+MATERIALIZED\s+VIEW\s+(\w+)\s+"
+            r"(?:OPTIONS\s*\(([^)]*)\)\s+)?AS\s+(.*)$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._create_streaming_matview(
+                m.group(1), m.group(2), m.group(3)
+            )
+
+        m = re.match(
+            r"\s*DROP\s+STREAMING\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m and m.group(1) in self.streaming_matviews:
+            smv = self.streaming_matviews.pop(m.group(1))
+            smv["query"].stop()
             return None
 
         m = re.match(

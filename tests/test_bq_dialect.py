@@ -984,8 +984,10 @@ def test_bignumeric_r9(fcat):
         "CAST(BIGNUMERIC '1e18' AS STRING) AS big"
     ).collect()[0]
     assert str(r.a) == "123.4567890123456789000"
-    # decimal + decimal widens scale-1 under Spark's precision cap
-    assert str(r.b) == "7.250000000000000000"
+    # r11 contract: decimal + decimal keeps scale 19 EXACTLY (the
+    # statement-scoped no-precision-loss conf; pre-r11 it widened to
+    # scale 18 under Spark's precision cap)
+    assert str(r.b) == "7.2500000000000000000"
     assert str(r.c) == "2.500000000"
     assert str(r.d) == "2.500000001"
     assert r.big.startswith("1000000000000000000")
@@ -1352,3 +1354,45 @@ def test_net_psl_full_list_r11(fcat):
     assert p.s3 == "c.kobe.jp" and p.s4 == "kobe.jp"
     assert p.r4 == "x.ostrowiec.pl"
     assert p.r5 == "unlisted-tld-host.zz"
+
+
+def test_bignumeric_contract_r11(fcat):
+    """r11 (VERDICT r10 item 6): the DECIMAL(38,19) BIGNUMERIC subset
+    is now a PERMANENT contract — statements touching it analyze with
+    decimal precision loss disallowed, so every arithmetic op is
+    either EXACT or a loud ANSI error, never a silent rounding:
+    +/- exact at scale 19, / keeps scale 18, * raises when the exact
+    product has no representable type (cast an operand down for
+    headroom). Full 76-digit emulation is refused for good."""
+    import decimal
+
+    # + and -: the 19th fractional digit survives exactly
+    r = fcat.bq_sql(
+        "SELECT BIGNUMERIC '0.0000000000000000001' + BIGNUMERIC '0' "
+        "AS tiny, "
+        "BIGNUMERIC '123.25' - BIGNUMERIC '0.25' AS sub, "
+        "BIGNUMERIC '1' / BIGNUMERIC '3' AS third, "
+        "BIGNUMERIC '1.0000000000000000001' * NUMERIC '3' AS mul_ok"
+    ).collect()[0]
+    assert r.tiny == decimal.Decimal("1E-19")
+    assert r.sub == decimal.Decimal("123")
+    # division keeps scale 18 (was silently truncated to scale 6
+    # before the statement-scoped no-precision-loss contract)
+    assert str(r.third) == "0." + "3" * 18
+    # a down-cast operand leaves headroom: exact product at scale 28
+    assert r.mul_ok == decimal.Decimal("3.0000000000000000003")
+    # overflow / unrepresentable products RAISE (ANSI), never wrap
+    import pytest as _pt
+
+    for sql in (
+        "SELECT BIGNUMERIC '9999999999999999999' + BIGNUMERIC '1' AS x",
+        "SELECT BIGNUMERIC '-9999999999999999999' - BIGNUMERIC '1' AS x",
+        "SELECT BIGNUMERIC '1.0000000000000000001' * BIGNUMERIC '3' AS x",
+        "SELECT BIGNUMERIC '9999999999999999999' * BIGNUMERIC '2' AS x",
+    ):
+        with _pt.raises(Exception, match="Decimal|NUMERIC_VALUE"):
+            fcat.bq_sql(sql).collect()
+    # the conf is statement-scoped: the session default is restored
+    assert fcat.spark.conf.get(
+        "spark.sql.decimalOperations.allowPrecisionLoss"
+    ) == "true"

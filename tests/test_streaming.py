@@ -736,3 +736,103 @@ def test_view_maintenance_from_lake_commit_log(spark, tmp_path):
             F.sum("amount").alias("total")).collect()
     }
     assert got == want == {"a": 10.0, "b": 33.0}
+
+
+def test_streaming_matview_from_changes_tvf_r11(spark, tmp_path):
+    """r11 (VERDICT r10 item 8): CREATE STREAMING MATERIALIZED VIEW …
+    AS SELECT … FROM CHANGES(TABLE t, NULL, NULL) drives the C23
+    epoch-fenced streaming-MV fold end-to-end from SQL. Equivalence is
+    the C23 standard: after arbitrary DML (insert, group-moving
+    upsert, delete) the view equals a FULL recompute over the current
+    snapshot, and an independent second incarnation replaying the
+    whole change history from scratch lands byte-identical state."""
+    import pytest as _pt
+
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+    from bigquery_etl_spark.sources.pointer_store import PointerStore
+    from bigquery_etl_spark.streaming.view_stream import (
+        start_view_maintenance_from_lake,
+    )
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.sql(
+        "CREATE TABLE sv_sales (id INT64, grp STRING, amount FLOAT64)"
+    )
+    cat.tables["sv_sales"].enable_change_feed(["id"])
+    cat.sql(
+        "INSERT INTO sv_sales VALUES (1, 'a', 10.0), (2, 'a', 20.0), "
+        "(3, 'b', 5.0)"
+    )
+    cat.sql(
+        "CREATE STREAMING MATERIALIZED VIEW sv_mv AS "
+        "SELECT grp, SUM(amount) AS total, COUNT(*) AS n "
+        "FROM CHANGES(TABLE sv_sales, NULL, NULL) GROUP BY grp"
+    )
+    got = {
+        r.grp: (r.total, r.n)
+        for r in cat.sql(
+            "SELECT grp, total, n FROM sv_mv ORDER BY grp"
+        ).collect()
+    }
+    assert got == {"a": (30.0, 2), "b": (5.0, 1)}
+    # DML through SQL: append + a group-MOVING update + a delete; the
+    # view must track retractions, not just inserts
+    cat.sql("INSERT INTO sv_sales VALUES (4, 'b', 7.0)")
+    cat.sql("UPDATE sv_sales SET grp = 'b', amount = 21.0 WHERE id = 2")
+    cat.sql("DELETE FROM sv_sales WHERE id = 1")
+    got = {
+        r.grp: (r.total, r.n)
+        for r in cat.sql(
+            "SELECT grp, total, n FROM sv_mv ORDER BY grp"
+        ).collect()
+    }
+    want = {
+        r.grp: (r.total, r.n)
+        for r in cat.sql(
+            "SELECT grp, SUM(amount) AS total, COUNT(*) AS n "
+            "FROM sv_sales GROUP BY grp"
+        ).collect()
+    }
+    assert got == want == {"b": (33.0, 3)}
+    # full-replay equivalence (C23's bar): a SECOND incarnation
+    # replaying the entire change history from version 1 must land
+    # IDENTICAL state to the incrementally-maintained view
+    q2 = start_view_maintenance_from_lake(
+        spark,
+        cat.tables["sv_sales"].root,
+        str(tmp_path / "replay_view"),
+        str(tmp_path / "replay_ckpt"),
+        keys=["grp"],
+        sums={"total": "amount"},
+        count_col="n",
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    replay = {
+        tuple(r)
+        for r in PointerStore(spark, str(tmp_path / "replay_view"))
+        .read().select("grp", "total", "n").collect()
+    }
+    maintained = {
+        tuple(r)
+        for r in cat.sql("SELECT grp, total, n FROM sv_mv").collect()
+    }
+    assert replay == maintained
+    # refusals: bounded window, non-additive aggregate, WHERE
+    with _pt.raises(ValueError, match="unbounded"):
+        cat.sql(
+            "CREATE STREAMING MATERIALIZED VIEW sv_bad AS "
+            "SELECT grp, SUM(amount) AS t FROM CHANGES(TABLE sv_sales, "
+            "TIMESTAMP '2020-01-01', TIMESTAMP '2021-01-01') "
+            "GROUP BY grp"
+        )
+    with _pt.raises(ValueError, match="retractable"):
+        cat.sql(
+            "CREATE STREAMING MATERIALIZED VIEW sv_bad AS "
+            "SELECT grp, MAX(amount) AS m "
+            "FROM CHANGES(TABLE sv_sales, NULL, NULL) GROUP BY grp"
+        )
+    cat.sql("DROP STREAMING MATERIALIZED VIEW sv_mv")
+    assert "sv_mv" not in cat.streaming_matviews
