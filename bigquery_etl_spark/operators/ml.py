@@ -1999,6 +1999,48 @@ def explain_predict(df: DataFrame, model: dict, top_k: int = 3) -> DataFrame:
     return out
 
 
+def global_explain_boosted_stats(
+    df: DataFrame, model: dict
+) -> list[tuple[str, float]]:
+    """Fit-time statistics for tree-model ML.GLOBAL_EXPLAIN (r11):
+    mean |path-dependent TreeSHAP attribution| per feature over the
+    TRAINING frame — ONE distributed Arrow-batched map pass (the same
+    vectorized kernel ML.EXPLAIN_PREDICT scores with) + one tiny
+    aggregate; only d scalars reach the driver. BigQuery likewise
+    computes these during training when enable_global_explain=TRUE."""
+    import numpy as np
+
+    feats = model["features"]
+    d = len(feats)
+    trees = model["trees"]
+    lr = float(model["learning_rate"])
+
+    @F.pandas_udf("array<double>")
+    def absphi(cols: pd.DataFrame) -> pd.Series:
+        X = np.column_stack(
+            [
+                cols.iloc[:, i].to_numpy(dtype=float, na_value=np.nan)
+                for i in range(cols.shape[1])
+            ]
+        )
+        phi = np.zeros((len(X), d))
+        for t in trees:
+            phi += _tree_shap_batch(X, t, d)
+        return pd.Series(np.abs(phi * lr).tolist())
+
+    row = df.select(
+        absphi(
+            F.struct(*[F.col(c).cast("double") for c in feats])
+        ).alias("__p")
+    ).agg(
+        *[
+            F.avg(F.element_at(F.col("__p"), i + 1)).alias(f"__a{i}")
+            for i in range(d)
+        ]
+    ).collect()[0]
+    return [(c, float(row[f"__a{i}"] or 0.0)) for i, c in enumerate(feats)]
+
+
 def global_explain(spark: SparkSession, model: dict) -> DataFrame:
     """``ML.GLOBAL_EXPLAIN(MODEL m)`` — mean absolute attribution per
     feature over the TRAINING data. For a linear model that is exactly
@@ -2007,10 +2049,28 @@ def global_explain(spark: SparkSession, model: dict) -> DataFrame:
     point to ML.FEATURE_IMPORTANCE (gain) instead, like BigQuery's
     non-explainable-by-default tree path."""
     mt = model["model_type"]
+    if mt.startswith("boosted_tree"):
+        # r11: persisted fit-time mean |TreeSHAP| stats (BigQuery
+        # requires enable_global_explain=TRUE at training — same gate)
+        ga = model.get("global_attributions")
+        if not ga:
+            raise ValueError(
+                "ML.GLOBAL_EXPLAIN on a tree model needs "
+                "enable_global_explain=TRUE in the CREATE MODEL "
+                "OPTIONS (BigQuery's rule — the statistics ride the "
+                "training run); ML.FEATURE_IMPORTANCE (gain/weight/"
+                "cover) needs no retrain"
+            )
+        rows = sorted(
+            [(c, float(v)) for c, v in ga], key=lambda t: (-t[1], t[0])
+        )
+        return spark.createDataFrame(
+            rows, "feature string, attribution double"
+        )
     if mt not in ("linear_reg", "logistic_reg"):
         raise ValueError(
-            "ML.GLOBAL_EXPLAIN: linear_reg or logistic_reg (tree "
-            "ensembles: ML.FEATURE_IMPORTANCE)"
+            "ML.GLOBAL_EXPLAIN: linear_reg, logistic_reg or "
+            "boosted_tree_* (with enable_global_explain=TRUE)"
         )
     stats = model.get("feature_stats")
     if not stats or "mean_abs_dev" not in stats[0]:

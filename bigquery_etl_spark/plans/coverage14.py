@@ -138,7 +138,8 @@ def q_gis_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            TRUE AS attrs_sum_exact, TRUE AS matches_predict,
-           TRUE AS inert_feature_zero, TRUE AS error_is_zero
+           TRUE AS inert_feature_zero, TRUE AS error_is_zero,
+           TRUE AS global_inert_zero, TRUE AS global_order_ok
     FROM orders WHERE o_orderkey % 6 = 0
     """,
     tags=("ml", "dialect"),
@@ -180,7 +181,8 @@ def q_ml_explain_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.sql(
         "CREATE OR REPLACE MODEL bte_m OPTIONS("
         "model_type='boosted_tree_regressor', input_label_cols=['y'], "
-        "max_iterations=6) AS SELECT * FROM bte_pts"
+        "max_iterations=6, enable_global_explain=TRUE) "
+        "AS SELECT * FROM bte_pts"
     )
     ep = cat.sql(
         "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL bte_m, "
@@ -213,6 +215,23 @@ def q_ml_explain_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__inert_ok"),
         (F.col("approximation_error") == 0.0).alias("__err_ok"),
     ).join(F.broadcast(pred), ["a", "b", "inert"])
+    # ML.GLOBAL_EXPLAIN (r11): fit-time mean |TreeSHAP| — the inert
+    # feature (never split on) must be EXACTLY zero, and the dominant
+    # planted effect ('a' carries both the linear term and the gate)
+    # must rank first
+    ge = cat.sql("SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL bte_m)")
+    ge_chk = ge.agg(
+        F.min(
+            F.when(F.col("feature") == "inert",
+                   F.col("attribution") == 0.0)
+        ).alias("__g_inert"),
+        (
+            F.max(
+                F.when(F.col("feature") == "a", F.col("attribution"))
+            )
+            == F.max("attribution")
+        ).alias("__g_order"),
+    )
     return chk.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.min("__sum_ok").alias("attrs_sum_exact"),
@@ -221,4 +240,9 @@ def q_ml_explain_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("matches_predict"),
         F.min("__inert_ok").alias("inert_feature_zero"),
         F.min("__err_ok").alias("error_is_zero"),
+    ).crossJoin(ge_chk).select(
+        "n_rows", "attrs_sum_exact", "matches_predict",
+        "inert_feature_zero", "error_is_zero",
+        F.col("__g_inert").alias("global_inert_zero"),
+        F.col("__g_order").alias("global_order_ok"),
     )

@@ -3399,26 +3399,28 @@ def translate(sql: str) -> str:
         _net_1arg("__bq_uni_from_code_points({0})", "CODE_POINTS_TO_STRING"),
     )
     # NET.PUBLIC_SUFFIX / NET.REG_DOMAIN (r9): the official PSL
-    # longest-match algorithm over a vendored, version-pinned snapshot
+    # longest-match algorithm over the vendored COMPLETE list
     # (functions/psl.py) — generated as pure SPLIT/SLICE/IN codegen
     # (Spark turns the literal IN lists into O(1) InSet hash probes).
-    def _psl_rewriter(kind: str):
+    # r11: the ~130 KB generated CASE expands at the very END of the
+    # pipeline (pseudo-call placeholder here) — expanding in place
+    # made every later rewrite pass rescan the enlarged text, ~1 s of
+    # pure Python regex per statement at the full 9.5k-rule list.
+    def _psl_rewriter(tag: str):
         def _rw(args: list[str]) -> str:
             if len(args) != 1:
-                raise BQDialectError(f"NET.{kind} expects one host")
-            from bigquery_etl_spark.functions import psl as _psl
-
-            if kind == "PUBLIC_SUFFIX":
-                return _psl.spark_public_suffix(args[0].strip())
-            return _psl.spark_reg_domain(args[0].strip())
+                raise BQDialectError(
+                    "NET.PUBLIC_SUFFIX/REG_DOMAIN expects one host"
+                )
+            return f"__bq_psl_{tag}__({args[0].strip()})"
 
         return _rw
 
     sql = _rewrite_calls(
-        sql, r"NET\s*\.\s*PUBLIC_SUFFIX", _psl_rewriter("PUBLIC_SUFFIX")
+        sql, r"NET\s*\.\s*PUBLIC_SUFFIX", _psl_rewriter("ps")
     )
     sql = _rewrite_calls(
-        sql, r"NET\s*\.\s*REG_DOMAIN", _psl_rewriter("REG_DOMAIN")
+        sql, r"NET\s*\.\s*REG_DOMAIN", _psl_rewriter("rd")
     )
     # %-style datetime formatting (r6 C52). SAFE.PARSE_* first (the
     # plain rewrites would otherwise eat the inner name): NULL on
@@ -3525,4 +3527,22 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "ST_Y", _st_field("lat"))
     for key, orig in guard.items():
         sql = sql.replace(key, orig)
+    # PSL placeholder expansion LAST (r11): the host args above went
+    # through every rewrite pass and the guard restore as ordinary
+    # text; the generated CASE below is final output no pass rescans
+    if "__bq_psl_" in sql:
+        from bigquery_etl_spark.functions import psl as _psl
+
+        def _psl_expand(gen):
+            def _rw(args: list[str]) -> str:
+                return gen(args[0].strip())
+
+            return _rw
+
+        sql = _rewrite_calls(
+            sql, "__bq_psl_ps__", _psl_expand(_psl.spark_public_suffix)
+        )
+        sql = _rewrite_calls(
+            sql, "__bq_psl_rd__", _psl_expand(_psl.spark_reg_domain)
+        )
     return sql

@@ -3842,6 +3842,16 @@ class LakeCatalog:
                     opts.get("min_tree_child_weight", 1.0) or 1.0
                 ),
             )
+            if str(opts.get("enable_global_explain", "")).strip(
+                "'\""
+            ).lower() == "true":
+                # BigQuery gates tree-model ML.GLOBAL_EXPLAIN behind
+                # this training option (the stats ride the training
+                # run); ours is one extra distributed TreeSHAP pass —
+                # mean |attribution| per feature, d scalars persisted
+                model["global_attributions"] = (
+                    _ml.global_explain_boosted_stats(df, model)
+                )
         else:
             raise ValueError(
                 f"model_type {mtype!r} not implemented "

@@ -1469,3 +1469,56 @@ def test_explain_predict_boosted_sql_surface(spark, tmp_path):
     for r in epc[:10]:
         assert 0.0 <= r.predicted_y2_prob <= 1.0
         assert r.predicted_y2 in (0, 1)
+
+
+def test_global_explain_boosted_r11(spark, tmp_path):
+    """r11: tree-model ML.GLOBAL_EXPLAIN — mean |TreeSHAP| persisted
+    at fit when enable_global_explain=TRUE (BigQuery's gate); a
+    feature the label never depends on attributes exactly 0; refusal
+    without the option; survives model persistence."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    spark.range(240).selectExpr(
+        "CAST(id % 19 AS DOUBLE) AS big",
+        "CAST(id % 7 AS DOUBLE) AS small",
+        "CAST(id % 3 AS DOUBLE) AS inert",
+    ).selectExpr(
+        "*",
+        "CASE WHEN big > 9 THEN 50.0 ELSE 0.0 END + small AS y",
+    ).createOrReplaceTempView("ge_pts")
+    cat.sql(
+        "CREATE OR REPLACE MODEL ge_m OPTIONS("
+        "model_type='boosted_tree_regressor', input_label_cols=['y'], "
+        "max_iterations=6, enable_global_explain=TRUE) "
+        "AS SELECT * FROM ge_pts"
+    )
+    ge = {
+        r.feature: r.attribution
+        for r in cat.sql(
+            "SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL ge_m)"
+        ).collect()
+    }
+    assert set(ge) == {"big", "small", "inert"}
+    assert ge["inert"] == 0.0          # never split on -> exactly 0
+    assert ge["big"] > ge["small"] > 0  # effect sizes order
+    # persistence: reload from the warehouse, stats survive
+    cat2 = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat2.models["ge_m"] = __import__(
+        "bigquery_etl_spark.operators.ml", fromlist=["load_model"]
+    ).load_model(str(tmp_path / "wh" / "_models"), "ge_m")
+    ge2 = {
+        r.feature: r.attribution
+        for r in cat2.sql(
+            "SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL ge_m)"
+        ).collect()
+    }
+    assert ge2 == ge
+    # without the option: loud BigQuery-style refusal
+    cat.sql(
+        "CREATE OR REPLACE MODEL ge_plain OPTIONS("
+        "model_type='boosted_tree_regressor', input_label_cols=['y'], "
+        "max_iterations=3) AS SELECT * FROM ge_pts"
+    )
+    with pytest.raises(ValueError, match="enable_global_explain"):
+        cat.sql("SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL ge_plain)").collect()
