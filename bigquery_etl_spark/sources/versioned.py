@@ -54,6 +54,10 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+# Delta's default checkpointInterval: the live mirror writes a classic
+# parquet checkpoint after every N mirrored commits (r11)
+_MIRROR_CHECKPOINT_INTERVAL = 10
+
 _STATS_TYPES = (int, float, str, bool)
 
 # Full-snapshot manifest ("checkpoint") at least every N commits; the
@@ -508,6 +512,100 @@ class VersionedTable:
                 done = max(done, int(name[:20]))
         for v in range(done + 2, up_to + 1):
             self._mirror_one(log_dir, v)
+            # classic parquet checkpoint every N commits (r11, Delta's
+            # default interval): a 100 TB mirror followed for months
+            # accumulates thousands of JSON commits — without
+            # checkpoints every external reader replays them ALL.
+            # Reconciled live state only; O(files) like the commit.
+            dv = v - 1  # delta version of the commit just mirrored
+            if (dv + 1) % _MIRROR_CHECKPOINT_INTERVAL == 0:
+                ck = os.path.join(
+                    log_dir, f"{dv:020d}.checkpoint.parquet"
+                )
+                if not os.path.exists(ck):
+                    self._mirror_checkpoint(log_dir, dv, v)
+
+    def _mirror_table_id(self) -> str:
+        """Stable Delta table id for the mirror: deterministic from the
+        root path, so commits and checkpoints written across sessions
+        carry ONE identity (strict readers compare them)."""
+        return str(uuid.uuid5(uuid.NAMESPACE_URL, self.root))
+
+    def _mirror_checkpoint(
+        self, log_dir: str, delta_version: int, internal_version: int
+    ) -> None:
+        """Classic single-file checkpoint ``<v>.checkpoint.parquet`` +
+        ``_last_checkpoint`` pointer (Delta PROTOCOL.md "Checkpoints"):
+        one protocol row, one metaData row (current schema), one add
+        row per LIVE file — the reconciled state, so readers start here
+        and replay only the JSON tail. Tombstones are omitted (the
+        mirror never vacuums the underlying store through Delta, so
+        there is no concurrent-reader window to protect — documented).
+        Written atomically (tmp + rename), pyarrow-direct: metadata
+        stays a driver-side O(files) pass, no Spark job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m = self._load_manifest(internal_version)
+        now_ms = int(m.get("ts", time.time()) * 1000)
+        protocol_t = pa.struct(
+            [("minReaderVersion", pa.int32()),
+             ("minWriterVersion", pa.int32())]
+        )
+        meta_t = pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ])
+        add_t = pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])
+        files = self._files(internal_version)
+        n = len(files) + 2
+        protocol = [None] * n
+        meta = [None] * n
+        adds = [None] * n
+        protocol[0] = {"minReaderVersion": 1, "minWriterVersion": 2}
+        meta[1] = {
+            "id": self._mirror_table_id(),
+            "format": {"provider": "parquet"},
+            "schemaString": m["schema"],
+            "partitionColumns": [],
+            "configuration": [],
+            "createdTime": now_ms,
+        }
+        for i, e in enumerate(sorted(files, key=lambda e: e["path"])):
+            adds[i + 2] = {
+                "path": e["path"],
+                "partitionValues": [],
+                "size": e["bytes"],
+                "modificationTime": now_ms,
+                "dataChange": False,
+                "stats": json.dumps({"numRecords": e["rows"]}),
+            }
+        table = pa.table({
+            "protocol": pa.array(protocol, type=protocol_t),
+            "metaData": pa.array(meta, type=meta_t),
+            "add": pa.array(adds, type=add_t),
+        })
+        ck = os.path.join(log_dir, f"{delta_version:020d}.checkpoint.parquet")
+        tmp = ck + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, ck)
+        lc_tmp = os.path.join(log_dir, f".lc-{uuid.uuid4().hex}")
+        with open(lc_tmp, "w") as f:
+            json.dump({"version": delta_version, "size": n}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))
 
     def _mirror_one(self, log_dir: str, version: int) -> None:
         m = self._load_manifest(version)
@@ -527,7 +625,8 @@ class VersionedTable:
             actions.append(
                 {
                     "metaData": {
-                        "id": uuid.uuid4().hex,
+                        # stable across commits AND checkpoints (r11)
+                        "id": self._mirror_table_id(),
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": m["schema"],
                         "partitionColumns": [],

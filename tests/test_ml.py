@@ -1127,7 +1127,9 @@ def test_explain_predict_and_global_explain(spark, tmp_path):
     assert lp.baseline_prediction_value + sum(
         a.attribution for a in lp.top_feature_attributions
     ) == pytest.approx(lp.prediction_value, abs=1e-9)
-    # tree models refuse with a pointer
+    # r11: tree models now EXPLAIN (TreeSHAP) — the sum identity holds
+    # through the SQL surface; GLOBAL_EXPLAIN still refuses without
+    # the enable_global_explain training option (BigQuery's gate)
     df = _tr_frame(spark, n=200)
     df.createOrReplaceTempView("ex_bt")
     c.sql(
@@ -1135,12 +1137,14 @@ def test_explain_predict_and_global_explain(spark, tmp_path):
         "model_type='boosted_tree_regressor', input_label_cols=['y'], "
         "max_iterations=3) AS SELECT * FROM ex_bt"
     )
-    with pytest.raises(ValueError, match="FEATURE_IMPORTANCE"):
-        c.sql(
-            "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL ex_bt_m, "
-            "TABLE ex_bt)"
-        )
-    with pytest.raises(ValueError, match="FEATURE_IMPORTANCE"):
+    bt = c.sql(
+        "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL ex_bt_m, "
+        "TABLE ex_bt)"
+    ).collect()[0]
+    assert bt.baseline_prediction_value + sum(
+        a.attribution for a in bt.top_feature_attributions
+    ) == pytest.approx(bt.prediction_value, abs=1e-9)
+    with pytest.raises(ValueError, match="enable_global_explain"):
         c.sql("SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL ex_bt_m)")
 
 
