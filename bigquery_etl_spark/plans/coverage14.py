@@ -246,3 +246,133 @@ def q_ml_explain_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__g_inert").alias("global_inert_zero"),
         F.col("__g_order").alias("global_order_ok"),
     )
+
+
+# Literal-topology fences for q_gis_topology: convex pentagon ∩ convex
+# quad (Sutherland–Hodgman at translate time), a disjoint union pair,
+# and a 100 km point buffer — every derived constant is computed by the
+# SAME bq_dialect Python helpers on both engines' SQL.
+_TP_A = [(-20.0, -15.0), (18.0, -20.0), (30.0, 5.0), (5.0, 25.0),
+         (-25.0, 12.0)]
+_TP_B = [(0.0, -5.0), (45.0, -5.0), (45.0, 30.0), (0.0, 30.0)]
+_TP_C = [(60.0, -10.0), (80.0, -10.0), (80.0, 10.0), (60.0, 10.0)]
+_TP_WKT_A = "POLYGON((" + ", ".join(
+    f"{x} {y}" for x, y in _TP_A + [_TP_A[0]]) + "))"
+_TP_WKT_B = "POLYGON((" + ", ".join(
+    f"{x} {y}" for x, y in _TP_B + [_TP_B[0]]) + "))"
+_TP_WKT_C = "POLYGON((" + ", ".join(
+    f"{x} {y}" for x, y in _TP_C + [_TP_C[0]]) + "))"
+_TP_BUF_PT, _TP_BUF_M = (-60.0, 40.0), 900000.0
+
+
+def _topology_oracle_sql() -> str:
+    from bigquery_etl_spark.plans.coverage12 import (
+        _DUCK_INSIDE,
+        _duck_ring_edges,
+    )
+    from bigquery_etl_spark.sources.bq_dialect import (
+        _emit_point,
+        _emit_ring,
+        _sh_clip,
+        _st_area,
+        _st_buffer,
+        _parse_poly_rings,
+    )
+
+    inter = _sh_clip(_TP_A, _TP_B)
+    a_inter = float(_st_area([_emit_ring(inter)]).rstrip("D"))
+    a_union = float(_st_area([_emit_ring(_TP_A)]).rstrip("D")) + float(
+        _st_area([_emit_ring(_TP_C)]).rstrip("D")
+    )
+    buf_ring = _parse_poly_rings(
+        _st_buffer([_emit_point(*_TP_BUF_PT), repr(_TP_BUF_M)])
+    )[0]
+    inter_edges = _duck_ring_edges([inter])
+    union_edges = _duck_ring_edges([_TP_A, _TP_C])
+    buf_edges = _duck_ring_edges([buf_ring])
+    inside = _DUCK_INSIDE
+    return f"""
+    WITH pts AS (
+        SELECT c_mktsegment,
+               CAST(((c_custkey * 31) % 200) - 100 + 0.5 AS DOUBLE) AS plon,
+               CAST(((c_custkey * 17) % 120) - 60 + 0.25 AS DOUBLE) AS plat
+        FROM customer
+    ),
+    j AS (
+        SELECT c_mktsegment, plon, plat,
+               {inter_edges} AS iedges,
+               {union_edges} AS uedges,
+               {buf_edges} AS bedges
+        FROM pts
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN {inside.replace("edges", "iedges")}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+           CAST(SUM(CASE WHEN {inside.replace("edges", "uedges")}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+           CAST(SUM(CASE WHEN {inside.replace("edges", "bedges")}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_buf,
+           CAST(round({a_inter!r}) AS BIGINT) AS a_inter,
+           CAST(round({a_union!r}) AS BIGINT) AS a_union,
+           TRUE AS ab_intersects, FALSE AS ac_intersects
+    FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@query(
+    "q_gis_topology",
+    sql=_topology_oracle_sql(),
+    tags=("dialect", "geo"),
+)
+def q_gis_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal GEOGRAPHY topology (r11): ST_INTERSECTS /
+    ST_INTERSECTION / ST_UNION / ST_BUFFER over translate-time
+    constant geographies — the computational geometry (Sutherland–
+    Hodgman convex clip, segment-crossing + even-odd overlap test,
+    locally-scaled buffer ring) runs in PYTHON at translate time and
+    folds to ordinary polygon literals, so the results compose with
+    the whole existing surface (the ray casts below run per row in
+    whole-stage codegen, zero runtime topology). Overlapping unions,
+    concave/holed intersections, computed operands and empty results
+    still refuse loudly. The ORACLE recomputes with the IDENTICAL
+    Python helpers (shared constants), so the twin is exact.
+    Reference: BigQuery GEOGRAPHY topology fns (delegated,
+    main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("gtp_cust")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql(f"""
+        WITH pts AS (
+            SELECT c_mktsegment,
+                   ST_GEOGPOINT(
+                       CAST(MOD(c_custkey * 31, 200) - 100 + 0.5
+                            AS FLOAT64),
+                       CAST(MOD(c_custkey * 17, 120) - 60 + 0.25
+                            AS FLOAT64)) AS pt
+            FROM gtp_cust
+        )
+        SELECT c_mktsegment,
+               COUNTIF(ST_CONTAINS(ST_INTERSECTION(
+                   ST_GEOGFROMTEXT('{_TP_WKT_A}'),
+                   ST_GEOGFROMTEXT('{_TP_WKT_B}')), pt)) AS n_inter,
+               COUNTIF(ST_INTERSECTS(ST_UNION(
+                   ST_GEOGFROMTEXT('{_TP_WKT_A}'),
+                   ST_GEOGFROMTEXT('{_TP_WKT_C}')), pt)) AS n_union,
+               COUNTIF(ST_CONTAINS(ST_BUFFER(
+                   ST_GEOGPOINT({_TP_BUF_PT[0]}, {_TP_BUF_PT[1]}),
+                   {_TP_BUF_M}), pt)) AS n_buf,
+               CAST(ROUND(ST_AREA(ST_INTERSECTION(
+                   ST_GEOGFROMTEXT('{_TP_WKT_A}'),
+                   ST_GEOGFROMTEXT('{_TP_WKT_B}')))) AS INT64)
+                   AS a_inter,
+               CAST(ROUND(ST_AREA(ST_UNION(
+                   ST_GEOGFROMTEXT('{_TP_WKT_A}'),
+                   ST_GEOGFROMTEXT('{_TP_WKT_C}')))) AS INT64)
+                   AS a_union,
+               ST_INTERSECTS(ST_GEOGFROMTEXT('{_TP_WKT_A}'),
+                   ST_GEOGFROMTEXT('{_TP_WKT_B}')) AS ab_intersects,
+               ST_INTERSECTS(ST_GEOGFROMTEXT('{_TP_WKT_A}'),
+                   ST_GEOGFROMTEXT('{_TP_WKT_C}')) AS ac_intersects
+        FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)

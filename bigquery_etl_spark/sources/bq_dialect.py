@@ -2142,6 +2142,346 @@ def _st_contains(args: list[str]) -> str:
     return _poly_contains(args[0], args[1])
 
 
+# -- literal topology (r11) ---------------------------------------------------
+#
+# ST_INTERSECTS / ST_INTERSECTION / ST_UNION / ST_BUFFER over LITERAL
+# geographies: every operand is a translate-time constant, so the
+# computational geometry runs HERE in Python and folds to another
+# literal — zero runtime cost, and the result composes with the whole
+# existing surface (ST_AREA/ST_CONTAINS/ST_DISTANCE of an intersection
+# work for free). Planar lon/lat edges — the same documented contract
+# as containment. Anything that would need per-row topology (computed
+# operands, overlapping unions, concave intersection) still refuses
+# loudly: a loud error beats silently-wrong geometry.
+
+_PT_LIT_RX = re.compile(
+    r"(?is)^\s*NAMED_STRUCT\('lon',\s*CAST\(\(?\s*(-?[\d.eE+]+)\s*\)?"
+    r"\s+AS\s+DOUBLE\),\s*'lat',\s*CAST\(\(?\s*(-?[\d.eE+]+)\s*\)?"
+    r"\s+AS\s+DOUBLE\)\)\s*$"
+)
+
+
+def _parse_point_literal(expr: str) -> tuple[float, float] | None:
+    m = _PT_LIT_RX.match(expr.strip())
+    if not m:
+        return None
+    return float(m.group(1)), float(m.group(2))
+
+
+def _emit_point(x: float, y: float) -> str:
+    return (
+        f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
+        f"'lat', CAST({y!r} AS DOUBLE))"
+    )
+
+
+def _emit_ring(pts: list[tuple[float, float]]) -> str:
+    return "ARRAY(" + ", ".join(
+        f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
+        f"'lat', CAST({y!r} AS DOUBLE))"
+        for x, y in pts
+    ) + ")"
+
+
+def _lit_geom(expr: str):
+    """Classify a lowered literal geography: (kind, data) or None."""
+    p = _parse_point_literal(expr)
+    if p is not None:
+        return ("point", p)
+    mp = _parse_multipoint_literal(expr)
+    if mp is not None:
+        return ("multipoint", mp)
+    polys = _parse_multipoly_literal(expr)
+    if polys is not None:
+        return ("multipoly", polys)
+    rings = _parse_poly_rings(expr)
+    if rings is not None:
+        return ("poly", rings)
+    line = _parse_line_literal(expr)
+    if line is not None:
+        return ("line", line)
+    return None
+
+
+def _orient2(a, b, c) -> float:
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _segs_cross(p1, p2, p3, p4) -> bool:
+    d1, d2 = _orient2(p3, p4, p1), _orient2(p3, p4, p2)
+    d3, d4 = _orient2(p1, p2, p3), _orient2(p1, p2, p4)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+
+    def on(a, b, c):
+        return (
+            min(a[0], b[0]) - 1e-12 <= c[0] <= max(a[0], b[0]) + 1e-12
+            and min(a[1], b[1]) - 1e-12 <= c[1] <= max(a[1], b[1]) + 1e-12
+        )
+
+    return (
+        (d1 == 0 and on(p3, p4, p1))
+        or (d2 == 0 and on(p3, p4, p2))
+        or (d3 == 0 and on(p1, p2, p3))
+        or (d4 == 0 and on(p1, p2, p4))
+    )
+
+
+def _pt_in_rings(rings, px, py) -> bool:
+    inside = False
+    for verts in rings:
+        n = len(verts)
+        for i in range(n):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % n]
+            if (ay > py) != (by > py) and px < (bx - ax) * (py - ay) / (
+                by - ay
+            ) + ax:
+                inside = not inside
+    return inside
+
+
+def _ring_edges(rings):
+    for verts in rings:
+        n = len(verts)
+        for i in range(n):
+            yield verts[i], verts[(i + 1) % n]
+
+
+def _polys_overlap(rings_a, rings_b) -> bool:
+    """Simple polygons (holes OK): boundaries cross, or one contains
+    the other (even-odd over ALL rings — a member fully inside a hole
+    counts as outside, the holes semantics)."""
+    for a1, a2 in _ring_edges(rings_a):
+        for b1, b2 in _ring_edges(rings_b):
+            if _segs_cross(a1, a2, b1, b2):
+                return True
+    if _pt_in_rings(rings_a, *rings_b[0][0]):
+        return True
+    return _pt_in_rings(rings_b, *rings_a[0][0])
+
+
+def _ring_convex(v) -> bool:
+    sign = 0
+    n = len(v)
+    for i in range(n):
+        cr = _orient2(v[i], v[(i + 1) % n], v[(i + 2) % n])
+        if abs(cr) > 1e-12:
+            s = 1 if cr > 0 else -1
+            if sign and s != sign:
+                return False
+            sign = s
+    return True
+
+
+def _signed_area2(v) -> float:
+    return sum(
+        v[i][0] * v[(i + 1) % len(v)][1] - v[(i + 1) % len(v)][0] * v[i][1]
+        for i in range(len(v))
+    )
+
+
+def _sh_clip(subject, clip):
+    """Sutherland–Hodgman: clip a polygon by a CONVEX clipper; exact
+    for convex∩convex (the supported subset)."""
+    if _signed_area2(clip) < 0:
+        clip = list(reversed(clip))
+
+    def inside(p, a, b):
+        return _orient2(a, b, p) >= -1e-12
+
+    def inter(s, e, a, b):
+        x1, y1 = s
+        x2, y2 = e
+        x3, y3 = a
+        x4, y4 = b
+        den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+        px = ((x1 * y2 - y1 * x2) * (x3 - x4)
+              - (x1 - x2) * (x3 * y4 - y3 * x4)) / den
+        py = ((x1 * y2 - y1 * x2) * (y3 - y4)
+              - (y1 - y2) * (x3 * y4 - y3 * x4)) / den
+        return (px, py)
+
+    out = list(subject)
+    n = len(clip)
+    for i in range(n):
+        a, b = clip[i], clip[(i + 1) % n]
+        inp, out = out, []
+        if not inp:
+            break
+        s = inp[-1]
+        for e in inp:
+            if inside(e, a, b):
+                if not inside(s, a, b):
+                    out.append(inter(s, e, a, b))
+                out.append(e)
+            elif inside(s, a, b):
+                out.append(inter(s, e, a, b))
+            s = e
+    dedup = []
+    for p in out:
+        if not dedup or (
+            abs(p[0] - dedup[-1][0]) > 1e-12
+            or abs(p[1] - dedup[-1][1]) > 1e-12
+        ):
+            dedup.append(p)
+    if len(dedup) > 1 and (
+        abs(dedup[0][0] - dedup[-1][0]) <= 1e-12
+        and abs(dedup[0][1] - dedup[-1][1]) <= 1e-12
+    ):
+        dedup.pop()
+    return dedup
+
+
+def _as_member_polys(g) -> list[list[list[tuple[float, float]]]]:
+    return [g[1]] if g[0] == "poly" else list(g[1])
+
+
+def _st_intersects(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"ST_INTERSECTS expects (a, b), got {args}")
+    a, b = args
+    ga, gb = _lit_geom(a), _lit_geom(b)
+    poly_kinds = ("poly", "multipoly")
+    if ga and gb and ga[0] in poly_kinds and gb[0] in poly_kinds:
+        hit = any(
+            _polys_overlap(pa, pb)
+            for pa in _as_member_polys(ga)
+            for pb in _as_member_polys(gb)
+        )
+        return "TRUE" if hit else "FALSE"
+    # polygon ↔ point (point may be a runtime expression): the ray cast
+    if _is_poly(a) and not _is_shape(b):
+        return _poly_contains(a, b)
+    if _is_poly(b) and not _is_shape(a):
+        return _poly_contains(b, a)
+    if not _is_shape(a) and not _is_shape(b):
+        aa, bb = f"({a.strip()})", f"({b.strip()})"
+        return f"({aa}.lon = {bb}.lon AND {aa}.lat = {bb}.lat)"
+    raise BQDialectError(
+        "ST_INTERSECTS supports literal polygon/multipolygon pairs, "
+        "polygon↔point and point↔point — lines and computed polygon "
+        "pairs have no closed form here"
+    )
+
+
+def _st_intersection(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"ST_INTERSECTION expects (a, b), got {args}")
+    ga, gb = _lit_geom(args[0]), _lit_geom(args[1])
+    if not ga or not gb or ga[0] != "poly" or gb[0] != "poly":
+        raise BQDialectError(
+            "ST_INTERSECTION supports two literal single-ring POLYGONs "
+            "— computed operands / MULTIPOLYGON members need real "
+            "topology (out of the closed-form subset)"
+        )
+    ra, rb = ga[1], gb[1]
+    if len(ra) > 1 or len(rb) > 1:
+        raise BQDialectError(
+            "ST_INTERSECTION does not support polygons with holes"
+        )
+    if not _ring_convex(ra[0]) or not _ring_convex(rb[0]):
+        raise BQDialectError(
+            "ST_INTERSECTION supports CONVEX literal polygons "
+            "(Sutherland–Hodgman is exact only for a convex clip) — "
+            "decompose concave rings first"
+        )
+    out = _sh_clip(ra[0], rb[0])
+    if len(out) < 3 or abs(_signed_area2(out)) < 1e-18:
+        raise BQDialectError(
+            "ST_INTERSECTION of these polygons is EMPTY (this engine "
+            "has no empty-geography value) — test ST_INTERSECTS first"
+        )
+    return _emit_ring(out)
+
+
+def _st_union(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError(f"ST_UNION expects (a, b), got {args}")
+    ga, gb = _lit_geom(args[0]), _lit_geom(args[1])
+    if not ga or not gb:
+        raise BQDialectError(
+            "ST_UNION supports literal geographies only (points, "
+            "multipoints, disjoint polygons)"
+        )
+    pt_kinds = ("point", "multipoint")
+    if ga[0] in pt_kinds and gb[0] in pt_kinds:
+        pts = ([ga[1]] if ga[0] == "point" else list(ga[1])) + (
+            [gb[1]] if gb[0] == "point" else list(gb[1])
+        )
+        uniq = sorted(set(pts))
+        if len(uniq) == 1:
+            return _emit_point(*uniq[0])
+        return (
+            "NAMED_STRUCT('multipoint', ARRAY("
+            + ", ".join(_emit_point(x, y) for x, y in uniq)
+            + "))"
+        )
+    poly_kinds = ("poly", "multipoly")
+    if ga[0] in poly_kinds and gb[0] in poly_kinds:
+        members = _as_member_polys(ga) + _as_member_polys(gb)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if _polys_overlap(members[i], members[j]):
+                    raise BQDialectError(
+                        "ST_UNION of OVERLAPPING polygons needs real "
+                        "topology (out of the closed-form subset) — "
+                        "members must be disjoint"
+                    )
+        poly_sql = [
+            "ARRAY(" + ", ".join(_emit_ring(r) for r in rings) + ")"
+            for rings in members
+        ]
+        return "ARRAY(" + ", ".join(poly_sql) + ")"
+    raise BQDialectError(
+        "ST_UNION supports point/multipoint pairs and disjoint "
+        "polygon/multipolygon pairs — mixed kinds have no closed form "
+        "here"
+    )
+
+
+_BUFFER_SIDES = 32
+
+
+def _st_buffer(args: list[str]) -> str:
+    """``ST_BUFFER(point literal, meters literal)`` → a 32-gon POLYGON
+    literal scaled locally (Δlat = m/R·180/π, Δlon = Δlat/cos lat) —
+    the planar-edge contract shared with containment (BigQuery buffers
+    on the sphere; fine for the compact radii this subset is for,
+    documented). Composes with the whole polygon surface."""
+    import math
+
+    if len(args) != 2:
+        raise BQDialectError(f"ST_BUFFER expects (point, meters), got {args}")
+    p = _parse_point_literal(args[0])
+    rm = re.fullmatch(r"\s*(-?[\d.eE+]+)\s*", args[1])
+    if p is None or rm is None:
+        raise BQDialectError(
+            "ST_BUFFER supports (literal POINT, literal meters) — "
+            "computed operands / line+polygon buffering need real "
+            "topology"
+        )
+    x, y = p
+    meters = float(rm.group(1))
+    if meters <= 0:
+        raise BQDialectError("ST_BUFFER radius must be > 0 meters")
+    if abs(y) > 85.0:
+        raise BQDialectError(
+            "ST_BUFFER within 5 degrees of a pole exceeds the planar "
+            "local-scaling contract"
+        )
+    dlat = meters / (6371008.8 * math.pi / 180.0)
+    dlon = dlat / math.cos(math.radians(y))
+    ring = [
+        (
+            x + dlon * math.cos(2 * math.pi * i / _BUFFER_SIDES),
+            y + dlat * math.sin(2 * math.pi * i / _BUFFER_SIDES),
+        )
+        for i in range(_BUFFER_SIDES)
+    ]
+    return _emit_ring(ring)
+
+
 _UNNEST_RX = re.compile(
     r"(?i),\s*UNNEST\s*\(",
 )
@@ -3515,6 +3855,13 @@ def translate(sql: str) -> str:
     # distance rewriters see already-lowered struct expressions
     sql = _rewrite_calls(sql, "ST_GEOGPOINT", _st_geogpoint)
     sql = _rewrite_calls(sql, "ST_GEOGFROMTEXT", _st_geogfromtext)
+    # literal topology (r11) BEFORE the predicates: these consume
+    # lowered literals and PRODUCE lowered literals, so an
+    # ST_CONTAINS(ST_INTERSECTION(…), pt) sees plain polygon text
+    sql = _rewrite_calls(sql, "ST_BUFFER", _st_buffer)
+    sql = _rewrite_calls(sql, "ST_INTERSECTION", _st_intersection)
+    sql = _rewrite_calls(sql, "ST_UNION", _st_union)
+    sql = _rewrite_calls(sql, "ST_INTERSECTS", _st_intersects)
     sql = _rewrite_calls(sql, "ST_CONTAINS", _st_contains)
     sql = _rewrite_calls(sql, "ST_AREA", _st_area)
     sql = _rewrite_calls(sql, "ST_PERIMETER", _st_perimeter)

@@ -1396,3 +1396,78 @@ def test_bignumeric_contract_r11(fcat):
     assert fcat.spark.conf.get(
         "spark.sql.decimalOperations.allowPrecisionLoss"
     ) == "true"
+
+
+def test_literal_topology_r11(fcat):
+    """r11: ST_INTERSECTS / ST_INTERSECTION / ST_UNION / ST_BUFFER over
+    LITERAL geographies constant-fold at translate time and compose
+    with the whole polygon surface; per-row topology still refuses."""
+    import math
+
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    sq1 = "ST_GEOGFROMTEXT('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    sq2 = "ST_GEOGFROMTEXT('POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))')"
+    far = "ST_GEOGFROMTEXT('POLYGON((20 20, 30 20, 30 30, 20 30, 20 20))')"
+    r = fcat.bq_sql(
+        f"SELECT ST_INTERSECTS({sq1}, {sq2}) AS i12, "
+        f"ST_INTERSECTS({sq1}, {far}) AS i1f, "
+        f"ST_AREA(ST_INTERSECTION({sq1}, {sq2})) AS a_int, "
+        f"ST_AREA(ST_GEOGFROMTEXT("
+        "'POLYGON((5 5, 10 5, 10 10, 5 10, 5 5))')) AS a_direct, "
+        f"ST_CONTAINS(ST_INTERSECTION({sq1}, {sq2}), "
+        "ST_GEOGPOINT(7.0, 7.0)) AS c_in, "
+        f"ST_CONTAINS(ST_INTERSECTION({sq1}, {sq2}), "
+        "ST_GEOGPOINT(2.0, 2.0)) AS c_out, "
+        f"ST_AREA(ST_UNION({sq1}, {far})) AS a_union, "
+        f"ST_AREA({sq1}) + ST_AREA({far}) AS a_sum, "
+        "ST_CONTAINS(ST_BUFFER(ST_GEOGPOINT(10.0, 45.0), 100000.0), "
+        "ST_GEOGPOINT(10.5, 45.0)) AS b_near, "
+        "ST_CONTAINS(ST_BUFFER(ST_GEOGPOINT(10.0, 45.0), 100000.0), "
+        "ST_GEOGPOINT(13.0, 45.0)) AS b_far, "
+        "ST_INTERSECTS(ST_GEOGPOINT(1.0, 1.0), "
+        "ST_GEOGPOINT(1.0, 1.0)) AS pp, "
+        f"ST_INTERSECTS({sq1}, ST_GEOGPOINT(5.0, 5.0)) AS poly_pt, "
+        "ST_ASTEXT(ST_UNION(ST_GEOGPOINT(1.0, 2.0), "
+        "ST_GEOGPOINT(1.0, 2.0))) AS pt_union"
+    ).collect()[0]
+    assert r.i12 is True and r.i1f is False
+    # the intersection IS the 5..10 square — areas agree exactly
+    assert r.a_int == pytest.approx(r.a_direct, rel=1e-12)
+    assert r.c_in and not r.c_out
+    # disjoint union: area is the sum of member areas
+    assert r.a_union == pytest.approx(r.a_sum, rel=1e-12)
+    assert r.b_near and not r.b_far
+    assert r.pp is True and r.poly_pt is True
+    assert r.pt_union == "POINT(1.0 2.0)"  # identical points collapse
+    # buffer ring radius sanity: ~100 km at the E-W extreme
+    deg = math.radians(1.0) * 6371008.8
+    got_halfwidth = 100000.0 / (deg * math.cos(math.radians(45.0)))
+    assert fcat.bq_sql(
+        "SELECT ST_CONTAINS(ST_BUFFER(ST_GEOGPOINT(10.0, 45.0), "
+        f"100000.0), ST_GEOGPOINT({10.0 + 0.95 * got_halfwidth}, 45.0))"
+        " AS c"
+    ).collect()[0].c
+    # refusals: empty intersection, overlapping union, concave
+    # intersection, computed operands, polar buffer
+    with pytest.raises(BQDialectError, match="EMPTY"):
+        translate(f"SELECT ST_INTERSECTION({sq1}, {far})")
+    with pytest.raises(BQDialectError, match="OVERLAPPING"):
+        translate(f"SELECT ST_UNION({sq1}, {sq2})")
+    with pytest.raises(BQDialectError, match="CONVEX"):
+        translate(
+            "SELECT ST_INTERSECTION(ST_GEOGFROMTEXT("
+            f"'POLYGON((0 0, 10 0, 5 5, 10 10, 0 10, 0 0))'), {sq1})"
+        )
+    with pytest.raises(BQDialectError, match="literal"):
+        translate("SELECT ST_UNION(some_col, other_col)")
+    with pytest.raises(BQDialectError, match="pole"):
+        translate("SELECT ST_BUFFER(ST_GEOGPOINT(0.0, 89.0), 1000.0)")
+    with pytest.raises(BQDialectError, match="closed form"):
+        translate(
+            f"SELECT ST_INTERSECTS({sq1}, "
+            "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))"
+        )
