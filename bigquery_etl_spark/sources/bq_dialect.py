@@ -1259,13 +1259,54 @@ def _st_field(field: str):
     return _rw
 
 
+def _fmt_coord(v: float) -> str:
+    return repr(v)
+
+
 def _st_astext(args: list[str]) -> str:
+    """WKT text: literal shapes fold to a STRING constant (r11 — the
+    pre-r11 form mis-rendered non-points); runtime points render via
+    CONCAT."""
     if len(args) != 1:
         raise BQDialectError(f"ST_ASTEXT expects one argument, got {args}")
-    g = f"({args[0].strip()})"
+    g = _lit_geom(args[0])
+    if g is not None:
+        kind, data = g
+
+        def ring_txt(pts, close=True):
+            seq = list(pts) + ([pts[0]] if close else [])
+            return "(" + ", ".join(
+                f"{_fmt_coord(x)} {_fmt_coord(y)}" for x, y in seq
+            ) + ")"
+
+        if kind == "point":
+            wkt = f"POINT({_fmt_coord(data[0])} {_fmt_coord(data[1])})"
+        elif kind == "multipoint":
+            wkt = "MULTIPOINT(" + ", ".join(
+                f"({_fmt_coord(x)} {_fmt_coord(y)})" for x, y in data
+            ) + ")"
+        elif kind == "line":
+            wkt = "LINESTRING" + ring_txt(data, close=False)
+        elif kind == "mls":
+            wkt = "MULTILINESTRING(" + ", ".join(
+                ring_txt(c, close=False) for c in data
+            ) + ")"
+        elif kind == "poly":
+            wkt = "POLYGON(" + ", ".join(ring_txt(r) for r in data) + ")"
+        else:  # multipoly
+            wkt = "MULTIPOLYGON(" + ", ".join(
+                "(" + ", ".join(ring_txt(r) for r in rings) + ")"
+                for rings in data
+            ) + ")"
+        return "'" + wkt + "'"
+    if _is_shape(args[0]):
+        raise BQDialectError(
+            "ST_ASTEXT of a computed non-point geography is unsupported"
+        )
+    g0 = f"({args[0].strip()})"
     return (
-        f"CONCAT('POINT(', CAST({g}.lon AS STRING), ' ', "
-        f"CAST({g}.lat AS STRING), ')')"
+        f"CONCAT('POINT(', CAST({g0}.lon AS STRING), ' ', "
+        f"CAST({g0}.lat AS STRING), ')')"
     )
 
 
@@ -2200,6 +2241,9 @@ def _lit_geom(expr: str):
     line = _parse_line_literal(expr)
     if line is not None:
         return ("line", line)
+    mls = _parse_mls_literal(expr)
+    if mls is not None:
+        return ("mls", mls)
     return None
 
 
@@ -2350,6 +2394,38 @@ def _st_intersects(args: list[str]) -> str:
             for pb in _as_member_polys(gb)
         )
         return "TRUE" if hit else "FALSE"
+    def chains(g):
+        if g[0] == "line":
+            return [g[1]]
+        if g[0] == "mls":
+            return list(g[1])
+        return None
+
+    def chain_edges(cs):
+        for c in cs:
+            yield from zip(c, c[1:])
+
+    la, lb = (chains(ga) if ga else None), (chains(gb) if gb else None)
+    if la is not None and lb is not None:
+        hit = any(
+            _segs_cross(a1, a2, b1, b2)
+            for a1, a2 in chain_edges(la)
+            for b1, b2 in chain_edges(lb)
+        )
+        return "TRUE" if hit else "FALSE"
+    for lx, gy in ((la, gb), (lb, ga)):
+        if lx is None or not gy or gy[0] not in poly_kinds:
+            continue
+        hit = any(
+            any(
+                _segs_cross(l1, l2, e1, e2)
+                for l1, l2 in chain_edges(lx)
+                for e1, e2 in _ring_edges(rings)
+            )
+            or any(_pt_in_rings(rings, *c[0]) for c in lx)
+            for rings in _as_member_polys(gy)
+        )
+        return "TRUE" if hit else "FALSE"
     # polygon ↔ point (point may be a runtime expression): the ray cast
     if _is_poly(a) and not _is_shape(b):
         return _poly_contains(a, b)
@@ -2360,8 +2436,9 @@ def _st_intersects(args: list[str]) -> str:
         return f"({aa}.lon = {bb}.lon AND {aa}.lat = {bb}.lat)"
     raise BQDialectError(
         "ST_INTERSECTS supports literal polygon/multipolygon pairs, "
-        "polygon↔point and point↔point — lines and computed polygon "
-        "pairs have no closed form here"
+        "literal line↔line and line↔polygon, polygon↔point and "
+        "point↔point — computed non-point pairs have no closed form "
+        "here"
     )
 
 

@@ -1466,8 +1466,25 @@ def test_literal_topology_r11(fcat):
         translate("SELECT ST_UNION(some_col, other_col)")
     with pytest.raises(BQDialectError, match="pole"):
         translate("SELECT ST_BUFFER(ST_GEOGPOINT(0.0, 89.0), 1000.0)")
+    # line topology (literal): line↔polygon and line↔line fold too
+    lr = fcat.bq_sql(
+        f"SELECT ST_INTERSECTS({sq1}, "
+        "ST_GEOGFROMTEXT('LINESTRING(2 2, 3 3)')) AS lp_in, "
+        f"ST_INTERSECTS({sq1}, "
+        "ST_GEOGFROMTEXT('LINESTRING(20 20, 30 30)')) AS lp_out, "
+        "ST_INTERSECTS(ST_GEOGFROMTEXT('LINESTRING(0 0, 10 10)'), "
+        "ST_GEOGFROMTEXT('LINESTRING(0 10, 10 0)')) AS ll_x, "
+        "ST_INTERSECTS(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 0)'), "
+        "ST_GEOGFROMTEXT('LINESTRING(0 5, 1 5)')) AS ll_par, "
+        "ST_ASTEXT(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)')) AS lt, "
+        f"ST_ASTEXT(ST_INTERSECTION({sq1}, {sq2})) AS it"
+    ).collect()[0]
+    assert lr.lp_in and not lr.lp_out
+    assert lr.ll_x and not lr.ll_par
+    assert lr.lt == "LINESTRING(0.0 0.0, 1.0 1.0)"
+    assert lr.it.startswith("POLYGON((")
     with pytest.raises(BQDialectError, match="closed form"):
         translate(
-            f"SELECT ST_INTERSECTS({sq1}, "
+            "SELECT ST_INTERSECTS(ARRAY(ST_GEOGPOINT(a, b)), "
             "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))"
         )

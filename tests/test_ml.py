@@ -1413,6 +1413,20 @@ def test_tree_shap_differential_vs_reference(spark):
     for r in range(len(sample)):
         key = tuple(round(float(v), 9) for v in sample[r])
         assert base + phi[r].sum() == pytest.approx(preds[key], abs=1e-9)
+    # NaN (NULL) rows route left like prediction — batch must still
+    # match the per-row reference (NaN follows the go-left convention
+    # in both)
+    nan_sample = sample[:10].copy()
+    nan_sample[::2, 0] = np.nan
+    nan_sample[::3, 2] = np.nan
+    for t in model["trees"]:
+        batch = _tree_shap_batch(nan_sample, t, d)
+        for r in range(len(nan_sample)):
+            ref = _ref_tree_shap_row(
+                [None if np.isnan(v) else float(v) for v in nan_sample[r]],
+                t, d,
+            )
+            assert batch[r] == pytest.approx(ref, abs=1e-9)
 
 
 def test_explain_predict_boosted_sql_surface(spark, tmp_path):
