@@ -163,6 +163,11 @@ HEADLINE = [
     "q_gis_linestring",
     "q_approx_top",
     "q_ml_prefuncs",
+    # r11 additions (same convention): geodesic arc distances and the
+    # constant-folded topology ray casts — identical closed forms both
+    # engines
+    "q_gis_geodesic",
+    "q_gis_topology",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

@@ -1078,6 +1078,7 @@ class LakeCatalog:
             "spec": spec,
             "root": view_root,
             "count_col": count_col,
+            "table": table,
         }
         return view_root
 
@@ -1108,6 +1109,9 @@ class LakeCatalog:
             )
         if spec.table not in self.tables:
             raise KeyError(f"unknown lake table {spec.table!r}")
+        # r11: an MV materializes ALL rows — serving it to a policied
+        # table's readers would bypass the allowlist
+        self._refuse_policied(spec.table, "materialized-view creation")
         tbl = self.tables[spec.table]
         if not tbl._cdf_keys():
             # maintenance rides the change feed — same auto-enable rule
@@ -2142,9 +2146,18 @@ class LakeCatalog:
             if re.search(rf"\b{re.escape(name)}\b", text):
                 from bigquery_etl_spark.operators.matview import present
 
+                # r11: a policy added AFTER creation must not leak
+                # through the materialized state
+                self._refuse_policied(
+                    mv.spec.table, f"reading materialized view {name!r}"
+                )
                 present(mv.state.read(), mv.spec).createOrReplaceTempView(name)
         for name, smv in self.streaming_matviews.items():
             if re.search(rf"\b{re.escape(name)}\b", text):
+                self._refuse_policied(
+                    smv["table"],
+                    f"reading streaming materialized view {name!r}",
+                )
                 # sync-then-read: drain the change-log stream so every
                 # SELECT sees the table's latest committed state (the
                 # fold itself stays incremental — this is a barrier,

@@ -173,3 +173,45 @@ def test_explain_and_anomalies_drop_transform_intermediates(spark, tmp_path):
         "(SELECT x1, x2 FROM tr_pts))"
     )
     assert "mx1" not in da.columns and "is_anomaly" in da.columns
+
+
+def test_matviews_refuse_policied_tables(spark, tmp_path):
+    """r11 extension of the RLS-bypass class: materialized views (batch
+    and streaming) materialize ALL rows, so creation refuses on a
+    policied table and a policy added AFTER creation blocks reads."""
+    from pyspark.sql import functions as F
+
+    cat = LakeCatalog(spark, warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, grp string, v double"
+    )
+    cat.create_table("mvp", str(tmp_path / "mvp"), df)
+    cat.tables["mvp"].enable_change_feed(["id"])
+    # MV created while unpolicied reads fine
+    cat.sql(
+        "CREATE MATERIALIZED VIEW mvp_mv AS "
+        "SELECT grp, SUM(v) AS total FROM mvp GROUP BY grp"
+    )
+    cat.sql(
+        "CREATE STREAMING MATERIALIZED VIEW mvp_smv AS "
+        "SELECT grp, SUM(v) AS total "
+        "FROM CHANGES(TABLE mvp, NULL, NULL) GROUP BY grp"
+    )
+    assert cat.sql("SELECT COUNT(*) AS n FROM mvp_mv").collect()[0].n == 2
+    assert cat.sql("SELECT COUNT(*) AS n FROM mvp_smv").collect()[0].n == 2
+    # a policy added AFTER creation blocks BOTH views' reads
+    cat.sql(
+        'CREATE ROW ACCESS POLICY p ON mvp GRANT TO ("user:nobody@x") '
+        "FILTER USING (FALSE)"
+    )
+    with pytest.raises(ValueError, match="row access policies"):
+        cat.sql("SELECT * FROM mvp_mv").collect()
+    with pytest.raises(ValueError, match="row access policies"):
+        cat.sql("SELECT * FROM mvp_smv").collect()
+    # and creating a NEW view over the policied table refuses
+    with pytest.raises(ValueError, match="row access policies"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW mvp_mv2 AS "
+            "SELECT grp, SUM(v) AS t FROM mvp GROUP BY grp"
+        )
+    cat.sql("DROP STREAMING MATERIALIZED VIEW mvp_smv")
