@@ -752,6 +752,25 @@ def _json_value_rewriter(args: list[str]) -> str:
     )
 
 
+def _json_keys_rewriter(args: list[str]) -> str:
+    """``JSON_KEYS(j, 1)`` → the object's top-level keys, sorted
+    (BigQuery sorts alphabetically). BigQuery's DEFAULT max_depth (-1,
+    recursive dotted paths) and the lax modes have no closed-form
+    lowering here — call with an explicit max_depth of 1 or refuse
+    loudly; SQL NULL for non-objects / invalid JSON (Spark's
+    json_object_keys contract)."""
+    if len(args) == 2 and args[1].strip() == "1":
+        return (
+            f"SORT_ARRAY(JSON_OBJECT_KEYS({args[0].strip()}))"
+        )
+    raise BQDialectError(
+        "JSON_KEYS supports an explicit max_depth of 1 only "
+        "(JSON_KEYS(j, 1) — top-level keys, sorted); the recursive "
+        "dotted-path default and lax modes are out of the closed-form "
+        "subset"
+    )
+
+
 def _json_type_rewriter(args: list[str]) -> str:
     """``JSON_TYPE(j [, path])`` → BigQuery's type vocabulary
     ('object' | 'array' | 'string' | 'number' | 'boolean' | 'null');
@@ -1261,6 +1280,65 @@ def _st_field(field: str):
 
 def _fmt_coord(v: float) -> str:
     return repr(v)
+
+
+def _all_verts(kind: str, data) -> list[tuple[float, float]]:
+    if kind == "point":
+        return [data]
+    if kind in ("multipoint", "line"):
+        return list(data)
+    if kind == "mls":
+        return [p for c in data for p in c]
+    if kind == "poly":
+        return [p for r in data for p in r]
+    return [p for rings in data for r in rings for p in r]  # multipoly
+
+
+def _st_boundingbox(args: list[str]) -> str:
+    """``ST_BOUNDINGBOX`` → STRUCT<xmin, ymin, xmax, ymax> — constant
+    for literal shapes, coordinate passthrough for runtime points.
+    (No antimeridian wrapping — the literal subset is planar lon/lat,
+    documented.)"""
+    if len(args) != 1:
+        raise BQDialectError(
+            f"ST_BOUNDINGBOX expects one geography, got {args}"
+        )
+    g = _lit_geom(args[0])
+    if g is not None:
+        vs = _all_verts(*g)
+        xs, ys = [v[0] for v in vs], [v[1] for v in vs]
+        return (
+            f"NAMED_STRUCT('xmin', {min(xs)!r}D, 'ymin', {min(ys)!r}D, "
+            f"'xmax', {max(xs)!r}D, 'ymax', {max(ys)!r}D)"
+        )
+    if _is_shape(args[0]):
+        raise BQDialectError(
+            "ST_BOUNDINGBOX of a computed non-point geography is "
+            "unsupported"
+        )
+    p = f"({args[0].strip()})"
+    return (
+        f"NAMED_STRUCT('xmin', {p}.lon, 'ymin', {p}.lat, "
+        f"'xmax', {p}.lon, 'ymax', {p}.lat)"
+    )
+
+
+def _st_numpoints(args: list[str]) -> str:
+    """``ST_NUMPOINTS`` — vertex count; ring closing vertices count
+    once (our stored rings strip them — documented convention)."""
+    if len(args) != 1:
+        raise BQDialectError(
+            f"ST_NUMPOINTS expects one geography, got {args}"
+        )
+    g = _lit_geom(args[0])
+    if g is not None:
+        return f"{len(_all_verts(*g))}"
+    if _is_shape(args[0]):
+        raise BQDialectError(
+            "ST_NUMPOINTS of a computed non-point geography is "
+            "unsupported"
+        )
+    return "1"
 
 
 def _st_astext(args: list[str]) -> str:
@@ -3759,6 +3837,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "JSON_VALUE", _json_value_rewriter)
     sql = _rewrite_calls(sql, "JSON_EXTRACT_SCALAR", _json_value_rewriter)
     sql = _rewrite_calls(sql, "JSON_TYPE", _json_type_rewriter)
+    sql = _rewrite_calls(sql, "JSON_KEYS", _json_keys_rewriter)
     sql = _rewrite_calls(sql, "JSON_ARRAY_LENGTH", _json_array_length_rewriter)
     # JSON mutators (r8): Arrow-batched UDFs registered by the catalog
     sql = _rewrite_calls(sql, "JSON_SET", _json_set_rewriter)
@@ -3947,6 +4026,8 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "ST_DWITHIN", _st_dwithin)
     sql = _rewrite_calls(sql, "ST_DISTANCE", _st_distance)
     sql = _rewrite_calls(sql, "ST_ASTEXT", _st_astext)
+    sql = _rewrite_calls(sql, "ST_BOUNDINGBOX", _st_boundingbox)
+    sql = _rewrite_calls(sql, "ST_NUMPOINTS", _st_numpoints)
     sql = _rewrite_calls(sql, "ST_X", _st_field("lon"))
     sql = _rewrite_calls(sql, "ST_Y", _st_field("lat"))
     for key, orig in guard.items():

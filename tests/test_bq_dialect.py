@@ -1488,3 +1488,32 @@ def test_literal_topology_r11(fcat):
             "SELECT ST_INTERSECTS(ARRAY(ST_GEOGPOINT(a, b)), "
             "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))"
         )
+
+
+def test_geo_accessors_and_json_keys_r11(fcat):
+    """r11: ST_BOUNDINGBOX / ST_NUMPOINTS constant-fold for literal
+    shapes; JSON_KEYS(j, 1) returns sorted top-level keys."""
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    r = fcat.bq_sql(
+        "SELECT ST_BOUNDINGBOX(ST_GEOGFROMTEXT("
+        "'POLYGON((0 0, 10 0, 10 5, 0 5, 0 0))')) AS bb, "
+        "ST_BOUNDINGBOX(ST_GEOGPOINT(3.0, 4.0)) AS bp, "
+        "ST_NUMPOINTS(ST_GEOGFROMTEXT("
+        "'MULTILINESTRING((0 0, 1 0), (2 2, 3 3, 4 4))')) AS np, "
+        "ST_NUMPOINTS(ST_GEOGPOINT(1.0, 1.0)) AS np1, "
+        "JSON_KEYS('{\"b\": 1, \"a\": {\"c\": 2}}', 1) AS jk, "
+        "JSON_KEYS('[1, 2]', 1) AS jarr"
+    ).collect()[0]
+    assert (r.bb.xmin, r.bb.ymin, r.bb.xmax, r.bb.ymax) == (0, 0, 10, 5)
+    assert (r.bp.xmin, r.bp.ymax) == (3.0, 4.0)
+    assert r.np == 5 and r.np1 == 1
+    assert list(r.jk) == ["a", "b"]
+    assert r.jarr is None  # non-object: NULL, Spark's contract
+    with pytest.raises(BQDialectError, match="max_depth"):
+        translate("SELECT JSON_KEYS('{}')")
+    with pytest.raises(BQDialectError, match="unsupported"):
+        translate("SELECT ST_BOUNDINGBOX(ARRAY(ST_GEOGPOINT(a, b)))")
