@@ -64,6 +64,8 @@ NON_EQUI_OK = {
     "q_ml_anomaly",       # two 1-row invariant summaries crossed (r10)
     "q_ml_split_explain", # four 1-row invariant summaries crossed (r10)
     "q_ml_categorical",   # four 1-row invariant summaries crossed (r10)
+    "q_ml_explain_tree",  # 1-row TreeSHAP summary × 1-row global-explain
+                          # summary crossed (r11, same pattern)
 }
 
 # Streaming / source / pipeline queries that cannot build a pure batch
