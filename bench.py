@@ -168,6 +168,14 @@ HEADLINE = [
     # engines
     "q_gis_geodesic",
     "q_gis_topology",
+    # r11 late additions: GAP_FILL (matched — both engines run the
+    # identical grid/join/window fill over the same rows) and AEAD
+    # (timed, excluded from matched below: the oracle can't do AES)
+    "q_gap_fill_tvf",
+    "q_aead_roundtrip",
+    # r11: tokenizer trio — matched: DuckDB re-tokenizes with the same
+    # RE2 class and recomputes the n-gram counts (real same-work)
+    "q_text_analyze",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB
@@ -193,6 +201,8 @@ MATCHED_EXCLUDE = {
     # aggregate pass on each side.
     "q_ml_linreg_exact": "planted-fit oracle is constants (no work)",
     "q_insert_defaults": "committed-state read-back vs oracle recompute",
+    "q_aead_roundtrip": "invariant twin: Spark does 2×AES-GCM per row, "
+    "the oracle SELECTs plaintext lengths — not comparable work",
 }
 
 

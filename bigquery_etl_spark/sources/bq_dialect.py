@@ -3566,6 +3566,420 @@ def _rewrite_create_function(sql: str) -> str:
     )
 
 
+# -- Text analysis functions (r11) --------------------------------------------
+# BigQuery's TEXT_ANALYZE / ML.BAG_OF_WORDS / ML.NGRAMS — the tokenizer
+# trio behind its search indexes and BQML text preprocessing. All pure
+# Catalyst lowerings (split/regexp + lambda HOFs), whole-stage codegen,
+# zero Python in the row path. Analyzer names/options are translate-time
+# literals (BigQuery's own restriction), so option errors are loud and
+# early. ref parity target: BigQuery text-analysis function docs (the
+# delegated SQL surface, main.py:21,49-50).
+
+# LOG_ANALYZER's documented default delimiter set (whitespace + ASCII
+# punctuation list from the BigQuery docs). Tokens are maximal runs of
+# NON-delimiters — a complement regex class, so the lowering is one
+# REGEXP_EXTRACT_ALL (emitting SPLIT here would be re-quoted by the
+# later BigQuery-SPLIT literal-delimiter pass). Inside a Spark SQL
+# string literal: \\ -> regex \, '' -> quote.
+_LOG_TOKEN_CLASS = (
+    "[^\\\\s\\\\x00\\\\[\\\\]<>(){}|!;,''\"*&?+/:=@.$%\\\\\\\\_-]+"
+)
+
+
+def _text_analyze_rewriter(args: list[str]) -> str:
+    if not 1 <= len(args) <= 3:
+        raise BQDialectError(
+            "TEXT_ANALYZE expects (text [, analyzer [, analyzer_options]])"
+        )
+    t = args[0].strip()
+    analyzer = "LOG_ANALYZER"
+    options_raw = None
+    for extra in args[1:]:
+        e = extra.strip()
+        km = re.match(r"(?is)^(analyzer|analyzer_options)\s*=>\s*(.*)$", e)
+        key, val = (
+            (km.group(1).lower(), km.group(2).strip()) if km
+            else ("analyzer", e)
+        )
+        if key == "analyzer":
+            am = re.match(r"(?i)^'(\w+)'$", val)
+            if not am:
+                raise BQDialectError(
+                    f"TEXT_ANALYZE: analyzer must be a string literal, "
+                    f"got {val!r}"
+                )
+            analyzer = am.group(1).upper()
+        else:
+            om = re.match(r"(?is)^(?:JSON\s+)?'(.*)'$", val)
+            if not om:
+                raise BQDialectError(
+                    "TEXT_ANALYZE: analyzer_options must be a JSON "
+                    f"literal, got {val!r}"
+                )
+            options_raw = om.group(1)
+    opts = {}
+    if options_raw is not None:
+        import json as _json
+
+        try:
+            opts = _json.loads(options_raw)
+        except ValueError as exc:
+            raise BQDialectError(
+                f"TEXT_ANALYZE: invalid analyzer_options JSON: {exc}"
+            ) from exc
+        unknown = set(opts) - {"delimiters", "patterns"}
+        if unknown:
+            raise BQDialectError(
+                f"TEXT_ANALYZE: analyzer_options {sorted(unknown)} not "
+                "implemented (have: delimiters, patterns)"
+            )
+    if analyzer == "NO_OP_ANALYZER":
+        if opts:
+            raise BQDialectError(
+                "TEXT_ANALYZE: NO_OP_ANALYZER takes no analyzer_options"
+            )
+        return f"(CASE WHEN ({t}) IS NULL THEN NULL ELSE ARRAY({t}) END)"
+    if analyzer == "LOG_ANALYZER":
+        cls = _LOG_TOKEN_CLASS
+        if "delimiters" in opts:
+            ds = opts["delimiters"]
+            if not isinstance(ds, list) or not all(
+                isinstance(d, str) and d for d in ds
+            ):
+                raise BQDialectError(
+                    "TEXT_ANALYZE: delimiters must be a non-empty "
+                    "string array"
+                )
+            chars = "".join(dict.fromkeys("".join(ds)))
+            esc = "".join(
+                "\\\\" + c if c in "\\^]-[" else
+                ("''" if c == "'" else c)
+                for c in chars
+            )
+            cls = f"[^{esc}]+"
+        return f"REGEXP_EXTRACT_ALL(LOWER({t}), '{cls}', 0)"
+    if analyzer == "PATTERN_ANALYZER":
+        pats = opts.get("patterns", ["\\b\\w+\\b"])
+        if not isinstance(pats, list) or len(pats) != 1 or not isinstance(
+            pats[0], str
+        ):
+            raise BQDialectError(
+                "TEXT_ANALYZE: patterns must be a one-element string "
+                "array"
+            )
+        pat = pats[0].replace("\\", "\\\\").replace("'", "''")
+        return f"REGEXP_EXTRACT_ALL(LOWER({t}), '{pat}', 0)"
+    raise BQDialectError(
+        f"TEXT_ANALYZE: unknown analyzer {analyzer!r} (have: "
+        "LOG_ANALYZER, NO_OP_ANALYZER, PATTERN_ANALYZER)"
+    )
+
+
+def _ml_bag_of_words_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError("ML.BAG_OF_WORDS expects (tokenized_document)")
+    base = f"FILTER(({args[0].strip()}), __bw -> __bw IS NOT NULL)"
+    return (
+        f"TRANSFORM(ARRAY_SORT(ARRAY_DISTINCT({base})), __t -> "
+        f"NAMED_STRUCT('term', __t, 'count', "
+        f"CAST(SIZE(FILTER({base}, __x -> __x = __t)) AS BIGINT)))"
+    )
+
+
+def _rejoin_bracket_args(parts: list[str]) -> list[str]:
+    """_split_args balances parens but not brackets — glue back the
+    fragments of a literal array argument like ``[2, 3]``."""
+    out: list[str] = []
+    for p in parts:
+        if out and out[-1].count("[") > out[-1].count("]"):
+            out[-1] += ", " + p
+        else:
+            out.append(p)
+    return out
+
+
+def _ml_ngrams_rewriter(args: list[str]) -> str:
+    args = _rejoin_bracket_args(args)
+    if not 2 <= len(args) <= 3:
+        raise BQDialectError(
+            "ML.NGRAMS expects (tokens, [min, max] [, separator])"
+        )
+    a = args[0].strip()
+    rm = re.match(
+        r"^\[\s*(\d+)\s*(?:,\s*(\d+)\s*)?\]$", args[1].strip()
+    )
+    if not rm:
+        raise BQDialectError(
+            "ML.NGRAMS: the n-gram range must be a literal [min, max] "
+            f"(or [n]) integer array, got {args[1]!r}"
+        )
+    n1 = int(rm.group(1))
+    n2 = int(rm.group(2)) if rm.group(2) else n1
+    if not 1 <= n1 <= n2:
+        raise BQDialectError(
+            f"ML.NGRAMS: need 1 <= min <= max, got [{n1}, {n2}]"
+        )
+    sep = args[2].strip() if len(args) == 3 else "' '"
+    # per start position, per n (position-major order — BigQuery's):
+    # join the slice when it fits, drop the rest
+    return (
+        f"FILTER(FLATTEN(TRANSFORM(SEQUENCE(1, GREATEST(SIZE({a}), 1)), "
+        f"__i -> TRANSFORM(SEQUENCE({n1}, {n2}), __n -> "
+        f"CASE WHEN __i + __n - 1 <= SIZE({a}) "
+        f"THEN ARRAY_JOIN(SLICE({a}, __i, __n), {sep}) END))), "
+        f"__g -> __g IS NOT NULL)"
+    )
+
+
+# -- AEAD envelope encryption (r11, VERDICT r10 "What's missing" #6) ----------
+# BigQuery's AEAD.* / KEYS.* family lowered onto Spark's BUILT-IN
+# AES-GCM kernel: ``aes_encrypt`` / ``try_aes_decrypt`` are JVM-side
+# Catalyst expressions backed by javax.crypto (random 96-bit IV,
+# 128-bit tag, AAD-authenticated) — a real cipher, so the r10 "no
+# cryptography library ships in this runtime" refusal no longer holds.
+# Keysets are JSON documents (the surface KEYS.KEYSET_FROM_JSON /
+# KEYSET_TO_JSON already expose in BigQuery):
+#   {"primaryKeyId": <id>,
+#    "key": [{"keyId": <id>, "status": "ENABLED",
+#             "type": "AES_GCM_256" | "AES_GCM_RAW",
+#             "rawKey": "<base64 key bytes>"}, …]}
+# DOCUMENTED DIVERGENCE: BigQuery's keyset BYTES are Tink's protobuf
+# wire format, so keysets are not interchangeable across engines; the
+# SEMANTICS follow Tink exactly — ciphertext = 0x01 || big-endian
+# keyId || IV || ct || tag (the TINK output prefix), decrypt tries the
+# ENABLED prefix-matched key on the suffix then every ENABLED RAW key
+# on the whole ciphertext, ROTATE_KEYSET prepends a new primary while
+# old keys stay decryptable, and decryption failure RAISES (BigQuery
+# has no TRY form). DETERMINISTIC_ENCRYPT/_DECRYPT_* still refuse:
+# they need AES-SIV (RFC 5297), and Spark's kernel has no SIV/CTR/
+# CMAC primitives to compose it from. All lowerings are pure Catalyst
+# expressions (from_json + lambda HOFs + the AES builtins) — JVM-side,
+# no Python in the row path. ref parity target: BigQuery's documented
+# AEAD function list (the reference main.py has no crypto surface).
+
+_KEYSET_SCHEMA = (
+    "'primaryKeyId BIGINT, key ARRAY<STRUCT<keyId: BIGINT, "
+    "status: STRING, type: STRING, rawKey: STRING>>'"
+)
+_AEAD_HAVE = (
+    "have: AEAD.ENCRYPT, AEAD.DECRYPT_STRING, AEAD.DECRYPT_BYTES, "
+    "KEYS.NEW_KEYSET, KEYS.KEYSET_FROM_JSON, KEYS.KEYSET_TO_JSON, "
+    "KEYS.KEYSET_LENGTH, KEYS.ROTATE_KEYSET, KEYS.ADD_KEY_FROM_RAW_BYTES"
+)
+
+
+def _ks_parse(ks: str) -> str:
+    return f"FROM_JSON(CAST(({ks}) AS STRING), {_KEYSET_SCHEMA})"
+
+
+def _ks_primary_key(p: str) -> str:
+    """Raw bytes of the ENABLED primary AES-GCM key of parsed keyset
+    ``p`` (NULL when absent — callers raise loudly on NULL)."""
+    return (
+        f"UNBASE64(TRY_ELEMENT_AT(FILTER({p}.key, __k -> "
+        f"__k.keyId = {p}.primaryKeyId AND __k.status = 'ENABLED' AND "
+        f"__k.type IN ('AES_GCM_256', 'AES_GCM')), 1).rawKey)"
+    )
+
+
+def _aead_encrypt_rewriter(args: list[str]) -> str:
+    if len(args) != 3:
+        raise BQDialectError(
+            "AEAD.ENCRYPT expects (keyset, plaintext, additional_data), "
+            f"got {len(args)} args"
+        )
+    ks, pt, aad = (a.strip() for a in args)
+    p = _ks_parse(ks)
+    body = (
+        f"CONCAT(UNHEX('01'), UNHEX(LPAD(HEX({p}.primaryKeyId), 8, '0')), "
+        f"AES_ENCRYPT(({pt}), {_ks_primary_key(p)}, 'GCM', 'DEFAULT', "
+        f"UNHEX(''), ({aad})))"
+    )
+    return (
+        f"(CASE WHEN ({ks}) IS NULL OR ({pt}) IS NULL OR ({aad}) IS NULL "
+        f"THEN CAST(NULL AS BINARY) ELSE NVL({body}, RAISE_ERROR("
+        f"'AEAD.ENCRYPT: keyset has no ENABLED AES_GCM primary key')) END)"
+    )
+
+
+def _aead_decrypt_rewriter(fname: str, as_string: bool):
+    def _rw(args: list[str]) -> str:
+        if len(args) != 3:
+            raise BQDialectError(
+                f"{fname} expects (keyset, ciphertext, additional_data), "
+                f"got {len(args)} args"
+            )
+        ks, ct, aad = (a.strip() for a in args)
+        p = _ks_parse(ks)
+        pid = f"CAST(CONV(HEX(SUBSTRING(({ct}), 2, 4)), 16, 10) AS BIGINT)"
+        attempt = (
+            f"TRY_ELEMENT_AT(FILTER(TRANSFORM({p}.key, __k -> CASE "
+            f"WHEN __k.status = 'ENABLED' AND "
+            f"__k.type IN ('AES_GCM_256', 'AES_GCM') AND "
+            f"SUBSTRING(({ct}), 1, 1) = UNHEX('01') AND __k.keyId = {pid} "
+            f"THEN TRY_AES_DECRYPT(SUBSTRING(({ct}), 6), "
+            f"UNBASE64(__k.rawKey), 'GCM', 'DEFAULT', ({aad})) "
+            f"WHEN __k.status = 'ENABLED' AND __k.type = 'AES_GCM_RAW' "
+            f"THEN TRY_AES_DECRYPT(({ct}), UNBASE64(__k.rawKey), 'GCM', "
+            f"'DEFAULT', ({aad})) END), __x -> __x IS NOT NULL), 1)"
+        )
+        out = (
+            f"(CASE WHEN ({ks}) IS NULL OR ({ct}) IS NULL OR ({aad}) "
+            f"IS NULL THEN CAST(NULL AS BINARY) ELSE NVL({attempt}, "
+            f"RAISE_ERROR('{fname}: decryption failed — no ENABLED key "
+            f"in the keyset authenticates this ciphertext/"
+            f"additional_data pair')) END)"
+        )
+        return f"CAST({out} AS STRING)" if as_string else out
+
+    return _rw
+
+
+def _keyset_type_arg(fn: str, arg: str) -> None:
+    t = arg.strip().strip("'\"").upper()
+    if t != "AEAD_AES_GCM_256":
+        raise BQDialectError(
+            f"{fn} supports key type 'AEAD_AES_GCM_256' only "
+            "(DETERMINISTIC_AEAD_* needs an AES-SIV kernel this "
+            "runtime does not have)"
+        )
+
+
+def _keys_new_key(kid: str) -> str:
+    """NAMED_STRUCT for a fresh AES-256-GCM key from hex entropy
+    ``__h`` (field order matches _KEYSET_SCHEMA's element type)."""
+    return (
+        f"NAMED_STRUCT('keyId', {kid}, 'status', 'ENABLED', "
+        f"'type', 'AES_GCM_256', 'rawKey', BASE64(UNHEX(__h)))"
+    )
+
+
+# one SHA2(UUID‖UUID) evaluation bound to a lambda variable gives both
+# the 32 key bytes and the keyId — nondeterministic expressions are
+# not CSE-deduped, so referencing UUID() twice would disagree
+_KEYS_ENTROPY = "ARRAY(SHA2(CONCAT(UUID(), UUID()), 256))"
+_KEYS_KID = "CAST(CONV(SUBSTRING(__h, 1, 7), 16, 10) AS BIGINT)"
+
+
+def _keys_new_keyset_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError("KEYS.NEW_KEYSET expects (key_type)")
+    _keyset_type_arg("KEYS.NEW_KEYSET", args[0])
+    return (
+        f"CAST(TRY_ELEMENT_AT(TRANSFORM({_KEYS_ENTROPY}, __h -> "
+        f"TO_JSON(NAMED_STRUCT('primaryKeyId', {_KEYS_KID}, "
+        f"'key', ARRAY({_keys_new_key(_KEYS_KID)})))), 1) AS BINARY)"
+    )
+
+
+def _keys_rotate_keyset_rewriter(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError("KEYS.ROTATE_KEYSET expects (keyset, key_type)")
+    _keyset_type_arg("KEYS.ROTATE_KEYSET", args[1])
+    p = _ks_parse(args[0].strip())
+    return (
+        f"CAST(TRY_ELEMENT_AT(TRANSFORM({_KEYS_ENTROPY}, __h -> "
+        f"TO_JSON(NAMED_STRUCT('primaryKeyId', {_KEYS_KID}, "
+        f"'key', CONCAT(ARRAY({_keys_new_key(_KEYS_KID)}), {p}.key)))), "
+        f"1) AS BINARY)"
+    )
+
+
+def _keys_add_raw_rewriter(args: list[str]) -> str:
+    if len(args) != 3:
+        raise BQDialectError(
+            "KEYS.ADD_KEY_FROM_RAW_BYTES expects "
+            "(keyset, key_type, raw_key_bytes)"
+        )
+    t = args[1].strip().strip("'\"").upper()
+    if t != "AES_GCM":
+        raise BQDialectError(
+            "KEYS.ADD_KEY_FROM_RAW_BYTES supports key type 'AES_GCM' "
+            "only (AES_CBC_PKCS has no AEAD decrypt path)"
+        )
+    ks, _, raw = (a.strip() for a in args)
+    p = _ks_parse(ks)
+    # keyId derives from the key bytes (documented divergence from
+    # BigQuery's random id — deterministic beats double-evaluating a
+    # nondeterministic raw expression); Tink RAW prefix type: decrypt
+    # tries this key over the WHOLE (unprefixed) ciphertext
+    kid = (
+        f"CAST(CONV(SUBSTRING(SHA2(HEX(({raw})), 256), 1, 7), 16, 10) "
+        f"AS BIGINT)"
+    )
+    rawkey = (
+        f"(CASE WHEN LENGTH(({raw})) IN (16, 32) THEN BASE64(({raw})) "
+        f"ELSE CAST(RAISE_ERROR('KEYS.ADD_KEY_FROM_RAW_BYTES: a raw "
+        f"AES-GCM key must be 16 or 32 bytes') AS STRING) END)"
+    )
+    return (
+        f"CAST(TO_JSON(NAMED_STRUCT('primaryKeyId', {p}.primaryKeyId, "
+        f"'key', CONCAT({p}.key, ARRAY(NAMED_STRUCT('keyId', {kid}, "
+        f"'status', 'ENABLED', 'type', 'AES_GCM_RAW', "
+        f"'rawKey', {rawkey}))))) AS BINARY)"
+    )
+
+
+def _keys_from_json_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError("KEYS.KEYSET_FROM_JSON expects (json_string)")
+    p = _ks_parse(args[0].strip())
+    # normalize through parse→serialize and validate the shape — an
+    # invalid keyset raises HERE, not as a NULL that fails at decrypt
+    return (
+        f"(CASE WHEN ({args[0].strip()}) IS NULL THEN CAST(NULL AS BINARY) "
+        f"WHEN {p}.primaryKeyId IS NULL OR {p}.key IS NULL OR "
+        f"SIZE({p}.key) = 0 THEN CAST(RAISE_ERROR('KEYS.KEYSET_FROM_JSON: "
+        f"not a keyset (need primaryKeyId and a non-empty key array)') "
+        f"AS BINARY) ELSE CAST(TO_JSON({p}) AS BINARY) END)"
+    )
+
+
+def _keys_to_json_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError("KEYS.KEYSET_TO_JSON expects (keyset)")
+    return f"TO_JSON({_ks_parse(args[0].strip())})"
+
+
+def _keys_length_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError("KEYS.KEYSET_LENGTH expects (keyset)")
+    return f"SIZE({_ks_parse(args[0].strip())}.key)"
+
+
+def _rewrite_aead(sql: str) -> str:
+    sql = _rewrite_calls(sql, r"AEAD\s*\.\s*ENCRYPT", _aead_encrypt_rewriter)
+    sql = _rewrite_calls(
+        sql,
+        r"AEAD\s*\.\s*DECRYPT_STRING",
+        _aead_decrypt_rewriter("AEAD.DECRYPT_STRING", as_string=True),
+    )
+    sql = _rewrite_calls(
+        sql,
+        r"AEAD\s*\.\s*DECRYPT_BYTES",
+        _aead_decrypt_rewriter("AEAD.DECRYPT_BYTES", as_string=False),
+    )
+    sql = _rewrite_calls(
+        sql, r"KEYS\s*\.\s*NEW_KEYSET", _keys_new_keyset_rewriter
+    )
+    sql = _rewrite_calls(
+        sql, r"KEYS\s*\.\s*ROTATE_KEYSET", _keys_rotate_keyset_rewriter
+    )
+    sql = _rewrite_calls(
+        sql, r"KEYS\s*\.\s*ADD_KEY_FROM_RAW_BYTES", _keys_add_raw_rewriter
+    )
+    sql = _rewrite_calls(
+        sql, r"KEYS\s*\.\s*KEYSET_FROM_JSON", _keys_from_json_rewriter
+    )
+    sql = _rewrite_calls(
+        sql, r"KEYS\s*\.\s*KEYSET_TO_JSON", _keys_to_json_rewriter
+    )
+    sql = _rewrite_calls(
+        sql, r"KEYS\s*\.\s*KEYSET_LENGTH", _keys_length_rewriter
+    )
+    return sql
+
+
 def _rewrite_ml_prefuncs(sql: str) -> str:
     """ML.* preprocessing functions in PLAIN queries (r10): analytic
     ``ML.STANDARD_SCALER(x) OVER(w)`` / ``ML.MIN_MAX_SCALER(x)
@@ -3625,7 +4039,7 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
     sql = _rewrite_calls(sql, r"ML\s*\.\s*BUCKETIZE", _bucketize)
     rx_refuse = re.compile(
         r"(?i)\bML\s*\.\s*(QUANTILE_BUCKETIZE|ROBUST_SCALER|"
-        r"MAX_ABS_SCALER|NGRAMS|FEATURE_CROSS|POLYNOMIAL_EXPAND|"
+        r"MAX_ABS_SCALER|FEATURE_CROSS|POLYNOMIAL_EXPAND|"
         r"HASH_BUCKETIZE|LABEL_ENCODER|MULTI_HOT_ENCODER|"
         r"ONE_HOT_ENCODER)\s*\("
     )
@@ -3634,7 +4048,8 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
         m = rx_refuse.match(sql, sites[0][0])
         raise BQDialectError(
             f"ML.{m.group(1).upper()} is not implemented (have: "
-            "ML.STANDARD_SCALER, ML.MIN_MAX_SCALER, ML.BUCKETIZE)"
+            "ML.STANDARD_SCALER, ML.MIN_MAX_SCALER, ML.BUCKETIZE, "
+            "ML.NGRAMS, ML.BAG_OF_WORDS)"
         )
     # surfaces that CANNOT be faithfully implemented in this container
     # refuse BY NAME with the reason — an unknown-function error from
@@ -3645,12 +4060,14 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
     )
     sites = _call_sites(sql, rx_aead)
     if sites:
+        # _rewrite_aead already lowered the implemented members; what
+        # remains is DETERMINISTIC_* (needs AES-SIV — Spark's kernel
+        # has no SIV/CTR/CMAC to compose it from; a non-SIV stand-in
+        # would be silently insecure) or an unknown member
         m = rx_aead.match(sql, sites[0][0])
         raise BQDialectError(
-            f"{m.group(1)} is not implemented: AEAD envelope "
-            "encryption needs an AES-GCM/SIV kernel and no "
-            "cryptography library ships in this runtime — a stub "
-            "cipher would be silently insecure (documented refusal)"
+            f"{m.group(1)} is not implemented ({_AEAD_HAVE}; "
+            "DETERMINISTIC_* refuses: no AES-SIV kernel in this runtime)"
         )
     rx_llm = re.compile(
         r"(?i)\bML\s*\.\s*(GENERATE_TEXT|GENERATE_EMBEDDING|"
@@ -3673,6 +4090,12 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
 def translate(sql: str) -> str:
     """BigQuery Standard SQL → Spark SQL for the shimmed surface."""
     sql = _rewrite_create_function(sql)
+    sql = _rewrite_aead(sql)
+    sql = _rewrite_calls(sql, "TEXT_ANALYZE", _text_analyze_rewriter)
+    sql = _rewrite_calls(
+        sql, r"ML\s*\.\s*BAG_OF_WORDS", _ml_bag_of_words_rewriter
+    )
+    sql = _rewrite_calls(sql, r"ML\s*\.\s*NGRAMS", _ml_ngrams_rewriter)
     sql = _rewrite_ml_prefuncs(sql)
 
     def _flatten_paths(seg: str) -> str:

@@ -1439,6 +1439,147 @@ class LakeCatalog:
             merged = merge_dataframes(tbl.read(version=v0), source, spec)
             return tbl.overwrite(merged, expected_base=v0)
 
+    def _rewrite_gap_fill(self, text: str) -> str:
+        """BigQuery's ``GAP_FILL`` TVF (r11):
+
+        ``FROM GAP_FILL(TABLE t | (subquery), ts_column => 'ts',
+        bucket_width => INTERVAL n UNIT [, partitioning_columns =>
+        ['a', …]] [, value_columns => [('col', 'method'), …]]
+        [, origin => TIMESTAMP '…'] [, ignore_null_values => TRUE])``
+
+        lowers onto operators/gapfill.gap_fill (one bounds aggregate +
+        distributed sequence() grid + equi-join + shared-sort fill
+        windows — see that module for the scale shape). ``TABLE t``
+        reads through _register_views, so row access policies and view
+        registration apply exactly as for a plain SELECT.
+        ``ignore_null_values => FALSE`` (treat stored NULLs as
+        observations) refuses loudly — the fill windows would need a
+        presence column to distinguish stored NULLs from grid rows."""
+        from bigquery_etl_spark.operators.gapfill import (
+            gap_fill,
+            width_micros,
+        )
+        from bigquery_etl_spark.sources.bq_dialect import _call_sites
+
+        def _rejoin_brackets(parts: list[str]) -> list[str]:
+            # _split_top_level balances parens but not brackets — the
+            # commas inside ['a', 'b'] / [(…), (…)] list arguments
+            # split; glue such fragments back together
+            out: list[str] = []
+            for p in parts:
+                if out and out[-1].count("[") > out[-1].count("]"):
+                    out[-1] += ", " + p
+                else:
+                    out.append(p)
+            return out
+
+        rx = re.compile(r"(?i)\bGAP_FILL\s*\(")
+        for n, (s, open_idx) in enumerate(reversed(_call_sites(text, rx))):
+            close = _matching_paren(text, open_idx)
+            args = _rejoin_brackets(
+                _split_top_level(text[open_idx + 1 : close])
+            )
+            first = (args[0] or "").strip()
+            tm = re.match(r"(?i)^TABLE\s+([\w.]+)$", first)
+            if tm:
+                df = self.spark.sql(
+                    self._register_views(f"SELECT * FROM {tm.group(1)}")
+                )
+            elif first.startswith("(") and first.endswith(")"):
+                df = self.spark.sql(self._register_views(first[1:-1]))
+            else:
+                raise ValueError(
+                    "GAP_FILL: first argument must be TABLE <name> or "
+                    f"a parenthesized subquery, got {first!r}"
+                )
+            ts_col = width = None
+            origin_us = 0
+            part_cols: list[str] = []
+            val_cols: list[tuple[str, str]] = []
+            for extra in args[1:]:
+                km = re.match(r"(?is)^\s*(\w+)\s*=>\s*(.*?)\s*$", extra)
+                if not km:
+                    raise ValueError(
+                        f"GAP_FILL: expected name => value, got {extra!r}"
+                    )
+                key, val = km.group(1).lower(), km.group(2)
+                if key == "ts_column":
+                    ts_col = val.strip("'\"")
+                elif key == "bucket_width":
+                    wm = re.match(
+                        r"(?i)^INTERVAL\s+'?(\d+)'?\s+(\w+)$", val
+                    )
+                    if not wm:
+                        raise ValueError(
+                            "GAP_FILL: bucket_width must be INTERVAL "
+                            f"<n> <unit>, got {val!r}"
+                        )
+                    width = width_micros(int(wm.group(1)), wm.group(2))
+                elif key == "partitioning_columns":
+                    part_cols = [
+                        a.strip().strip("'\"")
+                        for a in _split_top_level(val.strip()[1:-1])
+                        if a.strip()
+                    ]
+                elif key == "value_columns":
+                    for pair in _split_top_level(val.strip()[1:-1]):
+                        pm = re.match(
+                            r"(?i)^\s*\(\s*'(\w+)'\s*,\s*'(\w+)'\s*\)\s*$",
+                            pair,
+                        )
+                        if not pm:
+                            raise ValueError(
+                                "GAP_FILL: value_columns entries are "
+                                f"('col', 'method') pairs, got {pair!r}"
+                            )
+                        val_cols.append(
+                            (pm.group(1), pm.group(2).lower())
+                        )
+                elif key == "origin":
+                    om = re.match(
+                        r"(?i)^(?:TIMESTAMP|DATETIME)?\s*'([^']+)'$", val
+                    )
+                    if not om:
+                        raise ValueError(
+                            f"GAP_FILL: origin must be a TIMESTAMP "
+                            f"literal, got {val!r}"
+                        )
+                    import datetime as _dt
+
+                    origin_us = int(
+                        _dt.datetime.fromisoformat(
+                            om.group(1)
+                        ).replace(tzinfo=_dt.timezone.utc).timestamp()
+                        * 1_000_000
+                    )
+                elif key == "ignore_null_values":
+                    if val.strip().upper() != "TRUE":
+                        raise ValueError(
+                            "GAP_FILL: ignore_null_values => FALSE is "
+                            "not implemented (stored NULLs are always "
+                            "treated as missing observations)"
+                        )
+                else:
+                    raise ValueError(
+                        f"GAP_FILL: unsupported argument {key!r}"
+                    )
+            if ts_col is None or width is None:
+                raise ValueError(
+                    "GAP_FILL: ts_column and bucket_width are required"
+                )
+            if not val_cols:
+                val_cols = [
+                    (c, "null")
+                    for c in df.columns
+                    if c != ts_col and c not in part_cols
+                ]
+            view = f"__gap_fill_{n}"
+            gap_fill(
+                df, ts_col, width, part_cols, val_cols, origin_us
+            ).createOrReplaceTempView(view)
+            text = text[:s] + view + text[close + 1 :]
+        return text
+
     def _rewrite_change_tvfs(self, text: str) -> str:
         """BigQuery change-history TVFs (r10):
 
@@ -3389,6 +3530,8 @@ class LakeCatalog:
             text = self._rewrite_index_fns(text)
         if re.search(r"(?i)\b(APPENDS|CHANGES)\s*\(\s*TABLE\b", text):
             text = self._rewrite_change_tvfs(text)
+        if re.search(r"(?i)\bGAP_FILL\s*\(", text):
+            text = self._rewrite_gap_fill(text)
         q = self._try_qualify(text)
         if q is not None:
             return q

@@ -1170,10 +1170,14 @@ def test_named_refusals_aead_llm_r10():
         translate,
     )
 
-    with pytest.raises(BQDialectError, match="AEAD"):
-        translate("SELECT AEAD.ENCRYPT(ks, 'pt', 'ad') FROM t")
-    with pytest.raises(BQDialectError, match="cryptography"):
-        translate("SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256')")
+    # r11: AEAD.ENCRYPT / KEYS.NEW_KEYSET are now IMPLEMENTED (Spark's
+    # built-in AES-GCM kernel); only DETERMINISTIC_* (no AES-SIV) and
+    # unknown members still refuse
+    assert "AES_ENCRYPT" in translate(
+        "SELECT AEAD.ENCRYPT(ks, 'pt', 'ad') FROM t"
+    ).upper()
+    with pytest.raises(BQDialectError, match="AES-SIV"):
+        translate("SELECT DETERMINISTIC_ENCRYPT(ks, 'pt', 'ad') FROM t")
     with pytest.raises(BQDialectError, match="foundation"):
         translate(
             "SELECT * FROM ML.GENERATE_TEXT(MODEL m, TABLE t)"
@@ -1517,3 +1521,202 @@ def test_geo_accessors_and_json_keys_r11(fcat):
         translate("SELECT JSON_KEYS('{}')")
     with pytest.raises(BQDialectError, match="unsupported"):
         translate("SELECT ST_BOUNDINGBOX(ARRAY(ST_GEOGPOINT(a, b)))")
+
+
+# -- AEAD envelope encryption (r11) -------------------------------------------
+
+_KS1 = (
+    '{"primaryKeyId":1001,"key":[{"keyId":1001,"status":"ENABLED",'
+    '"type":"AES_GCM_256",'
+    '"rawKey":"AAECAwQFBgcICQoLDA0ODxAREhMUFRYXGBkaGxwdHh8="}]}'
+)
+
+
+def test_aead_roundtrip_string_and_bytes(fcat):
+    rows = fcat.bq_sql(f"""
+        SELECT id,
+               AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON('{_KS1}'),
+                   AEAD.ENCRYPT(KEYS.KEYSET_FROM_JSON('{_KS1}'),
+                       CONCAT('row-', CAST(id AS STRING)),
+                       CAST(id AS STRING)),
+                   CAST(id AS STRING)) AS rt,
+               CAST(AEAD.DECRYPT_BYTES(KEYS.KEYSET_FROM_JSON('{_KS1}'),
+                   AEAD.ENCRYPT(KEYS.KEYSET_FROM_JSON('{_KS1}'),
+                       CAST('bin' AS BYTES), 'a'), 'a') AS STRING) AS bt,
+               LENGTH(AEAD.ENCRYPT(KEYS.KEYSET_FROM_JSON('{_KS1}'),
+                   'xx', 'a')) AS ctlen
+        FROM ft ORDER BY id
+    """).collect()
+    assert [r.rt for r in rows] == ["row-1", "row-2", "row-3"]
+    assert all(r.bt == "bin" for r in rows)
+    # Tink prefix (5) + GCM IV (12) + plaintext (2) + tag (16)
+    assert all(r.ctlen == 35 for r in rows)
+
+
+def test_aead_new_keyset_per_row_and_rotation(fcat):
+    rows = fcat.bq_sql("""
+        WITH k AS (SELECT id, KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS ks
+                   FROM ft),
+             e AS (SELECT id, ks,
+                          AEAD.ENCRYPT(ks, 'secret', 'aad') AS ct,
+                          KEYS.ROTATE_KEYSET(ks, 'AEAD_AES_GCM_256')
+                              AS ks2
+                   FROM k)
+        SELECT id,
+               AEAD.DECRYPT_STRING(ks, ct, 'aad') AS rt,
+               AEAD.DECRYPT_STRING(ks2, ct, 'aad') AS rt_rot,
+               KEYS.KEYSET_LENGTH(ks) AS len1,
+               KEYS.KEYSET_LENGTH(ks2) AS len2,
+               CAST(ks AS STRING) AS ksj
+        FROM e ORDER BY id
+    """).collect()
+    assert all(r.rt == "secret" and r.rt_rot == "secret" for r in rows)
+    assert all(r.len1 == 1 and r.len2 == 2 for r in rows)
+    # per-row keysets are distinct (fresh entropy each row)
+    assert len({r.ksj for r in rows}) == 3
+
+
+def test_aead_raw_key_decrypts_unprefixed_ciphertext(fcat):
+    # a Tink RAW key (ADD_KEY_FROM_RAW_BYTES) authenticates ciphertext
+    # with NO key-id prefix — exactly what a bare aes_encrypt produces
+    rows = fcat.bq_sql(f"""
+        SELECT AEAD.DECRYPT_STRING(
+                   KEYS.ADD_KEY_FROM_RAW_BYTES(
+                       KEYS.KEYSET_FROM_JSON('{_KS1}'), 'AES_GCM',
+                       UNHEX('000102030405060708090A0B0C0D0E0F')),
+                   AES_ENCRYPT('raw-pt',
+                       UNHEX('000102030405060708090A0B0C0D0E0F'),
+                       'GCM', 'DEFAULT', UNHEX(''), 'ad'),
+                   'ad') AS rt
+        FROM ft LIMIT 1
+    """).collect()
+    assert rows[0].rt == "raw-pt"
+
+
+def test_aead_wrong_aad_and_tamper_raise(fcat):
+    import pytest as _pt
+
+    for bad in (
+        f"AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON('{_KS1}'), "
+        f"AEAD.ENCRYPT(KEYS.KEYSET_FROM_JSON('{_KS1}'), 'x', 'good'), "
+        "'evil')",
+        # flipped last byte (the GCM tag) must fail authentication
+        f"AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON('{_KS1}'), "
+        f"CONCAT(SUBSTRING(AEAD.ENCRYPT(KEYS.KEYSET_FROM_JSON("
+        f"'{_KS1}'), 'x', 'a'), 1, 34), UNHEX('00')), 'a')",
+    ):
+        with _pt.raises(Exception, match="decryption failed"):
+            fcat.bq_sql(f"SELECT {bad} AS v FROM ft LIMIT 1").collect()
+
+
+def test_aead_null_inputs_are_null_not_errors(fcat):
+    r = fcat.bq_sql(f"""
+        SELECT AEAD.ENCRYPT(KEYS.KEYSET_FROM_JSON('{_KS1}'),
+                            CAST(NULL AS STRING), 'a') AS e_null_pt,
+               AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON('{_KS1}'),
+                            CAST(NULL AS BYTES), 'a') AS d_null_ct
+        FROM ft LIMIT 1
+    """).collect()[0]
+    assert r.e_null_pt is None and r.d_null_ct is None
+
+
+def test_aead_invalid_keyset_and_raw_length_raise(fcat):
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="not a keyset"):
+        fcat.bq_sql(
+            "SELECT KEYS.KEYSET_FROM_JSON('{\"nope\": 1}') AS v "
+            "FROM ft LIMIT 1"
+        ).collect()
+    with _pt.raises(Exception, match="16 or 32 bytes"):
+        fcat.bq_sql(
+            f"SELECT KEYS.ADD_KEY_FROM_RAW_BYTES("
+            f"KEYS.KEYSET_FROM_JSON('{_KS1}'), 'AES_GCM', "
+            f"UNHEX('AABB')) AS v FROM ft LIMIT 1"
+        ).collect()
+
+
+def test_aead_deterministic_and_unknown_members_refuse(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+    import pytest as _pt
+
+    with _pt.raises(BQDialectError, match="AES-SIV"):
+        translate("SELECT DETERMINISTIC_ENCRYPT(ks, x, '') FROM t")
+    with _pt.raises(BQDialectError, match="not implemented"):
+        translate("SELECT KEYS.KEYSET_CHAIN('kms', ks) FROM t")
+    with _pt.raises(BQDialectError, match="AEAD_AES_GCM_256"):
+        translate("SELECT KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256')")
+
+
+# -- Text analysis functions (r11) --------------------------------------------
+
+
+def test_text_analyze_log_analyzer_default(fcat):
+    rows = fcat.bq_sql("""
+        SELECT TEXT_ANALYZE('I like pie, you like-pie, they like 2 PIEs.')
+            AS toks FROM ft LIMIT 1
+    """).collect()
+    # the BigQuery docs example: lowercased, split on punctuation
+    assert rows[0].toks == [
+        "i", "like", "pie", "you", "like", "pie", "they", "like",
+        "2", "pies",
+    ]
+
+
+def test_text_analyze_noop_pattern_and_options(fcat):
+    rows = fcat.bq_sql("""
+        SELECT TEXT_ANALYZE('A-B c', analyzer => 'NO_OP_ANALYZER') AS noop,
+               TEXT_ANALYZE('A-B c', analyzer => 'PATTERN_ANALYZER')
+                   AS pat,
+               TEXT_ANALYZE('ab cde fghi', analyzer => 'PATTERN_ANALYZER',
+                   analyzer_options => '{"patterns": ["\\\\b\\\\w{3,}\\\\b"]}')
+                   AS pat3,
+               TEXT_ANALYZE('a-b c', analyzer => 'LOG_ANALYZER',
+                   analyzer_options => '{"delimiters": [" "]}') AS logd,
+               TEXT_ANALYZE(CAST(NULL AS STRING)) AS nulltok
+        FROM ft LIMIT 1
+    """).collect()
+    r = rows[0]
+    assert r.noop == ["A-B c"]
+    assert r.pat == ["a", "b", "c"]
+    assert r.pat3 == ["cde", "fghi"]
+    assert r.logd == ["a-b", "c"]  # custom delimiters keep the hyphen
+    assert r.nulltok is None
+
+
+def test_ml_ngrams_and_bag_of_words(fcat):
+    rows = fcat.bq_sql("""
+        SELECT ML.NGRAMS(ARRAY('a','b','c'), [2, 3]) AS ng,
+               ML.NGRAMS(ARRAY('a','b','c'), [2], '-') AS ng2,
+               ML.NGRAMS(ARRAY('x'), [2, 3]) AS short,
+               ML.BAG_OF_WORDS(ARRAY('b','a','b')) AS bow
+        FROM ft LIMIT 1
+    """).collect()
+    r = rows[0]
+    assert r.ng == ["a b", "a b c", "b c"]  # position-major (BigQuery)
+    assert r.ng2 == ["a-b", "b-c"]
+    assert r.short == []
+    assert [(b.term, b["count"]) for b in r.bow] == [("a", 1), ("b", 2)]
+
+
+def test_text_analyze_refusals(fcat):
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+    import pytest as _pt
+
+    with _pt.raises(BQDialectError, match="unknown analyzer"):
+        translate("SELECT TEXT_ANALYZE(t, analyzer => 'STEMMER') FROM x")
+    with _pt.raises(BQDialectError, match="not implemented"):
+        translate(
+            "SELECT TEXT_ANALYZE(t, analyzer_options => "
+            "'{\"stop_words\": []}') FROM x"
+        )
+    with _pt.raises(BQDialectError, match="min <= max"):
+        translate("SELECT ML.NGRAMS(a, [3, 2]) FROM x")
+    with _pt.raises(BQDialectError, match="literal"):
+        translate("SELECT ML.NGRAMS(a, n) FROM x")
