@@ -176,6 +176,9 @@ HEADLINE = [
     # r11: tokenizer trio — matched: DuckDB re-tokenizes with the same
     # RE2 class and recomputes the n-gram counts (real same-work)
     "q_text_analyze",
+    # r11: misc function pack — matched: every leg recomputed
+    # closed-form on the oracle side (same row work)
+    "q_funcs_r11",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

@@ -697,3 +697,78 @@ def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
                    __b -> __b.count)), 0)) AS INT64) AS max_tf
         FROM tok GROUP BY lang ORDER BY lang
     """)
+
+
+_FUNCS_R11_ORACLE = """
+WITH base AS (
+    SELECT o_orderpriority AS prio, o_orderdate AS d,
+           CAST(o_orderkey AS VARCHAR) AS okey, o_totalprice,
+           strpos(CAST(o_orderkey AS VARCHAR), '0') AS p1
+    FROM orders WHERE o_custkey % 31 = 0
+)
+SELECT prio,
+       DATE '1950-01-01' + to_days(CAST(
+           (date_diff('day', DATE '1950-01-01', d) // 14) * 14
+           AS INTEGER)) AS bucket14,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(last_day(date_trunc('quarter', d) + INTERVAL 2 MONTH))
+           AS q_end,
+       MIN(d + to_days(CAST(6 - dayofweek(d) AS INTEGER))) AS w_end,
+       MIN(make_timestamp(
+           CAST(epoch_us(CAST(d AS TIMESTAMP)) -
+                ((epoch_us(CAST(d AS TIMESTAMP)) - (-631152000000000))
+                 % 43200000000) AS BIGINT))) AS tb,
+       CAST(SUM(CASE WHEN p1 > 0 AND
+                strpos(substr(okey, CAST(p1 + 1 AS INTEGER)), '0') > 0
+                THEN p1 + strpos(substr(okey, CAST(p1 + 1 AS INTEGER)),
+                                 '0')
+                ELSE 0 END) AS BIGINT) AS instr_sum,
+       MIN('{"p":"' || prio || '"}') AS j,
+       CAST(SUM(CASE WHEN lower(upper(prio)) = lower(prio)
+                THEN 1 ELSE 0 END) AS BIGINT) AS ci_n,
+       CAST(MIN(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,9)))
+           AS DOUBLE) AS min_price
+FROM base GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query(
+    "q_funcs_r11",
+    sql=_FUNCS_R11_ORACLE,
+    tags=("dialect", "functions"),
+)
+def q_funcs_r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 misc function pack — BigQuery functions that previously
+    leaked unknown-function errors, each exercised against a DuckDB
+    closed-form recompute: DATE_BUCKET / TIMESTAMP_BUCKET (1950-01-01
+    default origin, pmod-floor grid — the GROUP BY key here, so the
+    bucket IS the aggregation grain), LAST_DAY(d, QUARTER/WEEK)
+    (BigQuery weeks begin Sunday), 4-arg INSTR (nth-occurrence LOCATE
+    chain), JSON_OBJECT (literal keys -> named-struct serialization),
+    COLLATE('und:ci') case-insensitive comparison (Spark UTF8_LCASE
+    collation), PARSE_NUMERIC (trim + HALF_UP decimal(38,9) cast). One
+    hash aggregate, all pure codegen. Reference: BigQuery date/string/
+    JSON function docs (delegated surface, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("fr_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        SELECT o_orderpriority AS prio,
+               DATE_BUCKET(o_orderdate, INTERVAL 14 DAY) AS bucket14,
+               CAST(COUNT(*) AS INT64) AS n,
+               MIN(LAST_DAY(o_orderdate, QUARTER)) AS q_end,
+               MIN(LAST_DAY(o_orderdate, WEEK)) AS w_end,
+               MIN(TIMESTAMP_BUCKET(CAST(o_orderdate AS TIMESTAMP),
+                   INTERVAL 12 HOUR)) AS tb,
+               CAST(SUM(INSTR(CAST(o_orderkey AS STRING), '0', 1, 2)) AS INT64)
+                   AS instr_sum,
+               MIN(CAST(JSON_OBJECT('p', o_orderpriority) AS STRING))
+                   AS j,
+               COUNTIF(COLLATE(UPPER(o_orderpriority), 'und:ci')
+                   = LOWER(o_orderpriority)) AS ci_n,
+               CAST(MIN(PARSE_NUMERIC(CAST(o_totalprice AS STRING)))
+                   AS FLOAT64) AS min_price
+        FROM fr_orders WHERE MOD(o_custkey, 31) = 0
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """)

@@ -3566,6 +3566,242 @@ def _rewrite_create_function(sql: str) -> str:
     )
 
 
+# -- Misc function pack (r11) --------------------------------------------------
+# DATE_BUCKET / TIMESTAMP_BUCKET / DATETIME_BUCKET, LAST_DAY date
+# parts, COLLATE, PARSE_NUMERIC/PARSE_BIGNUMERIC, 3/4-arg INSTR,
+# JSON_OBJECT/JSON_ARRAY constructors — BigQuery functions that
+# previously leaked Spark unknown-function errors. All pure Catalyst
+# lowerings. FARM_FINGERPRINT refuses by name (FarmHash Fingerprint64
+# has no JVM/Python kernel in this runtime, and mapping it to xxhash64
+# would silently produce values that disagree with BigQuery's).
+
+# BigQuery's documented default bucket origin for the *_BUCKET trio.
+_BUCKET_ORIGIN_US = -631_152_000 * 1_000_000  # 1950-01-01 00:00:00 UTC
+_BUCKET_US = {
+    "MICROSECOND": 1,
+    "MILLISECOND": 1_000,
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+    "WEEK": 7 * 86_400_000_000,
+}
+
+
+def _ts_bucket_rewriter(fname: str):
+    def _rw(args: list[str]) -> str:
+        if not 2 <= len(args) <= 3:
+            raise BQDialectError(
+                f"{fname} expects (ts, bucket_width [, origin])"
+            )
+        ts = args[0].strip()
+        wm = re.match(
+            r"(?i)^INTERVAL\s+'?(\d+)'?\s+(\w+)$", args[1].strip()
+        )
+        if not wm or wm.group(2).upper() not in _BUCKET_US:
+            raise BQDialectError(
+                f"{fname}: bucket_width must be INTERVAL <n> "
+                f"<{'|'.join(_BUCKET_US)}> (MONTH+ is not fixed-width), "
+                f"got {args[1]!r}"
+            )
+        w = int(wm.group(1)) * _BUCKET_US[wm.group(2).upper()]
+        if w <= 0:
+            raise BQDialectError(f"{fname}: bucket_width must be positive")
+        origin = (
+            f"UNIX_MICROS(CAST(({args[2].strip()}) AS TIMESTAMP))"
+            if len(args) == 3
+            else f"({_BUCKET_ORIGIN_US})"
+        )
+        m = f"UNIX_MICROS(CAST(({ts}) AS TIMESTAMP))"
+        return (
+            f"TIMESTAMP_MICROS({m} - PMOD({m} - {origin}, {w}))"
+        )
+
+    return _rw
+
+
+def _date_bucket_rewriter(args: list[str]) -> str:
+    if not 2 <= len(args) <= 3:
+        raise BQDialectError(
+            "DATE_BUCKET expects (date, bucket_width [, origin])"
+        )
+    d = args[0].strip()
+    wm = re.match(r"(?i)^INTERVAL\s+'?(\d+)'?\s+(DAY|WEEK)S?$", args[1].strip())
+    if not wm:
+        raise BQDialectError(
+            "DATE_BUCKET: bucket_width must be INTERVAL <n> DAY|WEEK, "
+            f"got {args[1]!r}"
+        )
+    n = int(wm.group(1)) * (7 if wm.group(2).upper() == "WEEK" else 1)
+    if n <= 0:
+        raise BQDialectError("DATE_BUCKET: bucket_width must be positive")
+    origin = (
+        f"UNIX_DATE(CAST(({args[2].strip()}) AS DATE))"
+        if len(args) == 3
+        else "UNIX_DATE(DATE '1950-01-01')"
+    )
+    # pure epoch-day arithmetic: the later BigQuery DATE_ADD/DATE_SUB
+    # passes require INTERVAL args, so never emit those spellings here
+    days = f"UNIX_DATE(CAST(({d}) AS DATE))"
+    return (
+        f"DATE_FROM_UNIX_DATE({days} - PMOD({days} - {origin}, {n}))"
+    )
+
+
+_LAST_DAY_END = {  # date part -> day-of-week the period ENDS on
+    "WEEK": "SA",  # BigQuery weeks begin Sunday
+    "ISOWEEK": "SU",
+    "WEEK_SUNDAY": "SA", "WEEK_MONDAY": "SU", "WEEK_TUESDAY": "MO",
+    "WEEK_WEDNESDAY": "TU", "WEEK_THURSDAY": "WE",
+    "WEEK_FRIDAY": "TH", "WEEK_SATURDAY": "FR",
+}
+
+
+def _last_day_rewriter(args: list[str]) -> str | None:
+    if len(args) == 1:
+        return None  # Spark's 1-arg LAST_DAY is already month semantics
+    if len(args) != 2:
+        raise BQDialectError("LAST_DAY expects (date [, date_part])")
+    d = f"CAST(({args[0].strip()}) AS DATE)"
+    part = re.sub(
+        r"(?i)^WEEK\s*\(\s*(\w+)\s*\)$", r"WEEK_\1", args[1].strip()
+    ).upper()
+    if part == "MONTH":
+        return f"LAST_DAY({d})"
+    if part == "YEAR":
+        return f"MAKE_DATE(YEAR({d}), 12, 31)"
+    if part == "QUARTER":
+        return f"LAST_DAY(ADD_MONTHS(TRUNC({d}, 'QUARTER'), 2))"
+    if part in _LAST_DAY_END:
+        # NEXT_DAY is strictly-after, so anchor one day back (via
+        # epoch-day arithmetic — the BigQuery DATE_SUB pass requires
+        # INTERVAL args): a date already on the period's last weekday
+        # returns itself
+        return (
+            f"NEXT_DAY(DATE_FROM_UNIX_DATE(UNIX_DATE({d}) - 1), "
+            f"'{_LAST_DAY_END[part]}')"
+        )
+    raise BQDialectError(
+        f"LAST_DAY: unsupported date_part {args[1].strip()!r} (have: "
+        "MONTH, QUARTER, YEAR, WEEK, WEEK(<WEEKDAY>), ISOWEEK)"
+    )
+
+
+def _collate_rewriter(args: list[str]) -> str:
+    if len(args) != 2:
+        raise BQDialectError("COLLATE expects (value, collation)")
+    spec = args[1].strip().strip("'\"")
+    if spec == "und:ci":
+        # BigQuery's only collation: Unicode case-insensitive -> Spark
+        # 4's UTF8_LCASE collation (comparisons, GROUP BY, ORDER BY)
+        return f"COLLATE(({args[0].strip()}), 'UTF8_LCASE')"
+    if spec in ("", "binary"):
+        return f"({args[0].strip()})"
+    raise BQDialectError(
+        f"COLLATE: unsupported collation {spec!r} (have: 'und:ci', "
+        "'binary', '')"
+    )
+
+
+def _parse_numeric_rewriter(scale: int, fname: str):
+    def _rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise BQDialectError(f"{fname} expects (string)")
+        # BigQuery: trims, accepts exponents, rounds half away from
+        # zero at digit {scale} — Spark's decimal cast is HALF_UP
+        # (away from zero), same rule
+        return f"CAST(TRIM(({args[0].strip()})) AS DECIMAL(38, {scale}))"
+
+    return _rw
+
+
+def _instr_rewriter(args: list[str]) -> str | None:
+    if len(args) <= 2:
+        return None  # Spark INSTR(str, substr)
+    if len(args) > 4:
+        raise BQDialectError(
+            "INSTR expects (value, subvalue [, position [, occurrence]])"
+        )
+    s, sub = args[0].strip(), args[1].strip()
+    pos = args[2].strip()
+    if re.match(r"^-", pos):
+        raise BQDialectError(
+            "INSTR: negative positions (search from end) are not "
+            "implemented"
+        )
+    if len(args) == 3:
+        return f"LOCATE({sub}, {s}, {pos})"
+    om = re.match(r"^\d+$", args[3].strip())
+    if not om:
+        raise BQDialectError(
+            f"INSTR: occurrence must be a positive integer literal, "
+            f"got {args[3]!r}"
+        )
+    occ = int(args[3])
+    if occ < 1:
+        raise BQDialectError("INSTR: occurrence must be >= 1")
+    # chain LOCATEs: each next search starts one past the previous hit;
+    # a miss anywhere collapses the chain to 0 (LOCATE(_, _, 1) of '')
+    expr = f"LOCATE({sub}, {s}, {pos})"
+    for _ in range(occ - 1):
+        expr = (
+            f"(CASE WHEN {expr} = 0 THEN 0 "
+            f"ELSE LOCATE({sub}, {s}, {expr} + 1) END)"
+        )
+    return expr
+
+
+def _json_value_fragment(v: str) -> str:
+    """Serialize one SQL value to its JSON text via the named-struct
+    boundary trick (functions/json_mutators.py's contract): to_json
+    keeps scalar types exact and NULL -> JSON null."""
+    boxed = (
+        f"TO_JSON(NAMED_STRUCT('v', ({v})), "
+        f"MAP('ignoreNullFields', 'false'))"
+    )
+    return f"SUBSTRING({boxed}, 6, LENGTH({boxed}) - 6)"
+
+
+def _json_object_rewriter(args: list[str]) -> str:
+    """``JSON_OBJECT('k1', v1, …)`` with literal keys. The result is a
+    VARIANT, so object keys normalize to sorted order (the same
+    documented divergence as the C56 JSON surface — BigQuery shows
+    insertion order); values serialize exactly via the named-struct
+    boundary."""
+    args = [a for a in args if a.strip()]
+    if len(args) % 2 != 0:
+        raise BQDialectError(
+            "JSON_OBJECT expects alternating key/value arguments"
+        )
+    if not args:
+        return "PARSE_JSON('{}')"
+    pairs = []
+    for k, v in zip(args[::2], args[1::2]):
+        km = re.match(r"(?s)^\s*'(.*)'\s*$", k)
+        if not km:
+            raise BQDialectError(
+                f"JSON_OBJECT: keys must be string literals, got {k!r}"
+            )
+        key_json = (
+            '"'
+            + km.group(1).replace('"', '\\\\"').replace("'", "''")
+            + '":'
+        )
+        pairs.append(
+            f"CONCAT('{key_json}', {_json_value_fragment(v.strip())})"
+        )
+    inner = ", ".join(pairs)
+    return f"PARSE_JSON(CONCAT('{{', CONCAT_WS(',', {inner}), '}}'))"
+
+
+def _json_array_rewriter(args: list[str]) -> str:
+    args = [a for a in args if a.strip()]
+    if not args:
+        return "PARSE_JSON('[]')"
+    inner = ", ".join(_json_value_fragment(a.strip()) for a in args)
+    return f"PARSE_JSON(CONCAT('[', CONCAT_WS(',', {inner}), ']'))"
+
+
 # -- Text analysis functions (r11) --------------------------------------------
 # BigQuery's TEXT_ANALYZE / ML.BAG_OF_WORDS / ML.NGRAMS — the tokenizer
 # trio behind its search indexes and BQML text preprocessing. All pure
@@ -4069,6 +4305,18 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
             f"{m.group(1)} is not implemented ({_AEAD_HAVE}; "
             "DETERMINISTIC_* refuses: no AES-SIV kernel in this runtime)"
         )
+    rx_tfidf = re.compile(r"(?i)\bML\s*\.\s*(TF_IDF|IDF)\s*\(")
+    sites = _call_sites(sql, rx_tfidf)
+    if sites:
+        m = rx_tfidf.match(sql, sites[0][0])
+        raise BQDialectError(
+            f"ML.{m.group(1).upper()} is not implemented: its empty-"
+            "OVER() form needs corpus-wide document frequencies, which "
+            "cannot lower to a per-row scalar without collecting the "
+            "corpus into every row — spell the TF-IDF as the explode/"
+            "join idiom instead (see q_tfidf), which is the scale-safe "
+            "plan (have: TEXT_ANALYZE, ML.NGRAMS, ML.BAG_OF_WORDS)"
+        )
     rx_llm = re.compile(
         r"(?i)\bML\s*\.\s*(GENERATE_TEXT|GENERATE_EMBEDDING|"
         r"UNDERSTAND_TEXT|TRANSLATE|PROCESS_DOCUMENT|TRANSCRIBE|"
@@ -4096,6 +4344,35 @@ def translate(sql: str) -> str:
         sql, r"ML\s*\.\s*BAG_OF_WORDS", _ml_bag_of_words_rewriter
     )
     sql = _rewrite_calls(sql, r"ML\s*\.\s*NGRAMS", _ml_ngrams_rewriter)
+    sql = _rewrite_calls(
+        sql, "TIMESTAMP_BUCKET", _ts_bucket_rewriter("TIMESTAMP_BUCKET")
+    )
+    sql = _rewrite_calls(
+        sql, "DATETIME_BUCKET", _ts_bucket_rewriter("DATETIME_BUCKET")
+    )
+    sql = _rewrite_calls(sql, "DATE_BUCKET", _date_bucket_rewriter)
+    sql = _rewrite_calls(sql, "LAST_DAY", _last_day_rewriter)
+    sql = _rewrite_calls(sql, "COLLATE", _collate_rewriter)
+    sql = _rewrite_calls(
+        sql, "PARSE_NUMERIC", _parse_numeric_rewriter(9, "PARSE_NUMERIC")
+    )
+    sql = _rewrite_calls(
+        sql,
+        "PARSE_BIGNUMERIC",
+        _parse_numeric_rewriter(19, "PARSE_BIGNUMERIC"),
+    )
+    sql = _rewrite_calls(sql, "INSTR", _instr_rewriter)
+    sql = _rewrite_calls(sql, "JSON_OBJECT", _json_object_rewriter)
+    sql = _rewrite_calls(sql, "JSON_ARRAY", _json_array_rewriter)
+    rx_ff = re.compile(r"(?i)\bFARM_FINGERPRINT\s*\(")
+    if _call_sites(sql, rx_ff):
+        raise BQDialectError(
+            "FARM_FINGERPRINT is not implemented: FarmHash "
+            "Fingerprint64 has no kernel in this runtime, and mapping "
+            "it to XXHASH64 would silently produce values that "
+            "disagree with BigQuery's — use XXHASH64(x) where only "
+            "stability within THIS engine matters"
+        )
     sql = _rewrite_ml_prefuncs(sql)
 
     def _flatten_paths(seg: str) -> str:

@@ -1720,3 +1720,122 @@ def test_text_analyze_refusals(fcat):
         translate("SELECT ML.NGRAMS(a, [3, 2]) FROM x")
     with _pt.raises(BQDialectError, match="literal"):
         translate("SELECT ML.NGRAMS(a, n) FROM x")
+
+
+# -- Misc function pack (r11) ---------------------------------------------------
+
+
+def test_bucket_functions(fcat):
+    r = fcat.bq_sql("""
+        SELECT TIMESTAMP_BUCKET(TIMESTAMP '2024-01-01 05:37:21',
+                                INTERVAL 1 HOUR) AS hb,
+               TIMESTAMP_BUCKET(TIMESTAMP '2024-01-01 05:37:21',
+                                INTERVAL 7 DAY) AS wb,
+               TIMESTAMP_BUCKET(TIMESTAMP '2024-01-03 07:00:00',
+                                INTERVAL 2 DAY,
+                                TIMESTAMP '2024-01-01 00:00:00') AS ob,
+               DATE_BUCKET(DATE '2024-03-15', INTERVAL 14 DAY) AS db,
+               DATE_BUCKET(DATE '2024-03-15', INTERVAL 1 WEEK) AS db7
+        FROM ft LIMIT 1
+    """).collect()[0]
+    assert str(r.hb) == "2024-01-01 05:00:00"
+    # 1950-01-01 (the BigQuery default origin) was a Sunday; 7-day
+    # buckets anchored there land on Sundays
+    assert str(r.wb) == "2023-12-31 00:00:00"
+    assert str(r.ob) == "2024-01-03 00:00:00"
+    assert str(r.db) == "2024-03-03"
+    assert str(r.db7) == "2024-03-10"
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    with pytest.raises(BQDialectError, match="fixed-width"):
+        translate("SELECT TIMESTAMP_BUCKET(ts, INTERVAL 1 MONTH) FROM t")
+
+
+def test_last_day_parts(fcat):
+    # 2024-03-15 is a Friday
+    r = fcat.bq_sql("""
+        SELECT LAST_DAY(DATE '2024-03-15') AS m,
+               LAST_DAY(DATE '2024-03-15', QUARTER) AS q,
+               LAST_DAY(DATE '2024-03-15', YEAR) AS y,
+               LAST_DAY(DATE '2024-03-15', WEEK) AS w,
+               LAST_DAY(DATE '2024-03-16', WEEK) AS w_sat,
+               LAST_DAY(DATE '2024-03-15', ISOWEEK) AS iw,
+               LAST_DAY(DATE '2024-03-15', WEEK(MONDAY)) AS wm
+        FROM ft LIMIT 1
+    """).collect()[0]
+    assert (str(r.m), str(r.q), str(r.y)) == (
+        "2024-03-31", "2024-03-31", "2024-12-31"
+    )
+    # BigQuery weeks begin Sunday -> end Saturday; a Saturday is its
+    # own week-end
+    assert (str(r.w), str(r.w_sat)) == ("2024-03-16", "2024-03-16")
+    assert (str(r.iw), str(r.wm)) == ("2024-03-17", "2024-03-17")
+
+
+def test_collate_parse_numeric_instr(fcat):
+    r = fcat.bq_sql("""
+        SELECT COLLATE('HeLLo', 'und:ci') = 'hello' AS ci,
+               PARSE_NUMERIC(' 1.2345678949 ') AS pn,
+               PARSE_BIGNUMERIC('-2.5e3') AS pb,
+               INSTR('HELLO bE bEE', 'E', 1, 3) AS i3,
+               INSTR('HELLO bE bEE', 'E', 1, 9) AS i9,
+               INSTR('HELLO', 'L', 2) AS ipos
+        FROM ft LIMIT 1
+    """).collect()[0]
+    assert r.ci is True
+    assert str(r.pn) == "1.234567895"  # HALF_UP at the 9th digit
+    assert float(r.pb) == -2500.0
+    assert (r.i3, r.i9, r.ipos) == (11, 0, 3)
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    with pytest.raises(BQDialectError, match="collation"):
+        translate("SELECT COLLATE(s, 'fr:ci') FROM t")
+    with pytest.raises(BQDialectError, match="occurrence"):
+        translate("SELECT INSTR(s, 'x', 1, n) FROM t")
+    with pytest.raises(BQDialectError, match="negative"):
+        translate("SELECT INSTR(s, 'x', -1) FROM t")
+
+
+def test_json_constructors(fcat):
+    r = fcat.bq_sql("""
+        SELECT CAST(JSON_OBJECT('k', 1, 's', 'a"b', 'n',
+                    CAST(NULL AS STRING)) AS STRING) AS o,
+               CAST(JSON_ARRAY(1, 'a', NULL, TRUE) AS STRING) AS a,
+               CAST(JSON_OBJECT() AS STRING) AS empty_o,
+               CAST(JSON_ARRAY() AS STRING) AS empty_a
+        FROM ft LIMIT 1
+    """).collect()[0]
+    # VARIANT normalizes object keys to sorted order (the C56 JSON
+    # contract) — values and escapes are exact
+    assert r.o == '{"k":1,"n":null,"s":"a\\"b"}'
+    assert r.a == '[1,"a",null,true]'
+    assert (r.empty_o, r.empty_a) == ("{}", "[]")
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    with pytest.raises(BQDialectError, match="alternating"):
+        translate("SELECT JSON_OBJECT('k') FROM t")
+    with pytest.raises(BQDialectError, match="string literals"):
+        translate("SELECT JSON_OBJECT(k, 1) FROM t")
+
+
+def test_farm_fingerprint_refuses_by_name():
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    with pytest.raises(BQDialectError, match="FARM_FINGERPRINT"):
+        translate("SELECT FARM_FINGERPRINT(s) FROM t")
+    # inside a string literal it stays protected
+    assert "FARM_FINGERPRINT(" in translate(
+        "SELECT 'FARM_FINGERPRINT(x)' AS s"
+    )
