@@ -179,6 +179,9 @@ HEADLINE = [
     # r11: misc function pack — matched: every leg recomputed
     # closed-form on the oracle side (same row work)
     "q_funcs_r11",
+    # r11: window percentiles + geohash — matched: DuckDB runs its own
+    # quantile aggregates and the identical generated geohash expression
+    "q_funcs_r11b",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

@@ -772,3 +772,93 @@ def q_funcs_r11(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fr_orders WHERE MOD(o_custkey, 31) = 0
         GROUP BY 1, 2 ORDER BY 1, 2
     """)
+
+
+def _funcs_r11b_oracle() -> str:
+    from bigquery_etl_spark.sources.bq_dialect import geohash_sql
+
+    gh = geohash_sql("lon", "lat", 5, "duck")
+    return f"""
+    WITH pts AS (
+        SELECT c_mktsegment AS seg,
+               CAST(((c_custkey * 29) % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+               CAST(((c_custkey * 13) % 170) - 85 + 0.25 AS DOUBLE) AS lat,
+               CAST(c_acctbal AS DOUBLE) AS bal,
+               c_name, c_custkey
+        FROM customer
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(bal, 0.9) AS p90,
+           quantile_disc(bal, 0.5) AS med_disc,
+           CAST(COUNT(DISTINCT {gh}) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN strpos(substr(c_name, 3), '1') = 0 THEN 0
+                    ELSE 2 + strpos(substr(c_name, 3), '1') END)
+               AS BIGINT) AS ri_sum,
+           CAST(2 * COUNT(*) AS BIGINT) AS cat_size,
+           CAST(3 * SUM(c_custkey) AS BIGINT) AS cat_sum,
+           MIN('x' || chr(65533)) AS safe_str
+    FROM pts GROUP BY seg ORDER BY seg
+    """
+
+
+@query(
+    "q_funcs_r11b",
+    sql=_funcs_r11b_oracle(),
+    tags=("dialect", "functions", "geo"),
+)
+def q_funcs_r11b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second r11 function batch: PERCENTILE_CONT / PERCENTILE_DISC as
+    BigQuery WINDOW functions (lowered onto Spark's interpolating
+    PERCENTILE and the ANSI PERCENTILE_DISC WITHIN GROUP respelling —
+    the window value is partition-constant, reduced by MIN for the
+    group twin), ST_GEOHASH (translate-time unrolled bit-interleave —
+    the DuckDB oracle evaluates the SAME generated expression, shift
+    for shift), ARRAY_CONCAT_AGG (flatten∘collect_list, checked via
+    order-free size/sum reductions), positional REGEXP_INSTR, and
+    SAFE_CONVERT_BYTES_TO_STRING (make_valid_utf8 — U+FFFD for
+    malformed input, recomputed by the oracle as a chr(65533) literal).
+    One window pass + one hash aggregate. Reference: BigQuery
+    navigation/GIS/string function docs (delegated surface,
+    main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("f2_cust")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH pts AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(MOD(c_custkey * 29, 360) - 180 + 0.5
+                        AS FLOAT64) AS lon,
+                   CAST(MOD(c_custkey * 13, 170) - 85 + 0.25
+                        AS FLOAT64) AS lat,
+                   CAST(c_acctbal AS FLOAT64) AS bal,
+                   c_name, c_custkey
+            FROM f2_cust
+        ),
+        w AS (
+            SELECT seg, lon, lat, c_name, c_custkey,
+                   PERCENTILE_CONT(bal, 0.9)
+                       OVER(PARTITION BY seg) AS p90,
+                   PERCENTILE_DISC(bal, 0.5)
+                       OVER(PARTITION BY seg) AS med_disc
+            FROM pts
+        )
+        SELECT seg,
+               CAST(COUNT(*) AS INT64) AS n,
+               MIN(p90) AS p90,
+               MIN(med_disc) AS med_disc,
+               CAST(COUNT(DISTINCT ST_GEOHASH(ST_GEOGPOINT(lon, lat), 5))
+                   AS INT64) AS n_cells,
+               CAST(SUM(REGEXP_INSTR(c_name, '1', 3)) AS INT64)
+                   AS ri_sum,
+               CAST(ARRAY_LENGTH(ARRAY_CONCAT_AGG(
+                   [c_custkey, c_custkey * 2])) AS INT64) AS cat_size,
+               CAST(AGGREGATE(ARRAY_CONCAT_AGG(
+                   [c_custkey, c_custkey * 2]), CAST(0 AS INT64),
+                   (__a, __x) -> __a + __x) AS INT64) AS cat_sum,
+               MIN(SAFE_CONVERT_BYTES_TO_STRING(
+                   CONCAT(CAST('x' AS BYTES), FROM_HEX('FF'))))
+                   AS safe_str
+        FROM w GROUP BY seg ORDER BY seg
+    """)

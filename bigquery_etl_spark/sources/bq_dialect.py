@@ -3802,6 +3802,179 @@ def _json_array_rewriter(args: list[str]) -> str:
     return f"PARSE_JSON(CONCAT('[', CONCAT_WS(',', {inner}), ']'))"
 
 
+def _percentile_window_rewriter(kind: str):
+    """BigQuery ``PERCENTILE_CONT(x, f)`` / ``PERCENTILE_DISC(x, f)``
+    window functions. CONT lowers to Spark's interpolating
+    ``PERCENTILE(x, f)``; DISC re-spells into the ANSI
+    ``PERCENTILE_DISC(f) WITHIN GROUP (ORDER BY x)`` form — the
+    caller's trailing ``OVER(…)`` clause sits outside the rewritten
+    call and survives verbatim. One-argument calls are already the
+    ANSI spelling and pass through. ``RESPECT NULLS`` refuses (Spark's
+    percentile family has no null-counting mode)."""
+
+    def _rw(args: list[str]) -> str | None:
+        if len(args) == 1:
+            return None  # ANSI WITHIN GROUP spelling — Spark-native
+        if len(args) != 2:
+            raise BQDialectError(
+                f"PERCENTILE_{kind} expects (expr, fraction)"
+            )
+        x, f = args[0].strip(), args[1].strip()
+        fm = re.match(r"(?is)^(.*?)\s+(RESPECT|IGNORE)\s+NULLS$", f)
+        if fm:
+            if fm.group(2).upper() == "RESPECT":
+                raise BQDialectError(
+                    f"PERCENTILE_{kind}: RESPECT NULLS is not "
+                    "implemented (Spark's percentile family always "
+                    "ignores NULLs — BigQuery's default)"
+                )
+            f = fm.group(1).strip()
+        if kind == "CONT":
+            return f"PERCENTILE({x}, {f})"
+        return f"PERCENTILE_DISC({f}) WITHIN GROUP (ORDER BY {x})"
+
+    return _rw
+
+
+def _array_concat_agg_rewriter(args: list[str]) -> str:
+    args = _rejoin_bracket_args(args)
+    if len(args) != 1:
+        raise BQDialectError("ARRAY_CONCAT_AGG expects (array_expr)")
+    # BigQuery: NULL array elements of the aggregation are skipped;
+    # collect_list already drops NULL rows
+    return f"FLATTEN(COLLECT_LIST({args[0].strip()}))"
+
+
+def _safe_bytes_to_string_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError(
+            "SAFE_CONVERT_BYTES_TO_STRING expects (bytes)"
+        )
+    # binary->string cast passes bytes through unvalidated;
+    # MAKE_VALID_UTF8 then replaces invalid sequences with U+FFFD —
+    # exactly BigQuery's SAFE_CONVERT_BYTES_TO_STRING contract
+    # (DECODE(b, 'UTF-8') would RAISE on malformed input)
+    return f"MAKE_VALID_UTF8(CAST(({args[0].strip()}) AS STRING))"
+
+
+def _regexp_instr_rewriter(args: list[str]) -> str | None:
+    if len(args) <= 2:
+        return None  # Spark-native (str, regexp)
+    if len(args) > 3:
+        raise BQDialectError(
+            "REGEXP_INSTR with occurrence/occurrence_position is not "
+            "implemented (have: (value, regexp [, position]))"
+        )
+    s, rx, pos = (a.strip() for a in args)
+    if pos.startswith("-"):
+        raise BQDialectError("REGEXP_INSTR: position must be positive")
+    # Spark's 3rd arg is a GROUP index, not a start position — re-spell
+    hit = f"REGEXP_INSTR(SUBSTRING({s}, {pos}), {rx})"
+    return (
+        f"(CASE WHEN {hit} = 0 THEN 0 ELSE ({pos}) - 1 + {hit} END)"
+    )
+
+
+# -- Geohash (r11) --------------------------------------------------------------
+# ST_GEOHASH encodes by bit-interleaving the scaled lon/lat integers —
+# the textbook closed form, unrolled at translate time for a LITERAL
+# precision into pure shift/mod arithmetic (whole-stage codegen; the
+# scale factors stay <= 2^50, exactly representable in doubles).
+# ST_GEOGPOINTFROMGEOHASH decodes literal hashes at translate time to
+# a constant point (cell center). The generator is engine-neutral so
+# the DuckDB oracle evaluates the bit-identical expression.
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lon_sql: str, lat_sql: str, p: int, dialect: str) -> str:
+    """Unrolled geohash-encode expression for Spark or DuckDB."""
+    if not 1 <= p <= 20:
+        raise BQDialectError(
+            f"ST_GEOHASH: maxchars must be in [1, 20], got {p}"
+        )
+    nlon = (5 * p + 1) // 2
+    nlat = 5 * p - nlon
+
+    def shift(src: str, n: int) -> str:
+        if n == 0:
+            return src
+        if dialect == "spark":
+            return f"SHIFTRIGHT({src}, {n})"
+        return f"({src} >> {n})"
+
+    x = (
+        f"CAST(LEAST(FLOOR((({lon_sql}) + 180.0) / 360.0 * "
+        f"{1 << nlon}), {(1 << nlon) - 1}) AS BIGINT)"
+    )
+    y = (
+        f"CAST(LEAST(FLOOR((({lat_sql}) + 90.0) / 180.0 * "
+        f"{1 << nlat}), {(1 << nlat) - 1}) AS BIGINT)"
+    )
+    chars = []
+    for k in range(p):
+        terms = []
+        for b in range(5):
+            i = 5 * k + b
+            if i % 2 == 0:
+                src, sh = x, nlon - 1 - i // 2
+            else:
+                src, sh = y, nlat - 1 - (i - 1) // 2
+            terms.append(f"({shift(src, sh)} % 2) * {1 << (4 - b)}")
+        idx = " + ".join(terms)
+        chars.append(
+            f"SUBSTRING('{_GEOHASH32}', CAST({idx} AS INT) + 1, 1)"
+        )
+    return "CONCAT(" + ", ".join(chars) + ")"
+
+
+def _st_geohash_rewriter(args: list[str]) -> str:
+    if not 1 <= len(args) <= 2:
+        raise BQDialectError("ST_GEOHASH expects (point [, maxchars])")
+    p = 20
+    if len(args) == 2:
+        pm = re.match(r"^\d+$", args[1].strip())
+        if not pm:
+            raise BQDialectError(
+                "ST_GEOHASH: maxchars must be an integer literal, got "
+                f"{args[1]!r}"
+            )
+        p = int(args[1])
+    pt = f"({args[0].strip()})"
+    return geohash_sql(f"{pt}.lon", f"{pt}.lat", p, "spark")
+
+
+def _st_from_geohash_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError(
+            "ST_GEOGPOINTFROMGEOHASH expects (geohash_literal)"
+        )
+    gm = re.match(r"(?s)^\s*'([0-9a-z]+)'\s*$", args[0])
+    if not gm:
+        raise BQDialectError(
+            "ST_GEOGPOINTFROMGEOHASH: the geohash must be a lowercase "
+            f"base-32 string literal, got {args[0]!r}"
+        )
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    i = 0
+    for c in gm.group(1):
+        d = _GEOHASH32.index(c)
+        for b in range(4, -1, -1):
+            bit = (d >> b) & 1
+            if i % 2 == 0:
+                mid = (lo_lon + hi_lon) / 2
+                lo_lon, hi_lon = (mid, hi_lon) if bit else (lo_lon, mid)
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                lo_lat, hi_lat = (mid, hi_lat) if bit else (lo_lat, mid)
+            i += 1
+    lon, lat = (lo_lon + hi_lon) / 2, (lo_lat + hi_lat) / 2
+    return (
+        f"NAMED_STRUCT('lon', CAST({lon!r} AS DOUBLE), "
+        f"'lat', CAST({lat!r} AS DOUBLE))"
+    )
+
+
 # -- Text analysis functions (r11) --------------------------------------------
 # BigQuery's TEXT_ANALYZE / ML.BAG_OF_WORDS / ML.NGRAMS — the tokenizer
 # trio behind its search indexes and BQML text preprocessing. All pure
@@ -4364,6 +4537,25 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(sql, "INSTR", _instr_rewriter)
     sql = _rewrite_calls(sql, "JSON_OBJECT", _json_object_rewriter)
     sql = _rewrite_calls(sql, "JSON_ARRAY", _json_array_rewriter)
+    sql = _rewrite_calls(
+        sql, "PERCENTILE_CONT", _percentile_window_rewriter("CONT")
+    )
+    sql = _rewrite_calls(
+        sql, "PERCENTILE_DISC", _percentile_window_rewriter("DISC")
+    )
+    sql = _rewrite_calls(
+        sql, "ARRAY_CONCAT_AGG", _array_concat_agg_rewriter
+    )
+    sql = _rewrite_calls(
+        sql,
+        "SAFE_CONVERT_BYTES_TO_STRING",
+        _safe_bytes_to_string_rewriter,
+    )
+    sql = _rewrite_calls(sql, "REGEXP_INSTR", _regexp_instr_rewriter)
+    sql = _rewrite_calls(sql, "ST_GEOHASH", _st_geohash_rewriter)
+    sql = _rewrite_calls(
+        sql, "ST_GEOGPOINTFROMGEOHASH", _st_from_geohash_rewriter
+    )
     rx_ff = re.compile(r"(?i)\bFARM_FINGERPRINT\s*\(")
     if _call_sites(sql, rx_ff):
         raise BQDialectError(

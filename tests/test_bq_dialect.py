@@ -1839,3 +1839,65 @@ def test_farm_fingerprint_refuses_by_name():
     assert "FARM_FINGERPRINT(" in translate(
         "SELECT 'FARM_FINGERPRINT(x)' AS s"
     )
+
+
+def test_percentile_window_forms(fcat):
+    fcat.spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 4.0), (2, 10.0)], "k int, x double"
+    ).createOrReplaceTempView("pw_t")
+    rows = fcat.bq_sql("""
+        SELECT DISTINCT k,
+               PERCENTILE_CONT(x, 0.5) OVER(PARTITION BY k) AS pc,
+               PERCENTILE_DISC(x, 0.75) OVER(PARTITION BY k) AS pd
+        FROM pw_t ORDER BY k
+    """).collect()
+    # cont interpolates (median of 1,2,4 = 2); disc picks the smallest
+    # value with cume_dist >= 0.75 (the 3rd of 3)
+    assert [(r.pc, r.pd) for r in rows] == [(2.0, 4.0), (10.0, 10.0)]
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    with pytest.raises(BQDialectError, match="RESPECT NULLS"):
+        translate(
+            "SELECT PERCENTILE_CONT(x, 0.5 RESPECT NULLS) OVER() FROM t"
+        )
+
+
+def test_geohash_known_vectors(fcat):
+    r = fcat.bq_sql("""
+        SELECT ST_GEOHASH(ST_GEOGPOINT(-5.6, 42.6), 5) AS ez,
+               ST_GEOHASH(ST_GEOGPOINT(-122.35, 47.62), 10) AS sea,
+               ST_GEOHASH(ST_GEOGPOINT(0, 0), 1) AS origin,
+               ST_GEOHASH(ST_GEOGPOINTFROMGEOHASH('u4pruydqqvj'), 11)
+                   AS rt
+        FROM ft LIMIT 1
+    """).collect()[0]
+    # the canonical public test vector (geohash.org example)
+    assert r.ez == "ezs42"
+    assert r.sea.startswith("c22yzu")
+    assert r.origin == "s"
+    assert r.rt == "u4pruydqqvj"  # decode -> cell center re-encodes
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    with pytest.raises(BQDialectError, match="maxchars"):
+        translate("SELECT ST_GEOHASH(p, 25) FROM t")
+    with pytest.raises(BQDialectError, match="literal"):
+        translate("SELECT ST_GEOGPOINTFROMGEOHASH(col) FROM t")
+
+
+def test_array_concat_agg_safe_bytes_regexp_instr(fcat):
+    r = fcat.bq_sql("""
+        SELECT ARRAY_LENGTH(ARRAY_CONCAT_AGG([id, id * 10])) AS n,
+               MIN(SAFE_CONVERT_BYTES_TO_STRING(
+                   CONCAT(CAST('ok' AS BYTES), FROM_HEX('FF')))) AS s,
+               MIN(REGEXP_INSTR('ababa', 'b+', 3)) AS ri
+        FROM ft
+    """).collect()[0]
+    assert r.n == 6  # three rows x two elements
+    assert r.s == "ok�"
+    assert r.ri == 4
