@@ -1940,6 +1940,95 @@ def _poly_contains(A: str, p: str) -> str:
     return f"(({crossings}) % 2 = 1)"
 
 
+# Above this many edges a fully-unrolled literal distance stops being
+# a codegen win: the generated method blows past HotSpot's JIT size
+# limit and the whole projection runs in the BYTECODE INTERPRETER
+# (r11 finding: q_gis_multipolygon's 39 KB/338-trig expression ran at
+# ~170 µs/row — 20× the compiled cost). Beyond it we emit a fold over
+# a CONSTANT array of per-edge folded constants with ONE small lambda
+# body: same Python-folded u/v/n̂ constants, same runtime expression
+# shape (bit-identical results), O(1) code size.
+_GEO_UNROLL_MAX_EDGES = 4
+
+
+def _edges_geo_fold(pp: str, segs: list[tuple[float, float, float, float]]) -> str:
+    """Min geodesic point-to-arc distance over many LITERAL segments as
+    a HOF fold (see _GEO_UNROLL_MAX_EDGES). The point's unit 3-vector
+    binds ONCE through a single-element TRANSFORM so the per-edge
+    lambda reuses it instead of re-evaluating four trig calls per
+    edge."""
+    import math
+
+    px, py, pz = _pxyz(pp)
+    structs = []
+    for ax, ay, bx, by in segs:
+        A3, B3 = _unit3(ax, ay), _unit3(bx, by)
+        n = _cross3(A3, B3)
+        nn = math.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+        if nn < 1e-15:
+            if abs(ax - bx) < 1e-12 and abs(ay - by) < 1e-12:
+                u = v = nh = (0.0, 0.0, 0.0)
+                dg = "TRUE"
+            else:
+                raise BQDialectError(
+                    f"segment ({ax} {ay})-({bx} {by}) endpoints are "
+                    "antipodal — the great-circle edge is ambiguous"
+                )
+        else:
+            nh = (n[0] / nn, n[1] / nn, n[2] / nn)
+            u, v = _cross3(n, A3), _cross3(B3, n)
+            dg = "FALSE"
+        structs.append(
+            "NAMED_STRUCT("
+            f"'ux', {u[0]!r}D, 'uy', {u[1]!r}D, 'uz', {u[2]!r}D, "
+            f"'vx', {v[0]!r}D, 'vy', {v[1]!r}D, 'vz', {v[2]!r}D, "
+            f"'hx', {nh[0]!r}D, 'hy', {nh[1]!r}D, 'hz', {nh[2]!r}D, "
+            f"'ax', {ax!r}D, 'ay', {ay!r}D, "
+            f"'bx', {bx!r}D, 'by', {by!r}D, 'dg', {dg})"
+        )
+
+    def hav(x_field: str, y_field: str) -> str:
+        # identical expression shape to _hav(const, point) so results
+        # stay bit-for-bit equal to the unrolled form
+        return (
+            f"(2.0 * {_EARTH_R} * ASIN(SQRT("
+            f"POWER(SIN(RADIANS(__p.plat - __e.{y_field}) / 2), 2) + "
+            f"COS(RADIANS(__e.{y_field})) * COS(RADIANS(__p.plat)) * "
+            f"POWER(SIN(RADIANS(__p.plon - __e.{x_field}) / 2), 2))))"
+        )
+
+    body = (
+        f"CASE WHEN __e.dg THEN {hav('ax', 'ay')} "
+        "WHEN (__p.px * __e.ux + __p.py * __e.uy + __p.pz * __e.uz) "
+        ">= 0 AND "
+        "(__p.px * __e.vx + __p.py * __e.vy + __p.pz * __e.vz) >= 0 "
+        f"THEN {_EARTH_R} * ASIN(LEAST(1.0D, ABS("
+        "__p.px * __e.hx + __p.py * __e.hy + __p.pz * __e.hz))) "
+        f"ELSE LEAST({hav('ax', 'ay')}, {hav('bx', 'by')}) END"
+    )
+    fold = (
+        f"AGGREGATE(TRANSFORM(ARRAY({', '.join(structs)}), "
+        f"__e -> {body}), CAST('Infinity' AS DOUBLE), "
+        f"(__m, __d) -> LEAST(__m, __d))"
+    )
+    return (
+        f"TRY_ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
+        f"'px', {px}, 'py', {py}, 'pz', {pz}, "
+        f"'plat', {pp}.lat, 'plon', {pp}.lon)), __p -> {fold}), 1)"
+    )
+
+
+def _min_seg_distance(pp: str, segs: list) -> str:
+    """LEAST chain below _GEO_UNROLL_MAX_EDGES (whole-stage codegen),
+    constant-array fold above it (JIT-sized code) — same numbers."""
+    if len(segs) > _GEO_UNROLL_MAX_EDGES:
+        return _edges_geo_fold(pp, segs)
+    dists = [_seg_geo_sql(pp, *s) for s in segs]
+    if len(dists) == 1:
+        return dists[0]
+    return f"LEAST({', '.join(dists)})"
+
+
 def _poly_distance(A: str, p: str) -> str:
     """Geodesic meters from a point to a simple polygon: 0 inside, else
     the min over edges of the great-circle-arc distance (r11 geodesic
@@ -1954,7 +2043,7 @@ def _poly_distance(A: str, p: str) -> str:
     rings = _parse_any_rings(A)
     if rings is not None:
         pp = f"({p.strip()})"
-        dists = []
+        segs = []
         for verts in rings:
             n = len(verts)
             for i in range(n):
@@ -1962,8 +2051,8 @@ def _poly_distance(A: str, p: str) -> str:
                 bx, by = verts[(i + 1) % n]
                 if ax == bx and ay == by:
                     continue  # degenerate zero-length edge
-                dists.append(_seg_geo_sql(pp, ax, ay, bx, by))
-        dmin = f"LEAST({', '.join(dists)})"
+                segs.append((ax, ay, bx, by))
+        dmin = _min_seg_distance(pp, segs)
         return f"IF({_poly_contains(A, p)}, 0.0D, {dmin})"
     if _is_nested_poly(A):
         raise BQDialectError(
@@ -2027,14 +2116,12 @@ def _poly_distance(A: str, p: str) -> str:
 def _chain_distance(verts: list[tuple[float, float]], pp: str) -> str:
     """Min geodesic distance from a point to an OPEN vertex chain
     (r11: great-circle arc segments via _seg_geo_sql, replacing the
-    planar lon/lat projection)."""
-    dists = [
-        _seg_geo_sql(pp, ax, ay, bx, by)
-        for (ax, ay), (bx, by) in zip(verts, verts[1:])
-    ]
-    if len(dists) == 1:
-        return dists[0]
-    return f"LEAST({', '.join(dists)})"
+    planar lon/lat projection; many-edge chains switch to the
+    constant-array fold — see _GEO_UNROLL_MAX_EDGES)."""
+    return _min_seg_distance(
+        pp,
+        [(ax, ay, bx, by) for (ax, ay), (bx, by) in zip(verts, verts[1:])],
+    )
 
 
 def _line_distance(L: str, p: str) -> str:
