@@ -1415,6 +1415,220 @@ def evaluate_boosted_trees(df: DataFrame, model: dict) -> DataFrame:
     )
 
 
+# -- Random forest (r11) --------------------------------------------------------
+# BigQuery's random_forest_regressor / random_forest_classifier as a
+# COMPOSITION of the histogram-GBDT machinery: each member is a
+# single-tree fit (learning_rate=1, one boosting step — its leaf
+# values are shrunk subsample means, a proper regression tree) on a
+# DETERMINISTIC hash subsample (xxhash64 of the feature/label tuple
+# with the member index as seed — documented divergence from
+# BigQuery's true random bootstrap; rows with identical tuples
+# co-sample). Prediction averages member margins (regression) or
+# member sigmoids (classification) — bagging, not boosting.
+# ref parity: BigQuery ML random forest (delegated, main.py:21,49-50).
+
+
+def fit_random_forest(
+    df: DataFrame,
+    features: list[str],
+    label: str,
+    objective: str = "regression",
+    num_trees: int = 25,
+    max_depth: int = 6,
+    subsample: float = 0.8,
+    l2: float = 1.0,
+    min_split_loss: float = 0.0,
+    min_child_weight: float = 1.0,
+    num_bins: int = 32,
+) -> dict:
+    if not 0.0 < subsample <= 1.0:
+        raise ValueError(f"random forest: subsample {subsample!r}")
+    if num_trees < 2:
+        raise ValueError("random forest: num_parallel_tree must be >= 2")
+    cols = [F.col(c) for c in [*features, label]]
+    members = []
+    for t in range(num_trees):
+        sub = df
+        if subsample < 1.0:
+            sub = df.filter(
+                F.pmod(F.xxhash64(*cols, F.lit(t)), F.lit(1000))
+                < F.lit(int(subsample * 1000))
+            )
+        members.append(
+            fit_boosted_trees(
+                sub,
+                features,
+                label,
+                objective=objective,
+                num_trees=1,
+                max_depth=max_depth,
+                learning_rate=1.0,
+                l2=l2,
+                min_split_loss=min_split_loss,
+                min_child_weight=min_child_weight,
+                num_bins=num_bins,
+            )
+        )
+    return {
+        "model_type": "random_forest",
+        "objective": objective,
+        "features": list(features),
+        "label": label,
+        "num_trees": num_trees,
+        "subsample": subsample,
+        "members": members,
+    }
+
+
+def _rf_member_margin(member: dict, cols: list) -> F.Column:
+    return F.lit(member["base_score"]) + F.lit(
+        member["learning_rate"]
+    ) * _tree_value_expr(member["trees"][0], cols, on_bins=False)
+
+
+def _score_forest_pandas(model: dict):
+    """Arrow-batched numpy scorer for large forests (same fallback
+    tier as _score_boosted_pandas): averages member margins, or member
+    sigmoids for classifiers."""
+    import numpy as np
+
+    prepped = []
+    for m in model["members"]:
+        t = m["trees"][0]
+        splits = sorted(
+            ((int(k), v["f"], v["value_thr"]) for k, v in t["splits"].items())
+        )
+        max_id = max(
+            [int(k) for k in t["leaves"]]
+            + [2 * nid + 2 for nid, _, _ in splits],
+            default=0,
+        )
+        w = np.zeros(max_id + 1)
+        for k, v in t["leaves"].items():
+            w[int(k)] = v
+        prepped.append((m["base_score"], splits, w))
+    classify = model["objective"] == "classification"
+
+    @F.pandas_udf("double")
+    def score(feats: pd.DataFrame) -> pd.Series:
+        X = np.column_stack(
+            [
+                feats.iloc[:, i].to_numpy(dtype=float, na_value=np.nan)
+                for i in range(feats.shape[1])
+            ]
+        )
+        acc = np.zeros(len(X))
+        for base, splits, w in prepped:
+            node = np.zeros(len(X), dtype=np.int64)
+            for nid, f, thr in splits:
+                mask = node == nid
+                if not mask.any():
+                    continue
+                x = X[mask, f]
+                left = np.isnan(x) | (x < thr)
+                node[mask] = np.where(left, 2 * nid + 1, 2 * nid + 2)
+            margin = base + w[node]
+            acc += 1.0 / (1.0 + np.exp(-margin)) if classify else margin
+        return pd.Series(acc / len(prepped))
+
+    return score
+
+
+def predict_random_forest(
+    df: DataFrame,
+    model: dict,
+    out: str = "predicted_label",
+    prob_out: str | None = None,
+) -> DataFrame:
+    """Bagged-ensemble projection: the averaged forest is nested-IF
+    codegen on raw features when small, the Arrow scorer past
+    _BT_CODEGEN_MAX_NODES — one map stage, zero shuffles either way."""
+    cols = [F.col(c).cast("double") for c in model["features"]]
+    total_nodes = sum(
+        len(m["trees"][0]["splits"]) + len(m["trees"][0]["leaves"])
+        for m in model["members"]
+    )
+    classify = model["objective"] == "classification"
+    if total_nodes <= _BT_CODEGEN_MAX_NODES:
+        terms = []
+        for m in model["members"]:
+            margin = _rf_member_margin(m, cols)
+            terms.append(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+                if classify
+                else margin
+            )
+        score = sum(terms[1:], terms[0]) / F.lit(len(terms))
+    else:
+        score = _score_forest_pandas(model)(F.struct(*cols))
+    if classify:
+        po = prob_out or f"{out}_prob"
+        return df.withColumn(po, score).withColumn(
+            out, (F.col(po) >= 0.5).cast("int")
+        )
+    return df.withColumn(out, score)
+
+
+def evaluate_random_forest(df: DataFrame, model: dict) -> DataFrame:
+    """ML.EVALUATE for forests — the evaluator shape is shared with
+    the boosted family; only the scorer differs."""
+    if model["objective"] == "classification":
+        scored = predict_random_forest(
+            df, model, out="__yhat", prob_out="__p"
+        )
+        return _evaluate_scored_classifier(scored, model["label"])
+    pred = predict_random_forest(df, model, out="__p")
+    return _evaluate_scored_regressor(pred, model["label"])
+
+
+def _evaluate_scored_classifier(scored: DataFrame, label: str) -> DataFrame:
+    yv = F.col(label).cast("int")
+    tp = F.sum(((F.col("__yhat") == 1) & (yv == 1)).cast("long"))
+    fp = F.sum(((F.col("__yhat") == 1) & (yv == 0)).cast("long"))
+    fn = F.sum(((F.col("__yhat") == 0) & (yv == 1)).cast("long"))
+    eps = F.lit(1e-15)
+    pc = F.greatest(F.least(F.col("__p"), F.lit(1.0) - eps), eps)
+    ll = -F.avg(
+        yv.cast("double") * F.log(pc)
+        + (F.lit(1.0) - yv.cast("double")) * F.log(F.lit(1.0) - pc)
+    )
+    agg = scored.agg(
+        F.avg((F.col("__yhat") == yv).cast("double")).alias("accuracy"),
+        tp.alias("__tp"),
+        fp.alias("__fp"),
+        fn.alias("__fn"),
+        ll.alias("log_loss"),
+    )
+    prec = F.col("__tp") / F.greatest(F.col("__tp") + F.col("__fp"), F.lit(1))
+    rec = F.col("__tp") / F.greatest(F.col("__tp") + F.col("__fn"), F.lit(1))
+    return agg.select(
+        "accuracy",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-300))).alias(
+            "f1_score"
+        ),
+        "log_loss",
+    )
+
+
+def _evaluate_scored_regressor(pred: DataFrame, label: str) -> DataFrame:
+    err = F.col("__p") - F.col(label).cast("double")
+    yv = F.col(label).cast("double")
+    return pred.agg(
+        F.avg(F.abs(err)).alias("mean_absolute_error"),
+        F.avg(err * err).alias("mean_squared_error"),
+        (
+            F.lit(1.0)
+            - F.sum(err * err)
+            / (
+                F.sum(yv * yv)
+                - F.count(F.lit(1)) * F.pow(F.avg(yv), F.lit(2))
+            )
+        ).alias("r2_score"),
+    )
+
+
 def feature_importance_boosted(
     spark: SparkSession, model: dict
 ) -> DataFrame:
@@ -1911,6 +2125,14 @@ def explain_predict(df: DataFrame, model: dict, top_k: int = 3) -> DataFrame:
     mt = model["model_type"]
     if mt.startswith("boosted_tree"):
         return explain_boosted_trees(df, model, top_k)
+    if mt == "random_forest":
+        raise ValueError(
+            "ML.EXPLAIN_PREDICT: random_forest_* is not explained — "
+            "a classifier's bagged prediction (mean of member "
+            "sigmoids) is not linear in any member margin, so "
+            "averaged TreeSHAP would not sum to the prediction; use "
+            "ML.FEATURE_IMPORTANCE or a boosted_tree_* model"
+        )
     if mt not in ("linear_reg", "logistic_reg"):
         raise ValueError(
             "ML.EXPLAIN_PREDICT: linear_reg, logistic_reg or "

@@ -862,3 +862,93 @@ def q_funcs_r11b(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS safe_str
         FROM w GROUP BY seg ORDER BY seg
     """)
+
+
+@query(
+    "q_ml_forest",
+    sql="""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n,
+           TRUE AS reg_r2_ok, TRUE AS reg_mae_ok,
+           TRUE AS cls_acc_ok, TRUE AS cls_logloss_ok,
+           TRUE AS bagging_diverse
+    """,
+    tags=("ml", "bqml", "random_forest"),
+    # invariant twin: forest structure lives in engine-float space;
+    # the checks are fit-quality bounds on planted noiseless targets
+    twin="invariant",
+)
+def q_ml_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQML random forest (r11): ``CREATE MODEL … OPTIONS(model_type=
+    'random_forest_regressor'|'random_forest_classifier',
+    num_parallel_tree=…, subsample=…)`` then ``ML.EVALUATE`` /
+    ``ML.PREDICT``. Each member is a single histogram tree
+    (operators/ml.py fit_random_forest — one boosting step at
+    learning_rate 1, so leaves are shrunk subsample means) on a
+    deterministic hash subsample; prediction AVERAGES member margins
+    (regression) or member sigmoids (classification) — bagging.
+    Invariant twin: an axis-aligned step target must fit to r2 > 0.98
+    / MAE < 1.5, the box-label classifier to accuracy > 0.97 with
+    log-loss < 0.3, and the members must actually differ (bagging
+    diversity: > 1 distinct member base score — a subsampling bug that
+    trains every member on the full input collapses them). Reference:
+    BigQuery ML random forest (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    pts = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    ).select(
+        (F.col("o_orderkey") % 19).cast("double").alias("x1"),
+        (F.col("o_custkey") % 23).cast("double").alias("x2"),
+    ).select(
+        "x1",
+        "x2",
+        (
+            F.when(F.col("x1") > 9, 10.0).otherwise(0.0)
+            + F.when(F.col("x2") > 11, 5.0).otherwise(0.0)
+        ).alias("y"),
+        ((F.col("x1") > 8) & (F.col("x2") <= 15)).cast("int").alias("lbl"),
+    )
+    pts.createOrReplaceTempView("rf_pts")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL rfq_reg OPTIONS("
+        "model_type='random_forest_regressor', input_label_cols=['y'], "
+        "num_parallel_tree=8, max_tree_depth=4, subsample=0.7) "
+        "AS SELECT x1, x2, y FROM rf_pts"
+    )
+    cat.sql(
+        "CREATE OR REPLACE MODEL rfq_cls OPTIONS("
+        "model_type='random_forest_classifier', input_label_cols=['lbl'], "
+        "num_parallel_tree=8, max_tree_depth=4, subsample=0.7) "
+        "AS SELECT x1, x2, lbl FROM rf_pts"
+    )
+    ev_r = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL rfq_reg, "
+        "(SELECT x1, x2, y FROM rf_pts))"
+    )
+    ev_c = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL rfq_cls, "
+        "(SELECT x1, x2, lbl FROM rf_pts))"
+    )
+    bases = {
+        round(m["base_score"], 9)
+        for m in cat.models["rfq_reg"]["members"]
+    }
+    n_df = pts.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        n_df.crossJoin(ev_r)
+        .crossJoin(
+            ev_c.select(
+                F.col("accuracy").alias("__acc"),
+                F.col("log_loss").alias("__ll"),
+            )
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            (F.col("r2_score") > 0.98).alias("reg_r2_ok"),
+            (F.col("mean_absolute_error") < 1.5).alias("reg_mae_ok"),
+            (F.col("__acc") > 0.97).alias("cls_acc_ok"),
+            (F.col("__ll") < 0.3).alias("cls_logloss_ok"),
+            F.lit(len(bases) > 1).alias("bagging_diverse"),
+        )
+    )

@@ -3708,6 +3708,8 @@ class LakeCatalog:
             return _ml.evaluate_linear_reg(df, model)
         if mt.startswith("boosted_tree"):
             return _ml.evaluate_boosted_trees(df, model)
+        if mt == "random_forest":
+            return _ml.evaluate_random_forest(df, model)
         if mt == "matrix_factorization":
             rmse = _ml.evaluate_matrix_factorization(df, model)
             return self.spark.createDataFrame(
@@ -4008,12 +4010,40 @@ class LakeCatalog:
                 model["global_attributions"] = (
                     _ml.global_explain_boosted_stats(df, model)
                 )
+        elif mtype in ("random_forest_regressor", "random_forest_classifier"):
+            lm = re.search(r"(?:\[|\bARRAY\s*\()\s*'(\w+)'\s*(?:\]|\))", opts_text)
+            label = lm.group(1) if lm else opts.get("input_label_cols", "")
+            if not label:
+                raise ValueError(
+                    f"{mtype} needs input_label_cols=['<label>']"
+                )
+            feats = [c for c in df.columns if c != label]
+            _refuse_strings(feats)
+            model = _ml.fit_random_forest(
+                df,
+                feats,
+                label,
+                objective=(
+                    "regression"
+                    if mtype == "random_forest_regressor"
+                    else "classification"
+                ),
+                num_trees=int(opts.get("num_parallel_tree", 25)),
+                max_depth=int(opts.get("max_tree_depth", 6)),
+                subsample=float(opts.get("subsample", 0.8) or 0.8),
+                l2=float(opts.get("l2_reg", 1.0) or 1.0),
+                min_split_loss=float(opts.get("min_split_loss", 0) or 0),
+                min_child_weight=float(
+                    opts.get("min_tree_child_weight", 1.0) or 1.0
+                ),
+            )
         else:
             raise ValueError(
                 f"model_type {mtype!r} not implemented "
                 "(have: linear_reg, logistic_reg, kmeans, pca, "
                 "matrix_factorization, arima_plus, "
-                "boosted_tree_regressor, boosted_tree_classifier)"
+                "boosted_tree_regressor, boosted_tree_classifier, "
+                "random_forest_regressor, random_forest_classifier)"
             )
         if transform_items is not None:
             # persisted WITH the model: ML.PREDICT must re-apply the
@@ -4193,6 +4223,17 @@ class LakeCatalog:
                                 else None
                             ),
                         )
+                    elif model["model_type"] == "random_forest":
+                        df = _ml.predict_random_forest(
+                            df,
+                            model,
+                            out=f"predicted_{model['label']}",
+                            prob_out=(
+                                f"predicted_{model['label']}_prob"
+                                if model["objective"] == "classification"
+                                else None
+                            ),
+                        )
                     else:
                         df = _ml.predict_linear_reg(
                             df, model, out=f"predicted_{model['label']}"
@@ -4211,10 +4252,13 @@ class LakeCatalog:
                         )
                     elif model["model_type"].startswith("boosted_tree"):
                         df = _ml.evaluate_boosted_trees(df, model)
+                    elif model["model_type"] == "random_forest":
+                        df = _ml.evaluate_random_forest(df, model)
                     else:
                         raise ValueError(
                             "ML.EVALUATE: linear_reg, logistic_reg, "
-                            "boosted_tree_* or matrix_factorization"
+                            "boosted_tree_*, random_forest_* or "
+                            "matrix_factorization"
                         )
                 if fn == "PREDICT" and tr_added:
                     # BigQuery's ML.PREDICT output keeps the CALLER's

@@ -1540,3 +1540,82 @@ def test_global_explain_boosted_r11(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="enable_global_explain"):
         cat.sql("SELECT * FROM ML.GLOBAL_EXPLAIN(MODEL ge_plain)").collect()
+
+
+# -- Random forest (r11) --------------------------------------------------------
+
+
+def test_random_forest_regressor_fits_step(spark, cat):
+    from pyspark.sql import functions as F
+
+    pts = spark.range(1500).select(
+        (F.col("id") % 19).cast("double").alias("x1"),
+        (F.col("id") % 23).cast("double").alias("x2"),
+    ).withColumn(
+        "y",
+        F.when(F.col("x1") > 9, 10.0).otherwise(0.0)
+        + F.when(F.col("x2") > 11, 5.0).otherwise(0.0),
+    )
+    pts.createOrReplaceTempView("rft")
+    cat.sql(
+        "CREATE OR REPLACE MODEL rf1 OPTIONS("
+        "model_type='random_forest_regressor', input_label_cols=['y'], "
+        "num_parallel_tree=6, max_tree_depth=4, subsample=0.7) "
+        "AS SELECT * FROM rft"
+    )
+    ev = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL rf1, TABLE rft)"
+    ).collect()[0]
+    assert ev.r2_score > 0.98
+    # bagging: members trained on different subsamples differ
+    bases = {m["base_score"] for m in cat.models["rf1"]["members"]}
+    assert len(bases) > 1
+    # prediction column shape
+    row = cat.sql(
+        "SELECT predicted_y FROM ML.PREDICT(MODEL rf1, TABLE rft) LIMIT 1"
+    ).collect()[0]
+    assert isinstance(row.predicted_y, float)
+
+
+def test_random_forest_classifier_and_refusals(spark, cat):
+    from pyspark.sql import functions as F
+
+    pts = spark.range(1500).select(
+        (F.col("id") % 37).cast("double").alias("x1"),
+        (F.col("id") % 11).cast("double").alias("x2"),
+    ).withColumn("lbl", ((F.col("x1") + F.col("x2")) > 22).cast("int"))
+    pts.createOrReplaceTempView("rfc")
+    cat.sql(
+        "CREATE OR REPLACE MODEL rf2 OPTIONS("
+        "model_type='random_forest_classifier', input_label_cols=['lbl'], "
+        "num_parallel_tree=6, max_tree_depth=5) AS SELECT * FROM rfc"
+    )
+    ev = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL rf2, TABLE rfc)"
+    ).collect()[0]
+    assert ev.accuracy > 0.97 and ev.log_loss < 0.35
+    pred = cat.sql(
+        "SELECT predicted_lbl, predicted_lbl_prob "
+        "FROM ML.PREDICT(MODEL rf2, TABLE rfc) LIMIT 1"
+    ).collect()[0]
+    assert pred.predicted_lbl in (0, 1)
+    assert 0.0 <= pred.predicted_lbl_prob <= 1.0
+    # named refusals: explainability, bad options
+    with pytest.raises(ValueError, match="random_forest"):
+        cat.sql(
+            "SELECT * FROM ML.EXPLAIN_PREDICT(MODEL rf2, TABLE rfc)"
+        ).collect()
+    with pytest.raises(ValueError, match="num_parallel_tree"):
+        cat.sql(
+            "CREATE OR REPLACE MODEL rf3 OPTIONS("
+            "model_type='random_forest_regressor', "
+            "input_label_cols=['lbl'], num_parallel_tree=1) "
+            "AS SELECT * FROM rfc"
+        )
+    with pytest.raises(ValueError, match="subsample"):
+        cat.sql(
+            "CREATE OR REPLACE MODEL rf4 OPTIONS("
+            "model_type='random_forest_regressor', "
+            "input_label_cols=['lbl'], subsample=1.5) "
+            "AS SELECT * FROM rfc"
+        )
