@@ -65,6 +65,7 @@ NON_EQUI_OK = {
     "q_ml_split_explain", # four 1-row invariant summaries crossed (r10)
     "q_ml_categorical",   # four 1-row invariant summaries crossed (r10)
     "q_ml_explain_tree",  # 1-row TreeSHAP summary × 1-row global-explain
+    "q_ml_forest",        # 1-row eval summaries cross (q_ml_boosted shape)
                           # summary crossed (r11, same pattern)
 }
 
