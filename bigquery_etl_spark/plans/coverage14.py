@@ -952,3 +952,87 @@ def q_ml_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(bases) > 1).alias("bagging_diverse"),
         )
     )
+
+
+_FUNCS_R11C_ORACLE = """
+WITH base AS (
+    SELECT c_mktsegment AS seg, c_name,
+           CAST(c_acctbal AS DOUBLE) AS bal,
+           c_custkey,
+           CAST(NULLIF(c_custkey % 10, 0) AS DOUBLE) AS v
+    FROM customer
+),
+seg_avg AS (
+    SELECT seg, AVG(v) AS av, SUM(v) AS sv,
+           SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null
+    FROM base GROUP BY seg
+)
+SELECT b.seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_b32_rt,
+       MIN('MZXW6YTBOI======') AS b32_const,
+       MIN('spark-graft') AS proj,
+       CAST(SUM(CAST(CASE WHEN c_custkey % 5 = 0 THEN 0
+                WHEN b.bal / (c_custkey % 5) IS NULL THEN 0
+                ELSE b.bal / (c_custkey % 5) END
+                AS DECIMAL(38,9))) AS DOUBLE) AS safe_div_sum,
+       CAST(SUM(CASE WHEN (c_custkey % 7) - 3 <= 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_log_null,
+       CAST(SUM(CAST(COALESCE(b.v, s.av) AS DECIMAL(38,9)))
+           AS DOUBLE) AS imputed_sum
+FROM base b JOIN seg_avg s ON s.seg = b.seg
+GROUP BY b.seg ORDER BY b.seg
+"""
+
+
+@query(
+    "q_funcs_r11c",
+    sql=_FUNCS_R11C_ORACLE,
+    tags=("dialect", "functions"),
+)
+def q_funcs_r11c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third r11 function batch — the SAFE. prefix (BigQuery's general
+    error-suppression prefix: TRY-lowered arithmetic, domain-guarded
+    math, no-op on total functions), RFC 4648 base32
+    (TO_BASE32/FROM_BASE32 — hex-boundary shift arithmetic, pinned
+    against the RFC's published vectors in the suite), ML.IMPUTER
+    window imputation, and @@project_id system-variable substitution.
+    EXACT twin: the oracle recomputes SAFE.DIVIDE as its CASE closed
+    form, SAFE.LOG's domain as a sign test, the mean-imputation as
+    COALESCE against the per-group average, and the base32 round-trip
+    count as COUNT(*) (the encode/decode pair must be the identity on
+    every c_name). Decimal-cast sums keep the float tails identical.
+    Reference: BigQuery SAFE prefix / conversion function docs
+    (delegated surface, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("f3_cust")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH base AS (
+            SELECT c_mktsegment AS seg, c_name,
+                   CAST(c_acctbal AS FLOAT64) AS bal,
+                   c_custkey,
+                   CAST(NULLIF(MOD(c_custkey, 10), 0) AS FLOAT64) AS v
+            FROM f3_cust
+        ),
+        w AS (
+            SELECT seg, c_name, bal, c_custkey,
+                   ML.IMPUTER(v, 'mean')
+                       OVER(PARTITION BY seg) AS v_filled
+            FROM base
+        )
+        SELECT seg,
+               CAST(COUNT(*) AS INT64) AS n,
+               COUNTIF(CAST(FROM_BASE32(TO_BASE32(CAST(c_name AS BYTES)))
+                   AS STRING) = c_name) AS n_b32_rt,
+               MIN(TO_BASE32(CAST('foobar' AS BYTES))) AS b32_const,
+               MIN(@@project_id) AS proj,
+               CAST(SUM(CAST(IFNULL(SAFE.DIVIDE(bal, MOD(c_custkey, 5)),
+                   0) AS NUMERIC)) AS FLOAT64) AS safe_div_sum,
+               COUNTIF(SAFE.LOG(MOD(c_custkey, 7) - 3) IS NULL)
+                   AS n_log_null,
+               CAST(SUM(CAST(v_filled AS NUMERIC)) AS FLOAT64)
+                   AS imputed_sum
+        FROM w GROUP BY seg ORDER BY seg
+    """)

@@ -3962,6 +3962,166 @@ def _regexp_instr_rewriter(args: list[str]) -> str | None:
     )
 
 
+# -- SAFE. prefix (r11) ----------------------------------------------------------
+# BigQuery's general error-suppression prefix. Three lowering classes:
+# arithmetic/cast -> the TRY_/SAFE_ forms the dialect already lowers;
+# math domain errors -> explicit domain-guard CASEs (NULL outside the
+# domain — Spark ANSI raises there); total functions -> the prefix
+# drops (they cannot raise on validly-typed input; divergence note:
+# BigQuery's SUBSTR errors on a negative length where Spark returns
+# '', so SAFE.SUBSTR differs only on that malformed-argument path).
+# SAFE.PARSE_DATE/_TIMESTAMP/_DATETIME are handled by the %-format
+# pass (try_to_timestamp). Anything else refuses BY NAME.
+
+_SAFE_ARITH = {
+    "CAST": "SAFE_CAST", "DIVIDE": "SAFE_DIVIDE", "ADD": "SAFE_ADD",
+    "SUBTRACT": "SAFE_SUBTRACT", "MULTIPLY": "SAFE_MULTIPLY",
+}
+_SAFE_TOTAL = {
+    "SUBSTR", "SUBSTRING", "LOWER", "UPPER", "TRIM", "LTRIM", "RTRIM",
+    "REPLACE", "REVERSE", "LENGTH", "CHAR_LENGTH", "CHARACTER_LENGTH",
+    "BYTE_LENGTH", "LEFT", "RIGHT", "LPAD", "RPAD", "SPLIT",
+    "STARTS_WITH", "ENDS_WITH", "STRPOS", "INSTR", "CONCAT", "FORMAT",
+    "REGEXP_CONTAINS", "REGEXP_REPLACE", "REGEXP_EXTRACT",
+    "REGEXP_EXTRACT_ALL", "GREATEST", "LEAST", "COALESCE", "IFNULL",
+    "NULLIF", "JSON_VALUE", "JSON_QUERY", "TO_HEX", "TO_BASE64",
+}
+_SAFE_PASSTHRU = {"PARSE_DATE", "PARSE_TIMESTAMP", "PARSE_DATETIME"}
+
+
+def _safe_domain_guard(name: str, args: list[str]) -> str | None:
+    x = args[0].strip() if args else ""
+    null_d = "CAST(NULL AS DOUBLE)"
+    if name in ("LN", "LOG10") or (name == "LOG" and len(args) == 1):
+        return (
+            f"(CASE WHEN ({x}) <= 0 THEN {null_d} "
+            f"ELSE {'LOG10' if name == 'LOG10' else 'LN'}({x}) END)"
+        )
+    if name == "LOG" and len(args) == 2:
+        b = args[1].strip()
+        return (
+            f"(CASE WHEN ({x}) <= 0 OR ({b}) <= 0 OR ({b}) = 1 "
+            f"THEN {null_d} ELSE LOG({b}, {x}) END)"
+        )
+    if name == "SQRT":
+        return f"(CASE WHEN ({x}) < 0 THEN {null_d} ELSE SQRT({x}) END)"
+    if name in ("ASIN", "ACOS"):
+        return (
+            f"(CASE WHEN ABS({x}) > 1 THEN {null_d} "
+            f"ELSE {name}({x}) END)"
+        )
+    if name in ("POW", "POWER"):
+        if len(args) != 2:
+            raise BQDialectError(f"SAFE.{name} expects (x, y)")
+        # Spark yields NaN where BigQuery raises; SAFE maps both to NULL
+        return f"NANVL(POWER({x}, {args[1].strip()}), {null_d})"
+    return None
+
+
+def _rewrite_safe_prefix(sql: str) -> str:
+    rx = re.compile(r"(?i)\bSAFE\s*\.\s*(\w+)\s*\(")
+    from bigquery_etl_spark.sources.lake_sql import _matching_paren
+
+    for s, open_idx in reversed(_call_sites(sql, rx)):
+        m = rx.match(sql, s)
+        name = m.group(1).upper()
+        if name in _SAFE_PASSTHRU:
+            continue  # the %-format pass lowers these with try_to_*
+        close = _matching_paren(sql, open_idx)
+        args = _split_args(sql[open_idx + 1 : close])
+        inner = sql[open_idx + 1 : close]
+        if name in _SAFE_ARITH:
+            out = f"{_SAFE_ARITH[name]}({inner})"
+        elif name == "NEGATE":
+            out = f"TRY_SUBTRACT(0, {inner})"
+        elif name in ("PARSE_NUMERIC", "PARSE_BIGNUMERIC"):
+            scale = 9 if name == "PARSE_NUMERIC" else 19
+            out = (
+                f"TRY_CAST(TRIM(({inner})) AS DECIMAL(38, {scale}))"
+            )
+        elif name in _SAFE_TOTAL:
+            out = f"{name}({inner})"
+        else:
+            out = _safe_domain_guard(name, args)
+            if out is None:
+                raise BQDialectError(
+                    f"SAFE.{name} is not implemented (have: the "
+                    "TRY-lowered arithmetic/cast family, domain-guarded "
+                    "LN/LOG/LOG10/SQRT/ASIN/ACOS/POW, SAFE.PARSE_*, and "
+                    "total string/JSON functions where SAFE is a no-op)"
+                )
+        sql = sql[:s] + out + sql[close + 1 :]
+    return sql
+
+
+# -- Base32 (r11) ----------------------------------------------------------------
+# RFC 4648 base32 over the hex-string boundary: 5-byte (10-hex-char)
+# groups map to 40-bit ints via CONV, symbols extract with shifts, the
+# final partial quantum zero-pads bits and '='-pads symbols — exactly
+# the RFC rules, pinned against its published test vectors in the
+# suite. One small lambda per group (codegen-sized), no UDFs.
+
+_B32_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+
+def _to_base32_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError("TO_BASE32 expects (bytes)")
+    h = f"UPPER(HEX(({args[0].strip()})))"
+    chunk = "SUBSTRING(__h32, (__g - 1) * 10 + 1, 10)"
+    v = f"CAST(CONV(RPAD({chunk}, 10, '0'), 16, 10) AS BIGINT)"
+    syms = "".join(
+        f"SUBSTRING('{_B32_ALPHA}', "
+        f"CAST((SHIFTRIGHT(__v, {35 - 5 * j}) % 32) AS INT) + 1, 1), "
+        for j in range(8)
+    ).rstrip(", ")
+    nchars = f"CAST(CEIL(LENGTH({chunk}) * 4 / 5.0) AS INT)"
+    group = (
+        f"CONCAT(SUBSTRING(CONCAT({syms}), 1, {nchars}), "
+        f"REPEAT('=', 8 - {nchars}))"
+    ).replace("__v", v)
+    return (
+        f"(CASE WHEN ({args[0].strip()}) IS NULL THEN NULL "
+        f"WHEN LENGTH({h}) = 0 THEN '' ELSE "
+        f"ARRAY_JOIN(TRANSFORM(ARRAY({h}), __h32 -> "
+        f"ARRAY_JOIN(TRANSFORM(SEQUENCE(1, "
+        f"CAST(CEIL(LENGTH(__h32) / 10.0) AS INT)), "
+        f"__g -> {group}), '')), '') END)"
+    )
+
+
+def _from_base32_rewriter(args: list[str]) -> str:
+    if len(args) != 1:
+        raise BQDialectError("FROM_BASE32 expects (string)")
+    s = f"REPLACE(UPPER(({args[0].strip()})), '=', '')"
+    chunk = "SUBSTRING(__s32, (__g - 1) * 8 + 1, 8)"
+    val = (
+        f"(CASE WHEN __j > LENGTH({chunk}) THEN 0 "
+        f"WHEN INSTR('{_B32_ALPHA}', SUBSTRING({chunk}, __j, 1)) = 0 "
+        f"THEN CAST(RAISE_ERROR(CONCAT('FROM_BASE32: invalid base32 "
+        f"character ', SUBSTRING({chunk}, __j, 1))) AS INT) "
+        f"ELSE INSTR('{_B32_ALPHA}', SUBSTRING({chunk}, __j, 1)) - 1 "
+        f"END)"
+    )
+    v = (
+        f"AGGREGATE(TRANSFORM(SEQUENCE(1, 8), __j -> "
+        f"SHIFTLEFT(CAST({val} AS BIGINT), 40 - 5 * __j)), "
+        f"CAST(0 AS BIGINT), (__a, __x) -> __a + __x)"
+    )
+    nb = f"CAST(FLOOR(LENGTH({chunk}) * 5 / 8.0) AS INT)"
+    group_hex = (
+        f"LPAD(HEX(SHIFTRIGHT({v}, 40 - 8 * {nb})), {nb} * 2, '0')"
+    )
+    return (
+        f"(CASE WHEN ({args[0].strip()}) IS NULL THEN NULL ELSE "
+        f"UNHEX(ARRAY_JOIN(TRANSFORM(ARRAY({s}), __s32 -> "
+        f"CASE WHEN LENGTH(__s32) = 0 THEN '' ELSE "
+        f"ARRAY_JOIN(TRANSFORM(SEQUENCE(1, "
+        f"CAST(CEIL(LENGTH(__s32) / 8.0) AS INT)), "
+        f"__g -> {group_hex}), '') END), '')) END)"
+    )
+
+
 # -- Geohash (r11) --------------------------------------------------------------
 # ST_GEOHASH encodes by bit-interleaving the scaled lon/lat integers —
 # the textbook closed form, unrolled at translate time for a LITERAL
@@ -4490,13 +4650,13 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
     FEATURE_CROSS, …) refuses by name."""
     if re.match(r"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\b", sql):
         return sql
-    for name in ("STANDARD_SCALER", "MIN_MAX_SCALER"):
+    for name in ("STANDARD_SCALER", "MIN_MAX_SCALER", "IMPUTER"):
         rx = re.compile(rf"(?i)\bML\s*\.\s*{name}\s*\(")
         for s, open_idx in reversed(_call_sites(sql, rx)):
             from bigquery_etl_spark.sources.lake_sql import _matching_paren
 
             close = _matching_paren(sql, open_idx)
-            x = sql[open_idx + 1 : close].strip()
+            inner = sql[open_idx + 1 : close].strip()
             om = re.match(r"\s*OVER\s*\(", sql[close + 1 :], re.IGNORECASE)
             if not om:
                 raise BQDialectError(
@@ -4506,13 +4666,36 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
             oopen = close + 1 + om.end() - 1
             oclose = _matching_paren(sql, oopen)
             w = sql[oopen + 1 : oclose]
-            if name == "STANDARD_SCALER":
+            if name == "IMPUTER":
+                # r11: ML.IMPUTER(x, strategy) — fill NULLs with the
+                # window's mean / median / most_frequent statistic
+                parts = _split_args(inner)
+                if len(parts) != 2:
+                    raise BQDialectError(
+                        "ML.IMPUTER expects (expr, strategy)"
+                    )
+                x = parts[0].strip()
+                strat = parts[1].strip().strip("'\"").lower()
+                stat = {
+                    "mean": f"AVG({x}) OVER({w})",
+                    "median": f"PERCENTILE({x}, 0.5) OVER({w})",
+                    "most_frequent": f"MODE({x}) OVER({w})",
+                }.get(strat)
+                if stat is None:
+                    raise BQDialectError(
+                        f"ML.IMPUTER: unknown strategy {strat!r} "
+                        "(have: mean, median, most_frequent)"
+                    )
+                rep = f"COALESCE(({x}), {stat})"
+            elif name == "STANDARD_SCALER":
+                x = inner
                 rep = (
                     f"(CASE WHEN STDDEV({x}) OVER({w}) = 0 THEN 0.0 "
                     f"ELSE (({x}) - AVG({x}) OVER({w})) "
                     f"/ STDDEV({x}) OVER({w}) END)"
                 )
             else:
+                x = inner
                 rep = (
                     f"(CASE WHEN MAX({x}) OVER({w}) = MIN({x}) OVER({w}) "
                     f"THEN 0.0 ELSE (({x}) - MIN({x}) OVER({w})) "
@@ -4599,6 +4782,7 @@ def translate(sql: str) -> str:
     """BigQuery Standard SQL → Spark SQL for the shimmed surface."""
     sql = _rewrite_create_function(sql)
     sql = _rewrite_aead(sql)
+    sql = _rewrite_safe_prefix(sql)
     sql = _rewrite_calls(sql, "TEXT_ANALYZE", _text_analyze_rewriter)
     sql = _rewrite_calls(
         sql, r"ML\s*\.\s*BAG_OF_WORDS", _ml_bag_of_words_rewriter
@@ -4643,6 +4827,32 @@ def translate(sql: str) -> str:
     sql = _rewrite_calls(
         sql, "ST_GEOGPOINTFROMGEOHASH", _st_from_geohash_rewriter
     )
+    sql = _rewrite_calls(sql, "TO_BASE32", _to_base32_rewriter)
+    sql = _rewrite_calls(sql, "FROM_BASE32", _from_base32_rewriter)
+    # BigQuery system variables (island-aware literal substitution):
+    # the engine has no project/dataset hierarchy — documented stand-in
+    # values so ported queries parse and behave deterministically
+    if "@@" in sql:
+        out_parts, i, n = [], 0, len(sql)
+        from bigquery_etl_spark.sources.lake_sql import _skip_island
+
+        while i < n:
+            j = _skip_island(sql, i)
+            if j != i:
+                out_parts.append(sql[i:j])
+                i = j
+                continue
+            m = re.match(r"@@(project_id|dataset_id)\b", sql[i:], re.I)
+            if m:
+                out_parts.append(
+                    "'spark-graft'" if m.group(1).lower() == "project_id"
+                    else "'default'"
+                )
+                i += m.end()
+                continue
+            out_parts.append(sql[i])
+            i += 1
+        sql = "".join(out_parts)
     rx_ff = re.compile(r"(?i)\bFARM_FINGERPRINT\s*\(")
     if _call_sites(sql, rx_ff):
         raise BQDialectError(

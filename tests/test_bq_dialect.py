@@ -1901,3 +1901,80 @@ def test_array_concat_agg_safe_bytes_regexp_instr(fcat):
     assert r.n == 6  # three rows x two elements
     assert r.s == "ok�"
     assert r.ri == 4
+
+
+# -- SAFE. prefix, base32, ML.IMPUTER, system variables (r11) -------------------
+
+
+def test_safe_prefix_family(fcat):
+    r = fcat.bq_sql("""
+        SELECT SAFE.LOG(-1) AS log_neg,
+               SAFE.LOG(100, 10) AS log_b,
+               SAFE.SQRT(-4) AS sqrt_neg,
+               SAFE.ASIN(2) AS asin_out,
+               SAFE.POW(-8.0, 0.5) AS pow_nan,
+               SAFE.DIVIDE(4, 0) AS div0,
+               SAFE.NEGATE(5) AS neg,
+               SAFE.SUBSTR('abc', 1, 2) AS sub,
+               SAFE.PARSE_NUMERIC('zzz') AS pn,
+               SAFE.PARSE_DATE('%Y-%m-%d', 'nope') AS pd
+        FROM ft LIMIT 1
+    """).collect()[0]
+    assert r.log_neg is None and r.sqrt_neg is None
+    assert r.asin_out is None and r.pow_nan is None
+    assert r.div0 is None and r.pn is None and r.pd is None
+    assert r.log_b == 2.0 and r.neg == -5 and r.sub == "ab"
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    with pytest.raises(BQDialectError, match="SAFE.ARRAY_AGG"):
+        translate("SELECT SAFE.ARRAY_AGG(x) FROM t")
+
+
+def test_base32_rfc4648_vectors(fcat):
+    # the RFC's own published vectors, encode AND decode
+    vectors = [
+        ("", ""), ("f", "MY======"), ("fo", "MZXQ===="),
+        ("foo", "MZXW6==="), ("foob", "MZXW6YQ="),
+        ("fooba", "MZXW6YTB"), ("foobar", "MZXW6YTBOI======"),
+    ]
+    sel = ", ".join(
+        f"TO_BASE32(CAST('{p}' AS BYTES)) AS e{i}, "
+        f"CAST(FROM_BASE32('{b}') AS STRING) AS d{i}"
+        for i, (p, b) in enumerate(vectors)
+    )
+    r = fcat.bq_sql(f"SELECT {sel} FROM ft LIMIT 1").collect()[0]
+    for i, (p, b) in enumerate(vectors):
+        assert r[f"e{i}"] == b, (p, r[f"e{i}"])
+        assert r[f"d{i}"] == p, (b, r[f"d{i}"])
+    with pytest.raises(Exception, match="invalid base32"):
+        fcat.bq_sql(
+            "SELECT FROM_BASE32('M!======') AS v FROM ft LIMIT 1"
+        ).collect()
+
+
+def test_ml_imputer_and_system_vars(fcat):
+    fcat.spark.createDataFrame(
+        [(4.0,), (None,), (1.0,)], "x double"
+    ).createOrReplaceTempView("imp_t")
+    rows = fcat.bq_sql("""
+        SELECT ML.IMPUTER(x, 'mean') OVER() AS m,
+               ML.IMPUTER(x, 'median') OVER() AS md
+        FROM imp_t
+    """).collect()
+    assert sorted(r.m for r in rows) == [1.0, 2.5, 4.0]
+    assert sorted(r.md for r in rows) == [1.0, 2.5, 4.0]
+    r = fcat.bq_sql(
+        "SELECT @@project_id AS p, @@dataset_id AS d, "
+        "'@@project_id' AS lit FROM ft LIMIT 1"
+    ).collect()[0]
+    assert (r.p, r.d, r.lit) == ("spark-graft", "default", "@@project_id")
+    from bigquery_etl_spark.sources.bq_dialect import (
+        BQDialectError,
+        translate,
+    )
+
+    with pytest.raises(BQDialectError, match="strategy"):
+        translate("SELECT ML.IMPUTER(x, 'mode') OVER() FROM t")

@@ -20,6 +20,7 @@ SLOW_NOTES = {
     "q_dedup_minhash_recall": "bound-CHECK query: verifies EVERY planted pair survives LSH+rerank — on the soak corpus (~90% verbatim copies) each identical-text group of ~20 docs yields all ~190 candidate pairs by construction (bounded per group, linear overall); the production dedup path (q_dedup_minhash) keeps only group minima",
     "q_ml_boosted": "histogram-GBDT FIT at sf1 (num_trees x depth x one aggregate pass each) runs inside the query; scoring alone is a broadcast-constants projection",
     "q_ml_forest": "TWO random-forest FITS at sf1 run inside the query (8 regressor + 8 classifier members, each a binning pass + depth-4 histogram passes on its hash subsample); scoring/evaluate alone is one codegen projection per model",
+    "q_funcs_r11c": "encodes AND decodes every customer name through RFC-4648 base32 (two per-group lambda HOF transcodes per row — the round-trip identity IS the check) plus a window-imputation pass; ~30us/row of deliberate per-row string work, linear, zero shuffle growth",
     "q_ml_inspect": "trains the model + 101-threshold exact ROC + confusion pivot in one query; each piece is a single aggregate pass",
     "q_delta_multipart_interop": "one-time scratch fixture build (hand-laid multi-part + v2/sidecar checkpoint table) dominates; the read itself is one parquet scan per snapshot",
     "q_appends_changes": "one-time scratch fixture build (4 versioned commits incl. UPDATE/DELETE change capture over 1.5M rows) dominates; the TVF reads are unions of immutable parquet scans",
