@@ -361,6 +361,73 @@ def predict_kmeans(
     return df.withColumn(out, _argmin_dist(vec, model["centroids"]))
 
 
+def evaluate_kmeans(df: DataFrame, model: dict) -> DataFrame:
+    """``ML.EVALUATE(MODEL kmeans, t)`` — BigQuery's two clustering
+    metrics: mean_squared_distance (mean squared Euclidean distance to
+    the assigned centroid) and davies_bouldin_index (DB = (1/k)·Σᵢ
+    maxⱼ≠ᵢ (Sᵢ+Sⱼ)/Mᵢⱼ with Sᵢ = mean point→centroidᵢ distance and
+    Mᵢⱼ = centroid separation — the public closed form). ONE
+    distributed aggregate pass (assign + per-cluster mean distances,
+    k rows to the driver); the k×k combination is driver-side
+    arithmetic on the tiny result. ref: BigQuery ML.EVALUATE for
+    kmeans (delegated surface, main.py:21,49-50)."""
+    import math
+
+    cents = model["centroids"]
+    vec = F.array(*[F.col(c).cast("double") for c in model["features"]])
+    assigned = df.withColumn("__cid", _argmin_dist(vec, cents))
+    d2 = F.lit(0.0)
+    for i, c in enumerate(cents):
+        dist2 = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        d2 = F.when(F.col("__cid") == i, dist2).otherwise(d2)
+    per = (
+        assigned.groupBy("__cid")
+        .agg(
+            F.avg(F.sqrt(d2)).alias("__s"),
+            F.avg(d2).alias("__ms"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .collect()
+    )
+    s = {r["__cid"]: r["__s"] for r in per}
+    n = {r["__cid"]: r["__n"] for r in per}
+    total = sum(n.values())
+    msd = sum(r["__ms"] * r["__n"] for r in per) / total
+    k = len(cents)
+    sep = {}
+    for i in range(k):
+        for j in range(i + 1, k):
+            sep[(i, j)] = math.sqrt(
+                sum((a - b) ** 2 for a, b in zip(cents[i], cents[j]))
+            )
+    ratios = []
+    for i in range(k):
+        if i not in s:
+            continue  # empty cluster contributes nothing
+        best = 0.0
+        for j in range(k):
+            if j == i or j not in s:
+                continue
+            m = sep[(min(i, j), max(i, j))]
+            if m > 0:
+                best = max(best, (s[i] + s[j]) / m)
+        ratios.append(best)
+    db = sum(ratios) / len(ratios) if ratios else 0.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(float(db), float(msd))],
+        "davies_bouldin_index double, mean_squared_distance double",
+    )
+
+
 # -- PCA (r7, VERDICT r6 item 6) ----------------------------------------------
 
 

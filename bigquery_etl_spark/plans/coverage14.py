@@ -1036,3 +1036,53 @@ def q_funcs_r11c(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS imputed_sum
         FROM w GROUP BY seg ORDER BY seg
     """)
+
+
+@query(
+    "q_ml_kmeans_eval",
+    sql="""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0) AS n,
+           TRUE AS db_small, TRUE AS msd_bounded, TRUE AS msd_positive
+    """,
+    tags=("ml", "bqml", "kmeans"),
+    # invariant twin: centroids live in engine-float space; the checks
+    # bound the two public clustering metrics on planted blobs
+    twin="invariant",
+)
+def q_ml_kmeans_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ML.EVALUATE(MODEL kmeans, t)`` (r11): BigQuery's clustering
+    metrics — davies_bouldin_index and mean_squared_distance — from
+    ONE distributed assign+aggregate pass (k rows to the driver, then
+    k×k closed-form arithmetic; operators/ml.py evaluate_kmeans).
+    Invariant twin: two planted blobs 30 apart with ≤1.4 of jitter
+    must evaluate to DB < 0.1 (well-separated) and 0 < MSD < 1 (the
+    within-blob jitter bound). Reference: BigQuery ML.EVALUATE for
+    kmeans (delegated, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    ).select(
+        (
+            F.when(F.col("o_orderkey") % 8 == 0, 0.0).otherwise(30.0)
+            + (F.col("o_custkey") % 7).cast("double") / 7.0
+        ).alias("x1"),
+        ((F.col("o_custkey") % 5).cast("double") / 5.0).alias("x2"),
+    ).createOrReplaceTempView("kme_pts")
+    cat = LakeCatalog(spark)
+    cat.sql(
+        "CREATE OR REPLACE MODEL kme_m OPTIONS("
+        "model_type='kmeans', num_clusters=2) "
+        "AS SELECT x1, x2 FROM kme_pts"
+    )
+    ev = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL kme_m, "
+        "(SELECT x1, x2 FROM kme_pts))"
+    )
+    n_df = spark.table("kme_pts").agg(F.count(F.lit(1)).alias("n"))
+    return n_df.crossJoin(ev).select(
+        F.col("n").cast("long").alias("n"),
+        (F.col("davies_bouldin_index") < 0.1).alias("db_small"),
+        (F.col("mean_squared_distance") < 1.0).alias("msd_bounded"),
+        (F.col("mean_squared_distance") > 0.0).alias("msd_positive"),
+    )

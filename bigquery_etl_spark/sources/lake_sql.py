@@ -4254,11 +4254,13 @@ class LakeCatalog:
                         df = _ml.evaluate_boosted_trees(df, model)
                     elif model["model_type"] == "random_forest":
                         df = _ml.evaluate_random_forest(df, model)
+                    elif model["model_type"] == "kmeans":
+                        df = _ml.evaluate_kmeans(df, model)
                     else:
                         raise ValueError(
                             "ML.EVALUATE: linear_reg, logistic_reg, "
-                            "boosted_tree_*, random_forest_* or "
-                            "matrix_factorization"
+                            "boosted_tree_*, random_forest_*, kmeans "
+                            "or matrix_factorization"
                         )
                 if fn == "PREDICT" and tr_added:
                     # BigQuery's ML.PREDICT output keeps the CALLER's

@@ -1619,3 +1619,40 @@ def test_random_forest_classifier_and_refusals(spark, cat):
             "input_label_cols=['lbl'], subsample=1.5) "
             "AS SELECT * FROM rfc"
         )
+
+
+def test_kmeans_evaluate_metrics(spark, cat):
+    from pyspark.sql import functions as F
+
+    # two distinct-point blobs with jitter -> well-separated clusters
+    spark.range(600).select(
+        (
+            F.when(F.col("id") % 2 == 0, 0.0).otherwise(30.0)
+            + (F.col("id") % 7).cast("double") / 7.0
+        ).alias("x1"),
+        ((F.col("id") % 5).cast("double") / 5.0).alias("x2"),
+    ).createOrReplaceTempView("kme_t")
+    cat.sql(
+        "CREATE OR REPLACE MODEL kme OPTIONS(model_type='kmeans', "
+        "num_clusters=2) AS SELECT x1, x2 FROM kme_t"
+    )
+    r = cat.sql(
+        "SELECT * FROM ML.EVALUATE(MODEL kme, "
+        "(SELECT x1, x2 FROM kme_t))"
+    ).collect()[0]
+    assert 0.0 < r.davies_bouldin_index < 0.1
+    assert 0.0 < r.mean_squared_distance < 1.0
+    # hand-checkable: within-blob scatter is the uniform-grid moment
+    # E[(x-mean)^2] over the 7x5 jitter lattice (x1 var + x2 var)
+    import itertools
+
+    xs = [i / 7.0 for i in range(7)]
+    ys = [j / 5.0 for j in range(5)]
+    mx, my = sum(xs) / 7, sum(ys) / 5
+    expect = (
+        sum((x - mx) ** 2 for x in xs) / 7
+        + sum((y - my) ** 2 for y in ys) / 5
+    )
+    # the fitted centroids sit at the blob means (balanced lattice), so
+    # MSD equals the lattice moment almost exactly
+    assert abs(r.mean_squared_distance - expect) < 0.02

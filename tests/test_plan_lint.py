@@ -66,6 +66,7 @@ NON_EQUI_OK = {
     "q_ml_categorical",   # four 1-row invariant summaries crossed (r10)
     "q_ml_explain_tree",  # 1-row TreeSHAP summary × 1-row global-explain
     "q_ml_forest",        # 1-row eval summaries cross (q_ml_boosted shape)
+    "q_ml_kmeans_eval",   # 1-row metrics frame cross (q_ml_boosted shape)
                           # summary crossed (r11, same pattern)
 }
 
