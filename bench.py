@@ -185,6 +185,10 @@ HEADLINE = [
     # r11: SAFE./base32/imputer — matched: oracle recomputes every leg
     # closed-form over the same rows
     "q_funcs_r11c",
+    # r11: date-boundary semantics — matched: DuckDB's date_diff is
+    # natively boundary-based; the week anchors recompute the same
+    # unix-day shifts
+    "q_date_boundaries",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

@@ -1086,3 +1086,78 @@ def q_ml_kmeans_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mean_squared_distance") < 1.0).alias("msd_bounded"),
         (F.col("mean_squared_distance") > 0.0).alias("msd_positive"),
     )
+
+
+# DuckDB spellings of BigQuery's week anchors (unix-day arithmetic;
+# anchors = first <weekday> on/after 1970-01-01, Thursday=0):
+# SUNDAY=3, WEDNESDAY=6 — keep in sync with bq_dialect._WEEK_ANCHOR.
+def _duck_week_start(expr: str, off: int) -> str:
+    ud = f"date_diff('day', DATE '1970-01-01', {expr})"
+    return f"({ud} - (({ud} - {off}) % 7))"
+
+
+_DATE_BOUNDARIES_ORACLE = f"""
+SELECT o_orderpriority AS prio,
+       CAST(SUM(date_diff('month', DATE '1995-06-15', o_orderdate))
+           AS BIGINT) AS m_sum,
+       CAST(SUM(({_duck_week_start('o_orderdate', 3)}
+                 - {_duck_week_start("DATE '1995-06-15'", 3)}) // 7)
+           AS BIGINT) AS w_sum,
+       CAST(SUM(date_diff('week', DATE '1995-06-15', o_orderdate))
+           AS BIGINT) AS iw_sum,
+       CAST(SUM(date_diff('quarter', DATE '1995-06-15', o_orderdate))
+           AS BIGINT) AS q_sum,
+       CAST(SUM(date_diff('year', DATE '1995-06-15', o_orderdate))
+           AS BIGINT) AS y_sum,
+       MIN(DATE '1970-01-01' + to_days(CAST(
+           {_duck_week_start('o_orderdate', 3)} AS INTEGER)))
+           AS w_start_min,
+       MIN(date_trunc('week', o_orderdate)) AS iw_start_min,
+       CAST(COUNT(DISTINCT {_duck_week_start('o_orderdate', 6)})
+           AS BIGINT) AS n_wed_weeks
+FROM orders GROUP BY prio ORDER BY prio
+"""
+
+
+@query(
+    "q_date_boundaries",
+    sql=_DATE_BOUNDARIES_ORACLE,
+    tags=("dialect", "datetime"),
+)
+def q_date_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery date BOUNDARY semantics (r11 fix): ``DATE_DIFF`` counts
+    part boundaries crossed — DATE_DIFF('2024-02-01', '2024-01-31',
+    MONTH) = 1, where the old TIMESTAMPDIFF lowering counted elapsed
+    whole units and returned 0 — and ``DATE_TRUNC(d, WEEK)`` anchors
+    at SUNDAY (Spark's 'WEEK' is Monday; ISOWEEK previously fell
+    through to Spark's unknown-format NULL). Every part here is
+    recomputed by the ORACLE from its own boundary rules: DuckDB's
+    date_diff is boundary-based for month/quarter/year/week(Monday),
+    and the Sunday/Wednesday anchors use the identical unix-day shift
+    arithmetic. WEEK(<WEEKDAY>) anchors are exercised via the
+    Wednesday-week distinct count. Reference: BigQuery date function
+    docs (delegated surface, main.py:21,49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("db_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        SELECT o_orderpriority AS prio,
+               CAST(SUM(DATE_DIFF(o_orderdate, DATE '1995-06-15',
+                   MONTH)) AS INT64) AS m_sum,
+               CAST(SUM(DATE_DIFF(o_orderdate, DATE '1995-06-15',
+                   WEEK)) AS INT64) AS w_sum,
+               CAST(SUM(DATE_DIFF(o_orderdate, DATE '1995-06-15',
+                   ISOWEEK)) AS INT64) AS iw_sum,
+               CAST(SUM(DATE_DIFF(o_orderdate, DATE '1995-06-15',
+                   QUARTER)) AS INT64) AS q_sum,
+               CAST(SUM(DATE_DIFF(o_orderdate, DATE '1995-06-15',
+                   YEAR)) AS INT64) AS y_sum,
+               MIN(CAST(DATE_TRUNC(o_orderdate, WEEK) AS DATE))
+                   AS w_start_min,
+               MIN(CAST(DATE_TRUNC(o_orderdate, ISOWEEK) AS DATE))
+                   AS iw_start_min,
+               CAST(COUNT(DISTINCT CAST(DATE_TRUNC(o_orderdate,
+                   WEEK(WEDNESDAY)) AS DATE)) AS INT64) AS n_wed_weeks
+        FROM db_orders GROUP BY prio ORDER BY prio
+    """)

@@ -202,11 +202,69 @@ def _rewrite_calls(text: str, name: str, rewriter) -> str:
     return text
 
 
+# unix-date of the first <weekday> on/after 1970-01-01 (a Thursday):
+# the anchor for week-boundary arithmetic. BigQuery weeks start Sunday
+# unless WEEK(<WEEKDAY>) says otherwise; ISO weeks start Monday.
+_WEEK_ANCHOR = {
+    "SUNDAY": 3, "MONDAY": 4, "TUESDAY": 5, "WEDNESDAY": 6,
+    "THURSDAY": 0, "FRIDAY": 1, "SATURDAY": 2,
+}
+
+
+def _week_part(part: str) -> int | None:
+    """Anchor offset for WEEK / WEEK(<WEEKDAY>) / ISOWEEK, else None."""
+    p = part.strip().upper()
+    if p == "WEEK":
+        return _WEEK_ANCHOR["SUNDAY"]
+    if p == "ISOWEEK":
+        return _WEEK_ANCHOR["MONDAY"]
+    wm = re.match(r"^WEEK\s*\(\s*(\w+)\s*\)$", p)
+    if wm and wm.group(1) in _WEEK_ANCHOR:
+        return _WEEK_ANCHOR[wm.group(1)]
+    return None
+
+
+def _week_start_days(x: str, off: int) -> str:
+    """Unix-date of the week start (anchored at ``off``) containing x."""
+    ud = f"UNIX_DATE(CAST(({x}) AS DATE))"
+    return f"({ud} - PMOD({ud} - {off}, 7))"
+
+
 def _diff_rewriter(args: list[str]) -> str:
+    """``DATE_DIFF/DATETIME_DIFF/TIMESTAMP_DIFF(a, b, part)``. BigQuery
+    counts PART BOUNDARIES CROSSED for date-granularity parts
+    (DATE_DIFF(2024-02-01, 2024-01-31, MONTH) = 1 — r11 fix: the old
+    TIMESTAMPDIFF lowering counted elapsed whole units and returned 0
+    there), and elapsed whole units for time parts (TIMESTAMP_DIFF's
+    only granularities — where TIMESTAMPDIFF was already right)."""
     if len(args) != 3:
         raise BQDialectError(f"expected (a, b, part), got {args}")
-    a, b, part = args
-    return f"TIMESTAMPDIFF({part.strip()}, {b.strip()}, {a.strip()})"
+    a, b, part = (s.strip() for s in args)
+    p = part.upper()
+    if p == "YEAR":
+        return f"(YEAR({a}) - YEAR({b}))"
+    if p == "ISOYEAR":
+        return (
+            f"(EXTRACT(YEAROFWEEK FROM {a}) - "
+            f"EXTRACT(YEAROFWEEK FROM {b}))"
+        )
+    if p == "QUARTER":
+        return (
+            f"((YEAR({a}) * 4 + QUARTER({a})) - "
+            f"(YEAR({b}) * 4 + QUARTER({b})))"
+        )
+    if p == "MONTH":
+        return (
+            f"((YEAR({a}) * 12 + MONTH({a})) - "
+            f"(YEAR({b}) * 12 + MONTH({b})))"
+        )
+    off = _week_part(p)
+    if off is not None:
+        return (
+            f"(({_week_start_days(a, off)} - "
+            f"{_week_start_days(b, off)}) DIV 7)"
+        )
+    return f"TIMESTAMPDIFF({part}, {b}, {a})"
 
 
 _DATE_PARTS = {
@@ -219,6 +277,19 @@ def _trunc_rewriter(args: list[str]) -> str | None:
     if len(args) != 2:
         raise BQDialectError(f"expected (x, part), got {args}")
     x, part = args[0].strip(), args[1].strip()
+    off = _week_part(part)
+    if off is not None:
+        # r11 fix: BigQuery WEEK truncates to SUNDAY (Spark's 'WEEK'
+        # is Monday — the old lowering was a silently-shifted answer)
+        # and ISOWEEK (Monday) previously fell through to Spark's
+        # unknown-format NULL. Cast matches Spark DATE_TRUNC's
+        # timestamp return type.
+        if part.strip().upper() == "ISOWEEK":
+            return f"DATE_TRUNC('WEEK', {x})"
+        return (
+            f"CAST(DATE_FROM_UNIX_DATE({_week_start_days(x, off)}) "
+            f"AS TIMESTAMP)"
+        )
     if part.upper() not in _DATE_PARTS or x.startswith("'"):
         # not BigQuery's (expr, PART) arg order — e.g. already
         # Spark-style DATE_TRUNC('month', ts): keep as-is
@@ -4923,6 +4994,9 @@ def translate(sql: str) -> str:
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_calls(sql, "TIMESTAMP_DIFF", _diff_rewriter)
     sql = _rewrite_calls(sql, "DATE_DIFF", _diff_rewriter)
+    sql = _rewrite_calls(sql, "DATETIME_DIFF", _diff_rewriter)
+    sql = _rewrite_calls(sql, "DATETIME_ADD", _interval_rewriter("+"))
+    sql = _rewrite_calls(sql, "DATETIME_SUB", _interval_rewriter("-"))
     sql = _rewrite_calls(sql, "TIMESTAMP_TRUNC", _trunc_rewriter)
     sql = _rewrite_calls(sql, "DATETIME_TRUNC", _trunc_rewriter)
     sql = _rewrite_calls(sql, "DATE_TRUNC", _trunc_rewriter)

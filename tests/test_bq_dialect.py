@@ -1978,3 +1978,58 @@ def test_ml_imputer_and_system_vars(fcat):
 
     with pytest.raises(BQDialectError, match="strategy"):
         translate("SELECT ML.IMPUTER(x, 'mode') OVER() FROM t")
+
+
+def test_date_diff_counts_boundaries_r11(fcat):
+    """r11 fix: BigQuery DATE_DIFF counts part boundaries CROSSED, not
+    elapsed whole units (the old TIMESTAMPDIFF lowering)."""
+    r = fcat.bq_sql("""
+        SELECT DATE_DIFF(DATE '2024-02-01', DATE '2024-01-31', MONTH)
+                   AS m,
+               DATE_DIFF(DATE '2024-01-07', DATE '2024-01-06', WEEK)
+                   AS w,
+               DATE_DIFF(DATE '2024-01-08', DATE '2024-01-07', ISOWEEK)
+                   AS iw,
+               DATE_DIFF(DATE '2025-01-01', DATE '2024-12-31', YEAR)
+                   AS y,
+               DATE_DIFF(DATE '2024-04-01', DATE '2024-03-31', QUARTER)
+                   AS q,
+               DATE_DIFF(DATE '2024-12-30', DATE '2024-12-29', ISOYEAR)
+                   AS iy,
+               DATE_DIFF(DATE '2024-01-09', DATE '2024-01-02',
+                   WEEK(TUESDAY)) AS wt,
+               DATE_DIFF(DATE '2024-01-31', DATE '2024-02-01', MONTH)
+                   AS m_neg,
+               TIMESTAMP_DIFF(TIMESTAMP '2024-01-02 00:00:00',
+                   TIMESTAMP '2024-01-01 01:00:00', DAY) AS td
+        FROM ft LIMIT 1
+    """).collect()[0]
+    assert (r.m, r.w, r.iw, r.y, r.q, r.iy, r.wt) == (1, 1, 1, 1, 1, 1, 1)
+    assert r.m_neg == -1
+    # TIMESTAMP_DIFF stays elapsed-unit (BigQuery's own rule there)
+    assert r.td == 0
+
+
+def test_date_trunc_week_anchors_r11(fcat):
+    """r11 fix: DATE_TRUNC(d, WEEK) anchors at SUNDAY (Spark 'WEEK' is
+    Monday); ISOWEEK (previously a silent NULL) anchors at Monday;
+    WEEK(<WEEKDAY>) anchors at the named day."""
+    r = fcat.bq_sql("""
+        SELECT CAST(DATE_TRUNC(DATE '2024-03-15', WEEK) AS DATE) AS w,
+               CAST(DATE_TRUNC(DATE '2024-03-15', ISOWEEK) AS DATE)
+                   AS iw,
+               CAST(DATE_TRUNC(DATE '2024-03-15', WEEK(THURSDAY))
+                   AS DATE) AS wt,
+               CAST(DATE_TRUNC(DATE '2024-03-10', WEEK) AS DATE)
+                   AS w_self,
+               CAST(TIMESTAMP_TRUNC(TIMESTAMP '2024-03-15 07:08:09',
+                   WEEK) AS DATE) AS tw
+        FROM ft LIMIT 1
+    """).collect()[0]
+    # 2024-03-15 is a Friday: Sunday-week starts 03-10, ISO 03-11,
+    # Thursday-week 03-14; a Sunday is its own week start
+    assert str(r.w) == "2024-03-10"
+    assert str(r.iw) == "2024-03-11"
+    assert str(r.wt) == "2024-03-14"
+    assert str(r.w_self) == "2024-03-10"
+    assert str(r.tw) == "2024-03-10"
