@@ -25,7 +25,10 @@ from bigquery_etl_spark.sources.bq_dialect import BQDialectError, translate
             "SELECT TIMESTAMPDIFF(HOUR, t1, t2) FROM t",
         ),
         (
-            "SELECT TIMESTAMP_TRUNC(ts, MONTH), DATE_TRUNC(d, WEEK) FROM t",
+            # r11: WEEK now lowers to the Sunday-anchor arithmetic
+            # (BigQuery's anchor), no longer Spark's Monday 'WEEK' —
+            # value checks live in test_date_trunc_week_anchors_r11
+            "SELECT TIMESTAMP_TRUNC(ts, MONTH), DATE_TRUNC(d, ISOWEEK) FROM t",
             "SELECT DATE_TRUNC('MONTH', ts), DATE_TRUNC('WEEK', d) FROM t",
         ),
         (  # already Spark-style: untouched (idempotent translation)
