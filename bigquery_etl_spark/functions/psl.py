@@ -225,6 +225,10 @@ def _load_rules() -> tuple[list[str], str]:
 RULES, PSL_SNAPSHOT = _load_rules()
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _grouped():
     """RULES split by kind and label count. Wildcard rules are stored
     by their PARENT suffix (``*.ck`` matches any 2-label host ending
@@ -244,6 +248,7 @@ def _grouped():
     return normal, wild_parent, exc
 
 
+@lru_cache(maxsize=1)
 def _max_k() -> int:
     normal, wild, exc = _grouped()
     return max(
@@ -327,10 +332,12 @@ def _suffix_case(d: _Dialect, reg: bool) -> str:
     )
 
 
+@lru_cache(maxsize=256)
 def spark_public_suffix(host_sql: str) -> str:
     return _suffix_case(_Dialect("spark", host_sql), reg=False)
 
 
+@lru_cache(maxsize=256)
 def spark_reg_domain(host_sql: str) -> str:
     return _suffix_case(_Dialect("spark", host_sql), reg=True)
 

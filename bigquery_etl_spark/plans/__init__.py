@@ -20,6 +20,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage12,
     coverage13,
     coverage14,
+    coverage15,
     extras,
     functions_pack,
     functions_pack2,

@@ -681,12 +681,20 @@ def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "documents").createOrReplaceTempView("ta_docs")
     cat = LakeCatalog(spark)
     return cat.bq_sql("""
-        WITH tok AS (
-            SELECT doc_id, lang,
-                   TEXT_ANALYZE(text) AS toks,
-                   ML.BAG_OF_WORDS(TEXT_ANALYZE(text)) AS bag,
-                   ML.NGRAMS(TEXT_ANALYZE(text), [2, 3]) AS grams
+        WITH t0 AS (
+            -- tokenize ONCE (r12): spelling TEXT_ANALYZE per consumer
+            -- carried 6 regexp_extract_all evaluations through the
+            -- optimized plan and a 24 s cold Janino compile on the
+            -- duplicated HOF tree; a single-reference layer compiles
+            -- the tokenizer once with byte-identical results
+            SELECT doc_id, lang, TEXT_ANALYZE(text) AS toks
             FROM ta_docs
+        ),
+        tok AS (
+            SELECT doc_id, lang, toks,
+                   ML.BAG_OF_WORDS(toks) AS bag,
+                   ML.NGRAMS(toks, [2, 3]) AS grams
+            FROM t0
         )
         SELECT lang,
                CAST(COUNT(*) AS INT64) AS n_docs,

@@ -2414,6 +2414,12 @@ class LakeCatalog:
             )
 
             register_net_funcs(self.spark)
+        if "__bq_farm_" in out:
+            from bigquery_etl_spark.functions.farmhash import (
+                register_farmhash,
+            )
+
+            register_farmhash(self.spark)
         if "__bq_uni_" in out:
             from bigquery_etl_spark.functions.unicode_funcs import (
                 register_unicode_funcs,
@@ -3717,9 +3723,15 @@ class LakeCatalog:
                 "root_mean_squared_error double, "
                 "mean_squared_error double",
             )
+        if mt == "kmeans":
+            # r12 (ADVICE): the explicit-input branch gained kmeans in
+            # r11 but this shared path (held-out-split form) did not —
+            # a split-trained kmeans ML.EVALUATE(MODEL m) failed with
+            # a misleading supported-types list
+            return _ml.evaluate_kmeans(df, model)
         raise ValueError(
-            "ML.EVALUATE: linear_reg, logistic_reg, boosted_tree_* "
-            "or matrix_factorization"
+            "ML.EVALUATE: linear_reg, logistic_reg, boosted_tree_*, "
+            "random_forest, kmeans or matrix_factorization"
         )
 
     def _replay_eval_split(self, model: dict):
@@ -4239,29 +4251,10 @@ class LakeCatalog:
                             df, model, out=f"predicted_{model['label']}"
                         )
                 else:
-                    if model["model_type"] == "logistic_reg":
-                        df = _ml.evaluate_logistic_reg(df, model)
-                    elif model["model_type"] == "linear_reg":
-                        df = _ml.evaluate_linear_reg(df, model)
-                    elif model["model_type"] == "matrix_factorization":
-                        rmse = _ml.evaluate_matrix_factorization(df, model)
-                        df = self.spark.createDataFrame(
-                            [(rmse, rmse * rmse)],
-                            "root_mean_squared_error double, "
-                            "mean_squared_error double",
-                        )
-                    elif model["model_type"].startswith("boosted_tree"):
-                        df = _ml.evaluate_boosted_trees(df, model)
-                    elif model["model_type"] == "random_forest":
-                        df = _ml.evaluate_random_forest(df, model)
-                    elif model["model_type"] == "kmeans":
-                        df = _ml.evaluate_kmeans(df, model)
-                    else:
-                        raise ValueError(
-                            "ML.EVALUATE: linear_reg, logistic_reg, "
-                            "boosted_tree_*, random_forest_*, kmeans "
-                            "or matrix_factorization"
-                        )
+                    # r12: one dispatch for both ML.EVALUATE forms —
+                    # the duplicated branch list had already drifted
+                    # once (kmeans missing from the split form, ADVICE)
+                    df = self._evaluate_model(df, model)
                 if fn == "PREDICT" and tr_added:
                     # BigQuery's ML.PREDICT output keeps the CALLER's
                     # columns; the transform's intermediate features

@@ -1830,14 +1830,15 @@ def test_json_constructors(fcat):
         translate("SELECT JSON_OBJECT(k, 1) FROM t")
 
 
-def test_farm_fingerprint_refuses_by_name():
-    from bigquery_etl_spark.sources.bq_dialect import (
-        BQDialectError,
-        translate,
-    )
+def test_farm_fingerprint_lowers_to_kernel():
+    # r12: FARM_FINGERPRINT is IMPLEMENTED (functions/farmhash.py) —
+    # the refusal is retired; the call lowers onto the registered
+    # Arrow-batched exact kernel
+    from bigquery_etl_spark.sources.bq_dialect import translate
 
-    with pytest.raises(BQDialectError, match="FARM_FINGERPRINT"):
-        translate("SELECT FARM_FINGERPRINT(s) FROM t")
+    assert "__bq_farm_fingerprint(s)" in translate(
+        "SELECT FARM_FINGERPRINT(s) FROM t"
+    )
     # inside a string literal it stays protected
     assert "FARM_FINGERPRINT(" in translate(
         "SELECT 'FARM_FINGERPRINT(x)' AS s"
