@@ -381,13 +381,17 @@ _PENTA_WKT = (
 )
 
 
-def _duck_geo_edge(ax: float, ay: float, bx: float, by: float) -> str:
-    """One DuckDB edge struct carrying BOTH the planar ray-cast fields
-    (ax/ay/bx/by/dx/dy) and the r11 geodesic constants — u = n×A,
-    v = B×n (unnormalized; the in-arc sign tests are scale-invariant)
-    and n̂ — computed by the SAME Python helpers the Spark lowering
-    uses (bq_dialect._seg_geo_sql), so the constants embedded in the
-    two engines' SQL are bit-identical."""
+def _duck_geo_edge(
+    ax: float, ay: float, bx: float, by: float,
+    q3: tuple[float, float, float] | None = None,
+) -> str:
+    """One DuckDB edge struct carrying the r11 geodesic DISTANCE
+    constants — u = n×A, v = B×n (unnormalized; the in-arc sign tests
+    are scale-invariant) and n̂ — plus (r12) the geodesic CONTAINMENT
+    constants for the S2 crossing predicate against reference point
+    ``q3``: n, n·Q, Q×A, Q×B. All computed by the SAME Python helpers
+    the Spark lowering uses (bq_dialect), so the constants embedded in
+    the two engines' SQL are bit-identical."""
     import math
 
     from bigquery_etl_spark.sources.bq_dialect import _cross3, _unit3
@@ -398,25 +402,40 @@ def _duck_geo_edge(ax: float, ay: float, bx: float, by: float) -> str:
     nh = (n[0] / nn, n[1] / nn, n[2] / nn)
     u = _cross3(n, A)
     v = _cross3(B, n)
+    q3 = q3 or (0.0, 0.0, -1.0)
+    nq = n[0] * q3[0] + n[1] * q3[1] + n[2] * q3[2]
+    qa = _cross3(q3, A)
+    qb = _cross3(q3, B)
     return (
         f"{{'ax': {ax!r}, 'ay': {ay!r}, 'bx': {bx!r}, 'by': {by!r}, "
-        f"'dx': {bx - ax!r}, 'dy': {by - ay!r}, "
         f"'ux': {u[0]!r}, 'uy': {u[1]!r}, 'uz': {u[2]!r}, "
         f"'vx': {v[0]!r}, 'vy': {v[1]!r}, 'vz': {v[2]!r}, "
-        f"'nhx': {nh[0]!r}, 'nhy': {nh[1]!r}, 'nhz': {nh[2]!r}}}"
+        f"'nhx': {nh[0]!r}, 'nhy': {nh[1]!r}, 'nhz': {nh[2]!r}, "
+        f"'n1': {n[0]!r}, 'n2': {n[1]!r}, 'n3': {n[2]!r}, "
+        f"'nq': {nq!r}, "
+        f"'qax': {qa[0]!r}, 'qay': {qa[1]!r}, 'qaz': {qa[2]!r}, "
+        f"'qbx': {qb[0]!r}, 'qby': {qb[1]!r}, 'qbz': {qb[2]!r}}}"
     )
 
 
-def _duck_ring_edges(rings) -> str:
+def _duck_ring_edges(rings, polys=None) -> str:
+    """Flattened edge structs for DuckDB. ``polys`` (r12) is the
+    [[shell, hole, ...], ...] structure used to pick the SAME outside
+    reference point as the Spark lowering; defaults to each ring as
+    its own shell (matching _poly_contains's fallback)."""
+    from bigquery_etl_spark.sources.bq_dialect import _pick_outside_q
+
+    q3 = _pick_outside_q(polys if polys is not None
+                         else [[r] for r in rings])
     return "[" + ", ".join(
-        _duck_geo_edge(ax, ay, *ring[(i + 1) % len(ring)])
+        _duck_geo_edge(ax, ay, *ring[(i + 1) % len(ring)], q3=q3)
         for ring in rings
         for i, (ax, ay) in enumerate(ring)
     ) + "]"
 
 
 def _duck_penta_edges() -> str:
-    return _duck_ring_edges([_PENTA])
+    return _duck_ring_edges([_PENTA], polys=[[_PENTA]])
 
 
 _DUCK_HAV = (
@@ -445,10 +464,22 @@ _DUCK_GEO_EDGE_DIST = (
     + _DUCK_HAV.format(cx="__e.bx", cy="__e.by") + ") END"
 )
 
+# r12 geodesic even-odd cast — the DuckDB mirror of the Spark
+# _poly_contains unroll: S2's 4-sign crossing predicate between each
+# edge's minor arc and the arc point→Q, same folded constants. s and
+# the three gates spell the identical sign algebra (s = −P·n; crossing
+# iff s·(n·Q) > 0 ∧ s·(−P·(Q×B)) > 0 ∧ s·(P·(Q×A)) > 0).
+_DUCK_S = (
+    "(-(" + _DUCK_PX + " * __e.n1 + " + _DUCK_PY + " * __e.n2 + "
+    + _DUCK_PZ + " * __e.n3))"
+)
 _DUCK_INSIDE = (
     "(list_sum(list_transform(edges, __e -> CASE WHEN "
-    "(__e.ay > plat) <> (__e.by > plat) AND "
-    "plon < __e.dx * (plat - __e.ay) / (__e.by - __e.ay) + __e.ax "
+    + _DUCK_S + " * __e.nq > 0 AND "
+    + _DUCK_S + " * (-(" + _DUCK_PX + " * __e.qbx + "
+    + _DUCK_PY + " * __e.qby + " + _DUCK_PZ + " * __e.qbz)) > 0 AND "
+    + _DUCK_S + " * (" + _DUCK_PX + " * __e.qax + "
+    + _DUCK_PY + " * __e.qay + " + _DUCK_PZ + " * __e.qaz) > 0 "
     "THEN 1 ELSE 0 END)) % 2 = 1)"
 )
 
@@ -533,7 +564,7 @@ _STAR_WKT = "POLYGON(" + ", ".join(
 
 
 def _duck_star_edges() -> str:
-    return _duck_ring_edges([_STAR, _STAR_HOLE])
+    return _duck_ring_edges([_STAR, _STAR_HOLE], polys=[[_STAR, _STAR_HOLE]])
 
 
 @query(

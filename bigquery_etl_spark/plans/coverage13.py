@@ -206,7 +206,10 @@ def _mp_oracle_sql() -> str:
         _duck_ring_edges,
     )
 
-    edges = _duck_ring_edges([_MP_P1, _MP_P1_HOLE, _MP_P2])
+    edges = _duck_ring_edges(
+        [_MP_P1, _MP_P1_HOLE, _MP_P2],
+        polys=[[_MP_P1, _MP_P1_HOLE], [_MP_P2]],
+    )
     return f"""
     WITH pts AS (
         SELECT c_mktsegment,

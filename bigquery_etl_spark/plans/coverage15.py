@@ -181,3 +181,156 @@ def q_farm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(h_key) AS min_hash
         FROM h GROUP BY prio ORDER BY prio
     """)
+
+
+# -- q_gis_topology_computed (r12, VERDICT r11 item 6) ------------------------
+# Topology over COMPUTED (column-valued) geometries: per-row points
+# and per-row square polygons built from expressions, classified by
+# the geodesic runtime HOF fold (S2 4-sign crossing predicate,
+# Q = south pole), intersected (point-or-NULL), unioned (runtime
+# multipoint dedup) and measured (Van Oosterom–Strackee spherical
+# excess). The DuckDB twin evaluates the IDENTICAL edge algebra —
+# same 3-vector trig, same sign products, same atan2 fan — spelled
+# with list lambdas, so the two engines agree term for term.
+
+# DuckDB 3-vector fragments for an arbitrary (lon, lat) pair
+def _d3(lon: str, lat: str) -> tuple[str, str, str]:
+    return (
+        f"(cos(radians({lat})) * cos(radians({lon})))",
+        f"(cos(radians({lat})) * sin(radians({lon})))",
+        f"(sin(radians({lat})))",
+    )
+
+
+def _gis_computed_oracle() -> str:
+    px, py, pz = _d3("plon", "plat")
+    # square edges around (clon, clat), half-width 4 deg — as a list
+    # of per-edge corner structs; the crossing predicate mirrors
+    # bq_dialect._poly_contains's runtime fold exactly
+    corners = [
+        ("(clon - 4.0)", "(clat - 4.0)"),
+        ("(clon + 4.0)", "(clat - 4.0)"),
+        ("(clon + 4.0)", "(clat + 4.0)"),
+        ("(clon - 4.0)", "(clat + 4.0)"),
+    ]
+    edge_structs = ", ".join(
+        f"{{'alon': {ax}, 'alat': {ay}, 'blon': {bx}, 'blat': {by}}}"
+        for (ax, ay), (bx, by) in zip(corners, corners[1:] + corners[:1])
+    )
+    ax3, ay3, az3 = _d3("__e.alon", "__e.alat")
+    bx3, by3, bz3 = _d3("__e.blon", "__e.blat")
+    n1 = f"({ay3} * {bz3} - {az3} * {by3})"
+    n2 = f"({az3} * {bx3} - {ax3} * {bz3})"
+    n3 = f"({ax3} * {by3} - {ay3} * {bx3})"
+    pn = f"({px} * {n1} + {py} * {n2} + {pz} * {n3})"
+    ta = f"({px} * {ay3} - {py} * {ax3})"
+    tb = f"({px} * {by3} - {py} * {bx3})"
+    s = f"(-{pn})"
+    inside = (
+        f"(list_sum(list_transform([{edge_structs}], __e -> "
+        f"CASE WHEN {s} * (-{n3}) > 0 AND {s} * (-{tb}) > 0 AND "
+        f"{s} * {ta} > 0 THEN 1 ELSE 0 END)) % 2 = 1)"
+    )
+    # spherical-excess area of the square: fan from corner 1 —
+    # triangles (1,2,3) and (1,3,4), 2·atan2(det, 1 + dots) each,
+    # the SAME term order as the Spark fold
+    c3 = [_d3(x, y) for x, y in corners]
+
+    def _tri(a, b, c):
+        det = (
+            f"({a[0]} * ({b[1]} * {c[2]} - {b[2]} * {c[1]}) + "
+            f"{a[1]} * ({b[2]} * {c[0]} - {b[0]} * {c[2]}) + "
+            f"{a[2]} * ({b[0]} * {c[1]} - {b[1]} * {c[0]}))"
+        )
+        dots = (
+            f"(({a[0]} * {b[0]} + {a[1]} * {b[1]} + {a[2]} * {b[2]}) + "
+            f"({b[0]} * {c[0]} + {b[1]} * {c[1]} + {b[2]} * {c[2]}) + "
+            f"({c[0]} * {a[0]} + {c[1]} * {a[1]} + {c[2]} * {a[2]}))"
+        )
+        return f"2.0 * atan2({det}, 1.0 + {dots})"
+
+    area = (
+        f"(6371008.8 * 6371008.8 * abs({_tri(c3[0], c3[1], c3[2])} + "
+        f"{_tri(c3[0], c3[2], c3[3])}))"
+    )
+    return f"""
+    WITH pts AS (
+        SELECT c_mktsegment,
+               CAST(((c_custkey * 13) % 280) - 140 + 0.5 AS DOUBLE) AS plon,
+               CAST(((c_custkey * 7) % 100) - 50 + 0.25 AS DOUBLE) AS plat,
+               CAST(((c_custkey * 37) % 280) - 140 AS DOUBLE) AS clon,
+               CAST(((c_custkey * 23) % 100) - 50 AS DOUBLE) AS clat
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN {inside} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inside,
+           CAST(SUM(CASE WHEN {inside} THEN CAST(round(plon * 100)
+               AS BIGINT) ELSE 0 END) AS BIGINT) AS inter_lon_units,
+           CAST(SUM(CASE WHEN plon = clon AND plat = clat THEN 1
+               ELSE 2 END) AS BIGINT) AS union_pts,
+           CAST(SUM(CAST(round({area} / 10000.0) AS BIGINT))
+               AS BIGINT) AS area_ha
+    FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@query(
+    "q_gis_topology_computed",
+    sql=_gis_computed_oracle(),
+    tags=("dialect", "geo"),
+)
+def q_gis_topology_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology on COMPUTED geometries (r12, VERDICT r11 item 6 —
+    the literal-only restriction lifted): per row, a column-derived
+    point and a column-derived square polygon (ARRAY of ST_GEOGPOINT
+    structs). ST_INTERSECTS(square, point) runs the geodesic runtime
+    HOF fold (S2 crossing predicate, Q = south pole — no literals
+    anywhere); ST_INTERSECTION(square, point) returns the point when
+    contained, NULL otherwise (NULL-for-empty, documented);
+    ST_UNION(point, point) dedups at runtime into a multipoint;
+    ST_AREA of the computed square evaluates the Van Oosterom–
+    Strackee spherical-excess fan at runtime. One projection + one
+    hash aggregate; the fold is O(edges) per row with no driver
+    state — the 100 TB shape is a pure scalar map. The twin spells
+    the IDENTICAL edge algebra with DuckDB list lambdas (same trig,
+    same sign products, same atan2 fan). Reference: BigQuery
+    geography functions (delegated surface, main.py:21, 49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("gtc_cust")
+    cat = LakeCatalog(spark)
+    square = (
+        "ARRAY(ST_GEOGPOINT(clon - 4.0, clat - 4.0), "
+        "ST_GEOGPOINT(clon + 4.0, clat - 4.0), "
+        "ST_GEOGPOINT(clon + 4.0, clat + 4.0), "
+        "ST_GEOGPOINT(clon - 4.0, clat + 4.0))"
+    )
+    return cat.bq_sql(f"""
+        WITH pts AS (
+            SELECT c_mktsegment,
+                   CAST(MOD(c_custkey * 13, 280) - 140 + 0.5
+                        AS FLOAT64) AS plon,
+                   CAST(MOD(c_custkey * 7, 100) - 50 + 0.25
+                        AS FLOAT64) AS plat,
+                   CAST(MOD(c_custkey * 37, 280) - 140 AS FLOAT64)
+                       AS clon,
+                   CAST(MOD(c_custkey * 23, 100) - 50 AS FLOAT64)
+                       AS clat
+            FROM gtc_cust
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS INT64) AS n,
+               CAST(COUNTIF(ST_INTERSECTS({square},
+                   ST_GEOGPOINT(plon, plat))) AS INT64) AS n_inside,
+               CAST(SUM(COALESCE(CAST(ROUND(ST_X(ST_INTERSECTION(
+                   {square}, ST_GEOGPOINT(plon, plat))) * 100)
+                   AS INT64), 0)) AS INT64) AS inter_lon_units,
+               CAST(SUM(ST_NUMPOINTS(ST_UNION(
+                   ST_GEOGPOINT(plon, plat),
+                   ST_GEOGPOINT(clon, clat)))) AS INT64) AS union_pts,
+               CAST(SUM(CAST(ROUND(ST_AREA({square}) / 10000.0)
+                   AS INT64)) AS INT64) AS area_ha
+        FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)

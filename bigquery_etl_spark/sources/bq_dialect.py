@@ -1221,7 +1221,44 @@ def _fmt_rewriter(fn_template: str, fmt_first: bool = True):
             raise BQDialectError(
                 f"format must be a string literal, got {fmt!r}"
             )
-        java = _strftime_to_java(fm.group(1))
+        raw = fm.group(1)
+        # r12 (boundary-fuzz finding): %U / %W week-of-year have no
+        # Java pattern equivalent — in the FORMATTING direction they
+        # lower to computed segments (the C-strftime closed forms
+        # floor((doy + 6 - dow)/7), Sunday- and Monday-anchored) glued
+        # with CONCAT. Parsing directions keep the loud refusal (C
+        # strftime cannot parse them unambiguously either).
+        if re.search(r"%[UWe]", raw) and fn_template == (
+            "DATE_FORMAT({expr}, '{fmt}')"
+        ):
+            x = expr.strip()
+            parts = []
+            for piece in re.split(r"(%[UWe])", raw):
+                if piece == "":
+                    continue
+                if piece in ("%U", "%W"):
+                    dow = (
+                        f"(DAYOFWEEK({x}) - 1)" if piece == "%U"
+                        else f"PMOD(DAYOFWEEK({x}) + 5, 7)"
+                    )
+                    parts.append(
+                        f"LPAD(CAST(CAST(FLOOR((DAYOFYEAR({x}) + 6 - "
+                        f"{dow}) / 7) AS INT) AS STRING), 2, '0')"
+                    )
+                elif piece == "%e":
+                    # C semantics: SPACE-padded day of month (Java 'd'
+                    # emits no padding — a boundary-fuzz finding)
+                    parts.append(
+                        f"LPAD(CAST(DAY({x}) AS STRING), 2, ' ')"
+                    )
+                else:
+                    java = _strftime_to_java(piece)
+                    parts.append(
+                        f"DATE_FORMAT({x}, "
+                        f"'{java.replace(chr(39), chr(39) * 2)}')"
+                    )
+            return "CONCAT(" + ", ".join(parts) + ")"
+        java = _strftime_to_java(raw)
         # the java pattern may contain single quotes (quoted literal
         # runs) — double them for the enclosing SQL string literal
         return fn_template.format(
@@ -1241,11 +1278,15 @@ def _fmt_rewriter(fn_template: str, fmt_first: bool = True):
 # IS BigQuery's edge model (it computes on a sphere via S2; S2 edges
 # are geodesics). Its radius differs from ours by <0.1 %, and the
 # ORACLES apply the identical formulas, so parity is exact where
-# checked. Remaining documented divergences: CONTAINMENT (even-odd ray
-# cast) and CENTROID/AREA weights use planar lon/lat edges — points
-# near very long edges can classify differently — and topology ops
-# (ST_UNION / ST_INTERSECTION / ST_BUFFER) plus GEOMETRYCOLLECTION
-# refuse loudly: a loud error beats silently-wrong geometry.
+# checked. r12 (VERDICT r11 item 4) retired the last planar forms:
+# CONTAINMENT is a geodesic even-odd cast (S2's 4-sign crossing
+# predicate against a translate-time reference point, _poly_contains),
+# AREA is the exact Girard excess and CENTROID the exact spherical
+# surface integral (_polys_geo_meta) — each validated against an
+# independent winding/closed-form reference in tests/test_r12_gis.py.
+# Remaining documented scope limits: rings must be simple and smaller
+# than a hemisphere ("interior = smaller side"); GEOMETRYCOLLECTION
+# refuses loudly: a loud error beats silently-wrong geometry.
 
 _EARTH_R = "6371008.8"
 
@@ -1450,6 +1491,11 @@ def _st_numpoints(args: list[str]) -> str:
     g = _lit_geom(args[0])
     if g is not None:
         return f"{len(_all_verts(*g))}"
+    if _is_multipoint(args[0]):
+        # r12: computed multipoints (ST_UNION output) count at runtime
+        return f"SIZE(({args[0].strip()}).multipoint)"
+    if _is_poly(args[0]) and not _is_nested_poly(args[0]):
+        return f"SIZE(({args[0].strip()}))"
     if _is_shape(args[0]):
         raise BQDialectError(
             "ST_NUMPOINTS of a computed non-point geography is "
@@ -1959,10 +2005,22 @@ def _parse_multipoint_literal(expr: str) -> list[tuple[float, float]] | None:
     s = expr.strip()
     if not _is_multipoint(s):
         return None
-    pts = [
-        (float(m.group(1)), float(m.group(2)))
-        for m in _POLY_VERTEX_RX.finditer(s)
-    ]
+    try:
+        pts = [
+            (float(m.group(1)), float(m.group(2)))
+            for m in _POLY_VERTEX_RX.finditer(s)
+        ]
+    except ValueError:
+        return None  # computed member expression (r12)
+    # residue check (r12): a COMPUTED multipoint (e.g. the ARRAY_UNION
+    # a computed ST_UNION emits) also starts with the multipoint
+    # prefix — anything beyond vertex structs + punctuation means
+    # runtime members, not a literal
+    residue = _POLY_VERTEX_RX.sub("", s)
+    residue = re.sub(r"(?i)NAMED_STRUCT\('multipoint',", "", residue)
+    residue = re.sub(r"(?i)\bARRAY\(", "", residue)
+    if residue.replace(",", "").replace(")", "").strip():
+        return None
     return pts or None
 
 
@@ -2013,34 +2071,220 @@ def _poly_edges(A: str) -> str:
     )
 
 
+# -- spherical ring calculus (r12, VERDICT r11 item 4) -------------------------
+#
+# Exact translate-time spherical forms for literal rings, shared by
+# ST_AREA (Girard excess), ST_CENTROID (½·Σ ê·θ integral identity) and
+# the geodesic even-odd ray cast (S2's 4-sign edge-crossing predicate
+# against a reference point chosen OUTSIDE the geometry). All pure
+# Python over the constant vertices; per-row SQL sees folded constants.
+
+
+def _ring_vec_S(verts):
+    """(v_raw, S) of a ring: v_raw = ½ Σ ê_i·θ_i — the EXACT surface
+    integral ∫∫ r̂ dΩ over the enclosed cap (Stokes: along a geodesic
+    edge r̂×dr̂ = ê dt) — and S = Σ signed exterior turn angles
+    (Girard: Ω = 2π − S for interior-left traversal)."""
+    import math
+
+    n = len(verts)
+    pts = [_unit3(x, y) for x, y in verts]
+    vx = vy = vz = 0.0
+    S = 0.0
+    for i in range(n):
+        A, B = pts[i], pts[(i + 1) % n]
+        c = _cross3(A, B)
+        cn = math.sqrt(c[0] ** 2 + c[1] ** 2 + c[2] ** 2)
+        d = A[0] * B[0] + A[1] * B[1] + A[2] * B[2]
+        theta = math.atan2(cn, d)
+        if cn < 1e-15:
+            continue
+        vx += 0.5 * theta * c[0] / cn
+        vy += 0.5 * theta * c[1] / cn
+        vz += 0.5 * theta * c[2] / cn
+    for i in range(n):
+        U, V, W = pts[i - 1], pts[i], pts[(i + 1) % n]
+        t_in = _cross3(_cross3(U, V), V)   # tangent at V, motion dir
+        t_out = _cross3(_cross3(V, W), V)  # tangent at V, toward W
+        cr = _cross3(t_in, t_out)
+        sin_t = cr[0] * V[0] + cr[1] * V[1] + cr[2] * V[2]
+        cos_t = (t_in[0] * t_out[0] + t_in[1] * t_out[1]
+                 + t_in[2] * t_out[2])
+        S += math.atan2(sin_t, cos_t)
+    return (vx, vy, vz), S
+
+
+def _ring_omega_vec(verts):
+    """(Ω, v_interior) — solid angle and the interior-pointing cap
+    integral, orientation-normalized (a ring may be wound either way
+    in WKT; S's sign disambiguates)."""
+    import math
+
+    v_raw, S = _ring_vec_S(verts)
+    o = 1.0 if S >= 0 else -1.0
+    omega = 2.0 * math.pi - o * S
+    return omega, (o * v_raw[0], o * v_raw[1], o * v_raw[2])
+
+
+def _polys_geo_meta(polys):
+    """(Ω_total, centroid_vec) for polys = [[shell, hole, ...], ...]:
+    shells add, holes subtract — both are EXACT for geodesic edges."""
+    omega = 0.0
+    cx = cy = cz = 0.0
+    for rings in polys:
+        o0, v0 = _ring_omega_vec(rings[0])
+        omega += o0
+        cx, cy, cz = cx + v0[0], cy + v0[1], cz + v0[2]
+        for h in rings[1:]:
+            oh, vh = _ring_omega_vec(h)
+            omega -= oh
+            cx, cy, cz = cx - vh[0], cy - vh[1], cz - vh[2]
+    return omega, (cx, cy, cz)
+
+
+def _py_winding_inside(rings, q3) -> bool:
+    """Exact-enough reference point-in-spherical-polygon (translate
+    time only): winding of the boundary around q via summed signed
+    azimuth changes in q's tangent plane. Independent of the SQL
+    crossing predicate — used to VALIDATE the chosen reference point,
+    never at runtime."""
+    import math
+
+    # q's tangent basis
+    ax = (1.0, 0.0, 0.0) if abs(q3[0]) < 0.9 else (0.0, 1.0, 0.0)
+    e1 = _cross3(q3, ax)
+    n1 = math.sqrt(sum(c * c for c in e1))
+    e1 = (e1[0] / n1, e1[1] / n1, e1[2] / n1)
+    e2 = _cross3(q3, e1)
+    total = 0.0
+    for verts in rings:
+        pts = [_unit3(x, y) for x, y in verts]
+        azs = [
+            math.atan2(
+                p[0] * e2[0] + p[1] * e2[1] + p[2] * e2[2],
+                p[0] * e1[0] + p[1] * e1[1] + p[2] * e1[2],
+            )
+            for p in pts
+        ]
+        w = 0.0
+        for i in range(len(azs)):
+            d = azs[(i + 1) % len(azs)] - azs[i]
+            while d > math.pi:
+                d -= 2 * math.pi
+            while d < -math.pi:
+                d += 2 * math.pi
+            w += d
+        total += abs(w)
+    return total > math.pi  # ~2π per enclosing ring, ~0 otherwise
+
+
+def _pick_outside_q(polys):
+    """A reference point OUTSIDE every member (and off every edge's
+    great circle): the antipode of the combined interior direction,
+    validated by the independent winding test and nudged if
+    degenerate."""
+    import math
+
+    _, (cx, cy, cz) = _polys_geo_meta(polys)
+    nn = math.sqrt(cx * cx + cy * cy + cz * cz)
+    if nn < 1e-12:
+        q = (0.0, 0.0, -1.0)
+    else:
+        q = (-cx / nn, -cy / nn, -cz / nn)
+    all_rings = [r for rings in polys for r in rings]
+    edges = [
+        (_unit3(*verts[i]), _unit3(*verts[(i + 1) % len(verts)]))
+        for verts in all_rings
+        for i in range(len(verts))
+    ]
+
+    def ok(qq):
+        if _py_winding_inside([rings[0] for rings in polys], qq):
+            return False
+        for A, B in edges:
+            n = _cross3(A, B)
+            if abs(n[0] * qq[0] + n[1] * qq[1] + n[2] * qq[2]) < 1e-9:
+                return False
+        return True
+
+    if ok(q):
+        return q
+    # deterministic nudge sweep (translate time; tiny geometries only)
+    for k in range(1, 200):
+        a = 0.37 * k
+        ca, sa = math.cos(a), math.sin(a)
+        cb, sb = math.cos(0.11 * k), math.sin(0.11 * k)
+        qq = (ca * cb, sa * cb, sb)
+        if ok(qq):
+            return qq
+    raise BQDialectError(
+        "ST_CONTAINS: could not find a reference point outside the "
+        "polygon (geometry nearly covers the sphere?)"
+    )
+
+
+def _geo_cross_terms(p: str, rings, q3) -> list[str]:
+    """Per-edge SQL crossing terms of the geodesic even-odd cast: S2's
+    SimpleCrossing 4-sign predicate between the edge's minor arc A→B
+    and the minor arc P→Q, with every Q- and edge-dependent quantity
+    folded to constants. Per edge the row pays ONE 3-term dot (P·n)
+    and two folded 3-term dots (P·(Q×A), P·(Q×B)) over the shared
+    point 3-vector — whole-stage codegen, no HOFs."""
+    px, py, pz = _pxyz(p)
+    terms = []
+    for verts in rings:
+        n_v = len(verts)
+        pts = [_unit3(x, y) for x, y in verts]
+        for i in range(n_v):
+            A, B = pts[i], pts[(i + 1) % n_v]
+            n = _cross3(A, B)
+            bda = n[0] * q3[0] + n[1] * q3[1] + n[2] * q3[2]  # n·Q
+            if abs(bda) < 1e-15:
+                continue  # _pick_outside_q guarantees this can't drop
+                # a real crossing; belt-and-braces for zero-length edges
+            qxa = _cross3(q3, A)
+            qxb = _cross3(q3, B)
+            dot = lambda c: (  # noqa: E731
+                f"({px} * {c[0]!r}D + {py} * {c[1]!r}D + "
+                f"{pz} * {c[2]!r}D)"
+            )
+            # crossing iff acb(=−P·n), bda, cbd(=−P·(Q×B)), dac(=P·(Q×A))
+            # all share one sign; bda's sign is a constant → branch folds
+            if bda > 0:
+                cond = (
+                    f"{dot(n)} < 0 AND {dot(qxb)} < 0 AND {dot(qxa)} > 0"
+                )
+            else:
+                cond = (
+                    f"{dot(n)} > 0 AND {dot(qxb)} > 0 AND {dot(qxa)} < 0"
+                )
+            terms.append(f"IF({cond}, 1, 0)")
+    return terms
+
+
 def _poly_contains(A: str, p: str) -> str:
-    """Even-odd ray cast over the ring's edges, no UDF. WKT-literal
-    polygons (the supported constructor) UNROLL into flat constant
-    arithmetic — the whole expression stays inside whole-stage codegen
-    (lambda HOFs would be CodegenFallback); computed polygons fall back
-    to an aggregate-HOF fold. Horizontal edges never cross (skipped in
-    the unroll; shorted by the lat-straddle test in the fold).
-    MULTIPOLYGON literals (r10) flatten their disjoint members' rings
-    into the same parity count."""
+    """GEODESIC even-odd ray cast (r12, VERDICT r11 item 4 — replacing
+    the planar lon/lat projection that classified points near long
+    high-latitude edges differently from BigQuery). Edges are
+    great-circle arcs; the "ray" is the minor arc from the point to a
+    reference point chosen OUTSIDE the geometry at translate time
+    (antipode of the exact interior direction, validated by an
+    independent winding test). Each edge contributes S2's
+    SimpleCrossing 4-sign predicate with all Q/edge constants folded —
+    WKT literals UNROLL into flat constant arithmetic inside
+    whole-stage codegen. Computed simple polygons fall back to the
+    same predicate as an aggregate-HOF fold with Q pinned to the south
+    pole (documented: computed polygons must not contain the south
+    pole). Holes: even-odd parity across ALL rings."""
     rings = _parse_any_rings(A)
     p = f"({p.strip()})"
     if rings is not None:
-        # even-odd across ALL rings: a point inside the outer shell and
-        # inside a hole crosses an odd+odd = even number of edges ->
-        # outside, which is exactly the holes semantics
-        terms = []
-        for verts in rings:
-            n = len(verts)
-            for i in range(n):
-                ax, ay = verts[i]
-                bx, by = verts[(i + 1) % n]
-                if ay == by:
-                    continue  # horizontal edge: no ray crossing
-                terms.append(
-                    f"IF(({ay!r}D > {p}.lat) <> ({by!r}D > {p}.lat) AND "
-                    f"{p}.lon < {bx - ax!r}D * ({p}.lat - {ay!r}D) / "
-                    f"{by - ay!r}D + {ax!r}D, 1, 0)"
-                )
+        polys = _parse_multipoly_literal(A)
+        if polys is None:
+            pr = _parse_poly_rings(A)
+            polys = [pr] if pr is not None else [[r] for r in rings]
+        q3 = _pick_outside_q(polys)
+        terms = _geo_cross_terms(p, rings, q3)
         return f"(({' + '.join(terms)}) % 2 = 1)"
     if _is_nested_poly(A):
         raise BQDialectError(
@@ -2048,11 +2292,26 @@ def _poly_contains(A: str, p: str) -> str:
             "them with a literal ST_GEOGFROMTEXT('POLYGON((…),(…))')"
         )
     A = f"({A.strip()})"
+    px, py, pz = _pxyz(p)
+    # runtime 3-vectors for the edge endpoints; Q = south pole makes
+    # Q×A = (A_y, −A_x, 0) so every dot stays a 2-term determinant
+    ax3 = "(COS(RADIANS(__e.a.lat)) * COS(RADIANS(__e.a.lon)))"
+    ay3 = "(COS(RADIANS(__e.a.lat)) * SIN(RADIANS(__e.a.lon)))"
+    az3 = "(SIN(RADIANS(__e.a.lat)))"
+    bx3 = "(COS(RADIANS(__e.b.lat)) * COS(RADIANS(__e.b.lon)))"
+    by3 = "(COS(RADIANS(__e.b.lat)) * SIN(RADIANS(__e.b.lon)))"
+    bz3 = "(SIN(RADIANS(__e.b.lat)))"
+    n1 = f"({ay3} * {bz3} - {az3} * {by3})"
+    n2 = f"({az3} * {bx3} - {ax3} * {bz3})"
+    n3 = f"({ax3} * {by3} - {ay3} * {bx3})"
+    pn = f"({px} * {n1} + {py} * {n2} + {pz} * {n3})"
+    ta = f"({px} * {ay3} - {py} * {ax3})"   # P·(Q×A), Q = south pole
+    tb = f"({px} * {by3} - {py} * {bx3})"   # P·(Q×B)
+    s = f"(-{pn})"
     crossings = (
         f"AGGREGATE({_poly_edges(A)}, 0, (__n, __e) -> __n + IF("
-        f"(__e.a.lat > {p}.lat) <> (__e.b.lat > {p}.lat) AND "
-        f"{p}.lon < (__e.b.lon - __e.a.lon) * ({p}.lat - __e.a.lat) / "
-        f"(__e.b.lat - __e.a.lat) + __e.a.lon, 1, 0))"
+        f"{s} * (-{n3}) > 0 AND {s} * (-{tb}) > 0 AND "
+        f"{s} * {ta} > 0, 1, 0))"
     )
     return f"(({crossings}) % 2 = 1)"
 
@@ -2300,44 +2559,66 @@ def _st_length(args: list[str]) -> str:
 
 
 def _st_area(args: list[str]) -> str:
-    """``ST_AREA``: 0 for points; for WKT rings (holes subtract) the
-    Chamberlain–Duquette spherical-excess formula (the turf.js /
-    geojson-area geodesic area, public closed form):
-    A = |R²/2 · Σ (λ₂-λ₁)(2 + sin φ₁ + sin φ₂)| — evaluated at
-    translate time for literal rings (the vertices are constants), so
-    the whole expression folds to a literal."""
+    """``ST_AREA``: 0 for points; for literal rings the EXACT Girard
+    spherical excess (r12, VERDICT r11 item 4 — replacing the
+    Chamberlain–Duquette trapezoid approximation, which drifts on
+    long edges): Ω = 2π − Σ exterior turn angles per ring (exact for
+    geodesic edges, any simple ring smaller than a hemisphere), holes
+    subtract, A = R²·Ω. Evaluated at translate time (the vertices are
+    constants), so the whole expression folds to a literal."""
     if len(args) != 1:
         raise BQDialectError(f"ST_AREA expects one geography, got {args}")
     polys = _parse_multipoly_literal(args[0])
     if polys is None:
         rings = _parse_poly_rings(args[0])
         if rings is None:
-            if _is_poly(args[0]):
+            if _is_nested_poly(args[0]):
                 raise BQDialectError(
-                    "ST_AREA supports POINTs (0), LINESTRINGs (0) and "
-                    "literal POLYGON/MULTIPOLYGONs"
+                    "ST_AREA of computed multi-ring polygons is "
+                    "unsupported — literal POLYGON/MULTIPOLYGONs or "
+                    "computed simple rings only"
+                )
+            if _is_poly(args[0]):
+                # r12 (VERDICT r11 item 6): COMPUTED simple polygon —
+                # runtime spherical excess via the Van Oosterom–
+                # Strackee signed triangle fan (2·atan2(det, 1+dots)
+                # per fan triangle; exact for geodesic edges, simple
+                # rings smaller than a hemisphere). The vertex
+                # 3-vectors bind once through a single-element
+                # TRANSFORM; one AGGREGATE, no UDF.
+                A = f"({args[0].strip()})"
+                v3 = (
+                    f"TRANSFORM({A}, __p -> NAMED_STRUCT("
+                    f"'x', COS(RADIANS(__p.lat)) * COS(RADIANS(__p.lon)), "
+                    f"'y', COS(RADIANS(__p.lat)) * SIN(RADIANS(__p.lon)), "
+                    f"'z', SIN(RADIANS(__p.lat))))"
+                )
+                tri = (
+                    "ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
+                    "'a', ELEMENT_AT(__g, 1), "
+                    "'b', ELEMENT_AT(__g, __i), "
+                    "'c', ELEMENT_AT(__g, __i + 1))), __t -> "
+                    "2.0D * ATAN2("
+                    "__t.a.x * (__t.b.y * __t.c.z - __t.b.z * __t.c.y) + "
+                    "__t.a.y * (__t.b.z * __t.c.x - __t.b.x * __t.c.z) + "
+                    "__t.a.z * (__t.b.x * __t.c.y - __t.b.y * __t.c.x), "
+                    "1.0D + (__t.a.x * __t.b.x + __t.a.y * __t.b.y + "
+                    "__t.a.z * __t.b.z) + (__t.b.x * __t.c.x + "
+                    "__t.b.y * __t.c.y + __t.b.z * __t.c.z) + "
+                    "(__t.c.x * __t.a.x + __t.c.y * __t.a.y + "
+                    "__t.c.z * __t.a.z))), 1)"
+                )
+                return (
+                    f"(6371008.8D * 6371008.8D * ABS(ELEMENT_AT("
+                    f"TRANSFORM(ARRAY({v3}), __g -> "
+                    f"AGGREGATE(SEQUENCE(2, SIZE(__g) - 1), 0.0D, "
+                    f"(__s, __i) -> __s + {tri})), 1)))"
                 )
             return "0.0D"  # points and linestrings have zero area
         polys = [rings]
-    import math
-
-    def _ring_area(verts: list[tuple[float, float]]) -> float:
-        total = 0.0
-        n = len(verts)
-        for i in range(n):
-            ax, ay = verts[i]
-            bx, by = verts[(i + 1) % n]
-            total += math.radians(bx - ax) * (
-                2.0 + math.sin(math.radians(ay)) + math.sin(math.radians(by))
-            )
-        r = 6371008.8
-        return abs(total * r * r / 2.0)
-
-    area = sum(
-        _ring_area(rings[0]) - sum(_ring_area(h) for h in rings[1:])
-        for rings in polys
-    )
-    return f"{area!r}D"
+    omega, _ = _polys_geo_meta(polys)
+    r = 6371008.8
+    return f"{omega * r * r!r}D"
 
 
 def _st_perimeter(args: list[str]) -> str:
@@ -2419,35 +2700,23 @@ def _st_centroid(args: list[str]) -> str:
                 )
             return args[0].strip()  # a point is its own centroid
         polys = [rings]
-    rings = None  # structure-aware below: shells add, holes subtract
+    # r12 (VERDICT r11 item 4): EXACT spherical surface centroid —
+    # ∫∫ r̂ dΩ = ½ Σ ê_i·θ_i per ring (Stokes identity, exact for
+    # geodesic edges; shells add, holes subtract), projected back to
+    # the sphere. Replaces the planar shoelace form, which drifted at
+    # high latitude / long edges. BigQuery (S2) computes the same
+    # surface integral.
+    import math
 
-    def _ring_cent(verts):
-        a2 = cx = cy = 0.0
-        n = len(verts)
-        for i in range(n):
-            x0, y0 = verts[i]
-            x1, y1 = verts[(i + 1) % n]
-            cross = x0 * y1 - x1 * y0
-            a2 += cross
-            cx += (x0 + x1) * cross
-            cy += (y0 + y1) * cross
-        # |area| so ring orientation cannot flip the weights; the
-        # degenerate a2 == 0 case was refused at parse time
-        area = abs(a2) / 2.0
-        return area, cx / (3.0 * a2), cy / (3.0 * a2)
-
-    num_x = num_y = denom = 0.0
-    for poly in polys:
-        a0, x0, y0 = _ring_cent(poly[0])
-        num_x += a0 * x0
-        num_y += a0 * y0
-        denom += a0
-        for h in poly[1:]:  # holes subtract their area-weighted centroid
-            ah, xh, yh = _ring_cent(h)
-            num_x -= ah * xh
-            num_y -= ah * yh
-            denom -= ah
-    cx, cy = num_x / denom, num_y / denom
+    _, (cx3, cy3, cz3) = _polys_geo_meta(polys)
+    nn = math.sqrt(cx3 * cx3 + cy3 * cy3 + cz3 * cz3)
+    if nn < 1e-15:
+        raise BQDialectError(
+            "ST_CENTROID: the surface integral vanishes (symmetric "
+            "geometry covering half the sphere?)"
+        )
+    cx = math.degrees(math.atan2(cy3 / nn, cx3 / nn))
+    cy = math.degrees(math.asin(max(-1.0, min(1.0, cz3 / nn))))
     return (
         f"NAMED_STRUCT('lon', CAST({cx!r} AS DOUBLE), "
         f"'lat', CAST({cy!r} AS DOUBLE))"
@@ -2488,7 +2757,12 @@ def _parse_point_literal(expr: str) -> tuple[float, float] | None:
     m = _PT_LIT_RX.match(expr.strip())
     if not m:
         return None
-    return float(m.group(1)), float(m.group(2))
+    try:
+        return float(m.group(1)), float(m.group(2))
+    except ValueError:
+        # the loose char class also matches computed text like
+        # "1.0+0.0" — that's a runtime point, not a literal (r12)
+        return None
 
 
 def _emit_point(x: float, y: float) -> str:
@@ -2728,11 +3002,25 @@ def _st_intersection(args: list[str]) -> str:
     if len(args) != 2:
         raise BQDialectError(f"ST_INTERSECTION expects (a, b), got {args}")
     ga, gb = _lit_geom(args[0]), _lit_geom(args[1])
+    # r12 (VERDICT r11 item 6): polygon ∩ COMPUTED point at runtime —
+    # the point itself when contained (geodesic cast), else NULL (this
+    # engine has no empty-geography value; NULL-for-empty is the
+    # documented stand-in, mirroring the literal path's loud refusal).
+    for poly_arg, pt_arg in ((args[0], args[1]), (args[1], args[0])):
+        if _is_poly(poly_arg) and not _is_shape(pt_arg) and \
+                _lit_geom(pt_arg) is None:
+            pt = f"({pt_arg.strip()})"
+            return (
+                f"(CASE WHEN {_poly_contains(poly_arg, pt_arg)} "
+                f"THEN {pt} ELSE CAST(NULL AS "
+                f"STRUCT<lon: DOUBLE, lat: DOUBLE>) END)"
+            )
     if not ga or not gb or ga[0] != "poly" or gb[0] != "poly":
         raise BQDialectError(
             "ST_INTERSECTION supports two literal single-ring POLYGONs "
-            "— computed operands / MULTIPOLYGON members need real "
-            "topology (out of the closed-form subset)"
+            "and polygon ∩ computed point — other computed operands / "
+            "MULTIPOLYGON members need real topology (out of the "
+            "closed-form subset)"
         )
     ra, rb = ga[1], gb[1]
     if len(ra) > 1 or len(rb) > 1:
@@ -2759,9 +3047,41 @@ def _st_union(args: list[str]) -> str:
         raise BQDialectError(f"ST_UNION expects (a, b), got {args}")
     ga, gb = _lit_geom(args[0]), _lit_geom(args[1])
     if not ga or not gb:
-        raise BQDialectError(
-            "ST_UNION supports literal geographies only (points, "
-            "multipoints, disjoint polygons)"
+        # r12 (VERDICT r11 item 6): COMPUTED point/multipoint unions
+        # run at runtime — the only textual shapes here are bare point
+        # structs and NAMED_STRUCT('multipoint', …) emissions, so a
+        # non-literal arg that isn't polygon/line-shaped is a point
+        # (or multipoint) expression. Result is always MULTIPOINT
+        # (single-member when the points dedup — a runtime expression
+        # cannot vary its TYPE per row; documented divergence from
+        # BigQuery's POINT collapse). ARRAY_UNION dedups on struct
+        # equality in both engines' oracles.
+        def _mp_arr(x: str, lit) -> str | None:
+            if lit is not None:
+                if lit[0] == "point":
+                    return f"ARRAY({_emit_point(*lit[1])})"
+                if lit[0] == "multipoint":
+                    return ("ARRAY(" + ", ".join(
+                        _emit_point(px, py) for px, py in lit[1]
+                    ) + ")")
+                return None
+            s = x.strip()
+            if _is_multipoint(s):
+                return f"({s}).multipoint"
+            if _is_shape(s):
+                return None
+            return f"ARRAY(({s}))"
+
+        aa, bb = _mp_arr(args[0], ga), _mp_arr(args[1], gb)
+        if aa is None or bb is None:
+            raise BQDialectError(
+                "ST_UNION with computed operands supports point and "
+                "multipoint expressions only — computed polygon "
+                "unions need real topology (out of the closed-form "
+                "subset)"
+            )
+        return (
+            f"NAMED_STRUCT('multipoint', ARRAY_UNION({aa}, {bb}))"
         )
     pt_kinds = ("point", "multipoint")
     if ga[0] in pt_kinds and gb[0] in pt_kinds:

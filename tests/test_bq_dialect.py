@@ -858,7 +858,11 @@ def test_gis_area_perimeter_centroid_r8(fcat):
     deg_m = 6371008.8 * math.pi / 180.0
     assert abs(r.a - deg_m * deg_m) / (deg_m * deg_m) < 1e-3
     assert abs(r.p - 4 * deg_m) / (4 * deg_m) < 1e-3
-    assert abs(r.cx - 0.5) < 1e-12 and abs(r.cy - 0.5) < 1e-12
+    # r12: the EXACT spherical surface centroid — longitude stays 0.5
+    # by symmetry; latitude shifts a few µdeg off the planar 0.5 (the
+    # cos φ surface density and the geodesic northern edge both move
+    # it). The octant test below pins the closed form exactly.
+    assert abs(r.cx - 0.5) < 1e-9 and abs(r.cy - 0.5) < 1e-4
     assert r.pa == 0.0 and r.px == 5.0
 
 
@@ -1469,8 +1473,11 @@ def test_literal_topology_r11(fcat):
             "SELECT ST_INTERSECTION(ST_GEOGFROMTEXT("
             f"'POLYGON((0 0, 10 0, 5 5, 10 10, 0 10, 0 0))'), {sq1})"
         )
-    with pytest.raises(BQDialectError, match="literal"):
-        translate("SELECT ST_UNION(some_col, other_col)")
+    # r12: computed point/multipoint ST_UNION is now IMPLEMENTED —
+    # bare columns lower to the runtime multipoint dedup
+    assert "ARRAY_UNION" in translate(
+        "SELECT ST_UNION(some_col, other_col)"
+    )
     with pytest.raises(BQDialectError, match="pole"):
         translate("SELECT ST_BUFFER(ST_GEOGPOINT(0.0, 89.0), 1000.0)")
     # line topology (literal): line↔polygon and line↔line fold too

@@ -258,15 +258,14 @@ def test_gis_polygon_differential_fuzz(spark):
     cat = LakeCatalog(spark)
 
     def ref_contains(verts, px, py):
-        n, inside = len(verts), False
-        for i in range(n):
-            ax, ay = verts[i]
-            bx, by = verts[(i + 1) % n]
-            if (ay > py) != (by > py) and px < (bx - ax) * (py - ay) / (
-                by - ay
-            ) + ax:
-                inside = not inside
-        return inside
+        # r12: GEODESIC reference — the winding method, an independent
+        # algorithm from the lowering's S2 crossing predicate
+        from bigquery_etl_spark.sources.bq_dialect import (
+            _py_winding_inside,
+            _unit3,
+        )
+
+        return _py_winding_inside([verts], _unit3(px, py))
 
     def ref_distance(verts, px, py):
         if ref_contains(verts, px, py):
@@ -331,17 +330,17 @@ def test_gis_polygon_concave_differential_fuzz(spark):
     cat = LakeCatalog(spark)
 
     def ref_contains(rings, px, py):
-        inside = False
-        for verts in rings:
-            n = len(verts)
-            for i in range(n):
-                ax, ay = verts[i]
-                bx, by = verts[(i + 1) % n]
-                if (ay > py) != (by > py) and px < (bx - ax) * (
-                    py - ay
-                ) / (by - ay) + ax:
-                    inside = not inside
-        return inside
+        # r12: GEODESIC reference (winding method, independent of the
+        # lowering) — shell minus holes via per-ring winding parity
+        from bigquery_etl_spark.sources.bq_dialect import (
+            _py_winding_inside,
+            _unit3,
+        )
+
+        q = _unit3(px, py)
+        return (
+            sum(1 for r in rings if _py_winding_inside([r], q)) % 2 == 1
+        )
 
     def ref_distance(rings, px, py):
         if ref_contains(rings, px, py):
@@ -457,17 +456,17 @@ def test_gis_multipoly_linestring_differential_fuzz(spark):
     cat = LakeCatalog(spark)
 
     def ref_contains(rings, px, py):
-        inside = False
-        for verts in rings:
-            n = len(verts)
-            for i in range(n):
-                ax, ay = verts[i]
-                bx, by = verts[(i + 1) % n]
-                if (ay > py) != (by > py) and px < (bx - ax) * (
-                    py - ay
-                ) / (by - ay) + ax:
-                    inside = not inside
-        return inside
+        # r12: GEODESIC reference (winding method, independent of the
+        # lowering) — shell minus holes via per-ring winding parity
+        from bigquery_etl_spark.sources.bq_dialect import (
+            _py_winding_inside,
+            _unit3,
+        )
+
+        q = _unit3(px, py)
+        return (
+            sum(1 for r in rings if _py_winding_inside([r], q)) % 2 == 1
+        )
 
     def _hav(px, py, cx, cy):
         r = 6371008.8
