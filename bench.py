@@ -189,6 +189,16 @@ HEADLINE = [
     # natively boundary-based; the week anchors recompute the same
     # unix-day shifts
     "q_date_boundaries",
+    # r12 additions (same convention): TF-IDF — matched (both engines
+    # run the full two-pass corpus plan); computed-geometry topology —
+    # matched (identical trig algebra per row on both sides); farm
+    # fingerprint + deterministic AEAD — timed, excluded below (their
+    # oracles are generated-constant lookups with zero hash/crypto
+    # work)
+    "q_ml_tfidf",
+    "q_gis_topology_computed",
+    "q_farm_fingerprint",
+    "q_daead",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB
@@ -219,6 +229,12 @@ MATCHED_EXCLUDE = {
     "q_funcs_r11c": "Spark base32-transcodes every c_name twice (the "
     "round-trip identity IS the check); the oracle counts rows — "
     "52× asymmetry of deliberately-skipped work, not an engine contest",
+    "q_farm_fingerprint": "Spark runs the real farmhash kernel per row; "
+    "the oracle looks the values up in generated-constant CASEs — "
+    "zero hash work, not an engine contest",
+    "q_daead": "Spark runs AES-SIV encrypt+decrypt per row; the oracle "
+    "SELECTs plaintext stats + constant ciphertext hex — not "
+    "comparable work",
 }
 
 

@@ -4946,6 +4946,8 @@ _KEYSET_SCHEMA = (
 )
 _AEAD_HAVE = (
     "have: AEAD.ENCRYPT, AEAD.DECRYPT_STRING, AEAD.DECRYPT_BYTES, "
+    "AEAD.DETERMINISTIC_ENCRYPT, AEAD.DETERMINISTIC_DECRYPT_STRING, "
+    "AEAD.DETERMINISTIC_DECRYPT_BYTES, "
     "KEYS.NEW_KEYSET, KEYS.KEYSET_FROM_JSON, KEYS.KEYSET_TO_JSON, "
     "KEYS.KEYSET_LENGTH, KEYS.ROTATE_KEYSET, KEYS.ADD_KEY_FROM_RAW_BYTES"
 )
@@ -5018,22 +5020,30 @@ def _aead_decrypt_rewriter(fname: str, as_string: bool):
     return _rw
 
 
-def _keyset_type_arg(fn: str, arg: str) -> None:
+def _keyset_type_arg(fn: str, arg: str) -> str:
+    """Canonical key-struct type for the keyset type argument. r12:
+    'DETERMINISTIC_AEAD_AES_SIV_CMAC_256' joins (the r11 "no AES-SIV
+    kernel" refusal was factually wrong — the cryptography package's
+    AESSIV ships in this runtime; functions/daead.py)."""
     t = arg.strip().strip("'\"").upper()
-    if t != "AEAD_AES_GCM_256":
-        raise BQDialectError(
-            f"{fn} supports key type 'AEAD_AES_GCM_256' only "
-            "(DETERMINISTIC_AEAD_* needs an AES-SIV kernel this "
-            "runtime does not have)"
-        )
+    if t == "AEAD_AES_GCM_256":
+        return "AES_GCM_256"
+    if t == "DETERMINISTIC_AEAD_AES_SIV_CMAC_256":
+        return "AES_SIV_CMAC_256"
+    raise BQDialectError(
+        f"{fn} supports key types 'AEAD_AES_GCM_256' and "
+        "'DETERMINISTIC_AEAD_AES_SIV_CMAC_256' only"
+    )
 
 
-def _keys_new_key(kid: str) -> str:
-    """NAMED_STRUCT for a fresh AES-256-GCM key from hex entropy
-    ``__h`` (field order matches _KEYSET_SCHEMA's element type)."""
+def _keys_new_key(kid: str, ktype: str = "AES_GCM_256") -> str:
+    """NAMED_STRUCT for a fresh key from hex entropy ``__h`` (field
+    order matches _KEYSET_SCHEMA's element type). GCM keys take 32
+    bytes of entropy; SIV (r12) takes 64 — the entropy generator is
+    sized per type by the caller."""
     return (
         f"NAMED_STRUCT('keyId', {kid}, 'status', 'ENABLED', "
-        f"'type', 'AES_GCM_256', 'rawKey', BASE64(UNHEX(__h)))"
+        f"'type', '{ktype}', 'rawKey', BASE64(UNHEX(__h)))"
     )
 
 
@@ -5045,6 +5055,12 @@ def _keys_new_key(kid: str) -> str:
 # cleartext in every ciphertext's Tink prefix, so taking it from the
 # key bytes leaked 28 bits of key material to any ciphertext holder.
 _KEYS_ENTROPY = "ARRAY(SHA2(CONCAT(UUID(), UUID()), 256))"
+# SIV keysets (r12) need 64 key bytes: two chained SHA2-256 halves of
+# independent UUID draws, same one-evaluation lambda binding
+_KEYS_ENTROPY_SIV = (
+    "ARRAY(CONCAT(SHA2(CONCAT(UUID(), UUID()), 256), "
+    "SHA2(CONCAT(UUID(), UUID(), 'k2'), 256)))"
+)
 _KEYS_KID = (
     "CAST(CONV(SUBSTRING(SHA2(CONCAT(__h, 'kid'), 256), 1, 7), 16, 10) "
     "AS BIGINT)"
@@ -5054,24 +5070,29 @@ _KEYS_KID = (
 def _keys_new_keyset_rewriter(args: list[str]) -> str:
     if len(args) != 1:
         raise BQDialectError("KEYS.NEW_KEYSET expects (key_type)")
-    _keyset_type_arg("KEYS.NEW_KEYSET", args[0])
+    ktype = _keyset_type_arg("KEYS.NEW_KEYSET", args[0])
+    ent = _KEYS_ENTROPY_SIV if ktype == "AES_SIV_CMAC_256" \
+        else _KEYS_ENTROPY
     return (
-        f"CAST(TRY_ELEMENT_AT(TRANSFORM({_KEYS_ENTROPY}, __h -> "
+        f"CAST(TRY_ELEMENT_AT(TRANSFORM({ent}, __h -> "
         f"TO_JSON(NAMED_STRUCT('primaryKeyId', {_KEYS_KID}, "
-        f"'key', ARRAY({_keys_new_key(_KEYS_KID)})))), 1) AS BINARY)"
+        f"'key', ARRAY({_keys_new_key(_KEYS_KID, ktype)})))), 1) "
+        f"AS BINARY)"
     )
 
 
 def _keys_rotate_keyset_rewriter(args: list[str]) -> str:
     if len(args) != 2:
         raise BQDialectError("KEYS.ROTATE_KEYSET expects (keyset, key_type)")
-    _keyset_type_arg("KEYS.ROTATE_KEYSET", args[1])
+    ktype = _keyset_type_arg("KEYS.ROTATE_KEYSET", args[1])
+    ent = _KEYS_ENTROPY_SIV if ktype == "AES_SIV_CMAC_256" \
+        else _KEYS_ENTROPY
     p = _ks_parse(args[0].strip())
     return (
-        f"CAST(TRY_ELEMENT_AT(TRANSFORM({_KEYS_ENTROPY}, __h -> "
+        f"CAST(TRY_ELEMENT_AT(TRANSFORM({ent}, __h -> "
         f"TO_JSON(NAMED_STRUCT('primaryKeyId', {_KEYS_KID}, "
-        f"'key', CONCAT(ARRAY({_keys_new_key(_KEYS_KID)}), {p}.key)))), "
-        f"1) AS BINARY)"
+        f"'key', CONCAT(ARRAY({_keys_new_key(_KEYS_KID, ktype)}), "
+        f"{p}.key)))), 1) AS BINARY)"
     )
 
 
@@ -5082,10 +5103,11 @@ def _keys_add_raw_rewriter(args: list[str]) -> str:
             "(keyset, key_type, raw_key_bytes)"
         )
     t = args[1].strip().strip("'\"").upper()
-    if t != "AES_GCM":
+    if t not in ("AES_GCM", "AES_SIV"):
         raise BQDialectError(
-            "KEYS.ADD_KEY_FROM_RAW_BYTES supports key type 'AES_GCM' "
-            "only (AES_CBC_PKCS has no AEAD decrypt path)"
+            "KEYS.ADD_KEY_FROM_RAW_BYTES supports key types 'AES_GCM' "
+            "and 'AES_SIV' (r12) only (AES_CBC_PKCS has no AEAD "
+            "decrypt path)"
         )
     ks, _, raw = (a.strip() for a in args)
     p = _ks_parse(ks)
@@ -5097,16 +5119,26 @@ def _keys_add_raw_rewriter(args: list[str]) -> str:
         f"CAST(CONV(SUBSTRING(SHA2(HEX(({raw})), 256), 1, 7), 16, 10) "
         f"AS BIGINT)"
     )
+    if t == "AES_SIV":
+        ktype, sizes, sz_msg = "AES_SIV_CMAC_RAW", "(64)", "64"
+    else:
+        ktype, sizes, sz_msg = "AES_GCM_RAW", "(16, 32)", "16 or 32"
     rawkey = (
-        f"(CASE WHEN LENGTH(({raw})) IN (16, 32) THEN BASE64(({raw})) "
+        f"(CASE WHEN LENGTH(({raw})) IN {sizes} THEN BASE64(({raw})) "
         f"ELSE CAST(RAISE_ERROR('KEYS.ADD_KEY_FROM_RAW_BYTES: a raw "
-        f"AES-GCM key must be 16 or 32 bytes') AS STRING) END)"
+        f"{t} key must be {sz_msg} bytes') AS STRING) END)"
     )
+    # bind the parsed keyset ONCE through a lambda (r12 fix): the
+    # struct is referenced twice (primaryKeyId + key), and a
+    # NONDETERMINISTIC inline argument — KEYS.ADD_KEY_FROM_RAW_BYTES(
+    # KEYS.NEW_KEYSET(…), …) — would otherwise evaluate per reference,
+    # yielding a keyset whose primaryKeyId matches no key
     return (
-        f"CAST(TO_JSON(NAMED_STRUCT('primaryKeyId', {p}.primaryKeyId, "
-        f"'key', CONCAT({p}.key, ARRAY(NAMED_STRUCT('keyId', {kid}, "
-        f"'status', 'ENABLED', 'type', 'AES_GCM_RAW', "
-        f"'rawKey', {rawkey}))))) AS BINARY)"
+        f"CAST(TRY_ELEMENT_AT(TRANSFORM(ARRAY({p}), __ks -> "
+        f"TO_JSON(NAMED_STRUCT('primaryKeyId', __ks.primaryKeyId, "
+        f"'key', CONCAT(__ks.key, ARRAY(NAMED_STRUCT('keyId', {kid}, "
+        f"'status', 'ENABLED', 'type', '{ktype}', "
+        f"'rawKey', {rawkey})))))), 1) AS BINARY)"
     )
 
 
@@ -5137,7 +5169,57 @@ def _keys_length_rewriter(args: list[str]) -> str:
     return f"SIZE({_ks_parse(args[0].strip())}.key)"
 
 
+def _daead_rewriter(fname: str, out: str):
+    """AEAD.DETERMINISTIC_* (r12, VERDICT r11 stretch item 8 — the
+    "no AES-SIV kernel" refusal retired): RFC 5297 AES-SIV via the
+    cryptography package's AESSIV, Arrow-batched pandas UDFs
+    (functions/daead.py) registered by bq_sql on the marker. Tink
+    prefix semantics match the GCM family: 0x01‖keyId on the primary,
+    RAW keys tried over the unprefixed ciphertext; determinism is the
+    point — equal (keyset, plaintext, aad) gives equal ciphertext, so
+    encrypted columns JOIN."""
+
+    def _rw(args: list[str]) -> str:
+        if len(args) != 3:
+            raise BQDialectError(
+                f"{fname} expects (keyset, value, additional_data), "
+                f"got {len(args)} args"
+            )
+        ks, val, aad = (a.strip() for a in args)
+        fn = ("__bq_daead_encrypt" if "ENCRYPT" in fname
+              else "__bq_daead_decrypt")
+        body = (
+            f"{fn}(CAST(({ks}) AS BINARY), CAST(({val}) AS BINARY), "
+            f"CAST(({aad}) AS BINARY))"
+        )
+        return f"CAST({body} AS STRING)" if out == "string" else body
+
+    return _rw
+
+
 def _rewrite_aead(sql: str) -> str:
+    # DETERMINISTIC_* first — the plain ENCRYPT/DECRYPT patterns would
+    # otherwise never match them anyway, but the order keeps intent
+    # obvious
+    sql = _rewrite_calls(
+        sql,
+        r"AEAD\s*\.\s*DETERMINISTIC_ENCRYPT",
+        _daead_rewriter("AEAD.DETERMINISTIC_ENCRYPT", out="binary"),
+    )
+    sql = _rewrite_calls(
+        sql,
+        r"AEAD\s*\.\s*DETERMINISTIC_DECRYPT_STRING",
+        _daead_rewriter(
+            "AEAD.DETERMINISTIC_DECRYPT_STRING", out="string"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        r"AEAD\s*\.\s*DETERMINISTIC_DECRYPT_BYTES",
+        _daead_rewriter(
+            "AEAD.DETERMINISTIC_DECRYPT_BYTES", out="binary"
+        ),
+    )
     sql = _rewrite_calls(sql, r"AEAD\s*\.\s*ENCRYPT", _aead_encrypt_rewriter)
     sql = _rewrite_calls(
         sql,
@@ -5457,8 +5539,7 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
         # would be silently insecure) or an unknown member
         m = rx_aead.match(sql, sites[0][0])
         raise BQDialectError(
-            f"{m.group(1)} is not implemented ({_AEAD_HAVE}; "
-            "DETERMINISTIC_* refuses: no AES-SIV kernel in this runtime)"
+            f"{m.group(1)} is not implemented ({_AEAD_HAVE})"
         )
     rx_tfidf = re.compile(r"(?i)\bML\s*\.\s*(TF_IDF|IDF)\s*\(")
     sites = _call_sites(sql, rx_tfidf)

@@ -2414,6 +2414,10 @@ class LakeCatalog:
             )
 
             register_net_funcs(self.spark)
+        if "__bq_daead_" in out:
+            from bigquery_etl_spark.functions.daead import register_daead
+
+            register_daead(self.spark)
         if "__bq_farm_" in out:
             from bigquery_etl_spark.functions.farmhash import (
                 register_farmhash,

@@ -1178,13 +1178,14 @@ def test_named_refusals_aead_llm_r10():
     )
 
     # r11: AEAD.ENCRYPT / KEYS.NEW_KEYSET are now IMPLEMENTED (Spark's
-    # built-in AES-GCM kernel); only DETERMINISTIC_* (no AES-SIV) and
-    # unknown members still refuse
+    # built-in AES-GCM kernel); r12: AEAD.DETERMINISTIC_* too (AES-SIV
+    # via the cryptography package) — only unknown members refuse
     assert "AES_ENCRYPT" in translate(
         "SELECT AEAD.ENCRYPT(ks, 'pt', 'ad') FROM t"
     ).upper()
-    with pytest.raises(BQDialectError, match="AES-SIV"):
-        translate("SELECT DETERMINISTIC_ENCRYPT(ks, 'pt', 'ad') FROM t")
+    assert "__bq_daead_encrypt" in translate(
+        "SELECT AEAD.DETERMINISTIC_ENCRYPT(ks, 'pt', 'ad') FROM t"
+    )
     with pytest.raises(BQDialectError, match="foundation"):
         translate(
             "SELECT * FROM ML.GENERATE_TEXT(MODEL m, TABLE t)"
@@ -1653,12 +1654,17 @@ def test_aead_deterministic_and_unknown_members_refuse(fcat):
     )
     import pytest as _pt
 
-    with _pt.raises(BQDialectError, match="AES-SIV"):
-        translate("SELECT DETERMINISTIC_ENCRYPT(ks, x, '') FROM t")
+    # r12: AEAD.DETERMINISTIC_* and SIV keysets are IMPLEMENTED
+    assert "__bq_daead_decrypt" in translate(
+        "SELECT AEAD.DETERMINISTIC_DECRYPT_STRING(ks, x, '') FROM t"
+    )
     with _pt.raises(BQDialectError, match="not implemented"):
         translate("SELECT KEYS.KEYSET_CHAIN('kms', ks) FROM t")
-    with _pt.raises(BQDialectError, match="AEAD_AES_GCM_256"):
-        translate("SELECT KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256')")
+    assert "AES_SIV_CMAC_256" in translate(
+        "SELECT KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256')"
+    )
+    with _pt.raises(BQDialectError, match="key types"):
+        translate("SELECT KEYS.NEW_KEYSET('CHACHA20_POLY1305')")
 
 
 # -- Text analysis functions (r11) --------------------------------------------
