@@ -33,7 +33,7 @@ _ML_TFIDF_ORACLE = f"""
 WITH raw AS (
     SELECT doc_id, lang,
            regexp_extract_all(lower(text), '{_DUCK_TOKENS}') AS toks
-    FROM documents
+    FROM documents WHERE doc_id % 2 = 0
 ),
 n AS (SELECT COUNT(*) AS n_docs FROM raw),
 tf AS (
@@ -102,7 +102,7 @@ def q_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT doc_id, lang,
                    ML.TF_IDF(TEXT_ANALYZE(text)) OVER() AS vec
-            FROM tfi_docs
+            FROM tfi_docs WHERE MOD(doc_id, 2) = 0
         ) GROUP BY lang ORDER BY lang
     """)
 

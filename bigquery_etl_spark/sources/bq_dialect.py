@@ -2284,6 +2284,10 @@ def _poly_contains(A: str, p: str) -> str:
             pr = _parse_poly_rings(A)
             polys = [pr] if pr is not None else [[r] for r in rings]
         q3 = _pick_outside_q(polys)
+        n_edges = sum(len(r) for r in rings)
+        if n_edges > _GEO_UNROLL_MAX_EDGES:
+            # JIT-sized fold (r12 — see _edges_cross_fold)
+            return _edges_cross_fold(p, rings, q3)
         terms = _geo_cross_terms(p, rings, q3)
         return f"(({' + '.join(terms)}) % 2 = 1)"
     if _is_nested_poly(A):
@@ -2391,6 +2395,54 @@ def _edges_geo_fold(pp: str, segs: list[tuple[float, float, float, float]]) -> s
         f"TRY_ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
         f"'px', {px}, 'py', {py}, 'pz', {pz}, "
         f"'plat', {pp}.lat, 'plon', {pp}.lon)), __p -> {fold}), 1)"
+    )
+
+
+def _edges_cross_fold(pp: str, rings, q3) -> str:
+    """Geodesic even-odd parity over many LITERAL edges as a HOF fold
+    (r12 — the same JIT-ceiling medicine as _edges_geo_fold: the
+    per-edge unroll of the 4-sign crossing predicate blows past
+    Janino's method-size limit around ~10 edges and the projection
+    runs interpreted over a huge tree). Per-edge constants (n, n·Q,
+    Q×A, Q×B) fold into a constant struct array; the point's unit
+    3-vector binds once; ONE small lambda evaluates the identical
+    sign algebra (product form — same classifications as the unroll's
+    constant-folded branches)."""
+    px, py, pz = _pxyz(pp)
+    structs = []
+    for verts in rings:
+        n_v = len(verts)
+        pts = [_unit3(x, y) for x, y in verts]
+        for i in range(n_v):
+            A, B = pts[i], pts[(i + 1) % n_v]
+            n = _cross3(A, B)
+            nq = n[0] * q3[0] + n[1] * q3[1] + n[2] * q3[2]
+            if abs(nq) < 1e-15:
+                continue  # degenerate (zero-length) edge: no crossing
+            qa = _cross3(q3, A)
+            qb = _cross3(q3, B)
+            structs.append(
+                "NAMED_STRUCT("
+                f"'n1', {n[0]!r}D, 'n2', {n[1]!r}D, 'n3', {n[2]!r}D, "
+                f"'nq', {nq!r}D, "
+                f"'ax', {qa[0]!r}D, 'ay', {qa[1]!r}D, 'az', {qa[2]!r}D, "
+                f"'bx', {qb[0]!r}D, 'by', {qb[1]!r}D, 'bz', {qb[2]!r}D)"
+            )
+    s = "(-(__p.px * __e.n1 + __p.py * __e.n2 + __p.pz * __e.n3))"
+    body = (
+        f"IF({s} * __e.nq > 0 AND {s} * (-(__p.px * __e.bx + "
+        f"__p.py * __e.by + __p.pz * __e.bz)) > 0 AND {s} * "
+        f"(__p.px * __e.ax + __p.py * __e.ay + __p.pz * __e.az) > 0, "
+        f"1, 0)"
+    )
+    fold = (
+        f"AGGREGATE(TRANSFORM(ARRAY({', '.join(structs)}), "
+        f"__e -> {body}), 0, (__m, __c) -> __m + __c)"
+    )
+    return (
+        f"(TRY_ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
+        f"'px', {px}, 'py', {py}, 'pz', {pz})), __p -> {fold}), 1) "
+        f"% 2 = 1)"
     )
 
 
@@ -5392,21 +5444,30 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
         else:
             out_items.append(it.strip())
     tail = sql[from_pos + 4 : scope_end].strip()
+    # Spark INLINES multiply-referenced CTEs, so every reference to
+    # the tokenized base re-evaluates the tokenizer. Shape (r12 perf):
+    # __tfb is referenced exactly TWICE (the distinct-array count and
+    # the final join); all corpus statistics derive from __tfcnt —
+    # (array, multiplicity) — so N = Σcnt, df = Σcnt over arrays
+    # containing the term, tf per distinct array. Identical values,
+    # half the tokenizer evaluations of the naive spelling.
     body = (
         "WITH __tfb AS (SELECT *, ("
         + tok_expr
         + ") AS __tfidf_toks FROM "
         + tail
-        + "), __tfn AS (SELECT COUNT(*) AS __n FROM __tfb), "
-        "__tfdf AS (SELECT __t AS __term, COUNT(*) AS __df FROM __tfb "
-        "LATERAL VIEW EXPLODE(ARRAY_DISTINCT(__tfidf_toks)) __e AS __t "
-        "GROUP BY __t), "
+        + "), __tfcnt AS (SELECT __tfidf_toks AS __toks, COUNT(*) AS "
+        "__cnt FROM __tfb GROUP BY __tfidf_toks), "
+        "__tfn AS (SELECT SUM(__cnt) AS __n FROM __tfcnt), "
+        "__tfdf AS (SELECT __t AS __term, SUM(__cnt) AS __df FROM "
+        "__tfcnt LATERAL VIEW EXPLODE(ARRAY_DISTINCT(__toks)) __e "
+        "AS __t GROUP BY __t), "
         "__tfvoc AS (SELECT __term, ROW_NUMBER() OVER (ORDER BY "
         "__term) - 1 AS __idx FROM __tfdf), "
-        "__tftf AS (SELECT __tfidf_toks AS __toks, __t AS __term, "
-        "COUNT(*) AS __tf FROM (SELECT DISTINCT __tfidf_toks FROM "
-        "__tfb) LATERAL VIEW EXPLODE(__tfidf_toks) __e AS __t "
-        "GROUP BY __tfidf_toks, __t), "
+        "__tftf AS (SELECT __toks, __t AS __term, COUNT(*) AS __tf "
+        "FROM (SELECT __toks FROM __tfcnt) "
+        "LATERAL VIEW EXPLODE(__toks) __e AS __t "
+        "GROUP BY __toks, __t), "
         "__tfvec AS (SELECT __toks, SORT_ARRAY(COLLECT_LIST(STRUCT("
         "__idx AS index, CAST(__tf AS DOUBLE) * (LN((__n + 1.0) / "
         "(__df + 1.0)) + 1.0) AS value))) AS __vec FROM __tftf "

@@ -31,6 +31,9 @@ NON_EQUI_OK = {
     "q_subquery_scalar",  # scalar subquery broadcast
     "q_values_inline",    # inline VALUES cross with 1-row aggregates
     "q_tfidf",            # 1-row n_docs crossJoin (explicit broadcast)
+    "q_ml_tfidf",         # same shape from the r12 statement rewrite:
+                          # CROSS JOIN of the 1-row corpus-count
+                          # aggregate (__tfn) into the per-term scores
     "q_quality_score",    # corpus-constant quantile thresholds (1-row cross)
     "q_doc_fingerprint",  # corpus-constant join
     "q_embed_topk",       # brute-force topk: query side broadcast NLJ by design
