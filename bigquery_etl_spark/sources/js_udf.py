@@ -6,8 +6,12 @@ Python). Everything outside the subset refuses loudly with the
 offending construct named — a wrong translation would be worse than no
 translation.
 
-Supported: a single ``return <expr>;`` body over the declared
-parameters; numeric/string/boolean literals; ``+ - * / %`` (with ``+``
+Supported: side-effect-free bodies over the declared parameters —
+originally a single ``return <expr>;``; r12 (VERDICT r11 missing #6)
+adds straight-line MULTI-STATEMENT bodies: ``var/let/const`` single-
+assignment bindings (references inline the translated SQL),
+``if (cond) return expr;`` chains (→ CASE WHEN), brace blocks holding
+exactly one return, and undefined-fall-through → NULL. Expressions: numeric/string/boolean literals; ``+ - * / %`` (with ``+``
 typed as CONCAT when either side is a string — the JS overload);
 comparisons ``< <= > >= == != === !==``; ``&& || !``; the ternary
 ``c ? a : b``; ``Math.floor/ceil/abs/sqrt/pow/min/max/log/exp`` and
@@ -16,11 +20,11 @@ where SQL ROUND is half-away); string ``.length``, ``.toUpperCase()``,
 ``.toLowerCase()``, ``.trim()``, ``.substring(a, b)``, ``.charAt(i)``,
 ``.indexOf(s)`` (−1-based like JS); ``String(x)`` / ``Number(x)``.
 
-Refused (named in the error): statements beyond the single return,
-``var/let/const``, objects/arrays, closures/arrow functions, ``new``,
+Refused (named in the error): reassignment (non-SSA), loops,
+unreachable code, objects/arrays, closures/arrow functions, ``new``,
 regex literals, ``.replace`` (JS replaces the FIRST match, SQL all),
-``.split``, loops, assignments — anything whose JS semantics have no
-faithful one-expression SQL form.
+``.split`` — anything whose JS semantics have no faithful
+one-expression SQL form.
 """
 
 from __future__ import annotations
@@ -75,10 +79,14 @@ class _Parser:
     """Precedence-climbing parser producing (sql, type) pairs; type is
     'num' | 'str' | 'bool' | 'any'."""
 
-    def __init__(self, toks, params: dict[str, str]):
+    def __init__(self, toks, params: dict[str, str], subs=None):
         self.toks = toks
         self.i = 0
         self.params = params
+        # r12: local 'var' bindings from multi-statement bodies —
+        # name -> (sql, type); references inline the SQL (Catalyst
+        # CSE dedups the deterministic repeats)
+        self.subs = subs or {}
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -318,11 +326,15 @@ class _Parser:
                 if v == "String":
                     return f"CAST({a} AS STRING)", "str"
                 return f"TRY_CAST({a} AS DOUBLE)", "num"
+            if v in self.subs:
+                sql, t = self.subs[v]
+                return f"({sql})", t
             if v in self.params:
                 return v, self.params[v]
             raise JsUdfError(
                 f"JS subset: unknown identifier {v!r} (not a declared "
-                "parameter — closures over outer scope are refused)"
+                "parameter or local var — closures over outer scope "
+                "are refused)"
             )
         if (k, v) == ("op", "("):
             e, t = self.ternary()
@@ -334,24 +346,76 @@ class _Parser:
 _BQ_NUM = {"INT64", "FLOAT64", "NUMERIC", "BIGNUMERIC"}
 
 
+def _split_js_statements(src: str) -> list[str]:
+    """Top-level ';'-split respecting string literals and parens."""
+    out, buf, depth, i, n = [], [], 0, 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in "\"'":
+            q = c
+            buf.append(c)
+            i += 1
+            while i < n:
+                buf.append(src[i])
+                if src[i] == "\\":
+                    if i + 1 < n:
+                        buf.append(src[i + 1])
+                    i += 2
+                    continue
+                if src[i] == q:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    if "".join(buf).strip():
+        out.append("".join(buf))
+    return out
+
+
+_IF_RETURN_RX = re.compile(r"(?s)^(?:else\s+)?if\s*\(")
+_VAR_RX = re.compile(r"(?s)^(?:var|let|const)\s+([A-Za-z_$][\w$]*)\s*=\s*(.+)$")
+
+
 def translate_js_body(body: str, params: list[tuple[str, str]]) -> str:
-    """``return <expr>;`` JS body → one SQL expression over the
-    declared params. ``params``: (name, BigQuery type) pairs."""
+    """Side-effect-free JS body → one SQL expression over the declared
+    params. ``params``: (name, BigQuery type) pairs.
+
+    r12 (VERDICT r11 missing #6 — multi-statement bodies): beyond the
+    original single ``return <expr>;``, straight-line SSA bodies
+    translate — ``var/let/const NAME = expr;`` bindings (each name
+    bound ONCE; references inline the translated SQL, Catalyst CSE
+    dedups the deterministic repeats), ``if (cond) return expr;`` /
+    ``else if (...) return ...;`` chains (→ CASE WHEN), an optional
+    final unconditional ``return``; a missing final return yields
+    NULL (JS's undefined → BigQuery NULL). ``if (c) { return e; }``
+    brace blocks normalize when they hold exactly one return.
+    Reassignment, loops, and everything else still refuses with the
+    construct named."""
     src = body.strip()
-    if re.search(r"=>|\{|\}|\[|\]", src):
+    if re.search(r"=>|\[|\]", src):
         raise JsUdfError(
-            "JS subset: arrow functions / objects / arrays / blocks "
-            "are outside the translatable subset"
+            "JS subset: arrow functions / objects / arrays are "
+            "outside the translatable subset"
         )
-    m = re.match(r"(?s)^return\b(.*?);?\s*$", src)
-    if not m:
+    # normalize 'if (c) { return e; }' / 'else { return e; }' blocks
+    src = re.sub(
+        r"\{\s*(return\b[^{};]*;?)\s*\}", r"\1", src
+    )
+    if "{" in src or "}" in src:
         raise JsUdfError(
-            "JS subset: the body must be a single 'return <expr>;'"
-        )
-    expr_src = m.group(1).strip()
-    if ";" in expr_src:
-        raise JsUdfError(
-            "JS subset: multiple statements — only one return"
+            "JS subset: blocks beyond 'if (...) { return ...; }' are "
+            "outside the translatable subset"
         )
     types = {}
     for name, t in params:
@@ -364,8 +428,78 @@ def translate_js_body(body: str, params: list[tuple[str, str]]) -> str:
             types[name] = "bool"
         else:
             types[name] = "any"
-    sql, _ = _Parser(_tokenize(expr_src), types).parse()
-    return sql
+
+    subs: dict[str, tuple[str, str]] = {}
+
+    def _expr(text: str) -> tuple[str, str]:
+        return _Parser(_tokenize(text), types, subs).parse()
+
+    branches: list[tuple[str, str]] = []  # (cond_sql, value_sql)
+    final: str | None = None
+    for st in _split_js_statements(src):
+        st = st.strip()
+        if not st:
+            continue
+        if final is not None:
+            raise JsUdfError(
+                "JS subset: unreachable statement after the final "
+                "'return'"
+            )
+        vm = _VAR_RX.match(st)
+        if vm:
+            name, rhs = vm.group(1), vm.group(2)
+            if name in subs or name in types:
+                raise JsUdfError(
+                    f"JS subset: {name!r} is assigned more than once "
+                    "(single-assignment bindings only — reassignment "
+                    "has no one-expression SQL form)"
+                )
+            subs[name] = _expr(rhs)
+            continue
+        im = _IF_RETURN_RX.match(st)
+        if im:
+            # find the condition's matching close paren
+            open_idx = st.index("(")
+            depth, j = 0, open_idx
+            while j < len(st):
+                if st[j] == "(":
+                    depth += 1
+                elif st[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            cond_src = st[open_idx + 1:j]
+            rest = st[j + 1:].strip()
+            rm = re.match(r"(?s)^return\b(.*)$", rest)
+            if not rm:
+                raise JsUdfError(
+                    "JS subset: 'if' supports only "
+                    "'if (cond) return expr;'"
+                )
+            cond_sql, _ = _expr(cond_src)
+            val_sql, _ = _expr(rm.group(1).strip())
+            branches.append((cond_sql, val_sql))
+            continue
+        rm = re.match(r"(?s)^return\b(.*)$", st)
+        if rm:
+            final, _ = _expr(rm.group(1).strip())
+            continue
+        tok = st.split(None, 1)[0] if st.split() else st
+        raise JsUdfError(
+            f"JS subset: unsupported statement starting with {tok!r} "
+            "(supported: var/let/const bindings, if-return chains, "
+            "return)"
+        )
+    if not branches and final is None:
+        raise JsUdfError(
+            "JS subset: the body must contain a 'return'"
+        )
+    if not branches:
+        return final
+    whens = " ".join(f"WHEN {c} THEN {v}" for c, v in branches)
+    tail = f" ELSE {final}" if final is not None else ""
+    return f"(CASE {whens}{tail} END)"
 
 
 def strip_js_string(raw: str) -> str:

@@ -232,11 +232,12 @@ def test_js_udf_subset_r9(fcat):
     ).collect()[0]
     assert (rows.hit, rows.miss) == (1, -1)
     # refusals name the construct
-    with pytest.raises(BQDialectError, match="single 'return"):
-        fcat.bq_sql(
-            'CREATE TEMP FUNCTION j1(x INT64) RETURNS INT64 '
-            'LANGUAGE js AS "var y = 1; return x + y;";'
-        )
+    # r12: var bindings + multi-statement bodies are now IMPLEMENTED
+    fcat.bq_sql(
+        'CREATE TEMP FUNCTION j1(x INT64) RETURNS INT64 '
+        'LANGUAGE js AS "var y = 1; return x + y;";'
+    )
+    assert fcat.spark.sql("SELECT j1(4) AS v").collect()[0].v == 5
     with pytest.raises(BQDialectError, match="replace"):
         fcat.bq_sql(
             "CREATE TEMP FUNCTION j2(s STRING) RETURNS STRING "
