@@ -3390,10 +3390,11 @@ def _array_agg_rewriter(args: list[str]) -> str | None:
     transform. All keys must share one direction (mixed ASC/DESC has
     no sort_array form — refuses loudly). DISTINCT requires ordering
     by the aggregated expression itself, BigQuery's own restriction.
-    NULL elements: BigQuery ERRORS without IGNORE NULLS; here the
-    default drops them (collect_list semantics, same documented
-    divergence as ARRAY(SELECT …)), RESPECT NULLS keeps them.
-    Plain ``ARRAY_AGG(x)`` stays Spark-native (collect_list alias)."""
+    NULL elements (r12 — the documented drop-divergence RETIRED):
+    BigQuery ERRORS on a NULL element without IGNORE NULLS, and so
+    does this lowering now (collect through a struct so nulls are
+    visible, raise from the projection); IGNORE NULLS drops, RESPECT
+    NULLS keeps."""
     from bigquery_etl_spark.sources.lake_sql import _top_level_find
 
     s = ",".join(args)
@@ -3402,7 +3403,15 @@ def _array_agg_rewriter(args: list[str]) -> str | None:
         r"|\bORDER\s+BY\b|\bLIMIT\b",
         s,
     ):
-        return None  # plain array_agg: Spark-native
+        # plain ARRAY_AGG(x): BigQuery errors on NULL elements
+        e = s.strip()
+        return (
+            f"TRANSFORM(COLLECT_LIST(NAMED_STRUCT('__v', {e})), "
+            f"__s -> IF(__s.__v IS NULL, RAISE_ERROR('ARRAY_AGG: "
+            f"array cannot have a NULL element (BigQuery semantics) "
+            f"— use ARRAY_AGG(x IGNORE NULLS) to drop them'), "
+            f"__s.__v))"
+        )
     body = s
     distinct = False
     dm = re.match(r"(?is)^\s*DISTINCT\b(.*)$", body)
@@ -3435,7 +3444,7 @@ def _array_agg_rewriter(args: list[str]) -> str | None:
                 "ARRAY_AGG ORDER BY keys must share one direction — "
                 "sort_array has no mixed ASC/DESC form"
             )
-    nulls = "IGNORE"  # the collect_list default; BigQuery would error
+    nulls = "ERROR"  # BigQuery's default: a NULL element RAISES (r12)
     nm = re.match(r"(?is)^(.*?)\s+(IGNORE|RESPECT)\s+NULLS\s*$", body)
     if nm:
         body, nulls = nm.group(1), nm.group(2).upper()
@@ -3456,12 +3465,29 @@ def _array_agg_rewriter(args: list[str]) -> str | None:
             agg = f"SORT_ARRAY({agg}, {asc})"
         if limit is not None:
             agg = f"SLICE({agg}, 1, {limit})"
+        if nulls == "ERROR":
+            # COLLECT_SET silently drops nulls — detect them with a
+            # parallel count and raise (typed off the set's element)
+            return (
+                f"CASE WHEN COUNT(CASE WHEN ({expr}) IS NULL THEN 1 "
+                f"END) > 0 THEN ARRAY(IF(TRUE, RAISE_ERROR("
+                f"'ARRAY_AGG: array cannot have a NULL element "
+                f"(BigQuery semantics) — use IGNORE NULLS'), "
+                f"ELEMENT_AT(COLLECT_SET({expr}), 1))) ELSE {agg} END"
+            )
         return agg
     if not keys:
-        if nulls == "RESPECT":
+        if nulls in ("RESPECT", "ERROR"):
             agg = f"COLLECT_LIST(NAMED_STRUCT('__v', {expr}))"
             if limit is not None:
                 agg = f"SLICE({agg}, 1, {limit})"
+            if nulls == "ERROR":
+                return (
+                    f"TRANSFORM({agg}, __s -> IF(__s.__v IS NULL, "
+                    f"RAISE_ERROR('ARRAY_AGG: array cannot have a "
+                    f"NULL element (BigQuery semantics) — use IGNORE "
+                    f"NULLS'), __s.__v))"
+                )
             return f"TRANSFORM({agg}, __s -> __s.__v)"
         agg = f"COLLECT_LIST({expr})"
         if limit is not None:
@@ -3476,6 +3502,13 @@ def _array_agg_rewriter(args: list[str]) -> str | None:
     agg = f"SORT_ARRAY(COLLECT_LIST({elem}), {asc})"
     if limit is not None:
         agg = f"SLICE({agg}, 1, {limit})"
+    if nulls == "ERROR":
+        return (
+            f"TRANSFORM({agg}, __s -> IF(__s.__v IS NULL, "
+            f"RAISE_ERROR('ARRAY_AGG: array cannot have a NULL "
+            f"element (BigQuery semantics) — use IGNORE NULLS'), "
+            f"__s.__v))"
+        )
     return f"TRANSFORM({agg}, __s -> __s.__v)"
 
 

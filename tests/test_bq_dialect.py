@@ -616,8 +616,9 @@ def test_array_agg_ordered_r8(fcat):
         translate,
     )
 
-    # plain forms stay Spark-native
-    assert translate("SELECT ARRAY_AGG(x) FROM t") == "SELECT ARRAY_AGG(x) FROM t"
+    # r12: the plain form now carries the BigQuery NULL-element error
+    # check (the collect_list drop-divergence is retired)
+    assert "RAISE_ERROR" in translate("SELECT ARRAY_AGG(x) FROM t")
     assert (
         translate("SELECT STRING_AGG(x, '-') FROM t")
         == "SELECT STRING_AGG(x, '-') FROM t"
@@ -630,14 +631,20 @@ def test_array_agg_ordered_r8(fcat):
         "FROM ft"
     ).collect()[0]
     assert r.a == "3,2" and r.s == "3,2,1"
-    # RESPECT NULLS keeps nulls; default drops them
+    # RESPECT NULLS keeps nulls; IGNORE NULLS drops; the default
+    # RAISES on a NULL element (r12 — BigQuery semantics)
     r2 = fcat.bq_sql(
         "SELECT ARRAY_LENGTH(ARRAY_AGG(NULLIF(id, 2) RESPECT NULLS "
         "LIMIT 3)) AS nr, "
-        "ARRAY_LENGTH(ARRAY_AGG(NULLIF(id, 2) ORDER BY id)) AS ni "
+        "ARRAY_LENGTH(ARRAY_AGG(NULLIF(id, 2) IGNORE NULLS "
+        "ORDER BY id)) AS ni "
         "FROM ft"
     ).collect()[0]
     assert r2.nr == 3 and r2.ni == 2
+    with pytest.raises(Exception, match="NULL element"):
+        fcat.bq_sql(
+            "SELECT ARRAY_AGG(NULLIF(id, 2) ORDER BY id) AS a FROM ft"
+        ).collect()
     # mixed sort directions refuse loudly
     with pytest.raises(BQDialectError, match="direction"):
         translate("SELECT ARRAY_AGG(x ORDER BY a ASC, b DESC) FROM t")

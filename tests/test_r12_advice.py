@@ -140,3 +140,37 @@ def test_kmeans_shared_evaluate_dispatch(spark, tmp_path):
         lake._evaluate_model(
             spark.table("km_src"), {"model_type": "dnn_classifier"}
         )
+
+
+def test_array_agg_null_element_semantics(spark):
+    """r12: BigQuery ARRAY_AGG ERRORS on a NULL element without IGNORE
+    NULLS — the long-documented drop divergence is retired."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    cat = LakeCatalog(spark)
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a'),(1,NULL),(2,'b') AS t(g, v)"
+    ).createOrReplaceTempView("aan_t")
+
+    def run(sql):
+        try:
+            return [
+                r.a for r in cat.bq_sql(sql).orderBy("g").collect()
+            ]
+        except Exception as exc:  # noqa: BLE001
+            assert "NULL element" in str(exc)
+            return "RAISED"
+
+    base = "SELECT g, ARRAY_AGG({form}) AS a FROM aan_t GROUP BY g"
+    assert run(base.format(form="v")) == "RAISED"
+    assert run(base.format(form="v ORDER BY v")) == "RAISED"
+    assert run(base.format(form="DISTINCT v")) == "RAISED"
+    assert run(base.format(form="v IGNORE NULLS")) == [["a"], ["b"]]
+    assert run(base.format(form="v RESPECT NULLS")) == [
+        ["a", None], ["b"]
+    ]
+    # no nulls: every form still works
+    assert run(
+        "SELECT g, ARRAY_AGG(v) AS a FROM aan_t "
+        "WHERE v IS NOT NULL GROUP BY g"
+    ) == [["a"], ["b"]]
