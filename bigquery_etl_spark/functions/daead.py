@@ -28,6 +28,7 @@ reference main.py:21, 49-50); RFC 5297.
 from __future__ import annotations
 
 import base64
+import functools
 import json
 
 import pandas as pd
@@ -35,13 +36,22 @@ import pandas as pd
 _REGISTERED: set[int] = set()
 
 
-def _parse_keyset(ks_bytes: bytes) -> dict:
-    ks = json.loads(bytes(ks_bytes).decode("utf-8"))
+@functools.lru_cache(maxsize=64)
+def _parse_keyset_cached(ks_bytes: bytes) -> dict:
+    ks = json.loads(ks_bytes.decode("utf-8"))
     if not isinstance(ks, dict) or "key" not in ks:
         raise ValueError("AEAD.DETERMINISTIC_*: not a keyset")
     return ks
 
 
+def _parse_keyset(ks_bytes: bytes) -> dict:
+    # r13 (ADVICE): parse once per DISTINCT keyset bytes — in the
+    # common one-keyset-column case every row after the first is a
+    # dict hit, honoring the module contract above
+    return _parse_keyset_cached(bytes(ks_bytes))
+
+
+@functools.lru_cache(maxsize=64)
 def _siv_for(raw_b64: str):
     from cryptography.hazmat.primitives.ciphers.aead import AESSIV
 

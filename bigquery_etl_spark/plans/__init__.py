@@ -21,6 +21,7 @@ from bigquery_etl_spark.plans import (  # noqa: F401
     coverage13,
     coverage14,
     coverage15,
+    coverage16,
     extras,
     functions_pack,
     functions_pack2,

@@ -791,7 +791,12 @@ def q_interval_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS VARCHAR) AS fmt,
            CAST(CASE WHEN n > 50 THEN sqrt(n) ELSE n * n END
                AS DOUBLE) AS tern,
-           CAST(strpos(s, '3') - 1 AS BIGINT) AS ix
+           CAST(strpos(s, '3') - 1 AS BIGINT) AS ix,
+           CAST(n * (n + 1) * (n + 2) AS DOUBLE) AS p3,
+           substr(s, 1, 1) || '-' || substr(s, 2, 1) || '-'
+               || substr(s, 3, 1) || '-' AS mask,
+           CAST(n - 1 AS DOUBLE) AS st_lo,
+           CAST(n + 1 AS DOUBLE) AS st_hi
     FROM t ORDER BY k
     """,
     tags=("dialect", "udf"),
@@ -829,6 +834,27 @@ def q_js_udf_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CREATE TEMP FUNCTION js_ix(s STRING) RETURNS INT64 "
         'LANGUAGE js AS "return s.indexOf(\'3\');";'
     )
+    # r13 legs (VERDICT r12 item 5): a literal-bound for loop that
+    # UNROLLS at DDL time (accumulating product via reassignment), a
+    # string-building loop over charAt, and an object-literal return
+    # lowered to NAMED_STRUCT + CAST to the declared STRUCT type
+    cat.bq_sql(
+        "CREATE TEMP FUNCTION js_p3(n FLOAT64) RETURNS FLOAT64 "
+        'LANGUAGE js AS "var p = 1; '
+        "for (var i = 0; i < 3; i++) { p = p * (n + i); } "
+        'return p;";'
+    )
+    cat.bq_sql(
+        "CREATE TEMP FUNCTION js_mask(s STRING) RETURNS STRING "
+        'LANGUAGE js AS "var m = \'\'; '
+        "for (var i = 0; i < 3; i++) { m = m + s.charAt(i) + '-'; } "
+        'return m;";'
+    )
+    cat.bq_sql(
+        "CREATE TEMP FUNCTION js_band(n FLOAT64) "
+        "RETURNS STRUCT<lo FLOAT64, hi FLOAT64> "
+        'LANGUAGE js AS "return {lo: n - 1, hi: n + 1};";'
+    )
     return cat.bq_sql("""
         WITH t AS (
             SELECT o_orderkey AS k,
@@ -841,7 +867,11 @@ def q_js_udf_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
                js_dbl(n) AS dbl,
                js_fmt(s, CAST(n AS FLOAT64)) AS fmt,
                js_tern(CAST(n AS FLOAT64)) AS tern,
-               js_ix(s) AS ix
+               js_ix(s) AS ix,
+               js_p3(CAST(n AS FLOAT64)) AS p3,
+               js_mask(s) AS mask,
+               js_band(CAST(n AS FLOAT64)).lo AS st_lo,
+               js_band(CAST(n AS FLOAT64)).hi AS st_hi
         FROM t
     """)
 

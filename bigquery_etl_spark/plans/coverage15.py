@@ -43,9 +43,24 @@ tf AS (
 dfreq AS (
     SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
 ),
-voc AS (
-    SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS idx
+vb AS (
+    SELECT term, (ascii(substr(term, 1, 1)) * 961
+        + ascii(substr(term, 2, 1)) * 31 + ascii(substr(term, 3, 1))
+        + length(term)) % 1024 AS b
     FROM dfreq
+),
+lr AS (
+    SELECT term, b,
+           ROW_NUMBER() OVER (PARTITION BY b ORDER BY term) - 1 AS lr
+    FROM vb
+),
+bo AS (
+    SELECT b, COALESCE(SUM(c) OVER (PARTITION BY 1 ORDER BY b ROWS
+        BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM (SELECT b, COUNT(*) AS c FROM vb GROUP BY b)
+),
+voc AS (
+    SELECT term, off + lr AS idx FROM lr JOIN bo USING (b)
 ),
 ent AS (
     SELECT tf.doc_id, tf.lang, voc.idx,
@@ -78,9 +93,11 @@ def q_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     No per-row corpus state, no driver collection; shuffles keyed on
     term and on the token-array hash. The refusal is retired. The
     twin recomputes TF-IDF relationally in DuckDB from an independent
-    tokenization, including the 0-based lexicographic vocabulary index
-    (verified through the index-weighted checksum) and the documented
-    smooth-idf closed form tf * (LN((N+1)/(df+1)) + 1). Per-entry
+    tokenization, including the 0-based dense vocabulary index
+    (r13: ordered by (bucket, term) via the distributed prefix-sum —
+    no unpartitioned vocabulary sort; verified through the
+    index-weighted checksum) and the documented smooth-idf closed
+    form tf * (LN((N+1)/(df+1)) + 1). Per-entry
     values reduce to integer 1e-4 units before summation so the
     cross-engine comparison is order-independent. Reference: BigQuery
     ML.TF_IDF docs (delegated surface, main.py:21, 49-50)."""

@@ -189,9 +189,21 @@ def _gate_token(name: str) -> str:
     """The trailing literal identifier of a rewrite pattern — the
     cheapest possible presence probe. ``ML\\s*\\.\\s*NGRAMS`` gates on
     ``NGRAMS``; a plain name gates on itself. A false positive only
-    costs the (correct) full scan; a miss skips it entirely."""
+    costs the (correct) full scan; a miss skips it entirely.
+
+    r13 (ADVICE): the probe is only sound if the trailing token is
+    MANDATORY in every match — a future pattern ending in an
+    alternation (``(?:FOO|BAR)``) derives no gate (no trailing word
+    run), but ``FOO|BAR`` would silently gate on BAR alone. Guard:
+    any unescaped alternation/optional metachar in the prefix
+    disables gating (the pass then always runs its correct full
+    scan)."""
     m = re.search(r"[A-Za-z0-9_]+$", name)
-    return m.group(0).upper() if m else ""
+    if not m:
+        return ""
+    if re.search(r"(?<!\\)[|?+{\[\]]", name[: -len(m.group(0))]):
+        return ""
+    return m.group(0).upper()
 
 
 def _rewrite_calls(text: str, name: str, rewriter) -> str:
@@ -220,6 +232,45 @@ def _rewrite_calls(text: str, name: str, rewriter) -> str:
         if out is not None:
             text = text[:s] + out + text[close + 1 :]
     return text
+
+
+def _rewrite_calls_tail(text: str, name: str, rewriter) -> str:
+    """Like ``_rewrite_calls`` but the rewriter also sees (and may
+    consume) the text AFTER the call's close paren — for call forms
+    whose lowering depends on a trailing ``OVER (…)`` clause (r13,
+    ADVICE: the ARRAY_AGG null-raise wrap must go AROUND the windowed
+    COLLECT_LIST, not between COLLECT_LIST and OVER). The rewriter is
+    called as ``rewriter(args, tail)`` and returns None (keep as-is)
+    or ``(replacement, n_tail_consumed)``."""
+    gate = _gate_token(name)
+    if gate and gate not in text.upper():
+        return text
+    from bigquery_etl_spark.sources.lake_sql import _matching_paren
+
+    rx = re.compile(rf"(?i)\b{name}\s*\(")
+    for s, open_idx in reversed(_call_sites(text, rx)):
+        close = _matching_paren(text, open_idx)
+        got = rewriter(
+            _split_args(text[open_idx + 1 : close]), text[close + 1 :]
+        )
+        if got is not None:
+            out, ncons = got
+            text = text[:s] + out + text[close + 1 + ncons :]
+    return text
+
+
+def _over_clause(tail: str):
+    """If ``tail`` begins with an ``OVER (…)`` clause, return
+    ``(full_clause_text, n_chars_consumed)``; else None. A bare
+    ``OVER window_name`` reference is left to the caller (returns
+    None — the named-window form keeps its native path)."""
+    m = re.match(r"(?is)^(\s*OVER\s*)\(", tail)
+    if not m:
+        return None
+    from bigquery_etl_spark.sources.lake_sql import _matching_paren
+
+    close = _matching_paren(tail, len(m.group(1)))
+    return tail[: close + 1], close + 1
 
 
 # unix-date of the first <weekday> on/after 1970-01-01 (a Thursday):
@@ -1228,14 +1279,29 @@ def _fmt_rewriter(fn_template: str, fmt_first: bool = True):
         # floor((doy + 6 - dow)/7), Sunday- and Monday-anchored) glued
         # with CONCAT. Parsing directions keep the loud refusal (C
         # strftime cannot parse them unambiguously either).
-        if re.search(r"%[UWe]", raw) and fn_template == (
-            "DATE_FORMAT({expr}, '{fmt}')"
+        # r13 (ADVICE): tokenize %-pairs FIRST so a %% escape never
+        # reads as a specifier — '100%%Usage' is a literal '%U', not
+        # a week number; the split below keeps %% inside the literal
+        # runs where _strftime_to_java already handles it.
+        fmt_toks = re.findall(r"%.|[^%]+|%", raw)
+        if any(t in ("%U", "%W", "%e") for t in fmt_toks) and (
+            fn_template == "DATE_FORMAT({expr}, '{fmt}')"
         ):
             x = expr.strip()
             parts = []
-            for piece in re.split(r"(%[UWe])", raw):
-                if piece == "":
-                    continue
+            pieces: list[str] = []
+            run: list[str] = []
+            for t in fmt_toks:
+                if t in ("%U", "%W", "%e"):
+                    if run:
+                        pieces.append("".join(run))
+                        run = []
+                    pieces.append(t)
+                else:
+                    run.append(t)
+            if run:
+                pieces.append("".join(run))
+            for piece in pieces:
                 if piece in ("%U", "%W"):
                     dow = (
                         f"(DAYOFWEEK({x}) - 1)" if piece == "%U"
@@ -4010,6 +4076,63 @@ def _rewrite_range_literals(text: str) -> str:
     return "".join(out)
 
 
+def _array_agg_tail_rewriter(args: list[str], tail: str):
+    """Tail-aware ARRAY_AGG dispatch (r13, ADVICE medium): the r12
+    NULL-raise wrap broke the analytic form ``ARRAY_AGG(x) OVER(w)``
+    by emitting ``TRANSFORM(…) OVER(w)``. With the trailing OVER in
+    view, the null-raising TRANSFORM now goes AROUND the windowed
+    COLLECT_LIST; ``IGNORE NULLS`` maps to bare COLLECT_LIST (which
+    drops nulls natively); modifier forms BigQuery itself disallows
+    in analytic calls (DISTINCT/ORDER BY/LIMIT) refuse loudly."""
+    ov = _over_clause(tail)
+    if ov is None:
+        out = _array_agg_rewriter(args)
+        return None if out is None else (out, 0)
+    over_txt, ncons = ov
+    s = ",".join(args)
+    if re.search(r"(?i)^\s*DISTINCT\b|\bORDER\s+BY\b|\bLIMIT\b", s):
+        raise BQDialectError(
+            "ARRAY_AGG(...) OVER: BigQuery disallows DISTINCT / "
+            "ORDER BY / LIMIT inside an analytic ARRAY_AGG call — "
+            "order with the window's ORDER BY instead"
+        )
+    ignore = re.search(r"(?i)\bIGNORE\s+NULLS\b", s) is not None
+    body = re.sub(r"(?i)\b(?:IGNORE|RESPECT)\s+NULLS\b", "", s).strip()
+    if ignore:
+        return f"COLLECT_LIST({body}){over_txt}", ncons
+    return (
+        f"TRANSFORM(COLLECT_LIST(NAMED_STRUCT('__v', {body}))"
+        f"{over_txt}, __s -> IF(__s.__v IS NULL, RAISE_ERROR("
+        f"'ARRAY_AGG: array cannot have a NULL element (BigQuery "
+        f"semantics) — use ARRAY_AGG(x IGNORE NULLS) to drop "
+        f"them'), __s.__v))",
+        ncons,
+    )
+
+
+def _string_agg_tail_rewriter(args: list[str], tail: str):
+    """Tail-aware STRING_AGG dispatch (r13): the plain analytic form
+    passes through natively (Spark's string_agg window drops nulls,
+    matching BigQuery); modifier forms with OVER previously emitted
+    the broken ``ARRAY_JOIN(TRANSFORM(…)…) OVER`` — now a loud
+    refusal mirroring BigQuery's own analytic-call restriction."""
+    ov = _over_clause(tail)
+    s = ",".join(args)
+    has_mods = re.search(
+        r"(?i)^\s*DISTINCT\b|\bIGNORE\s+NULLS\b|\bRESPECT\s+NULLS\b"
+        r"|\bORDER\s+BY\b|\bLIMIT\b",
+        s,
+    )
+    if ov is not None and has_mods:
+        raise BQDialectError(
+            "STRING_AGG(...) OVER: BigQuery disallows DISTINCT / "
+            "NULLS modifiers / ORDER BY / LIMIT inside an analytic "
+            "STRING_AGG call"
+        )
+    out = _string_agg_rewriter(args)
+    return None if out is None else (out, 0)
+
+
 def _string_agg_rewriter(args: list[str]) -> str | None:
     """``STRING_AGG([DISTINCT] x [, delim] [ORDER BY …] [LIMIT n])``
     (r8): the modifier-free forms pass through to Spark's native
@@ -4207,9 +4330,9 @@ def _rewrite_create_function(sql: str) -> str:
 # parts, COLLATE, PARSE_NUMERIC/PARSE_BIGNUMERIC, 3/4-arg INSTR,
 # JSON_OBJECT/JSON_ARRAY constructors — BigQuery functions that
 # previously leaked Spark unknown-function errors. All pure Catalyst
-# lowerings. FARM_FINGERPRINT refuses by name (FarmHash Fingerprint64
-# has no JVM/Python kernel in this runtime, and mapping it to xxhash64
-# would silently produce values that disagree with BigQuery's).
+# lowerings. (FARM_FINGERPRINT is served for real since r12 — exact
+# public farmhashna Fingerprint64 over Arrow batches, see the
+# _farm_rewriter dispatch below and functions/farmhash.py.)
 
 # BigQuery's documented default bucket origin for the *_BUCKET trio.
 _BUCKET_ORIGIN_US = -631_152_000 * 1_000_000  # 1950-01-01 00:00:00 UTC
@@ -5362,7 +5485,11 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
     GROUP BY / HAVING / QUALIFY / ORDER BY / LIMIT and exactly one
     TF_IDF item with an explicit alias. Anything else refuses with the
     constraint named (the leftover refusal in _rewrite_ml_prefuncs)."""
-    rx = re.compile(r"(?i)\bML\s*\.\s*TF_IDF\s*\(")
+    # r13 (VERDICT r12 item 7): ML.IDF(t) OVER() AS alias serves too —
+    # it is the df-only leg of the identical two-pass corpus plan
+    # (entries per DISTINCT term of the array, value = the smooth-idf
+    # factor alone, no tf weighting).
+    rx = re.compile(r"(?i)\bML\s*\.\s*(TF_IDF|IDF)\s*\(")
     sites = _call_sites(sql, rx)
     if not sites:
         return sql
@@ -5372,6 +5499,7 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
     )
 
     call_s, open_idx = sites[0]
+    fn_name = rx.match(sql, call_s).group(1).upper()
     close = _matching_paren(sql, open_idx)
     args = _split_args(sql[open_idx + 1 : close])
     if len(args) != 1:
@@ -5475,6 +5603,18 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
                 f"CAST(ARRAY() AS {vec_t})) END AS {alias}"
             )
         else:
+            # r13 (ADVICE): a bare * / alias.* would expand over the
+            # rewritten FROM (__tfb LEFT JOIN __tfvec) and leak the
+            # internal __tfidf_toks/__toks/__vec columns — refuse
+            # loudly, matching this pass's unsupported-placement
+            # convention
+            if re.match(r"^\s*(\w+\s*\.\s*)?\*\s*$", it):
+                raise BQDialectError(
+                    "ML.TF_IDF(t) OVER(): a * select item is not "
+                    "supported alongside TF_IDF (it would expose the "
+                    "rewrite's internal columns) — list the columns "
+                    "explicitly"
+                )
             out_items.append(it.strip())
     tail = sql[from_pos + 4 : scope_end].strip()
     # Spark INLINES multiply-referenced CTEs, so every reference to
@@ -5495,14 +5635,46 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
         "__tfdf AS (SELECT __t AS __term, SUM(__cnt) AS __df FROM "
         "__tfcnt LATERAL VIEW EXPLODE(ARRAY_DISTINCT(__toks)) __e "
         "AS __t GROUP BY __t), "
-        "__tfvoc AS (SELECT __term, ROW_NUMBER() OVER (ORDER BY "
-        "__term) - 1 AS __idx FROM __tfdf), "
+        # Vocabulary index (r13, VERDICT r12 item 2): the r12 spelling
+        # was ONE unpartitioned ROW_NUMBER over the whole vocabulary —
+        # a single-task sort that dies at web-corpus scale (10^8+
+        # distinct tokens). Distributed prefix-sum instead: bucket each
+        # term by a char-polynomial both engines compute identically,
+        # rank WITHIN buckets (PARTITION BY bucket — distributes), and
+        # add per-bucket offsets from a 1024-row running sum. The only
+        # single-task window now runs over the bucket aggregate, whose
+        # cardinality is FIXED at 1024 regardless of corpus size (its
+        # constant partition key exists to mark that boundedness — and
+        # to keep WindowExec off the no-partition path). The index is
+        # a dense 0-based vocabulary id ordered by (bucket, term)
+        # rather than plain lexicographic — an internal id either way,
+        # and the oracle applies the identical algebra.
+        "__tfvb AS (SELECT __term, (ASCII(SUBSTR(__term, 1, 1)) * 961 "
+        "+ ASCII(SUBSTR(__term, 2, 1)) * 31 + ASCII(SUBSTR(__term, 3, "
+        "1)) + LENGTH(__term)) % 1024 AS __b FROM __tfdf), "
+        "__tflr AS (SELECT __term, __b, ROW_NUMBER() OVER (PARTITION "
+        "BY __b ORDER BY __term) - 1 AS __lr FROM __tfvb), "
+        "__tfbc AS (SELECT __b, COUNT(*) AS __c FROM __tfvb "
+        "GROUP BY __b), "
+        # PMOD(__b, 1) is constant-0 but NON-foldable: Catalyst keeps
+        # it in the partition spec (a literal 1 would fold away), so
+        # the offsets window never takes WindowExec's no-partition
+        # path — its one partition is the 1024-row bucket aggregate.
+        "__tfbo AS (SELECT __b, COALESCE(SUM(__c) OVER (PARTITION BY "
+        "PMOD(__b, 1) ORDER BY __b ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND 1 PRECEDING), 0) AS __off FROM __tfbc), "
+        "__tfvoc AS (SELECT __term, __off + __lr AS __idx FROM "
+        "__tflr JOIN __tfbo USING (__b)), "
         "__tftf AS (SELECT __toks, __t AS __term, COUNT(*) AS __tf "
         "FROM (SELECT __toks FROM __tfcnt) "
         "LATERAL VIEW EXPLODE(__toks) __e AS __t "
         "GROUP BY __toks, __t), "
         "__tfvec AS (SELECT __toks, SORT_ARRAY(COLLECT_LIST(STRUCT("
-        "__idx AS index, CAST(__tf AS DOUBLE) * (LN((__n + 1.0) / "
+        "__idx AS index, "
+        + (
+            "CAST(__tf AS DOUBLE) * " if fn_name == "TF_IDF" else ""
+        )
+        + "(LN((__n + 1.0) / "
         "(__df + 1.0)) + 1.0) AS value))) AS __vec FROM __tftf "
         "JOIN __tfdf USING (__term) JOIN __tfvoc USING (__term) "
         "CROSS JOIN __tfn GROUP BY __toks) "
@@ -5641,13 +5813,13 @@ def _rewrite_ml_prefuncs(sql: str) -> str:
         m = rx_tfidf.match(sql, sites[0][0])
         raise BQDialectError(
             f"ML.{m.group(1).upper()} here is outside the supported "
-            "form: ML.TF_IDF(tokens) OVER() AS alias as a whole select "
-            "item of a plain SELECT ... FROM ... block rewrites onto "
-            "the scale-safe two-pass corpus plan "
-            "(_rewrite_ml_tfidf_over); other placements and ML.IDF "
-            "cannot lower to a per-row scalar without collecting the "
-            "corpus into every row — spell the explode/join idiom "
-            "instead (see q_tfidf)"
+            "form: ML.TF_IDF(tokens) OVER() AS alias / ML.IDF(tokens) "
+            "OVER() AS alias as a whole select item of a plain "
+            "SELECT ... FROM ... block rewrites onto the scale-safe "
+            "two-pass corpus plan (_rewrite_ml_tfidf_over); other "
+            "placements cannot lower to a per-row scalar without "
+            "collecting the corpus into every row — spell the "
+            "explode/join idiom instead (see q_tfidf)"
         )
     rx_llm = re.compile(
         r"(?i)\bML\s*\.\s*(GENERATE_TEXT|GENERATE_EMBEDDING|"
@@ -5767,7 +5939,7 @@ def _translate_uncached(sql: str) -> str:
         return f"__bq_farm_fingerprint({args[0].strip()})"
 
     sql = _rewrite_calls(sql, "FARM_FINGERPRINT", _farm_rewriter)
-    if "TF_IDF" in sql.upper():
+    if "IDF" in sql.upper():  # gates both ML.TF_IDF and ML.IDF
         sql = _rewrite_ml_tfidf_over(sql)
     sql = _rewrite_ml_prefuncs(sql)
 
@@ -5917,8 +6089,8 @@ def _translate_uncached(sql: str) -> str:
     sql = _rewrite_calls(sql, "APPROX_TOP_COUNT", _approx_top_count_rewriter)
     sql = _rewrite_calls(sql, "APPROX_TOP_SUM", _approx_top_sum_rewriter)
     sql = _rewrite_calls(sql, "SPLIT", _split_rewriter)
-    sql = _rewrite_calls(sql, "ARRAY_AGG", _array_agg_rewriter)
-    sql = _rewrite_calls(sql, "STRING_AGG", _string_agg_rewriter)
+    sql = _rewrite_calls_tail(sql, "ARRAY_AGG", _array_agg_tail_rewriter)
+    sql = _rewrite_calls_tail(sql, "STRING_AGG", _string_agg_tail_rewriter)
     # RANGE<…> surface (r8): accessors/predicates first, then the bare
     # RANGE constructor (paren-anchored matches keep prefixes apart)
     sql = _rewrite_calls(sql, "RANGE_CONTAINS", _range_contains_rewriter)

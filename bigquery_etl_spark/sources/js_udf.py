@@ -20,9 +20,18 @@ where SQL ROUND is half-away); string ``.length``, ``.toUpperCase()``,
 ``.toLowerCase()``, ``.trim()``, ``.substring(a, b)``, ``.charAt(i)``,
 ``.indexOf(s)`` (−1-based like JS); ``String(x)`` / ``Number(x)``.
 
-Refused (named in the error): reassignment (non-SSA), loops,
-unreachable code, objects/arrays, closures/arrow functions, ``new``,
-regex literals, ``.replace`` (JS replaces the FIRST match, SQL all),
+r13 (VERDICT r12 item 5) widens further: straight-line REASSIGNMENT
+(``x = e;`` / ``x += e;`` …) translates by sequential rebinding (each
+assignment rebinds the name to the translated SQL at that program
+point — faithful for straight-line code, which is all we accept);
+``for`` loops with LITERAL integer bounds unroll at DDL time (the
+engine's constant-fold pattern) under a 256-total-iteration budget;
+``return {a: x, b: y};`` object literals lower to NAMED_STRUCT.
+
+Refused (named in the error): unbounded/computed-bound loops,
+conditional assignment (``if (c) x = e;``), ``return`` inside a loop,
+unreachable code, arrays, closures/arrow functions, ``new``, regex
+literals, ``.replace`` (JS replaces the FIRST match, SQL all),
 ``.split`` — anything whose JS semantics have no faithful
 one-expression SQL form.
 """
@@ -346,45 +355,97 @@ class _Parser:
 _BQ_NUM = {"INT64", "FLOAT64", "NUMERIC", "BIGNUMERIC"}
 
 
-def _split_js_statements(src: str) -> list[str]:
-    """Top-level ';'-split respecting string literals and parens."""
-    out, buf, depth, i, n = [], [], 0, 0, len(src)
+_IF_RETURN_RX = re.compile(r"(?s)^(?:else\s+)?if\s*\(")
+_VAR_RX = re.compile(r"(?s)^(?:var|let|const)\s+([A-Za-z_$][\w$]*)\s*=\s*(.+)$")
+_ASSIGN_RX = re.compile(
+    r"(?s)^([A-Za-z_$][\w$]*)\s*(\+=|-=|\*=|/=|=)\s*(?!=)(.+)$"
+)
+_FOR_HEAD_RX = re.compile(r"(?s)^for\s*\(")
+
+# r13 unroll guards: total iterations across all (possibly nested)
+# loops per body, and the size any single binding's inlined SQL may
+# reach (each unrolled accumulation nests the previous expression).
+_MAX_UNROLL_ITERS = 256
+_MAX_BINDING_SQL = 50_000
+
+
+def _skip_js_str(src: str, i: int) -> int:
+    """src[i] is a quote — return the index just past the literal."""
+    q = src[i]
+    i += 1
+    n = len(src)
+    while i < n:
+        if src[i] == "\\":
+            i += 2
+            continue
+        if src[i] == q:
+            return i + 1
+        i += 1
+    raise JsUdfError("JS subset: unterminated string literal")
+
+
+def _js_statements(src: str) -> list[str]:
+    """Top-level statement split, string/paren/brace aware. A
+    statement beginning with ``for`` or ``if`` whose tail is a brace
+    block ends at the block's close (no ';' required); an ``if``
+    block followed by ``else`` keeps consuming the chain."""
+    out: list[str] = []
+    i, n = 0, len(src)
+    while i < n:
+        while i < n and (src[i].isspace() or src[i] == ";"):
+            i += 1
+        if i >= n:
+            break
+        start = i
+        dp = db = 0
+        while i < n:
+            c = src[i]
+            if c in "\"'":
+                i = _skip_js_str(src, i)
+                continue
+            if c == "(":
+                dp += 1
+            elif c == ")":
+                dp -= 1
+            elif c == "{":
+                db += 1
+            elif c == "}":
+                db -= 1
+                if db == 0 and dp == 0:
+                    # end of a brace block: statement ends here unless
+                    # an else-chain continues
+                    j = i + 1
+                    while j < n and src[j].isspace():
+                        j += 1
+                    if src[j : j + 4] == "else":
+                        i = j + 4
+                        continue
+                    i += 1
+                    break
+            elif c == ";" and dp == 0 and db == 0:
+                break
+            i += 1
+        out.append(src[start:i].strip())
+        if i < n and src[i] == ";":
+            i += 1
+    return out
+
+
+def _match_paren(src: str, open_idx: int) -> int:
+    depth, i, n = 0, open_idx, len(src)
     while i < n:
         c = src[i]
         if c in "\"'":
-            q = c
-            buf.append(c)
-            i += 1
-            while i < n:
-                buf.append(src[i])
-                if src[i] == "\\":
-                    if i + 1 < n:
-                        buf.append(src[i + 1])
-                    i += 2
-                    continue
-                if src[i] == q:
-                    i += 1
-                    break
-                i += 1
+            i = _skip_js_str(src, i)
             continue
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        elif c == ";" and depth == 0:
-            out.append("".join(buf))
-            buf = []
-            i += 1
-            continue
-        buf.append(c)
+            if depth == 0:
+                return i
         i += 1
-    if "".join(buf).strip():
-        out.append("".join(buf))
-    return out
-
-
-_IF_RETURN_RX = re.compile(r"(?s)^(?:else\s+)?if\s*\(")
-_VAR_RX = re.compile(r"(?s)^(?:var|let|const)\s+([A-Za-z_$][\w$]*)\s*=\s*(.+)$")
+    raise JsUdfError("JS subset: unbalanced parentheses")
 
 
 def translate_js_body(body: str, params: list[tuple[str, str]]) -> str:
@@ -400,23 +461,29 @@ def translate_js_body(body: str, params: list[tuple[str, str]]) -> str:
     final unconditional ``return``; a missing final return yields
     NULL (JS's undefined → BigQuery NULL). ``if (c) { return e; }``
     brace blocks normalize when they hold exactly one return.
-    Reassignment, loops, and everything else still refuses with the
-    construct named."""
+
+    r13 (VERDICT r12 item 5): straight-line REASSIGNMENT translates by
+    sequential rebinding (each ``x = e;`` / ``x op= e;`` rebinds the
+    name to the SQL of the right side AT THAT PROGRAM POINT — exactly
+    JS semantics for straight-line code; conditional assignment still
+    refuses); ``for`` loops with literal integer bounds UNROLL at DDL
+    time under a 256-total-iteration budget (nested loops share it);
+    ``return {a: x, b: y};`` object literals lower to NAMED_STRUCT
+    (CAST to the declared RETURNS STRUCT<> type by the DDL wrapper).
+    Unbounded/computed-bound loops and ``return`` inside a loop still
+    refuse with the construct named."""
     src = body.strip()
     if re.search(r"=>|\[|\]", src):
         raise JsUdfError(
-            "JS subset: arrow functions / objects / arrays are "
+            "JS subset: arrow functions / arrays are "
             "outside the translatable subset"
         )
     # normalize 'if (c) { return e; }' / 'else { return e; }' blocks
+    # (loop bodies never match — they hold assignments, not returns;
+    # object-literal returns have the brace AFTER 'return')
     src = re.sub(
         r"\{\s*(return\b[^{};]*;?)\s*\}", r"\1", src
     )
-    if "{" in src or "}" in src:
-        raise JsUdfError(
-            "JS subset: blocks beyond 'if (...) { return ...; }' are "
-            "outside the translatable subset"
-        )
     types = {}
     for name, t in params:
         tu = t.upper()
@@ -429,15 +496,200 @@ def translate_js_body(body: str, params: list[tuple[str, str]]) -> str:
         else:
             types[name] = "any"
 
-    subs: dict[str, tuple[str, str]] = {}
+    env: dict[str, tuple[str, str]] = {}
+    budget = {"iters": 0}
+    loop_vars: set[str] = set()  # names bound by a for head — may
+    # rebind on re-entry (JS var hoisting re-declares legally)
 
     def _expr(text: str) -> tuple[str, str]:
-        return _Parser(_tokenize(text), types, subs).parse()
+        return _Parser(_tokenize(text), types, env).parse()
+
+    def _bind(name: str, sql: str, t: str) -> None:
+        if len(sql) > _MAX_BINDING_SQL:
+            raise JsUdfError(
+                f"JS subset: the unrolled expression for {name!r} "
+                f"exceeds {_MAX_BINDING_SQL} chars — reduce the loop "
+                "bounds (each iteration inlines the previous value)"
+            )
+        env[name] = (sql, t)
+
+    def _do_assign(st: str) -> bool:
+        """var/let/const binding or straight-line reassignment;
+        returns False if the statement is neither."""
+        vm = _VAR_RX.match(st)
+        if vm:
+            name, rhs = vm.group(1), vm.group(2)
+            if name in types:
+                raise JsUdfError(
+                    f"JS subset: {name!r} shadows a declared parameter"
+                )
+            _bind(name, *_expr(rhs))
+            return True
+        am = _ASSIGN_RX.match(st)
+        if am:
+            name, op, rhs = am.group(1), am.group(2), am.group(3)
+            if name in types:
+                raise JsUdfError(
+                    f"JS subset: assigning to parameter {name!r} is "
+                    "outside the translatable subset"
+                )
+            if name not in env:
+                raise JsUdfError(
+                    f"JS subset: {name!r} assigned before declaration "
+                    "(declare with var/let/const first)"
+                )
+            if op == "=":
+                _bind(name, *_expr(rhs))
+            else:
+                _bind(name, *_expr(f"{name} {op[0]} ({rhs})"))
+            return True
+        return False
+
+    def _run_for(st: str) -> None:
+        """Unroll ``for (var i = a; i < b; i++|i += k) { asgns }``
+        with literal integer bounds; body statements are bindings,
+        reassignments and nested literal-bound loops."""
+        open_idx = st.index("(")
+        close = _match_paren(st, open_idx)
+        head = st[open_idx + 1 : close]
+        tail = st[close + 1 :].strip()
+        if not (tail.startswith("{") and tail.endswith("}")):
+            raise JsUdfError(
+                "JS subset: the for body must be a brace block"
+            )
+        body_src = tail[1:-1]
+        parts = head.split(";")
+        if len(parts) != 3:
+            raise JsUdfError(
+                "JS subset: for needs (init; cond; step)"
+            )
+        init, cond, step = (p.strip() for p in parts)
+        im = re.match(
+            r"^(?:var|let|const)\s+([A-Za-z_$][\w$]*)\s*=\s*(-?\d+)$",
+            init,
+        )
+        if not im:
+            raise JsUdfError(
+                "JS subset: for init must be 'var i = <integer "
+                "literal>' — computed loop bounds cannot unroll at "
+                "DDL time and are refused"
+            )
+        ivar, start = im.group(1), int(im.group(2))
+        cm = re.match(
+            rf"^{re.escape(ivar)}\s*(<=|<)\s*(-?\d+)$", cond
+        )
+        if not cm:
+            raise JsUdfError(
+                "JS subset: for condition must be 'i < <integer "
+                "literal>' or 'i <= <integer literal>'"
+            )
+        stop = int(cm.group(2)) + (1 if cm.group(1) == "<=" else 0)
+        sm = re.match(
+            rf"^{re.escape(ivar)}\s*(?:(\+\+)|\+=\s*(\d+))$", step
+        )
+        if not sm:
+            raise JsUdfError(
+                "JS subset: for step must be 'i++' or 'i += <positive "
+                "integer literal>'"
+            )
+        k = 1 if sm.group(1) else int(sm.group(2))
+        if k <= 0:
+            raise JsUdfError("JS subset: for step must be positive")
+        if ivar in types or (ivar in env and ivar not in loop_vars):
+            raise JsUdfError(
+                f"JS subset: loop variable {ivar!r} shadows an "
+                "existing binding"
+            )
+        loop_vars.add(ivar)
+        vals = list(range(start, max(stop, start), k))
+        budget["iters"] += len(vals)
+        if budget["iters"] > _MAX_UNROLL_ITERS:
+            raise JsUdfError(
+                f"JS subset: loop unroll budget exceeded "
+                f"({_MAX_UNROLL_ITERS} total iterations per body)"
+            )
+        body_stmts = _js_statements(body_src)
+        for v in vals:
+            env[ivar] = (str(v), "num")
+            for bs in body_stmts:
+                if not bs:
+                    continue
+                if _FOR_HEAD_RX.match(bs):
+                    _run_for(bs)
+                    continue
+                if re.match(r"(?s)^return\b", bs) or _IF_RETURN_RX.match(bs):
+                    raise JsUdfError(
+                        "JS subset: 'return'/'if' inside a loop has "
+                        "no unrolled SQL form — accumulate with a "
+                        "ternary instead (x = c ? a : x)"
+                    )
+                if not _do_assign(bs):
+                    tok = bs.split(None, 1)[0] if bs.split() else bs
+                    raise JsUdfError(
+                        "JS subset: unsupported loop statement "
+                        f"starting with {tok!r} (loop bodies take "
+                        "bindings, reassignments and nested "
+                        "literal-bound loops)"
+                    )
+        # JS: the loop variable survives with its first failing value
+        env[ivar] = (str(vals[-1] + k if vals else start), "num")
+
+    def _obj_literal(inner: str) -> str:
+        """``{k1: v1, k2: v2}`` -> NAMED_STRUCT('k1', v1, ...)."""
+        pairs: list[str] = []
+        buf: list[str] = []
+        dp = 0
+        i, n = 0, len(inner)
+        while i < n:
+            c = inner[i]
+            if c in "\"'":
+                j = _skip_js_str(inner, i)
+                buf.append(inner[i:j])
+                i = j
+                continue
+            if c == "(":
+                dp += 1
+            elif c == ")":
+                dp -= 1
+            elif c == "," and dp == 0:
+                pairs.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            buf.append(c)
+            i += 1
+        if "".join(buf).strip():
+            pairs.append("".join(buf))
+        items: list[str] = []
+        for p in pairs:
+            pm = re.match(
+                r"(?s)^\s*([A-Za-z_$][\w$]*|'[^']*'|\"[^\"]*\")"
+                r"\s*:\s*(.+)$",
+                p,
+            )
+            if not pm:
+                raise JsUdfError(
+                    f"JS subset: malformed object entry {p!r} "
+                    "(expected key: value)"
+                )
+            key = pm.group(1).strip("'\"")
+            val_sql, _ = _expr(pm.group(2).strip())
+            items.append(f"'{key}', {val_sql}")
+        if not items:
+            raise JsUdfError("JS subset: empty object literal")
+        return f"NAMED_STRUCT({', '.join(items)})"
 
     branches: list[tuple[str, str]] = []  # (cond_sql, value_sql)
     final: str | None = None
-    for st in _split_js_statements(src):
-        st = st.strip()
+
+    def _ret_value(text: str) -> str:
+        text = text.strip()
+        om = re.match(r"(?s)^\{(.*)\}$", text)
+        if om:
+            return _obj_literal(om.group(1))
+        return _expr(text)[0]
+
+    for st in _js_statements(src):
         if not st:
             continue
         if final is not None:
@@ -445,51 +697,57 @@ def translate_js_body(body: str, params: list[tuple[str, str]]) -> str:
                 "JS subset: unreachable statement after the final "
                 "'return'"
             )
-        vm = _VAR_RX.match(st)
-        if vm:
-            name, rhs = vm.group(1), vm.group(2)
-            if name in subs or name in types:
-                raise JsUdfError(
-                    f"JS subset: {name!r} is assigned more than once "
-                    "(single-assignment bindings only — reassignment "
-                    "has no one-expression SQL form)"
-                )
-            subs[name] = _expr(rhs)
+        if _FOR_HEAD_RX.match(st):
+            _run_for(st)
             continue
         im = _IF_RETURN_RX.match(st)
         if im:
-            # find the condition's matching close paren
             open_idx = st.index("(")
-            depth, j = 0, open_idx
-            while j < len(st):
-                if st[j] == "(":
-                    depth += 1
-                elif st[j] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j += 1
-            cond_src = st[open_idx + 1:j]
-            rest = st[j + 1:].strip()
+            j = _match_paren(st, open_idx)
+            cond_src = st[open_idx + 1 : j]
+            rest = st[j + 1 :].strip()
             rm = re.match(r"(?s)^return\b(.*)$", rest)
             if not rm:
                 raise JsUdfError(
                     "JS subset: 'if' supports only "
-                    "'if (cond) return expr;'"
+                    "'if (cond) return expr;' (conditional "
+                    "assignment has no straight-line rebinding form)"
                 )
             cond_sql, _ = _expr(cond_src)
-            val_sql, _ = _expr(rm.group(1).strip())
-            branches.append((cond_sql, val_sql))
+            branches.append((cond_sql, _ret_value(rm.group(1))))
+            continue
+        em = re.match(r"(?s)^else\s+return\b(.*)$", st)
+        if em:
+            if not branches:
+                raise JsUdfError(
+                    "JS subset: 'else' without a preceding if-return"
+                )
+            final = _ret_value(em.group(1))
             continue
         rm = re.match(r"(?s)^return\b(.*)$", st)
         if rm:
-            final, _ = _expr(rm.group(1).strip())
+            final = _ret_value(rm.group(1))
             continue
+        if _do_assign(st):
+            continue
+        lead = re.match(r"[A-Za-z_$][\w$]*", st)
+        if lead and lead.group(0) in _REFUSE_WORDS:
+            raise JsUdfError(
+                f"JS subset: {lead.group(0)!r} statements are outside "
+                "the translatable subset (loops translate only as "
+                "'for' with literal integer bounds)"
+            )
+        if "{" in st or "}" in st:
+            raise JsUdfError(
+                "JS subset: blocks beyond 'if (...) { return ...; }' "
+                "and literal-bound for loops are outside the "
+                "translatable subset"
+            )
         tok = st.split(None, 1)[0] if st.split() else st
         raise JsUdfError(
             f"JS subset: unsupported statement starting with {tok!r} "
-            "(supported: var/let/const bindings, if-return chains, "
-            "return)"
+            "(supported: var/let/const bindings, reassignment, "
+            "literal-bound for loops, if-return chains, return)"
         )
     if not branches and final is None:
         raise JsUdfError(
@@ -545,8 +803,11 @@ def rewrite_js_function(
     the subset: loud refusal naming the construct. Called from
     bq_dialect._rewrite_create_function with its own arg splitter,
     type table and error class to avoid a circular import."""
+    # r13: the type may contain spaces (RETURNS STRUCT<a INT64, ...>
+    # for object-literal bodies) — non-greedy up to the LANGUAGE js
+    # anchor, with DETERMINISTIC consumed by the optional group
     rm = re.match(
-        r"(?is)^RETURNS\s+([\w<>,()]+)\s+(?:NOT\s+)?(?:DETERMINISTIC\s+)?"
+        r"(?is)^RETURNS\s+(.+?)\s+(?:NOT\s+)?(?:DETERMINISTIC\s+)?"
         r"LANGUAGE\s+js\b",
         rest,
     )

@@ -67,8 +67,9 @@ def test_var_references_inline_with_string_ops():
 @pytest.mark.parametrize(
     "body,msg",
     [
-        ("var y = x; var y = y + 1; return y;", "more than once"),
-        ("var x = 1; return x;", "more than once"),  # shadows a param
+        # r13: 'var y = x; var y = y + 1;' redeclaration now REBINDS
+        # (sequential-rebinding semantics) — no longer a refusal case
+        ("var x = 1; return x;", "shadows"),  # shadows a param
         ("return x; return x + 1;", "unreachable"),
         ("for (;;) return x;", None),  # any named refusal
         ("while (true) return x;", None),

@@ -349,3 +349,24 @@ def test_snapshot_diff_single_join(spark, sf_dir):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
     assert plan.count("Scan parquet") == 2, plan  # each side read ONCE
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ml_tfidf_vocabulary_index_distributed(spark, sf_dir):
+    """r13 (VERDICT r12 item 2): the TF-IDF vocabulary index must not
+    be ONE unpartitioned ROW_NUMBER over the whole vocabulary — at
+    web-corpus scale the distinct-token set is 10^8+ rows. The
+    prefix-sum spelling ranks within hash buckets (partitioned
+    window) and folds 1024 bucket offsets; every WindowExec carries a
+    partition spec, and the only SinglePartition stage is the 1-row
+    corpus-size aggregate."""
+    df = QUERIES["q_ml_tfidf"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        # partition columns precede the ORDER-BY spec: an unpartitioned
+        # window spells windowspecdefinition(<col> ASC ... immediately
+        head = line.split("windowspecdefinition(", 1)[1]
+        first = head.split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, line
+    assert plan.count("SinglePartition") <= 1, plan
