@@ -116,3 +116,211 @@ def q_ml_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM idf_docs WHERE MOD(doc_id, 2) = 1
         ) GROUP BY lang ORDER BY lang
     """)
+
+
+# -- GEOMETRYCOLLECTION (r13, VERDICT r12 item 3) -----------------------------
+#
+# One literal collection exercises every member class: a POINT, an
+# open LINESTRING, a donut POLYGON (shell + hole) and a MULTIPOLYGON
+# member. The Spark side lowers through bq_dialect's per-member
+# dispatch (min-over-members distance, OR-over-polygon containment,
+# point-member equality in ST_INTERSECTS, constant-folded measures);
+# the DuckDB twin evaluates the IDENTICAL per-member algebra with the
+# shared geodesic edge fragments from coverage12, per member (each
+# polygon member gets its own folded outside-Q edge list, exactly as
+# the Spark lowering picks one per member).
+
+_GC_PT = (20.0, 20.0)
+_GC_LINE = [(-30.0, 0.0), (-10.0, 10.0), (0.0, 0.0)]
+_GC_DONUT = [
+    [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+    [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)],
+]
+_GC_SQUARE = [[(30.0, 30.0), (40.0, 30.0), (40.0, 40.0), (30.0, 40.0)]]
+
+_GC_WKT = (
+    "GEOMETRYCOLLECTION("
+    f"POINT({_GC_PT[0]} {_GC_PT[1]}), "
+    "LINESTRING(" + ", ".join(f"{x} {y}" for x, y in _GC_LINE) + "), "
+    "POLYGON((" + ", ".join(
+        f"{x} {y}" for x, y in _GC_DONUT[0] + [_GC_DONUT[0][0]]
+    ) + "), (" + ", ".join(
+        f"{x} {y}" for x, y in _GC_DONUT[1] + [_GC_DONUT[1][0]]
+    ) + ")), "
+    "MULTIPOLYGON(((" + ", ".join(
+        f"{x} {y}" for x, y in _GC_SQUARE[0] + [_GC_SQUARE[0][0]]
+    ) + "))))"
+)
+
+
+def _gc_line_length_py() -> float:
+    """Independent haversine chain length (the coverage13 pattern)."""
+    import math
+
+    r = 6371008.8
+    total = 0.0
+    for (ax, ay), (bx, by) in zip(_GC_LINE, _GC_LINE[1:]):
+        total += 2.0 * r * math.asin(math.sqrt(
+            math.sin(math.radians(by - ay) / 2) ** 2
+            + math.cos(math.radians(ay)) * math.cos(math.radians(by))
+            * math.sin(math.radians(bx - ax) / 2) ** 2))
+    return total
+
+
+def _gc_ring_area_py(ring) -> float:
+    """Independent spherical-excess ring area: the Van Oosterom–
+    Strackee signed fan (2·atan2(det, 1+dots)) — a DIFFERENT closed
+    form from bq_dialect's translate-time Girard excess, so the twin
+    is a real differential check."""
+    import math
+
+    def u3(lon, lat):
+        la, lo = math.radians(lat), math.radians(lon)
+        return (
+            math.cos(la) * math.cos(lo),
+            math.cos(la) * math.sin(lo),
+            math.sin(la),
+        )
+
+    a = u3(*ring[0])
+    tot = 0.0
+    for b, c in zip(ring[1:], ring[2:]):
+        B, C = u3(*b), u3(*c)
+        det = (
+            a[0] * (B[1] * C[2] - B[2] * C[1])
+            + a[1] * (B[2] * C[0] - B[0] * C[2])
+            + a[2] * (B[0] * C[1] - B[1] * C[0])
+        )
+        dots = (
+            a[0] * B[0] + a[1] * B[1] + a[2] * B[2]
+            + B[0] * C[0] + B[1] * C[1] + B[2] * C[2]
+            + C[0] * a[0] + C[1] * a[1] + C[2] * a[2]
+        )
+        tot += 2.0 * math.atan2(det, 1.0 + dots)
+    return 6371008.8 * 6371008.8 * abs(tot)
+
+
+def _gc_area_py() -> float:
+    donut = _gc_ring_area_py(_GC_DONUT[0]) - _gc_ring_area_py(_GC_DONUT[1])
+    return donut + _gc_ring_area_py(_GC_SQUARE[0])
+
+
+def _gc_perimeter_py() -> float:
+    import math
+
+    r = 6371008.8
+    total = 0.0
+    for rings in (_GC_DONUT, _GC_SQUARE):
+        for ring in rings:
+            for (ax, ay), (bx, by) in zip(ring, ring[1:] + ring[:1]):
+                total += 2.0 * r * math.asin(math.sqrt(
+                    math.sin(math.radians(by - ay) / 2) ** 2
+                    + math.cos(math.radians(ay))
+                    * math.cos(math.radians(by))
+                    * math.sin(math.radians(bx - ax) / 2) ** 2))
+    return total
+
+
+def _gc_oracle_sql() -> str:
+    from bigquery_etl_spark.plans.coverage12 import (
+        _DUCK_DIST,
+        _DUCK_GEO_EDGE_DIST,
+        _DUCK_HAV,
+        _DUCK_INSIDE,
+        _duck_geo_edge,
+        _duck_ring_edges,
+    )
+
+    e_donut = _duck_ring_edges(_GC_DONUT, polys=[_GC_DONUT])
+    e_square = _duck_ring_edges(_GC_SQUARE, polys=[_GC_SQUARE])
+    e_line = "[" + ", ".join(
+        _duck_geo_edge(ax, ay, bx, by)
+        for (ax, ay), (bx, by) in zip(_GC_LINE, _GC_LINE[1:])
+    ) + "]"
+    in1 = _DUCK_INSIDE.replace("edges", "e1")
+    in2 = _DUCK_INSIDE.replace("edges", "e2")
+    d1 = _DUCK_DIST.replace("edges", "e1")
+    d2 = _DUCK_DIST.replace("edges", "e2")
+    dline = (
+        "list_aggregate(list_transform(el, __e -> "
+        + _DUCK_GEO_EDGE_DIST + "), 'min')"
+    )
+    dpt = _DUCK_HAV.format(cx=repr(_GC_PT[0]), cy=repr(_GC_PT[1]))
+    dist = f"least({dpt}, {dline}, {d1}, {d2})"
+    inside = f"({in1} OR {in2})"
+    isect = (
+        f"({inside} OR (plon = {_GC_PT[0]!r} AND plat = {_GC_PT[1]!r}))"
+    )
+    return f"""
+    WITH pts AS (
+        SELECT c_mktsegment,
+               CAST(((c_custkey * 17) % 160) - 80 + 0.5 AS DOUBLE) AS plon,
+               CAST(((c_custkey * 11) % 120) - 60 + 0.25 AS DOUBLE) AS plat,
+               {e_donut} AS e1, {e_square} AS e2, {e_line} AS el
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN {inside} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inside,
+           CAST(SUM(CASE WHEN {isect} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_isect,
+           CAST(SUM(CAST(round({dist}) AS BIGINT)) AS BIGINT) AS total_m,
+           CAST(16 AS BIGINT) AS np,
+           CAST(round({_gc_area_py()!r} / 1e6) AS BIGINT) AS area_km2,
+           CAST(round({_gc_line_length_py()!r}) AS BIGINT) AS len_m,
+           CAST(round({_gc_perimeter_py()!r}) AS BIGINT) AS per_m
+    FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@query(
+    "q_gis_collection",
+    sql=_gc_oracle_sql(),
+    tags=("dialect", "geo"),
+)
+def q_gis_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRYCOLLECTION (r13, VERDICT r12 item 3 — the parse refusal
+    retired): a 4-member collection (point, open linestring, donut
+    polygon, multipolygon member) lowered onto the per-member
+    machinery — ST_DISTANCE is the min over members (each polygon
+    member carries its own folded outside-Q crossing constants),
+    ST_CONTAINS the OR over polygon-member interiors, ST_INTERSECTS
+    adds exact point-member equality, and the measures fold at
+    translate time (area/perimeter over polygon members, length over
+    line members, vertex count over all). The twin re-evaluates the
+    identical per-member algebra in DuckDB from the shared geodesic
+    edge fragments plus INDEPENDENT Python closed forms for the
+    constants (Van Oosterom fan vs the Spark side's Girard excess).
+    Reference: BigQuery geography functions (delegated surface,
+    main.py:21, 49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("gc_cust")
+    cat = LakeCatalog(spark)
+    gc = f"ST_GEOGFROMTEXT('{_GC_WKT}')"
+    return cat.bq_sql(f"""
+        WITH pts AS (
+            SELECT c_mktsegment,
+                   CAST(MOD(c_custkey * 17, 160) - 80 + 0.5 AS FLOAT64)
+                       AS plon,
+                   CAST(MOD(c_custkey * 11, 120) - 60 + 0.25 AS FLOAT64)
+                       AS plat
+            FROM gc_cust
+        )
+        SELECT c_mktsegment,
+               CAST(COUNTIF(ST_CONTAINS({gc},
+                   ST_GEOGPOINT(plon, plat))) AS INT64) AS n_inside,
+               CAST(COUNTIF(ST_INTERSECTS({gc},
+                   ST_GEOGPOINT(plon, plat))) AS INT64) AS n_isect,
+               CAST(SUM(CAST(ROUND(ST_DISTANCE({gc},
+                   ST_GEOGPOINT(plon, plat))) AS INT64)) AS INT64)
+                   AS total_m,
+               CAST(MIN(ST_NUMPOINTS({gc})) AS INT64) AS np,
+               CAST(MIN(CAST(ROUND(ST_AREA({gc}) / 1e6) AS INT64))
+                   AS INT64) AS area_km2,
+               CAST(MIN(CAST(ROUND(ST_LENGTH({gc})) AS INT64))
+                   AS INT64) AS len_m,
+               CAST(MIN(CAST(ROUND(ST_PERIMETER({gc})) AS INT64))
+                   AS INT64) AS per_m
+        FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)

@@ -1448,7 +1448,7 @@ def _st_geogpoint(args: list[str]) -> str:
 def _is_shape(expr: str) -> bool:
     return (
         _is_poly(expr) or _is_line(expr)
-        or _is_multipoint(expr) or _is_mls(expr)
+        or _is_multipoint(expr) or _is_mls(expr) or _is_gc(expr)
     )
 
 
@@ -1456,11 +1456,21 @@ def _st_distance(args: list[str]) -> str:
     if len(args) != 2:
         raise BQDialectError(f"ST_DISTANCE expects (a, b), got {args}")
     a, b = args
+    # r13: GEOMETRYCOLLECTION ↔ point — min over members
+    for x, y in ((a, b), (b, a)):
+        if _is_gc(x) and not _is_shape(y):
+            if _parse_gc_literal(x) is None:
+                raise BQDialectError(
+                    "computed GEOMETRYCOLLECTIONs are unsupported — "
+                    "construct them with a literal ST_GEOGFROMTEXT"
+                )
+            return _gc_distance(x, y)
     if _is_shape(a) and _is_shape(b):
         raise BQDialectError(
             "ST_DISTANCE between two non-point geographies is "
             "unsupported — the closed-form subset covers point↔point, "
-            "point↔polygon, point↔linestring and point↔multi*"
+            "point↔polygon, point↔linestring, point↔multi* and "
+            "point↔GEOMETRYCOLLECTION"
         )
     for x, y in ((a, b), (b, a)):
         if _is_multipoint(x):
@@ -1515,6 +1525,13 @@ def _all_verts(kind: str, data) -> list[tuple[float, float]]:
         return [p for c in data for p in c]
     if kind == "poly":
         return [p for r in data for p in r]
+    if kind == "gc":
+        pts, lines, polys = data
+        return (
+            list(pts)
+            + [p for c in lines for p in c]
+            + [p for rings in polys for r in rings for p in r]
+        )
     return [p for rings in data for r in rings for p in r]  # multipoly
 
 
@@ -1562,6 +1579,13 @@ def _st_numpoints(args: list[str]) -> str:
         return f"SIZE(({args[0].strip()}).multipoint)"
     if _is_poly(args[0]) and not _is_nested_poly(args[0]):
         return f"SIZE(({args[0].strip()}))"
+    if _is_nested_poly(args[0]):
+        # r13: computed multi-ring polygon (array of rings) — sum the
+        # per-ring vertex counts at runtime
+        return (
+            f"AGGREGATE(({args[0].strip()}), 0, "
+            f"(__n, __rg) -> __n + SIZE(__rg))"
+        )
     if _is_shape(args[0]):
         raise BQDialectError(
             "ST_NUMPOINTS of a computed non-point geography is "
@@ -1600,6 +1624,18 @@ def _st_astext(args: list[str]) -> str:
             ) + ")"
         elif kind == "poly":
             wkt = "POLYGON(" + ", ".join(ring_txt(r) for r in data) + ")"
+        elif kind == "gc":
+            pts, lines, polys = data
+            members = [
+                f"POINT({_fmt_coord(x)} {_fmt_coord(y)})"
+                for x, y in pts
+            ] + [
+                "LINESTRING" + ring_txt(c, close=False) for c in lines
+            ] + [
+                "POLYGON(" + ", ".join(ring_txt(r) for r in rings) + ")"
+                for rings in polys
+            ]
+            wkt = "GEOMETRYCOLLECTION(" + ", ".join(members) + ")"
         else:  # multipoly
             wkt = "MULTIPOLYGON(" + ", ".join(
                 "(" + ", ".join(ring_txt(r) for r in rings) + ")"
@@ -1730,12 +1766,50 @@ def _st_geogfromtext(args: list[str]) -> str:
             )
             + "))"
         )
-    if re.match(r"(?is)^'\s*GEOMETRYCOLLECTION", raw):
-        raise BQDialectError(
-            "only POINT, MULTIPOINT, LINESTRING, MULTILINESTRING, "
-            "simple POLYGON (with holes) and disjoint MULTIPOLYGON WKT "
-            "are supported — GEOMETRYCOLLECTION has no closed-form "
-            "lowering here"
+    gcm = re.match(
+        r"(?is)^'\s*GEOMETRYCOLLECTION\s*\((.*)\)\s*'$", raw
+    )
+    if gcm:
+        # r13 (VERDICT r12 item 3 — the refusal retired): members
+        # parse onto the existing machinery; the lowered struct
+        # carries the member WKT (re-parsed by every consumer at
+        # translate time) plus the grouped member arrays so the value
+        # itself analyzes. See the GEOMETRYCOLLECTION block above.
+        body = gcm.group(1).strip()
+        pts, lines, polys = _parse_gc_wkt(body)
+        pts_sql = (
+            "ARRAY(" + ", ".join(_emit_pt_sql(x, y) for x, y in pts) + ")"
+            if pts
+            else _EMPTY_PTS
+        )
+        lines_sql = (
+            "ARRAY(" + ", ".join(
+                "ARRAY(" + ", ".join(
+                    _emit_pt_sql(x, y) for x, y in c
+                ) + ")"
+                for c in lines
+            ) + ")"
+            if lines
+            else _EMPTY_LINES
+        )
+        polys_sql = (
+            "ARRAY(" + ", ".join(
+                "ARRAY(" + ", ".join(
+                    "ARRAY(" + ", ".join(
+                        _emit_pt_sql(x, y) for x, y in r
+                    ) + ")"
+                    for r in rings
+                ) + ")"
+                for rings in polys
+            ) + ")"
+            if polys
+            else _EMPTY_POLYS
+        )
+        return (
+            "NAMED_STRUCT('geometrycollection', '"
+            + body.replace("'", "")
+            + f"', 'pts', {pts_sql}, 'lines', {lines_sql}, "
+            f"'polys', {polys_sql})"
         )
     t = f"({raw})"
     # the SQL string literal must carry doubled backslashes (Spark
@@ -1936,12 +2010,30 @@ def _validate_rings(rings: list[list[tuple[float, float]]]) -> None:
                         )
 
 
+def _unparen(expr: str) -> str:
+    """Strip balanced outer parens (the computed paths wrap operand
+    text in one defensive layer before recursing — the type probes
+    below must see through it)."""
+    s = expr.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, c in enumerate(s):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return s  # outer parens not balanced as one pair
+        s = s[1:-1].strip()
+    return s
+
+
 def _is_poly(expr: str) -> bool:
-    return expr.lstrip().upper().startswith("ARRAY(")
+    return _unparen(expr).upper().startswith("ARRAY(")
 
 
 def _is_nested_poly(expr: str) -> bool:
-    return expr.lstrip().upper().startswith("ARRAY(ARRAY(")
+    return _unparen(expr).upper().startswith("ARRAY(ARRAY(")
 
 
 _POLY_VERTEX_RX = re.compile(
@@ -2127,6 +2219,168 @@ def _parse_line_literal(expr: str) -> list[tuple[float, float]] | None:
     if len(verts) < 2 or residue:
         return None
     return verts
+
+
+# -- GEOMETRYCOLLECTION (r13, VERDICT r12 item 3) -----------------------------
+#
+# A GC literal parses onto the EXISTING member machinery: members
+# group into points (POINT/MULTIPOINT), open chains (LINESTRING/
+# MULTILINESTRING) and polygons (POLYGON/MULTIPOLYGON, each with
+# holes). The lowered value is a struct carrying (a) the member WKT —
+# the loss-free signal every consumer re-parses at translate time —
+# and (b) the grouped member arrays, so the VALUE itself analyzes and
+# can be selected. Per-member dispatch: ST_DISTANCE = min over
+# members, ST_CONTAINS/ST_INTERSECTS(gc, point) = OR over polygon
+# members (+ point-member equality for intersects), measures sum over
+# the members they apply to. Members MAY overlap: the union's
+# interior is the OR of member interiors, and min-distance needs no
+# disjointness either (unlike MULTIPOLYGON's flattened parity cast).
+
+_GC_PREFIX = "NAMED_STRUCT('GEOMETRYCOLLECTION'"
+
+
+def _is_gc(expr: str) -> bool:
+    return _unparen(expr).upper().startswith(_GC_PREFIX)
+
+
+def _split_gc_members(body: str) -> list[str]:
+    """Top-level comma split of GC member WKT texts (paren-aware; WKT
+    carries no string literals)."""
+    out, buf, depth = [], [], 0
+    for c in body:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(c)
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return [m for m in out if m]
+
+
+def _parse_gc_wkt(body: str):
+    """Member WKTs → (pts, lines, polys): pts = [(x, y)], lines =
+    [[(x, y), …]], polys = [[ring, …]] (ring 0 = shell)."""
+    pts: list[tuple[float, float]] = []
+    lines: list[list[tuple[float, float]]] = []
+    polys: list[list[list[tuple[float, float]]]] = []
+    for m in _split_gc_members(body):
+        hm = re.match(r"(?is)^(\w+)\s*\((.*)\)\s*$", m.strip())
+        if not hm:
+            raise BQDialectError(f"malformed GEOMETRYCOLLECTION member {m[:40]!r}")
+        head, inner = hm.group(1).upper(), hm.group(2).strip()
+        if head == "POINT":
+            pts.extend(_parse_wkt_points(inner))
+        elif head == "MULTIPOINT":
+            # members may be bare 'x y' or parenthesized '(x y)'
+            pts.extend(
+                _parse_wkt_points(inner.replace("(", "").replace(")", ""))
+            )
+        elif head == "LINESTRING":
+            chain = _parse_wkt_points(inner)
+            if len(chain) < 2:
+                raise BQDialectError("LINESTRING needs >= 2 vertices")
+            lines.append(chain)
+        elif head == "MULTILINESTRING":
+            for cm in re.finditer(r"\(([^()]*)\)", inner):
+                chain = _parse_wkt_points(cm.group(1))
+                if len(chain) < 2:
+                    raise BQDialectError(
+                        "MULTILINESTRING members need >= 2 vertices"
+                    )
+                lines.append(chain)
+        elif head == "POLYGON":
+            rings = _parse_wkt_rings(
+                inner[1:-1] if inner.startswith("(") else inner
+            )
+            _validate_rings(rings)
+            polys.append(rings)
+        elif head == "MULTIPOLYGON":
+            mp = _parse_wkt_multipoly(inner)
+            for rings in mp:
+                _validate_rings(rings)
+            polys.extend(mp)
+        else:
+            raise BQDialectError(
+                f"GEOMETRYCOLLECTION member {head} is unsupported "
+                "(nested collections refuse)"
+            )
+    if not (pts or lines or polys):
+        raise BQDialectError("empty GEOMETRYCOLLECTION")
+    return pts, lines, polys
+
+
+def _parse_gc_literal(expr: str):
+    s = _unparen(expr)
+    if not _is_gc(s):
+        return None
+    m = re.match(
+        r"(?is)^NAMED_STRUCT\('geometrycollection',\s*'([^']*)'", s
+    )
+    if not m:
+        return None
+    return _parse_gc_wkt(m.group(1))
+
+
+def _emit_pt_sql(x: float, y: float) -> str:
+    return (
+        f"NAMED_STRUCT('lon', CAST({x!r} AS DOUBLE), "
+        f"'lat', CAST({y!r} AS DOUBLE))"
+    )
+
+
+def _emit_poly_rings_sql(rings) -> str:
+    """Re-emit a parsed ring list as the literal polygon array text
+    the poly machinery consumes (flat for one ring, nested for
+    holes)."""
+    ring_sql = [
+        "ARRAY(" + ", ".join(_emit_pt_sql(x, y) for x, y in pts) + ")"
+        for pts in rings
+    ]
+    if len(ring_sql) == 1:
+        return ring_sql[0]
+    return "ARRAY(" + ", ".join(ring_sql) + ")"
+
+
+_EMPTY_PTS = "CAST(ARRAY() AS ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>)"
+_EMPTY_LINES = (
+    "CAST(ARRAY() AS ARRAY<ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>>)"
+)
+_EMPTY_POLYS = (
+    "CAST(ARRAY() AS "
+    "ARRAY<ARRAY<ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>>>)"
+)
+
+
+def _gc_distance(gexpr: str, p: str) -> str:
+    """Min geodesic distance from a (possibly runtime) point to every
+    GC member — each member class reuses its own literal machinery."""
+    pts, lines, polys = _parse_gc_literal(gexpr)
+    pp = f"({p.strip()})"
+    dists = [_hav(_emit_pt_sql(x, y), pp) for x, y in pts]
+    dists += [_chain_distance(chain, pp) for chain in lines]
+    dists += [
+        _poly_distance(_emit_poly_rings_sql(rings), p) for rings in polys
+    ]
+    if len(dists) == 1:
+        return dists[0]
+    return f"LEAST({', '.join(dists)})"
+
+
+def _gc_contains(gexpr: str, p: str) -> str:
+    """Point in the union's INTERIOR = OR over polygon members (point
+    and line members have empty interiors — BigQuery semantics)."""
+    pts, lines, polys = _parse_gc_literal(gexpr)
+    if not polys:
+        return "FALSE"
+    terms = [
+        _poly_contains(_emit_poly_rings_sql(rings), p) for rings in polys
+    ]
+    return "(" + " OR ".join(terms) + ")"
 
 
 def _poly_edges(A: str) -> str:
@@ -2356,11 +2610,7 @@ def _poly_contains(A: str, p: str) -> str:
             return _edges_cross_fold(p, rings, q3)
         terms = _geo_cross_terms(p, rings, q3)
         return f"(({' + '.join(terms)}) % 2 = 1)"
-    if _is_nested_poly(A):
-        raise BQDialectError(
-            "computed multi-ring polygons are unsupported — construct "
-            "them with a literal ST_GEOGFROMTEXT('POLYGON((…),(…))')"
-        )
+    nested = _is_nested_poly(A)
     A = f"({A.strip()})"
     px, py, pz = _pxyz(p)
     # runtime 3-vectors for the edge endpoints; Q = south pole makes
@@ -2378,8 +2628,17 @@ def _poly_contains(A: str, p: str) -> str:
     ta = f"({px} * {ay3} - {py} * {ax3})"   # P·(Q×A), Q = south pole
     tb = f"({px} * {by3} - {py} * {bx3})"   # P·(Q×B)
     s = f"(-{pn})"
+    # r13 (VERDICT r12 item 3): COMPUTED multi-ring polygons ride the
+    # same runtime fold over the per-ring edges flattened together —
+    # even-odd parity across ALL rings IS the holes semantics, so no
+    # per-ring dispatch is needed
+    edges = (
+        f"FLATTEN(TRANSFORM({A}, __rr -> {_poly_edges('__rr')}))"
+        if nested
+        else _poly_edges(A)
+    )
     crossings = (
-        f"AGGREGATE({_poly_edges(A)}, 0, (__n, __e) -> __n + IF("
+        f"AGGREGATE({edges}, 0, (__n, __e) -> __n + IF("
         f"{s} * (-{n3}) > 0 AND {s} * (-{tb}) > 0 AND "
         f"{s} * {ta} > 0, 1, 0))"
     )
@@ -2548,18 +2807,23 @@ def _poly_distance(A: str, p: str) -> str:
                 segs.append((ax, ay, bx, by))
         dmin = _min_seg_distance(pp, segs)
         return f"IF({_poly_contains(A, p)}, 0.0D, {dmin})"
-    if _is_nested_poly(A):
-        raise BQDialectError(
-            "computed multi-ring polygons are unsupported — construct "
-            "them with a literal ST_GEOGFROMTEXT('POLYGON((…),(…))')"
-        )
+    nested = _is_nested_poly(A)
     A, p = f"({A.strip()})", f"({p.strip()})"
     px, py, pz = _pxyz(p)
+    # r13 (VERDICT r12 item 3): computed multi-ring polygons flatten
+    # their per-ring edge sets into the same runtime fold (min over
+    # ALL ring boundaries — hole boundaries count, same as the
+    # literal path's flattened segs)
+    edges_src = (
+        f"FLATTEN(TRANSFORM({A}, __rr -> {_poly_edges('__rr')}))"
+        if nested
+        else _poly_edges(A)
+    )
     # stage 1: endpoint 3-vectors; stage 2: n = A×B (+ carried
     # endpoints); the fold then evaluates the same geodesic closed form
     # _seg_geo_sql constant-folds for literals
     vec = (
-        f"TRANSFORM({_poly_edges(A)}, __e -> NAMED_STRUCT("
+        f"TRANSFORM({edges_src}, __e -> NAMED_STRUCT("
         "'axv', COS(RADIANS(__e.a.lat)) * COS(RADIANS(__e.a.lon)), "
         "'ayv', COS(RADIANS(__e.a.lat)) * SIN(RADIANS(__e.a.lon)), "
         "'azv', SIN(RADIANS(__e.a.lat)), "
@@ -2665,6 +2929,11 @@ def _st_length(args: list[str]) -> str:
     chains = _parse_mls_literal(args[0])
     if chains is not None:
         return f"{sum(_chain_length_m(c) for c in chains)!r}D"
+    if _is_gc(args[0]):
+        gc = _parse_gc_literal(args[0])
+        if gc is not None:
+            # r13: length is a line property — sum the line members
+            return f"{sum(_chain_length_m(c) for c in gc[1])!r}D"
     verts = _parse_line_literal(args[0])
     if verts is None:
         if _is_line(args[0]) or _is_mls(args[0]):
@@ -2674,6 +2943,43 @@ def _st_length(args: list[str]) -> str:
             )
         return "0.0D"  # points, multipoints and polygons: zero length
     return f"{_chain_length_m(verts)!r}D"
+
+
+def _ring_area_runtime(ring_sql: str) -> str:
+    """R²·|spherical excess| of ONE runtime ring (array<struct<lon,
+    lat>>) — the Van Oosterom–Strackee signed triangle fan
+    (2·atan2(det, 1+dots) per fan triangle; exact for geodesic edges,
+    simple rings smaller than a hemisphere). The vertex 3-vectors bind
+    once through a single-element TRANSFORM; one AGGREGATE, no UDF.
+    Shared by the computed simple-polygon and computed multi-ring
+    ST_AREA paths (r12/r13)."""
+    v3 = (
+        f"TRANSFORM({ring_sql}, __p -> NAMED_STRUCT("
+        f"'x', COS(RADIANS(__p.lat)) * COS(RADIANS(__p.lon)), "
+        f"'y', COS(RADIANS(__p.lat)) * SIN(RADIANS(__p.lon)), "
+        f"'z', SIN(RADIANS(__p.lat))))"
+    )
+    tri = (
+        "ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
+        "'a', ELEMENT_AT(__g, 1), "
+        "'b', ELEMENT_AT(__g, __i), "
+        "'c', ELEMENT_AT(__g, __i + 1))), __t -> "
+        "2.0D * ATAN2("
+        "__t.a.x * (__t.b.y * __t.c.z - __t.b.z * __t.c.y) + "
+        "__t.a.y * (__t.b.z * __t.c.x - __t.b.x * __t.c.z) + "
+        "__t.a.z * (__t.b.x * __t.c.y - __t.b.y * __t.c.x), "
+        "1.0D + (__t.a.x * __t.b.x + __t.a.y * __t.b.y + "
+        "__t.a.z * __t.b.z) + (__t.b.x * __t.c.x + "
+        "__t.b.y * __t.c.y + __t.b.z * __t.c.z) + "
+        "(__t.c.x * __t.a.x + __t.c.y * __t.a.y + "
+        "__t.c.z * __t.a.z))), 1)"
+    )
+    return (
+        f"(6371008.8D * 6371008.8D * ABS(ELEMENT_AT("
+        f"TRANSFORM(ARRAY({v3}), __g -> "
+        f"AGGREGATE(SEQUENCE(2, SIZE(__g) - 1), 0.0D, "
+        f"(__s, __i) -> __s + {tri})), 1)))"
+    )
 
 
 def _st_area(args: list[str]) -> str:
@@ -2686,15 +2992,33 @@ def _st_area(args: list[str]) -> str:
     constants), so the whole expression folds to a literal."""
     if len(args) != 1:
         raise BQDialectError(f"ST_AREA expects one geography, got {args}")
+    if _is_gc(args[0]):
+        gc = _parse_gc_literal(args[0])
+        if gc is not None:
+            # r13: members may OVERLAP — summing member areas is the
+            # documented convention (BigQuery unions first; for the
+            # disjoint-member common case the two agree)
+            r = 6371008.8
+            total = sum(
+                _polys_geo_meta([rings])[0] * r * r for rings in gc[2]
+            )
+            return f"{total!r}D"
     polys = _parse_multipoly_literal(args[0])
     if polys is None:
         rings = _parse_poly_rings(args[0])
         if rings is None:
             if _is_nested_poly(args[0]):
-                raise BQDialectError(
-                    "ST_AREA of computed multi-ring polygons is "
-                    "unsupported — literal POLYGON/MULTIPOLYGONs or "
-                    "computed simple rings only"
+                # r13 (VERDICT r12 item 3): COMPUTED multi-ring — the
+                # per-ring runtime fan runs inside a TRANSFORM over
+                # the ring array; ring 0 is the shell, later rings
+                # subtract as holes (the WKT convention the literal
+                # path validates at translate time; computed rings
+                # carry the same contract, documented)
+                A = f"({args[0].strip()})"
+                ras = f"TRANSFORM({A}, __rg -> {_ring_area_runtime('__rg')})"
+                return (
+                    f"(2.0D * ELEMENT_AT({ras}, 1) - "
+                    f"AGGREGATE({ras}, 0.0D, (__sa, __aa) -> __sa + __aa))"
                 )
             if _is_poly(args[0]):
                 # r12 (VERDICT r11 item 6): COMPUTED simple polygon —
@@ -2705,33 +3029,7 @@ def _st_area(args: list[str]) -> str:
                 # 3-vectors bind once through a single-element
                 # TRANSFORM; one AGGREGATE, no UDF.
                 A = f"({args[0].strip()})"
-                v3 = (
-                    f"TRANSFORM({A}, __p -> NAMED_STRUCT("
-                    f"'x', COS(RADIANS(__p.lat)) * COS(RADIANS(__p.lon)), "
-                    f"'y', COS(RADIANS(__p.lat)) * SIN(RADIANS(__p.lon)), "
-                    f"'z', SIN(RADIANS(__p.lat))))"
-                )
-                tri = (
-                    "ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
-                    "'a', ELEMENT_AT(__g, 1), "
-                    "'b', ELEMENT_AT(__g, __i), "
-                    "'c', ELEMENT_AT(__g, __i + 1))), __t -> "
-                    "2.0D * ATAN2("
-                    "__t.a.x * (__t.b.y * __t.c.z - __t.b.z * __t.c.y) + "
-                    "__t.a.y * (__t.b.z * __t.c.x - __t.b.x * __t.c.z) + "
-                    "__t.a.z * (__t.b.x * __t.c.y - __t.b.y * __t.c.x), "
-                    "1.0D + (__t.a.x * __t.b.x + __t.a.y * __t.b.y + "
-                    "__t.a.z * __t.b.z) + (__t.b.x * __t.c.x + "
-                    "__t.b.y * __t.c.y + __t.b.z * __t.c.z) + "
-                    "(__t.c.x * __t.a.x + __t.c.y * __t.a.y + "
-                    "__t.c.z * __t.a.z))), 1)"
-                )
-                return (
-                    f"(6371008.8D * 6371008.8D * ABS(ELEMENT_AT("
-                    f"TRANSFORM(ARRAY({v3}), __g -> "
-                    f"AGGREGATE(SEQUENCE(2, SIZE(__g) - 1), 0.0D, "
-                    f"(__s, __i) -> __s + {tri})), 1)))"
-                )
+                return _ring_area_runtime(A)
             return "0.0D"  # points and linestrings have zero area
         polys = [rings]
     omega, _ = _polys_geo_meta(polys)
@@ -2745,12 +3043,32 @@ def _st_perimeter(args: list[str]) -> str:
     consistently. Constant-folds for literal rings."""
     if len(args) != 1:
         raise BQDialectError(f"ST_PERIMETER expects one geography, got {args}")
+    if _is_gc(args[0]):
+        gc = _parse_gc_literal(args[0])
+        if gc is not None:
+            # r13: ring-boundary haversine sum over polygon members
+            total = sum(
+                _chain_length_m(r + [r[0]])
+                for rings in gc[2]
+                for r in rings
+            )
+            return f"{total!r}D"
     rings = _parse_any_rings(args[0])
     if rings is None:
         if _is_poly(args[0]):
-            raise BQDialectError(
-                "ST_PERIMETER supports POINTs (0), LINESTRINGs (0) and "
-                "literal POLYGON/MULTIPOLYGONs"
+            # r13: COMPUTED polygons (flat ring or multi-ring) sum
+            # their haversine edge lengths at runtime — hole
+            # boundaries count (BigQuery semantics), matching the
+            # literal path's all-rings sum
+            A = f"({args[0].strip()})"
+            edges = (
+                f"FLATTEN(TRANSFORM({A}, __rr -> {_poly_edges('__rr')}))"
+                if _is_nested_poly(args[0])
+                else _poly_edges(A)
+            )
+            return (
+                f"AGGREGATE({edges}, 0.0D, "
+                f"(__s, __e) -> __s + {_hav('__e.a', '__e.b')})"
             )
         return "0.0D"  # points and linestrings have zero perimeter
     import math
@@ -2779,11 +3097,11 @@ def _st_centroid(args: list[str]) -> str:
     planar-edge contract shared with ST_CONTAINS, documented)."""
     if len(args) != 1:
         raise BQDialectError(f"ST_CENTROID expects one geography, got {args}")
-    if _is_multipoint(args[0]) or _is_mls(args[0]):
+    if _is_multipoint(args[0]) or _is_mls(args[0]) or _is_gc(args[0]):
         raise BQDialectError(
             "ST_CENTROID supports POINTs, literal LINESTRINGs and "
             "literal POLYGON/MULTIPOLYGONs — not MULTIPOINT/"
-            "MULTILINESTRING"
+            "MULTILINESTRING/GEOMETRYCOLLECTION"
         )
     polys = _parse_multipoly_literal(args[0])
     line = None if polys else _parse_line_literal(args[0])
@@ -2844,6 +3162,9 @@ def _st_centroid(args: list[str]) -> str:
 def _st_contains(args: list[str]) -> str:
     if len(args) != 2:
         raise BQDialectError(f"ST_CONTAINS expects (polygon, point), got {args}")
+    if _is_gc(args[0]):
+        # r13: point in the union's interior = OR over polygon members
+        return _gc_contains(args[0], args[1])
     if not _is_poly(args[0]):
         raise BQDialectError(
             "ST_CONTAINS supports (POLYGON literal, point) — construct "
@@ -2918,6 +3239,10 @@ def _lit_geom(expr: str):
     mls = _parse_mls_literal(expr)
     if mls is not None:
         return ("mls", mls)
+    if _is_gc(expr):
+        gc = _parse_gc_literal(expr)
+        if gc is not None:
+            return ("gc", gc)
     return None
 
 
@@ -3100,6 +3425,27 @@ def _st_intersects(args: list[str]) -> str:
             for rings in _as_member_polys(gy)
         )
         return "TRUE" if hit else "FALSE"
+    # r13: GEOMETRYCOLLECTION ↔ point — polygon-member containment
+    # OR'd with exact point-member equality (line members have
+    # measure-zero intersection with a point; documented out)
+    for gx, ptx in ((a, b), (b, a)):
+        if _is_gc(gx) and not _is_shape(ptx):
+            gc = _parse_gc_literal(gx)
+            if gc is None:
+                raise BQDialectError(
+                    "computed GEOMETRYCOLLECTIONs are unsupported — "
+                    "construct them with a literal ST_GEOGFROMTEXT"
+                )
+            pts, _lines, polys = gc
+            pp = f"({ptx.strip()})"
+            terms = [
+                _poly_contains(_emit_poly_rings_sql(rings), ptx)
+                for rings in polys
+            ] + [
+                f"({pp}.lon = {x!r}D AND {pp}.lat = {y!r}D)"
+                for x, y in pts
+            ]
+            return "(" + " OR ".join(terms) + ")" if terms else "FALSE"
     # polygon ↔ point (point may be a runtime expression): the ray cast
     if _is_poly(a) and not _is_shape(b):
         return _poly_contains(a, b)
@@ -5617,13 +5963,35 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
                 )
             out_items.append(it.strip())
     tail = sql[from_pos + 4 : scope_end].strip()
-    # Spark INLINES multiply-referenced CTEs, so every reference to
-    # the tokenized base re-evaluates the tokenizer. Shape (r12 perf):
-    # __tfb is referenced exactly TWICE (the distinct-array count and
-    # the final join); all corpus statistics derive from __tfcnt —
-    # (array, multiplicity) — so N = Σcnt, df = Σcnt over arrays
-    # containing the term, tf per distinct array. Identical values,
-    # half the tokenizer evaluations of the naive spelling.
+    # Spark INLINES multiply-referenced deterministic CTEs, so every
+    # reference re-evaluates its whole chain. Shape (r12 perf, r13
+    # refined): all corpus statistics derive from __tfcnt — (array,
+    # multiplicity) — so df = Σcnt over arrays containing the term and
+    # tf per distinct array; N prunes to a plain COUNT(*) over the
+    # base (Catalyst drops the unused tokenizer projection).
+    #
+    # Vocabulary index (r13, VERDICT r12 item 2): the r12 spelling was
+    # ONE unpartitioned ROW_NUMBER over the whole vocabulary — a
+    # single-task sort that dies at web-corpus scale (10^8+ distinct
+    # tokens). Distributed prefix-sum instead: bucket each term by a
+    # char-polynomial both engines compute identically, ROW_NUMBER
+    # within buckets (distributes — the window rides INSIDE __tfdf's
+    # aggregate select, so the vocab chain is built once and
+    # referenced exactly twice, same count as r12: the vector join and
+    # the 1024-row bucket-count aggregate), add per-bucket offsets
+    # from a 1024-row running sum joined back by bucket (broadcast).
+    # The only single-task window runs over the bucket aggregate,
+    # whose cardinality is FIXED at 1024 regardless of corpus size
+    # (the PMOD(__b, 1) partition key is constant-0 but NON-foldable,
+    # marking that boundedness and keeping WindowExec off the
+    # no-partition path). The index is a dense 0-based vocabulary id
+    # ordered by (bucket, term) rather than plain lexicographic — an
+    # internal id either way, and the oracle applies the identical
+    # algebra.
+    bucket = (
+        "(ASCII(SUBSTR(__t, 1, 1)) * 961 + ASCII(SUBSTR(__t, 2, 1)) "
+        "* 31 + ASCII(SUBSTR(__t, 3, 1)) + LENGTH(__t)) % 1024"
+    )
     body = (
         "WITH __tfb AS (SELECT *, ("
         + tok_expr
@@ -5631,52 +5999,32 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
         + tail
         + "), __tfcnt AS (SELECT __tfidf_toks AS __toks, COUNT(*) AS "
         "__cnt FROM __tfb GROUP BY __tfidf_toks), "
-        "__tfn AS (SELECT SUM(__cnt) AS __n FROM __tfcnt), "
-        "__tfdf AS (SELECT __t AS __term, SUM(__cnt) AS __df FROM "
+        # N references the UNTOKENIZED base text directly — a plain
+        # count scan, no tokenizer in its inlined copy
+        "__tfn AS (SELECT COUNT(*) AS __n FROM " + tail + "), "
+        "__tfdf AS (SELECT __t AS __term, SUM(__cnt) AS __df, "
+        f"MIN({bucket}) AS __b, "
+        f"ROW_NUMBER() OVER (PARTITION BY MIN({bucket}) "
+        "ORDER BY __t) - 1 AS __lr FROM "
         "__tfcnt LATERAL VIEW EXPLODE(ARRAY_DISTINCT(__toks)) __e "
         "AS __t GROUP BY __t), "
-        # Vocabulary index (r13, VERDICT r12 item 2): the r12 spelling
-        # was ONE unpartitioned ROW_NUMBER over the whole vocabulary —
-        # a single-task sort that dies at web-corpus scale (10^8+
-        # distinct tokens). Distributed prefix-sum instead: bucket each
-        # term by a char-polynomial both engines compute identically,
-        # rank WITHIN buckets (PARTITION BY bucket — distributes), and
-        # add per-bucket offsets from a 1024-row running sum. The only
-        # single-task window now runs over the bucket aggregate, whose
-        # cardinality is FIXED at 1024 regardless of corpus size (its
-        # constant partition key exists to mark that boundedness — and
-        # to keep WindowExec off the no-partition path). The index is
-        # a dense 0-based vocabulary id ordered by (bucket, term)
-        # rather than plain lexicographic — an internal id either way,
-        # and the oracle applies the identical algebra.
-        "__tfvb AS (SELECT __term, (ASCII(SUBSTR(__term, 1, 1)) * 961 "
-        "+ ASCII(SUBSTR(__term, 2, 1)) * 31 + ASCII(SUBSTR(__term, 3, "
-        "1)) + LENGTH(__term)) % 1024 AS __b FROM __tfdf), "
-        "__tflr AS (SELECT __term, __b, ROW_NUMBER() OVER (PARTITION "
-        "BY __b ORDER BY __term) - 1 AS __lr FROM __tfvb), "
-        "__tfbc AS (SELECT __b, COUNT(*) AS __c FROM __tfvb "
+        "__tfbc AS (SELECT __b, MAX(__lr) + 1 AS __c FROM __tfdf "
         "GROUP BY __b), "
-        # PMOD(__b, 1) is constant-0 but NON-foldable: Catalyst keeps
-        # it in the partition spec (a literal 1 would fold away), so
-        # the offsets window never takes WindowExec's no-partition
-        # path — its one partition is the 1024-row bucket aggregate.
         "__tfbo AS (SELECT __b, COALESCE(SUM(__c) OVER (PARTITION BY "
         "PMOD(__b, 1) ORDER BY __b ROWS BETWEEN UNBOUNDED PRECEDING "
         "AND 1 PRECEDING), 0) AS __off FROM __tfbc), "
-        "__tfvoc AS (SELECT __term, __off + __lr AS __idx FROM "
-        "__tflr JOIN __tfbo USING (__b)), "
         "__tftf AS (SELECT __toks, __t AS __term, COUNT(*) AS __tf "
         "FROM (SELECT __toks FROM __tfcnt) "
         "LATERAL VIEW EXPLODE(__toks) __e AS __t "
         "GROUP BY __toks, __t), "
         "__tfvec AS (SELECT __toks, SORT_ARRAY(COLLECT_LIST(STRUCT("
-        "__idx AS index, "
+        "CAST(__off + __lr AS BIGINT) AS index, "
         + (
             "CAST(__tf AS DOUBLE) * " if fn_name == "TF_IDF" else ""
         )
         + "(LN((__n + 1.0) / "
         "(__df + 1.0)) + 1.0) AS value))) AS __vec FROM __tftf "
-        "JOIN __tfdf USING (__term) JOIN __tfvoc USING (__term) "
+        "JOIN __tfdf USING (__term) JOIN __tfbo USING (__b) "
         "CROSS JOIN __tfn GROUP BY __toks) "
         "SELECT " + ", ".join(out_items)
         + " FROM __tfb LEFT JOIN __tfvec __tfv "

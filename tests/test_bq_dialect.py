@@ -1326,10 +1326,16 @@ def test_multipoint_multilinestring_r11(fcat):
         deg * math.cos(math.radians(0.0)) * 1.0 + 2 * deg, rel=1e-3
     )
     assert r.mp_area == 0.0
-    with pytest.raises(BQDialectError, match="GEOMETRYCOLLECTION"):
+    # r13: GEOMETRYCOLLECTION now parses (refusal retired); a nested
+    # collection member still refuses by name
+    out = translate(
+        "SELECT ST_GEOGFROMTEXT('GEOMETRYCOLLECTION(POINT(1 1))')"
+    )
+    assert "geometrycollection" in out
+    with pytest.raises(BQDialectError, match="nested collections"):
         translate(
-            "SELECT ST_GEOGFROMTEXT("
-            "'GEOMETRYCOLLECTION(POINT(1 1))')"
+            "SELECT ST_GEOGFROMTEXT('GEOMETRYCOLLECTION("
+            "GEOMETRYCOLLECTION(POINT(1 1)))')"
         )
     with pytest.raises(BQDialectError, match="non-point"):
         translate(

@@ -34,6 +34,8 @@ NON_EQUI_OK = {
     "q_ml_tfidf",         # same shape from the r12 statement rewrite:
                           # CROSS JOIN of the 1-row corpus-count
                           # aggregate (__tfn) into the per-term scores
+    "q_ml_idf",           # r13: identical 1-row __tfn cross (the
+                          # df-only leg of the same rewrite)
     "q_quality_score",    # corpus-constant quantile thresholds (1-row cross)
     "q_doc_fingerprint",  # corpus-constant join
     "q_embed_topk",       # brute-force topk: query side broadcast NLJ by design
