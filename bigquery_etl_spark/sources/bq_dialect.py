@@ -5498,6 +5498,41 @@ _KEYSET_SCHEMA = (
     "'primaryKeyId BIGINT, key ARRAY<STRUCT<keyId: BIGINT, "
     "status: STRING, type: STRING, rawKey: STRING>>'"
 )
+# Tink's JSON keyset format (r13, VERDICT r12 item 4 — what
+# JsonKeysetReader/Writer exchange): keyData.value is the base64 of
+# the serialized AesGcmKey/AesSivKey proto, whose key bytes sit
+# behind a 1-2 field varint header
+_TINK_JSON_SCHEMA = (
+    "'primaryKeyId BIGINT, key ARRAY<STRUCT<keyData: STRUCT<"
+    "typeUrl: STRING, value: STRING, keyMaterialType: STRING>, "
+    "status: STRING, keyId: BIGINT, outputPrefixType: STRING>>'"
+)
+
+
+def _tink_json_to_internal(tink: str) -> str:
+    """Parsed Tink-JSON struct → the internal keyset struct. The key
+    proto header: [0x08 <version>] then <tag> <len> <key bytes> — key
+    sizes are <= 127 so both varints are single bytes."""
+    v = "UNBASE64(__tk.keyData.value)"
+    off = f"(CASE WHEN SUBSTRING({v}, 1, 1) = X'08' THEN 3 ELSE 1 END)"
+    klen = (
+        f"CAST(CONV(HEX(SUBSTRING({v}, {off} + 1, 1)), 16, 10) AS INT)"
+    )
+    kbytes = f"SUBSTRING({v}, {off} + 2, {klen})"
+    ktype = (
+        "CASE WHEN __tk.keyData.typeUrl LIKE '%AesSivKey' THEN "
+        "IF(UPPER(__tk.outputPrefixType) = 'RAW', 'AES_SIV_CMAC_RAW', "
+        "'AES_SIV_CMAC_256') "
+        "WHEN UPPER(__tk.outputPrefixType) = 'RAW' THEN 'AES_GCM_RAW' "
+        f"WHEN LENGTH({kbytes}) = 32 THEN 'AES_GCM_256' "
+        "ELSE 'AES_GCM' END"
+    )
+    return (
+        f"NAMED_STRUCT('primaryKeyId', {tink}.primaryKeyId, "
+        f"'key', TRANSFORM({tink}.key, __tk -> NAMED_STRUCT("
+        f"'keyId', __tk.keyId, 'status', UPPER(__tk.status), "
+        f"'type', {ktype}, 'rawKey', BASE64({kbytes}))))"
+    )
 _AEAD_HAVE = (
     "have: AEAD.ENCRYPT, AEAD.DECRYPT_STRING, AEAD.DECRYPT_BYTES, "
     "AEAD.DETERMINISTIC_ENCRYPT, AEAD.DETERMINISTIC_DECRYPT_STRING, "
@@ -5508,7 +5543,21 @@ _AEAD_HAVE = (
 
 
 def _ks_parse(ks: str) -> str:
-    return f"FROM_JSON(CAST(({ks}) AS STRING), {_KEYSET_SCHEMA})"
+    """Parse a keyset into the internal struct. r13 (VERDICT r12
+    item 4): accepts BOTH the internal JSON document and Tink's JSON
+    keyset format — a keyset exported from a real Tink/BigQuery
+    estate (JsonKeysetWriter) drops straight into AEAD.*/KEYS.*
+    (detection: only the Tink shape populates key[0].keyData.value).
+    Wire-proto keysets convert via functions/tink_wire.py (the
+    Python-tier DETERMINISTIC_* path accepts them directly)."""
+    s = f"CAST(({ks}) AS STRING)"
+    tink = f"FROM_JSON({s}, {_TINK_JSON_SCHEMA})"
+    internal = f"FROM_JSON({s}, {_KEYSET_SCHEMA})"
+    return (
+        f"(CASE WHEN TRY_ELEMENT_AT({tink}.key, 1).keyData.value "
+        f"IS NOT NULL THEN {_tink_json_to_internal(tink)} "
+        f"ELSE {internal} END)"
+    )
 
 
 def _ks_primary_key(p: str) -> str:
@@ -5528,16 +5577,26 @@ def _aead_encrypt_rewriter(args: list[str]) -> str:
             f"got {len(args)} args"
         )
     ks, pt, aad = (a.strip() for a in args)
-    p = _ks_parse(ks)
+    # r13: bind all three arguments ONCE through a lambda — the
+    # dual-format _ks_parse (internal + Tink JSON) splices the keyset
+    # text several times, and nested AEAD calls (roundtrips) made the
+    # un-bound spelling grow multiplicatively until ANTLR fell over
+    p = _ks_parse("__aa.ks")
     body = (
         f"CONCAT(UNHEX('01'), UNHEX(LPAD(HEX({p}.primaryKeyId), 8, '0')), "
-        f"AES_ENCRYPT(({pt}), {_ks_primary_key(p)}, 'GCM', 'DEFAULT', "
-        f"UNHEX(''), ({aad})))"
+        f"AES_ENCRYPT(__aa.pt, {_ks_primary_key(p)}, 'GCM', 'DEFAULT', "
+        f"UNHEX(''), __aa.aad))"
+    )
+    inner = (
+        f"(CASE WHEN __aa.ks IS NULL OR __aa.pt IS NULL OR __aa.aad "
+        f"IS NULL THEN CAST(NULL AS BINARY) ELSE NVL({body}, "
+        f"RAISE_ERROR('AEAD.ENCRYPT: keyset has no ENABLED AES_GCM "
+        f"primary key')) END)"
     )
     return (
-        f"(CASE WHEN ({ks}) IS NULL OR ({pt}) IS NULL OR ({aad}) IS NULL "
-        f"THEN CAST(NULL AS BINARY) ELSE NVL({body}, RAISE_ERROR("
-        f"'AEAD.ENCRYPT: keyset has no ENABLED AES_GCM primary key')) END)"
+        f"TRY_ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
+        f"'ks', CAST(({ks}) AS BINARY), 'pt', CAST(({pt}) AS BINARY), "
+        f"'aad', CAST(({aad}) AS BINARY))), __aa -> {inner}), 1)"
     )
 
 
@@ -5549,25 +5608,32 @@ def _aead_decrypt_rewriter(fname: str, as_string: bool):
                 f"got {len(args)} args"
             )
         ks, ct, aad = (a.strip() for a in args)
-        p = _ks_parse(ks)
-        pid = f"CAST(CONV(HEX(SUBSTRING(({ct}), 2, 4)), 16, 10) AS BIGINT)"
+        # r13: one-shot argument binding (see _aead_encrypt_rewriter)
+        p = _ks_parse("__aa.ks")
+        pid = "CAST(CONV(HEX(SUBSTRING(__aa.ct, 2, 4)), 16, 10) AS BIGINT)"
         attempt = (
             f"TRY_ELEMENT_AT(FILTER(TRANSFORM({p}.key, __k -> CASE "
             f"WHEN __k.status = 'ENABLED' AND "
             f"__k.type IN ('AES_GCM_256', 'AES_GCM') AND "
-            f"SUBSTRING(({ct}), 1, 1) = UNHEX('01') AND __k.keyId = {pid} "
-            f"THEN TRY_AES_DECRYPT(SUBSTRING(({ct}), 6), "
-            f"UNBASE64(__k.rawKey), 'GCM', 'DEFAULT', ({aad})) "
+            f"SUBSTRING(__aa.ct, 1, 1) = UNHEX('01') AND __k.keyId = {pid} "
+            f"THEN TRY_AES_DECRYPT(SUBSTRING(__aa.ct, 6), "
+            f"UNBASE64(__k.rawKey), 'GCM', 'DEFAULT', __aa.aad) "
             f"WHEN __k.status = 'ENABLED' AND __k.type = 'AES_GCM_RAW' "
-            f"THEN TRY_AES_DECRYPT(({ct}), UNBASE64(__k.rawKey), 'GCM', "
-            f"'DEFAULT', ({aad})) END), __x -> __x IS NOT NULL), 1)"
+            f"THEN TRY_AES_DECRYPT(__aa.ct, UNBASE64(__k.rawKey), 'GCM', "
+            f"'DEFAULT', __aa.aad) END), __x -> __x IS NOT NULL), 1)"
         )
-        out = (
-            f"(CASE WHEN ({ks}) IS NULL OR ({ct}) IS NULL OR ({aad}) "
+        inner = (
+            f"(CASE WHEN __aa.ks IS NULL OR __aa.ct IS NULL OR __aa.aad "
             f"IS NULL THEN CAST(NULL AS BINARY) ELSE NVL({attempt}, "
             f"RAISE_ERROR('{fname}: decryption failed — no ENABLED key "
             f"in the keyset authenticates this ciphertext/"
             f"additional_data pair')) END)"
+        )
+        out = (
+            f"TRY_ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
+            f"'ks', CAST(({ks}) AS BINARY), 'ct', CAST(({ct}) AS "
+            f"BINARY), 'aad', CAST(({aad}) AS BINARY))), "
+            f"__aa -> {inner}), 1)"
         )
         return f"CAST({out} AS STRING)" if as_string else out
 
@@ -5712,9 +5778,36 @@ def _keys_from_json_rewriter(args: list[str]) -> str:
 
 
 def _keys_to_json_rewriter(args: list[str]) -> str:
+    """r13 (VERDICT r12 item 4): emit TINK's JSON keyset format — the
+    document JsonKeysetReader accepts, so KEYS.KEYSET_TO_JSON output
+    loads into a real Tink/BigQuery estate (and our ciphertexts
+    decrypt there: the Tink prefix + IV‖ct‖tag GCM body already
+    interop). keyData.value = base64(serialized key proto): for keys
+    <= 127 bytes that is tag byte + length byte + key bytes (version
+    0 omitted, proto3)."""
     if len(args) != 1:
         raise BQDialectError("KEYS.KEYSET_TO_JSON expects (keyset)")
-    return f"TO_JSON({_ks_parse(args[0].strip())})"
+    p = _ks_parse(args[0].strip())
+    kb = "UNBASE64(__k.rawKey)"
+    siv = "STARTSWITH(__k.type, 'AES_SIV')"
+    value = (
+        f"BASE64(CONCAT(IF({siv}, X'12', X'1A'), "
+        f"UNHEX(LPAD(HEX(LENGTH({kb})), 2, '0')), {kb}))"
+    )
+    return (
+        f"TO_JSON(TRY_ELEMENT_AT(TRANSFORM(ARRAY({p}), __p -> "
+        f"NAMED_STRUCT('primaryKeyId', __p.primaryKeyId, "
+        f"'key', TRANSFORM(__p.key, __k -> NAMED_STRUCT("
+        f"'keyData', NAMED_STRUCT("
+        f"'typeUrl', IF({siv}, "
+        f"'type.googleapis.com/google.crypto.tink.AesSivKey', "
+        f"'type.googleapis.com/google.crypto.tink.AesGcmKey'), "
+        f"'value', {value}, "
+        f"'keyMaterialType', 'SYMMETRIC'), "
+        f"'status', __k.status, 'keyId', __k.keyId, "
+        f"'outputPrefixType', IF(ENDSWITH(__k.type, '_RAW'), 'RAW', "
+        f"'TINK'))))), 1))"
+    )
 
 
 def _keys_length_rewriter(args: list[str]) -> str:
