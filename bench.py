@@ -199,6 +199,12 @@ HEADLINE = [
     "q_gis_topology_computed",
     "q_farm_fingerprint",
     "q_daead",
+    # r13 additions (same convention): ML.IDF + the GEOMETRYCOLLECTION
+    # member dispatch + C-printf FORMAT — all exact twins; DuckDB runs
+    # the identical per-member algebra / its own C printf
+    "q_ml_idf",
+    "q_gis_collection",
+    "q_format",
 ]
 
 # Timed and trend-guarded, but EXCLUDED from the matched-vs-DuckDB

@@ -324,3 +324,63 @@ def q_gis_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS INT64) AS per_m
         FROM pts GROUP BY c_mktsegment ORDER BY c_mktsegment
     """)
+
+
+# -- FORMAT() printf twin (r13, VERDICT r12 item 6) ---------------------------
+@query(
+    "q_format",
+    sql="""
+    WITH t AS (
+        SELECT o_orderkey AS k,
+               o_orderkey % 1000 - 500 AS n,
+               o_totalprice AS p,
+               o_orderpriority AS s
+        FROM orders WHERE o_orderkey % 16 = 1
+    )
+    SELECT k,
+           printf('%d|%05d|%+d', n, n, n) AS ints,
+           printf('%x|%X|%o', k, k, k) AS hexes,
+           printf('%.2f|%12.3f|%e', p, p, p) AS floats,
+           printf('%10.4s|%-12s!', s, s) AS strs,
+           printf('%.3f', (n + 0.5) / 8.0) AS tie,
+           CASE WHEN s IS NULL THEN NULL
+                ELSE printf('%s has %d', s, n) END AS mixed
+    FROM t ORDER BY k
+    """,
+    tags=("dialect", "functions"),
+)
+def q_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FORMAT()`` C-printf semantics (r13, VERDICT r12 item 6 — the
+    boundary fuzz found the r12 blind FORMAT_STRING rename crashed on
+    float args and silently diverged on the C-vs-Java spec gap). The
+    rewriter (bq_dialect._format_rewriter) emits per-spec
+    FORMAT_STRING segments with DOUBLE casts for float conversions,
+    BROUND pre-rounding for %f decimal ties (C/BigQuery round half to
+    EVEN, Java HALF_UP), C inf/nan renderings, the ``'`` thousands
+    flag mapped to Java's ``,``, %i to %d, %t to canonical to-string,
+    and BigQuery's NULL-argument-nulls-the-result contract. The twin
+    is DuckDB's printf — an independent C-printf (fmt library)
+    evaluating the IDENTICAL specs over the same rows; the tie leg
+    lands exactly on .xxx5 decimals every 4th row. Reference:
+    BigQuery FORMAT spec (delegated surface, main.py:21, 49-50)."""
+    from bigquery_etl_spark.sources.lake_sql import LakeCatalog
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("fmt_orders")
+    cat = LakeCatalog(spark)
+    return cat.bq_sql("""
+        WITH t AS (
+            SELECT o_orderkey AS k,
+                   MOD(o_orderkey, 1000) - 500 AS n,
+                   o_totalprice AS p,
+                   o_orderpriority AS s
+            FROM fmt_orders WHERE MOD(o_orderkey, 16) = 1
+        )
+        SELECT k,
+               FORMAT('%d|%05d|%+d', n, n, n) AS ints,
+               FORMAT('%x|%X|%o', k, k, k) AS hexes,
+               FORMAT('%.2f|%12.3f|%e', p, p, p) AS floats,
+               FORMAT('%10.4s|%-12s!', s, s) AS strs,
+               FORMAT('%.3f', (n + 0.5) / 8.0) AS tie,
+               FORMAT('%s has %d', s, n) AS mixed
+        FROM t
+    """)

@@ -76,12 +76,19 @@ _FN_RENAMES = {
     "GENERATE_ARRAY": "SEQUENCE",
     "GENERATE_UUID": "UUID",
     "REGEXP_CONTAINS": "REGEXP_LIKE",
+    # STRPOS(value, subvalue) -> 1-based find, same arg order (r13
+    # fuzz finding: it previously passed through UNMAPPED and died at
+    # analysis with UNRESOLVED_ROUTINE)
+    "STRPOS": "INSTR",
+    # BYTE_LENGTH -> UTF-8 byte count (r13 fuzz finding: unmapped)
+    "BYTE_LENGTH": "OCTET_LENGTH",
     # BigQuery ERROR(msg) raises with the message — Spark's raise_error
     "ERROR": "RAISE_ERROR",
     "FROM_HEX": "UNHEX",
     "TO_BASE64": "BASE64",
     "FROM_BASE64": "UNBASE64",
-    "FORMAT": "FORMAT_STRING",
+    # FORMAT is a real rewriter since r13 (_format_rewriter) — the
+    # blind FORMAT_STRING rename diverged on the C-vs-Java printf gap
     # TO_JSON_STRING serializes any value as JSON text — Spark's
     # to_json for struct/array/map inputs (scalars differ: BigQuery
     # quotes a bare string, Spark's to_json refuses non-containers;
@@ -722,6 +729,145 @@ def _net_ip_trunc(args: list[str]) -> str:
     return (
         f"__bq_net_ip_trunc({args[0].strip()}, "
         f"CAST({args[1].strip()} AS INT))"
+    )
+
+
+_FMT_SPEC_RX = re.compile(
+    r"%([-+ 0#']*)(\d+|\*)?(?:\.(\d+|\*))?([a-zA-Z%])"
+)
+
+
+def _format_rewriter(args: list[str]) -> str:
+    """``FORMAT(fmt, args…)`` (r13 boundary-fuzz findings): BigQuery's
+    FORMAT speaks C printf; Spark's FORMAT_STRING speaks java.util
+    .Formatter. The r12 blind rename silently diverged (or crashed) on
+    every gap the fuzz found: float conversions REJECT Spark Decimal
+    arguments (cast to DOUBLE), the C thousands flag is ``'`` where
+    Java wants ``,``, C's %i/%u synonyms don't exist in Java, %t is a
+    TIME prefix in Java but to-string in BigQuery (lowered to %s +
+    CAST AS STRING; a NULL %t argument prints 'NULL'), and a NULL
+    argument to any other conversion makes the WHOLE result NULL in
+    BigQuery while Java prints 'null'. %g/%G (C strips trailing
+    zeros, Java never does), %T (needs type info for SQL-literal
+    rendering) and *-supplied width/precision (no Java form) refuse
+    by name. Computed format strings pass through to FORMAT_STRING
+    (documented: the spec gap cannot be repaired without the text)."""
+    if not args:
+        raise BQDialectError("FORMAT expects (format, args...)")
+    fm = re.match(r"(?s)^\s*'((?:[^']|'')*)'\s*$", args[0])
+    rest = [a.strip() for a in args[1:]]
+    if fm is None:
+        return "FORMAT_STRING(" + ", ".join(
+            [args[0].strip()] + rest
+        ) + ")"
+    fmt = fm.group(1).replace("''", "'")
+    # Emission is a CONCAT of literal runs and ONE FORMAT_STRING per
+    # conversion — printf conversions are stateless, so per-spec calls
+    # are value-identical to one combined call, and the split lets
+    # float specs override Java's 'Infinity'/'NaN' renderings with
+    # C's 'inf'/'nan' (space-padded to width, zero-padding suppressed
+    # — exactly printf)
+    pieces: list[str] = []
+    lit: list[str] = []
+    null_args: list[str] = []
+
+    def _flush_lit() -> None:
+        if lit:
+            pieces.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i, arg_idx = 0, 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%":
+            lit.append(c)
+            i += 1
+            continue
+        m = _FMT_SPEC_RX.match(fmt, i)
+        if not m:
+            raise BQDialectError(
+                f"FORMAT: malformed specifier at {fmt[i:i + 8]!r}"
+            )
+        flags, width, prec, conv = m.groups()
+        i = m.end()
+        if conv == "%":
+            lit.append("%")
+            continue
+        if "*" in (width, prec):
+            raise BQDialectError(
+                "FORMAT: argument-supplied width/precision (*) has no "
+                "Java Formatter form — use a literal width"
+            )
+        if conv in ("g", "G"):
+            raise BQDialectError(
+                "FORMAT: %g/%G diverge between C (trailing zeros "
+                "stripped — BigQuery) and the Java kernel (kept) — "
+                "use %e or %f with an explicit precision"
+            )
+        if conv == "T":
+            raise BQDialectError(
+                "FORMAT: %T (SQL-literal rendering) needs argument "
+                "type information this translate-time rewrite does "
+                "not have — render with %t or explicit casts"
+            )
+        if conv not in "dioeEfFxXst":
+            raise BQDialectError(
+                f"FORMAT: unsupported conversion %{conv} (BigQuery's "
+                "spec has no %u; %g/%G/%T refuse above)"
+            )
+        if arg_idx >= len(rest):
+            raise BQDialectError(
+                "FORMAT: more conversions than arguments"
+            )
+        arg = rest[arg_idx]
+        arg_idx += 1
+        _flush_lit()
+        if conv == "t":
+            # BigQuery %t: canonical to-string; NULL prints 'NULL'
+            arg_sql = f"IFNULL(CAST(({arg}) AS STRING), 'NULL')"
+            conv = "s"
+        else:
+            null_args.append(arg)
+            if conv in "eEfF":
+                arg_sql = f"CAST(({arg}) AS DOUBLE)"
+            else:
+                arg_sql = f"({arg})"
+                if conv == "i":
+                    conv = "d"
+        spec = (
+            "%" + flags.replace("'", ",") + (width or "")
+            + (f".{prec}" if prec else "") + conv
+        )
+        base = (
+            f"FORMAT_STRING('{spec.replace(chr(39), chr(39) * 2)}', "
+            f"{arg_sql})"
+        )
+        if conv in "eEfF":
+            # r13 fuzz finding: Java formats floats from the SHORTEST
+            # decimal repr (ties land on the wrong digits — %.3e of
+            # 131048.45, %.3f of 0.265-class doubles) where C rounds
+            # the exact binary expansion. No JVM spelling matches, so
+            # float segments ride the Arrow-batched C kernel
+            # (functions/cfmt.py — the daead/farmhash tier); non-
+            # finite renderings (inf/nan, glibc padding) live there
+            # too. The ' thousands flag maps to Python/Java ','.
+            base = (
+                f"__bq_fmt_f('{spec.replace(chr(39), chr(39) * 2)}', "
+                f"{arg_sql})"
+            )
+        pieces.append(base)
+    _flush_lit()
+    call = pieces[0] if len(pieces) == 1 else (
+        "CONCAT(" + ", ".join(pieces) + ")"
+    )
+    if not null_args:
+        return call
+    null_cond = " OR ".join(
+        f"({a}) IS NULL" for a in dict.fromkeys(null_args)
+    )
+    return (
+        f"(CASE WHEN {null_cond} THEN CAST(NULL AS STRING) "
+        f"ELSE {call} END)"
     )
 
 
@@ -6607,6 +6753,7 @@ def _translate_uncached(sql: str) -> str:
         _normalize_rewriter("NORMALIZE_AND_CASEFOLD"),
     )
     sql = _rewrite_calls(sql, "NORMALIZE", _normalize_rewriter("NORMALIZE"))
+    sql = _rewrite_calls(sql, "FORMAT", _format_rewriter)
     sql = _rewrite_calls(
         sql, "TO_CODE_POINTS",
         _net_1arg("__bq_uni_to_code_points({0})", "TO_CODE_POINTS"),

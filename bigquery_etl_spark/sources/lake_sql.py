@@ -2422,6 +2422,10 @@ class LakeCatalog:
             from bigquery_etl_spark.functions.daead import register_daead
 
             register_daead(self.spark)
+        if "__bq_fmt_f" in out:
+            from bigquery_etl_spark.functions.cfmt import register_cfmt
+
+            register_cfmt(self.spark)
         if "__bq_farm_" in out:
             from bigquery_etl_spark.functions.farmhash import (
                 register_farmhash,

@@ -60,8 +60,12 @@ from bigquery_etl_spark.sources.bq_dialect import BQDialectError, translate
             "SELECT COUNT(*) FROM `ev_*` WHERE _TABLE_SUFFIX = '01'",
         ),
         (
+            # r13: FORMAT is a real rewriter (C-printf semantics) —
+            # a NULL argument nulls the whole result, BigQuery-style
             "SELECT GENERATE_ARRAY(1, 5), FORMAT('%d', x) FROM t",
-            "SELECT SEQUENCE(1, 5), FORMAT_STRING('%d', x) FROM t",
+            "SELECT SEQUENCE(1, 5), (CASE WHEN (x) IS NULL THEN "
+            "CAST(NULL AS STRING) ELSE FORMAT_STRING('%d', (x)) END) "
+            "FROM t",
         ),
         (
             "SELECT CAST(x AS NUMERIC) FROM t",
