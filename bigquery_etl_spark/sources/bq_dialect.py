@@ -5702,12 +5702,17 @@ def _ks_parse(ks: str) -> str:
     Wire-proto keysets convert via functions/tink_wire.py (the
     Python-tier DETERMINISTIC_* path accepts them directly)."""
     s = f"CAST(({ks}) AS STRING)"
-    tink = f"FROM_JSON({s}, {_TINK_JSON_SCHEMA})"
+    # the parsed Tink struct binds ONCE through a single-element
+    # TRANSFORM (r13 text-size fix: splicing FROM_JSON per reference
+    # grew AEAD statements to ~200 KB and ANTLR's adaptive prediction
+    # heap-OOM'd on them)
     internal = f"FROM_JSON({s}, {_KEYSET_SCHEMA})"
     return (
-        f"(CASE WHEN TRY_ELEMENT_AT({tink}.key, 1).keyData.value "
-        f"IS NOT NULL THEN {_tink_json_to_internal(tink)} "
-        f"ELSE {internal} END)"
+        f"TRY_ELEMENT_AT(TRANSFORM(ARRAY("
+        f"FROM_JSON({s}, {_TINK_JSON_SCHEMA})), __tj -> "
+        f"CASE WHEN TRY_ELEMENT_AT(__tj.key, 1).keyData.value "
+        f"IS NOT NULL THEN {_tink_json_to_internal('__tj')} "
+        f"ELSE {internal} END), 1)"
     )
 
 
@@ -5728,15 +5733,16 @@ def _aead_encrypt_rewriter(args: list[str]) -> str:
             f"got {len(args)} args"
         )
     ks, pt, aad = (a.strip() for a in args)
-    # r13: bind all three arguments ONCE through a lambda — the
-    # dual-format _ks_parse (internal + Tink JSON) splices the keyset
-    # text several times, and nested AEAD calls (roundtrips) made the
-    # un-bound spelling grow multiplicatively until ANTLR fell over
-    p = _ks_parse("__aa.ks")
+    # r13: bind the three arguments ONCE through an outer lambda and
+    # the PARSED keyset once through an inner lambda — the dual-format
+    # _ks_parse (internal + Tink JSON) splices the keyset text per
+    # reference, and nested AEAD calls (roundtrips over
+    # KEYSET_FROM_JSON operands) grew the un-bound spelling to ~200 KB
+    # of SQL; ANTLR's adaptive prediction heap-OOM'd parsing it
     body = (
-        f"CONCAT(UNHEX('01'), UNHEX(LPAD(HEX({p}.primaryKeyId), 8, '0')), "
-        f"AES_ENCRYPT(__aa.pt, {_ks_primary_key(p)}, 'GCM', 'DEFAULT', "
-        f"UNHEX(''), __aa.aad))"
+        f"CONCAT(UNHEX('01'), UNHEX(LPAD(HEX(__p.primaryKeyId), 8, "
+        f"'0')), AES_ENCRYPT(__aa.pt, {_ks_primary_key('__p')}, "
+        f"'GCM', 'DEFAULT', UNHEX(''), __aa.aad))"
     )
     inner = (
         f"(CASE WHEN __aa.ks IS NULL OR __aa.pt IS NULL OR __aa.aad "
@@ -5744,10 +5750,14 @@ def _aead_encrypt_rewriter(args: list[str]) -> str:
         f"RAISE_ERROR('AEAD.ENCRYPT: keyset has no ENABLED AES_GCM "
         f"primary key')) END)"
     )
+    bound = (
+        f"TRY_ELEMENT_AT(TRANSFORM(ARRAY({_ks_parse('__aa.ks')}), "
+        f"__p -> {inner}), 1)"
+    )
     return (
         f"TRY_ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
         f"'ks', CAST(({ks}) AS BINARY), 'pt', CAST(({pt}) AS BINARY), "
-        f"'aad', CAST(({aad}) AS BINARY))), __aa -> {inner}), 1)"
+        f"'aad', CAST(({aad}) AS BINARY))), __aa -> {bound}), 1)"
     )
 
 
@@ -5759,11 +5769,11 @@ def _aead_decrypt_rewriter(fname: str, as_string: bool):
                 f"got {len(args)} args"
             )
         ks, ct, aad = (a.strip() for a in args)
-        # r13: one-shot argument binding (see _aead_encrypt_rewriter)
-        p = _ks_parse("__aa.ks")
+        # r13: one-shot argument + parsed-keyset binding (see
+        # _aead_encrypt_rewriter)
         pid = "CAST(CONV(HEX(SUBSTRING(__aa.ct, 2, 4)), 16, 10) AS BIGINT)"
         attempt = (
-            f"TRY_ELEMENT_AT(FILTER(TRANSFORM({p}.key, __k -> CASE "
+            f"TRY_ELEMENT_AT(FILTER(TRANSFORM(__p.key, __k -> CASE "
             f"WHEN __k.status = 'ENABLED' AND "
             f"__k.type IN ('AES_GCM_256', 'AES_GCM') AND "
             f"SUBSTRING(__aa.ct, 1, 1) = UNHEX('01') AND __k.keyId = {pid} "
@@ -5780,11 +5790,15 @@ def _aead_decrypt_rewriter(fname: str, as_string: bool):
             f"in the keyset authenticates this ciphertext/"
             f"additional_data pair')) END)"
         )
+        bound = (
+            f"TRY_ELEMENT_AT(TRANSFORM(ARRAY({_ks_parse('__aa.ks')}), "
+            f"__p -> {inner}), 1)"
+        )
         out = (
             f"TRY_ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
             f"'ks', CAST(({ks}) AS BINARY), 'ct', CAST(({ct}) AS "
             f"BINARY), 'aad', CAST(({aad}) AS BINARY))), "
-            f"__aa -> {inner}), 1)"
+            f"__aa -> {bound}), 1)"
         )
         return f"CAST({out} AS STRING)" if as_string else out
 
@@ -5916,15 +5930,53 @@ def _keys_add_raw_rewriter(args: list[str]) -> str:
 def _keys_from_json_rewriter(args: list[str]) -> str:
     if len(args) != 1:
         raise BQDialectError("KEYS.KEYSET_FROM_JSON expects (json_string)")
-    p = _ks_parse(args[0].strip())
+    fm = re.match(r"(?s)^\s*'((?:[^']|'')*)'\s*$", args[0])
+    if fm:
+        # LITERAL keyset json (the overwhelmingly common spelling):
+        # parse + validate AT TRANSLATE TIME via the same front door
+        # the Python tier uses (internal JSON, Tink JSON — r13) and
+        # fold to a plain BINARY literal. Besides being free at
+        # runtime, this keeps the lowered keyset LAMBDA-FREE: a
+        # pandas-UDF consumer (AEAD.DETERMINISTIC_*) whose argument
+        # carries lambda functions cannot be extracted into a Python
+        # eval node and dies with INTERNAL_ERROR at runtime.
+        import json as _json
+
+        from bigquery_etl_spark.functions.tink_wire import (
+            sniff_to_internal,
+        )
+
+        try:
+            ks = sniff_to_internal(
+                fm.group(1).replace("''", "'").encode()
+            )
+        except Exception as exc:
+            raise BQDialectError(
+                f"KEYS.KEYSET_FROM_JSON: not a keyset ({exc})"
+            ) from None
+        if not isinstance(ks, dict) or not ks.get("key") or \
+                ks.get("primaryKeyId") is None:
+            raise BQDialectError(
+                "KEYS.KEYSET_FROM_JSON: not a keyset (need "
+                "primaryKeyId and a non-empty key array)"
+            )
+        canon = _json.dumps(ks, separators=(",", ":"))
+        return f"CAST('{canon.replace(chr(39), chr(39) * 2)}' AS BINARY)"
     # normalize through parse→serialize and validate the shape — an
-    # invalid keyset raises HERE, not as a NULL that fails at decrypt
+    # invalid keyset raises HERE, not as a NULL that fails at decrypt.
+    # r13: the json text and its parse each bind ONCE (text-size fix)
+    inner = (
+        "(CASE WHEN __kj IS NULL THEN CAST(NULL AS BINARY) "
+        "WHEN __kp.primaryKeyId IS NULL OR __kp.key IS NULL OR "
+        "SIZE(__kp.key) = 0 THEN CAST(RAISE_ERROR("
+        "'KEYS.KEYSET_FROM_JSON: not a keyset (need primaryKeyId and "
+        "a non-empty key array)') AS BINARY) "
+        "ELSE CAST(TO_JSON(__kp) AS BINARY) END)"
+    )
     return (
-        f"(CASE WHEN ({args[0].strip()}) IS NULL THEN CAST(NULL AS BINARY) "
-        f"WHEN {p}.primaryKeyId IS NULL OR {p}.key IS NULL OR "
-        f"SIZE({p}.key) = 0 THEN CAST(RAISE_ERROR('KEYS.KEYSET_FROM_JSON: "
-        f"not a keyset (need primaryKeyId and a non-empty key array)') "
-        f"AS BINARY) ELSE CAST(TO_JSON({p}) AS BINARY) END)"
+        f"TRY_ELEMENT_AT(TRANSFORM(ARRAY(CAST(({args[0].strip()}) "
+        f"AS STRING)), __kj -> TRY_ELEMENT_AT(TRANSFORM(ARRAY("
+        f"{_ks_parse('__kj')}), __kp -> {inner}), 1)), 1)"
     )
 
 
@@ -6253,7 +6305,10 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
         "ORDER BY __t) - 1 AS __lr FROM "
         "__tfcnt LATERAL VIEW EXPLODE(ARRAY_DISTINCT(__toks)) __e "
         "AS __t GROUP BY __t), "
-        "__tfbc AS (SELECT __b, MAX(__lr) + 1 AS __c FROM __tfdf "
+        # COUNT(*) (not MAX(__lr)+1): identical value for a dense
+        # per-bucket rank, but pruning can then drop the rank WINDOW
+        # (and its sort) from this copy of the vocab chain entirely
+        "__tfbc AS (SELECT __b, COUNT(*) AS __c FROM __tfdf "
         "GROUP BY __b), "
         "__tfbo AS (SELECT __b, COALESCE(SUM(__c) OVER (PARTITION BY "
         "PMOD(__b, 1) ORDER BY __b ROWS BETWEEN UNBOUNDED PRECEDING "

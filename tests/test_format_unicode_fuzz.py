@@ -208,3 +208,48 @@ def test_numeric_literal_scale_boundaries(spark):
     assert r.a == "1.000000001"   # half-away from zero (BigQuery)
     assert r.b == "-1.000000001"
     assert r.c == "1.000000000"
+
+
+def test_cfmt_kernel_differential_vs_duckdb_printf():
+    """The float kernel (functions/cfmt.py) vs DuckDB's independent C
+    printf over a random-ish grid of specs x values — no Spark
+    session needed, so the grid can be wide."""
+    import duckdb
+
+    from bigquery_etl_spark.functions.cfmt import cfmt_float
+
+    specs = ["%f", "%.1f", "%.3f", "%e", "%.2E", "%12.4f", "%-12.4f",
+             "%+.5f", "% .3e", "%F"]
+    # magnitudes stay below ~1e17: beyond the round-trip digit count
+    # DuckDB's fmt zero-fills where glibc/Python (and BigQuery's C
+    # printf) print the EXACT binary expansion — the kernel follows
+    # glibc, so the huge-magnitude tail is out of the differential
+    vals = [0.0, -0.0, 1.0, -1.0, 0.265, -0.0625, 131048.45,
+            1.0 / 3.0, 2**-40, -9.87654321e12, 5e-324, 1.5e15]
+    con = duckdb.connect()
+    bad = []
+    for spec in specs:
+        for v in vals:
+            want = con.execute(
+                "SELECT printf(?, ?::DOUBLE)", [spec, v]
+            ).fetchone()[0]
+            got = cfmt_float(spec, v)
+            if got != want:
+                bad.append((spec, v, got, want))
+    con.close()
+    assert not bad, bad[:8]
+
+
+def test_cfmt_kernel_nonfinite_glibc():
+    from bigquery_etl_spark.functions.cfmt import cfmt_float
+
+    inf, nan = float("inf"), float("nan")
+    assert cfmt_float("%f", inf) == "inf"
+    assert cfmt_float("%+f", inf) == "+inf"
+    assert cfmt_float("% f", nan) == " nan"
+    assert cfmt_float("%F", -inf) == "-INF"
+    assert cfmt_float("%8.2f", nan) == "     nan"
+    assert cfmt_float("%-8f", inf) == "inf     "
+    assert cfmt_float("%08f", inf) == "     inf"  # 0 flag suppressed
+    assert cfmt_float("%E", nan) == "NAN"
+    assert cfmt_float("%f", None) is None

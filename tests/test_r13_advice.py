@@ -164,3 +164,19 @@ def test_daead_keyset_parse_memoized():
     assert D._parse_keyset_cached.cache_info().misses == 1
     assert D._parse_keyset_cached.cache_info().hits >= 10
     assert D._siv_for.cache_info().misses == 1
+
+
+# ---------------------------------------------------------- VERDICT item 10
+def test_spark_native_time_still_part_wired(spark):
+    """C57 re-probe (r13): the canonical-string TIME lowering stays
+    because Spark 4.1.2's native TIME is still only part-wired —
+    literals parse, but CAST and EXTRACT raise UNSUPPORTED_TIME_TYPE.
+    When this test FAILS (both statements succeed), swap the lowering
+    to the native type and keep strings as the documented fallback."""
+    import pytest as _pt
+
+    assert spark.sql("SELECT TIME '12:34:56' AS t").collect()
+    with _pt.raises(Exception, match="UNSUPPORTED_TIME_TYPE"):
+        spark.sql("SELECT CAST('12:34:56' AS TIME)").collect()
+    with _pt.raises(Exception, match="UNSUPPORTED_TIME_TYPE"):
+        spark.sql("SELECT EXTRACT(HOUR FROM TIME '12:34:56')").collect()
