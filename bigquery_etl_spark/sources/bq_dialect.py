@@ -6289,13 +6289,32 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
         "(ASCII(SUBSTR(__t, 1, 1)) * 961 + ASCII(SUBSTR(__t, 2, 1)) "
         "* 31 + ASCII(SUBSTR(__t, 3, 1)) + LENGTH(__t)) % 1024"
     )
+    # r13-opt: RAND() poison pin. Catalyst inlines deterministic CTEs,
+    # then optimizes each inlined copy separately (different pruned
+    # columns, different pushed filters), so the canonical forms
+    # diverge and ReuseExchange cannot dedup them — measured: the
+    # tokenize + group-by-array chain executed 3x (plus once more for
+    # __tfb), 10 parquet scans in the physical plan. A non-deterministic
+    # column in the CTE definition makes InlineCTE PRESERVE the
+    # definition, so it is planned once (union of all consumers' needs)
+    # and every reference hits the same exchange via ReuseExchange.
+    # The column is never selected by any consumer, so results are
+    # unchanged, and all consumers read one shuffle output, so retry
+    # re-evaluation of rand() cannot skew anything. Measured (sf0.1,
+    # bench protocol): parquet scans 10 -> 6, ReusedExchange 0 -> 4;
+    # the tokenize + group-by-array chain now executes ONCE (was 3x).
+    # Bench wall is flat (~1.2 s) because at sf0.1 the query sits on
+    # the sequential subquery-chain scheduling floor (4 dependent
+    # jobs x ~60 ms/stage), but at corpus scale the duplicated chain
+    # was the dominant cost. Oracle-verified identical (q_ml_tfidf,
+    # q_ml_idf at sf0.01).
     body = (
         "WITH __tfb AS (SELECT *, ("
         + tok_expr
         + ") AS __tfidf_toks FROM "
         + tail
         + "), __tfcnt AS (SELECT __tfidf_toks AS __toks, COUNT(*) AS "
-        "__cnt FROM __tfb GROUP BY __tfidf_toks), "
+        "__cnt, RAND() AS __tfjnk FROM __tfb GROUP BY __tfidf_toks), "
         # N references the UNTOKENIZED base text directly — a plain
         # count scan, no tokenizer in its inlined copy
         "__tfn AS (SELECT COUNT(*) AS __n FROM " + tail + "), "
