@@ -5567,10 +5567,30 @@ def _ml_bag_of_words_rewriter(args: list[str]) -> str:
     if len(args) != 1:
         raise BQDialectError("ML.BAG_OF_WORDS expects (tokenized_document)")
     base = f"FILTER(({args[0].strip()}), __bw -> __bw IS NOT NULL)"
+    # r13-opt (guide §1.2 "per-task work"): the r12 form re-filtered
+    # the whole token array once PER DISTINCT TERM (O(N*D) interpreted
+    # lambda evals per row — HOFs never enter whole-stage codegen, so
+    # this was the hot loop of the bench's non-codegen Project). New
+    # form: ONE sort, then run-length boundaries over the sorted array
+    # (O(N log N + N)), with the sorted array and the boundary index
+    # bound ONCE each via the single-element-array TRANSFORM "let"
+    # idiom (interpreted eval re-evaluates every textual occurrence —
+    # binding stops the re-evaluation). Output identical: sorted
+    # distinct terms with counts (209-case differential fuzz incl.
+    # NULL array, NULL elements, empties, non-string element types).
+    # SLICE(SEQUENCE(1, GREATEST(n,1)), 1, n) is empty-safe SEQUENCE
+    # (plain SEQUENCE(1, 0) yields [1, 0]) and NULL-propagating.
     return (
-        f"TRANSFORM(ARRAY_SORT(ARRAY_DISTINCT({base})), __t -> "
-        f"NAMED_STRUCT('term', __t, 'count', "
-        f"CAST(SIZE(FILTER({base}, __x -> __x = __t)) AS BIGINT)))"
+        f"ELEMENT_AT(TRANSFORM(ARRAY(ARRAY_SORT({base})), __s -> "
+        "ELEMENT_AT(TRANSFORM(ARRAY("
+        "FILTER(SLICE(SEQUENCE(1, GREATEST(SIZE(__s), 1)), 1, SIZE(__s)), "
+        "__i -> __i = 1 OR ELEMENT_AT(__s, __i) != ELEMENT_AT(__s, __i - 1))"
+        "), __b -> "
+        "TRANSFORM(SLICE(SEQUENCE(1, GREATEST(SIZE(__b), 1)), 1, SIZE(__b)), "
+        "__j -> NAMED_STRUCT('term', ELEMENT_AT(__s, ELEMENT_AT(__b, __j)), "
+        "'count', CAST(IF(__j = SIZE(__b), SIZE(__s) + 1, "
+        "ELEMENT_AT(__b, __j + 1)) - ELEMENT_AT(__b, __j) AS BIGINT)))"
+        "), 1)), 1)"
     )
 
 
@@ -6315,9 +6335,13 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
         + tail
         + "), __tfcnt AS (SELECT __tfidf_toks AS __toks, COUNT(*) AS "
         "__cnt, RAND() AS __tfjnk FROM __tfb GROUP BY __tfidf_toks), "
-        # N references the UNTOKENIZED base text directly — a plain
-        # count scan, no tokenizer in its inlined copy
-        "__tfn AS (SELECT COUNT(*) AS __n FROM " + tail + "), "
+        # r13-opt: N = SUM of the per-array counts — identical to
+        # COUNT(*) over the base (every row lands in exactly one
+        # group, NULL arrays included), but served from the pinned
+        # __tfcnt exchange instead of a SECOND full corpus scan.
+        # COALESCE guards the empty-corpus SUM()->NULL edge (the LEFT
+        # JOIN result is empty then anyway, but keep the value total).
+        "__tfn AS (SELECT COALESCE(SUM(__cnt), 0) AS __n FROM __tfcnt), "
         "__tfdf AS (SELECT __t AS __term, SUM(__cnt) AS __df, "
         f"MIN({bucket}) AS __b, "
         f"ROW_NUMBER() OVER (PARTITION BY MIN({bucket}) "
