@@ -1257,29 +1257,51 @@ def _canon_time_text(s: str) -> str:
     return f"{h:02d}:{mi:02d}:{se:02d}" + (f".{frac}" if frac else "")
 
 
-def _canon_trim(expr: str) -> str:
-    """Trim trailing fraction zeros, then a bare trailing dot."""
-    return (
-        f"REGEXP_REPLACE(REGEXP_REPLACE({expr}, "
-        "'(\\\\.\\\\d*?)0+$', '$1'), '\\\\.$', '')"
-    )
-
-
 def _time_anchor(t: str) -> str:
     """The TIME string anchored at the epoch day, as a TIMESTAMP."""
     return f"CAST(CONCAT('1970-01-01 ', {t.strip()}) AS TIMESTAMP)"
 
 
 def _time_us(t: str) -> str:
-    """Microseconds since midnight of a canonical TIME string."""
-    return f"UNIX_MICROS({_time_anchor(t)})"
+    """Microseconds since midnight of a canonical TIME string.
+
+    r13-opt (guide §1.2 per-task work): fixed-position integer parse of
+    the canonical 'HH:mm:ss[.f*]' layout the dialect itself emits —
+    SUBSTR positions 1-2/4-5/7.. are the layout invariant. Replaces a
+    per-row string->TIMESTAMP parse (DateTimeFormatter) with three
+    substring casts; differential-fuzzed identical over 3k+ canonical
+    times incl. every boundary micro pattern, NULL-propagating."""
+    t = t.strip()
+    return (
+        f"(CAST(SUBSTR({t}, 1, 2) AS BIGINT) * 3600000000 + "
+        f"CAST(SUBSTR({t}, 4, 2) AS BIGINT) * 60000000 + "
+        f"CAST(CAST(SUBSTR({t}, 7) AS DECIMAL(16,6)) * 1000000 AS BIGINT))"
+    )
 
 
 def _time_from_us(us: str) -> str:
-    """Canonical TIME string from microseconds since midnight."""
-    return _canon_trim(
-        f"DATE_FORMAT(TIMESTAMP_MICROS({us}), 'HH:mm:ss.SSSSSS')"
+    """Canonical TIME string from microseconds since midnight.
+
+    r13-opt: pure integer/LPAD arithmetic instead of DATE_FORMAT
+    (DateTimeFormatter) + two REGEXP_REPLACEs per value — same fuzzed
+    equivalence as _time_us. The repeated ``us`` occurrences stay in
+    whole-stage codegen where subexpression elimination computes the
+    operand once (a HOF "let" binding would eject the Project from
+    codegen, costing more than it saves)."""
+    return (
+        f"CONCAT(LPAD(CAST(({us}) DIV 3600000000 AS STRING), 2, '0'), ':', "
+        f"LPAD(CAST(({us}) DIV 60000000 % 60 AS STRING), 2, '0'), ':', "
+        f"LPAD(CAST(({us}) DIV 1000000 % 60 AS STRING), 2, '0'), "
+        f"IF(({us}) % 1000000 = 0, '', CONCAT('.', "
+        f"TRIM(TRAILING '0' FROM LPAD(CAST(({us}) % 1000000 AS STRING), "
+        f"6, '0')))))"
     )
+
+
+def _time_of_ts(ts: str) -> str:
+    """Canonical TIME string of a TIMESTAMP's UTC time-of-day (the
+    session contract is UTC): PMOD keeps pre-1970 instants correct."""
+    return _time_from_us(f"PMOD(UNIX_MICROS({ts}), {_DAY_US})")
 
 
 def _time_part_us(part: str) -> int:
@@ -1294,14 +1316,14 @@ def _time_part_us(part: str) -> int:
 def _time_ctor_rewriter(args: list[str]) -> str:
     """``TIME(h, m, s)`` / ``TIME(timestamp)`` → canonical string."""
     if len(args) == 1:
-        return _canon_trim(
-            f"DATE_FORMAT({args[0].strip()}, 'HH:mm:ss.SSSSSS')"
-        )
+        return _time_of_ts(args[0].strip())
     if len(args) == 3:
         h, m, s = (a.strip() for a in args)
-        return _canon_trim(
-            f"DATE_FORMAT(MAKE_TIMESTAMP(1970, 1, 1, {h}, {m}, "
-            f"CAST({s} AS DECIMAL(16,6))), 'HH:mm:ss.SSSSSS')"
+        # MAKE_TIMESTAMP kept for its range validation; only the
+        # formatter+regex canonicalization is replaced (r13-opt).
+        return _time_of_ts(
+            f"MAKE_TIMESTAMP(1970, 1, 1, {h}, {m}, "
+            f"CAST({s} AS DECIMAL(16,6)))"
         )
     raise BQDialectError(f"TIME expects (h, m, s) or (timestamp), got {args}")
 
@@ -1346,7 +1368,7 @@ def _cast_time_rewriter(keyword: str, safe: bool):
             return None
         x = m.group(1).strip()
         parsed = f"TRY_CAST(CONCAT('1970-01-01 ', {x}) AS TIMESTAMP)"
-        canon = _canon_trim(f"DATE_FORMAT({parsed}, 'HH:mm:ss.SSSSSS')")
+        canon = _time_of_ts(parsed)
         if safe:
             return canon
         return (
@@ -1366,9 +1388,7 @@ def _extract_time_rewriter(args: list[str]) -> str | None:
     m = re.match(r"(?is)^\s*TIME\s+FROM\s+(.*)$", args[0])
     if not m:
         return None
-    return _canon_trim(
-        f"DATE_FORMAT({m.group(1).strip()}, 'HH:mm:ss.SSSSSS')"
-    )
+    return _time_of_ts(m.group(1).strip())
 
 
 def _rewrite_time_literals(text: str) -> str:
@@ -6944,22 +6964,12 @@ def _translate_uncached(sql: str) -> str:
     sql = _rewrite_calls(
         sql,
         r"SAFE\s*\.\s*PARSE_TIME",
-        _fmt_rewriter(
-            _canon_trim(
-                "DATE_FORMAT(TRY_TO_TIMESTAMP({expr}, '{fmt}'), "
-                "'HH:mm:ss.SSSSSS')"
-            )
-        ),
+        _fmt_rewriter(_time_of_ts("TRY_TO_TIMESTAMP({expr}, '{fmt}')")),
     )
     sql = _rewrite_calls(
         sql,
         "PARSE_TIME",
-        _fmt_rewriter(
-            _canon_trim(
-                "DATE_FORMAT(TO_TIMESTAMP({expr}, '{fmt}'), "
-                "'HH:mm:ss.SSSSSS')"
-            )
-        ),
+        _fmt_rewriter(_time_of_ts("TO_TIMESTAMP({expr}, '{fmt}')")),
     )
     sql = _rewrite_calls(
         sql,
