@@ -6343,11 +6343,43 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
     # re-evaluation of rand() cannot skew anything. Measured (sf0.1,
     # bench protocol): parquet scans 10 -> 6, ReusedExchange 0 -> 4;
     # the tokenize + group-by-array chain now executes ONCE (was 3x).
-    # Bench wall is flat (~1.2 s) because at sf0.1 the query sits on
-    # the sequential subquery-chain scheduling floor (4 dependent
-    # jobs x ~60 ms/stage), but at corpus scale the duplicated chain
-    # was the dominant cost. Oracle-verified identical (q_ml_tfidf,
-    # q_ml_idf at sf0.01).
+    # Oracle-verified identical (q_ml_tfidf, q_ml_idf at sf0.01).
+    #
+    # r13-opt round 2 (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    # shuffles outright; profiled with tools/profile_query.py at sf0.1):
+    # (a) tf was explode(__toks) + GROUP BY (__toks, __t) — an
+    #     aggregation whose SHUFFLE KEY CARRIES THE WHOLE TOKEN ARRAY
+    #     (59 MB exchange at sf0.1, and the planner then broadcast the
+    #     64 MB aggregated result as the BUILD side of the vocab join,
+    #     backwards). tf depends only on the array value, so it is now
+    #     computed per distinct array with ZERO shuffle: one ARRAY_SORT
+    #     + run-length boundaries (the ML.BAG_OF_WORDS r13 form,
+    #     _ml_bag_of_words_rewriter) exploded into (term, tf) pairs.
+    #     NULL elements are pre-filtered — identical to before, where
+    #     NULL terms never survived the USING(__term) join.
+    # (b) the vocab chain (__tfdf) is RAND()-pinned too (it has two
+    #     consumers: the vector join and the bucket-count aggregate —
+    #     previously each inlined copy re-ran explode + term agg), and
+    #     restructured to ONE exchange: DISTRIBUTE BY __b before a
+    #     GROUP BY (__b, __t) — HashPartitioning(__b) satisfies the
+    #     grouping distribution on (__b, __t) AND the rank window's
+    #     PARTITION BY __b, so agg + window ride one exchange (was
+    #     two: hash(__t) for the agg, hash(bucket) for the window).
+    # (c) __tftf keeps the pinned __tfcnt exchange's hash(__toks)
+    #     partitioning (Generate preserves partitioning; the vocab
+    #     joins broadcast at bench scale), so __tfvec's GROUP BY
+    #     __toks needs NO new exchange.
+    # Measured (sf0.1, bench protocol): see OPTIMIZATION_r13.md and
+    # plans/r13/q_ml_tfidf_after.txt. Oracle-verified identical
+    # (q_ml_tfidf, q_ml_idf at sf0.001 + sf0.01).
+    rl_pairs = _ml_bag_of_words_rewriter(["__toks"])
+    import os as _os
+
+    vocab_bc = (
+        "/*+ BROADCAST(__tfd), BROADCAST(__tfbo) */ "
+        if _os.environ.get("SPARK_GRAFT_TFIDF_BROADCAST_VOCAB", "1") == "1"
+        else "/*+ BROADCAST(__tfbo) */ "
+    )
     body = (
         "WITH __tfb AS (SELECT *, ("
         + tok_expr
@@ -6362,32 +6394,48 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
         # COALESCE guards the empty-corpus SUM()->NULL edge (the LEFT
         # JOIN result is empty then anyway, but keep the value total).
         "__tfn AS (SELECT COALESCE(SUM(__cnt), 0) AS __n FROM __tfcnt), "
-        "__tfdf AS (SELECT __t AS __term, SUM(__cnt) AS __df, "
-        f"MIN({bucket}) AS __b, "
-        f"ROW_NUMBER() OVER (PARTITION BY MIN({bucket}) "
-        "ORDER BY __t) - 1 AS __lr FROM "
-        "__tfcnt LATERAL VIEW EXPLODE(ARRAY_DISTINCT(__toks)) __e "
-        "AS __t GROUP BY __t), "
-        # COUNT(*) (not MAX(__lr)+1): identical value for a dense
-        # per-bucket rank, but pruning can then drop the rank WINDOW
-        # (and its sort) from this copy of the vocab chain entirely
+        "__tfdf AS (SELECT __term, __b, __df, "
+        "ROW_NUMBER() OVER (PARTITION BY __b ORDER BY __term) - 1 "
+        "AS __lr, RAND() AS __tfjnk2 FROM (SELECT __t AS __term, __b, "
+        "SUM(__cnt) AS __df FROM (SELECT __t, "
+        f"{bucket} AS __b, __cnt "
+        "FROM (SELECT __toks, __cnt FROM __tfcnt) "
+        "LATERAL VIEW EXPLODE(ARRAY_DISTINCT(__toks)) __e AS __t "
+        "DISTRIBUTE BY __b) GROUP BY __b, __t)), "
         "__tfbc AS (SELECT __b, COUNT(*) AS __c FROM __tfdf "
         "GROUP BY __b), "
         "__tfbo AS (SELECT __b, COALESCE(SUM(__c) OVER (PARTITION BY "
         "PMOD(__b, 1) ORDER BY __b ROWS BETWEEN UNBOUNDED PRECEDING "
         "AND 1 PRECEDING), 0) AS __off FROM __tfbc), "
-        "__tftf AS (SELECT __toks, __t AS __term, COUNT(*) AS __tf "
-        "FROM (SELECT __toks FROM __tfcnt) "
-        "LATERAL VIEW EXPLODE(__toks) __e AS __t "
-        "GROUP BY __toks, __t), "
-        "__tfvec AS (SELECT __toks, SORT_ARRAY(COLLECT_LIST(STRUCT("
+        "__tftf AS (SELECT __toks, __p.term AS __term, "
+        "__p.count AS __tf FROM (SELECT __toks FROM __tfcnt) "
+        f"LATERAL VIEW EXPLODE({rl_pairs}) __e AS __p), "
+        # Join strategy (guide §3.1 — pick deliberately): the static
+        # planner's size estimates here are fiction (both join inputs
+        # descend from post-aggregate stats, and Generate does not
+        # model fan-out), so it was broadcasting the ARRAY-CARRYING
+        # __tftf side — 64 MB actual at sf0.1, petabytes at corpus
+        # scale — as the build side, backwards. __tfbo is ≤1024 rows
+        # BY CONSTRUCTION (one per bucket), so its broadcast is
+        # unconditionally safe at any scale. The vocabulary (__tfd) is
+        # vocab-sized: broadcasting it is the right plan whenever it
+        # fits (typical corpora — vocab ≪ corpus) and is the
+        # parameterised default; export SPARK_GRAFT_TFIDF_BROADCAST
+        # _VOCAB=0 for corpora whose vocabulary could exceed Spark's
+        # 8 GB broadcast cap, falling back to the planner's shuffled
+        # join on __term. Read at translate time (translate results
+        # are memoized per statement text).
+        "__tfvec AS (SELECT " + vocab_bc + "__toks, "
+        "SORT_ARRAY(COLLECT_LIST(STRUCT("
         "CAST(__off + __lr AS BIGINT) AS index, "
         + (
             "CAST(__tf AS DOUBLE) * " if fn_name == "TF_IDF" else ""
         )
         + "(LN((__n + 1.0) / "
-        "(__df + 1.0)) + 1.0) AS value))) AS __vec FROM __tftf "
-        "JOIN __tfdf USING (__term) JOIN __tfbo USING (__b) "
+        "(__df + 1.0)) + 1.0) AS value))) AS __vec "
+        "FROM __tftf "
+        "JOIN (SELECT __term, __b, __df, __lr FROM __tfdf) __tfd "
+        "USING (__term) JOIN __tfbo USING (__b) "
         "CROSS JOIN __tfn GROUP BY __toks) "
         "SELECT " + ", ".join(out_items)
         + " FROM __tfb LEFT JOIN __tfvec __tfv "
