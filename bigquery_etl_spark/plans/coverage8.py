@@ -159,35 +159,39 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly resample with LOCF for every 10th user: spine from
     F.sequence (one array per user, exploded), observation join and
     fill window both keyed on user_id — a single shuffle key end to
-    end."""
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
-    obs = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(
-        F.count("*").alias("n_obs"),
-        (F.sum(dec("value")).cast("double") / F.count("value")).alias("avg_value"),
-    )
-    spine = (
-        obs.groupBy("user_id")
-        .agg(
-            F.sequence(
-                F.min("hr"), F.max("hr"), F.expr("INTERVAL 1 HOUR")
-            ).alias("hrs")
+    end. r13 opt (guide §2.4; the gap_fill-operator finding): the
+    DataFrame form consumed ``obs`` twice (spine + join) and Catalyst
+    inlined TWO copies of the events scan + hourly aggregate. The
+    ``obs`` CTE is now pinned with a constant-true nondeterministic
+    filter (planned once) and DISTRIBUTE BY user_id is its top node
+    (so ReplaceCTERefWithRepartition adds no round-robin exchange):
+    spine aggregate, join and fill window all ride ONE hash(user_id)
+    exchange over ONE events pass. Result-identical (oracle-checked)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("__gf8_events")
+    return spark.sql("""
+        WITH __o AS (
+            SELECT * FROM (
+                SELECT user_id, DATE_TRUNC('hour', ts) AS hr,
+                       COUNT(*) AS n_obs,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(value) AS avg_value
+                FROM __gf8_events WHERE user_id % 10 = 0
+                GROUP BY user_id, DATE_TRUNC('hour', ts)
+            ) WHERE RAND() >= -1 DISTRIBUTE BY user_id
+        ),
+        __spine AS (
+            SELECT user_id,
+                   EXPLODE(SEQUENCE(MIN(hr), MAX(hr), INTERVAL 1 HOUR))
+                       AS hr
+            FROM __o GROUP BY user_id
         )
-        .select("user_id", F.explode("hrs").alias("hr"))
-    )
-    w = W.partitionBy("user_id").orderBy("hr").rowsBetween(W.unboundedPreceding, 0)
-    return (
-        spine.join(obs, ["user_id", "hr"], "left")
-        .select(
-            "user_id",
-            "hr",
-            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
-            F.round(F.last("avg_value", ignorenulls=True).over(w), 4).alias(
-                "locf_value"
-            ),
-        )
-    )
+        SELECT user_id, hr, COALESCE(n_obs, 0) AS n_obs,
+               ROUND(LAST(avg_value, TRUE) OVER (
+                   PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   4) AS locf_value
+        FROM __spine LEFT JOIN __o USING (user_id, hr)
+    """)
 
 
 # ---------------------------------------------------------------------------
