@@ -781,17 +781,27 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecr = hybrid_vector_leg(emb, q, n_queries=3, k=20).select(
         "qid", "doc_id", F.col("r").alias("r_vec")
     )
+    # r13 opt (guide §2.4): RRF fusion as union + sum instead of a
+    # full-outer join. The join form paid TWO ENSURE_REQUIREMENTS
+    # exchanges on hash(qid, doc_id) (requireAllClusterKeysForCo
+    # Partition rejects the legs' existing hash(qid) partitioning) plus
+    # a third for the final window; the union form needs ONE
+    # hash(qid) repartition that the (qid, doc_id) aggregate AND the
+    # top-5 window both ride (subset clustering). Identical values:
+    # coalesce(a,0)+coalesce(b,0) over the outer join ≡ SUM of the
+    # per-leg contributions (two-term IEEE addition is commutative, so
+    # shuffle arrival order cannot move a bit), and the fused row set
+    # is the union of the legs' keys either way. Scale shape: the
+    # fusion input is ≤ 2×k rows per query by construction (top-k per
+    # leg), so hash(qid) carries per-query top-k lists, never corpus
+    # rows.
+    contrib = lambda r: (1.0 / (60 + F.col(r))).alias("c")  # noqa: E731
     fused = (
-        lexr.join(vecr, ["qid", "doc_id"], "full_outer")
-        .select(
-            "qid",
-            "doc_id",
-            F.round(
-                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
-                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
-                9,
-            ).alias("rrf"),
-        )
+        lexr.select("qid", "doc_id", contrib("r_lex"))
+        .unionAll(vecr.select("qid", "doc_id", contrib("r_vec")))
+        .repartition("qid")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("c"), 9).alias("rrf"))
     )
     wf = W.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
     return (
