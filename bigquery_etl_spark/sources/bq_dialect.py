@@ -5267,71 +5267,43 @@ def _rewrite_safe_prefix(sql: str) -> str:
 
 
 # -- Base32 (r11) ----------------------------------------------------------------
-# RFC 4648 base32 over the hex-string boundary: 5-byte (10-hex-char)
-# groups map to 40-bit ints via CONV, symbols extract with shifts, the
-# final partial quantum zero-pads bits and '='-pads symbols — exactly
-# the RFC rules, pinned against its published test vectors in the
-# suite. One small lambda per group (codegen-sized), no UDFs.
-
-_B32_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+# RFC 4648 base32: literal args fold at translate time; non-literal
+# args lower onto the Arrow-batched kernels in functions/base32.py
+# (r13 — the pure-SQL HOF form was interpreted and ~100 µs/row; the
+# RFC's published vectors stay pinned in the suite).
 
 
 def _to_base32_rewriter(args: list[str]) -> str:
     if len(args) != 1:
         raise BQDialectError("TO_BASE32 expects (bytes)")
-    h = f"UPPER(HEX(({args[0].strip()})))"
-    chunk = "SUBSTRING(__h32, (__g - 1) * 10 + 1, 10)"
-    v = f"CAST(CONV(RPAD({chunk}, 10, '0'), 16, 10) AS BIGINT)"
-    syms = "".join(
-        f"SUBSTRING('{_B32_ALPHA}', "
-        f"CAST((SHIFTRIGHT(__v, {35 - 5 * j}) % 32) AS INT) + 1, 1), "
-        for j in range(8)
-    ).rstrip(", ")
-    nchars = f"CAST(CEIL(LENGTH({chunk}) * 4 / 5.0) AS INT)"
-    group = (
-        f"CONCAT(SUBSTRING(CONCAT({syms}), 1, {nchars}), "
-        f"REPEAT('=', 8 - {nchars}))"
-    ).replace("__v", v)
-    return (
-        f"(CASE WHEN ({args[0].strip()}) IS NULL THEN NULL "
-        f"WHEN LENGTH({h}) = 0 THEN '' ELSE "
-        f"ARRAY_JOIN(TRANSFORM(ARRAY({h}), __h32 -> "
-        f"ARRAY_JOIN(TRANSFORM(SEQUENCE(1, "
-        f"CAST(CEIL(LENGTH(__h32) / 10.0) AS INT)), "
-        f"__g -> {group}), '')), '') END)"
-    )
+    # r13 opt (guide §4.2): the pure-SQL lowering ran the per-group
+    # bit arithmetic through interpreted HOF lambdas (~100 us/row —
+    # q_funcs_r11c's 15k-row double transcode measured 2.5-3.1 s even
+    # after let-binding the group value). Literal args fold at
+    # translate time; everything else lowers onto the Arrow-batched C
+    # kernel (functions/base32.py, registered on the __bq_b32_ marker
+    # like the other sanctioned-fallback UDF packs). Output identical
+    # (RFC 4648 vectors pinned in tests).
+    a = args[0].strip()
+    m = re.match(r"(?is)^CAST\s*\(\s*'([A-Za-z0-9 _.,:/-]*)'\s+AS\s+BYTES\s*\)$", a)
+    if m:
+        from bigquery_etl_spark.functions.base32 import b32encode
+
+        return "'" + b32encode(m.group(1).encode("utf-8")) + "'"
+    return f"__bq_b32_encode({a})"
 
 
 def _from_base32_rewriter(args: list[str]) -> str:
     if len(args) != 1:
         raise BQDialectError("FROM_BASE32 expects (string)")
-    s = f"REPLACE(UPPER(({args[0].strip()})), '=', '')"
-    chunk = "SUBSTRING(__s32, (__g - 1) * 8 + 1, 8)"
-    val = (
-        f"(CASE WHEN __j > LENGTH({chunk}) THEN 0 "
-        f"WHEN INSTR('{_B32_ALPHA}', SUBSTRING({chunk}, __j, 1)) = 0 "
-        f"THEN CAST(RAISE_ERROR(CONCAT('FROM_BASE32: invalid base32 "
-        f"character ', SUBSTRING({chunk}, __j, 1))) AS INT) "
-        f"ELSE INSTR('{_B32_ALPHA}', SUBSTRING({chunk}, __j, 1)) - 1 "
-        f"END)"
-    )
-    v = (
-        f"AGGREGATE(TRANSFORM(SEQUENCE(1, 8), __j -> "
-        f"SHIFTLEFT(CAST({val} AS BIGINT), 40 - 5 * __j)), "
-        f"CAST(0 AS BIGINT), (__a, __x) -> __a + __x)"
-    )
-    nb = f"CAST(FLOOR(LENGTH({chunk}) * 5 / 8.0) AS INT)"
-    group_hex = (
-        f"LPAD(HEX(SHIFTRIGHT({v}, 40 - 8 * {nb})), {nb} * 2, '0')"
-    )
-    return (
-        f"(CASE WHEN ({args[0].strip()}) IS NULL THEN NULL ELSE "
-        f"UNHEX(ARRAY_JOIN(TRANSFORM(ARRAY({s}), __s32 -> "
-        f"CASE WHEN LENGTH(__s32) = 0 THEN '' ELSE "
-        f"ARRAY_JOIN(TRANSFORM(SEQUENCE(1, "
-        f"CAST(CEIL(LENGTH(__s32) / 8.0) AS INT)), "
-        f"__g -> {group_hex}), '') END), '')) END)"
-    )
+    a = args[0].strip()
+    m = re.match(r"(?s)^'([A-Za-z0-9=]*)'$", a)
+    if m:
+        from bigquery_etl_spark.functions.base32 import b32decode
+
+        b = b32decode(m.group(1))
+        return "X'" + b.hex().upper() + "'"
+    return f"__bq_b32_decode({a})"
 
 
 # -- Geohash (r11) --------------------------------------------------------------

@@ -2418,6 +2418,12 @@ class LakeCatalog:
             )
 
             register_net_funcs(self.spark)
+        if "__bq_b32_" in out:
+            from bigquery_etl_spark.functions.base32 import (
+                register_base32,
+            )
+
+            register_base32(self.spark)
         if "__bq_daead_" in out:
             from bigquery_etl_spark.functions.daead import register_daead
 
