@@ -40,10 +40,17 @@ def grid_join(
     radius_km: float,
     left_cols: tuple[str, str, str] = ("l_id", "lat", "lon"),
     right_cols: tuple[str, str, str] = ("r_id", "lat", "lon"),
+    keep_coords: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_km``: grid-cell candidate
     join + exact haversine refine. Returns left id, right id, dist_km
     (exact double — caller rounds for display).
+
+    ``keep_coords=True`` additionally returns the pair's coordinates as
+    ``_llat/_llon/_rlat/_rlon`` — they already ride the candidate join,
+    and a caller that needs them (e.g. for a tie-break metric) would
+    otherwise have to re-join both base tables on the ids (r13: that
+    cost q_geo_join two extra scans + broadcast builds).
 
     The LEFT side explodes into its neighborhood (3 lat-cells ×
     (2·ceil(1/cos φ)+1) lon-cells); the right side maps to its single
@@ -91,10 +98,12 @@ def grid_join(
     )
 
     cand = l.join(r, ["_cy", "_cx"])
+    extra = ["_llat", "_llon", "_rlat", "_rlon"] if keep_coords else []
     return cand.select(
         lid,
         rid,
         haversine_km(
             F.col("_llat"), F.col("_llon"), F.col("_rlat"), F.col("_rlon")
         ).alias("dist_km"),
+        *extra,
     ).filter(F.col("dist_km") <= radius_km)

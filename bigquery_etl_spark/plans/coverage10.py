@@ -92,25 +92,23 @@ def q_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") % 120) - 60 + 0.3).cast("double").alias("lat"),
         ((F.col("s_suppkey") % 360) - 180 + 0.3).cast("double").alias("lon"),
     )
+    # r13 (guide §2.4): keep_coords returns the pair's own lat/lon from
+    # the candidate join, so the exact integer surrogate metric needs NO
+    # re-join of the base tables (was: 2 extra scans + broadcast builds
+    # purely to recover values the join already carried)
     pairs = grid_join(
         cust,
         supp,
         RADIUS_KM,
         left_cols=("c_custkey", "lat", "lon"),
         right_cols=("s_suppkey", "lat", "lon"),
+        keep_coords=True,
     )
     # exact integer surrogate metric for cross-engine-stable ranking
-    cl = cust.select(
-        F.col("c_custkey").alias("_ck"), F.col("lat").alias("_clat"), F.col("lon").alias("_clon")
-    )
-    sl = supp.select(
-        F.col("s_suppkey").alias("_sk"), F.col("lat").alias("_slat"), F.col("lon").alias("_slon")
-    )
     scored = (
-        pairs.join(cl, pairs.c_custkey == cl._ck)
-        .join(sl, pairs.s_suppkey == sl._sk)
-        .withColumn("dy", F.round(20 * (F.col("_slat") - F.col("_clat"))).cast("long"))
-        .withColumn("dx", F.round(20 * (F.col("_slon") - F.col("_clon"))).cast("long"))
+        pairs
+        .withColumn("dy", F.round(20 * (F.col("_rlat") - F.col("_llat"))).cast("long"))
+        .withColumn("dx", F.round(20 * (F.col("_rlon") - F.col("_llon"))).cast("long"))
     )
     w = W.partitionBy("c_custkey")
     wrk = w.orderBy(

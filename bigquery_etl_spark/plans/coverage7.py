@@ -193,11 +193,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Charter (Tier C) — Gopher-style repetition/quality signals per doc:
-# distinct-token ratio and top-bigram fraction. Bigrams come from
-# posexplode + lead() over (doc_id, pos) — ONE shuffle keyed on doc_id
-# serves tokenization order, bigram formation, and all per-doc aggs.
-# (The HOF zip-with formulation runs interpreted per element — measured
-# 3-4x slower on this corpus; see PERF.md.)
+# distinct-token ratio and top-bigram fraction. Bigrams form ARRAY-side
+# (one transform per doc) — see the docstring below; the older
+# posexplode + lead() window shape shuffled and sorted every token row.
 # ---------------------------------------------------------------------------
 
 
@@ -309,17 +307,25 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 corpus trigrams by count (deterministic tiebreak on the
-    trigram string)."""
+    trigram string).
+
+    r13 (guide §2.4): trigrams form WITHIN each token array, so the
+    old posexplode → Window(lead) shape shuffled and sorted every
+    token by (doc_id, pos) purely to look one and two rows ahead —
+    an array-side ``transform`` builds the identical trigrams with
+    zero shuffle before the count aggregate (the same shape as the
+    oracle's ``list_zip``)."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    tri = (
-        tok.withColumn("t2", F.lead("term", 1).over(w))
-        .withColumn("t3", F.lead("term", 2).over(w))
-        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
-        .select(F.concat_ws(" ", "term", "t2", "t3").alias("trigram"))
+    tri = docs.select(F.split("text", " ").alias("t")).select(
+        F.explode(
+            F.when(
+                F.size("t") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("trigram")
     )
     return (
         tri.groupBy("trigram")

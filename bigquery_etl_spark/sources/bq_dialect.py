@@ -6397,6 +6397,16 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
         # 8 GB broadcast cap, falling back to the planner's shuffled
         # join on __term. Read at translate time (translate results
         # are memoized per statement text).
+        #
+        # r13-opt round 3 NOTE (measured, NOT applied): folding __tfbo
+        # and __tfn INTO the vocabulary relation before broadcasting
+        # (one merged __tfdx broadcast, one probe-side join) was built
+        # and benchmarked BOTH ways — nested broadcast builds
+        # (0.62→0.93 s: the merged build serializes the three sibling
+        # broadcast jobs) and MERGE-hinted offsets join + scalar
+        # subquery N (0.62→1.34 s: extra sorts + subquery job). The
+        # sibling-broadcast shape below keeps the three tiny builds
+        # CONCURRENT and stays the fastest measured form.
         "__tfvec AS (SELECT " + vocab_bc + "__toks, "
         "SORT_ARRAY(COLLECT_LIST(STRUCT("
         "CAST(__off + __lr AS BIGINT) AS index, "
