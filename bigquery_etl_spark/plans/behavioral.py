@@ -448,27 +448,28 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     users = e.select("user_id").distinct()
-    even = users.filter(F.col("user_id") % 2 == 0)
-    dim = (
-        even.select(
-            "user_id",
-            F.lit("bronze").alias("segment"),
-            F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
-        )
-        .unionByName(
-            even.select(
-                "user_id",
-                F.lit("gold").alias("segment"),
-                F.lit("2024-01-15").cast("timestamp").alias("valid_from"),
-            )
-        )
-        .unionByName(
-            users.filter(F.col("user_id") % 2 == 1).select(
-                "user_id",
-                F.lit("silver").alias("segment"),
-                F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
-            )
-        )
+    # r13 (guide §2.4): the old 3-way union of filtered copies of the
+    # users-distinct subtree let the parity filters push THROUGH the
+    # distinct aggregate, splitting it into three separately-scanned,
+    # separately-shuffled copies (3 parquet scans in the plan). One
+    # explode over a per-user version array builds the identical
+    # dimension rows from ONE distinct pass (scans 3 → 1).
+    _ver = lambda seg, day: F.struct(  # noqa: E731
+        F.lit(seg).alias("segment"),
+        F.lit(day).cast("timestamp").alias("valid_from"),
+    )
+    dim = users.select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.col("user_id") % 2 == 0,
+                F.array(_ver("bronze", "2024-01-01"), _ver("gold", "2024-01-15")),
+            ).otherwise(F.array(_ver("silver", "2024-01-01")))
+        ).alias("__v"),
+    ).select(
+        "user_id",
+        F.col("__v.segment").alias("segment"),
+        F.col("__v.valid_from").alias("valid_from"),
     )
     return asof_join(
         e, dim, "user_id", "user_id", "ts", "valid_from", direction="backward"

@@ -72,7 +72,12 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(ws_tokens("text")).alias("t"))
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    # r13 (guide §2.4): n_total = Σ vocab counts — identical to COUNT(*)
+    # over the exploded tokens (every token lands in exactly one vocab
+    # group), but served from the vocab aggregate instead of a THIRD
+    # scan + tokenize pass of the corpus (measured: 3 parquet scans
+    # → 2 in the plan, same exchange feeds both consumers).
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "t",
         F.round(F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1_000_000)
@@ -752,7 +757,11 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r5 A/B note: localizing `q` via collect+LocalRelation was
     # measured and REVERTED — the extra synchronous driver job cost
     # more than the duplicated in-plan TakeOrdered subtree it saved,
-    # 1.13 s → 1.58 s on this query.)
+    # 1.13 s → 1.58 s on this query. r13 RE-MEASURED after the r8
+    # "BLAS at every Q" routing — topk now collects the query batch
+    # anyway, so the hypothesis was that localizing had become free —
+    # interleaved A/B, 6 reps: in-plan min 1.14/median 1.56 vs
+    # localized min 1.69/median 2.05. Still worse; kept in-plan.)
     q = (
         d.join(emb, d.doc_id == emb.vec_id)
         .orderBy("doc_id")

@@ -62,6 +62,25 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    # r13 (guide §1.2 step 3 — config only after algorithm work): the
+    # throughput collector for the local-mode driver JVM. The bench
+    # workload is hundreds of sub-second queries; G1's concurrent
+    # cycles + region management add latency jitter between short jobs
+    # (measured, clean host, full bench A/B: matched_ratio 1.72-1.93
+    # under G1 vs 1.57-1.62 under ParallelGC across 5 runs — the
+    # spark-side matched wall moves ~2 s on a ~27 s total, and
+    # run-to-run variance shrinks). Scale note: this tunes the LOCAL
+    # driver-as-cluster JVM only; a real cluster sizes executor GC
+    # separately (large heaps often prefer G1) — override with
+    # SPARK_GRAFT_GC=g1 (keep Spark's default) or any explicit
+    # spark.driver.extraJavaOptions in extra_conf (takes precedence).
+    gc_mode = os.environ.get("SPARK_GRAFT_GC", "parallel")
+    if gc_mode == "parallel" and not (extra_conf or {}).get(
+        "spark.driver.extraJavaOptions"
+    ):
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
+        )
     if driver_memory or os.environ.get("SPARK_DRIVER_MEMORY"):
         builder = builder.config(
             "spark.driver.memory", driver_memory or os.environ["SPARK_DRIVER_MEMORY"]
