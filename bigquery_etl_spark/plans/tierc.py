@@ -526,11 +526,12 @@ def _queries_from_corpus(emb: DataFrame, n: int = 5) -> DataFrame:
 )
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 5 query vectors, through the workload-
-    routing ``topk`` dispatcher (VERDICT r3): at Q=5 it picks the
-    fixed-width codegen crossJoin — measured optimal for tiny query
-    sets (0.04 s vs the BLAS kernel's 0.6 s Python-worker floor at
-    sf0.1); batch query loads route to the Arrow-blocked BLAS kernel
-    (see q_embed_topk_batch). Oracle: DuckDB list_cosine_similarity +
+    routing ``topk`` dispatcher (VERDICT r3; re-measured r8 — the
+    dispatcher now routes EVERY exact load including Q=5 to the
+    Arrow-blocked BLAS kernel, since the 64-term codegen crossJoin
+    exceeded codegen method limits and lost at every Q; the kernel's
+    Python-worker round-trip is this query's wall, by design —
+    see q_embed_topk_batch). Oracle: DuckDB list_cosine_similarity +
     same (cs DESC, vec_id) ranking; cos_sim rounded to 6 (different
     fold orders drift last float bits; top-10 similarity gaps are
     >>1e-12, so ranks are stable). Both sides compute in float64 — the

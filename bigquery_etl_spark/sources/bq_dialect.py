@@ -6379,9 +6379,24 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
         "__tfbo AS (SELECT __b, COALESCE(SUM(__c) OVER (PARTITION BY "
         "PMOD(__b, 1) ORDER BY __b ROWS BETWEEN UNBOUNDED PRECEDING "
         "AND 1 PRECEDING), 0) AS __off FROM __tfbc), "
-        "__tftf AS (SELECT __toks, __p.term AS __term, "
-        "__p.count AS __tf FROM (SELECT __toks FROM __tfcnt) "
-        f"LATERAL VIEW EXPLODE({rl_pairs}) __e AS __p), "
+        # r13-opt round 3: ML.IDF's vector carries no tf factor, so the
+        # per-array ARRAY_SORT + run-length fold (rl_pairs) is wasted
+        # work there — a plain ARRAY_DISTINCT explode yields the same
+        # one-row-per-distinct-term stream (NULL terms die in the
+        # USING(__term) join either way, exactly as in the __tfdf
+        # chain above). TF_IDF keeps the run-length form (it needs the
+        # counts).
+        + (
+            "__tftf AS (SELECT __toks, __p.term AS __term, "
+            "__p.count AS __tf FROM (SELECT __toks FROM __tfcnt) "
+            f"LATERAL VIEW EXPLODE({rl_pairs}) __e AS __p), "
+            if fn_name == "TF_IDF"
+            else "__tftf AS (SELECT __toks, __term "
+            "FROM (SELECT __toks FROM __tfcnt) "
+            "LATERAL VIEW EXPLODE(ARRAY_DISTINCT(__toks)) __e "
+            "AS __term), "
+        )
+        +
         # Join strategy (guide §3.1 — pick deliberately): the static
         # planner's size estimates here are fiction (both join inputs
         # descend from post-aggregate stats, and Generate does not
