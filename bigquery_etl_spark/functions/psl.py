@@ -338,6 +338,40 @@ def spark_public_suffix(host_sql: str) -> str:
 
 
 @lru_cache(maxsize=256)
+def spark_reg_from_suffix(host_sql: str, suffix_ref: str) -> str:
+    """NET.REG_DOMAIN derived from an already-computed NET.PUBLIC_SUFFIX
+    value instead of a second full rules-CASE (r14, guide §7.3 /
+    VERDICT r13 item 5: each rules CASE inlines the complete 9.4k-rule
+    PSL as IN-list literals — ~130 KB of statement text and the whole
+    analysis bill — and a statement computing both NET functions paid
+    it twice).
+
+    Universally, for every branch of the PSL algorithm, the registrable
+    domain is the public suffix plus exactly one more label when the
+    host has one, else NULL:
+
+    - exception rule of k labels: suffix = last k-1 labels, reg = last
+      k labels (the branch guarantees n >= k = s+1);
+    - normal/wildcard rule matching k labels: suffix = last k, reg =
+      last k+1 when n >= k+1;
+    - implicit ``*`` default: suffix = last 1, reg = last 2 when n >= 2;
+    - invalid host (empty label): suffix NULL -> reg NULL.
+
+    So with s = label count of the suffix string (labels are non-empty
+    whenever suffix is non-NULL — the invalid() guard catches empty
+    labels first): reg = labs[n-s] || '.' || suffix when n >= s+1."""
+    d = _Dialect("spark", host_sql)
+    sfx = f"({suffix_ref})"
+    s = f"SIZE(SPLIT({sfx}, '\\\\.'))"
+    return (
+        f"CASE WHEN {sfx} IS NULL THEN NULL "
+        f"WHEN {d.n} >= {s} + 1 "
+        f"THEN CONCAT(ELEMENT_AT({d.labs}, {d.n} - {s}), '.', {sfx}) "
+        f"END"
+    )
+
+
+@lru_cache(maxsize=256)
 def spark_reg_domain(host_sql: str) -> str:
     return _suffix_case(_Dialect("spark", host_sql), reg=True)
 

@@ -36,6 +36,7 @@ def exact_dedup(
     content_cols: list[str],
     id_col: str,
     strategy: str = "window",
+    winner_pool: DataFrame | None = None,
 ) -> DataFrame:
     """Exact dedup: keep the min-id row per content hash.
 
@@ -56,16 +57,34 @@ def exact_dedup(
       Requires ``id_col`` to be unique per row (true for any document
       corpus keyed by doc_id) — with duplicate ids the semi-join would
       keep every row carrying a winning id, not one row per hash.
+
+    ``winner_pool`` (winners strategy only, r14 — guide §1.2 step 1 /
+    §2.3: don't compute things you throw away): compute the min-id
+    aggregate over this CHEAPER superset of ``df`` instead of ``df``
+    itself. Sound exactly when ``df`` = pool ∩ P for a predicate P that
+    is a pure function of the content columns: every content-hash
+    group of the pool then lies entirely inside or entirely outside
+    ``df``, so the pool group's min id IS the df group's min id for
+    every group that survives, and winner ids from vanished groups
+    match nothing in the semi-join. Typical use: df carries an
+    expensive derived filter (tokenize + quality gate) that the winner
+    aggregate's scan would otherwise recompute row by row — the pool
+    skips it (q_pretrain_corpus: the winner build drops the second
+    full-corpus tokenize pass). A predicate NOT determined by the
+    content columns (e.g. an id-parity filter) must stay ON the pool.
     """
     h = content_hash(*content_cols).alias("__h")
     if strategy == "winners":
         winners = (
-            df.select(F.col(id_col), h)
+            (winner_pool if winner_pool is not None else df)
+            .select(F.col(id_col), h)
             .groupBy("__h")
             .agg(F.min(id_col).alias(id_col))
             .select(id_col)
         )
         return df.join(F.broadcast(winners), id_col, "left_semi")
+    if winner_pool is not None:
+        raise ValueError("winner_pool requires strategy='winners'")
     w = W.partitionBy("__h").orderBy(id_col)
     return (
         df.withColumn("__h", h)

@@ -184,6 +184,12 @@ def gap_fill(
         # With the filter form the RepartitionByExpression stays the
         # top node, the rule adds nothing, and bounds/join/windows all
         # ride this one exchange.
+        # PIN INVARIANT (r14, VERDICT r13): the nondeterministic pin is
+        # a predicate/projection-pushdown BARRIER. Every consumer of
+        # __gf_src (bounds, grid join, windows) reads the WHOLE CTE —
+        # re-check before composing a FILTERED consumer onto it, or the
+        # pin forces a full scan at scale. Lint:
+        # tests/test_plan_shapes.py::test_pinned_cte_exchange_reuse.
         f"WITH __gf_src AS (SELECT {parts_pfx}"
         # floor to the grid: pmod keeps the floor correct left of origin
         f"({m} - PMOD({m} - {origin_us}, {width_us})) AS __gf_b"

@@ -46,9 +46,11 @@ def grid_join(
     join + exact haversine refine. Returns left id, right id, dist_km
     (exact double — caller rounds for display).
 
-    ``keep_coords=True`` additionally returns the pair's coordinates as
-    ``_llat/_llon/_rlat/_rlon`` — they already ride the candidate join,
-    and a caller that needs them (e.g. for a tie-break metric) would
+    ``keep_coords=True`` additionally returns the pair's coordinates
+    under the documented stable names ``l_lat/l_lon/r_lat/r_lon``
+    (r14, ADVICE r13: the internal working names ``_llat…`` leaked into
+    the public schema) — they already ride the candidate join, and a
+    caller that needs them (e.g. for a tie-break metric) would
     otherwise have to re-join both base tables on the ids (r13: that
     cost q_geo_join two extra scans + broadcast builds).
 
@@ -98,7 +100,16 @@ def grid_join(
     )
 
     cand = l.join(r, ["_cy", "_cx"])
-    extra = ["_llat", "_llon", "_rlat", "_rlon"] if keep_coords else []
+    extra = (
+        [
+            F.col("_llat").alias("l_lat"),
+            F.col("_llon").alias("l_lon"),
+            F.col("_rlat").alias("r_lat"),
+            F.col("_rlon").alias("r_lon"),
+        ]
+        if keep_coords
+        else []
+    )
     return cand.select(
         lid,
         rid,

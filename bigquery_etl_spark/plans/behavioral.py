@@ -458,13 +458,23 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(seg).alias("segment"),
         F.lit(day).cast("timestamp").alias("valid_from"),
     )
+    # r14 (ADVICE r13): explicit `% 2 == 1` guard instead of a bare
+    # otherwise(), so the equivalence to the replaced 3-way union is
+    # exact for ALL key domains — the old union's filters produced NO
+    # dim row for NULL or negative-odd ids (Spark % yields -1 there),
+    # and the unguarded otherwise() silently widened silver to them.
     dim = users.select(
         "user_id",
         F.explode(
             F.when(
                 F.col("user_id") % 2 == 0,
                 F.array(_ver("bronze", "2024-01-01"), _ver("gold", "2024-01-15")),
-            ).otherwise(F.array(_ver("silver", "2024-01-01")))
+            ).when(
+                F.col("user_id") % 2 == 1,
+                F.array(_ver("silver", "2024-01-01")),
+            ).otherwise(F.array().cast(
+                "array<struct<segment:string,valid_from:timestamp>>"
+            ))
         ).alias("__v"),
     ).select(
         "user_id",

@@ -107,8 +107,8 @@ def q_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer surrogate metric for cross-engine-stable ranking
     scored = (
         pairs
-        .withColumn("dy", F.round(20 * (F.col("_rlat") - F.col("_llat"))).cast("long"))
-        .withColumn("dx", F.round(20 * (F.col("_rlon") - F.col("_llon"))).cast("long"))
+        .withColumn("dy", F.round(20 * (F.col("r_lat") - F.col("l_lat"))).cast("long"))
+        .withColumn("dx", F.round(20 * (F.col("r_lon") - F.col("l_lon"))).cast("long"))
     )
     w = W.partitionBy("c_custkey")
     wrk = w.orderBy(

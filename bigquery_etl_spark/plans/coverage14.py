@@ -816,11 +816,13 @@ def _funcs_r11b_oracle() -> str:
     tags=("dialect", "functions", "geo"),
 )
 def q_funcs_r11b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second r11 function batch: PERCENTILE_CONT / PERCENTILE_DISC as
-    BigQuery WINDOW functions (lowered onto Spark's interpolating
-    PERCENTILE and the ANSI PERCENTILE_DISC WITHIN GROUP respelling —
-    the window value is partition-constant, reduced by MIN for the
-    group twin), ST_GEOHASH (translate-time unrolled bit-interleave —
+    """Second r11 function batch: PERCENTILE_CONT / PERCENTILE_DISC
+    (lowered onto Spark's interpolating PERCENTILE and the ANSI
+    PERCENTILE_DISC WITHIN GROUP respelling; spelled in aggregate
+    position since r14 — the r11 window form was partition-constant
+    over the same key the consumer groups by, see the opt note below —
+    the BigQuery window spelling itself stays exercised by
+    test_bq_dialect), ST_GEOHASH (translate-time unrolled bit-interleave —
     the DuckDB oracle evaluates the SAME generated expression, shift
     for shift), ARRAY_CONCAT_AGG (flatten∘collect_list, checked via
     order-free size/sum reductions), positional REGEXP_INSTR, and
@@ -833,6 +835,16 @@ def q_funcs_r11b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "customer").createOrReplaceTempView("f2_cust")
     cat = LakeCatalog(spark)
+    # r14 opt (guide §2.3, VERDICT r13 item 1): the window spelling
+    # (PERCENTILE_x OVER (PARTITION BY seg), then MIN per group)
+    # shuffled and SORTED every full pts row on hash(seg) just to stamp
+    # a partition-constant value. The consumer groups by the same key,
+    # so the grouped aggregate computes the identical value (same
+    # Percentile expression over the same row multiset, order-
+    # insensitive count-map buffer) with no window Sort, and partial
+    # aggregation runs ahead of the exchange. The window spelling stays
+    # covered by the dialect tests (test_bq_dialect) and the lowering
+    # in _percentile_window_rewriter.
     return cat.bq_sql("""
         WITH pts AS (
             SELECT c_mktsegment AS seg,
@@ -843,19 +855,11 @@ def q_funcs_r11b(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(c_acctbal AS FLOAT64) AS bal,
                    c_name, c_custkey
             FROM f2_cust
-        ),
-        w AS (
-            SELECT seg, lon, lat, c_name, c_custkey,
-                   PERCENTILE_CONT(bal, 0.9)
-                       OVER(PARTITION BY seg) AS p90,
-                   PERCENTILE_DISC(bal, 0.5)
-                       OVER(PARTITION BY seg) AS med_disc
-            FROM pts
         )
         SELECT seg,
                CAST(COUNT(*) AS INT64) AS n,
-               MIN(p90) AS p90,
-               MIN(med_disc) AS med_disc,
+               PERCENTILE_CONT(bal, 0.9) AS p90,
+               PERCENTILE_DISC(bal, 0.5) AS med_disc,
                CAST(COUNT(DISTINCT ST_GEOHASH(ST_GEOGPOINT(lon, lat), 5))
                    AS INT64) AS n_cells,
                CAST(SUM(REGEXP_INSTR(c_name, '1', 3)) AS INT64)
@@ -868,7 +872,7 @@ def q_funcs_r11b(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(SAFE_CONVERT_BYTES_TO_STRING(
                    CONCAT(CAST('x' AS BYTES), FROM_HEX('FF'))))
                    AS safe_str
-        FROM w GROUP BY seg ORDER BY seg
+        FROM pts GROUP BY seg ORDER BY seg
     """)
 
 

@@ -74,9 +74,26 @@ def get_spark(
     # separately (large heaps often prefer G1) — override with
     # SPARK_GRAFT_GC=g1 (keep Spark's default) or any explicit
     # spark.driver.extraJavaOptions in extra_conf (takes precedence).
+    # r14 (ADVICE r13): validate the knob (a typo must not silently
+    # mean "g1") and also stand down when driver JVM options arrive via
+    # the environment channels spark-submit honours (SPARK_SUBMIT_OPTS
+    # / JAVA_TOOL_OPTIONS / spark-defaults.conf via SPARK_CONF_DIR) —
+    # the builder must never override an explicit operator choice.
     gc_mode = os.environ.get("SPARK_GRAFT_GC", "parallel")
-    if gc_mode == "parallel" and not (extra_conf or {}).get(
-        "spark.driver.extraJavaOptions"
+    if gc_mode not in ("parallel", "g1"):
+        raise ValueError(
+            f"SPARK_GRAFT_GC={gc_mode!r}: expected 'parallel' (local-"
+            "mode default, -XX:+UseParallelGC) or 'g1' (keep Spark's "
+            "JVM default collector)"
+        )
+    gc_elsewhere = any(
+        "-XX:+Use" in os.environ.get(var, "")
+        for var in ("SPARK_SUBMIT_OPTS", "JAVA_TOOL_OPTIONS")
+    ) or os.environ.get("SPARK_CONF_DIR")
+    if (
+        gc_mode == "parallel"
+        and not gc_elsewhere
+        and not (extra_conf or {}).get("spark.driver.extraJavaOptions")
     ):
         builder = builder.config(
             "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"

@@ -6316,6 +6316,12 @@ def _rewrite_ml_tfidf_over(sql: str) -> str:
     # bench protocol): parquet scans 10 -> 6, ReusedExchange 0 -> 4;
     # the tokenize + group-by-array chain now executes ONCE (was 3x).
     # Oracle-verified identical (q_ml_tfidf, q_ml_idf at sf0.01).
+    # PIN INVARIANT (r14, VERDICT r13): the RAND() pins (__tfcnt,
+    # __tfdf below) are predicate/projection-pushdown BARRIERS. Every
+    # consumer today reads the WHOLE pinned CTE — re-check before
+    # composing a FILTERED consumer onto either one, or the pin forces
+    # a full scan at scale. Lint:
+    # tests/test_plan_shapes.py::test_pinned_cte_exchange_reuse.
     #
     # r13-opt round 2 (guide §2.3/§2.4 — shuffle fewer bytes, remove
     # shuffles outright; profiled with tools/profile_query.py at sf0.1):
@@ -7075,9 +7081,51 @@ def _translate_uncached(sql: str) -> str:
             "rd": _psl.spark_reg_domain,
         }
         rx_psl = re.compile(r"__bq_psl_(ps|rd)__\s*\(")
-        for s, open_idx in reversed(_call_sites(sql, rx_psl)):
+        sites = _call_sites(sql, rx_psl)
+        # r14 (guide §7.3, VERDICT r13 item 5): each expansion inlines
+        # the complete PSL as ~130 KB of IN-list literals, and the
+        # common PUBLIC_SUFFIX + REG_DOMAIN pairing paid that twice per
+        # statement (parse + analysis of ~19k literal nodes). When the
+        # two calls are ADJACENT select items over the identical host —
+        # `…PUBLIC_SUFFIX(h) AS <alias>, …REG_DOMAIN(h)…` — derive the
+        # registrable domain from the suffix value through a lateral
+        # column alias (suffix + one more label; spark_reg_from_suffix
+        # proves the identity branch by branch), so the rules CASE is
+        # emitted ONCE. Gated conservatively: exactly this adjacency,
+        # same host text, and the alias must appear nowhere else in the
+        # statement (a lateral alias loses name resolution to a real
+        # input column, so any other use of the name falls back to the
+        # full second expansion).
+        derive_reg: str | None = None
+        if len(sites) == 2:
+            (s0, o0), (s1, o1) = sites
+            t0 = rx_psl.match(sql, s0).group(1)
+            t1 = rx_psl.match(sql, s1).group(1)
+            if t0 == "ps" and t1 == "rd":
+                c0 = _matching_paren(sql, o0)
+                h0 = sql[o0 + 1 : c0].strip()
+                h1 = sql[o1 + 1 : _matching_paren(sql, o1)].strip()
+                m_alias = re.match(
+                    r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*,\s*$",
+                    sql[c0 + 1 : s1],
+                    re.IGNORECASE,
+                )
+                if m_alias and h0 == h1:
+                    alias = m_alias.group(1)
+                    uses = re.findall(
+                        rf"(?<![A-Za-z0-9_]){re.escape(alias)}(?![A-Za-z0-9_])",
+                        sql,
+                    )
+                    if len(uses) == 1:
+                        derive_reg = _psl.spark_reg_from_suffix(h0, alias)
+        for s, open_idx in reversed(sites):
             tag = rx_psl.match(sql, s).group(1)
             close = _matching_paren(sql, open_idx)
             host = sql[open_idx + 1 : close].strip()
-            sql = sql[:s] + gens[tag](host) + sql[close + 1 :]
+            body = (
+                derive_reg
+                if tag == "rd" and derive_reg is not None
+                else gens[tag](host)
+            )
+            sql = sql[:s] + body + sql[close + 1 :]
     return sql

@@ -1386,6 +1386,65 @@ def test_net_psl_full_list_r11(fcat):
     assert p.r5 == "unlisted-tld-host.zz"
 
 
+def test_net_psl_shared_expansion_r14(fcat, spark):
+    """r14 (VERDICT r13 item 5): the adjacent
+    ``PUBLIC_SUFFIX(h) AS x, REG_DOMAIN(h)`` pairing emits the 130 KB
+    rules CASE once and derives REG_DOMAIN from the suffix value
+    (suffix + one more label). Differential over every PSL branch
+    class: the derived value must equal the full second-CASE expansion
+    host by host, and the shared statement must actually be ~half the
+    size."""
+    from bigquery_etl_spark.functions import psl
+    from bigquery_etl_spark.sources.bq_dialect import translate
+
+    hosts = [
+        "www.example.co.uk",   # 2-label rule
+        "a.b.ck",              # wildcard *.ck
+        "www.ck",              # exception !www.ck
+        "b.ck",                # wildcard, no extra label -> reg NULL
+        "city.kawasaki.jp",    # exception !city.kawasaki.jp
+        "x.kawasaki.jp",       # wildcard *.kawasaki.jp, reg NULL
+        "y.x.kawasaki.jp",     # wildcard with extra label
+        "foo.bar.github.io",   # private section
+        "example.com",         # 1-label rule
+        "com",                 # bare suffix -> reg NULL
+        "unlisted-host.zz",    # implicit * default
+        "zz",                  # implicit *, bare -> reg NULL
+        "..x",                 # empty label -> both NULL
+        "UPPER.Example.COM",   # lowercasing
+    ]
+    vals = ", ".join(f"('{h}')" for h in hosts)
+    spark.sql(f"SELECT host FROM (VALUES {vals}) AS t(host)") \
+        .createOrReplaceTempView("psl_share_hosts")
+    shared_sql = (
+        "SELECT host, NET.PUBLIC_SUFFIX(host) AS suffix, "
+        "NET.REG_DOMAIN(host) AS reg FROM psl_share_hosts"
+    )
+    # the share gate fired: one rules CASE, not two
+    text = translate(shared_sql)
+    assert len(text) < 1.3 * len(psl.spark_public_suffix("host"))
+    shared = {
+        r.host: (r.suffix, r.reg) for r in fcat.bq_sql(shared_sql).collect()
+    }
+    # fallback spelling (alias referenced elsewhere -> full expansion)
+    full_sql = (
+        "SELECT host, NET.PUBLIC_SUFFIX(host) AS suffix, "
+        "NET.REG_DOMAIN(host) AS reg FROM psl_share_hosts ORDER BY suffix"
+    )
+    assert len(translate(full_sql)) > 2 * len(psl.spark_public_suffix("host"))
+    full = {
+        r.host: (r.suffix, r.reg) for r in fcat.bq_sql(full_sql).collect()
+    }
+    assert shared == full
+    # spot expectations per official PSL semantics
+    assert shared["www.ck"] == ("ck", "www.ck")          # exception
+    assert shared["b.ck"] == ("b.ck", None)              # wildcard bare
+    assert shared["a.b.ck"] == ("b.ck", "a.b.ck")
+    assert shared["com"] == ("com", None)
+    assert shared["..x"] == (None, None)
+    assert shared["UPPER.Example.COM"] == ("com", "example.com")
+
+
 def test_bignumeric_contract_r11(fcat):
     """r11 (VERDICT r10 item 6): the DECIMAL(38,19) BIGNUMERIC subset
     is now a PERMANENT contract — statements touching it analyze with

@@ -36,6 +36,35 @@ def test_exact_dedup_keeps_min_id(spark):
     assert ids == [1, 3, 4]  # 2 dropped (exact dup of 1)
 
 
+def test_exact_dedup_winner_pool_commutes_with_content_filter(spark):
+    """r14: winners computed over a pre-filter pool must equal winners
+    computed over the filtered df whenever the filter is a pure
+    function of the content columns (every hash group passes/fails as
+    a whole — the q_pretrain_corpus shape, where the pool skips the
+    tokenize+gate the winner scan otherwise recomputes)."""
+    import pytest
+
+    pool = _corpus(spark)
+    gate = F.length("text") > 100  # content-determined: dups agree
+    df = pool.filter(gate)  # keeps the BASE family {1,2,3}, drops 4
+    got = exact_dedup(
+        df, ["text"], "doc_id", strategy="winners", winner_pool=pool
+    )
+    want = exact_dedup(df, ["text"], "doc_id", strategy="winners")
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    ) == [1, 3]
+    # winner ids from hash groups the filter removed entirely match
+    # nothing: a df that keeps only the short text still dedups exactly
+    df2 = pool.filter(F.length("text") <= 100)
+    got2 = exact_dedup(
+        df2, ["text"], "doc_id", strategy="winners", winner_pool=pool
+    )
+    assert sorted(r.doc_id for r in got2.collect()) == [4]
+    with pytest.raises(ValueError, match="winner_pool"):
+        exact_dedup(pool, ["text"], "doc_id", winner_pool=pool)
+
+
 def test_minhash_identical_signatures(spark):
     sigs = {r.doc_id: r.signature for r in minhash_signatures(_corpus(spark), "doc_id", "text").collect()}
     assert sigs[1] == sigs[2]  # identical text -> identical signature

@@ -60,3 +60,17 @@ def test_grid_join_no_duplicate_pairs(spark):
     right = _points(spark, "r_id", [(10, 10.1, 10.1)])
     rows = grid_join(left, right, RADIUS).collect()
     assert len(rows) == 1  # neighborhood explode must not double-count
+
+
+def test_grid_join_keep_coords_stable_names(spark):
+    """r14 (ADVICE r13): keep_coords must expose the pair coordinates
+    under the documented stable names, not grid_join's internal working
+    columns, and the values must be the joined rows' own lat/lon."""
+    left = _points(spark, "l_id", [(1, 10.0, 10.0)])
+    right = _points(spark, "r_id", [(10, 10.1, 10.1)])
+    row = grid_join(left, right, RADIUS, keep_coords=True).collect()[0]
+    assert {"l_lat", "l_lon", "r_lat", "r_lon"} <= set(row.asDict())
+    assert not any(c.startswith("_") for c in row.asDict())
+    assert (row.l_lat, row.l_lon, row.r_lat, row.r_lon) == (
+        10.0, 10.0, 10.1, 10.1,
+    )

@@ -351,6 +351,38 @@ def test_snapshot_diff_single_join(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_pinned_cte_exchange_reuse(spark, sf_dir):
+    """r14 pin-site lint (VERDICT r13 item 7): the RAND()-pinned CTEs
+    (TF-IDF __tfcnt/__tfdf, GAP_FILL __gf_src) are pushdown BARRIERS
+    whose safety argument is 'every consumer reads the whole CTE, and
+    all consumers ride one planned copy'. If a future composition adds
+    a FILTERED consumer, InlineCTE still preserves the pin but the
+    consumers stop sharing (or the barrier starts hiding a pushable
+    predicate) and the scan/reuse counts move — this test goes red and
+    forces the invariant to be re-argued at the pin site (see the PIN
+    INVARIANT comments in bq_dialect.py and operators/gapfill.py)."""
+    # TF-IDF chain: the corpus subtree plans ONCE (pinned __tfcnt
+    # serves tf fold + vocab chain + N), so the physical plan reads
+    # parquet a bounded number of times and reuses the pinned exchange.
+    # AQE resolves exchange reuse at runtime — execute, then read the
+    # FINAL plan (the test_pack_sequences protocol).
+    def _final(df) -> str:
+        df.collect()
+        return _executed_plan(df).split("== Initial Plan ==")[0]
+
+    plan = _final(QUERIES["q_ml_tfidf"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 4, plan
+    assert "ReusedExchange" in plan, plan
+    plan = _final(QUERIES["q_ml_idf"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 4, plan
+    assert "ReusedExchange" in plan, plan
+    # GAP_FILL: bounds aggregate + grid join + fill windows all ride
+    # the ONE pinned hash(parts) exchange over a single input scan.
+    plan = _final(QUERIES["q_gap_fill"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_ml_tfidf_vocabulary_index_distributed(spark, sf_dir):
     """r13 (VERDICT r12 item 2): the TF-IDF vocabulary index must not
     be ONE unpartitioned ROW_NUMBER over the whole vocabulary — at
