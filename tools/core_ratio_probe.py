@@ -64,6 +64,27 @@ def main() -> None:
         # the same value at both core counts keeps the ratio clean
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
         driver_memory=os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        # Probe-scale split sizing (guide §6, r14 finding): the ~sf1
+        # build's 64 files are ~1 MB each, and the DEFAULT packing
+        # (128 MB budget, 4 MB open cost) folds all 64 into ~2 splits —
+        # every scan-heavy stage then runs 2 tasks at ANY core count
+        # and the 8-vs-32 ratio reads ~1.0 as a measurement artifact.
+        # Size splits so scan stages carry >= cores tasks, exactly how
+        # production sizes maxPartitionBytes to its real file sizes.
+        # AQE stays ON (the production configuration under test), but
+        # the advisory target is sized to the PROBE's shuffle sizes,
+        # exactly like tools/scale_bench.py --zipf does: with the 64 MB
+        # default, AQE coalesces every post-shuffle stage of this ~sf1
+        # build to 1-8 tasks (event-log evidence: 0.6-1.2 s single-task
+        # reduce stages), and the 8-vs-32-core ratio measures those
+        # serial stages instead of the operators. At real scale the
+        # same 64 MB advisory yields full parallelism because the data
+        # is big; at probe scale 4 MB is the faithful analogue.
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.files.openCostInBytes": "131072",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        },
     )
 
     marker = os.path.join(args.out, f"_built_{args.copies}")
